@@ -1,0 +1,43 @@
+"""CDC replay / incremental-ingest core (the flagship per BASELINE.json).
+
+A WAL/binlog tail of insert/update/delete change events over the
+source-code-repositories table ``(repo, path, commit, lang, content)`` is
+keyed by ``(repo, path)``, hash-partitioned, and applied as a last-writer-
+wins (LWW by LSN) merge into compacted, epoch-fenced Parquet snapshots with
+per-partition checkpoint manifests (crash-resume, effective exactly-once).
+
+This is the Ray-Data re-expression of the reference's computational
+signature — per-key, order-sensitive, stateful reduction of an event stream
+into a current-state table (SURVEY.md §1.1) — with real incremental state
+instead of Spark window tricks.
+"""
+
+from arlas_proc_ray.cdc.events import (
+    CANONICAL_EVENT_SCHEMA,
+    EVENT_SCHEMA_V1,
+    EVENT_SCHEMA_V2,
+    FINAL_STATE_SCHEMA,
+    ChangelogConfig,
+    changelog_dataset,
+    default_registry,
+    generate_changelog_tables,
+)
+from arlas_proc_ray.cdc.oracle import oracle_final_state
+from arlas_proc_ray.cdc.replay import lww_reduce_table, normalize_stage, replay_to_dataset
+from arlas_proc_ray.cdc.engine import CdcEngine
+
+__all__ = [
+    "ChangelogConfig",
+    "generate_changelog_tables",
+    "changelog_dataset",
+    "default_registry",
+    "oracle_final_state",
+    "lww_reduce_table",
+    "normalize_stage",
+    "replay_to_dataset",
+    "CdcEngine",
+    "EVENT_SCHEMA_V1",
+    "EVENT_SCHEMA_V2",
+    "CANONICAL_EVENT_SCHEMA",
+    "FINAL_STATE_SCHEMA",
+]

@@ -1,0 +1,207 @@
+"""CdcEngine — epoch-driven incremental ingest with crash-resume.
+
+One `apply_epoch` call = one fenced unit of exactly-once work:
+
+    events (Dataset, any schema version, out-of-order within the epoch)
+      → normalize (schema registry align)                 [map_batches]
+      → per-batch LWW combiner                            [map_batches]
+      → _part_id = hash(repo, path) % P                   [map_batches]
+      → groupby(_part_id).map_groups(merge_partition)     [ONE shuffle]
+            inside each group (vectorized, whole partition):
+              · fence: if this epoch's manifest for p exists → skip (resume)
+              · read partition p of the previous committed snapshot
+              · drop events with lsn <= prior manifest last_lsn
+                (an event is never applied twice across runs)
+              · union prior state (as lsn=last_lsn upsert rows) + events,
+                exact LWW by lsn, drop DELETE tombstones, sha256 only the
+                newly-surviving rows
+              · atomic write part-p.parquet then manifest-p.json
+      → driver writes the epoch _COMMITTED marker
+
+State lives in the partitioned snapshot on disk (merge-on-read compaction,
+lakehouse-style) — NOT in long-lived actors — so a crashed run loses
+nothing: rerunning the same epoch skips finished partitions and
+re-executes unfinished ones idempotently. This is the design that survives
+a 256-node cluster: per-partition work is independent, the only all-to-all
+exchange is the single hash partition, and the combiner has already
+collapsed the event volume (and any hot-key skew) before it.
+
+Reference analogue: the "resume" story there is re-reading a time slice and
+appending Parquet (/root/reference/src/main/scala/io/arlas/data/sql/
+package.scala:41-66, WritableDataFrame.scala:68-76) — no fencing, no
+manifests, no idempotence; those are the capabilities the north rule adds.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arlas_proc_ray.cdc.events import FINAL_STATE_SCHEMA, default_registry
+from arlas_proc_ray.cdc.replay import (
+    PART_COL,
+    add_partition_stage,
+    finalize_partition_table,
+    lww_reduce_table,
+    normalize_stage,
+)
+from arlas_proc_ray.cdc.snapshot import SnapshotStore
+from arlas_proc_ray.model import DataModel
+
+
+def _state_as_merge_rows(state: pa.Table) -> pa.Table:
+    """Prior final-state rows re-shaped as upsert events for the LWW union.
+
+    Keeps their content_sha256 so unchanged rows are never re-hashed.
+    """
+    n = state.num_rows
+    cols = {
+        "lsn": state.column("last_lsn"),
+        "op": pa.chunked_array([pa.array(["UPDATE"] * n, type=pa.string())]),
+        "repo": state.column("repo"),
+        "path": state.column("path"),
+        "commit": state.column("commit"),
+        "language": state.column("language"),
+        "content": state.column("content"),
+        "content_size": state.column("content_size"),
+        "content_sha256": state.column("content_sha256"),
+    }
+    return pa.table(cols)
+
+
+def _events_as_merge_rows(events: pa.Table) -> pa.Table:
+    cols = {
+        "lsn": events.column("lsn"),
+        "op": events.column("op"),
+        "repo": events.column("repo"),
+        "path": events.column("path"),
+        "commit": events.column("commit"),
+        "language": events.column("language"),
+        "content": events.column("content"),
+        "content_size": events.column("content_size"),
+        "content_sha256": pa.chunked_array(
+            [pa.nulls(events.num_rows, pa.string())]
+        ),
+    }
+    return pa.table(cols)
+
+
+class CdcEngine:
+    """Incremental CDC ingest over a snapshot store.
+
+    Parameters
+    ----------
+    snapshot_dir: root of the snapshot store (epoch-fenced layout).
+    dm: DataModel naming key/order columns and the partition fan-out P.
+    fault_hook: test-only callable ``(epoch, partition_id) -> None`` invoked
+        before a partition commits — raising simulates a mid-epoch crash.
+    """
+
+    def __init__(
+        self,
+        snapshot_dir: str,
+        dm: DataModel | None = None,
+        registry=None,
+        fault_hook=None,
+    ):
+        self.store = SnapshotStore(snapshot_dir)
+        self.dm = dm or DataModel()
+        self.registry = registry or default_registry()
+        self.fault_hook = fault_hook
+
+    # ------------------------------------------------------------------
+
+    def apply_epoch(self, events_ds, epoch: int) -> dict:
+        """Apply one epoch of events; idempotent, resumable, exactly-once."""
+        dm = self.dm
+        store = self.store
+        fault_hook = self.fault_hook
+        prev_epoch = store.latest_committed_epoch()
+        if prev_epoch is not None and prev_epoch >= epoch:
+            raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+
+        ds = normalize_stage(events_ds, self.registry)
+        ds = ds.map_batches(
+            lambda t: lww_reduce_table(t, dm.key_cols, dm.order_col),
+            batch_format="pyarrow",
+        )
+        ds = add_partition_stage(ds, dm)
+
+        def merge_partition(group: pa.Table) -> pa.Table:
+            part = int(group.column(PART_COL)[0].as_py())
+            if store.partition_done(epoch, part):  # crash-resume fence
+                m = store.read_manifest(epoch, part)
+                return _manifest_row(m)
+
+            prior = None
+            prior_last = -1
+            if prev_epoch is not None:
+                prior = store.read_partition(prev_epoch, part)
+                pm = store.read_manifest(prev_epoch, part)
+                prior_last = pm.last_lsn if pm else -1
+
+            ev = group.drop_columns([PART_COL])
+            if prior_last >= 0:
+                # never apply an event twice across runs/epochs
+                ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(prior_last)))
+
+            merged_inputs = [_events_as_merge_rows(ev)]
+            if prior is not None and prior.num_rows:
+                merged_inputs.append(_state_as_merge_rows(prior))
+            merged = pa.concat_tables(merged_inputs, promote_options="default")
+
+            final = finalize_partition_table(merged, dm)
+            if fault_hook is not None:
+                fault_hook(epoch, part)
+            m = store.write_partition(epoch, part, final)
+            return _manifest_row(m)
+
+        # run the epoch: the group output is just the tiny manifest table
+        manifests = ds.groupby(PART_COL).map_groups(
+            merge_partition, batch_format="pyarrow"
+        )
+        done = {r["partition_id"] for r in manifests.take_all()}
+
+        # partitions that received no events still need this epoch's
+        # snapshot (carry prior state forward) so the epoch is complete
+        for part in range(dm.num_partitions):
+            if part in done or store.partition_done(epoch, part):
+                continue
+            prior = (
+                store.read_partition(prev_epoch, part)
+                if prev_epoch is not None
+                else None
+            )
+            carried = (
+                prior
+                if prior is not None
+                else FINAL_STATE_SCHEMA.empty_table()
+            )
+            if fault_hook is not None:
+                fault_hook(epoch, part)
+            store.write_partition(epoch, part, carried)
+
+        return store.commit_epoch(epoch, dm.num_partitions)
+
+    # ------------------------------------------------------------------
+
+    def final_state(self, epoch: int | None = None) -> pa.Table:
+        t = self.store.read_state(epoch)
+        if t is None:
+            return FINAL_STATE_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+        return t.take(idx)
+
+
+def _manifest_row(m) -> pa.Table:
+    return pa.table(
+        {
+            "partition_id": pa.array([m.partition_id], type=pa.int32()),
+            "epoch": pa.array([m.epoch], type=pa.int64()),
+            "last_lsn": pa.array([m.last_lsn], type=pa.int64()),
+            "row_count": pa.array([m.row_count], type=pa.int64()),
+            "sha256_rollup": pa.array([m.sha256_rollup], type=pa.string()),
+        }
+    )

@@ -1,0 +1,285 @@
+"""Deterministic change-log synthesis (seeded, counter-based, distributable).
+
+Per FIXTURES.md §2-3: events ``(lsn, op, repo, path, commit, lang, content,
+schema_version, delivery_index)`` derived deterministically from a seed;
+~20% INSERT / ~70% UPDATE / ~10% DELETE; a hot "monorepo" contributes ~50%
+of events (skew fixture); ``delivery_index`` differs from ``lsn`` within a
+bounded window (out-of-order fixture); a v2 tail renames ``lang`` →
+``language`` and adds ``content_size`` (schema-evolution fixture).
+
+Everything is a pure function of ``(seed, lsn)`` via a vectorized
+splitmix64, NOT a sequential RNG — so any LSN range can be generated
+independently inside any Ray task and the result is identical however the
+range is chunked. That is what lets ``changelog_dataset`` fan generation out
+with ``ray.data.range(n).map_batches`` at bench scale (the 10^10-event
+ambition needs generation to be embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from arlas_proc_ray.schema import SchemaRegistry
+
+LANGS = np.array(["py", "rs", "scala", "ts", "go", "md"])
+EXTS = np.array(["py", "rs", "scala", "ts", "go", "md"])
+
+EVENT_SCHEMA_V1 = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("schema_version", pa.int32()),
+        ("delivery_index", pa.int64()),
+    ]
+)
+
+EVENT_SCHEMA_V2 = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("language", pa.string()),  # renamed from lang
+        ("content", pa.string()),
+        ("content_size", pa.int64()),  # new in v2
+        ("schema_version", pa.int32()),
+        ("delivery_index", pa.int64()),
+    ]
+)
+
+# canonical = latest version; the normalize stage aligns every batch to this
+CANONICAL_EVENT_SCHEMA = EVENT_SCHEMA_V2
+
+FINAL_STATE_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("language", pa.string()),
+        ("content", pa.string()),
+        ("content_size", pa.int64()),
+        ("content_sha256", pa.string()),
+        ("last_lsn", pa.int64()),
+    ]
+)
+
+
+def default_registry() -> SchemaRegistry:
+    reg = SchemaRegistry()
+    reg.register(1, EVENT_SCHEMA_V1, renames_to_next={"lang": "language"})
+    reg.register(2, EVENT_SCHEMA_V2)
+    return reg
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 — the counter-based PRNG core."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+# A deterministic pseudo-code filler sliced per event (cheap, no RNG).
+_FILLER = (
+    "\n".join(
+        f"    val_{i} = compute(input_{i % 7}, mode='{w}')  # step {i}"
+        for i, w in enumerate(
+            ["fast", "safe", "batch", "stream", "merge", "scan", "sort", "hash"] * 40
+        )
+    )
+    + "\n"
+)
+
+
+@dataclass(frozen=True)
+class ChangelogConfig:
+    """Parameters of the synthetic change stream (all seeded)."""
+
+    num_events: int = 10_000
+    num_keys: int = 1_000
+    num_repos: int = 50
+    seed: int = 42
+    hot_fraction: float = 0.5  # share of events hitting the monorepo key set
+    delete_prob: float = 0.10
+    insert_prob: float = 0.20
+    ooo_window: int = 64  # |delivery_index - lsn| bound
+    v2_start_lsn: int | None = None  # lsn at which schema_version becomes 2
+    min_content: int = 200
+    max_content: int = 2_000
+
+    @property
+    def hot_keys(self) -> int:
+        return max(1, self.num_keys // 20)
+
+    def v2_boundary(self) -> int:
+        """First lsn with schema_version=2 (default: last 40% of the stream)."""
+        if self.v2_start_lsn is not None:
+            return self.v2_start_lsn
+        return (self.num_events * 3) // 5
+
+
+def _u01(h: np.ndarray) -> np.ndarray:
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _gen_range(cfg: ChangelogConfig, lo: int, hi: int) -> dict[str, np.ndarray]:
+    """Generate raw event columns for lsn in [lo, hi) — pure f(seed, lsn)."""
+    lsn = np.arange(lo, hi, dtype=np.int64)
+    seed_mix = np.uint64((cfg.seed * 0x5851F42D4C957F2D) % (1 << 64))
+    base = lsn.astype(np.uint64) ^ seed_mix
+
+    h_key = _splitmix64(base)
+    h_op = _splitmix64(base ^ np.uint64(1))
+    h_len = _splitmix64(base ^ np.uint64(2))
+    h_misc = _splitmix64(base ^ np.uint64(3))
+    h_ooo = _splitmix64(base ^ np.uint64(4))
+
+    # --- key selection with hot-repo skew ---------------------------------
+    hot = _u01(h_key) < cfg.hot_fraction
+    hot_k = (h_key % np.uint64(cfg.hot_keys)).astype(np.int64)
+    n_cold = max(1, cfg.num_keys - cfg.hot_keys)
+    cold_k = cfg.hot_keys + (h_key % np.uint64(n_cold)).astype(np.int64)
+    key_id = np.where(hot, hot_k, cold_k)
+
+    # --- op mix ------------------------------------------------------------
+    r = _u01(h_op)
+    is_delete = r < cfg.delete_prob
+    is_insert = (~is_delete) & (r < cfg.delete_prob + cfg.insert_prob)
+
+    # --- per-event content length (log-ish spread) --------------------------
+    span = cfg.max_content - cfg.min_content
+    frac = _u01(h_len) ** 2.0  # skew toward small files
+    length = (cfg.min_content + frac * span).astype(np.int64)
+
+    ooo = (h_ooo % np.uint64(max(1, cfg.ooo_window))).astype(np.int64) - (
+        cfg.ooo_window // 2
+    )
+    delivery_index = lsn + ooo
+
+    return {
+        "lsn": lsn,
+        "key_id": key_id,
+        "is_delete": is_delete,
+        "is_insert": is_insert,
+        "length": length,
+        "h_misc": h_misc,
+        "delivery_index": delivery_index,
+    }
+
+
+def key_repo_path(key_id: np.ndarray, cfg: ChangelogConfig):
+    """Deterministic (repo, path, lang) for each key id."""
+    n = len(key_id)
+    n_other = max(1, cfg.num_repos - 1)
+    repo_idx = 1 + (key_id % n_other)
+    lang_idx = key_id % len(LANGS)
+    is_hot = key_id < cfg.hot_keys
+    repos = [
+        "org0/monorepo" if is_hot[i] else f"org{repo_idx[i] % 10}/repo{repo_idx[i]}"
+        for i in range(n)
+    ]
+    paths = [
+        f"src/d{(k // 97) % 31}/m{(k // 7) % 13}/file_{k}.{EXTS[li]}"
+        for k, li in zip(key_id.tolist(), lang_idx.tolist())
+    ]
+    langs = LANGS[lang_idx]
+    return repos, paths, langs
+
+
+def generate_changelog_tables(
+    cfg: ChangelogConfig, lo: int = 0, hi: int | None = None
+) -> list[pa.Table]:
+    """Events with lsn in [lo, hi), physically shaped per their version.
+
+    Returns 1 or 2 tables (a v1-shaped one and/or a v2-shaped one) ordered
+    by ``delivery_index`` inside each table — the physical delivery order
+    differs from lsn order within ``cfg.ooo_window`` (out-of-order fixture).
+    """
+    hi = cfg.num_events if hi is None else hi
+    raw = _gen_range(cfg, lo, hi)
+    lsn = raw["lsn"]
+    key_id = raw["key_id"]
+    repos, paths, langs = key_repo_path(key_id, cfg)
+
+    commit = [format(int(c), "016x") for c in _splitmix64(lsn.astype(np.uint64))]
+    op = np.where(raw["is_delete"], "DELETE", np.where(raw["is_insert"], "INSERT", "UPDATE"))
+
+    filler = _FILLER
+    flen = len(filler)
+    contents: list[str | None] = []
+    lengths = raw["length"].tolist()
+    deletes = raw["is_delete"].tolist()
+    for i in range(len(lsn)):
+        if deletes[i]:
+            contents.append(None)
+        else:
+            start = int(lsn[i]) % max(1, flen - lengths[i] - 1)
+            body = filler[start : start + lengths[i]]
+            contents.append(f"// {repos[i]}:{paths[i]} @ lsn={int(lsn[i])}\n{body}")
+
+    v2_at = cfg.v2_boundary()
+    version = np.where(lsn >= v2_at, np.int32(2), np.int32(1))
+
+    out: list[pa.Table] = []
+    for ver in (1, 2):
+        mask = version == ver
+        if not mask.any():
+            continue
+        idx = np.nonzero(mask)[0]
+        # deliver in delivery_index order (out-of-order w.r.t. lsn)
+        idx = idx[np.argsort(raw["delivery_index"][idx], kind="stable")]
+        cols = {
+            "lsn": pa.array(lsn[idx]),
+            "op": pa.array(op[idx].tolist(), type=pa.string()),
+            "repo": pa.array([repos[i] for i in idx], type=pa.string()),
+            "path": pa.array([paths[i] for i in idx], type=pa.string()),
+            "commit": pa.array([commit[i] for i in idx], type=pa.string()),
+            "content": pa.array([contents[i] for i in idx], type=pa.string()),
+            "schema_version": pa.array(version[idx], type=pa.int32()),
+            "delivery_index": pa.array(raw["delivery_index"][idx]),
+        }
+        lang_vals = pa.array([str(langs[i]) for i in idx], type=pa.string())
+        if ver == 1:
+            cols["lang"] = lang_vals
+            schema = EVENT_SCHEMA_V1
+        else:
+            cols["language"] = lang_vals
+            cols["content_size"] = pa.array(
+                [None if contents[i] is None else len(contents[i]) for i in idx],
+                type=pa.int64(),
+            )
+            schema = EVENT_SCHEMA_V2
+        out.append(pa.Table.from_arrays([cols[f.name] for f in schema], schema=schema))
+    return out
+
+
+def changelog_dataset(cfg: ChangelogConfig, *, override_num_blocks: int | None = None):
+    """Distributed deterministic changelog as a ``ray.data.Dataset``.
+
+    ``ray.data.range`` provides the lsn counter; each task generates its own
+    [lo, hi) slice independently (counter-based PRNG), so generation scales
+    with the cluster and never materializes on the driver.
+    """
+    import ray.data as rd
+
+    n_blocks = override_num_blocks or max(8, cfg.num_events // 200_000)
+    base = rd.range(cfg.num_events, override_num_blocks=n_blocks)
+
+    def gen(batch: pa.Table):
+        ids = batch.column("id").to_numpy()
+        lo, hi = int(ids.min()), int(ids.max()) + 1
+        # range blocks are contiguous; assert to catch regressions
+        assert hi - lo == len(ids), "range block not contiguous"
+        yield from generate_changelog_tables(cfg, lo, hi)
+
+    return base.map_batches(gen, batch_format="pyarrow")

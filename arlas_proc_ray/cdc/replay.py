@@ -1,0 +1,177 @@
+"""Ray-Data LWW replay: normalize → combine → hash-partition → finalize.
+
+The reference's per-key ordered reduction (Window.partitionBy(id).orderBy(ts)
+everywhere, e.g. /root/reference/src/main/scala/io/arlas/data/transform/
+fragments/FlowFragmentMapper.scala:53-58) becomes, in CDC form:
+
+  events ──map_batches──▶ schema-align (zero-copy renames, null-fill, cast)
+         ──map_batches──▶ per-batch LWW combiner   (pre-shuffle reduction)
+         ──map_batches──▶ add _part_id = hash(repo,path) % P
+         ──groupby(_part_id).map_groups──▶ final LWW + tombstone drop + sha256
+
+Scale design:
+- The **combiner** keeps only the max-lsn event per key within each batch
+  BEFORE the shuffle, so the all-to-all exchange moves at most
+  |distinct keys per batch| rows — this is what neutralizes hot-key skew
+  (the monorepo's events collapse inside every upstream batch; no
+  single-key flood reaches one partition). Salting is therefore needed only
+  if a single *batch* can't hold a key's events, which batch sizing rules
+  out.
+- ONE shuffle total, on ``_part_id`` (P groups), not on the raw composite
+  key (millions of groups): each group call processes a whole partition
+  vectorized, never one Python call per key.
+- All steps are ``batch_format="pyarrow"``: zero-copy from the object
+  store; the reduction itself is numpy argsort over dictionary-encoded
+  exact key ids (no uint64-collision risk, no pandas object conversion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arlas_proc_ray.cdc.events import CANONICAL_EVENT_SCHEMA, FINAL_STATE_SCHEMA
+from arlas_proc_ray.functions.hashing import partition_ids, sha256_hex
+from arlas_proc_ray.model import DataModel
+from arlas_proc_ray.schema import SchemaRegistry
+
+PART_COL = DataModel.PARTITION_COL
+
+
+def _combined_key(table: pa.Table, key_cols: list[str]) -> pa.Array:
+    """Exact composite key as one binary column (zero-copy-ish concat)."""
+    cols = [table.column(c).combine_chunks() for c in key_cols]
+    if len(cols) == 1:
+        return cols[0]
+    arrays = []
+    for c in cols:
+        arrays.append(c.chunk(0) if isinstance(c, pa.ChunkedArray) else c)
+    return pc.binary_join_element_wise(*arrays, "\x00")
+
+
+def group_ids(table: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Exact dense group id per row via Arrow dictionary encoding."""
+    combined = _combined_key(table, key_cols)
+    if isinstance(combined, pa.ChunkedArray):
+        combined = combined.combine_chunks()
+    return pc.dictionary_encode(combined).indices.to_numpy(zero_copy_only=False)
+
+
+def lww_reduce_table(
+    table: pa.Table, key_cols: list[str] = ("repo", "path"), order_col: str = "lsn"
+) -> pa.Table:
+    """Keep, for each key, the single row with the maximum order value.
+
+    Exact (dictionary-encoded keys, not hashes); stable tie-break keeps the
+    later physical row. Used both as the pre-shuffle combiner and as the
+    per-partition final reduce — LWW is associative, so combining partials
+    is correct by construction.
+    """
+    if table.num_rows <= 1:
+        return table
+    gid = group_ids(table, list(key_cols))
+    order = table.column(order_col).to_numpy()
+    sel = np.lexsort((order, gid))
+    gid_sorted = gid[sel]
+    last_of_group = np.append(gid_sorted[1:] != gid_sorted[:-1], True)
+    keep = np.sort(sel[last_of_group])
+    return table.take(pa.array(keep))
+
+
+def make_align_fn(registry: SchemaRegistry):
+    """Schema-evolution normalizer: any physical version → canonical schema.
+
+    Splits a (possibly mixed-version) batch by ``schema_version``, applies
+    the registry's composed renames (zero-copy), null-fills new columns,
+    casts only when types differ, then computes ``content_size`` where null
+    (v1 rows) with ``pc.utf8_length`` — vectorized, no Python rows.
+    """
+    reg = registry.snapshot()
+
+    def align(batch: pa.Table) -> pa.Table:
+        versions = batch.column("schema_version")
+        uniq = pc.unique(versions).to_pylist()
+        parts: list[pa.Table] = []
+        for v in uniq:
+            sub = (
+                batch
+                if len(uniq) == 1
+                else batch.filter(pc.equal(versions, pa.scalar(v, versions.type)))
+            )
+            parts.append(reg.align_table(sub, from_version=int(v)))
+        out = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+        size = out.column("content_size")
+        if size.null_count > 0:
+            computed = pc.cast(pc.utf8_length(out.column("content")), pa.int64())
+            filled = pc.coalesce(size, computed)
+            out = out.set_column(
+                out.schema.get_field_index("content_size"),
+                "content_size",
+                filled,
+            )
+        return out
+
+    return align
+
+
+def normalize_stage(ds, registry: SchemaRegistry):
+    return ds.map_batches(make_align_fn(registry), batch_format="pyarrow")
+
+
+def add_partition_stage(ds, dm: DataModel):
+    def add_part(batch: pa.Table) -> pa.Table:
+        pids = partition_ids(batch, dm.key_list, dm.num_partitions)
+        return batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def finalize_partition_table(table: pa.Table, dm: DataModel) -> pa.Table:
+    """Final LWW over one partition → final-state rows (tombstones dropped).
+
+    Rows that already carry a ``content_sha256`` column (prior-snapshot rows
+    merged back in by the engine) keep it; only new survivors are hashed —
+    at 100 TB the hash runs once per surviving row, never per event.
+    """
+    reduced = lww_reduce_table(table, dm.key_cols, dm.order_col)
+    live = reduced.filter(pc.not_equal(reduced.column("op"), pa.scalar("DELETE")))
+
+    if "content_sha256" in live.column_names:
+        sha = live.column("content_sha256")
+        if sha.null_count > 0:
+            sha = pc.coalesce(sha, sha256_hex(live.column("content")))
+    else:
+        sha = sha256_hex(live.column("content"))
+
+    last_lsn = live.column(dm.order_col)
+    arrays = []
+    for f in FINAL_STATE_SCHEMA:
+        if f.name == "content_sha256":
+            arrays.append(sha)
+        elif f.name == "last_lsn":
+            arrays.append(pc.cast(last_lsn, pa.int64()))
+        else:
+            arrays.append(pc.cast(live.column(f.name), f.type))
+    return pa.Table.from_arrays(arrays, schema=FINAL_STATE_SCHEMA)
+
+
+def replay_to_dataset(events_ds, dm: DataModel | None = None, registry=None):
+    """Full-replay pipeline returning the final-state Dataset (no sink)."""
+    from arlas_proc_ray.cdc.events import default_registry
+
+    dm = dm or DataModel()
+    registry = registry or default_registry()
+
+    ds = normalize_stage(events_ds, registry)
+    ds = ds.map_batches(
+        lambda t: lww_reduce_table(t, dm.key_cols, dm.order_col),
+        batch_format="pyarrow",
+    )
+    ds = add_partition_stage(ds, dm)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return finalize_partition_table(group, dm)
+
+    return ds.groupby(PART_COL).map_groups(finalize, batch_format="pyarrow")

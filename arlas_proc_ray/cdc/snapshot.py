@@ -1,0 +1,183 @@
+"""Epoch-fenced Parquet snapshot store with per-partition manifests.
+
+The exactly-once sink (BASELINE.json north_star): Ray tasks are
+at-least-once, so correctness comes from *idempotent* writes —
+
+- each epoch writes under ``snapshot_dir/epoch=<e>/``: one Parquet file and
+  one JSON manifest per partition, each written to a ``.tmp`` path, fsynced,
+  then atomically ``os.replace``d (a retried task overwrites with identical
+  bytes — harmless);
+- a partition whose manifest for epoch e already exists is SKIPPED on
+  re-run (crash-resume: finished partitions cost nothing);
+- the epoch becomes visible only when the ``_COMMITTED`` marker (written
+  last, atomically) exists; readers resolve ``latest_committed_epoch``.
+
+Manifest per partition (FIXTURES.md §4): ``partition_id, last_lsn,
+row_count, sha256_rollup`` — the rollup is an order-free hash of the
+partition's per-row content sha256s, giving a cheap cross-run lineage
+check without re-reading data.
+
+Analogue in the reference: the append-mode daily-partitioned Parquet sink
+(/root/reference/src/main/scala/io/arlas/data/sql/WritableDataFrame.scala:68-76)
+— which has no fencing and no manifests; those are the new capabilities the
+north rule mandates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from arlas_proc_ray.functions.hashing import sha256_rollup
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    epoch: int
+    last_lsn: int  # max last_lsn in the partition (-1 if empty)
+    row_count: int
+    sha256_rollup: str
+
+
+def _atomic_write_bytes(path: str, payload: bytes) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class SnapshotStore:
+    """Filesystem layout + atomic commit protocol for compacted snapshots."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+
+    def epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.root, f"epoch={epoch}")
+
+    def part_data_path(self, epoch: int, part: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), f"part-{part:05d}.parquet")
+
+    def part_manifest_path(self, epoch: int, part: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), f"manifest-{part:05d}.json")
+
+    def commit_marker_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "_COMMITTED")
+
+    # ---- write path ------------------------------------------------------
+
+    def partition_done(self, epoch: int, part: int) -> bool:
+        return os.path.exists(self.part_manifest_path(epoch, part))
+
+    def write_partition(
+        self, epoch: int, part: int, table: pa.Table
+    ) -> PartitionManifest:
+        """Idempotent atomic write of one partition's compacted state."""
+        shas = table.column("content_sha256").to_pylist() if table.num_rows else []
+        last = (
+            int(pa.compute.max(table.column("last_lsn")).as_py())
+            if table.num_rows
+            else -1
+        )
+        manifest = PartitionManifest(
+            partition_id=part,
+            epoch=epoch,
+            last_lsn=last,
+            row_count=table.num_rows,
+            sha256_rollup=sha256_rollup(shas),
+        )
+        data_path = self.part_data_path(epoch, part)
+        os.makedirs(os.path.dirname(data_path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(data_path), suffix=".parquet.tmp"
+        )
+        os.close(fd)
+        try:
+            pq.write_table(table, tmp, compression="snappy")
+            os.replace(tmp, data_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        # manifest LAST: its existence certifies the data file is complete
+        _atomic_write_bytes(
+            self.part_manifest_path(epoch, part),
+            json.dumps(asdict(manifest)).encode(),
+        )
+        return manifest
+
+    def commit_epoch(self, epoch: int, num_partitions: int) -> dict:
+        """Write the _COMMITTED marker once every partition manifest exists."""
+        manifests = [self.read_manifest(epoch, p) for p in range(num_partitions)]
+        missing = [p for p, m in enumerate(manifests) if m is None]
+        if missing:
+            raise RuntimeError(f"epoch {epoch}: partitions not done: {missing[:10]}")
+        summary = {
+            "epoch": epoch,
+            "num_partitions": num_partitions,
+            "row_count": sum(m.row_count for m in manifests),
+            "last_lsn": max((m.last_lsn for m in manifests), default=-1),
+            "rollup": sha256_rollup([m.sha256_rollup for m in manifests]),
+        }
+        _atomic_write_bytes(
+            self.commit_marker_path(epoch), json.dumps(summary).encode()
+        )
+        return summary
+
+    # ---- read path -------------------------------------------------------
+
+    def read_manifest(self, epoch: int, part: int) -> PartitionManifest | None:
+        p = self.part_manifest_path(epoch, part)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return PartitionManifest(**json.load(f))
+
+    def latest_committed_epoch(self) -> int | None:
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for name in os.listdir(self.root):
+            if not name.startswith("epoch="):
+                continue
+            e = int(name.split("=", 1)[1])
+            if os.path.exists(self.commit_marker_path(e)):
+                best = e if best is None else max(best, e)
+        return best
+
+    def read_partition(self, epoch: int, part: int) -> pa.Table | None:
+        p = self.part_data_path(epoch, part)
+        if not os.path.exists(p):
+            return None
+        return pq.read_table(p)
+
+    def read_epoch_summary(self, epoch: int) -> dict:
+        with open(self.commit_marker_path(epoch)) as f:
+            return json.load(f)
+
+    def read_state(self, epoch: int | None = None) -> pa.Table:
+        """Whole final state of a committed epoch (small-scale helper)."""
+        e = self.latest_committed_epoch() if epoch is None else epoch
+        if e is None:
+            raise RuntimeError("no committed epoch")
+        parts = []
+        for name in sorted(os.listdir(self.epoch_dir(e))):
+            if name.endswith(".parquet"):
+                parts.append(pq.read_table(os.path.join(self.epoch_dir(e), name)))
+        return pa.concat_tables(parts) if parts else None
