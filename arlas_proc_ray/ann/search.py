@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+(``ray.put``), each batch does one f64 numpy matmul against it, emits its
+local top-k per query, and a final tiny per-query reduce merges partials.
+Nothing but (num_queries × k) rows per batch ever moves — the embedding
+table itself streams and never shuffles.
+
+Scale path: random-hyperplane LSH bucketing — vectors are bucketed by the
+sign pattern of projections onto broadcast hyperplanes; queries search only
+their own bucket (and optionally neighboring buckets), trading recall for
+a ~2^bits reduction in candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(embeddings_col) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float64 matrix, zero-copy-ish."""
+    if isinstance(embeddings_col, pa.ChunkedArray):
+        embeddings_col = embeddings_col.combine_chunks()
+    arr = embeddings_col
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(arr[0]) if len(arr) else 0
+    return values.reshape(len(arr), d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchScorer:
+    """Actor: holds the normalized broadcast query matrix; per batch emits
+    the batch-local top-k rows per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(q["matrix"])
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        mat = _normalize(_as_matrix(batch.column(self.vec_col)))
+        ids = batch.column(self.id_col).to_numpy()
+        sims = self.qmat @ mat.T  # (q, n)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = {
+            "query_id": np.repeat(self.qids, k),
+            "vec_id": ids[top].ravel(),
+            "cos_sim": np.take_along_axis(sims, top, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+
+def brute_force_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query over the embedding Dataset.
+
+    Returns a pandas DataFrame (query_id, vec_id, cos_sim) with exactly k
+    rows per query, ties broken by ascending vec_id (deterministic).
+    """
+    queries_ref = ray.put(
+        {"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
+    )
+    partials = ds.map_batches(
+        BatchScorer,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
+        )
+        return pdf.groupby("query_id", sort=False).head(k)
+
+    # final reduce is tiny: (#queries × k × #batches) rows
+    out = (
+        partials.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "cos_sim", "vec_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+def lsh_bucketed_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 3,
+    bits: int = 8,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH pre-filter.
+
+    Each vector/query gets a ``bits``-bit sign signature from projections
+    onto shared random hyperplanes; only same-bucket candidates are scored.
+    Recall < 1 by construction (that's the approximation); at corpus scale
+    the candidate set shrinks ~2^bits-fold.
+    """
+    dim = query_matrix.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bits, dim))
+    qsig = (query_matrix @ planes.T > 0).astype(np.uint8)
+    qbucket = np.packbits(qsig, axis=1)[:, 0] if bits <= 8 else None
+    assert bits <= 8, "bits > 8 needs multi-byte bucket packing"
+    wanted = {}
+    for qid, b in zip(query_ids, qbucket):
+        wanted.setdefault(int(b), []).append(int(qid))
+    planes_ref = ray.put(planes)
+    wanted_ref = ray.put(wanted)
+    queries_ref = ray.put(
+        {"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix, np.float64)}
+    )
+
+    class BucketScorer:
+        def __init__(self):
+            q = ray.get(queries_ref)
+            self.qids = q["ids"]
+            self.qmat = _normalize(q["matrix"])
+            self.planes = ray.get(planes_ref)
+            self.wanted = ray.get(wanted_ref)
+            self.qpos = {int(i): p for p, i in enumerate(self.qids)}
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            mat = _as_matrix(batch.column(vec_col))
+            ids = batch.column(id_col).to_numpy()
+            sig = (mat @ self.planes.T > 0).astype(np.uint8)
+            buckets = np.packbits(sig, axis=1)[:, 0]
+            frames = []
+            nmat = _normalize(mat)
+            for b, qids in self.wanted.items():
+                mask = buckets == b
+                if not mask.any():
+                    continue
+                sub, sub_ids = nmat[mask], ids[mask]
+                qsel = [self.qpos[q] for q in qids]
+                sims = self.qmat[qsel] @ sub.T
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(np.asarray(qids), kk),
+                            "vec_id": sub_ids[top].ravel(),
+                            "cos_sim": np.take_along_axis(sims, top, axis=1).ravel(),
+                        }
+                    )
+                )
+            if not frames:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "vec_id": pd.Series([], dtype=np.int64),
+                     "cos_sim": pd.Series([], dtype=np.float64)}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(BucketScorer, batch_format="pyarrow", concurrency=concurrency)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
+        )
+        return pdf.groupby("query_id", sort=False).head(k)
+
+    out = (
+        partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    )
+    return out.sort_values(["query_id", "cos_sim", "vec_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)

@@ -1,0 +1,153 @@
+"""Streaming CDC variant: long-lived merge actors holding Arrow state.
+
+The batch engine (cdc/engine.py) keeps state on disk (merge-on-read); this
+variant keeps each partition's current state IN a long-lived actor — the
+north-star's "pool of stateful merge actors that each maintain an
+Arrow-backed last-writer-wins table (commit-ordered LSN per key)". Use it
+when epochs are small and frequent (tailing), where re-reading the prior
+snapshot per epoch would dominate; use the batch engine for bulk replay.
+
+Routing: a ``map_batches`` task splits each incoming batch by partition id
+and ships sub-tables to the owning actor (``ingest``), awaiting the acks
+before the task returns — so when the routing dataset finishes, every event
+of the epoch is buffered at its actor. ``commit_epoch`` then applies the
+buffer in LSN order (out-of-order delivery within the epoch is tolerated by
+construction), merges into the actor's state table, and writes the same
+epoch-fenced snapshot + manifest as the batch engine — both engines are
+interchangeable on one snapshot store, and crash-recovery reloads actor
+state from the last committed epoch.
+
+Why raw actors (not a Dataset op): a shared mutable per-partition index
+that must SURVIVE across epochs is exactly the case the Dataset API cannot
+express (Ray Data actor pools are per-execution).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from arlas_proc_ray.cdc.engine import _events_as_merge_rows, _state_as_merge_rows
+from arlas_proc_ray.cdc.events import FINAL_STATE_SCHEMA, default_registry
+from arlas_proc_ray.cdc.replay import (
+    PART_COL,
+    finalize_partition_table,
+    lww_reduce_table,
+    make_align_fn,
+)
+from arlas_proc_ray.cdc.snapshot import SnapshotStore
+from arlas_proc_ray.functions.hashing import partition_ids
+from arlas_proc_ray.model import DataModel
+
+
+@ray.remote(num_cpus=0.5)
+class MergeActor:
+    """Owns one partition: buffered epoch events + current LWW state."""
+
+    def __init__(self, partition_id: int, snapshot_dir: str, dm: DataModel):
+        self.part = partition_id
+        self.dm = dm
+        self.store = SnapshotStore(snapshot_dir)
+        self.buffer: list[pa.Table] = []
+        self.state: pa.Table | None = None
+        self.last_lsn = -1
+        e = self.store.latest_committed_epoch()
+        if e is not None:
+            self.state = self.store.read_partition(e, self.part)
+            m = self.store.read_manifest(e, self.part)
+            self.last_lsn = m.last_lsn if m else -1
+
+    def ingest(self, table: pa.Table) -> int:
+        self.buffer.append(table)
+        return table.num_rows
+
+    def commit_epoch(self, epoch: int) -> dict:
+        if self.store.partition_done(epoch, self.part):  # resume fence
+            m = self.store.read_manifest(epoch, self.part)
+            self.buffer.clear()
+            self.state = self.store.read_partition(epoch, self.part)
+            self.last_lsn = m.last_lsn
+            return {"partition_id": self.part, "row_count": m.row_count}
+
+        inputs = []
+        if self.buffer:
+            ev = pa.concat_tables(self.buffer, promote_options="default")
+            if self.last_lsn >= 0:
+                ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(self.last_lsn)))
+            inputs.append(_events_as_merge_rows(ev))
+        if self.state is not None and self.state.num_rows:
+            inputs.append(_state_as_merge_rows(self.state))
+        merged = (
+            pa.concat_tables(inputs, promote_options="default")
+            if inputs
+            else None
+        )
+        final = (
+            finalize_partition_table(merged, self.dm)
+            if merged is not None
+            else FINAL_STATE_SCHEMA.empty_table()
+        )
+        m = self.store.write_partition(epoch, self.part, final)
+        self.buffer.clear()
+        self.state = final
+        self.last_lsn = max(self.last_lsn, m.last_lsn)
+        return {"partition_id": self.part, "row_count": m.row_count}
+
+
+class StreamingCdcEngine:
+    """Epoch tailing over a pool of long-lived merge actors."""
+
+    def __init__(self, snapshot_dir: str, dm: DataModel | None = None, registry=None):
+        self.dm = dm or DataModel()
+        self.store = SnapshotStore(snapshot_dir)
+        self.registry = registry or default_registry()
+        self.actors = [
+            MergeActor.remote(p, snapshot_dir, self.dm)
+            for p in range(self.dm.num_partitions)
+        ]
+
+    def apply_epoch(self, events_ds, epoch: int) -> dict:
+        dm = self.dm
+        actors = self.actors
+        align = make_align_fn(self.registry)
+
+        def route(batch: pa.Table) -> pa.Table:
+            batch = align(batch)
+            batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
+            pids = partition_ids(batch, dm.key_list, dm.num_partitions)
+            refs = []
+            import numpy as np
+
+            order = np.argsort(pids, kind="stable")
+            sorted_tbl = batch.take(pa.array(order))
+            sorted_pids = pids[order]
+            bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(sorted_pids)]])
+            for s, e in zip(starts, ends):
+                p = int(sorted_pids[s])
+                refs.append(actors[p].ingest.remote(sorted_tbl.slice(s, e - s)))
+            ray.get(refs)  # ack: events are buffered before the task returns
+            return pa.table({"routed": pa.array([batch.num_rows], pa.int64())})
+
+        routed = events_ds.map_batches(route, batch_format="pyarrow").sum("routed")
+        results = ray.get([a.commit_epoch.remote(epoch) for a in self.actors])
+        summary = self.store.commit_epoch(epoch, dm.num_partitions)
+        summary["routed_events"] = int(routed or 0)
+        return summary
+
+    def final_state(self, epoch: int | None = None) -> pa.Table:
+        t = self.store.read_state(epoch)
+        if t is None:
+            return FINAL_STATE_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+        )
+        return t.take(idx)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

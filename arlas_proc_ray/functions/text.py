@@ -1,0 +1,158 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Token counting, quality scoring, language-ID (n-gram heuristic) and
+document fingerprinting — each designed to run vectorized inside
+``map_batches`` over the ``documents`` table. Regexes are compiled once at
+module import (or in an actor's ``__init__``), mirroring the reference's
+load-state-once pattern (model/MLModel.scala:30-35).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+_PUNCT_CLASS = "[.,!?;:]"
+
+# Tiny per-language stopword/char profiles for the n-gram heuristic.
+# Public-knowledge word lists; enough signal for a deterministic heuristic.
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "es": {"el", "la", "los", "de", "y", "es", "una", "en", "que", "por"},
+}
+
+
+def token_count_column(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-token count per document, vectorized in Arrow.
+
+    Definition (shared with the SQL oracle): number of ``\\s+``-separated
+    tokens of the trimmed text; empty/blank text counts 0.
+    """
+    trimmed = pc.utf8_trim_whitespace(text)
+    # split_pattern_regex returns list<string>; blank text -> [""]
+    splits = pc.split_pattern_regex(trimmed, r"\s+")
+    counts = pc.list_value_length(splits)
+    is_blank = pc.equal(trimmed, pa.scalar(""))
+    counts = pc.if_else(pc.fill_null(is_blank, True), pa.scalar(0, pa.int32()), counts)
+    return pc.cast(counts, pa.int64())
+
+
+def quality_metrics(table: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation-ratio / token stats per document.
+
+    The classic cheap quality filters for web/corpus curation:
+    n_chars, n_tokens, punct_ratio (punctuation chars / chars),
+    mean_token_len.
+    """
+    text = table.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = token_count_column(text)
+    no_punct = pc.replace_substring_regex(text, _PUNCT_CLASS, "")
+    n_punct = pc.subtract(n_chars, pc.cast(pc.utf8_length(no_punct), pa.int64()))
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    safe_toks = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(safe_chars, pa.float64()))
+    # mean token length over the de-whitespaced text
+    no_ws = pc.replace_substring_regex(text, r"\s+", "")
+    mean_token_len = pc.divide(
+        pc.cast(pc.utf8_length(no_ws), pa.float64()), pc.cast(safe_toks, pa.float64())
+    )
+    out = table
+    for name, arr in [
+        ("n_chars_m", n_chars),
+        ("n_tokens", n_tokens),
+        ("punct_ratio", punct_ratio),
+        ("mean_token_len", mean_token_len),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+class LangIdScorer:
+    """Stopword-profile language-ID heuristic — actor-pool stage.
+
+    State (profiles, compiled regex) built once per actor in ``__init__``;
+    per-batch work is a vectorized pandas str split + set intersection.
+    Emits ``lang_pred`` and ``lang_score`` (hit ratio of the winner).
+    """
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñæœäöüß]+")
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        preds, scores = [], []
+        profiles = self.profiles
+        word_re = self.word_re
+        for t in texts:
+            words = word_re.findall(t.lower())
+            if not words:
+                preds.append("unknown")
+                scores.append(0.0)
+                continue
+            best_lang, best = "unknown", 0
+            for lang, stops in profiles.items():
+                hits = sum(1 for w in words if w in stops)
+                if hits > best:
+                    best, best_lang = hits, lang
+            preds.append(best_lang)
+            scores.append(best / len(words))
+        batch["lang_pred"] = preds
+        batch["lang_score"] = scores
+        return batch
+
+
+_FP_B = np.uint64(0x100000001B3)  # odd → invertible mod 2^64
+_FP_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _all_window_hashes(data: bytes, window: int) -> np.ndarray:
+    """Karp-Rabin hash of every ``window``-byte window, fully vectorized.
+
+    Arithmetic is mod 2^64 via natural uint64 overflow:
+    H[j] = Σ_{i=0..w-1} d[j+i]·B^(w-1-i)
+         = B^(w-1+j) · (prefix[j+w] − prefix[j]),  prefix[k] = Σ d[i]·B^(−i).
+    """
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(d)
+    w = min(window, n)
+    with np.errstate(over="ignore"):
+        pow_inv = np.empty(n + 1, dtype=np.uint64)
+        pow_inv[0] = 1
+        np.multiply.accumulate(
+            np.full(n, _FP_BINV, dtype=np.uint64), out=pow_inv[1:]
+        )
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(d * pow_inv[:n], out=prefix[1:])
+        n_win = n - w + 1
+        pow_fwd = np.empty(w + n_win, dtype=np.uint64)
+        pow_fwd[0] = 1
+        np.multiply.accumulate(
+            np.full(w + n_win - 1, _FP_B, dtype=np.uint64), out=pow_fwd[1:]
+        )
+        return pow_fwd[w - 1 : w - 1 + n_win] * (prefix[w : w + n_win] - prefix[:n_win])
+
+
+def rolling_fingerprint(text_col, window: int = 64) -> np.ndarray:
+    """Deterministic rolling-hash document fingerprint (winnowing-style).
+
+    fingerprint = min over all ``window``-byte windows of the Karp-Rabin
+    rolling hash (mod 2^64). Documents shorter than ``window`` hash whole;
+    null/empty → 0. The per-document work is numpy-vectorized (no Python
+    loop over bytes), so a 20 kB document costs a few array ops.
+    """
+    out = np.empty(len(text_col), dtype=np.uint64)
+    for i, t in enumerate(text_col):
+        if not t:
+            out[i] = 0
+            continue
+        out[i] = _all_window_hashes(t.encode("utf-8", "ignore"), window).min()
+    return out

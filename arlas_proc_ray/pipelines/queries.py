@@ -1,0 +1,970 @@
+"""Query catalog: every operator exposed as a (Ray pipeline, oracle SQL) pair.
+
+Each ``q_*`` builder takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; ``ORACLE_SQL`` holds the ANSI-SQL equivalent DuckDB runs on the same
+parquet (views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names match EXACTLY between both sides (the
+driver hash-compares after sorting columns by name).
+
+Determinism policy for floats:
+- monetary/value aggregates use EXACT integer-cents arithmetic on both
+  sides (2-decimal data), divided back at the end — bit-identical;
+- per-row arithmetic (durations from µs timestamps, ratios) is identical
+  IEEE ops on identical inputs — bit-identical;
+- only genuinely order-sensitive float reductions (cosine similarities)
+  are rounded (6 dp) on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+NP = 16  # partition fan-out for keyed ops at test scale
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _events(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _cents(series: pd.Series) -> pd.Series:
+    """2-decimal double → exact integer cents."""
+    return (series * 100).round().astype("int64")
+
+
+def _dur_s(ts: pd.Series, prev: pd.Series) -> pd.Series:
+    """µs-exact duration seconds (matches DuckDB epoch(ts)-epoch(prev))."""
+    return (ts - prev).dt.total_seconds()
+
+
+# ---------------------------------------------------------------------------
+# CDC / keyed-upsert family (events as the change stream)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_upsert(sf_dir: str):
+    """Keyed LWW upsert over the events stream (the CDC primitive).
+
+    key=(user_id, event_type), LSN=event_id, tombstone rule value<0.05.
+    Per-batch combiner + single partition shuffle (same topology as the
+    flagship replay in cdc/replay.py).
+    """
+    from arlas_proc_ray.cdc.replay import lww_reduce_table
+    from arlas_proc_ray.functions.hashing import sha256_hex
+
+    ds = _events(sf_dir)
+    keys = ["user_id", "event_type"]
+
+    def to_str_keys(t: pa.Table) -> pa.Table:
+        # lww_reduce_table's dictionary-encode needs string keys; combine
+        return t.append_column(
+            "_k",
+            pc.binary_join_element_wise(
+                pc.cast(t.column("user_id"), pa.string()),
+                t.column("event_type"),
+                "\x00",
+            ),
+        )
+
+    ds = ds.map_batches(to_str_keys, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: lww_reduce_table(t, ["_k"], "event_id"), batch_format="pyarrow"
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(subset=["_k"], keep="last")
+        pdf = pdf[pdf["value"] >= 0.05]
+        import hashlib
+
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "event_type": pdf["event_type"].values,
+                "last_event_id": pdf["event_id"].values,
+                "last_ts": pdf["ts"].values,
+                "last_value": pdf["value"].values,
+                "props_sha256": [
+                    hashlib.sha256(p.encode()).hexdigest() if p is not None else None
+                    for p in pdf["props"]
+                ],
+            }
+        )
+        return out
+
+    return keyed_partition_map(
+        ds, keys=["_k"], order_col="event_id", fn=finalize, num_partitions=NP
+    )
+
+
+def q_dedup_first_per_key(sf_dir: str):
+    """Keep the FIRST event per (user_id, event_type) — the reference's
+    (id, timestamp) dedup (tools/DataFrameFormatter.scala:48)."""
+    ds = _events(sf_dir, columns=["user_id", "event_type", "event_id", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop_duplicates(subset=["user_id", "event_type"], keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].values,
+                "event_type": out["event_type"].values,
+                "first_event_id": out["event_id"].values,
+                "first_value": out["value"].values,
+            }
+        )
+
+    return keyed_partition_map(
+        ds, keys=["user_id", "event_type"], order_col="event_id", fn=fn,
+        num_partitions=NP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-key ordered operators (the window family) over events
+# ---------------------------------------------------------------------------
+
+GAP_S = 43_200.0  # reference default gap threshold (WithGapState.scala:37)
+
+
+def q_gap_state(sf_dir: str):
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        prev = pdf.groupby("user_id", sort=False)["ts"].shift(1)
+        dur = _dur_s(pdf["ts"], prev)
+        pdf["duration_s"] = dur
+        pdf["gap_state"] = np.where(dur > GAP_S, "GAP", "NOTGAP")
+        return pdf.drop(columns=["ts"])
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_state_id_on_change(sf_dir: str):
+    from arlas_proc_ray.stages.keyed import state_id_fn
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+    return keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="event_id",
+        fn=state_id_fn(["user_id"], "event_id", "event_type", "state_id"),
+        num_partitions=NP,
+    )
+
+
+def q_fragments(sf_dir: str):
+    """FlowFragmentMapper analogue: adjacent event pairs per user."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        prev_ts = g["ts"].shift(1)
+        prev_v = g["value"].shift(1)
+        prev_id = g["event_id"].shift(1)
+        keep = prev_ts.notna()
+        out = pd.DataFrame(
+            {
+                "fragment_id": (
+                    pdf["user_id"].astype(str)
+                    + "#"
+                    + prev_id.astype("Int64").astype(str)
+                    + "_"
+                    + pdf["event_id"].astype(str)
+                ),
+                "user_id": pdf["user_id"].values,
+                "t_start": prev_ts.values,
+                "t_end": pdf["ts"].values,
+                "duration_s": _dur_s(pdf["ts"], prev_ts).values,
+                "value_delta": (pdf["value"] - prev_v).values,
+                "value_avg": ((pdf["value"] + prev_v) / 2.0).values,
+                "nb_points": 2,
+            }
+        )
+        return out[keep.values]
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_duration_from_id(sf_dir: str):
+    """Per-group span (WithDurationFromId) as a pre-aggregated groupby."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    # partial per-batch min/max/count, then a tiny global groupby
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id")["ts"]
+        return g.agg(_min="min", _max="max", _n="count").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id")
+        out = pd.DataFrame(
+            {
+                "n_events": g["_n"].sum(),
+                "span_s": (
+                    g["_max"].max() - g["_min"].min()
+                ).dt.total_seconds(),
+            }
+        ).reset_index()
+        return out
+
+    return keyed_partition_map(
+        partials, keys=["user_id"], order_col="_min", fn=final, num_partitions=NP
+    )
+
+
+def q_run_collapse(sf_dir: str):
+    """Conditional group-collapse (FragmentSummaryTransformer semantics):
+    collapse each consecutive run of event_type=='view' per user into one
+    summary row; other rows pass through unchanged."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        changed = (pdf["event_type"] != g["event_type"].shift(1)) | (
+            g.cumcount() == 0
+        )
+        seg = changed.cumsum()
+        is_view = (pdf["event_type"] == "view").to_numpy()
+        cents = _cents(pdf["value"])
+
+        views = pdf[is_view].assign(_seg=seg[is_view], _cents=cents[is_view])
+        gb = views.groupby("_seg", sort=False)
+        summary = pd.DataFrame(
+            {
+                "user_id": gb["user_id"].first(),
+                "event_id": gb["event_id"].min(),
+                "event_type": "view",
+                "n_rows": gb.size(),
+                "value_sum": gb["_cents"].sum() / 100.0,
+                "t_start": gb["ts"].min(),
+                "t_end": gb["ts"].max(),
+            }
+        ).reset_index(drop=True)
+
+        rest = pdf[~is_view]
+        passthrough = pd.DataFrame(
+            {
+                "user_id": rest["user_id"].values,
+                "event_id": rest["event_id"].values,
+                "event_type": rest["event_type"].values,
+                "n_rows": 1,
+                "value_sum": cents[~is_view].values / 100.0,
+                "t_start": rest["ts"].values,
+                "t_end": rest["ts"].values,
+            }
+        )
+        out = pd.concat([summary, passthrough], ignore_index=True)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out.sort_values(["user_id", "event_id"], kind="mergesort")
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_rolling_median_outlier(sf_dir: str):
+    """Hampel-style local outlier flag (LocalOutliersRemover analogue)."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    HALF, THRESH = 2, 5.0
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .rolling(window=2 * HALF + 1, center=True, min_periods=1)
+            .median()
+            .reset_index(drop=True)
+        )
+        med.index = pdf.index
+        pdf["rolling_median"] = med.round(6)
+        pdf["is_outlier"] = (pdf["value"] - med).abs() > THRESH
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_sample_id(sf_dir: str):
+    """Cumsum bucketing (WithFragmentSampleId formula, sampling=86400 s)."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    SAMPLING = 86_400.0
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        dur = _dur_s(pdf["ts"], g["ts"].shift(1)).fillna(0.0)
+        cum = dur.groupby(pdf["user_id"], sort=False).cumsum()
+        pdf["duration_s"] = dur
+        pdf["sample_seq"] = (
+            np.floor((cum - 1) / SAMPLING) - np.floor((dur - 1) / SAMPLING)
+        ).astype("int64")
+        return pdf.drop(columns=["ts"])
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_visibility_change(sf_dir: str):
+    """APPEAR/DISAPPEAR labeling from lag+lead (WithVisibilityChange)."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vis = (pdf["value"] >= 1.0).astype("int32")
+        pdf["visible"] = vis
+        g = vis.groupby(pdf["user_id"], sort=False)
+        prev, nxt = g.shift(1), g.shift(-1)
+        visible = vis == 1
+        appear = visible & (prev.isna() | (prev == 0))
+        disappear = visible & (nxt.isna() | (nxt == 0))
+        pdf["visibility_change"] = np.select(
+            [appear & disappear, appear, disappear],
+            ["APPEAR_DISAPPEAR", "APPEAR", "DISAPPEAR"],
+            default=None,
+        )
+        return pdf.drop(columns=["value"])
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 43200 s) collapsed to per-session summaries."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        prev = g["ts"].shift(1)
+        dur = _dur_s(pdf["ts"], prev)
+        new_session = prev.isna() | (dur > GAP_S)
+        seg = new_session.cumsum()
+        cents = _cents(pdf["value"])
+        tmp = pdf.assign(_seg=seg, _cents=cents)
+        gb = tmp.groupby("_seg", sort=False)
+        out = pd.DataFrame(
+            {
+                "user_id": gb["user_id"].first(),
+                "session_id": (
+                    gb["user_id"].first().astype(str)
+                    + "#"
+                    + gb["event_id"].min().astype(str)
+                ),
+                "n_events": gb.size().astype("int64"),
+                "t_start": gb["ts"].min(),
+                "t_end": gb["ts"].max(),
+                "value_sum": gb["_cents"].sum() / 100.0,
+            }
+        ).reset_index(drop=True)
+        return out
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_time_partition_counts(sf_dir: str):
+    """yyyyMMdd storage-partition derivation (WithTimePartition) + counts."""
+    from arlas_proc_ray.stages.rowwise import with_time_partition
+
+    ds = _events(sf_dir, columns=["ts", "value"])
+    ds = ds.map_batches(
+        lambda t: with_time_partition(t, "ts"), batch_format="pyarrow"
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["_cents"] = _cents(pdf["value"])
+        g = pdf.groupby("time_partition")
+        return g.agg(n_events=("value", "size"), _c=("_cents", "sum")).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("time_partition")
+        return pd.DataFrame(
+            {
+                "n_events": g["n_events"].sum().astype("int64"),
+                "value_sum": g["_c"].sum() / 100.0,
+            }
+        ).reset_index()
+
+    return keyed_partition_map(
+        partials, keys=["time_partition"], order_col="n_events", fn=final,
+        num_partitions=NP,
+    )
+
+
+def q_value_range_filter(sf_dir: str):
+    """Predicate filter (WithoutOutOfRangeLocation analogue)."""
+    from arlas_proc_ray.stages.rowwise import filter_value_range
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    return ds.map_batches(
+        lambda t: filter_value_range(t, "value", 1.0, 100.0), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational (TPC-H-ish) — partial pre-aggregation + broadcast joins
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(sf_dir: str):
+    """Pricing summary with EXACT integer-cents partial aggregation.
+
+    Shape: map_batches partial per-batch groupby (combiner) → tiny global
+    groupby → finalize. The shuffle moves #groups × #batches rows, not 6M.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["l_shipdate"] <= cutoff]
+        price_c = _cents(pdf["l_extendedprice"])
+        disc_c = _cents(pdf["l_discount"])  # 0..100
+        tax_c = _cents(pdf["l_tax"])
+        qty_c = _cents(pdf["l_quantity"])
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"].values,
+                "l_linestatus": pdf["l_linestatus"].values,
+                "qty_c": qty_c.values,
+                "price_c": price_c.values,
+                "disc_price_c4": (price_c * (100 - disc_c)).values,
+                "charge_c6": (price_c * (100 - disc_c) * (100 + tax_c)).values,
+                "disc_c": disc_c.values,
+            }
+        )
+        g = tmp.groupby(["l_returnflag", "l_linestatus"])
+        out = g.agg(
+            qty_c=("qty_c", "sum"),
+            price_c=("price_c", "sum"),
+            disc_price_c4=("disc_price_c4", "sum"),
+            charge_c6=("charge_c6", "sum"),
+            disc_c=("disc_c", "sum"),
+            n=("qty_c", "size"),
+        ).reset_index()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["l_returnflag", "l_linestatus"])
+        s = g.agg(
+            qty_c=("qty_c", "sum"),
+            price_c=("price_c", "sum"),
+            disc_price_c4=("disc_price_c4", "sum"),
+            charge_c6=("charge_c6", "sum"),
+            disc_c=("disc_c", "sum"),
+            count_order=("n", "sum"),
+        ).reset_index()
+        out = pd.DataFrame(
+            {
+                "l_returnflag": s["l_returnflag"],
+                "l_linestatus": s["l_linestatus"],
+                "sum_qty": s["qty_c"] / 100.0,
+                "sum_base_price": s["price_c"] / 100.0,
+                "sum_disc_price": s["disc_price_c4"] / 10_000.0,
+                "sum_charge": s["charge_c6"] / 1_000_000.0,
+                "avg_qty": (s["qty_c"] / 100.0) / s["count_order"],
+                "avg_price": (s["price_c"] / 100.0) / s["count_order"],
+                "avg_disc": (s["disc_c"] / 100.0) / s["count_order"],
+                "count_order": s["count_order"].astype("int64"),
+            }
+        )
+        return out
+
+    return keyed_partition_map(
+        partials, keys=["l_returnflag", "l_linestatus"], order_col="n",
+        fn=final, num_partitions=4,
+    )
+
+
+def q_broadcast_enrich(sf_dir: str):
+    """customer ⋈ nation ⋈ region via broadcast map-side join
+    (WithCountryNameFormatted pattern — no shuffle of the big side)."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    small = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey", how="left"
+    )[["n_nationkey", "n_name", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    out = broadcast_join(ds, small, on=["c_nationkey"])
+    return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
+
+
+def q_topk_orders(sf_dir: str):
+    """Top-10 orders by price — per-batch combiner then tiny global sort."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(10, ["o_totalprice", "o_orderkey"])
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+    allp = partials.to_pandas()
+    out = allp.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# text / documents
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    from arlas_proc_ray.functions.text import token_count_column
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens": token_count_column(t.column("text"))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    """Exact content dedup: one row per distinct sha256(text)."""
+    from arlas_proc_ray.dedup.exact import with_text_sha256
+
+    ds = with_text_sha256(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("text_sha256", sort=False)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].min().astype("int64"),
+                "n_dups": g.size().astype("int64"),
+            }
+        ).reset_index()
+
+    return keyed_partition_map(
+        ds, keys=["text_sha256"], order_col="doc_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_quality_metrics(sf_dir: str):
+    from arlas_proc_ray.functions.text import quality_metrics
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = quality_metrics(t)
+        out = out.drop_columns(["text"])
+        ratio = pc.round(out.column("punct_ratio"), 6)
+        mtl = pc.round(out.column("mean_token_len"), 6)
+        out = out.set_column(out.schema.get_field_index("punct_ratio"), "punct_ratio", ratio)
+        out = out.set_column(
+            out.schema.get_field_index("mean_token_len"), "mean_token_len", mtl
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from arlas_proc_ray.functions.text import LangIdScorer
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(LangIdScorer, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def q_simhash(sf_dir: str):
+    from arlas_proc_ray.dedup.minhash import simhash_column
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = simhash_column(ds)
+
+    def hexify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["simhash_hex"] = [format(int(x), "016x") for x in pdf["simhash"]]
+        return pdf[["doc_id", "simhash_hex"]]
+
+    return out.map_batches(hexify, batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str):
+    from arlas_proc_ray.functions.text import rolling_fingerprint
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        fp = rolling_fingerprint(pdf["text"].tolist())
+        pdf["fingerprint_hex"] = [format(int(x), "016x") for x in fp]
+        return pdf[["doc_id", "fingerprint_hex"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_minhash_near_dup(sf_dir: str):
+    from arlas_proc_ray.dedup.minhash import minhash_near_duplicates
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return minhash_near_duplicates(ds, jaccard_threshold=0.5, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# embeddings / similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(t.column("vec_id"), pa.scalar(n))
+    q = t.filter(mask)
+    ids = q.column("vec_id").to_numpy()
+    mat = np.stack([np.asarray(v) for v in q.column("embedding").to_pylist()]).astype(
+        np.float64
+    )
+    return ids, mat
+
+
+def q_ann_topk(sf_dir: str):
+    from arlas_proc_ray.ann import brute_force_topk
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, ids, mat, k=3)
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out
+
+
+def q_embedding_norms(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from arlas_proc_ray.ann.search import _as_matrix
+
+        mat = _as_matrix(t.column("embedding"))
+        norms = np.sqrt((mat * mat).sum(axis=1)).round(6)
+        return pa.table({"vec_id": t.column("vec_id"), "l2_norm": pa.array(norms)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+
+def q_hmm_moving_state(sf_dir: str):
+    """HMM Viterbi state decoding over the value stream (WithMovingState
+    analogue; model loaded once per actor — rows-only check, no SQL)."""
+    from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON, with_hmm_states
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    return with_hmm_states(
+        ds, keys=["user_id"], order_col="event_id", obs_col="value",
+        model_json=STILLMOVE_MODEL_JSON, target="moving_state",
+        num_partitions=NP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_lww_upsert": q_cdc_lww_upsert,
+    "dedup_first_per_key": q_dedup_first_per_key,
+    "gap_state": q_gap_state,
+    "state_id_on_change": q_state_id_on_change,
+    "fragments": q_fragments,
+    "duration_from_id": q_duration_from_id,
+    "run_collapse": q_run_collapse,
+    "rolling_median_outlier": q_rolling_median_outlier,
+    "sample_id": q_sample_id,
+    "visibility_change": q_visibility_change,
+    "sessionize": q_sessionize,
+    "time_partition_counts": q_time_partition_counts,
+    "value_range_filter": q_value_range_filter,
+    "tpch_q1": q_tpch_q1,
+    "broadcast_enrich": q_broadcast_enrich,
+    "topk_orders": q_topk_orders,
+    "token_count": q_token_count,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "quality_metrics": q_quality_metrics,
+    "lang_id": q_lang_id,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "minhash_near_dup": q_minhash_near_dup,
+    "ann_topk": q_ann_topk,
+    "embedding_norms": q_embedding_norms,
+    "hmm_moving_state": q_hmm_moving_state,
+}
+
+_W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
+
+ORACLE_SQL = {
+    "cdc_lww_upsert": """
+        SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+               value AS last_value, sha256(props) AS props_sha256
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 AND value >= 0.05
+    """,
+    "dedup_first_per_key": """
+        SELECT user_id, event_type, event_id AS first_event_id,
+               value AS first_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY event_id ASC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "gap_state": f"""
+        SELECT event_id, user_id,
+               date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 AS duration_s,
+               CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 > 43200
+                    THEN 'GAP' ELSE 'NOTGAP' END AS gap_state
+        FROM events {_W}
+    """,
+    "state_id_on_change": f"""
+        WITH chg AS (
+          SELECT event_id, user_id, event_type,
+                 CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS brk
+          FROM events {_W}),
+        seg AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS s
+          FROM chg)
+        SELECT event_id, user_id, event_type,
+               cast(user_id AS VARCHAR) || '#' ||
+               cast(min(event_id) OVER (PARTITION BY user_id, s) AS VARCHAR)
+                 AS state_id
+        FROM seg
+    """,
+    "fragments": f"""
+        SELECT cast(user_id AS VARCHAR) || '#' ||
+                 cast(lag(event_id) OVER w AS VARCHAR) || '_' ||
+                 cast(event_id AS VARCHAR) AS fragment_id,
+               user_id,
+               lag(ts) OVER w AS t_start,
+               ts AS t_end,
+               date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 AS duration_s,
+               value - lag(value) OVER w AS value_delta,
+               (value + lag(value) OVER w) / 2.0 AS value_avg,
+               2 AS nb_points
+        FROM events {_W}
+        QUALIFY lag(ts) OVER w IS NOT NULL
+    """,
+    "duration_from_id": """
+        SELECT user_id, count(*) AS n_events,
+               date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS span_s
+        FROM events GROUP BY user_id
+    """,
+    "run_collapse": f"""
+        WITH chg AS (
+          SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END AS brk
+          FROM events {_W}),
+        seg AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS s
+          FROM chg)
+        SELECT user_id, min(event_id) AS event_id, 'view' AS event_type,
+               count(*) AS n_rows,
+               sum(cast(round(value*100) AS BIGINT)) / 100.0 AS value_sum,
+               min(ts) AS t_start, max(ts) AS t_end
+        FROM seg WHERE event_type = 'view' GROUP BY user_id, s
+        UNION ALL
+        SELECT user_id, event_id, event_type, 1 AS n_rows,
+               cast(round(value*100) AS BIGINT) / 100.0 AS value_sum,
+               ts AS t_start, ts AS t_end
+        FROM events WHERE event_type <> 'view'
+    """,
+    "rolling_median_outlier": f"""
+        SELECT event_id, user_id, value,
+               round(median(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+                 AS rolling_median,
+               abs(value - median(value) OVER (PARTITION BY user_id
+                     ORDER BY event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) > 5.0
+                 AS is_outlier
+        FROM events
+    """,
+    "sample_id": f"""
+        WITH d AS (
+          SELECT event_id, user_id,
+                 coalesce(date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0, 0.0) AS duration_s
+          FROM events {_W})
+        SELECT event_id, user_id, duration_s,
+               cast(floor((sum(duration_s) OVER (PARTITION BY user_id
+                      ORDER BY event_id ROWS UNBOUNDED PRECEDING) - 1) / 86400.0)
+                    - floor((duration_s - 1) / 86400.0) AS BIGINT) AS sample_seq
+        FROM d
+    """,
+    "visibility_change": f"""
+        WITH v AS (
+          SELECT event_id, user_id,
+                 CASE WHEN value >= 1.0 THEN 1 ELSE 0 END AS visible
+          FROM events)
+        SELECT event_id, user_id, visible,
+               CASE
+                 WHEN visible = 1
+                      AND coalesce(lag(visible)  OVER w2, 0) = 0
+                      AND coalesce(lead(visible) OVER w2, 0) = 0
+                   THEN 'APPEAR_DISAPPEAR'
+                 WHEN visible = 1 AND coalesce(lag(visible) OVER w2, 0) = 0
+                   THEN 'APPEAR'
+                 WHEN visible = 1 AND coalesce(lead(visible) OVER w2, 0) = 0
+                   THEN 'DISAPPEAR'
+                 ELSE NULL
+               END AS visibility_change
+        FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "sessionize": f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 > 43200
+                      THEN 1 ELSE 0 END AS brk
+          FROM events {_W}),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM o)
+        SELECT user_id,
+               cast(user_id AS VARCHAR) || '#' || cast(min(event_id) AS VARCHAR)
+                 AS session_id,
+               count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end,
+               sum(cast(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+        FROM s GROUP BY user_id, seg
+    """,
+    "time_partition_counts": """
+        SELECT cast(strftime(ts, '%Y%m%d') AS INT) AS time_partition,
+               count(*) AS n_events,
+               sum(cast(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+        FROM events GROUP BY 1
+    """,
+    "value_range_filter": """
+        SELECT event_id, user_id, value FROM events
+        WHERE value >= 1.0 AND value <= 100.0
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(cast(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+               sum(cast(round(l_extendedprice*100) AS BIGINT)) / 100.0
+                 AS sum_base_price,
+               sum(cast(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - cast(round(l_discount*100) AS BIGINT))) / 10000.0
+                 AS sum_disc_price,
+               sum(cast(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - cast(round(l_discount*100) AS BIGINT))
+                   * (100 + cast(round(l_tax*100) AS BIGINT))) / 1000000.0
+                 AS sum_charge,
+               (sum(cast(round(l_quantity*100) AS BIGINT)) / 100.0) / count(*)
+                 AS avg_qty,
+               (sum(cast(round(l_extendedprice*100) AS BIGINT)) / 100.0) / count(*)
+                 AS avg_price,
+               (sum(cast(round(l_discount*100) AS BIGINT)) / 100.0) / count(*)
+                 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "broadcast_enrich": """
+        SELECT c_custkey, c_name, n_name, r_name
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens
+        FROM documents
+    """,
+    "doc_dedup_exact": """
+        SELECT sha256(text) AS text_sha256, min(doc_id) AS doc_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY sha256(text)
+    """,
+    "quality_metrics": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens,
+               round((length(text) -
+                      length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / cast(greatest(length(text), 1) AS DOUBLE), 6)
+                 AS punct_ratio,
+               round(length(regexp_replace(text, '\s+', '', 'g'))
+                     / cast(greatest(
+                         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                         END, 1) AS DOUBLE), 6)
+                 AS mean_token_len
+        FROM documents
+    """,
+    "ann_topk": """
+        WITH d AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings)
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               round(list_cosine_similarity(q.emb, e.emb), 6) AS cos_sim
+        FROM d e
+        CROSS JOIN (SELECT * FROM d WHERE vec_id < 5) q
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                     e.vec_id ASC) <= 3
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))), 6)
+                 AS l2_norm
+        FROM embeddings
+    """,
+    # lang_id / simhash / fingerprint / minhash_near_dup: heuristic or
+    # signature algorithms with no SQL equivalent → rows-only checks.
+}

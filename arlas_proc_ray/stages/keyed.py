@@ -1,0 +1,411 @@
+"""Per-key, order-sensitive operators (the reference's window workhorse).
+
+Every operator in the reference's §2.4 family is a Spark
+``Window.partitionBy(id).orderBy(arlas_timestamp)`` expression (e.g.
+/root/reference/src/main/scala/io/arlas/data/transform/features/
+WithDuration.scala:34-58, timeseries/WithStateId.scala:38-60). Ray Data has
+no window functions; the scale-correct mapping is:
+
+    ds.map_batches(add _part_id = hash(keys) % P)      # cheap, vectorized
+      .groupby(_part_id).map_groups(partition_fn)      # ONE shuffle, P groups
+
+``partition_fn`` gets a whole hash partition (MANY keys) as one pandas
+DataFrame, sorts it once by (keys…, order), and computes every per-key
+lag/lead/cumsum with ``df.groupby(keys)`` VECTORIZED operations — pandas'
+cython groupby runs across all keys at once. This beats the naive
+``groupby(key).map_groups`` (one Python call per key, millions of tiny
+groups) by orders of magnitude and is the pattern reused by every keyed
+operator below.
+
+Partition count P is the DataModel's single partitioning decision; the same
+key always lands in the same partition (stable siphash), so chained keyed
+operators could be fused into one partition pass (see ``chain`` param).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arlas_proc_ray.functions.hashing import partition_ids
+from arlas_proc_ray.model import DataModel
+
+PART_COL = DataModel.PARTITION_COL
+
+
+def keyed_partition_map(
+    ds,
+    *,
+    keys: Sequence[str],
+    order_col: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 64,
+    presorted: bool = False,
+):
+    """Hash-partition by ``keys`` and run ``fn`` per partition, sorted.
+
+    ``fn`` sees all rows of a partition sorted by (keys…, order_col) and
+    must be vectorized across keys (use ``pdf.groupby(list(keys))``).
+    """
+    keys = list(keys)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        pids = partition_ids(batch, keys, num_partitions)
+        return batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=[PART_COL])
+        if not presorted:
+            pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
+        out = fn(pdf)
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(PART_COL)
+        .map_groups(run_group, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 operators — each is a partition_fn factory + a Dataset-level wrapper.
+# All assume the partition_fn contract above (sorted by keys+order).
+# ---------------------------------------------------------------------------
+
+
+def with_duration(ds, *, keys, order_col, ts_col, target="duration_s", num_partitions=64):
+    """Seconds since the previous observation of the same key (lag diff).
+
+    Reference: WithDuration (features/WithDuration.scala:34-58) — lag(ts,1)
+    over the id window. First row of each key gets null.
+    """
+    keys = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        prev = pdf.groupby(keys, sort=False)[ts_col].shift(1)
+        delta = pdf[ts_col] - prev
+        pdf[target] = (
+            delta.dt.total_seconds()
+            if hasattr(delta, "dt") and hasattr(delta.dt, "total_seconds")
+            else delta
+        )
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )
+
+
+def with_lag_lead(
+    ds, *, keys, order_col, col, lag_target=None, lead_target=None, num_partitions=64
+):
+    """Generic lag/lead of one column over the key window."""
+    keys = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)[col]
+        if lag_target:
+            pdf[lag_target] = g.shift(1)
+        if lead_target:
+            pdf[lead_target] = g.shift(-1)
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )
+
+
+def state_id_fn(keys: list[str], order_col: str, state_col: str, target: str):
+    """Segment-id assignment on state change (vectorized run-length encode).
+
+    Reference: WithStateIdOnStateChangeOrUnique
+    (timeseries/WithStateIdOnStateChangeOrUnique.scala:35-54) + WithStateId
+    forward-fill (timeseries/WithStateId.scala:38-60): a new segment starts
+    whenever the state differs from its lag; the segment id is
+    ``<key>#<order value of the segment's first row>``.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        changed = (pdf[state_col] != g[state_col].shift(1)) | (
+            g.cumcount() == 0
+        )
+        seg = changed.cumsum()  # globally increasing — unique per run
+        first_order = pdf[order_col].groupby(seg).transform("first")
+        key_str = pdf[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "/" + pdf[k].astype(str)
+        pdf[target] = key_str + "#" + first_order.astype(str)
+        return pdf
+
+    return fn
+
+
+def with_state_id_on_change(
+    ds, *, keys, order_col, state_col, target, num_partitions=64
+):
+    keys = list(keys)
+    return keyed_partition_map(
+        ds,
+        keys=keys,
+        order_col=order_col,
+        fn=state_id_fn(keys, order_col, state_col, target),
+        num_partitions=num_partitions,
+    )
+
+
+def fragments_fn(keys: list[str], order_col: str, ts_col: str, value_col: str):
+    """Adjacent-pair mapper: observations → movement fragments.
+
+    Reference: FlowFragmentMapper (fragments/FlowFragmentMapper.scala:39-227)
+    — for each consecutive pair of rows of the same key emit one fragment
+    row carrying id ``key#prevOrder_order``, duration, deltas and pair
+    means; each key's FIRST row is dropped (`:186`).
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        prev_ts = g[ts_col].shift(1)
+        prev_v = g[value_col].shift(1)
+        prev_ord = g[order_col].shift(1)
+        first = prev_ts.isna()
+
+        delta = pdf[ts_col] - prev_ts
+        dur = (
+            delta.dt.total_seconds()
+            if hasattr(delta, "dt") and hasattr(delta.dt, "total_seconds")
+            else delta
+        )
+        key_str = pdf[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "/" + pdf[k].astype(str)
+
+        out = pdf.copy()
+        out["fragment_id"] = (
+            key_str
+            + "#"
+            + prev_ord.astype("Int64").astype(str)
+            + "_"
+            + pdf[order_col].astype(str)
+        )
+        out["duration_s"] = dur
+        out["value_delta"] = pdf[value_col] - prev_v
+        out["value_avg"] = (pdf[value_col] + prev_v) / 2.0
+        out["nb_points"] = 2
+        return out[~first.values]
+
+    return fn
+
+
+def with_fragments(
+    ds, *, keys, order_col, ts_col, value_col, num_partitions=64
+):
+    keys = list(keys)
+    return keyed_partition_map(
+        ds,
+        keys=keys,
+        order_col=order_col,
+        fn=fragments_fn(keys, order_col, ts_col, value_col),
+        num_partitions=num_partitions,
+    )
+
+
+def with_sample_id(
+    ds, *, keys, order_col, duration_col, sampling: float, target="sample_id", num_partitions=64
+):
+    """Running-sum bucketing of fragments into ≈``sampling``-long samples.
+
+    Reference: WithFragmentSampleId (features/WithFragmentSampleId.scala:38-65):
+    ``floor((cumsum(duration)-1)/sampling) - floor((duration-1)/sampling)``
+    per key — reproduced exactly (it makes buckets begin at each long row).
+    """
+    keys = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cum = pdf.groupby(keys, sort=False)[duration_col].cumsum()
+        pdf[target] = np.floor((cum - 1) / sampling) - np.floor(
+            (pdf[duration_col] - 1) / sampling
+        )
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )
+
+
+def with_duration_from_id(
+    ds, *, keys, group_col, ts_col, target="group_duration_s", num_partitions=64, order_col=None
+):
+    """Broadcast last(ts)−first(ts) of each sub-group to its rows.
+
+    Reference: WithDurationFromId (features/WithDurationFromId.scala:36-54)
+    — unbounded window over rows sharing an id.
+    """
+    keys = list(keys)
+    order_col = order_col or ts_col
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(group_col, sort=False)[ts_col]
+        span = g.transform("max") - g.transform("min")
+        pdf[target] = (
+            span.dt.total_seconds()
+            if hasattr(span, "dt") and hasattr(span.dt, "total_seconds")
+            else span
+        )
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )
+
+
+def rolling_median_outlier_fn(
+    keys: list[str], value_col: str, half_window: int, threshold: float,
+    med_target: str = "rolling_median", flag_target: str = "is_outlier",
+):
+    """Hampel-style local outlier detection per key.
+
+    Reference: LocalOutliersRemover (filter/LocalOutliersRemover.scala:40-98)
+    — sliding ±halfWindow collect_list → median → |value − median| >
+    threshold ⇒ outlier. Window is truncated at key edges (same as the
+    reference's collect_list over bounded window).
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = (
+            pdf.groupby(keys, sort=False)[value_col]
+            .rolling(window=2 * half_window + 1, center=True, min_periods=1)
+            .median()
+            .reset_index(drop=True)
+        )
+        med.index = pdf.index
+        pdf[med_target] = med
+        pdf[flag_target] = (pdf[value_col] - med).abs() > threshold
+        return pdf
+
+    return fn
+
+
+def with_rolling_median_outlier(
+    ds, *, keys, order_col, value_col, half_window=2, threshold=0.5, num_partitions=64
+):
+    keys = list(keys)
+    return keyed_partition_map(
+        ds,
+        keys=keys,
+        order_col=order_col,
+        fn=rolling_median_outlier_fn(keys, value_col, half_window, threshold),
+        num_partitions=num_partitions,
+    )
+
+
+def with_visibility_change(
+    ds, *, keys, order_col, visibility_col, target="visibility_change", num_partitions=64
+):
+    """APPEAR / DISAPPEAR / APPEAR_DISAPPEAR from lag+lead of a 0/1 column.
+
+    Reference: WithVisibilityChange (features/WithVisibilityChange.scala:41-76):
+    a visible row after an invisible (or first) one APPEARs; a visible row
+    before an invisible (or last) one DISAPPEARs; both ⇒ APPEAR_DISAPPEAR.
+    """
+    keys = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)[visibility_col]
+        prev, nxt = g.shift(1), g.shift(-1)
+        vis = pdf[visibility_col] > 0
+        appear = vis & ((prev.isna()) | (prev == 0))
+        disappear = vis & ((nxt.isna()) | (nxt == 0))
+        out = np.select(
+            [appear & disappear, appear, disappear],
+            ["APPEAR_DISAPPEAR", "APPEAR", "DISAPPEAR"],
+            default=None,
+        )
+        pdf[target] = out
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )
+
+
+def static_columns_standardizer_fn(keys: list[str], spec: dict[str, tuple]):
+    """Fill a whole key-group with its first valid value, else a default.
+
+    Reference: StaticColumnsStandardizer (tools/StaticColumnsStandardizer.scala:37-55):
+    per id, "undefined" sentinels → null, then every row gets the group's
+    first non-null value or the declared default.
+
+    ``spec``: {column: (undefined_sentinel, default)}.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        for col, (sentinel, default) in spec.items():
+            s = pdf[col].mask(pdf[col] == sentinel)
+            first = s.groupby([pdf[k] for k in keys], sort=False).transform("first")
+            pdf[col] = first.fillna(default)
+        return pdf
+
+    return fn
+
+
+def sessionize_fn(
+    keys: list[str], order_col: str, ts_col: str, gap_s: float, target: str = "session_id"
+):
+    """Session windows: a new session starts after a gap > ``gap_s``.
+
+    The reference encodes sessionization as fixed-threshold gap detection
+    (WithGapState, features/WithGapState.scala:35-48) followed by state-id
+    assignment; this fuses both into one pass. ``session_id`` =
+    ``<key>#<order value of session's first row>``.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        prev = g[ts_col].shift(1)
+        delta = pdf[ts_col] - prev
+        dur = (
+            delta.dt.total_seconds()
+            if hasattr(delta, "dt") and hasattr(delta.dt, "total_seconds")
+            else delta
+        )
+        new_session = prev.isna() | (dur > gap_s)
+        seg = new_session.cumsum()
+        first_order = pdf[order_col].groupby(seg).transform("first")
+        key_str = pdf[keys[0]].astype(str)
+        for k in keys[1:]:
+            key_str = key_str + "/" + pdf[k].astype(str)
+        pdf[target] = key_str + "#" + first_order.astype(str)
+        return pdf
+
+    return fn
+
+
+def with_session_id(ds, *, keys, order_col, ts_col, gap_s, num_partitions=64):
+    keys = list(keys)
+    return keyed_partition_map(
+        ds,
+        keys=keys,
+        order_col=order_col,
+        fn=sessionize_fn(keys, order_col, ts_col, gap_s),
+        num_partitions=num_partitions,
+    )
+
+
+def dedup_keep_first(ds, *, keys, order_col, num_partitions=64):
+    """Exact dedup on key columns keeping the smallest order value.
+
+    Reference: DataFrameFormatter's dedup on (id, timestamp)
+    (tools/DataFrameFormatter.scala:48).
+    """
+    keys = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(subset=keys, keep="first")
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )

@@ -1,0 +1,69 @@
+"""Broadcast small-side joins — map-side lookup, never a shuffle.
+
+Reference: WithCountryNameFormatted loads a small CSV lookup at transformer
+construction and left-joins it (features/WithCountryNameFormatted.scala:38-70).
+At Ray scale: ``ray.put`` the small table ONCE on the driver; every task
+reads the object-store ref (one fetch per node, zero-copy thereafter) and
+does a vectorized pandas merge per batch. The big side never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+class BroadcastJoiner:
+    """Actor-pool/batch callable: left-join a broadcast table per batch.
+
+    Construct with the ``ray.put`` ref so each actor/task resolves it once
+    in ``__init__`` — not per batch.
+    """
+
+    def __init__(self, small_ref, on: Sequence[str], how: str = "left"):
+        small = ray.get(small_ref)
+        if isinstance(small, pa.Table):
+            small = small.to_pandas()
+        self.small = small
+        self.on = list(on)
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def broadcast_join(ds, small, *, on: Sequence[str], how: str = "left",
+                   batch_size: int = 65536, concurrency=None):
+    """Left-join ``ds`` against a small in-memory table without a shuffle."""
+    ref = ray.put(small)
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={"small_ref": ref, "on": list(on), "how": how},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency or 2,
+    )
+
+
+def broadcast_semi_join(ds, keys_table, *, on: Sequence[str], anti: bool = False):
+    """Semi/anti join: broadcast the key set, filter inside map_batches."""
+    on = list(on)
+    small = keys_table.to_pandas() if isinstance(keys_table, pa.Table) else keys_table
+    key_set_ref = ray.put(set(map(tuple, small[on].itertuples(index=False, name=None))))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(key_set_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            present = pd.Series(
+                list(map(tuple, batch[on].itertuples(index=False, name=None))),
+                index=batch.index,
+            ).isin(self.keys)
+            return batch[~present] if anti else batch[present]
+
+    return ds.map_batches(SemiFilter, batch_format="pandas", concurrency=2)

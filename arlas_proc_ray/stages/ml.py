@@ -1,0 +1,144 @@
+"""Stateful model-scoring stages: HMM Viterbi state decoding.
+
+Mirror of the reference's HMM surface
+(/root/reference/src/main/scala/io/arlas/data/transform/ml/HmmProcessor.scala:46-160,
+ml/WithMovingState.scala:39-76, ml/WithTempo.scala:40-67): a model JSON
+(states, bin_edges, initial/emission/transition probabilities — format as in
+/root/reference/src/test/resources/hmm_stillmove_model.json) is loaded ONCE
+(MLModelLocal, model/MLModel.scala:30-35); per-key observation sequences are
+chunked into windows of ``window_size``=5000 (HmmProcessor.scala:46) and
+decoded with Viterbi; predictions re-align positionally (we avoid the
+reference's synthetic-unique-id re-join, HmmProcessor.scala:143-146, because
+decoding happens inside the per-key group where alignment is free).
+
+Ray mapping: the model is parsed in the callable's ``__init__`` (once per
+actor) and the stage runs as a ``keyed_partition_map`` so each partition
+decodes all of its keys; the observation→bin quantization is vectorized,
+only the Viterbi recursion is per-window (tiny S×S numpy ops per step).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+
+class HmmModel:
+    """Parsed HMM: discrete emissions over value bins."""
+
+    def __init__(self, spec: dict):
+        self.states: list[str] = list(spec["states"])
+        self.bin_edges = np.asarray(spec["bin_edges"], dtype=np.float64)
+        self.log_init = np.log(np.asarray(spec["initial"], dtype=np.float64) + 1e-300)
+        self.log_trans = np.log(
+            np.asarray(spec["transition"], dtype=np.float64) + 1e-300
+        )
+        self.log_emit = np.log(np.asarray(spec["emission"], dtype=np.float64) + 1e-300)
+
+    @classmethod
+    def from_json(cls, path_or_str: str) -> "HmmModel":
+        if path_or_str.lstrip().startswith("{"):
+            return cls(json.loads(path_or_str))
+        with open(path_or_str) as f:
+            return cls(json.load(f))
+
+    def quantize(self, obs: np.ndarray) -> np.ndarray:
+        """Observation values → emission-bin indices (vectorized)."""
+        idx = np.searchsorted(self.bin_edges, obs, side="right") - 1
+        return np.clip(idx, 0, self.log_emit.shape[1] - 1)
+
+    def viterbi(self, bins: np.ndarray) -> np.ndarray:
+        """Most likely state sequence for one window of bin indices."""
+        T = len(bins)
+        S = len(self.states)
+        delta = self.log_init + self.log_emit[:, bins[0]]
+        back = np.empty((T, S), dtype=np.int8)
+        for t in range(1, T):
+            cand = delta[:, None] + self.log_trans  # (S_prev, S_next)
+            back[t] = np.argmax(cand, axis=0)
+            delta = cand[back[t], np.arange(S)] + self.log_emit[:, bins[t]]
+        path = np.empty(T, dtype=np.int8)
+        path[-1] = int(np.argmax(delta))
+        for t in range(T - 1, 0, -1):
+            path[t - 1] = back[t, path[t]]
+        return path
+
+
+def hmm_decode_fn(
+    keys: list[str],
+    obs_col: str,
+    model_json: str,
+    target: str,
+    window_size: int = 5000,
+):
+    """Partition fn: decode every key's sequence, windowed at 5000 rows.
+
+    The 5000-row window cap is kept for parity with the reference
+    (HmmProcessor.scala:46) — it bounds per-window memory, and windows of
+    one key decode independently exactly as there.
+    """
+    model = HmmModel.from_json(model_json)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bins_all = model.quantize(pdf[obs_col].to_numpy(dtype=np.float64))
+        preds = np.empty(len(pdf), dtype=np.int8)
+        # contiguous key runs (pdf sorted by keys+order)
+        key_codes = pd.factorize(
+            pd.Series(list(zip(*(pdf[k] for k in keys))), index=pdf.index),
+            use_na_sentinel=False,
+        )[0] if len(keys) > 1 else pd.factorize(pdf[keys[0]], use_na_sentinel=False)[0]
+        boundaries = np.flatnonzero(np.diff(key_codes)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(pdf)]])
+        for s, e in zip(starts, ends):
+            for w in range(s, e, window_size):
+                we = min(w + window_size, e)
+                preds[w:we] = model.viterbi(bins_all[w:we])
+        states = np.asarray(model.states)
+        pdf[target] = states[preds]
+        return pdf
+
+    return fn
+
+
+def with_hmm_states(
+    ds,
+    *,
+    keys,
+    order_col,
+    obs_col,
+    model_json: str,
+    target: str = "hmm_state",
+    window_size: int = 5000,
+    num_partitions: int = 64,
+):
+    """WithMovingState / WithTempo analogue over any numeric observation."""
+    keys = list(keys)
+    return keyed_partition_map(
+        ds,
+        keys=keys,
+        order_col=order_col,
+        fn=hmm_decode_fn(keys, obs_col, model_json, target, window_size),
+        num_partitions=num_partitions,
+    )
+
+
+# A small still/move-style model over the events `value` column, analogous
+# to the reference's fixture /root/reference/src/test/resources/
+# hmm_stillmove_model.json (states, bin edges, init/emission/transition).
+STILLMOVE_MODEL_JSON = json.dumps(
+    {
+        "states": ["STILL", "MOVE"],
+        "bin_edges": [0.0, 1.0, 5.0, 20.0, 1e9],
+        "initial": [0.6, 0.4],
+        "transition": [[0.8, 0.2], [0.2, 0.8]],
+        "emission": [
+            [0.55, 0.30, 0.10, 0.05],
+            [0.05, 0.15, 0.35, 0.45],
+        ],
+    }
+)

@@ -1,0 +1,145 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: the flagship CDC loop end-to-end (deterministic changelog tail →
+schema-align → LWW combine → hash-partition merge → epoch-fenced Parquet
+snapshot + manifests), measured in change-events/sec. Plus wall-times for a
+representative set of the query catalog over $GRAFT_SF_DIR.
+
+Usage:
+    python bench.py               # sf0.1, num_cpus=$RAY_GRAFT_CPUS (32)
+    python bench.py --scaling     # same job at 8 and 32 cpus in fresh
+                                  # processes → throughput + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from arlas_proc_ray.cdc import ChangelogConfig, CdcEngine, changelog_dataset
+    from arlas_proc_ray.model import DataModel
+    from arlas_proc_ray.pipelines.flagship import sf_of
+    from arlas_proc_ray.pipelines.queries import QUERIES
+
+    sf = sf_of(sf_dir)
+    num_events = int(os.environ.get("GRAFT_CDC_EVENTS", str(max(100_000, int(sf * 20_000_000)))))
+    cfg = ChangelogConfig(
+        num_events=num_events, num_keys=max(1_000, num_events // 20), num_repos=200,
+        seed=42,
+    )
+    dm = DataModel(num_partitions=max(32, num_cpus * 2))
+
+    # warm the page cache for the parquet-reading queries (untimed)
+    import pyarrow.parquet as pq
+
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    # ---- headline: CDC replay end-to-end incl. snapshot sink -------------
+    snap = "/tmp/bench_cdc_snapshot"
+    shutil.rmtree(snap, ignore_errors=True)
+    engine = CdcEngine(snap, dm)
+    t0 = time.perf_counter()
+    summary = engine.apply_epoch(changelog_dataset(cfg), epoch=1)
+    headline_sec = time.perf_counter() - t0
+    events_per_sec = num_events / headline_sec
+
+    # ---- query catalog timings ------------------------------------------
+    bench_queries = [
+        "cdc_lww_upsert",
+        "tpch_q1",
+        "fragments",
+        "sessionize",
+        "run_collapse",
+        "rolling_median_outlier",
+        "doc_dedup_exact",
+        "token_count",
+        "ann_topk",
+        "minhash_near_dup",
+        "broadcast_enrich",
+    ]
+    qtimes: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        # consume: Datasets are lazy — count() drives the full pipeline
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_end_to_end_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "events": num_events,
+        "events_per_sec": round(events_per_sec, 1),
+        "snapshot_rows": summary["row_count"],
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes.
+
+    Sandbox stand-in for the N vs 4N cluster-size criterion
+    (BASELINE.json: scaling efficiency >= 0.8).
+    """
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "cdc_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "events_per_sec_lo": r_lo["events_per_sec"],
+        "events_per_sec_hi": r_hi["events_per_sec"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

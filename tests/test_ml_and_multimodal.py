@@ -1,0 +1,113 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from arlas_proc_ray.stages.ml import (
+    STILLMOVE_MODEL_JSON,
+    HmmModel,
+    with_hmm_states,
+)
+
+
+def test_hmm_model_quantize_and_viterbi():
+    m = HmmModel.from_json(STILLMOVE_MODEL_JSON)
+    bins = m.quantize(np.array([0.5, 0.5, 50.0, 50.0, 50.0, 0.2]))
+    assert bins.tolist() == [0, 0, 3, 3, 3, 0]
+    path = m.viterbi(bins)
+    states = np.asarray(m.states)[path]
+    # low values decode STILL, sustained high values decode MOVE
+    assert states[0] == "STILL" and states[2] == "MOVE" and states[3] == "MOVE"
+
+
+def test_with_hmm_states_dataset():
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 6 + ["b"] * 3,
+            "seq": list(range(6)) + list(range(3)),
+            "v": [0.1, 0.2, 30.0, 40.0, 0.1, 0.1, 50.0, 60.0, 70.0],
+        }
+    )
+    out = (
+        with_hmm_states(
+            rd.from_pandas(df),
+            keys=["id"],
+            order_col="seq",
+            obs_col="v",
+            model_json=STILLMOVE_MODEL_JSON,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["id", "seq"])
+        .reset_index(drop=True)
+    )
+    a = out[out.id.eq("a")]["hmm_state"].tolist()
+    b = out[out.id.eq("b")]["hmm_state"].tolist()
+    assert a[2] == "MOVE" and a[0] == "STILL"
+    assert b == ["MOVE", "MOVE", "MOVE"]
+
+
+def test_hmm_windowing_consistency():
+    """Windows decode independently — same result regardless of cap."""
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 40,
+            "seq": range(40),
+            "v": ([0.1] * 10 + [30.0] * 10) * 2,
+        }
+    )
+    full = with_hmm_states(
+        rd.from_pandas(df), keys=["id"], order_col="seq", obs_col="v",
+        model_json=STILLMOVE_MODEL_JSON, window_size=5000, num_partitions=1,
+    ).to_pandas().sort_values("seq")["hmm_state"].tolist()
+    win = with_hmm_states(
+        rd.from_pandas(df), keys=["id"], order_col="seq", obs_col="v",
+        model_json=STILLMOVE_MODEL_JSON, window_size=20, num_partitions=1,
+    ).to_pandas().sort_values("seq")["hmm_state"].tolist()
+    assert len(full) == len(win) == 40
+    # windows are independent Viterbi runs — identical on window-aligned
+    # state blocks (10-step runs align with the 20-row window here)
+    assert full == win
+
+
+def test_multimodal_plumbing():
+    from arlas_proc_ray.multimodal import (
+        DecodeImageStub,
+        FakeFeatureExtractor,
+        frame_sample_plan,
+        with_binary_metadata,
+    )
+
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "payload": pa.array([b"\x89PNG fake", b"RIFF fake"], type=pa.binary()),
+            "media_type": ["image/png", "audio/wav"],
+        }
+    )
+    t2 = with_binary_metadata(t)
+    assert t2.column("byte_size").to_pylist() == [9, 9]
+    import hashlib
+
+    assert t2.column("payload_sha256").to_pylist()[0] == hashlib.sha256(
+        b"\x89PNG fake"
+    ).hexdigest()
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageStub()(t2)
+
+    ds = rd.from_arrow(t2)
+    out = ds.map_batches(
+        FakeFeatureExtractor,
+        fn_constructor_kwargs={"dim": 8},
+        batch_format="pyarrow",
+        batch_size=1,  # large payloads → small batches
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 2
+    v = np.array(out["features"].iloc[0])
+    assert v.shape == (8,) and abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    plan = frame_sample_plan(duration_s=10.0, fps=30.0, every_s=2.5)
+    assert plan.tolist() == [0, 75, 150, 225]

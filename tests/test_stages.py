@@ -1,0 +1,201 @@
+"""Unit tests for the operator library (golden comparisons on tiny data).
+
+Mirrors the reference's per-transformer suites under
+/root/reference/src/test/scala/io/arlas/data/transform/** — tiny
+hand-checkable inputs, exact expected outputs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from arlas_proc_ray.stages import rowwise
+from arlas_proc_ray.stages.keyed import (
+    dedup_keep_first,
+    keyed_partition_map,
+    with_duration,
+    with_fragments,
+    with_rolling_median_outlier,
+    with_session_id,
+    with_state_id_on_change,
+    with_visibility_change,
+)
+from arlas_proc_ray.stages.lookup import broadcast_join, broadcast_semi_join
+from arlas_proc_ray.stages.summarize import conditional_collapse
+
+
+def _events_df():
+    return pd.DataFrame(
+        {
+            "id": ["a", "a", "a", "a", "b", "b"],
+            "seq": [1, 2, 3, 4, 1, 2],
+            "ts": [0.0, 10.0, 2000.0, 2010.0, 5.0, 6.0],
+            "v": [1.0, 2.0, 100.0, 3.0, 7.0, 9.0],
+            "state": ["x", "x", "y", "y", "x", "y"],
+        }
+    )
+
+
+def _ds():
+    return rd.from_pandas(_events_df())
+
+
+def _sorted(ds, by):
+    return ds.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def test_with_duration():
+    out = _sorted(
+        with_duration(_ds(), keys=["id"], order_col="seq", ts_col="ts", num_partitions=2),
+        ["id", "seq"],
+    )
+    assert out.loc[out.id.eq("a"), "duration_s"].tolist()[1:] == [10.0, 1990.0, 10.0]
+    assert np.isnan(out.loc[0, "duration_s"])
+
+
+def test_state_id_on_change():
+    out = _sorted(
+        with_state_id_on_change(
+            _ds(), keys=["id"], order_col="seq", state_col="state",
+            target="sid", num_partitions=2,
+        ),
+        ["id", "seq"],
+    )
+    assert out["sid"].tolist() == ["a#1", "a#1", "a#3", "a#3", "b#1", "b#2"]
+
+
+def test_fragments_drop_first_row_per_key():
+    out = _sorted(
+        with_fragments(
+            _ds(), keys=["id"], order_col="seq", ts_col="ts", value_col="v",
+            num_partitions=2,
+        ),
+        ["id", "seq"],
+    )
+    assert len(out) == 4  # 6 rows - 2 first-rows
+    f = out.iloc[0]
+    assert f["fragment_id"] == "a#1_2"
+    assert f["duration_s"] == 10.0 and f["value_avg"] == 1.5
+
+
+def test_sessionize():
+    out = _sorted(
+        with_session_id(
+            _ds(), keys=["id"], order_col="seq", ts_col="ts", gap_s=100.0,
+            num_partitions=2,
+        ),
+        ["id", "seq"],
+    )
+    assert out["session_id"].tolist() == ["a#1", "a#1", "a#3", "a#3", "b#1", "b#1"]
+
+
+def test_visibility_change():
+    df = pd.DataFrame(
+        {"id": ["a"] * 4, "seq": [1, 2, 3, 4], "vis": [0, 1, 1, 0]}
+    )
+    out = _sorted(
+        with_visibility_change(
+            rd.from_pandas(df), keys=["id"], order_col="seq",
+            visibility_col="vis", num_partitions=2,
+        ),
+        ["id", "seq"],
+    )
+    assert out["visibility_change"].tolist() == [None, "APPEAR", "DISAPPEAR", None]
+
+
+def test_rolling_median_outlier():
+    out = _sorted(
+        with_rolling_median_outlier(
+            _ds(), keys=["id"], order_col="seq", value_col="v",
+            half_window=1, threshold=10.0, num_partitions=2,
+        ),
+        ["id", "seq"],
+    )
+    a = out[out.id.eq("a")]
+    # v = 1,2,100,3 → rolling medians (window 3, center, edge-truncated):
+    # [1.5, 2, 3, 51.5]; last row: |3 − 51.5| > 10 ⇒ also an outlier
+    assert a["rolling_median"].tolist() == [1.5, 2.0, 3.0, 51.5]
+    assert a["is_outlier"].tolist() == [False, False, True, True]
+
+
+def test_dedup_keep_first():
+    df = pd.DataFrame(
+        {"id": ["a", "a", "b"], "seq": [2, 1, 5], "v": [10.0, 20.0, 30.0]}
+    )
+    out = _sorted(
+        dedup_keep_first(rd.from_pandas(df), keys=["id"], order_col="seq",
+                         num_partitions=2),
+        ["id"],
+    )
+    assert out["seq"].tolist() == [1, 5]  # keeps smallest seq per id
+
+
+def test_conditional_collapse():
+    out = conditional_collapse(
+        _ds(),
+        keys=["id"],
+        order_col="seq",
+        group_col="state",
+        condition=lambda pdf: pdf["state"].eq("x"),
+        agg={
+            "v_sum": ("v", "sum"),
+            "seq": ("seq", "min"),
+            "n": ("v", "count"),
+        },
+        num_partitions=2,
+    ).to_pandas()
+    # 'x' rows collapse per state value within partition groups; 'y' pass through
+    ys = out[out.get("state").eq("y").fillna(False)] if "state" in out else None
+    assert (out["n"].dropna() >= 1).all()
+    assert len(out) < 6
+
+
+def test_broadcast_join_and_semi():
+    small = pd.DataFrame({"id": ["a", "b"], "label": ["A", "B"]})
+    out = _sorted(broadcast_join(_ds(), small, on=["id"]), ["id", "seq"])
+    assert out["label"].tolist() == ["A"] * 4 + ["B"] * 2
+
+    keys = pd.DataFrame({"id": ["a"]})
+    semi = broadcast_semi_join(_ds(), keys, on=["id"]).to_pandas()
+    assert set(semi["id"]) == {"a"}
+    anti = broadcast_semi_join(_ds(), keys, on=["id"], anti=True).to_pandas()
+    assert set(anti["id"]) == {"b"}
+
+
+def test_rowwise_ops():
+    t = pa.table(
+        {
+            "MyCol Name": [1, 2],
+            "num": ["1,5", "bad"],
+            "ts_str": ["2024-01-01T00:00:00", "nope"],
+            "v": [5.0, 50.0],
+        }
+    )
+    t2 = rowwise.lower_snake_case_columns(t)
+    assert t2.column_names[0] == "my_col_name"
+
+    t3 = rowwise.repair_doubles(t2, ["num"])
+    assert t3.column("num").to_pylist() == [1.5, None]
+
+    t4 = rowwise.parse_timestamp(t3, "ts_str")
+    assert t4.column("ts_epoch").to_pylist() == [1704067200, None]
+
+    t5 = rowwise.with_threshold_label(t4, "v", 10.0, "HIGH", "LOW", "lab")
+    assert t5.column("lab").to_pylist() == ["LOW", "HIGH"]
+
+    t6 = rowwise.filter_value_range(t5, "v", 0.0, 10.0)
+    assert t6.num_rows == 1
+
+    t7 = rowwise.with_empty_col(t5, "empty", pa.float64())
+    assert t7.column("empty").null_count == 2
+
+    t8 = rowwise.with_nested_struct(t5, "pos", {"a": "v", "b": "my_col_name"})
+    assert t8.column("pos").type.num_fields == 2
+
+    t9 = rowwise.pick_by_duration(t5, "v", 10.0, "v", "my_col_name", "picked")
+    assert t9.column("picked").to_pylist()[0] == 5.0
+
+    te = pa.table({"ts": pa.array([0, 86400], type=pa.int64())})
+    tp = rowwise.with_time_partition(te, "ts")
+    assert tp.column("time_partition").to_pylist() == [19700101, 19700102]
