@@ -132,7 +132,7 @@ class StreamingCdcEngine:
             ray.get(refs)  # ack: events are buffered before the task returns
             return pa.table({"routed": pa.array([batch.num_rows], pa.int64())})
 
-        routed = events_ds.map_batches(route, batch_format="pyarrow").sum("routed")
+        routed = events_ds.map_batches(route, batch_format="pyarrow", batch_size=None).sum("routed")
         results = ray.get([a.commit_epoch.remote(epoch) for a in self.actors])
         summary = self.store.commit_epoch(epoch, dm.num_partitions)
         summary["routed_events"] = int(routed or 0)

@@ -124,6 +124,7 @@ class CdcEngine:
         ds = ds.map_batches(
             lambda t: lww_reduce_table(t, dm.key_cols, dm.order_col),
             batch_format="pyarrow",
+            batch_size=None,
         )
         ds = add_partition_stage(ds, dm)
 

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from arlas_proc_ray.schema import SchemaRegistry
 
@@ -178,22 +179,34 @@ def _gen_range(cfg: ChangelogConfig, lo: int, hi: int) -> dict[str, np.ndarray]:
 
 
 def key_repo_path(key_id: np.ndarray, cfg: ChangelogConfig):
-    """Deterministic (repo, path, lang) for each key id."""
-    n = len(key_id)
+    """Deterministic (repo, path, lang) per key id — pandas-vectorized.
+
+    Returns (repos, paths, langs) as Python lists / numpy; string assembly
+    runs in pandas' C string kernels, not a per-row Python loop.
+    """
+    import pandas as pd
+
+    k = pd.Series(key_id)
     n_other = max(1, cfg.num_repos - 1)
-    repo_idx = 1 + (key_id % n_other)
-    lang_idx = key_id % len(LANGS)
-    is_hot = key_id < cfg.hot_keys
-    repos = [
-        "org0/monorepo" if is_hot[i] else f"org{repo_idx[i] % 10}/repo{repo_idx[i]}"
-        for i in range(n)
-    ]
-    paths = [
-        f"src/d{(k // 97) % 31}/m{(k // 7) % 13}/file_{k}.{EXTS[li]}"
-        for k, li in zip(key_id.tolist(), lang_idx.tolist())
-    ]
+    repo_idx = 1 + (k % n_other)
+    lang_idx = (key_id % len(LANGS)).astype(np.int64)
+    repos = np.where(
+        key_id < cfg.hot_keys,
+        "org0/monorepo",
+        ("org" + (repo_idx % 10).astype(str) + "/repo" + repo_idx.astype(str)).to_numpy(),
+    )
+    paths = (
+        "src/d"
+        + ((k // 97) % 31).astype(str)
+        + "/m"
+        + ((k // 7) % 13).astype(str)
+        + "/file_"
+        + k.astype(str)
+        + "."
+        + pd.Series(EXTS[lang_idx])
+    ).to_numpy()
     langs = LANGS[lang_idx]
-    return repos, paths, langs
+    return repos.tolist(), paths.tolist(), langs
 
 
 def generate_changelog_tables(
@@ -205,6 +218,8 @@ def generate_changelog_tables(
     by ``delivery_index`` inside each table — the physical delivery order
     differs from lsn order within ``cfg.ooo_window`` (out-of-order fixture).
     """
+    import pandas as pd
+
     hi = cfg.num_events if hi is None else hi
     raw = _gen_range(cfg, lo, hi)
     lsn = raw["lsn"]
@@ -216,19 +231,43 @@ def generate_changelog_tables(
 
     filler = _FILLER
     flen = len(filler)
-    contents: list[str | None] = []
-    lengths = raw["length"].tolist()
-    deletes = raw["is_delete"].tolist()
-    for i in range(len(lsn)):
-        if deletes[i]:
-            contents.append(None)
-        else:
-            start = int(lsn[i]) % max(1, flen - lengths[i] - 1)
-            body = filler[start : start + lengths[i]]
-            contents.append(f"// {repos[i]}:{paths[i]} @ lsn={int(lsn[i])}\n{body}")
+    lengths = raw["length"]
+    deletes = raw["is_delete"]
+    # vectorized prefix; per-row work is only a concat + a slice of a
+    # constant string (C-level ops), never f-string interpolation
+    prefix = (
+        "// "
+        + pd.Series(repos)
+        + ":"
+        + pd.Series(paths)
+        + " @ lsn="
+        + pd.Series(lsn).astype(str)
+        + "\n"
+    ).tolist()
+    starts = (lsn % np.maximum(1, flen - lengths - 1)).tolist()
+    lens_l = lengths.tolist()
+    del_l = deletes.tolist()
+    contents: list[str | None] = [
+        None if d else p + filler[s : s + ln]
+        for d, p, s, ln in zip(del_l, prefix, starts, lens_l)
+    ]
 
     v2_at = cfg.v2_boundary()
     version = np.where(lsn >= v2_at, np.int32(2), np.int32(1))
+
+    # build full Arrow arrays ONCE, then zero-copy .take() per version/order
+    full = {
+        "lsn": pa.array(lsn),
+        "op": pa.array(op, type=pa.string()),
+        "repo": pa.array(repos, type=pa.string()),
+        "path": pa.array(paths, type=pa.string()),
+        "commit": pa.array(commit, type=pa.string()),
+        "content": pa.array(contents, type=pa.string()),
+        "schema_version": pa.array(version, type=pa.int32()),
+        "delivery_index": pa.array(raw["delivery_index"]),
+        "langs": pa.array(langs, type=pa.string()),
+    }
+    content_size_full = pc.cast(pc.utf8_length(full["content"]), pa.int64())
 
     out: list[pa.Table] = []
     for ver in (1, 2):
@@ -237,27 +276,14 @@ def generate_changelog_tables(
             continue
         idx = np.nonzero(mask)[0]
         # deliver in delivery_index order (out-of-order w.r.t. lsn)
-        idx = idx[np.argsort(raw["delivery_index"][idx], kind="stable")]
-        cols = {
-            "lsn": pa.array(lsn[idx]),
-            "op": pa.array(op[idx].tolist(), type=pa.string()),
-            "repo": pa.array([repos[i] for i in idx], type=pa.string()),
-            "path": pa.array([paths[i] for i in idx], type=pa.string()),
-            "commit": pa.array([commit[i] for i in idx], type=pa.string()),
-            "content": pa.array([contents[i] for i in idx], type=pa.string()),
-            "schema_version": pa.array(version[idx], type=pa.int32()),
-            "delivery_index": pa.array(raw["delivery_index"][idx]),
-        }
-        lang_vals = pa.array([str(langs[i]) for i in idx], type=pa.string())
+        idx = pa.array(idx[np.argsort(raw["delivery_index"][idx], kind="stable")])
+        cols = {name: full[name].take(idx) for name in full}
         if ver == 1:
-            cols["lang"] = lang_vals
+            cols["lang"] = cols.pop("langs")
             schema = EVENT_SCHEMA_V1
         else:
-            cols["language"] = lang_vals
-            cols["content_size"] = pa.array(
-                [None if contents[i] is None else len(contents[i]) for i in idx],
-                type=pa.int64(),
-            )
+            cols["language"] = cols.pop("langs")
+            cols["content_size"] = content_size_full.take(idx)
             schema = EVENT_SCHEMA_V2
         out.append(pa.Table.from_arrays([cols[f.name] for f in schema], schema=schema))
     return out
@@ -272,7 +298,7 @@ def changelog_dataset(cfg: ChangelogConfig, *, override_num_blocks: int | None =
     """
     import ray.data as rd
 
-    n_blocks = override_num_blocks or max(8, cfg.num_events // 200_000)
+    n_blocks = override_num_blocks or max(8, cfg.num_events // 50_000)
     base = rd.range(cfg.num_events, override_num_blocks=n_blocks)
 
     def gen(batch: pa.Table):
@@ -282,4 +308,4 @@ def changelog_dataset(cfg: ChangelogConfig, *, override_num_blocks: int | None =
         assert hi - lo == len(ids), "range block not contiguous"
         yield from generate_changelog_tables(cfg, lo, hi)
 
-    return base.map_batches(gen, batch_format="pyarrow")
+    return base.map_batches(gen, batch_format="pyarrow", batch_size=None)

@@ -117,7 +117,7 @@ def make_align_fn(registry: SchemaRegistry):
 
 
 def normalize_stage(ds, registry: SchemaRegistry):
-    return ds.map_batches(make_align_fn(registry), batch_format="pyarrow")
+    return ds.map_batches(make_align_fn(registry), batch_format="pyarrow", batch_size=None)
 
 
 def add_partition_stage(ds, dm: DataModel):
@@ -125,7 +125,7 @@ def add_partition_stage(ds, dm: DataModel):
         pids = partition_ids(batch, dm.key_list, dm.num_partitions)
         return batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
 
-    return ds.map_batches(add_part, batch_format="pyarrow")
+    return ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
 
 
 def finalize_partition_table(table: pa.Table, dm: DataModel) -> pa.Table:
@@ -168,6 +168,7 @@ def replay_to_dataset(events_ds, dm: DataModel | None = None, registry=None):
     ds = ds.map_batches(
         lambda t: lww_reduce_table(t, dm.key_cols, dm.order_col),
         batch_format="pyarrow",
+        batch_size=None,
     )
     ds = add_partition_stage(ds, dm)
 

@@ -27,15 +27,25 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """64-bit hashes of all char n-grams (via blake2b of each shingle)."""
+    """64-bit hashes of all char n-grams — numpy-vectorized rolling hash.
+
+    Uses the same Karp-Rabin all-window kernel as the document fingerprint
+    (functions/text.py): every n-byte window hashed in a handful of numpy
+    array ops, no per-shingle Python/hashlib loop.
+    """
+    from arlas_proc_ray.functions.text import _all_window_hashes
+
     t = text.lower()
     if len(t) < n:
         t = t.ljust(n)
-    out = np.empty(len(t) - n + 1, dtype=np.uint64)
-    for i in range(len(t) - n + 1):
-        h = hashlib.blake2b(t[i : i + n].encode("utf-8"), digest_size=8).digest()
-        out[i] = np.frombuffer(h, dtype=np.uint64)[0]
-    return np.unique(out)
+    raw = _all_window_hashes(t.encode("utf-8", "ignore"), n)
+    # splitmix finish to decorrelate consecutive windows
+    with np.errstate(over="ignore"):
+        z = (raw + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return np.unique(z)
 
 
 class MinHasher:
@@ -76,27 +86,44 @@ class MinHasher:
         return hashed.min(axis=1)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        view = sig.reshape(self.bands, self.rows_per_band)
-        out = np.empty(self.bands, dtype=np.uint64)
-        for b in range(self.bands):
-            digest = hashlib.blake2b(view[b].tobytes(), digest_size=8).digest()
-            out[b] = np.frombuffer(digest, dtype=np.uint64)[0]
-        return out
+        """Band hashes for one signature (docs × 1). See band_hashes_matrix."""
+        return self.band_hashes_matrix(sig[None, :])[0]
+
+    def band_hashes_matrix(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) → (n_docs, bands) — fully vectorized mixing."""
+        n = sigs.shape[0]
+        view = sigs.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, self.bands), dtype=np.uint64)
+            for lane in range(self.rows_per_band):
+                z = h ^ (view[:, :, lane] * np.uint64(0x9E3779B97F4A7C15))
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                h = z ^ (z >> np.uint64(31))
+        return h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
+        ids, sigs = [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
             if not text:
                 continue
-            bh = self.band_hashes(self.signature(text))
-            ids.extend([doc_id] * self.bands)
-            band_ids.extend(range(self.bands))
-            band_hashes.extend(bh.tolist())
+            ids.append(doc_id)
+            sigs.append(self.signature(text))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "band_id": pd.Series([], dtype=np.int32),
+                    "band_hash": pd.Series([], dtype=np.uint64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        bh = self.band_hashes_matrix(np.stack(sigs))  # (n, bands)
+        n = len(ids)
         return pd.DataFrame(
             {
-                "band_id": np.array(band_ids, dtype=np.int32),
-                "band_hash": np.array(band_hashes, dtype=np.uint64),
-                "doc_id": np.array(ids, dtype=np.int64),
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int32), n),
+                "band_hash": bh.ravel(),
+                "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), self.bands),
             }
         )
 
@@ -141,12 +168,31 @@ def minhash_near_duplicates(
     """
     import ray
 
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=4096, batch_format="pandas"
+    # broadcast PRE-COMPUTED shingle-hash arrays (sorted uint64), not raw
+    # texts: verification becomes a numpy intersect per pair instead of
+    # Python set construction from scratch for every candidate pair.
+    # Shingling itself runs DISTRIBUTED; only the compact hash arrays
+    # (~50 B/shingle-free vs the text) come back to the driver.
+    def shingle_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "sh": [
+                    _shingle_hashes(t, ngram) if t else np.array([], np.uint64)
+                    for t in pdf[text_col]
+                ],
+            }
+        )
+
+    shingles: dict = {}
+    for b in (
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingle_batch, batch_format="pandas")
+        .iter_batches(batch_size=4096, batch_format="pandas")
     ):
-        texts.update(zip(b[id_col], b[text_col]))
-    texts_ref = ray.put(texts)
+        for i, arr in zip(b[id_col], b["sh"]):
+            shingles[i] = np.asarray(arr, dtype=np.uint64)
+    texts_ref = ray.put(shingles)
 
     band_rows = ds.map_batches(
         MinHasher,
@@ -161,26 +207,58 @@ def minhash_near_duplicates(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one LSH bucket: all docs sharing (band_id, band_hash)
-        ids = np.unique(pdf["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def partition_bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs of one hash partition of band buckets.
+
+        Vectorized: buckets are contiguous runs after the partition sort;
+        only runs with ≥2 docs pay any per-run work (numpy triu per run).
+        """
+        codes, _ = pd.factorize(
+            pdf["band_id"].astype(np.int64) * np.int64(1 << 32)
+            ^ pdf["band_hash"].astype(np.int64),
+            use_na_sentinel=False,
+        )
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        ids_s = pdf["doc_id"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(codes_s)]])
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ids = np.unique(ids_s[s:e])
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket_size:  # degenerate-bucket guard
+                ids = ids[:max_bucket_size]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a_parts.append(ids[ia])
+            b_parts.append(ids[ib])
+        if not a_parts:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
                  "doc_b": pd.Series([], dtype=np.int64)}
             )
-        if len(ids) > max_bucket_size:  # degenerate-bucket guard
-            ids = ids[:max_bucket_size]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        out = pd.DataFrame(
+            {"doc_a": np.concatenate(a_parts), "doc_b": np.concatenate(b_parts)}
+        )
+        return out.drop_duplicates()
 
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
-    raw_pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # ONE shuffle on the bucket key; pairs generated + locally deduped per
+    # partition, then globally deduped per pair-hash partition — both
+    # vectorized, never one Python call per bucket or per pair
+    raw_pairs = keyed_partition_map(
+        band_rows,
+        keys=["band_id", "band_hash"],
+        order_col="doc_id",
+        fn=partition_bucket_pairs,
+        num_partitions=16,
     )
-    # dedup (doc_a, doc_b) across bands: vectorized per hash partition —
-    # NEVER one Python call per pair
     candidates = keyed_partition_map(
         raw_pairs,
         keys=["doc_a", "doc_b"],
@@ -194,11 +272,16 @@ def minhash_near_duplicates(
     # shuffle between them on small machines. ray.get of the broadcast map
     # is a cheap local object-store read per task.
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts_map = ray.get(texts_ref)
-        sims = [
-            jaccard_ngrams(texts_map[a], texts_map[b], ngram)
-            for a, b in zip(batch["doc_a"], batch["doc_b"])
-        ]
+        sh = ray.get(texts_ref)
+        sims = np.empty(len(batch), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+            sa, sb = sh[a], sh[b]
+            union = len(sa) + len(sb)
+            if union == 0:
+                sims[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            sims[i] = inter / (union - inter)
         batch["jaccard"] = sims
         return batch[batch["jaccard"] >= jaccard_threshold]
 

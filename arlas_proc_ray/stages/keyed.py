@@ -64,7 +64,7 @@ def keyed_partition_map(
         return out.reset_index(drop=True)
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby(PART_COL)
         .map_groups(run_group, batch_format="pandas")
     )
