@@ -697,6 +697,56 @@ def q_hmm_moving_state(sf_dir: str):
     )
 
 
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer (broadcast) → revenue per market segment.
+
+    Join + partial pre-agg + tiny final groupby; exact integer-cents sums.
+    """
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, cust, on=["o_custkey"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["_c"] = _cents(pdf["o_totalprice"])
+        g = pdf.groupby("c_mktsegment")
+        return g.agg(n_orders=("_c", "size"), _c=("_c", "sum")).reset_index()
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("c_mktsegment")
+        return pd.DataFrame(
+            {
+                "n_orders": g["n_orders"].sum().astype("int64"),
+                "revenue": g["_c"].sum() / 100.0,
+            }
+        ).reset_index()
+
+    return keyed_partition_map(
+        partials, keys=["c_mktsegment"], order_col="n_orders", fn=final,
+        num_partitions=4,
+    )
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate cosine top-k (the ANN scale path;
+    approximate by construction → rows-only check)."""
+    from arlas_proc_ray.ann import lsh_bucketed_topk
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, ids, mat, k=3, bits=4)
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -728,6 +778,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_norms": q_embedding_norms,
     "hmm_moving_state": q_hmm_moving_state,
+    "segment_revenue": q_segment_revenue,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -965,6 +1017,13 @@ ORACLE_SQL = {
                  AS l2_norm
         FROM embeddings
     """,
-    # lang_id / simhash / fingerprint / minhash_near_dup: heuristic or
-    # signature algorithms with no SQL equivalent → rows-only checks.
+    "segment_revenue": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(cast(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    # lang_id / simhash / fingerprint / minhash_near_dup / hmm_moving_state
+    # / ann_lsh_topk: heuristic, signature or approximate algorithms with
+    # no SQL equivalent → rows-only checks.
 }
