@@ -747,6 +747,27 @@ def q_ann_lsh_topk(sf_dir: str):
     return out
 
 
+
+def q_movement_courses(sf_dir: str):
+    """Full AIS-tutorial-analogue chain (README.md:216-404): dedup →
+    duration → HMM moving state → motion/course segmentation → stop
+    collapse → course extraction with neighbor-pulled departure/arrival →
+    greedy mission merge. ONE fused partition pass; rows-only check."""
+    from arlas_proc_ray.pipelines.movement import movement_courses
+
+    return movement_courses(sf_dir, num_partitions=NP)
+
+
+def q_enriched_events(sf_dir: str):
+    """REST-enrichment actor-pool stage (WithGeoData pattern) with the
+    deterministic offline client; rows-only check."""
+    from arlas_proc_ray.stages.enrich import with_enrichment
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+    out = with_enrichment(ds, key_col="user_id", batch_size=1024)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -780,6 +801,8 @@ QUERIES = {
     "hmm_moving_state": q_hmm_moving_state,
     "segment_revenue": q_segment_revenue,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "movement_courses": q_movement_courses,
+    "enriched_events": q_enriched_events,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"

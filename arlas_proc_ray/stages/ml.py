@@ -133,7 +133,7 @@ def with_hmm_states(
 STILLMOVE_MODEL_JSON = json.dumps(
     {
         "states": ["STILL", "MOVE"],
-        "bin_edges": [0.0, 1.0, 5.0, 20.0, 1e9],
+        "bin_edges": [0.0, 10.0, 30.0, 80.0, 1e9],
         "initial": [0.6, 0.4],
         "transition": [[0.8, 0.2], [0.2, 0.8]],
         "emission": [

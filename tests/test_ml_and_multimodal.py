@@ -13,7 +13,7 @@ from arlas_proc_ray.stages.ml import (
 
 def test_hmm_model_quantize_and_viterbi():
     m = HmmModel.from_json(STILLMOVE_MODEL_JSON)
-    bins = m.quantize(np.array([0.5, 0.5, 50.0, 50.0, 50.0, 0.2]))
+    bins = m.quantize(np.array([0.5, 0.5, 100.0, 100.0, 100.0, 0.2]))
     assert bins.tolist() == [0, 0, 3, 3, 3, 0]
     path = m.viterbi(bins)
     states = np.asarray(m.states)[path]
@@ -26,7 +26,7 @@ def test_with_hmm_states_dataset():
         {
             "id": ["a"] * 6 + ["b"] * 3,
             "seq": list(range(6)) + list(range(3)),
-            "v": [0.1, 0.2, 30.0, 40.0, 0.1, 0.1, 50.0, 60.0, 70.0],
+            "v": [0.1, 0.2, 90.0, 95.0, 0.1, 0.1, 100.0, 120.0, 140.0],
         }
     )
     out = (
@@ -54,7 +54,7 @@ def test_hmm_windowing_consistency():
         {
             "id": ["a"] * 40,
             "seq": range(40),
-            "v": ([0.1] * 10 + [30.0] * 10) * 2,
+            "v": ([0.1] * 10 + [90.0] * 10) * 2,
         }
     )
     full = with_hmm_states(
