@@ -768,6 +768,49 @@ def q_enriched_events(sf_dir: str):
     return out
 
 
+
+def q_char_jaccard(sf_dir: str):
+    """Character-set Jaccard similarity of every document to document 0
+    (the n-gram-Jaccard verify kernel's charset variant, vectorized)."""
+    import pyarrow.parquet as pq
+
+    ref_text = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .filter(pc.equal(pc.field("doc_id"), 0))
+        .column("text")[0]
+        .as_py()
+    )
+    ref_set = frozenset(ref_text)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sims = np.empty(len(pdf), dtype=np.float64)
+        for i, t in enumerate(pdf["text"]):
+            st = set(t)
+            sims[i] = len(st & ref_set) / len(st | ref_set)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "jac": np.round(sims, 6)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_events_period(sf_dir: str):
+    """Partition-pruned time-slice filter (filterOnPeriod analogue,
+    sql/package.scala:41-66): predicate pushed down to the parquet read."""
+    import pyarrow as _pa
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp("2024-01-10")
+    hi = pd.Timestamp("2024-01-20")
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        filter=(pads.field("ts") >= _pa.scalar(lo)) & (pads.field("ts") < _pa.scalar(hi)),
+    )
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -803,6 +846,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "movement_courses": q_movement_courses,
     "enriched_events": q_enriched_events,
+    "char_jaccard": q_char_jaccard,
+    "events_period": q_events_period,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1039,6 +1084,16 @@ ORACLE_SQL = {
                      x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))), 6)
                  AS l2_norm
         FROM embeddings
+    """,
+    "char_jaccard": """
+        SELECT d.doc_id,
+               round(jaccard(d.text, (SELECT text FROM documents WHERE doc_id = 0)), 6)
+                 AS jac
+        FROM documents d
+    """,
+    "events_period": """
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
     """,
     "segment_revenue": """
         SELECT c_mktsegment, count(*) AS n_orders,

@@ -48,8 +48,20 @@ def run_collapse_fn(
 
         gb = matching.groupby(group_col, sort=False)
         pieces = {}
-        for out_col, (src, how) in agg.items():
-            pieces[out_col] = gb[src].agg(how)
+        for out_col, spec in agg.items():
+            src, how = spec[0], spec[1]
+            if how == "wmean":
+                # weighted average — the reference's duration-weighted
+                # aggregates (FragmentSummaryTransformer.scala:262-271):
+                # sum(src·w) / sum(w) per group
+                weight_col = spec[2]
+                num = (matching[src] * matching[weight_col]).groupby(
+                    matching[group_col], sort=False
+                ).sum()
+                den = gb[weight_col].sum()
+                pieces[out_col] = num / den.replace(0, np.nan)
+            else:
+                pieces[out_col] = gb[src].agg(how)
         summary = pd.DataFrame(pieces).reset_index()
 
         # propagate key columns (constant within a group) like the

@@ -1,0 +1,149 @@
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from arlas_proc_ray.dedup.components import _union_find, connected_components
+from arlas_proc_ray.stages.outliers import (
+    outliers_to_store_fn,
+    with_geo_distance_m,
+    with_outlier_propagated,
+    without_identified_outliers,
+)
+from arlas_proc_ray.stages.setops import distinct, except_keys, intersect_keys, union_all
+from arlas_proc_ray.stages.summarize import conditional_collapse
+
+
+def test_without_identified_outliers():
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0], "is_outlier": [False, True, None]})
+    out = without_identified_outliers(rd.from_pandas(df)).to_pandas()
+    assert sorted(out["v"]) == [1.0, 3.0]  # null flag kept (like not(true))
+    assert "is_outlier" not in out.columns
+
+
+def test_outlier_propagation_fills_between():
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 7,
+            "seq": range(7),
+            "is_outlier": [False, True, False, False, True, False, False],
+        }
+    )
+    out = (
+        with_outlier_propagated(
+            rd.from_pandas(df), keys=["id"], order_col="seq", reach=3,
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("seq")
+    )
+    # rows 2,3 sit between the outliers at 1 and 4 (within reach) → filled
+    assert out["is_outlier_smoothed"].tolist() == [
+        False, True, True, True, True, False, False,
+    ]
+
+
+def test_outliers_to_store_numeric_context():
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 4,
+            "seq": range(4),
+            "v": [1.0, 99.0, 3.0, 4.0],
+            "is_outlier": [False, True, False, False],
+        }
+    )
+    fn = outliers_to_store_fn(["id"], "is_outlier", value_col="v")
+    out = fn(df)
+    assert len(out) == 1
+    assert out.iloc[0]["prev_value"] == 1.0 and out.iloc[0]["next_value"] == 3.0
+
+
+def test_outliers_to_store_wkt_trail():
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 3,
+            "seq": range(3),
+            "lat": [0.0, 1.0, 2.0],
+            "lon": [10.0, 11.0, 12.0],
+            "is_outlier": [False, True, False],
+        }
+    )
+    fn = outliers_to_store_fn(["id"], "is_outlier", lat_col="lat", lon_col="lon")
+    out = fn(df)
+    assert out.iloc[0]["trail"] == "LINESTRING (10.0 0.0, 11.0 1.0, 12.0 2.0)"
+
+
+def test_with_geo_distance_m():
+    df = pd.DataFrame(
+        {
+            "id": ["a", "a", "b"],
+            "seq": [1, 2, 1],
+            "lat": [0.0, 0.0, 50.0],
+            "lon": [0.0, 1.0, 50.0],
+        }
+    )
+    out = (
+        with_geo_distance_m(
+            rd.from_pandas(df), keys=["id"], order_col="seq",
+            lat_col="lat", lon_col="lon", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["id", "seq"])
+        .reset_index(drop=True)
+    )
+    assert np.isnan(out.loc[0, "distance_m"])  # first point per key
+    assert abs(out.loc[1, "distance_m"] - 111_195) < 300  # 1° lon at equator
+    assert np.isnan(out.loc[2, "distance_m"])
+
+
+def test_union_find_and_components():
+    edges = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    got = _union_find(edges)
+    m = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert m[1] == m[2] == m[3] == 1
+    assert m[10] == m[11] == 10
+
+    ds = rd.from_pandas(edges)
+    via_driver = connected_components(ds)
+    assert dict(zip(via_driver["doc_id"], via_driver["cluster_id"])) == m
+    # force the distributed label-propagation path
+    via_dist = connected_components(ds, driver_threshold=0, num_partitions=2)
+    assert dict(zip(via_dist["doc_id"], via_dist["cluster_id"])) == m
+
+
+def test_setops():
+    big = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "c", "a"], "v": [1, 2, 3, 4]}))
+    small = pd.DataFrame({"k": ["a", "c"]})
+    inter = intersect_keys(big, small, on=["k"]).to_pandas()
+    assert sorted(inter["v"]) == [1, 3, 4]
+    exc = except_keys(big, small, on=["k"]).to_pandas()
+    assert sorted(exc["v"]) == [2]
+    d = distinct(big, ["k"], num_partitions=2).to_pandas()
+    assert sorted(d["k"]) == ["a", "b", "c"]
+    u = union_all(big, big)
+    assert u.count() == 8
+
+
+def test_weighted_mean_collapse():
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 3,
+            "seq": [1, 2, 3],
+            "grp": ["g1", "g1", "g1"],
+            "speed": [10.0, 20.0, 99.0],
+            "dur": [1.0, 3.0, 0.0],
+        }
+    )
+    out = conditional_collapse(
+        rd.from_pandas(df),
+        keys=["id"],
+        order_col="seq",
+        group_col="grp",
+        condition=lambda p: p["dur"] >= 0,  # all rows collapse
+        agg={
+            "seq": ("seq", "min"),
+            "speed_wavg": ("speed", "wmean", "dur"),
+        },
+        num_partitions=1,
+    ).to_pandas()
+    # zero-duration row contributes nothing: (10·1 + 20·3) / 4 = 17.5
+    assert out["speed_wavg"].tolist() == [17.5]
