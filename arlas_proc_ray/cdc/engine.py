@@ -164,23 +164,32 @@ class CdcEngine:
         done = {r["partition_id"] for r in manifests.take_all()}
 
         # partitions that received no events still need this epoch's
-        # snapshot (carry prior state forward) so the epoch is complete
-        for part in range(dm.num_partitions):
-            if part in done or store.partition_done(epoch, part):
-                continue
+        # snapshot (carry prior state forward) so the epoch is complete —
+        # fanned out as Ray tasks (the driver never reads partition data)
+        import ray
+
+        @ray.remote(num_cpus=0.5)
+        def carry_forward(part: int):
+            if store.partition_done(epoch, part):
+                return part
             prior = (
                 store.read_partition(prev_epoch, part)
                 if prev_epoch is not None
                 else None
             )
-            carried = (
-                prior
-                if prior is not None
-                else FINAL_STATE_SCHEMA.empty_table()
-            )
+            carried = prior if prior is not None else FINAL_STATE_SCHEMA.empty_table()
             if fault_hook is not None:
                 fault_hook(epoch, part)
             store.write_partition(epoch, part, carried)
+            return part
+
+        pending = [
+            p
+            for p in range(dm.num_partitions)
+            if p not in done and not store.partition_done(epoch, p)
+        ]
+        if pending:
+            ray.get([carry_forward.remote(p) for p in pending])
 
         return store.commit_epoch(epoch, dm.num_partitions)
 

@@ -147,10 +147,17 @@ class Pipeline:
         for t in self.transforms:
             names = t.check_schema(names)
 
+    def validate_names(self, names) -> None:
+        ns = set(names)
+        for t in self.transforms:
+            ns = t.check_schema(ns)
+
     def run(self, ds):
         schema = ds.schema()
         if schema is not None:
-            self.validate(pa.schema(list(zip(schema.names, schema.types))))
+            # Ray's Schema.types may hold non-Arrow types for pandas-object
+            # blocks; the contract check only needs the NAMES
+            self.validate_names(schema.names)
         for t in self.transforms:
             ds = t.apply(ds)
         return ds
