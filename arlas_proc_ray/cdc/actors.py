@@ -121,14 +121,16 @@ class StreamingCdcEngine:
             import numpy as np
 
             order = np.argsort(pids, kind="stable")
-            sorted_tbl = batch.take(pa.array(order))
             sorted_pids = pids[order]
             bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
             starts = np.concatenate([[0], bounds])
             ends = np.concatenate([bounds, [len(sorted_pids)]])
             for s, e in zip(starts, ends):
                 p = int(sorted_pids[s])
-                refs.append(actors[p].ingest.remote(sorted_tbl.slice(s, e - s)))
+                # take(), not slice(): a sliced table pickles its WHOLE
+                # underlying buffers — one per actor would P-plicate the batch
+                sub = batch.take(pa.array(order[s:e]))
+                refs.append(actors[p].ingest.remote(sub))
             ray.get(refs)  # ack: events are buffered before the task returns
             return pa.table({"routed": pa.array([batch.num_rows], pa.int64())})
 

@@ -289,7 +289,13 @@ def generate_changelog_tables(
     return out
 
 
-def changelog_dataset(cfg: ChangelogConfig, *, override_num_blocks: int | None = None):
+def changelog_dataset(
+    cfg: ChangelogConfig,
+    *,
+    override_num_blocks: int | None = None,
+    lo: int = 0,
+    hi: int | None = None,
+):
     """Distributed deterministic changelog as a ``ray.data.Dataset``.
 
     ``ray.data.range`` provides the lsn counter; each task generates its own
@@ -298,14 +304,17 @@ def changelog_dataset(cfg: ChangelogConfig, *, override_num_blocks: int | None =
     """
     import ray.data as rd
 
-    n_blocks = override_num_blocks or max(8, cfg.num_events // 50_000)
-    base = rd.range(cfg.num_events, override_num_blocks=n_blocks)
+    hi = cfg.num_events if hi is None else hi
+    span = hi - lo
+    n_blocks = override_num_blocks or max(8, span // 50_000)
+    base = rd.range(span, override_num_blocks=n_blocks)
+    offset = lo
 
     def gen(batch: pa.Table):
         ids = batch.column("id").to_numpy()
-        lo, hi = int(ids.min()), int(ids.max()) + 1
+        b_lo, b_hi = int(ids.min()) + offset, int(ids.max()) + 1 + offset
         # range blocks are contiguous; assert to catch regressions
-        assert hi - lo == len(ids), "range block not contiguous"
-        yield from generate_changelog_tables(cfg, lo, hi)
+        assert b_hi - b_lo == len(ids), "range block not contiguous"
+        yield from generate_changelog_tables(cfg, b_lo, b_hi)
 
     return base.map_batches(gen, batch_format="pyarrow", batch_size=None)

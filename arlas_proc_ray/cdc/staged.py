@@ -1,0 +1,121 @@
+"""Staged shuffle for high-volume epochs — raw Ray tasks, no sort machinery.
+
+At tens of millions of events per epoch, `groupby(_part_id).map_groups`
+becomes the wall: Ray Data's sort-based exchange sorts and re-blocks the
+full payload (and the hash-shuffle aggregator actors serialize on hot
+aggregation paths) — measured ~56 MB/s end-to-end at 20M events where the
+map phase alone runs at >1 GB/s. The fix is the classic two-phase external
+shuffle expressed directly in Ray Core (the justified "raw tasks" escape
+hatch: a fixed-fan-out exchange needs no ordering, no sampling, no
+aggregation — exactly what the Dataset groupby cannot skip):
+
+  phase 1  split:  one task per input block → P zero-copy slices by
+                   ``_part_id`` (ONE argsort per block), returned as P
+                   separate objects (``num_returns=P``) so each lands in
+                   the object store individually addressable;
+  phase 2  merge:  one task per partition gathers its B slices, runs the
+                   SAME merge/fence/finalize/write as the engine's
+                   map_groups path (cdc/engine.py), writes the fenced
+                   snapshot + manifest.
+
+Partition routing is the same stable hash; resume fences are the same
+manifests — the two paths are interchangeable per epoch on one store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from arlas_proc_ray.cdc.engine import _events_as_merge_rows, _state_as_merge_rows
+from arlas_proc_ray.cdc.events import FINAL_STATE_SCHEMA
+from arlas_proc_ray.cdc.replay import (
+    finalize_partition_table,
+    lww_reduce_table,
+    make_align_fn,
+)
+from arlas_proc_ray.functions.hashing import partition_ids
+from arlas_proc_ray.model import DataModel
+
+
+def _split_block(table: pa.Table, dm: DataModel, align) -> list[pa.Table]:
+    """normalize → combine → ONE argsort by partition → P zero-copy slices."""
+    table = align(table)
+    table = lww_reduce_table(table, dm.key_cols, dm.order_col)
+    pids = partition_ids(table, dm.key_list, dm.num_partitions)
+    order = np.argsort(pids, kind="stable")
+    sorted_pids = pids[order]
+    bounds = np.searchsorted(sorted_pids, np.arange(dm.num_partitions + 1))
+    # per-partition take() — NOT slice(): a pyarrow slice pickles the whole
+    # underlying buffer (P× blow-up through the object store); take copies
+    # exactly the partition's rows
+    return [
+        table.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+        for p in range(dm.num_partitions)
+    ]
+
+
+def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
+    """Apply one epoch with the staged shuffle; same guarantees as
+    ``CdcEngine.apply_epoch`` (idempotent, resumable, exactly-once)."""
+    dm = engine.dm
+    store = engine.store
+    fault_hook = engine.fault_hook
+    prev_epoch = store.latest_committed_epoch()
+    if prev_epoch is not None and prev_epoch >= epoch:
+        raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+
+    align = make_align_fn(engine.registry)
+    P = dm.num_partitions
+
+    @ray.remote(num_returns=P)
+    def split(block: pa.Table):
+        parts = _split_block(block, dm, align)
+        return tuple(parts) if P > 1 else parts[0]
+
+    @ray.remote
+    def merge(part: int, *slices: pa.Table):
+        if store.partition_done(epoch, part):  # crash-resume fence
+            m = store.read_manifest(epoch, part)
+            return m
+        prior = None
+        prior_last = -1
+        if prev_epoch is not None:
+            prior = store.read_partition(prev_epoch, part)
+            pm = store.read_manifest(prev_epoch, part)
+            prior_last = pm.last_lsn if pm else -1
+        ev = pa.concat_tables(
+            [s for s in slices if s.num_rows], promote_options="default"
+        ) if any(s.num_rows for s in slices) else None
+        inputs = []
+        if ev is not None:
+            if prior_last >= 0:
+                ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(prior_last)))
+            inputs.append(_events_as_merge_rows(ev))
+        if prior is not None and prior.num_rows:
+            inputs.append(_state_as_merge_rows(prior))
+        final = (
+            finalize_partition_table(
+                pa.concat_tables(inputs, promote_options="default"), dm
+            )
+            if inputs
+            else FINAL_STATE_SCHEMA.empty_table()
+        )
+        if fault_hook is not None:
+            fault_hook(epoch, part)
+        return store.write_partition(epoch, part, final)
+
+    # phase 1: one split task per input block (refs, never driver-local)
+    block_refs = events_ds.to_arrow_refs()
+    split_out = [split.remote(ref) for ref in block_refs]
+
+    # phase 2: per-partition merges over the transposed ref matrix
+    merge_refs = [
+        merge.remote(p, *[split_out[b][p] for b in range(len(split_out))])
+        for p in range(P)
+    ]
+    ray.get(merge_refs)
+    return store.commit_epoch(epoch, P)

@@ -811,6 +811,17 @@ def q_events_period(sf_dir: str):
     return ds
 
 
+
+def q_dedup_documents(sf_dir: str):
+    """End-to-end corpus dedup: exact sha256 + MinHash-LSH clusters +
+    survivor selection (rows-only; composition tested in unit suite)."""
+    from arlas_proc_ray.dedup.pipeline import dedup_documents
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    survivors, _stats = dedup_documents(ds, jaccard_threshold=0.5, num_partitions=NP)
+    return survivors
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -848,6 +859,7 @@ QUERIES = {
     "enriched_events": q_enriched_events,
     "char_jaccard": q_char_jaccard,
     "events_period": q_events_period,
+    "dedup_documents": q_dedup_documents,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"

@@ -100,9 +100,27 @@ def run_bench() -> dict:
         shutil.rmtree(snap, ignore_errors=True)
         engine = CdcEngine(snap, dm)
         t0 = time.perf_counter()
-        summary = engine.apply_epoch(changelog_dataset(cfg), epoch=1)
+        if num_events > 4_000_000:
+            # staged raw-task shuffle wins at high volume; block count ~2x cores
+            summary = engine.apply_epoch_staged(
+                changelog_dataset(cfg, override_num_blocks=num_cpus * 2), epoch=1
+            )
+        else:
+            summary = engine.apply_epoch(changelog_dataset(cfg), epoch=1)
         headline_sec = min(headline_sec, time.perf_counter() - t0)
     events_per_sec = num_events / headline_sec
+
+    # incremental epoch: same volume of NEW events (next lsn range) merged
+    # against the epoch-1 snapshot — the sustained-tail number
+    cfg2 = ChangelogConfig(
+        num_events=num_events * 2, num_keys=max(1_000, num_events // 20),
+        num_repos=200, seed=42, **content_kwargs,
+    )
+    t0 = time.perf_counter()
+    engine.apply_epoch(
+        changelog_dataset(cfg2, lo=num_events, hi=num_events * 2), epoch=2
+    )
+    epoch2_sec = time.perf_counter() - t0
 
     # restore the default shuffle for the mixed query catalog (hash-shuffle
     # aggregator pools interact badly with per-query actor pools on a
@@ -150,6 +168,8 @@ def run_bench() -> dict:
         "unit": "sec",
         "events": num_events,
         "events_per_sec": round(events_per_sec, 1),
+        "incremental_epoch_sec": round(epoch2_sec, 3),
+        "incremental_events_per_sec": round(num_events / epoch2_sec, 1),
         "snapshot_rows": summary["row_count"],
         "queries": qtimes,
         "sf": sf,

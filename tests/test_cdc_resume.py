@@ -149,3 +149,34 @@ def test_reapplying_same_epoch_events_is_idempotent(tmp_path):
     m2 = [engine.store.read_manifest(2, p) for p in range(DM.num_partitions)]
     assert [m.row_count for m in m1] == [m.row_count for m in m2]
     assert [m.sha256_rollup for m in m1] == [m.sha256_rollup for m in m2]
+
+
+def test_staged_path_parity_and_fence(tmp_path):
+    """The staged raw-task shuffle honors the same fences and matches the
+    oracle; a second staged epoch applies only new-lsn events."""
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc import (
+        ChangelogConfig,
+        CdcEngine,
+        generate_changelog_tables,
+        oracle_final_state,
+    )
+    from arlas_proc_ray.model import DataModel
+
+    cfg = ChangelogConfig(num_events=3_000, num_keys=300, seed=13)
+    dm = DataModel(num_partitions=8)
+    snap = str(tmp_path / "snap")
+    exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+
+    eng = CdcEngine(snap, dm)
+    eng.apply_epoch_staged(rd.from_arrow(generate_changelog_tables(cfg, 0, 1500)), 1)
+    # epoch 2 re-delivers epoch 1's events too — fence must drop them
+    eng.apply_epoch_staged(rd.from_arrow(generate_changelog_tables(cfg)), 2)
+    got = (
+        eng.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)[list(exp.columns)]
+    )
+    pd.testing.assert_frame_equal(got, exp)
