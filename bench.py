@@ -100,8 +100,14 @@ def run_bench() -> dict:
         shutil.rmtree(snap, ignore_errors=True)
         engine = CdcEngine(snap, dm)
         t0 = time.perf_counter()
-        if num_events > 4_000_000:
-            # staged raw-task shuffle wins at high volume; block count ~2x cores
+        if num_events > 4_000_000 and not scaling_mode:
+            # staged raw-task shuffle wins at high volume (block count ~2x
+            # cores). Scaling mode measures the Dataset-pipeline path
+            # instead: staged is fast enough to saturate one box's DRAM
+            # even on small payloads, which caps the 4N leg at a hardware
+            # ceiling that does not exist across 4N real nodes; the
+            # pipeline path is CPU-bound and representative of the
+            # distributed plan (see BASELINE.md).
             summary = engine.apply_epoch_staged(
                 changelog_dataset(cfg, override_num_blocks=num_cpus * 2), epoch=1
             )
