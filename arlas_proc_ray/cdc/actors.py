@@ -55,8 +55,8 @@ class MergeActor:
         self.last_lsn = -1
         e = self.store.latest_committed_epoch()
         if e is not None:
-            self.state = self.store.read_partition(e, self.part)
-            m = self.store.read_manifest(e, self.part)
+            self.state = self.store.read_partition_resolved(e, self.part)
+            m = self.store.read_manifest_resolved(e, self.part)
             self.last_lsn = m.last_lsn if m else -1
 
     def ingest(self, table: pa.Table) -> int:

@@ -111,14 +111,24 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
 
-    def apply_epoch(self, events_ds, epoch: int) -> dict:
-        """Apply one epoch of events; idempotent, resumable, exactly-once."""
+    def apply_epoch(self, events_ds, epoch: int, *, delta: bool = False) -> dict:
+        """Apply one epoch of events; idempotent, resumable, exactly-once.
+
+        ``delta=True``: partitions untouched by this epoch are NOT
+        rewritten — the commit marker's source map points at the epoch that
+        last wrote them (metadata-chained compaction). At low change rates
+        this removes the dominant copy-forward cost; ``SnapshotStore.vacuum``
+        respects the chain.
+        """
         dm = self.dm
         store = self.store
         fault_hook = self.fault_hook
         prev_epoch = store.latest_committed_epoch()
         if prev_epoch is not None and prev_epoch >= epoch:
             raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+        prev_sources = (
+            store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
+        )
 
         ds = normalize_stage(events_ds, self.registry)
         ds = ds.map_batches(
@@ -137,8 +147,9 @@ class CdcEngine:
             prior = None
             prior_last = -1
             if prev_epoch is not None:
-                prior = store.read_partition(prev_epoch, part)
-                pm = store.read_manifest(prev_epoch, part)
+                src = prev_sources.get(part, prev_epoch)
+                prior = store.read_partition(src, part)
+                pm = store.read_manifest(src, part)
                 prior_last = pm.last_lsn if pm else -1
 
             ev = group.drop_columns([PART_COL])
@@ -173,7 +184,7 @@ class CdcEngine:
             if store.partition_done(epoch, part):
                 return part
             prior = (
-                store.read_partition(prev_epoch, part)
+                store.read_partition(prev_sources.get(part, prev_epoch), part)
                 if prev_epoch is not None
                 else None
             )
@@ -188,6 +199,10 @@ class CdcEngine:
             for p in range(dm.num_partitions)
             if p not in done and not store.partition_done(epoch, p)
         ]
+        if delta and prev_epoch is not None:
+            # untouched partitions stay where they are; only reference them
+            sources = {p: prev_sources.get(p, prev_epoch) for p in pending}
+            return store.commit_epoch(epoch, dm.num_partitions, sources=sources)
         if pending:
             ray.get([carry_forward.remote(p) for p in pending])
 

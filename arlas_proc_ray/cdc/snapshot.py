@@ -122,9 +122,24 @@ class SnapshotStore:
         )
         return manifest
 
-    def commit_epoch(self, epoch: int, num_partitions: int) -> dict:
-        """Write the _COMMITTED marker once every partition manifest exists."""
-        manifests = [self.read_manifest(epoch, p) for p in range(num_partitions)]
+    def commit_epoch(
+        self,
+        epoch: int,
+        num_partitions: int,
+        sources: dict[int, int] | None = None,
+    ) -> dict:
+        """Write the _COMMITTED marker once every partition manifest exists.
+
+        ``sources`` (delta epochs): partition → epoch whose file holds that
+        partition's current state. Partitions untouched by this epoch point
+        at an older epoch instead of being rewritten (lakehouse-style
+        metadata chain); omitted → every partition lives in this epoch.
+        """
+        sources = {int(p): int(e) for p, e in (sources or {}).items()}
+        manifests = [
+            self.read_manifest(sources.get(p, epoch), p)
+            for p in range(num_partitions)
+        ]
         missing = [p for p, m in enumerate(manifests) if m is None]
         if missing:
             raise RuntimeError(f"epoch {epoch}: partitions not done: {missing[:10]}")
@@ -134,6 +149,7 @@ class SnapshotStore:
             "row_count": sum(m.row_count for m in manifests),
             "last_lsn": max((m.last_lsn for m in manifests), default=-1),
             "rollup": sha256_rollup([m.sha256_rollup for m in manifests]),
+            "sources": {str(p): sources.get(p, epoch) for p in range(num_partitions)},
         }
         _atomic_write_bytes(
             self.commit_marker_path(epoch), json.dumps(summary).encode()
@@ -171,13 +187,66 @@ class SnapshotStore:
         with open(self.commit_marker_path(epoch)) as f:
             return json.load(f)
 
+    def resolve_sources(self, epoch: int) -> dict[int, int]:
+        """partition → epoch holding its current file, for a committed epoch."""
+        summary = self.read_epoch_summary(epoch)
+        if "sources" in summary:
+            return {int(p): int(e) for p, e in summary["sources"].items()}
+        return {p: epoch for p in range(summary["num_partitions"])}
+
+    def read_partition_resolved(self, epoch: int, part: int) -> pa.Table | None:
+        return self.read_partition(self.resolve_sources(epoch).get(part, epoch), part)
+
+    def read_manifest_resolved(self, epoch: int, part: int) -> PartitionManifest | None:
+        return self.read_manifest(self.resolve_sources(epoch).get(part, epoch), part)
+
     def read_state(self, epoch: int | None = None) -> pa.Table:
         """Whole final state of a committed epoch (small-scale helper)."""
         e = self.latest_committed_epoch() if epoch is None else epoch
         if e is None:
             raise RuntimeError("no committed epoch")
+        sources = self.resolve_sources(e)
         parts = []
-        for name in sorted(os.listdir(self.epoch_dir(e))):
-            if name.endswith(".parquet"):
-                parts.append(pq.read_table(os.path.join(self.epoch_dir(e), name)))
+        for p in range(self.read_epoch_summary(e)["num_partitions"]):
+            t = self.read_partition(sources.get(p, e), p)
+            if t is not None and t.num_rows:
+                parts.append(t)
         return pa.concat_tables(parts) if parts else None
+
+    # ---- retention -------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Delete epoch directories not reachable from the last ``keep_last``
+        committed epochs (their markers or their delta source chains).
+
+        Returns the list of deleted epoch numbers. Uncommitted (crashed)
+        epoch dirs NEWER than the latest commit are kept (they may be
+        resumed); older uncommitted dirs are garbage and removed.
+        """
+        committed = sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.root)
+            if n.startswith("epoch=")
+            and os.path.exists(
+                self.commit_marker_path(int(n.split("=", 1)[1]))
+            )
+        )
+        if not committed:
+            return []
+        keep_commits = committed[-keep_last:]
+        referenced: set[int] = set(keep_commits)
+        for e in keep_commits:
+            referenced.update(self.resolve_sources(e).values())
+        latest = committed[-1]
+        deleted = []
+        for name in list(os.listdir(self.root)):
+            if not name.startswith("epoch="):
+                continue
+            e = int(name.split("=", 1)[1])
+            if e in referenced or e > latest:
+                continue
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, name))
+            deleted.append(e)
+        return sorted(deleted)

@@ -67,6 +67,7 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
     prev_epoch = store.latest_committed_epoch()
     if prev_epoch is not None and prev_epoch >= epoch:
         raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+    prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
     align = make_align_fn(engine.registry)
     P = dm.num_partitions
@@ -84,8 +85,9 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
         prior = None
         prior_last = -1
         if prev_epoch is not None:
-            prior = store.read_partition(prev_epoch, part)
-            pm = store.read_manifest(prev_epoch, part)
+            src = prev_sources.get(part, prev_epoch)
+            prior = store.read_partition(src, part)
+            pm = store.read_manifest(src, part)
             prior_last = pm.last_lsn if pm else -1
         ev = pa.concat_tables(
             [s for s in slices if s.num_rows], promote_options="default"

@@ -822,6 +822,19 @@ def q_dedup_documents(sf_dir: str):
     return survivors
 
 
+
+def q_tempo(sf_dir: str):
+    """WithTempo analogue: HMM tempo class over per-user inter-event
+    durations, first event per user -> tempo_irregular (rows-only)."""
+    from arlas_proc_ray.stages.ml import with_tempo
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return with_tempo(
+        ds, keys=["user_id"], order_col="event_id", ts_col="ts",
+        num_partitions=NP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -860,6 +873,7 @@ QUERIES = {
     "char_jaccard": q_char_jaccard,
     "events_period": q_events_period,
     "dedup_documents": q_dedup_documents,
+    "tempo": q_tempo,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"

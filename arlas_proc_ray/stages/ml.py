@@ -142,3 +142,70 @@ STILLMOVE_MODEL_JSON = json.dumps(
         ],
     }
 )
+
+
+# Tempo-style model over inter-observation DURATION (seconds), analogous to
+# the reference fixture /root/reference/src/test/resources/hmm_tempo_model.json
+# used by WithTempo (ml/WithTempo.scala:40-67).
+TEMPO_MODEL_JSON = json.dumps(
+    {
+        "states": ["tempo_fast", "tempo_medium", "tempo_slow"],
+        "bin_edges": [0.0, 3600.0, 43200.0, 1e18],
+        "initial": [0.34, 0.33, 0.33],
+        "transition": [
+            [0.8, 0.15, 0.05],
+            [0.15, 0.7, 0.15],
+            [0.05, 0.15, 0.8],
+        ],
+        "emission": [
+            [0.8, 0.15, 0.05],
+            [0.1, 0.8, 0.1],
+            [0.05, 0.15, 0.8],
+        ],
+    }
+)
+
+
+def with_tempo(
+    ds,
+    *,
+    keys,
+    order_col,
+    ts_col,
+    model_json: str = TEMPO_MODEL_JSON,
+    target: str = "tempo",
+    irregular_label: str = "tempo_irregular",
+    num_partitions: int = 64,
+):
+    """WithTempo analogue (ml/WithTempo.scala:40-67): HMM over per-key
+    inter-observation durations; rows with NO duration (each key's first
+    observation) get the ``irregular`` label — the reference's null →
+    irregular fill (`WithTempo.scala:60-64`)."""
+    keys = list(keys)
+    model = HmmModel.from_json(model_json)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        delta = pdf[ts_col] - g[ts_col].shift(1)
+        dur = (
+            delta.dt.total_seconds()
+            if hasattr(delta, "dt") and hasattr(delta.dt, "total_seconds")
+            else delta
+        )
+        first = dur.isna()
+        bins = model.quantize(dur.fillna(0.0).to_numpy(np.float64))
+        preds = np.empty(len(pdf), dtype=np.int8)
+        codes = pd.factorize(pdf[keys[0]], use_na_sentinel=False)[0]
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(pdf)]])
+        for s, e in zip(starts, ends):
+            preds[s:e] = model.viterbi(bins[s:e])
+        labels = np.asarray(model.states)[preds].astype(object)
+        labels[first.to_numpy()] = irregular_label
+        pdf[target] = labels
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )

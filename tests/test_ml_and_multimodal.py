@@ -111,3 +111,25 @@ def test_multimodal_plumbing():
 
     plan = frame_sample_plan(duration_s=10.0, fps=30.0, every_s=2.5)
     assert plan.tolist() == [0, 75, 150, 225]
+
+
+def test_with_tempo_null_fill_and_states():
+    from arlas_proc_ray.stages.ml import with_tempo
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",
+         "2024-01-05 00:20", "2024-01-09 00:20"]
+    )
+    df = pd.DataFrame({"id": ["a"] * 5, "seq": range(5), "ts": ts})
+    out = (
+        with_tempo(
+            rd.from_pandas(df), keys=["id"], order_col="seq", ts_col="ts",
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("seq")["tempo"]
+        .tolist()
+    )
+    assert out[0] == "tempo_irregular"  # first obs: no duration
+    assert out[1] == "tempo_fast" and out[2] == "tempo_fast"  # 10-min gaps
+    assert out[3] == "tempo_slow" and out[4] == "tempo_slow"  # multi-day gaps
