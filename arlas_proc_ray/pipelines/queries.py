@@ -835,6 +835,19 @@ def q_tempo(sf_dir: str):
     )
 
 
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate cosine top-k (k-means coarse quantizer + probing —
+    the corpus-scale ANN path; approximate -> rows-only)."""
+    from arlas_proc_ray.ann.ivf import ivf_topk
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, ids, mat, k=3, n_centroids=16, n_probe=6)
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -874,6 +887,7 @@ QUERIES = {
     "events_period": q_events_period,
     "dedup_documents": q_dedup_documents,
     "tempo": q_tempo,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"

@@ -1,0 +1,63 @@
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from arlas_proc_ray.ann import brute_force_topk, lsh_bucketed_topk
+from arlas_proc_ray.ann.ivf import ivf_topk, kmeans_fit
+
+
+def _load(sf="/root/testdata/sf0.001"):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()[:5]
+    mat = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()[:5]]).astype(
+        np.float64
+    )
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds, ids, mat
+
+
+def test_brute_force_topk_exact_and_self_first():
+    ds, ids, mat = _load()
+    out = brute_force_topk(ds, ids, mat, k=3)
+    assert len(out) == 15
+    # a vector's nearest neighbour is itself (cos_sim 1.0)
+    firsts = out.groupby("query_id").first()
+    assert np.allclose(firsts["cos_sim"], 1.0)
+    assert (firsts.index.values == firsts["vec_id"].values).all()
+
+
+def test_kmeans_deterministic():
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(200, 16))
+    c1 = kmeans_fit(x, 8, seed=5)
+    c2 = kmeans_fit(x, 8, seed=5)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+
+
+def test_ivf_recall_against_brute_force():
+    ds, ids, mat = _load()
+    exact = brute_force_topk(ds, ids, mat, k=3)
+    approx = ivf_topk(ds, ids, mat, k=3, n_centroids=16, n_probe=8)
+    # recall@3 with half the centroids probed should be high; and probing
+    # ALL centroids must be exactly brute force
+    hits = 0
+    for q in ids:
+        e = set(exact[exact.query_id.eq(q)]["vec_id"])
+        a = set(approx[approx.query_id.eq(q)]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 10  # ≥ 2/3 recall on this tiny fixture
+
+    full = ivf_topk(ds, ids, mat, k=3, n_centroids=16, n_probe=16)
+    pd.testing.assert_frame_equal(
+        full.round(9), exact.round(9), check_dtype=False
+    )
+
+
+def test_lsh_runs_and_is_subsetted():
+    ds, ids, mat = _load()
+    out = lsh_bucketed_topk(ds, ids, mat, k=3, bits=4)
+    assert set(out.columns) == {"query_id", "vec_id", "cos_sim"}
+    assert out.groupby("query_id").size().max() <= 3
