@@ -848,6 +848,76 @@ def q_ann_ivf_topk(sf_dir: str):
     return out
 
 
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 lineitems per (returnflag, linestatus) by extendedprice —
+    grouped top-k via local per-batch prune + vectorized final per group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+                 "l_extendedprice"],
+    )
+
+    def local_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(
+                ["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_orderkey", "l_linenumber"],
+                ascending=[True, True, False, True, True],
+            )
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .head(2)
+        )
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        return local_prune(pdf)
+
+    return keyed_partition_map(
+        pruned, keys=["l_returnflag", "l_linestatus"], order_col="l_orderkey",
+        fn=final, num_partitions=4,
+    )
+
+
+def q_brand_revenue(sf_dir: str):
+    """part ⋈ lineitem (broadcast part) → exact-cents revenue per brand."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas().rename(columns={"p_partkey": "l_partkey"})
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(ds, part, on=["l_partkey"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        price_c = _cents(pdf["l_extendedprice"])
+        disc_c = _cents(pdf["l_discount"])
+        pdf = pdf.assign(_rc=(price_c * (100 - disc_c)))
+        g = pdf.groupby("p_brand")
+        return g.agg(n_items=("_rc", "size"), _rc=("_rc", "sum")).reset_index()
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("p_brand")
+        return pd.DataFrame(
+            {
+                "n_items": g["n_items"].sum().astype("int64"),
+                "revenue": g["_rc"].sum() / 10_000.0,
+            }
+        ).reset_index()
+
+    return keyed_partition_map(
+        partials, keys=["p_brand"], order_col="n_items", fn=final, num_partitions=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -888,6 +958,8 @@ QUERIES = {
     "dedup_documents": q_dedup_documents,
     "tempo": q_tempo,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "topk_per_group": q_topk_per_group,
+    "brand_revenue": q_brand_revenue,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1134,6 +1206,23 @@ ORACLE_SQL = {
     "events_period": """
         SELECT event_id, user_id, ts, value FROM events
         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+    "topk_per_group": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+               l_extendedprice
+        FROM lineitem
+        QUALIFY row_number() OVER (
+            PARTITION BY l_returnflag, l_linestatus
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        ) <= 2
+    """,
+    "brand_revenue": """
+        SELECT p_brand, count(*) AS n_items,
+               sum(cast(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - cast(round(l_discount*100) AS BIGINT))) / 10000.0
+                 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "segment_revenue": """
         SELECT c_mktsegment, count(*) AS n_orders,
