@@ -44,13 +44,30 @@ from arlas_proc_ray.model import DataModel
 
 @ray.remote(num_cpus=0.5)
 class MergeActor:
-    """Owns one partition: buffered epoch events + current LWW state."""
+    """Owns one partition: buffered epoch events + current LWW state.
 
-    def __init__(self, partition_id: int, snapshot_dir: str, dm: DataModel):
+    The ingest buffer is BOUNDED: once buffered rows exceed
+    ``compact_rows``, the buffer is collapsed with the LWW combiner
+    (associative — keep the max-lsn event per key, DELETEs included), so
+    actor memory is O(live keys in the partition), not O(epoch events).
+    The epoch watermark is tracked at ingest time, before any combine or
+    tombstone drop, so the fence never regresses.
+    """
+
+    def __init__(
+        self,
+        partition_id: int,
+        snapshot_dir: str,
+        dm: DataModel,
+        compact_rows: int = 100_000,
+    ):
         self.part = partition_id
         self.dm = dm
         self.store = SnapshotStore(snapshot_dir)
+        self.compact_rows = compact_rows
         self.buffer: list[pa.Table] = []
+        self.buffered_rows = 0
+        self.epoch_max_lsn = -1  # max lsn SEEN this epoch (pre-combine)
         self.state: pa.Table | None = None
         self.last_lsn = -1
         e = self.store.latest_committed_epoch()
@@ -60,17 +77,36 @@ class MergeActor:
             self.last_lsn = m.last_lsn if m else -1
 
     def ingest(self, table: pa.Table) -> int:
-        self.buffer.append(table)
+        if table.num_rows:
+            self.epoch_max_lsn = max(
+                self.epoch_max_lsn, int(pc.max(table.column("lsn")).as_py())
+            )
+            self.buffer.append(table)
+            self.buffered_rows += table.num_rows
+            if self.buffered_rows > self.compact_rows:
+                combined = lww_reduce_table(
+                    pa.concat_tables(self.buffer, promote_options="default"),
+                    self.dm.key_cols,
+                    self.dm.order_col,
+                )
+                self.buffer = [combined]
+                self.buffered_rows = combined.num_rows
         return table.num_rows
+
+    def _reset_epoch_buffer(self):
+        self.buffer.clear()
+        self.buffered_rows = 0
+        self.epoch_max_lsn = -1
 
     def commit_epoch(self, epoch: int) -> dict:
         if self.store.partition_done(epoch, self.part):  # resume fence
             m = self.store.read_manifest(epoch, self.part)
-            self.buffer.clear()
+            self._reset_epoch_buffer()
             self.state = self.store.read_partition(epoch, self.part)
             self.last_lsn = m.last_lsn
             return {"partition_id": self.part, "row_count": m.row_count}
 
+        watermark = max(self.last_lsn, self.epoch_max_lsn)
         inputs = []
         if self.buffer:
             ev = pa.concat_tables(self.buffer, promote_options="default")
@@ -89,22 +125,36 @@ class MergeActor:
             if merged is not None
             else FINAL_STATE_SCHEMA.empty_table()
         )
-        m = self.store.write_partition(epoch, self.part, final)
-        self.buffer.clear()
+        m = self.store.write_partition(epoch, self.part, final, last_lsn=watermark)
+        self._reset_epoch_buffer()
         self.state = final
-        self.last_lsn = max(self.last_lsn, m.last_lsn)
+        self.last_lsn = m.last_lsn
         return {"partition_id": self.part, "row_count": m.row_count}
+
+    def buffer_stats(self) -> dict:
+        """Test/introspection hook: current buffer shape."""
+        return {
+            "tables": len(self.buffer),
+            "rows": self.buffered_rows,
+            "epoch_max_lsn": self.epoch_max_lsn,
+        }
 
 
 class StreamingCdcEngine:
     """Epoch tailing over a pool of long-lived merge actors."""
 
-    def __init__(self, snapshot_dir: str, dm: DataModel | None = None, registry=None):
+    def __init__(
+        self,
+        snapshot_dir: str,
+        dm: DataModel | None = None,
+        registry=None,
+        compact_rows: int = 100_000,
+    ):
         self.dm = dm or DataModel()
         self.store = SnapshotStore(snapshot_dir)
         self.registry = registry or default_registry()
         self.actors = [
-            MergeActor.remote(p, snapshot_dir, self.dm)
+            MergeActor.remote(p, snapshot_dir, self.dm, compact_rows)
             for p in range(self.dm.num_partitions)
         ]
 
@@ -114,6 +164,8 @@ class StreamingCdcEngine:
         align = make_align_fn(self.registry)
 
         def route(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # empty blocks are legal in Ray Data
+                return pa.table({"routed": pa.array([0], pa.int64())})
             batch = align(batch)
             batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
             pids = partition_ids(batch, dm.key_list, dm.num_partitions)

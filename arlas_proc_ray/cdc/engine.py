@@ -153,6 +153,12 @@ class CdcEngine:
                 prior_last = pm.last_lsn if pm else -1
 
             ev = group.drop_columns([PART_COL])
+            # applied watermark: BEFORE tombstone drop and dedup filter, so
+            # a DELETE holding the top LSN still advances the fence
+            max_ev_lsn = (
+                int(pc.max(ev.column("lsn")).as_py()) if ev.num_rows else -1
+            )
+            watermark = max(prior_last, max_ev_lsn)
             if prior_last >= 0:
                 # never apply an event twice across runs/epochs
                 ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(prior_last)))
@@ -165,7 +171,7 @@ class CdcEngine:
             final = finalize_partition_table(merged, dm)
             if fault_hook is not None:
                 fault_hook(epoch, part)
-            m = store.write_partition(epoch, part, final)
+            m = store.write_partition(epoch, part, final, last_lsn=watermark)
             return _manifest_row(m)
 
         # run the epoch: the group output is just the tiny manifest table
@@ -183,15 +189,18 @@ class CdcEngine:
         def carry_forward(part: int):
             if store.partition_done(epoch, part):
                 return part
-            prior = (
-                store.read_partition(prev_sources.get(part, prev_epoch), part)
-                if prev_epoch is not None
-                else None
-            )
+            prior = None
+            prior_last = -1
+            if prev_epoch is not None:
+                src = prev_sources.get(part, prev_epoch)
+                prior = store.read_partition(src, part)
+                pm = store.read_manifest(src, part)
+                prior_last = pm.last_lsn if pm else -1
             carried = prior if prior is not None else FINAL_STATE_SCHEMA.empty_table()
             if fault_hook is not None:
                 fault_hook(epoch, part)
-            store.write_partition(epoch, part, carried)
+            # propagate the applied watermark, not the surviving-row max
+            store.write_partition(epoch, part, carried, last_lsn=prior_last)
             return part
 
         pending = [

@@ -40,9 +40,17 @@ from arlas_proc_ray.functions.hashing import sha256_rollup
 class PartitionManifest:
     partition_id: int
     epoch: int
-    last_lsn: int  # max last_lsn in the partition (-1 if empty)
+    # Applied high-water mark: max LSN ever APPLIED to this partition —
+    # monotone across epochs and computed BEFORE tombstone drop, so a
+    # DELETE holding the partition's top LSN cannot lower the fence and
+    # let a redelivered older upsert resurrect the deleted key.
+    last_lsn: int
     row_count: int
     sha256_rollup: str
+    # Max last_lsn among SURVIVING rows (-1 if empty) — introspection only,
+    # never used for fencing. May lag last_lsn when the newest event was a
+    # DELETE.
+    max_surviving_lsn: int = -1
 
 
 def _atomic_write_bytes(path: str, payload: bytes) -> None:
@@ -87,11 +95,18 @@ class SnapshotStore:
         return os.path.exists(self.part_manifest_path(epoch, part))
 
     def write_partition(
-        self, epoch: int, part: int, table: pa.Table
+        self, epoch: int, part: int, table: pa.Table, *, last_lsn: int | None = None
     ) -> PartitionManifest:
-        """Idempotent atomic write of one partition's compacted state."""
+        """Idempotent atomic write of one partition's compacted state.
+
+        ``last_lsn`` is the applied watermark for the fence —
+        ``max(prior manifest last_lsn, max event lsn applied this epoch)``,
+        computed by the caller BEFORE tombstones are dropped. When omitted
+        (legacy/bootstrap callers) it falls back to the max surviving row
+        lsn, which is only safe when no DELETE can hold the top LSN.
+        """
         shas = table.column("content_sha256").to_pylist() if table.num_rows else []
-        last = (
+        surviving = (
             int(pa.compute.max(table.column("last_lsn")).as_py())
             if table.num_rows
             else -1
@@ -99,9 +114,10 @@ class SnapshotStore:
         manifest = PartitionManifest(
             partition_id=part,
             epoch=epoch,
-            last_lsn=last,
+            last_lsn=surviving if last_lsn is None else max(int(last_lsn), surviving),
             row_count=table.num_rows,
             sha256_rollup=sha256_rollup(shas),
+            max_surviving_lsn=surviving,
         )
         data_path = self.part_data_path(epoch, part)
         os.makedirs(os.path.dirname(data_path), exist_ok=True)

@@ -92,6 +92,11 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
         ev = pa.concat_tables(
             [s for s in slices if s.num_rows], promote_options="default"
         ) if any(s.num_rows for s in slices) else None
+        # applied watermark BEFORE tombstone drop / dedup filter
+        watermark = max(
+            prior_last,
+            int(pc.max(ev.column("lsn")).as_py()) if ev is not None else -1,
+        )
         inputs = []
         if ev is not None:
             if prior_last >= 0:
@@ -108,15 +113,23 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
         )
         if fault_hook is not None:
             fault_hook(epoch, part)
-        return store.write_partition(epoch, part, final)
+        return store.write_partition(epoch, part, final, last_lsn=watermark)
 
     # phase 1: one split task per input block (refs, never driver-local)
     block_refs = events_ds.to_arrow_refs()
     split_out = [split.remote(ref) for ref in block_refs]
 
-    # phase 2: per-partition merges over the transposed ref matrix
+    # phase 2: per-partition merges over the transposed ref matrix.
+    # num_returns=1 hands back a bare ObjectRef (not a 1-list) — index
+    # only when P > 1.
     merge_refs = [
-        merge.remote(p, *[split_out[b][p] for b in range(len(split_out))])
+        merge.remote(
+            p,
+            *[
+                (split_out[b] if P == 1 else split_out[b][p])
+                for b in range(len(split_out))
+            ],
+        )
         for p in range(P)
     ]
     ray.get(merge_refs)

@@ -195,7 +195,16 @@ def with_tempo(
         first = dur.isna()
         bins = model.quantize(dur.fillna(0.0).to_numpy(np.float64))
         preds = np.empty(len(pdf), dtype=np.int8)
-        codes = pd.factorize(pdf[keys[0]], use_na_sentinel=False)[0]
+        # composite keys: boundaries on the FULL key tuple, not keys[0] —
+        # else the HMM decodes across distinct entities sharing keys[0]
+        codes = (
+            pd.factorize(
+                pd.Series(list(zip(*(pdf[k] for k in keys))), index=pdf.index),
+                use_na_sentinel=False,
+            )[0]
+            if len(keys) > 1
+            else pd.factorize(pdf[keys[0]], use_na_sentinel=False)[0]
+        )
         bounds = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(pdf)]])

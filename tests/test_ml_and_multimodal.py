@@ -133,3 +133,38 @@ def test_with_tempo_null_fill_and_states():
     assert out[0] == "tempo_irregular"  # first obs: no duration
     assert out[1] == "tempo_fast" and out[2] == "tempo_fast"  # 10-min gaps
     assert out[3] == "tempo_slow" and out[4] == "tempo_slow"  # multi-day gaps
+
+
+def test_with_tempo_composite_keys():
+    """Viterbi boundaries must split on the FULL key tuple: two entities
+    sharing keys[0] decode independently (round-1 ADVICE regression)."""
+    from arlas_proc_ray.stages.ml import with_tempo
+
+    fast = pd.date_range("2024-01-01", periods=4, freq="10min")
+    slow = pd.date_range("2024-01-01", periods=4, freq="5D")
+    df = pd.DataFrame(
+        {
+            "fleet": ["f1"] * 8,
+            "unit": ["u1"] * 4 + ["u2"] * 4,
+            "seq": list(range(4)) * 2,
+            "ts": list(fast) + list(slow),
+        }
+    )
+    out = (
+        with_tempo(
+            rd.from_pandas(df),
+            keys=["fleet", "unit"],
+            order_col="seq",
+            ts_col="ts",
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values(["unit", "seq"])
+    )
+    u1 = out[out["unit"] == "u1"]["tempo"].tolist()
+    u2 = out[out["unit"] == "u2"]["tempo"].tolist()
+    # each unit's FIRST row is irregular — u2's first row must not inherit
+    # a duration across the u1/u2 boundary
+    assert u1[0] == "tempo_irregular" and u2[0] == "tempo_irregular"
+    assert u1[1:] == ["tempo_fast"] * 3
+    assert u2[1:] == ["tempo_slow"] * 3
