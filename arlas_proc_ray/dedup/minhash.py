@@ -7,8 +7,11 @@ Pipeline shape (the scale path — only band buckets shuffle):
        ─groupby(band_id, band_hash)─▶ candidate pairs (per tiny bucket)
        ─map_batches(Jaccard verify against broadcast texts*)─▶ dup pairs
 
-(*) at test scale texts are broadcast; at corpus scale verification joins
-the pair list back to content by doc-id hash partition instead.
+(*) verification defaults to the corpus-scale path: candidate pairs are
+co-partitioned with the shingle-hash table by doc id (two passes, doc_a
+then doc_b) and scored inside the partition — zero driver state
+(``_distributed_verify``). ``verify_mode="broadcast"`` keeps the
+small-corpus ray.put map for interactive latency.
 
 MinHash signatures use the standard (a·x + b) mod p universal hash family
 with fixed seeds — deterministic everywhere. Shingles are character
@@ -141,6 +144,166 @@ def jaccard_ngrams(a: str, b: str, n: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _pair_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 shingle-hash arrays."""
+    union = len(sh_a) + len(sh_b)
+    if union == 0:
+        return 1.0
+    inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
+    return inter / (union - inter)
+
+
+_EMPTY_PAIRS = {
+    "doc_a": pd.Series([], dtype=np.int64),
+    "doc_b": pd.Series([], dtype=np.int64),
+}
+
+
+def _distributed_verify(
+    ds,
+    candidates,
+    *,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    jaccard_threshold: float,
+    num_partitions: int = 16,
+):
+    """Exact-Jaccard verification with ZERO whole-corpus driver state.
+
+    Classic two-pass co-partitioned pair join (the scale path promised in
+    round 1): shingle-hash rows ``(doc_id → sh bytes)`` and candidate pairs
+    are hash-partitioned on the SAME key per pass —
+
+      pass A: key = doc_a ⋈ shingles  → pairs gain ``sh_a``
+      pass B: key = doc_b ⋈ shingles  → pairs gain ``sh_b`` → jaccard
+
+    Each partition holds ~|corpus|/P shingle rows plus its share of pairs;
+    nothing corpus-sized ever touches the driver. Shingle arrays travel as
+    fixed binary columns (``uint64.tobytes()``) so the shuffle stays
+    Arrow-native. Shingling is recomputed once per pass (streaming-friendly:
+    the alternative — materializing the shingle table — would pin the whole
+    corpus in the object store).
+    """
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        sh = [
+            _shingle_hashes(t, ngram).tobytes() if t else b""
+            for t in texts
+        ]
+        n = len(sh)
+        return pa.table(
+            {
+                "key": pa.array(ids.astype(np.int64)),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "sh": pa.array(sh, pa.binary()),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    shingle_side = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_rows, batch_format="pyarrow", batch_size=None
+    )
+
+    def pairs_keyed_on(col: str, carry_sh: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "key": pa.compute.cast(batch.column(col), pa.int64()),
+                    "doc_a": batch.column("doc_a"),
+                    "doc_b": batch.column("doc_b"),
+                    "sh": (
+                        batch.column("sh_a")
+                        if carry_sh
+                        else pa.nulls(n, pa.binary())
+                    ),
+                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    def attach(side: str):
+        """Partition fn: join this partition's shingle rows onto its pairs."""
+        out_sh_col = "sh_a" if side == "a" else "sh_b"
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            is_sh = pdf["kind"].to_numpy() == 1
+            lookup = dict(
+                zip(pdf.loc[is_sh, "key"].to_numpy(), pdf.loc[is_sh, "sh"])
+            )
+            pairs = pdf.loc[~is_sh]
+            attached = pairs["key"].map(lookup)
+            ok = attached.notna()
+            out = pd.DataFrame(
+                {
+                    "doc_a": pairs.loc[ok, "doc_a"].astype(np.int64),
+                    "doc_b": pairs.loc[ok, "doc_b"].astype(np.int64),
+                }
+            )
+            if side == "a":
+                out["sh_a"] = attached[ok].to_numpy()
+            else:
+                out["sh_a"] = pairs.loc[ok, "sh"].to_numpy()
+                out["sh_b"] = attached[ok].to_numpy()
+            if out.empty:  # typed empty frame: stable schema downstream
+                dtypes = {**_EMPTY_PAIRS, "sh_a": pd.Series([], dtype=object)}
+                if side == "b":
+                    dtypes["sh_b"] = pd.Series([], dtype=object)
+                return pd.DataFrame(dtypes)
+            return out
+
+        return fn
+
+    pass_a = keyed_partition_map(
+        candidates.map_batches(
+            pairs_keyed_on("doc_a", carry_sh=False),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).union(shingle_side),
+        keys=["key"],
+        order_col="kind",
+        fn=attach("a"),
+        num_partitions=num_partitions,
+    )
+    pass_b = keyed_partition_map(
+        pass_a.map_batches(
+            pairs_keyed_on("doc_b", carry_sh=True),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).union(shingle_side),
+        keys=["key"],
+        order_col="kind",
+        fn=attach("b"),
+        num_partitions=num_partitions,
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        sims = np.empty(len(batch), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
+            sims[i] = _pair_jaccard(
+                np.frombuffer(ba, dtype=np.uint64),
+                np.frombuffer(bb, dtype=np.uint64),
+            )
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = sims
+        out = out[out["jaccard"] >= jaccard_threshold]
+        if out.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        return out
+
+    return pass_b.map_batches(score, batch_format="pandas")
+
+
 def minhash_near_duplicates(
     ds,
     *,
@@ -152,13 +315,17 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.8,
     concurrency: int = 2,
     max_bucket_size: int = 64,
+    verify_mode: str = "distributed",
 ):
     """Near-duplicate pairs (doc_a < doc_b, verified Jaccard ≥ threshold).
 
-    Returns a Dataset of (doc_a, doc_b, jaccard). Verification broadcasts
-    the (id → text) map via ``ray.put`` — suitable while the doc set fits
-    the object store; the band-bucket candidate generation is the part that
-    scales to corpus size.
+    Returns a Dataset of (doc_a, doc_b, jaccard).
+
+    ``verify_mode="distributed"`` (default, the 100-TB path) verifies via
+    the co-partitioned pair join in ``_distributed_verify`` — no driver
+    state at all. ``verify_mode="broadcast"`` collects the compact
+    shingle-hash map to the driver and ``ray.put``s it once — lower latency
+    while the doc set fits the object store (small-corpus interactive use).
 
     ``max_bucket_size`` guards against degenerate buckets (highly templated
     corpora can put hundreds of docs in one band bucket → O(n²) pair
@@ -168,31 +335,35 @@ def minhash_near_duplicates(
     """
     import ray
 
-    # broadcast PRE-COMPUTED shingle-hash arrays (sorted uint64), not raw
-    # texts: verification becomes a numpy intersect per pair instead of
-    # Python set construction from scratch for every candidate pair.
-    # Shingling itself runs DISTRIBUTED; only the compact hash arrays
-    # (~50 B/shingle-free vs the text) come back to the driver.
-    def shingle_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                id_col: pdf[id_col].to_numpy(),
-                "sh": [
-                    _shingle_hashes(t, ngram) if t else np.array([], np.uint64)
-                    for t in pdf[text_col]
-                ],
-            }
-        )
+    if verify_mode not in ("distributed", "broadcast"):
+        raise ValueError(f"unknown verify_mode: {verify_mode!r}")
 
-    shingles: dict = {}
-    for b in (
-        ds.select_columns([id_col, text_col])
-        .map_batches(shingle_batch, batch_format="pandas")
-        .iter_batches(batch_size=4096, batch_format="pandas")
-    ):
-        for i, arr in zip(b[id_col], b["sh"]):
-            shingles[i] = np.asarray(arr, dtype=np.uint64)
-    texts_ref = ray.put(shingles)
+    texts_ref = None
+    if verify_mode == "broadcast":
+        # broadcast PRE-COMPUTED shingle-hash arrays (sorted uint64), not
+        # raw texts: verification becomes a numpy intersect per pair.
+        # Shingling itself runs DISTRIBUTED; only the compact hash arrays
+        # come back to the driver.
+        def shingle_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sh": [
+                        _shingle_hashes(t, ngram) if t else np.array([], np.uint64)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+        shingles: dict = {}
+        for b in (
+            ds.select_columns([id_col, text_col])
+            .map_batches(shingle_batch, batch_format="pandas")
+            .iter_batches(batch_size=4096, batch_format="pandas")
+        ):
+            for i, arr in zip(b[id_col], b["sh"]):
+                shingles[i] = np.asarray(arr, dtype=np.uint64)
+        texts_ref = ray.put(shingles)
 
     band_rows = ds.map_batches(
         MinHasher,
@@ -259,31 +430,48 @@ def minhash_near_duplicates(
         fn=partition_bucket_pairs,
         num_partitions=16,
     )
+    def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop_duplicates(subset=["doc_a", "doc_b"])
+        if out.empty:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return out
+
     candidates = keyed_partition_map(
         raw_pairs,
         keys=["doc_a", "doc_b"],
         order_col="doc_b",
-        fn=lambda pdf: pdf.drop_duplicates(subset=["doc_a", "doc_b"]),
+        fn=dedup_pairs,
         num_partitions=16,
     )
+
+    if verify_mode == "distributed":
+        return _distributed_verify(
+            ds,
+            candidates,
+            id_col=id_col,
+            text_col=text_col,
+            ngram=ngram,
+            jaccard_threshold=jaccard_threshold,
+        )
 
     # Verify is a STATELESS task (not a second actor pool): two pools in one
     # streaming pipeline reserve CPUs simultaneously and can starve the
     # shuffle between them on small machines. ray.get of the broadcast map
     # is a cheap local object-store read per task.
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "jaccard": pd.Series([], dtype=np.float64)})
         sh = ray.get(texts_ref)
         sims = np.empty(len(batch), dtype=np.float64)
         for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-            sa, sb = sh[a], sh[b]
-            union = len(sa) + len(sb)
-            if union == 0:
-                sims[i] = 1.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            sims[i] = inter / (union - inter)
+            sims[i] = _pair_jaccard(sh[a], sh[b])
         batch["jaccard"] = sims
-        return batch[batch["jaccard"] >= jaccard_threshold]
+        out = batch[batch["jaccard"] >= jaccard_threshold]
+        if out.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        return out
 
     return candidates.map_batches(verify, batch_format="pandas")
 

@@ -147,3 +147,27 @@ def test_weighted_mean_collapse():
     ).to_pandas()
     # zero-duration row contributes nothing: (10·1 + 20·3) / 4 = 17.5
     assert out["speed_wavg"].tolist() == [17.5]
+
+
+def test_distributed_components_long_chains():
+    """Distributed path at non-trivial diameter: 40-node chains (diameter
+    39) — pointer doubling must converge in O(log d) rounds, matching
+    union-find exactly, with labels held in a Dataset throughout
+    (driver_threshold=0)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    chains = []
+    for c in range(10):
+        base = c * 1000
+        chain = np.arange(base, base + 40)
+        a, b = chain[:-1], chain[1:]
+        perm = rng.permutation(len(a))  # edge order must not matter
+        chains.append(pd.DataFrame({"doc_a": a[perm], "doc_b": b[perm]}))
+    edges = pd.concat(chains, ignore_index=True)
+    exp = _union_find(edges)
+    got = connected_components(
+        rd.from_pandas(edges), driver_threshold=0, num_partitions=4,
+        max_rounds=20,
+    )
+    pd.testing.assert_frame_equal(got, exp)
