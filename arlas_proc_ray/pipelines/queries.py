@@ -918,6 +918,90 @@ def q_brand_revenue(sf_dir: str):
     )
 
 
+TEMPO_PROPORTION_MAP = {
+    "tempo_fast_proportion": "tempo_fast",
+    "tempo_medium_proportion": "tempo_medium",
+    "tempo_slow_proportion": "tempo_slow",
+    "tempo_irregular_proportion": "tempo_irregular",
+}
+
+
+def q_tempo_proportion_collapse(sf_dir: str):
+    """WithTempoProportions → duration-weighted fragment collapse →
+    main-tempo election, fused into ONE keyed shuffle via ``chain``.
+
+    References: features/WithTempoProportions.scala:37-52 (one-hot init),
+    fragments/FragmentSummaryTransformer.scala:274-289 (duration-weighted
+    proportion averages), :343-364 (main-tempo election), :370-381
+    (significant-proportion is_multi). Tempo labels come from a
+    deterministic duration bucketing (SQL-expressible) instead of the HMM
+    so the DuckDB oracle replicates exactly; the HMM variant is the
+    ``tempo`` query. Weights are EXACT integer microseconds, so the
+    weighted sums are order-independent and bit-identical to the oracle.
+    """
+    from arlas_proc_ray.stages.rowwise import with_tempo_proportions
+    from arlas_proc_ray.stages.summarize import elect_main_tempo, run_collapse_fn
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    props = list(TEMPO_PROPORTION_MAP)
+
+    def fn_dur_tempo(pdf: pd.DataFrame) -> pd.DataFrame:
+        prev = pdf.groupby("user_id", sort=False)["ts"].shift(1)
+        us = (pdf["ts"] - prev).to_numpy().astype("timedelta64[us]").astype(np.int64)
+        first = prev.isna().to_numpy()
+        us[first] = 0
+        pdf["dur_us"] = us
+        pdf["tempo"] = np.where(
+            first,
+            "tempo_irregular",
+            np.where(
+                us < 3_600_000_000,
+                "tempo_fast",
+                np.where(us < 43_200_000_000, "tempo_medium", "tempo_slow"),
+            ),
+        )
+        return pdf.drop(columns=["ts"])
+
+    def fn_props(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = with_tempo_proportions(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            "tempo",
+            TEMPO_PROPORTION_MAP,
+        )
+        return t.to_pandas()
+
+    collapse = run_collapse_fn(
+        keys=["user_id"],
+        order_col="event_id",
+        group_col="user_id",
+        condition=lambda p: pd.Series(True, index=p.index),
+        agg={
+            **{c: (c, "wmean", "dur_us") for c in props},
+            "n_events": ("event_id", "count"),
+            "dur_us_total": ("dur_us", "sum"),
+        },
+        passthrough=False,
+    )
+
+    def fn_finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = elect_main_tempo(pdf, TEMPO_PROPORTION_MAP)
+        # the collapse concat upcasts counts to float (column-union fill)
+        pdf["n_events"] = pdf["n_events"].astype("int64")
+        pdf["duration_total_s"] = pdf["dur_us_total"] / 1_000_000.0
+        return pdf[
+            ["user_id", *props, "main_tempo", "tempo_is_multi",
+             "n_events", "duration_total_s"]
+        ]
+
+    return keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="event_id",
+        chain=[fn_dur_tempo, fn_props, lambda p: fn_finish(collapse(p))],
+        num_partitions=NP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -960,6 +1044,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "topk_per_group": q_topk_per_group,
     "brand_revenue": q_brand_revenue,
+    "tempo_proportion_collapse": q_tempo_proportion_collapse,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1229,6 +1314,60 @@ ORACLE_SQL = {
                sum(cast(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "tempo_proportion_collapse": """
+        WITH d AS (
+          SELECT user_id, event_id,
+                 date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY event_id),
+                           ts) AS dur_us
+          FROM events
+        ), t AS (
+          SELECT user_id,
+                 COALESCE(dur_us, 0) AS dur0,
+                 CASE WHEN dur_us IS NULL THEN 'tempo_irregular'
+                      WHEN dur_us < 3600000000 THEN 'tempo_fast'
+                      WHEN dur_us < 43200000000 THEN 'tempo_medium'
+                      ELSE 'tempo_slow' END AS tempo
+          FROM d
+        ), p AS (
+          SELECT user_id,
+                 count(*) AS n_events,
+                 sum(dur0) / 1000000.0 AS duration_total_s,
+                 sum(CASE WHEN tempo='tempo_fast' THEN dur0 ELSE 0 END) * 1.0
+                   / NULLIF(sum(dur0), 0) AS tempo_fast_proportion,
+                 sum(CASE WHEN tempo='tempo_medium' THEN dur0 ELSE 0 END) * 1.0
+                   / NULLIF(sum(dur0), 0) AS tempo_medium_proportion,
+                 sum(CASE WHEN tempo='tempo_slow' THEN dur0 ELSE 0 END) * 1.0
+                   / NULLIF(sum(dur0), 0) AS tempo_slow_proportion,
+                 sum(CASE WHEN tempo='tempo_irregular' THEN dur0 ELSE 0 END) * 1.0
+                   / NULLIF(sum(dur0), 0) AS tempo_irregular_proportion
+          FROM t GROUP BY user_id
+        )
+        SELECT user_id,
+               tempo_fast_proportion, tempo_medium_proportion,
+               tempo_slow_proportion, tempo_irregular_proportion,
+               CASE WHEN greatest(tempo_fast_proportion,
+                                  tempo_medium_proportion,
+                                  tempo_slow_proportion) IS NULL
+                      OR greatest(tempo_fast_proportion,
+                                  tempo_medium_proportion,
+                                  tempo_slow_proportion) = 0
+                    THEN 'tempo_irregular'
+                    WHEN tempo_fast_proportion = greatest(
+                         tempo_fast_proportion, tempo_medium_proportion,
+                         tempo_slow_proportion) THEN 'tempo_fast'
+                    WHEN tempo_medium_proportion = greatest(
+                         tempo_fast_proportion, tempo_medium_proportion,
+                         tempo_slow_proportion) THEN 'tempo_medium'
+                    ELSE 'tempo_slow' END AS main_tempo,
+               (COALESCE((tempo_fast_proportion > 0.1)::INT, 0)
+                + COALESCE((tempo_medium_proportion > 0.1)::INT, 0)
+                + COALESCE((tempo_slow_proportion > 0.1)::INT, 0)
+                + COALESCE((tempo_irregular_proportion > 0.1)::INT, 0)) > 1
+                 AS tempo_is_multi,
+               n_events, duration_total_s
+        FROM p
     """,
     # lang_id / simhash / fingerprint / minhash_near_dup / hmm_moving_state
     # / ann_lsh_topk: heuristic, signature or approximate algorithms with

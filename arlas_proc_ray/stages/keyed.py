@@ -41,16 +41,28 @@ def keyed_partition_map(
     *,
     keys: Sequence[str],
     order_col: str,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     num_partitions: int = 64,
     presorted: bool = False,
+    chain: Sequence[Callable[[pd.DataFrame], pd.DataFrame]] | None = None,
 ):
     """Hash-partition by ``keys`` and run ``fn`` per partition, sorted.
 
     ``fn`` sees all rows of a partition sorted by (keys…, order_col) and
     must be vectorized across keys (use ``pdf.groupby(list(keys))``).
+
+    ``chain``: a SEQUENCE of partition fns fused into ONE shuffle — the
+    same key always lands in the same partition, so N chained keyed
+    operators need only one exchange instead of N. Results are identical
+    to applying each op as its own ``keyed_partition_map``: the partition
+    is re-sorted by (keys…, order_col) before every chained fn, exactly
+    as the sequential version would (an in-memory mergesort, ~free next
+    to the shuffle it replaces). Mutually exclusive with ``fn``.
     """
     keys = list(keys)
+    if (fn is None) == (chain is None):
+        raise ValueError("pass exactly one of fn= or chain=")
+    fns = [fn] if fn is not None else list(chain)
 
     def add_part(batch: pa.Table) -> pa.Table:
         pids = partition_ids(batch, keys, num_partitions)
@@ -58,10 +70,11 @@ def keyed_partition_map(
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=[PART_COL])
-        if not presorted:
-            pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
-        out = fn(pdf)
-        return out.reset_index(drop=True)
+        for i, f in enumerate(fns):
+            if not (presorted and i == 0):
+                pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
+            pdf = f(pdf)
+        return pdf.reset_index(drop=True)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)

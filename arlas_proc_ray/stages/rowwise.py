@@ -172,3 +172,56 @@ def pick_by_duration(
     cond = pc.less_equal(table.column(duration_col), pa.scalar(float(threshold)))
     chosen = pc.if_else(cond, table.column(short_col), table.column(long_col))
     return table.append_column(target, chosen)
+
+
+def with_tempo_proportions(
+    table: pa.Table,
+    tempo_col: str,
+    proportion_map: dict[str, str],
+    target_is_multi: str = "tempo_is_multi",
+) -> pa.Table:
+    """One-hot tempo proportion columns (1.0 for the predicted tempo, 0.0
+    otherwise) + an is-multi flag initialised false.
+
+    Reference: WithTempoProportions (features/WithTempoProportions.scala:37-52)
+    — initial fragments span two observations, so exactly one tempo is
+    represented; downstream fragment summaries duration-weight-average
+    these columns (FragmentSummaryTransformer.scala:274-289) and re-elect
+    the main tempo (see ``stages.summarize.elect_main_tempo``).
+
+    ``proportion_map``: {proportion_column_name: tempo_value}.
+    """
+    tempo = table.column(tempo_col)
+    for col_name, value in proportion_map.items():
+        one = pc.if_else(
+            pc.equal(tempo, pa.scalar(value)),
+            pa.scalar(1.0),
+            pa.scalar(0.0),
+        )
+        table = table.append_column(col_name, one)
+    return table.append_column(
+        target_is_multi, pa.array(np.zeros(table.num_rows, dtype=bool))
+    )
+
+
+def as_es_data(
+    table: pa.Table,
+    *,
+    lat_col: str,
+    lon_col: str,
+    id_col: str,
+    ts_col: str,
+    geopoint_target: str = "arlas_geo_point",
+    id_target: str = "arlas_id",
+) -> pa.Table:
+    """Project a frame for indexed storage: "lat,lon" geo-point string and
+    a "<id>#<timestamp>" unique row id.
+
+    Reference: asArlasEsData (sql/WritableDataFrame.scala:78-81).
+    """
+    s = lambda c: pc.cast(table.column(c), pa.string())  # noqa: E731
+    geo = pc.binary_join_element_wise(s(lat_col), s(lon_col), ",")
+    rid = pc.binary_join_element_wise(s(id_col), s(ts_col), "#")
+    return table.append_column(geopoint_target, geo).append_column(
+        id_target, rid
+    )

@@ -106,3 +106,48 @@ def conditional_collapse(
         fn=run_collapse_fn(keys, order_col, group_col, condition, agg, passthrough),
         num_partitions=num_partitions,
     )
+
+
+def elect_main_tempo(
+    pdf: pd.DataFrame,
+    proportion_map: dict[str, str],
+    *,
+    irregular_tempo: str = "tempo_irregular",
+    target: str = "main_tempo",
+    is_multi_col: str | None = "tempo_is_multi",
+    significant: float = 0.1,
+) -> pd.DataFrame:
+    """Main-tempo election over (weight-averaged) proportion columns.
+
+    Reference: FragmentSummaryTransformer.getMainTempo
+    (fragments/FragmentSummaryTransformer.scala:343-364): the main tempo is
+    the first (in map order) REGULAR tempo whose proportion equals the
+    greatest regular proportion; all-zero regular proportions elect the
+    irregular tempo. ``is_multi`` counts tempos with a significant (>0.1)
+    proportion (:370-381) — multiple significant tempos ⇒ True.
+
+    Vectorized: one numpy row-max + one equality scan per tempo column.
+    NaN proportions (zero total weight) elect irregular (NaN == x is
+    false for every column).
+    """
+    regular = {c: v for c, v in proportion_map.items() if v != irregular_tempo}
+    n = len(pdf)
+    main = np.full(n, irregular_tempo, dtype=object)
+    if regular and n:
+        mat = pdf[list(regular)].to_numpy(dtype=float)
+        greatest = mat.max(axis=1)
+        assigned = np.zeros(n, dtype=bool)
+        for j, (col, value) in enumerate(regular.items()):
+            hit = (~assigned) & (greatest != 0) & (mat[:, j] == greatest)
+            main[hit] = value
+            assigned |= hit
+        # all-NaN rows: greatest is NaN, no column compares equal → irregular
+    pdf[target] = main
+    if is_multi_col is not None:
+        count = np.zeros(n, dtype=np.int64)
+        for col in proportion_map:
+            count += (pdf[col].to_numpy(dtype=float) > significant).astype(
+                np.int64
+            )
+        pdf[is_multi_col] = count > 1
+    return pdf

@@ -199,3 +199,58 @@ def test_rowwise_ops():
     te = pa.table({"ts": pa.array([0, 86400], type=pa.int64())})
     tp = rowwise.with_time_partition(te, "ts")
     assert tp.column("time_partition").to_pylist() == [19700101, 19700102]
+
+
+def test_with_tempo_proportions_and_election():
+    import pyarrow as pa
+
+    from arlas_proc_ray.stages.rowwise import with_tempo_proportions
+    from arlas_proc_ray.stages.summarize import elect_main_tempo
+
+    pmap = {
+        "p_fast": "tempo_fast",
+        "p_slow": "tempo_slow",
+        "p_irr": "tempo_irregular",
+    }
+    t = pa.table({"tempo": ["tempo_fast", "tempo_slow", "tempo_irregular"]})
+    out = with_tempo_proportions(t, "tempo", pmap).to_pandas()
+    assert out["p_fast"].tolist() == [1.0, 0.0, 0.0]
+    assert out["p_slow"].tolist() == [0.0, 1.0, 0.0]
+    assert out["p_irr"].tolist() == [0.0, 0.0, 1.0]
+    assert out["tempo_is_multi"].tolist() == [False] * 3
+
+    # election over weight-averaged proportions
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "p_fast": [0.7, 0.2, 0.0, np.nan, 0.5],
+            "p_slow": [0.1, 0.6, 0.0, np.nan, 0.5],
+            "p_irr": [0.2, 0.2, 1.0, np.nan, 0.0],
+        }
+    )
+    got = elect_main_tempo(pdf, pmap, irregular_tempo="tempo_irregular")
+    assert got["main_tempo"].tolist() == [
+        "tempo_fast",   # fast greatest
+        "tempo_slow",   # slow greatest
+        "tempo_irregular",  # only irregular represented
+        "tempo_irregular",  # NaN (zero weight) row
+        "tempo_fast",   # tie → first in map order
+    ]
+    assert got["tempo_is_multi"].tolist() == [True, True, False, False, True]
+
+
+def test_as_es_data_projection():
+    import pyarrow as pa
+
+    from arlas_proc_ray.stages.rowwise import as_es_data
+
+    t = pa.table(
+        {"id": ["a"], "lat": [1.5], "lon": [-3.25], "ts": [1700000000]}
+    )
+    out = as_es_data(
+        t, lat_col="lat", lon_col="lon", id_col="id", ts_col="ts"
+    ).to_pandas()
+    assert out["arlas_geo_point"][0] == "1.5,-3.25"
+    assert out["arlas_id"][0] == "a#1700000000"
