@@ -88,25 +88,25 @@ class LangIdScorer:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        preds, scores = [], []
-        profiles = self.profiles
-        word_re = self.word_re
-        for t in texts:
-            words = word_re.findall(t.lower())
-            if not words:
-                preds.append("unknown")
-                scores.append(0.0)
-                continue
-            best_lang, best = "unknown", 0
-            for lang, stops in profiles.items():
-                hits = sum(1 for w in words if w in stops)
-                if hits > best:
-                    best, best_lang = hits, lang
-            preds.append(best_lang)
-            scores.append(best / len(words))
+        # fully vectorized: one findall pass, one explode, one isin per
+        # language profile, bincount back to rows (no per-doc Python loop)
+        texts = batch["text"].fillna("").str.lower().reset_index(drop=True)
+        words = texts.str.findall(self.word_re)
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        ex = words.explode().dropna()
+        pos = ex.index.to_numpy(dtype=np.int64)
+        langs = list(self.profiles)
+        hits = np.zeros((len(texts), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            m = ex.isin(self.profiles[lang]).to_numpy()
+            hits[:, j] = np.bincount(pos[m], minlength=len(texts))
+        best_j = hits.argmax(axis=1)  # ties → first profile, like the
+        best = hits[np.arange(len(texts)), best_j]  # sequential `>` scan
+        preds = np.asarray(langs, dtype=object)[best_j]
+        preds[best == 0] = "unknown"
+        safe = np.maximum(n_words, 1)
         batch["lang_pred"] = preds
-        batch["lang_score"] = scores
+        batch["lang_score"] = best / safe
         return batch
 
 

@@ -1,0 +1,472 @@
+"""Independent pure-Python oracles for the rows-only catalog queries.
+
+The driver's DuckDB gate can't express these (heuristics, signatures,
+Viterbi, approximate search), so each gets an INDEPENDENT re-implementation
+— plain Python ints / loops / bisect, no numpy vectorization, no shared
+kernels — replayed over the same sf0.001 inputs and compared exactly
+(or, for the approximate ANN variants, against the exact brute-force
+result with a recall bound). Pattern follows cdc/oracle.py +
+test_cdc_replay.py, and the reference's golden-generator strategy
+(src/test/scala/io/arlas/data/transform/testdata/*DataGenerator.scala).
+"""
+
+import bisect
+import hashlib
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+MASK = (1 << 64) - 1
+KR_B = 0x100000001B3
+
+
+def run_query(name: str) -> pd.DataFrame:
+    res = entry_mod.queries()[name](SF_DIR)
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+def docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+def events_pdf(cols) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet", columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# shared pure-Python kernels (independent of functions/text.py's numpy math)
+# ---------------------------------------------------------------------------
+
+
+def kr_hashes(data: bytes, w: int) -> list[int]:
+    """Karp-Rabin hash of every w-byte window, incremental-rolling in pure
+    Python ints (the library derives the same values from an inverse-power
+    prefix-sum identity — a different recurrence)."""
+    w = min(w, len(data))
+    h = 0
+    for i in range(w):
+        h = (h * KR_B + data[i]) & MASK
+    out = [h]
+    top = pow(KR_B, w - 1, 1 << 64)
+    for j in range(len(data) - w):
+        h = ((h - data[j] * top) * KR_B + data[j + w]) & MASK
+    # NOTE: the subtraction must wrap mod 2^64
+        out.append(h & MASK)
+    return out
+
+
+def smix(z: int) -> int:
+    z = (z + 0x9E3779B97F4A7C15) & MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+    return z ^ (z >> 31)
+
+
+def shingle_set(text: str, n: int) -> set[int]:
+    t = text.lower()
+    if len(t) < n:
+        t = t.ljust(n)
+    return {smix(h) for h in kr_hashes(t.encode("utf-8", "ignore"), n)}
+
+
+def oracle_viterbi(bins: list[int], spec: dict) -> list[int]:
+    """Plain-list Viterbi (same tie-break: first max)."""
+    S = len(spec["states"])
+    li = [float(np.log(x + 1e-300)) for x in spec["initial"]]
+    lt = [[float(np.log(x + 1e-300)) for x in r] for r in spec["transition"]]
+    le = [[float(np.log(x + 1e-300)) for x in r] for r in spec["emission"]]
+    delta = [li[s] + le[s][bins[0]] for s in range(S)]
+    back = []
+    for t in range(1, len(bins)):
+        nb, nd = [], []
+        for s2 in range(S):
+            bs, bv = 0, delta[0] + lt[0][s2]
+            for s1 in range(1, S):
+                v = delta[s1] + lt[s1][s2]
+                if v > bv:
+                    bv, bs = v, s1
+            nb.append(bs)
+            nd.append(bv + le[s2][bins[t]])
+        back.append(nb)
+        delta = nd
+    path = [max(range(S), key=lambda s: delta[s])]
+    for t in range(len(bins) - 2, -1, -1):
+        path.append(back[t][path[-1]])
+    return path[::-1]
+
+
+def oracle_quantize(values, edges, n_bins) -> list[int]:
+    return [
+        min(max(bisect.bisect_right(edges, float(v)) - 1, 0), n_bins - 1)
+        for v in values
+    ]
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_oracle():
+    import re
+
+    from arlas_proc_ray.functions.text import _LANG_PROFILES
+
+    got = run_query("lang_id").sort_values("doc_id").reset_index(drop=True)
+    word_re = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñæœäöüß]+")
+    rows = []
+    for _, r in docs_pdf().iterrows():
+        words = word_re.findall((r["text"] or "").lower())
+        best_lang, best = "unknown", 0
+        for lang, stops in _LANG_PROFILES.items():
+            hits = sum(1 for w in words if w in stops)
+            if hits > best:
+                best, best_lang = hits, lang
+        rows.append(
+            (r["doc_id"], best_lang, best / len(words) if words else 0.0)
+        )
+    exp = pd.DataFrame(rows, columns=["doc_id", "lang_pred", "lang_score"])
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_simhash_oracle():
+    got = run_query("simhash").sort_values("doc_id").reset_index(drop=True)
+    rows = []
+    for _, r in docs_pdf().iterrows():
+        sh = shingle_set(r["text"] or "", 4) if r["text"] else set()
+        if not sh:
+            rows.append((r["doc_id"], format(0, "016x")))
+            continue
+        out = 0
+        for b in range(64):
+            v = sum(1 if (h >> b) & 1 else -1 for h in sh)
+            if v > 0:
+                out |= 1 << b
+        rows.append((r["doc_id"], format(out, "016x")))
+    exp = pd.DataFrame(rows, columns=["doc_id", "simhash_hex"])
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_fingerprint_oracle():
+    got = run_query("fingerprint").sort_values("doc_id").reset_index(drop=True)
+    rows = []
+    for _, r in docs_pdf().iterrows():
+        t = r["text"]
+        fp = min(kr_hashes(t.encode("utf-8", "ignore"), 64)) if t else 0
+        rows.append((r["doc_id"], format(fp, "016x")))
+    exp = pd.DataFrame(rows, columns=["doc_id", "fingerprint_hex"])
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_hmm_moving_state_oracle():
+    from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON
+
+    spec = json.loads(STILLMOVE_MODEL_JSON)
+    got = (
+        run_query("hmm_moving_state")
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = events_pdf(["event_id", "user_id", "value"]).sort_values(
+        ["user_id", "event_id"]
+    )
+    preds = []
+    n_bins = len(spec["emission"][0])
+    for _, grp in ev.groupby("user_id", sort=True):
+        bins = oracle_quantize(grp["value"].tolist(), spec["bin_edges"], n_bins)
+        for w in range(0, len(bins), 5000):  # reference window cap
+            path = oracle_viterbi(bins[w : w + 5000], spec)
+            preds.extend(spec["states"][s] for s in path)
+    exp = ev.reset_index(drop=True).assign(moving_state=preds)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_tempo_oracle():
+    from arlas_proc_ray.stages.ml import TEMPO_MODEL_JSON
+
+    spec = json.loads(TEMPO_MODEL_JSON)
+    got = (
+        run_query("tempo")
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = events_pdf(["event_id", "user_id", "ts"]).sort_values(
+        ["user_id", "event_id"]
+    )
+    n_bins = len(spec["emission"][0])
+    tempo = []
+    for _, grp in ev.groupby("user_id", sort=True):
+        ts = grp["ts"].tolist()
+        durs = [0.0] + [
+            (ts[i] - ts[i - 1]).total_seconds() for i in range(1, len(ts))
+        ]
+        bins = oracle_quantize(durs, spec["bin_edges"], n_bins)
+        path = oracle_viterbi(bins, spec)
+        labels = [spec["states"][s] for s in path]
+        labels[0] = "tempo_irregular"  # first obs: no duration
+        tempo.extend(labels)
+    exp = ev.reset_index(drop=True).assign(tempo=tempo)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_enriched_events_oracle():
+    got = (
+        run_query("enriched_events")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    CITIES = ["alphaville", "betatown", "gammaburg", "deltaport"]
+    COUNTRIES = ["AA", "BB", "CC"]
+    ev = events_pdf(["event_id", "user_id", "event_type"]).sort_values("event_id")
+
+    def lookup(key):
+        h = int.from_bytes(
+            hashlib.blake2b(str(key).encode(), digest_size=8).digest(), "big"
+        )
+        return CITIES[h % 4], COUNTRIES[(h >> 8) % 3]
+
+    pairs = [lookup(k) for k in ev["user_id"]]
+    exp = ev.reset_index(drop=True).assign(
+        geo_city=[p[0] for p in pairs], geo_country=[p[1] for p in pairs]
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def _exact_topk(k: int = 3, n_queries: int = 5) -> pd.DataFrame:
+    """Exact cosine top-k by brute force over the whole embeddings table."""
+    emb = pd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q_mask = ids < n_queries
+    rows = []
+    for qi, qv in zip(ids[q_mask], mat[q_mask]):
+        sims = mat @ qv
+        order = np.argsort(-sims, kind="stable")
+        for j in order[:k]:  # self IS a legal neighbor (sim 1.0, rank 1)
+            rows.append((qi, ids[j], round(float(sims[j]), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
+
+
+@pytest.mark.parametrize("name,min_recall", [
+    # LSH bucket recall is data-dependent; the synthetic embeddings are
+    # near-random (no cluster structure), which is LSH's worst case — the
+    # guaranteed floor is the self-match per query (1/k) plus whatever
+    # lands in-bucket. IVF probes several centroids and does much better.
+    ("ann_lsh_topk", 1 / 3),
+    ("ann_ivf_topk", 0.6),
+])
+def test_ann_approximate_vs_exact_oracle(name, min_recall):
+    """Approximate ANN: every reported similarity must equal the exact
+    cosine for that pair, and recall vs exact top-k meets the bound."""
+    got = run_query(name)
+    exact = _exact_topk()
+    merged = got.merge(
+        exact, on=["query_id", "vec_id"], how="left", suffixes=("", "_exact")
+    )
+    # reported pairs either ARE exact-top-k members (sim matches) or are
+    # lower-ranked: verify each sim against a direct computation
+    emb = pd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).set_index("vec_id")["embedding"]
+
+    def cos(a, b):
+        va = np.asarray(emb[a], dtype=np.float64)
+        vb = np.asarray(emb[b], dtype=np.float64)
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
+        )
+
+    for _, r in got.iterrows():
+        assert abs(r["cos_sim"] - cos(r["query_id"], r["vec_id"])) <= 1e-6, r
+    hits = merged["cos_sim_exact"].notna().sum()
+    recall = hits / len(exact)
+    assert recall >= min_recall, f"{name} recall {recall:.2f}"
+
+
+def test_movement_courses_oracle():
+    """Row-by-row pure-Python replay of the movement chain (dedup-free
+    events → durations → Viterbi STILL/MOVE → motion segments → STOP
+    labeling → run collapse → neighbor pull → mission merge)."""
+    from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON
+
+    spec = json.loads(STILLMOVE_MODEL_JSON)
+    n_bins = len(spec["emission"][0])
+    got = (
+        run_query("movement_courses")
+        .sort_values(["user_id", "first_event_id"])
+        .reset_index(drop=True)
+    )
+    ev = events_pdf(["event_id", "user_id", "ts", "value"]).sort_values(
+        ["user_id", "event_id"]
+    )
+    all_courses = []
+    for uid, grp in ev.groupby("user_id", sort=True):
+        ts = grp["ts"].tolist()
+        vals = grp["value"].tolist()
+        eids = grp["event_id"].tolist()
+        n = len(grp)
+        durs = [0.0] + [
+            (ts[i] - ts[i - 1]).total_seconds() for i in range(1, n)
+        ]
+        bins = oracle_quantize(vals, spec["bin_edges"], n_bins)
+        moving = []
+        for w in range(0, n, 5000):
+            moving.extend(
+                spec["states"][s] for s in oracle_viterbi(bins[w : w + 5000], spec)
+            )
+        # motion segments + their durations
+        motion_seg = [0] * n
+        seg = 0
+        for i in range(n):
+            if i == 0 or moving[i] != moving[i - 1]:
+                seg += 1
+            motion_seg[i] = seg
+        seg_dur: dict[int, float] = {}
+        for i in range(n):
+            seg_dur[motion_seg[i]] = seg_dur.get(motion_seg[i], 0.0) + durs[i]
+        kinds = [
+            "STOP"
+            if moving[i] == "STILL" and seg_dur[motion_seg[i]] > 600.0
+            else "COURSE"
+            for i in range(n)
+        ]
+        # collapse runs of equal kind
+        runs = []
+        i = 0
+        while i < n:
+            j = i
+            while j < n and kinds[j] == kinds[i]:
+                j += 1
+            cents = sum(int(round(v * 100)) for v in vals[i:j])
+            runs.append(
+                {
+                    "kind": kinds[i],
+                    "t_start": min(ts[i:j]),
+                    "t_end": max(ts[i:j]),
+                    "n_events": j - i,
+                    "duration_s": sum(durs[i:j]),
+                    "value_sum": cents / 100.0,
+                    "first_event_id": min(eids[i:j]),
+                }
+            )
+            i = j
+        # neighbor pull, drop STOPs
+        courses = []
+        for idx, r in enumerate(runs):
+            if r["kind"] != "COURSE":
+                continue
+            prev_r = runs[idx - 1] if idx > 0 else None
+            next_r = runs[idx + 1] if idx + 1 < len(runs) else None
+            c = dict(r)
+            c["departure_ts"] = (
+                prev_r["t_end"] if prev_r and prev_r["kind"] == "STOP" else pd.NaT
+            )
+            c["arrival_ts"] = (
+                next_r["t_start"] if next_r and next_r["kind"] == "STOP" else pd.NaT
+            )
+            c["departure_stop_duration_s"] = (
+                prev_r["duration_s"]
+                if prev_r and prev_r["kind"] == "STOP"
+                else np.nan
+            )
+            c["arrival_stop_duration_s"] = (
+                next_r["duration_s"]
+                if next_r and next_r["kind"] == "STOP"
+                else np.nan
+            )
+            c["user_id"] = uid
+            c["course_id"] = f"{uid}#{c['first_event_id']}"
+            courses.append(c)
+        # greedy mission merge
+        mission_first = None
+        for idx, c in enumerate(courses):
+            gap = (
+                (c["t_start"] - courses[idx - 1]["t_end"]).total_seconds()
+                if idx > 0
+                else None
+            )
+            if gap is None or gap > 6000.0:
+                mission_first = c["first_event_id"]
+            c["mission_id"] = f"{uid}#M{mission_first}"
+        all_courses.extend(courses)
+    exp = pd.DataFrame(all_courses).drop(columns=["kind"])
+    exp = exp.sort_values(["user_id", "first_event_id"]).reset_index(drop=True)
+    exp["n_events"] = exp["n_events"].astype("int64")
+    exp["first_event_id"] = exp["first_event_id"].astype("int64")
+    got = got[exp.columns.tolist()].copy()
+    for c in exp.columns:  # normalize timestamp resolution (us vs ns)
+        if pd.api.types.is_datetime64_any_dtype(exp[c]):
+            exp[c] = exp[c].astype("datetime64[us]")
+            got[c] = got[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dedup_documents_oracle():
+    """Soundness + recall vs the exact all-pairs oracle: every dropped doc
+    must truly have a >=threshold near-dup partner (no false drops), and
+    the LSH pipeline must find >=90% of the exact losers (recall bound —
+    LSH is approximate by design)."""
+    from arlas_proc_ray.dedup.minhash import jaccard_ngrams
+
+    THRESH = 0.5
+    got = run_query("dedup_documents")
+    survivors = set(got["doc_id"])
+    docs = docs_pdf()
+    all_ids = set(docs["doc_id"])
+    dropped = all_ids - survivors
+
+    # exact phase first: byte-identical texts keep min doc_id
+    first_of_text: dict[str, int] = {}
+    exact_losers = set()
+    for _, r in docs.sort_values("doc_id").iterrows():
+        t = r["text"] or ""
+        if t in first_of_text:
+            exact_losers.add(r["doc_id"])
+        else:
+            first_of_text[t] = r["doc_id"]
+    uniq = docs[~docs["doc_id"].isin(exact_losers)].reset_index(drop=True)
+
+    # exact near-dup pairs + union-find → exact loser set
+    ids, texts = uniq["doc_id"].tolist(), uniq["text"].tolist()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    neardup_partner = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard_ngrams(texts[i] or "", texts[j] or "", 5) >= THRESH:
+                neardup_partner.setdefault(ids[i], ids[j])
+                neardup_partner.setdefault(ids[j], ids[i])
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    exact_near_losers = {i for i in ids if find(i) != i}
+
+    # soundness: every dropped doc is an exact loser of SOME kind
+    for d in dropped:
+        assert d in exact_losers or d in neardup_partner, (
+            f"doc {d} dropped without any true duplicate"
+        )
+    # recall on the near-dup phase
+    near_dropped = dropped - exact_losers
+    recall = (
+        len(near_dropped & exact_near_losers) / len(exact_near_losers)
+        if exact_near_losers
+        else 1.0
+    )
+    assert recall >= 0.9, f"near-dup loser recall {recall:.2f}"
