@@ -123,7 +123,10 @@ def normalize_stage(ds, registry: SchemaRegistry):
 def add_partition_stage(ds, dm: DataModel):
     def add_part(batch: pa.Table) -> pa.Table:
         pids = partition_ids(batch, dm.key_list, dm.num_partitions)
-        return batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
+        batch = batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
+        # strip pandas-origin schema metadata (unhashable dict) so Ray's
+        # sort-reduce schema dedup works instead of warning per block
+        return batch.replace_schema_metadata(None)
 
     return ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
 

@@ -172,41 +172,38 @@ def _distributed_verify(
     """Exact-Jaccard verification with ZERO whole-corpus driver state.
 
     Classic two-pass co-partitioned pair join (the scale path promised in
-    round 1): shingle-hash rows ``(doc_id → sh bytes)`` and candidate pairs
-    are hash-partitioned on the SAME key per pass —
+    round 1): document TEXTS and candidate pairs are hash-partitioned on
+    the SAME key per pass —
 
-      pass A: key = doc_a ⋈ shingles  → pairs gain ``sh_a``
-      pass B: key = doc_b ⋈ shingles  → pairs gain ``sh_b`` → jaccard
+      pass A: key = doc_a ⋈ texts → dedup pairs, shingle doc_a → ``sh_a``
+      pass B: key = doc_b ⋈ texts → shingle doc_b → jaccard
 
-    Each partition holds ~|corpus|/P shingle rows plus its share of pairs;
-    nothing corpus-sized ever touches the driver. Shingle arrays travel as
-    fixed binary columns (``uint64.tobytes()``) so the shuffle stays
-    Arrow-native. Shingling is recomputed once per pass (streaming-friendly:
-    the alternative — materializing the shingle table — would pin the whole
-    corpus in the object store).
+    Each partition holds ~|corpus|/P text rows plus its share of pairs;
+    nothing corpus-sized ever touches the driver. Shipping TEXT (and
+    shingling only pair-involved docs inside the partition) beats shipping
+    precomputed shingle arrays: the shingle table is ~8× the text bytes,
+    and only the tiny candidate subset ever needs the kernel. Pair dedup
+    happens inside pass A (all copies of a pair share doc_a, so they
+    co-locate) — no separate exchange. Shingle arrays between the passes
+    travel as binary columns (``uint64.tobytes()``), Arrow-native.
     """
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_col).to_pylist()
-        sh = [
-            _shingle_hashes(t, ngram).tobytes() if t else b""
-            for t in texts
-        ]
-        n = len(sh)
+    def text_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table(
             {
-                "key": pa.array(ids.astype(np.int64)),
+                "key": pa.compute.cast(batch.column(id_col), pa.int64()),
                 "doc_a": pa.nulls(n, pa.int64()),
                 "doc_b": pa.nulls(n, pa.int64()),
-                "sh": pa.array(sh, pa.binary()),
+                "txt": pa.compute.cast(batch.column(text_col), pa.string()),
+                "sh": pa.nulls(n, pa.binary()),
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
 
-    shingle_side = ds.select_columns([id_col, text_col]).map_batches(
-        shingle_rows, batch_format="pyarrow", batch_size=None
+    text_side = ds.select_columns([id_col, text_col]).map_batches(
+        text_rows, batch_format="pyarrow", batch_size=None
     )
 
     def pairs_keyed_on(col: str, carry_sh: bool):
@@ -217,6 +214,7 @@ def _distributed_verify(
                     "key": pa.compute.cast(batch.column(col), pa.int64()),
                     "doc_a": batch.column("doc_a"),
                     "doc_b": batch.column("doc_b"),
+                    "txt": pa.nulls(n, pa.string()),
                     "sh": (
                         batch.column("sh_a")
                         if carry_sh
@@ -229,15 +227,22 @@ def _distributed_verify(
         return fn
 
     def attach(side: str):
-        """Partition fn: join this partition's shingle rows onto its pairs."""
-        out_sh_col = "sh_a" if side == "a" else "sh_b"
+        """Partition fn: shingle the pair-involved docs, join onto pairs."""
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            is_sh = pdf["kind"].to_numpy() == 1
-            lookup = dict(
-                zip(pdf.loc[is_sh, "key"].to_numpy(), pdf.loc[is_sh, "sh"])
-            )
-            pairs = pdf.loc[~is_sh]
+            is_txt = pdf["kind"].to_numpy() == 1
+            pairs = pdf.loc[~is_txt]
+            if side == "a":  # all copies of a pair co-locate on doc_a
+                pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"])
+            needed = set(pairs["key"])
+            texts = pdf.loc[is_txt]
+            texts = texts[texts["key"].isin(needed)]
+            lookup = {
+                int(k): (
+                    _shingle_hashes(t, ngram).tobytes() if t else b""
+                )
+                for k, t in zip(texts["key"], texts["txt"])
+            }
             attached = pairs["key"].map(lookup)
             ok = attached.notna()
             out = pd.DataFrame(
@@ -265,7 +270,7 @@ def _distributed_verify(
             pairs_keyed_on("doc_a", carry_sh=False),
             batch_format="pyarrow",
             batch_size=None,
-        ).union(shingle_side),
+        ).union(text_side),
         keys=["key"],
         order_col="kind",
         fn=attach("a"),
@@ -276,7 +281,7 @@ def _distributed_verify(
             pairs_keyed_on("doc_b", carry_sh=True),
             batch_format="pyarrow",
             batch_size=None,
-        ).union(shingle_side),
+        ).union(text_side),
         keys=["key"],
         order_col="kind",
         fn=attach("b"),
@@ -430,6 +435,18 @@ def minhash_near_duplicates(
         fn=partition_bucket_pairs,
         num_partitions=16,
     )
+    if verify_mode == "distributed":
+        # pair dedup happens inside verify pass A (co-located on doc_a) —
+        # no separate dedup exchange needed
+        return _distributed_verify(
+            ds,
+            raw_pairs,
+            id_col=id_col,
+            text_col=text_col,
+            ngram=ngram,
+            jaccard_threshold=jaccard_threshold,
+        )
+
     def dedup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.drop_duplicates(subset=["doc_a", "doc_b"])
         if out.empty:
@@ -443,16 +460,6 @@ def minhash_near_duplicates(
         fn=dedup_pairs,
         num_partitions=16,
     )
-
-    if verify_mode == "distributed":
-        return _distributed_verify(
-            ds,
-            candidates,
-            id_col=id_col,
-            text_col=text_col,
-            ngram=ngram,
-            jaccard_threshold=jaccard_threshold,
-        )
 
     # Verify is a STATELESS task (not a second actor pool): two pools in one
     # streaming pipeline reserve CPUs simultaneously and can starve the

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from arlas_proc_ray.sources.io import read_parquet as _rp
+
 from arlas_proc_ray.stages.keyed import keyed_partition_map
 from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON, HmmModel
 
@@ -139,7 +141,7 @@ def movement_partition_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def movement_courses(sf_dir: str, num_partitions: int = 16):
     """events → course rows with departure/arrival + mission ids."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     return keyed_partition_map(

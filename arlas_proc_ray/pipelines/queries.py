@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from arlas_proc_ray.sources.io import read_parquet as _rp
+
 from arlas_proc_ray.stages.keyed import keyed_partition_map
 
 NP = 16  # partition fan-out for keyed ops at test scale
@@ -33,11 +35,11 @@ NP = 16  # partition fan-out for keyed ops at test scale
 
 
 def _events(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _rp(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _docs(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _rp(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _cents(series: pd.Series) -> pd.Series:
@@ -431,7 +433,7 @@ def q_tpch_q1(sf_dir: str):
     Shape: map_batches partial per-batch groupby (combiner) → tiny global
     groupby → finalize. The shuffle moves #groups × #batches rows, not 6M.
     """
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -520,7 +522,7 @@ def q_broadcast_enrich(sf_dir: str):
         region, left_on="n_regionkey", right_on="r_regionkey", how="left"
     )[["n_nationkey", "n_name", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
     )
     out = broadcast_join(ds, small, on=["c_nationkey"])
@@ -529,7 +531,7 @@ def q_broadcast_enrich(sf_dir: str):
 
 def q_topk_orders(sf_dir: str):
     """Top-10 orders by price — per-batch combiner then tiny global sort."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
@@ -664,14 +666,14 @@ def q_ann_topk(sf_dir: str):
     from arlas_proc_ray.ann import brute_force_topk
 
     ids, mat = _query_vectors(sf_dir, 5)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, ids, mat, k=3)
     out["cos_sim"] = out["cos_sim"].round(6)
     return out
 
 
 def q_embedding_norms(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def fn(t: pa.Table) -> pa.Table:
         from arlas_proc_ray.ann.search import _as_matrix
@@ -710,7 +712,7 @@ def q_segment_revenue(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ds = _rp(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(ds, cust, on=["o_custkey"])
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -741,7 +743,7 @@ def q_ann_lsh_topk(sf_dir: str):
     from arlas_proc_ray.ann import lsh_bucketed_topk
 
     ids, mat = _query_vectors(sf_dir, 5)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = lsh_bucketed_topk(ds, ids, mat, k=3, bits=4)
     out["cos_sim"] = out["cos_sim"].round(6)
     return out
@@ -803,7 +805,7 @@ def q_events_period(sf_dir: str):
 
     lo = pd.Timestamp("2024-01-10")
     hi = pd.Timestamp("2024-01-20")
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
         filter=(pads.field("ts") >= _pa.scalar(lo)) & (pads.field("ts") < _pa.scalar(hi)),
@@ -842,7 +844,7 @@ def q_ann_ivf_topk(sf_dir: str):
     from arlas_proc_ray.ann.ivf import ivf_topk
 
     ids, mat = _query_vectors(sf_dir, 5)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ivf_topk(ds, ids, mat, k=3, n_centroids=16, n_probe=6)
     out["cos_sim"] = out["cos_sim"].round(6)
     return out
@@ -852,7 +854,7 @@ def q_ann_ivf_topk(sf_dir: str):
 def q_topk_per_group(sf_dir: str):
     """Top-2 lineitems per (returnflag, linestatus) by extendedprice —
     grouped top-k via local per-batch prune + vectorized final per group."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
                  "l_extendedprice"],
@@ -889,7 +891,7 @@ def q_brand_revenue(sf_dir: str):
     part = pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     ).to_pandas().rename(columns={"p_partkey": "l_partkey"})
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )

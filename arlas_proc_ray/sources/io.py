@@ -24,12 +24,32 @@ import ray.data as rd
 
 def read_parquet(paths, *, columns: Sequence[str] | None = None, filter_expr=None,
                  **kwargs):
-    """Column-pruned, predicate-pushdown Parquet read."""
+    """Column-pruned, predicate-pushdown Parquet read.
+
+    The file schema is passed explicitly with its metadata STRIPPED:
+    pandas-written parquet carries a metadata dict that makes the Arrow
+    schema unhashable, which defeats Ray's schema deduplication in every
+    downstream shuffle (one warning per block, and a real risk of masking
+    actual schema drift).
+    """
     opts = dict(kwargs)
     if columns is not None:
         opts["columns"] = list(columns)
     if filter_expr is not None:
         opts["filter"] = filter_expr  # pyarrow dataset expression pushdown
+    if "schema" not in opts:
+        try:
+            import pyarrow.parquet as pq
+
+            first = paths if isinstance(paths, str) else list(paths)[0]
+            file_schema = pq.read_schema(first).remove_metadata()
+            if columns is not None:  # schema must match the pruned read
+                file_schema = pa.schema(
+                    [file_schema.field(c) for c in columns]
+                )
+            opts["schema"] = file_schema
+        except Exception:
+            pass  # directories / remote stores: let Ray infer
     return rd.read_parquet(paths, **opts)
 
 

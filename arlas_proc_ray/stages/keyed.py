@@ -66,7 +66,11 @@ def keyed_partition_map(
 
     def add_part(batch: pa.Table) -> pa.Table:
         pids = partition_ids(batch, keys, num_partitions)
-        return batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
+        batch = batch.append_column(PART_COL, pa.array(pids, type=pa.int32()))
+        # pandas-origin schemas carry a metadata dict that breaks Ray's
+        # schema hashing in the sort reduce (cosmetic warning spam that can
+        # mask real schema drift) — strip it before the shuffle
+        return batch.replace_schema_metadata(None)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=[PART_COL])

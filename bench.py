@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "ann_topk",
         "minhash_near_dup",
         "broadcast_enrich",
+        "tempo_proportion_collapse",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
