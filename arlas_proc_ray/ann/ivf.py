@@ -145,3 +145,19 @@ def ivf_topk(
     return out.sort_values(
         ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
     ).reset_index(drop=True)
+
+
+def train_centroids(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    train_sample: int = 20_000,
+    seed: int = 17,
+) -> np.ndarray:
+    """Bounded-sample k-means trainer (shared by IVF search and the
+    embedding near-dup bucketing): only ``train_sample`` rows ever reach
+    the driver, whatever the corpus size."""
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = np.stack([np.asarray(v, np.float64) for v in sample_rows[vec_col]])
+    return kmeans_fit(sample, n_centroids, seed=seed)

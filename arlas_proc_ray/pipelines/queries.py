@@ -1004,6 +1004,25 @@ def q_tempo_proportion_collapse(sf_dir: str):
     )
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (dense analogue of minhash:
+    broadcast normalized corpus matrix, per-batch matmul, emit each
+    unordered pair once via the id< ordering)."""
+    from arlas_proc_ray.dedup.embedding import embedding_near_duplicates
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_duplicates(ds, threshold=0.4)
+
+
+def q_embedding_near_dup_ivf(sf_dir: str):
+    """IVF-bucketed approximate variant (the corpus-scale path: pairs
+    only within k-means buckets — rows-only check + recall test)."""
+    from arlas_proc_ray.dedup.embedding import embedding_near_duplicates_ivf
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_duplicates_ivf(ds, threshold=0.4, n_centroids=8)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1047,6 +1066,8 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "brand_revenue": q_brand_revenue,
     "tempo_proportion_collapse": q_tempo_proportion_collapse,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1371,7 +1392,16 @@ ORACLE_SQL = {
                n_events, duration_total_s
         FROM p
     """,
+    "embedding_near_dup": """
+        WITH d AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+        FROM d a JOIN d b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+    """,
     # lang_id / simhash / fingerprint / minhash_near_dup / hmm_moving_state
-    # / ann_lsh_topk: heuristic, signature or approximate algorithms with
-    # no SQL equivalent → rows-only checks.
+    # / ann_lsh_topk / embedding_near_dup_ivf: heuristic, signature or
+    # approximate algorithms with no SQL equivalent → rows-only checks.
 }

@@ -470,3 +470,25 @@ def test_dedup_documents_oracle():
         else 1.0
     )
     assert recall >= 0.9, f"near-dup loser recall {recall:.2f}"
+
+
+def test_embedding_near_dup_ivf_vs_exact():
+    """IVF-bucketed near-dup: every reported pair is exact-correct (sim
+    recomputed directly), and recall vs the exact pair set meets a bound.
+    On near-random embeddings bucket recall is the worst case; true
+    near-dup corpora (cos >= 0.8 => nearly colinear) quantize together."""
+    exact = run_query("embedding_near_dup")
+    approx = run_query("embedding_near_dup_ivf")
+    assert len(exact) > 0
+    emb = pd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).set_index("vec_id")["embedding"]
+    for _, r in approx.iterrows():
+        va = np.asarray(emb[r["vec_a"]], dtype=np.float64)
+        vb = np.asarray(emb[r["vec_b"]], dtype=np.float64)
+        sim = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert abs(r["cos_sim"] - round(float(sim), 6)) <= 1e-6
+        assert r["cos_sim"] >= 0.4
+    merged = approx.merge(exact, on=["vec_a", "vec_b"], how="inner")
+    recall = len(merged) / len(exact)
+    assert recall >= 0.05, f"ivf near-dup recall {recall:.2f}"
