@@ -201,3 +201,78 @@ def parse_wkt_linestring(wkt: str) -> np.ndarray:
         lo, la = pair.split()
         pts.append((float(la), float(lo)))
     return np.asarray(pts, np.float64)
+
+
+LOCATION_DIGITS = 6  # meter precision (GeoTool.scala:34)
+
+
+def straight_line_distance_from_trails(trails) -> float | None:
+    """Great-circle distance between the FIRST coordinate of the first
+    non-null trail and the LAST coordinate of the last one.
+
+    Analogue of getStraightLineDistanceFromTrails (GeoTool.scala:100-106):
+    null trails dropped; fewer than two coordinates → 0.0.
+    """
+    coords = []
+    for t in trails:
+        if t:
+            coords.append(parse_wkt_linestring(t))
+    if not coords:
+        return 0.0
+    pts = np.concatenate(coords)
+    if len(pts) <= 1:
+        return 0.0
+    (la1, lo1), (la2, lo2) = pts[0], pts[-1]
+    return float(haversine_m(la1, lo1, la2, lo2))
+
+
+def linestrings_to_multilinestring(trails) -> str | None:
+    """WKT LINESTRINGs → one WKT MULTILINESTRING (None for empty input).
+
+    Analogue of lineStringsToSingleMultiLineString (GeoTool.scala:185-194).
+    """
+    if not len(trails):
+        return None
+    parts = []
+    for t in trails:
+        pts = parse_wkt_linestring(t)
+        body = ", ".join(f"{lo} {la}" for la, lo in pts)
+        parts.append(f"({body})")
+    return f"MULTILINESTRING ({', '.join(parts)})"
+
+
+def trail_data_from_trails_and_coords(trails, lats, lons, use_trail):
+    """Stitch per-fragment trails and pause points into one trail.
+
+    Analogue of getTrailDataFromTrailsAndCoords (GeoTool.scala:196-239):
+    fragments with ``use_trail`` contribute their full trail coordinates,
+    paused fragments collapse to their single (lat, lon) point; consecutive
+    duplicates removed; a single surviving point becomes a POINT. Returns
+    ``{"trail", "departure_lat", "departure_lon", "arrival_lat",
+    "arrival_lon"}`` (endpoints scaled to LOCATION_DIGITS) or None on
+    length mismatch.
+    """
+    n = len(use_trail)
+    if not (len(trails) == len(lats) == len(lons) == n):
+        return None
+    pieces = []
+    for i in range(n):
+        if use_trail[i]:
+            pieces.append(parse_wkt_linestring(trails[i]))
+        else:
+            pieces.append(np.array([[lats[i], lons[i]]], np.float64))
+    pts = dedup_consecutive(np.concatenate(pieces))
+    if len(pts) == 1:
+        trail = f"POINT ({pts[0][1]} {pts[0][0]})"
+    else:
+        body = ", ".join(f"{lo} {la}" for la, lo in pts)
+        trail = f"LINESTRING ({body})"
+    dep, arr = pts[0], pts[-1]
+    r = lambda x: round(float(x), LOCATION_DIGITS)  # noqa: E731
+    return {
+        "trail": trail,
+        "departure_lat": r(dep[0]),
+        "departure_lon": r(dep[1]),
+        "arrival_lat": r(arr[0]),
+        "arrival_lon": r(arr[1]),
+    }

