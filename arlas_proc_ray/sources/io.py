@@ -22,6 +22,9 @@ import pyarrow.csv as pacsv
 import ray.data as rd
 
 
+_MIN_BLOCK_BYTES = 16 * 1024 * 1024  # target ≥16 MB per block
+
+
 def read_parquet(paths, *, columns: Sequence[str] | None = None, filter_expr=None,
                  **kwargs):
     """Column-pruned, predicate-pushdown Parquet read.
@@ -50,6 +53,26 @@ def read_parquet(paths, *, columns: Sequence[str] | None = None, filter_expr=Non
             opts["schema"] = file_schema
         except Exception:
             pass  # directories / remote stores: let Ray infer
+    if "override_num_blocks" not in opts:
+        # Block-size targeting: Ray defaults to ~2 blocks/CPU regardless of
+        # input size, so a 10 MB table becomes 64 near-empty blocks and
+        # every downstream task/shuffle pays per-block overhead. Cap the
+        # block count so blocks average ≥ _MIN_BLOCK_BYTES; for inputs past
+        # cpus × _MIN_BLOCK_BYTES (i.e. any real workload) this never
+        # triggers and Ray's own parallelism wins.
+        try:
+            import os
+
+            if isinstance(paths, str) and os.path.isfile(paths):
+                size = os.path.getsize(paths)
+                cap = max(1, size // _MIN_BLOCK_BYTES)
+                import ray
+
+                cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+                if cap < 2 * cpus:
+                    opts["override_num_blocks"] = int(cap)
+        except Exception:
+            pass
     return rd.read_parquet(paths, **opts)
 
 
