@@ -2,9 +2,11 @@
 
 Images / audio / video are carried as Arrow ``binary`` columns with typed
 metadata columns alongside. The decode/resize/feature-extract kernels are
-actor-pool ``map_batches`` stages whose Ray-side plumbing (schema, batch
-sizing, actor signature, output layout) is real and tested; the actual
-codec calls are STUBBED (no image/audio libraries in this environment):
+actor-pool ``map_batches`` stages. REAL decoders for the formats that
+need no external codec live in ``multimodal.codecs`` (WAV via stdlib
+``wave``; netpbm P5/P6 via numpy; nearest-neighbor resize; numpy audio
+features) — use ``DecodeAudio`` / ``DecodeImage`` there. Compressed
+formats (PNG/JPEG/MP4) still need a codec library:
 
 - ``DecodeImageStub`` raises ``NotImplementedError`` at the exact seam
   where a real decoder (e.g. Pillow / torchvision / pyAV) would plug in;

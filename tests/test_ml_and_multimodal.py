@@ -168,3 +168,91 @@ def test_with_tempo_composite_keys():
     assert u1[0] == "tempo_irregular" and u2[0] == "tempo_irregular"
     assert u1[1:] == ["tempo_fast"] * 3
     assert u2[1:] == ["tempo_slow"] * 3
+
+
+def test_real_wav_decode_pipeline():
+    """REAL audio decode end-to-end: synthesize WAV payloads, run the
+    DecodeAudio actor-pool stage over a Dataset, check physics."""
+    import numpy as np
+    import pyarrow as pa
+
+    from arlas_proc_ray.multimodal.codecs import DecodeAudio, encode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    tone_440 = 0.5 * np.sin(2 * np.pi * 440 * t)
+    silence = np.zeros(rate // 2)
+    tbl = pa.table(
+        {
+            "media_id": [1, 2, 3],
+            "payload": pa.array(
+                [encode_wav(tone_440, rate), encode_wav(silence, rate), None],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeAudio, batch_format="pyarrow", batch_size=2,
+                     concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    tone = out.iloc[0]
+    assert abs(tone["duration_s"] - 1.0) < 1e-9
+    assert abs(tone["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(tone["spectral_centroid_hz"] - 440.0) < 5.0
+    assert tone["sample_rate"] == rate
+    sil = out.iloc[1]
+    assert sil["rms"] == 0.0 and abs(sil["duration_s"] - 0.5) < 1e-9
+    assert pd.isna(out.iloc[2]["duration_s"])  # null payload -> nulls
+
+
+def test_real_image_decode_pipeline():
+    """REAL netpbm decode: P6 gradient image through DecodeImage with
+    nearest-neighbor thumbnailing; compressed formats raise at the seam."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from arlas_proc_ray.multimodal.codecs import (
+        DecodeImage,
+        UnsupportedMediaError,
+        decode_pnm,
+        encode_pnm,
+        resize_nearest,
+    )
+
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(32, dtype=np.uint8)[None, :] * 8  # red ramp
+    payload = encode_pnm(img)
+    np.testing.assert_array_equal(decode_pnm(payload), img)
+
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8)) * 4
+    tbl = pa.table(
+        {
+            "media_id": [1, 2],
+            "payload": pa.array([payload, encode_pnm(gray)], type=pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=1,
+                     concurrency=1,
+                     fn_constructor_kwargs={"target_size": (4, 4)})
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, ["height", "width", "channels"]].tolist() == [16, 32, 3]
+    assert out.loc[1, ["height", "width", "channels"]].tolist() == [8, 8, 1]
+    assert len(out.loc[0, "thumb"]) == 4 * 4 * 3
+    assert abs(out.loc[0, "mean_intensity"] - img.mean()) < 1e-9
+    # resize is an exact index gather
+    np.testing.assert_array_equal(
+        resize_nearest(gray, (2, 2)), gray[[0, 4]][:, [0, 4]]
+    )
+    # compressed formats still raise at the documented seam
+    with pytest.raises(UnsupportedMediaError):
+        decode_pnm(b"\x89PNG\r\n\x1a\n....")
