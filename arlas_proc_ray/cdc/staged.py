@@ -134,3 +134,140 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
     ]
     ray.get(merge_refs)
     return store.commit_epoch(epoch, P)
+
+
+def staged_apply_epoch_two_level(
+    engine, events_ds, epoch: int, *, groups: int | None = None
+) -> dict:
+    """Two-level staged exchange for LARGE partition fan-outs.
+
+    The one-level exchange creates ``blocks × P`` objects; past ~10k
+    objects the per-object overhead dominates (measured in round 1:
+    400×128 spent 116 s in the split wave alone). Two levels cut that to
+    ``blocks × G + P`` objects (G ≈ √P super-groups):
+
+      level 1  split:    one task per block → G super-group slices
+                         (partition_id // (P/G) buckets), num_returns=G;
+      level 2  sub-split: one task per super-group gathers its B slices,
+                         concats, ONE argsort → its P/G partition tables,
+                         num_returns=P/G;
+      level 3  merge:    the same per-partition fence/merge/finalize/write
+                         as the one-level path.
+
+    For P=512, B=400: one-level 204 800 objects; two-level 400×23 + 512 ≈
+    9 700. Same guarantees (idempotent, resumable, exactly-once) — the
+    merge phase is shared code.
+    """
+    import math
+
+    dm = engine.dm
+    store = engine.store
+    fault_hook = engine.fault_hook
+    prev_epoch = store.latest_committed_epoch()
+    if prev_epoch is not None and prev_epoch >= epoch:
+        raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+    prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
+
+    align = make_align_fn(engine.registry)
+    P = dm.num_partitions
+    G = groups or max(1, int(math.isqrt(P)))
+    G = min(G, P)
+    per_group = math.ceil(P / G)
+
+    @ray.remote(num_returns=max(G, 1))
+    def split_l1(block: pa.Table):
+        table = align(block)
+        table = lww_reduce_table(table, dm.key_cols, dm.order_col)
+        pids = partition_ids(table, dm.key_list, dm.num_partitions)
+        gids = pids // per_group
+        order = np.argsort(gids, kind="stable")
+        sorted_gids = gids[order]
+        bounds = np.searchsorted(sorted_gids, np.arange(G + 1))
+        # append _part_id so level 2 need not re-hash
+        table = table.append_column("_pid", pa.array(pids, type=pa.int32()))
+        parts = [
+            table.take(pa.array(order[bounds[g] : bounds[g + 1]]))
+            for g in range(G)
+        ]
+        return tuple(parts) if G > 1 else parts[0]
+
+    @ray.remote(num_returns=max(per_group, 1))
+    def split_l2(g: int, *slices: pa.Table):
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            empty = slices[0].slice(0, 0).drop_columns(["_pid"])
+            out = [empty] * per_group
+            return tuple(out) if per_group > 1 else out[0]
+        t = pa.concat_tables(live, promote_options="default")
+        pids = t.column("_pid").to_numpy()
+        t = t.drop_columns(["_pid"])
+        local = pids - g * per_group
+        order = np.argsort(local, kind="stable")
+        sorted_local = local[order]
+        bounds = np.searchsorted(sorted_local, np.arange(per_group + 1))
+        parts = [
+            t.take(pa.array(order[bounds[i] : bounds[i + 1]]))
+            for i in range(per_group)
+        ]
+        return tuple(parts) if per_group > 1 else parts[0]
+
+    @ray.remote
+    def merge(part: int, *slices: pa.Table):
+        if store.partition_done(epoch, part):  # crash-resume fence
+            return store.read_manifest(epoch, part)
+        prior = None
+        prior_last = -1
+        if prev_epoch is not None:
+            src = prev_sources.get(part, prev_epoch)
+            prior = store.read_partition(src, part)
+            pm = store.read_manifest(src, part)
+            prior_last = pm.last_lsn if pm else -1
+        ev = (
+            pa.concat_tables(
+                [s for s in slices if s.num_rows], promote_options="default"
+            )
+            if any(s.num_rows for s in slices)
+            else None
+        )
+        watermark = max(
+            prior_last,
+            int(pc.max(ev.column("lsn")).as_py()) if ev is not None else -1,
+        )
+        inputs = []
+        if ev is not None:
+            if prior_last >= 0:
+                ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(prior_last)))
+            inputs.append(_events_as_merge_rows(ev))
+        if prior is not None and prior.num_rows:
+            inputs.append(_state_as_merge_rows(prior))
+        final = (
+            finalize_partition_table(
+                pa.concat_tables(inputs, promote_options="default"), dm
+            )
+            if inputs
+            else FINAL_STATE_SCHEMA.empty_table()
+        )
+        if fault_hook is not None:
+            fault_hook(epoch, part)
+        return store.write_partition(epoch, part, final, last_lsn=watermark)
+
+    block_refs = events_ds.to_arrow_refs()
+    B = len(block_refs)
+    l1 = [split_l1.remote(ref) for ref in block_refs]  # B × G objects
+
+    def _l1(b, g):
+        return l1[b] if G == 1 else l1[b][g]
+
+    l2 = [
+        split_l2.remote(g, *[_l1(b, g) for b in range(B)]) for g in range(G)
+    ]  # G tasks → P objects
+
+    def _l2(g, i):
+        return l2[g] if per_group == 1 else l2[g][i]
+
+    merge_refs = []
+    for part in range(P):
+        g, i = part // per_group, part % per_group
+        merge_refs.append(merge.remote(part, _l2(g, i)))
+    ray.get(merge_refs)
+    return store.commit_epoch(epoch, P)

@@ -180,3 +180,38 @@ def test_staged_path_parity_and_fence(tmp_path):
         .reset_index(drop=True)[list(exp.columns)]
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_two_level_staged_parity(tmp_path):
+    """Two-level exchange: same final state + fences as the oracle across
+    two epochs with redelivery, at a P that doesn't divide evenly by G."""
+    from arlas_proc_ray.cdc.staged import staged_apply_epoch_two_level
+
+    cfg = ChangelogConfig(num_events=3_000, num_keys=300, seed=23)
+    dm = DataModel(num_partitions=10)  # G=3, per_group=4, last group ragged
+    snap = str(tmp_path / "snap")
+    exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+
+    eng = CdcEngine(snap, dm)
+    staged_apply_epoch_two_level(
+        eng, rd.from_arrow(generate_changelog_tables(cfg, 0, 1500)), 1
+    )
+    # epoch 2 redelivers everything — fence must drop epoch-1 events
+    staged_apply_epoch_two_level(eng, rd.from_arrow(generate_changelog_tables(cfg)), 2)
+    got = (
+        eng.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)[list(exp.columns)]
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # mixed paths on one store: one-level epoch on top of two-level state
+    eng.apply_epoch_staged(rd.from_arrow(generate_changelog_tables(cfg)), 3)
+    assert eng.store.latest_committed_epoch() == 3
+    got3 = (
+        eng.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)[list(exp.columns)]
+    )
+    pd.testing.assert_frame_equal(got3, exp)
