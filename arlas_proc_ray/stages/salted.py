@@ -31,6 +31,66 @@ import pyarrow as pa
 from arlas_proc_ray.stages.keyed import keyed_partition_map
 
 
+def detect_hot_keys(
+    ds,
+    keys: Sequence[str],
+    *,
+    min_fraction: float = 0.01,
+) -> pd.DataFrame:
+    """Distributed hot-key detection with NO false negatives.
+
+    Two cheap passes, nothing key-cardinality-sized ever reaches the
+    driver:
+
+    1. candidate scan: each batch emits only the keys holding ≥
+       ``min_fraction/2`` of ITS rows. Pigeonhole guarantee: a key with
+       global share ≥ f must hold share ≥ f/2 in at least one batch
+       (otherwise its total would be < f/2 · N) — so the candidate set
+       (bounded by 2·#batches/f rows, key-cardinality-free) cannot miss
+       a truly hot key.
+    2. exact recount: candidate keys are broadcast and counted exactly
+       per batch; partial counts sum on the driver (tiny) and keys with
+       global share ≥ ``min_fraction`` survive.
+
+    Returns a DataFrame of the key columns + ``count``.
+    """
+    import ray
+
+    keys = list(keys)
+    n_total = ds.count()
+    if n_total == 0:
+        return pd.DataFrame({**{k: [] for k in keys}, "count": []})
+    half = min_fraction / 2.0
+
+    def candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        vc = pdf.groupby(keys, sort=False).size()
+        hot = vc[vc >= max(1.0, half * len(pdf))]
+        return hot.reset_index(name="count")[keys]
+
+    cand = (
+        ds.map_batches(candidates, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(keys)
+    )
+    if cand.empty:
+        return pd.DataFrame({**{k: [] for k in keys}, "count": []})
+    cand_ref = ray.put(set(map(tuple, cand[keys].itertuples(index=False))))
+
+    def recount(pdf: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        mask = pd.Series(
+            list(map(tuple, pdf[keys].itertuples(index=False))), index=pdf.index
+        ).isin(cs)
+        vc = pdf[mask].groupby(keys, sort=False).size()
+        return vc.reset_index(name="count")
+
+    counts = ds.map_batches(recount, batch_format="pandas").to_pandas()
+    if counts.empty:
+        return pd.DataFrame({**{k: [] for k in keys}, "count": []})
+    total = counts.groupby(keys, as_index=False)["count"].sum()
+    return total[total["count"] >= min_fraction * n_total].reset_index(drop=True)
+
+
 def salted_aggregate(
     ds,
     *,
@@ -40,21 +100,46 @@ def salted_aggregate(
     salt: int = 8,
     num_partitions: int = 64,
     order_col: str | None = None,
+    hot_keys: pd.DataFrame | str | None = None,
+    hot_fraction: float = 0.01,
 ):
     """Two-phase aggregation with hot keys split across ``salt`` reducers.
 
     ``partial_fn(pdf)``: reduce rows of one (key, salt) slice → partial rows
     (must include the key columns).
     ``merge_fn(pdf)``: merge the ≤``salt`` partials of one key → final rows.
+
+    ``hot_keys``: None → salt EVERY key (static, the round-1 behavior);
+    ``"auto"`` → run ``detect_hot_keys`` (share ≥ ``hot_fraction``) and
+    salt ONLY those — the cold majority keeps salt 0, so their partials
+    are not split ``salt`` ways and the merge phase shrinks ~salt× ; a
+    DataFrame of key columns → use those as the hot set directly.
     """
+    import ray
+
     keys = list(keys)
     salt_col = "_salt"
 
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        hot_keys = detect_hot_keys(ds, keys, min_fraction=hot_fraction)
+    hot_ref = (
+        ray.put(set(map(tuple, hot_keys[keys].itertuples(index=False))))
+        if hot_keys is not None
+        else None
+    )
+
     def add_salt(batch: pa.Table) -> pa.Table:
         # deterministic per-row salt (row position hash) — spreads a hot
-        # key's rows uniformly without any key-frequency pre-pass
+        # key's rows uniformly
         n = batch.num_rows
         salts = (np.arange(n, dtype=np.int64) * 2654435761 % salt).astype(np.int32)
+        if hot_ref is not None:
+            hs = ray.get(hot_ref)
+            pdf = batch.select(keys).to_pandas()
+            is_hot = pd.Series(
+                list(map(tuple, pdf.itertuples(index=False)))
+            ).isin(hs).to_numpy()
+            salts = np.where(is_hot, salts, 0).astype(np.int32)
         return batch.append_column(salt_col, pa.array(salts))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)

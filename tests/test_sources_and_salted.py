@@ -65,3 +65,52 @@ def test_salted_aggregate_hot_key():
     )
     exp = df.groupby("k").agg(s=("v", "sum"), n=("v", "count")).reset_index()
     pd.testing.assert_frame_equal(out, exp.sort_values("k").reset_index(drop=True))
+
+
+def test_detect_hot_keys_and_targeted_salting():
+    import numpy as np
+
+    from arlas_proc_ray.stages.salted import detect_hot_keys, salted_aggregate
+
+    rng = np.random.RandomState(11)
+    # one hot key holding 40% of rows, 200 cold keys sharing the rest
+    n = 10_000
+    hot_rows = int(n * 0.4)
+    keys = ["HOT"] * hot_rows + [f"k{rng.randint(200)}" for _ in range(n - hot_rows)]
+    df = pd.DataFrame({"k": keys, "v": rng.randint(0, 100, n)})
+    ds = rd.from_pandas(df)
+
+    hot = detect_hot_keys(ds, ["k"], min_fraction=0.05)
+    assert hot["k"].tolist() == ["HOT"]
+    assert hot["count"].iloc[0] == hot_rows
+
+    # targeted salting: exact distinct-count per key, hot key split 8 ways
+    def partial(pdf):
+        return (
+            pdf.groupby("k", sort=False)["v"]
+            .agg(lambda s: list(set(s)))
+            .reset_index(name="vals")
+        )
+
+    def merge(pdf):
+        out = (
+            pdf.groupby("k", sort=False)["vals"]
+            .agg(lambda lists: len(set().union(*lists)))
+            .reset_index(name="n_distinct")
+        )
+        return out
+
+    got = (
+        salted_aggregate(
+            rd.from_pandas(df), keys=["k"], partial_fn=partial, merge_fn=merge,
+            salt=8, num_partitions=8, hot_keys="auto", hot_fraction=0.05,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k")["v"].nunique().reset_index(name="n_distinct")
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
