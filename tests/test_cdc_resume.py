@@ -215,3 +215,37 @@ def test_two_level_staged_parity(tmp_path):
         .reset_index(drop=True)[list(exp.columns)]
     )
     pd.testing.assert_frame_equal(got3, exp)
+
+
+def test_two_level_crash_resume(tmp_path):
+    """Two-level exchange honors the same partition fences on resume."""
+    from arlas_proc_ray.cdc.staged import staged_apply_epoch_two_level
+
+    cfg = ChangelogConfig(num_events=3_000, num_keys=300, seed=31)
+    dm = DataModel(num_partitions=9)
+    snap = str(tmp_path / "snap")
+    exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+
+    eng = CdcEngine(snap, dm)
+    staged_apply_epoch_two_level(
+        eng, rd.from_arrow(generate_changelog_tables(cfg, 0, 1500)), 1
+    )
+    crashy = CdcEngine(snap, dm, fault_hook=CrashAt(epoch=2, part_threshold=5))
+    with pytest.raises(Exception):
+        staged_apply_epoch_two_level(
+            crashy, rd.from_arrow(generate_changelog_tables(cfg, 1500, 3000)), 2
+        )
+    assert crashy.store.latest_committed_epoch() == 1
+
+    resumed = CdcEngine(snap, dm)
+    staged_apply_epoch_two_level(
+        resumed, rd.from_arrow(generate_changelog_tables(cfg, 1500, 3000)), 2
+    )
+    assert resumed.store.latest_committed_epoch() == 2
+    got = (
+        resumed.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)[list(exp.columns)]
+    )
+    pd.testing.assert_frame_equal(got, exp)
