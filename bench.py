@@ -93,14 +93,14 @@ def run_bench() -> dict:
 
     # ---- headline: CDC replay end-to-end incl. snapshot sink -------------
     # best-of-N to damp run-to-run variance (page cache, worker churn)
-    n_runs = 2 if scaling_mode else 1
+    n_runs = 2
     headline_sec = float("inf")
     for i in range(n_runs):
         snap = f"/tmp/bench_cdc_snapshot_{i}"
         shutil.rmtree(snap, ignore_errors=True)
         engine = CdcEngine(snap, dm)
         t0 = time.perf_counter()
-        if num_events > 4_000_000 and not scaling_mode:
+        if num_events > 1_000_000 and not scaling_mode:
             # staged raw-task shuffle wins at high volume (block count ~2x
             # cores). Scaling mode measures the Dataset-pipeline path
             # instead: staged is fast enough to saturate one box's DRAM
@@ -123,9 +123,17 @@ def run_bench() -> dict:
         num_repos=200, seed=42, **content_kwargs,
     )
     t0 = time.perf_counter()
-    engine.apply_epoch(
-        changelog_dataset(cfg2, lo=num_events, hi=num_events * 2), epoch=2
-    )
+    incr_ds = changelog_dataset(cfg2, lo=num_events, hi=num_events * 2)
+    if num_events > 1_000_000 and not scaling_mode:
+        engine.apply_epoch_staged(
+            changelog_dataset(
+                cfg2, lo=num_events, hi=num_events * 2,
+                override_num_blocks=num_cpus * 2,
+            ),
+            epoch=2,
+        )
+    else:
+        engine.apply_epoch(incr_ds, epoch=2)
     epoch2_sec = time.perf_counter() - t0
 
     # restore the default shuffle for the mixed query catalog (hash-shuffle
