@@ -100,27 +100,40 @@ def embedding_near_duplicates_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 64,
+    n_probe: int = 2,
     round_dp: int | None = 6,
     num_partitions: int = 16,
 ):
-    """Approximate near-dup pairs: exact cosine within k-means buckets."""
+    """Approximate near-dup pairs: exact cosine within k-means buckets.
+
+    Multi-probe: each vector is replicated into its ``n_probe`` nearest
+    buckets, which recovers pairs that straddle a centroid boundary (at
+    2× row cost for n_probe=2). A pair sharing several probed buckets
+    would be found in each; it is emitted only from the pair's MINIMUM
+    common bucket (each row carries its probe list, so the rule is
+    evaluated locally — no global dedup exchange).
+    """
     import pyarrow as pa
 
     from arlas_proc_ray.ann.ivf import train_centroids
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
     centroids = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids)
+    k_probe = min(n_probe, centroids.shape[0])
 
     def assign(batch: pa.Table) -> pd.DataFrame:
         b_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b_mat = _as_matrix(batch.column(vec_col)).astype(np.float64)
         b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-30)
-        bucket = (b_mat @ centroids.T).argmax(axis=1).astype(np.int32)
+        sims = b_mat @ centroids.T
+        probes = np.argsort(-sims, axis=1)[:, :k_probe].astype(np.int32)
+        n = len(b_ids)
         return pd.DataFrame(
             {
-                "bucket": bucket,
-                "vid": b_ids,
-                "vec": [v.tobytes() for v in b_mat],
+                "bucket": probes.ravel(),
+                "vid": np.repeat(b_ids, k_probe),
+                "vec": [v.tobytes() for v in np.repeat(b_mat, k_probe, axis=0)],
+                "probes": [probes[i // k_probe].tobytes() for i in range(n * k_probe)],
             }
         )
 
@@ -130,18 +143,34 @@ def embedding_near_duplicates_ivf(
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, grp in pdf.groupby("bucket", sort=False):
+        for bucket, grp in pdf.groupby("bucket", sort=False):
             if len(grp) < 2:
                 continue
             vids = grp["vid"].to_numpy(np.int64)
             m = np.stack(
                 [np.frombuffer(b, dtype=np.float64) for b in grp["vec"]]
             )
+            probe_sets = [
+                frozenset(np.frombuffer(b, dtype=np.int32)) for b in grp["probes"]
+            ]
             sims = m @ m.T
             r, c = np.nonzero(
                 np.triu(sims >= threshold, k=1)
                 & (vids[:, None] != vids[None, :])
             )
+            if len(r) == 0:
+                continue
+            # canonical-bucket rule: emit only where this bucket is the
+            # pair's minimum COMMON probed bucket
+            keep = np.fromiter(
+                (
+                    min(probe_sets[i] & probe_sets[j]) == bucket
+                    for i, j in zip(r, c)
+                ),
+                dtype=bool,
+                count=len(r),
+            )
+            r, c = r[keep], c[keep]
             if len(r) == 0:
                 continue
             a, b = vids[r], vids[c]
@@ -152,7 +181,9 @@ def embedding_near_duplicates_ivf(
             outs.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": s}))
         if not outs:
             return _empty_pairs()
-        return pd.concat(outs, ignore_index=True)
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            subset=["vec_a", "vec_b"]
+        )
 
     return keyed_partition_map(
         assigned, keys=["bucket"], order_col="vid", fn=bucket_pairs,

@@ -489,6 +489,12 @@ def test_embedding_near_dup_ivf_vs_exact():
         sim = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert abs(r["cos_sim"] - round(float(sim), 6)) <= 1e-6
         assert r["cos_sim"] >= 0.4
+    # no duplicate pairs despite multi-probe replication (canonical-bucket
+    # emission rule)
+    assert not approx.duplicated(["vec_a", "vec_b"]).any()
     merged = approx.merge(exact, on=["vec_a", "vec_b"], how="inner")
     recall = len(merged) / len(exact)
-    assert recall >= 0.05, f"ivf near-dup recall {recall:.2f}"
+    # 2-probe assignment on near-random vectors measures ~0.83; true
+    # near-dup corpora (nearly colinear pairs) quantize together and do
+    # far better
+    assert recall >= 0.5, f"ivf near-dup recall {recall:.2f}"
