@@ -111,7 +111,14 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
 
-    def apply_epoch(self, events_ds, epoch: int, *, delta: bool = False) -> dict:
+    def apply_epoch(
+        self,
+        events_ds,
+        epoch: int,
+        *,
+        delta: bool = False,
+        delta_max_age: int | None = None,
+    ) -> dict:
         """Apply one epoch of events; idempotent, resumable, exactly-once.
 
         ``delta=True``: partitions untouched by this epoch are NOT
@@ -119,6 +126,14 @@ class CdcEngine:
         last wrote them (metadata-chained compaction). At low change rates
         this removes the dominant copy-forward cost; ``SnapshotStore.vacuum``
         respects the chain.
+
+        ``delta_max_age`` (with ``delta=True``): automatic compaction
+        policy — an untouched partition whose file lives in an epoch older
+        than ``epoch - delta_max_age`` is refreshed (carried forward into
+        this epoch) instead of referenced, bounding how far back the
+        source map reaches so ``vacuum`` can reclaim old epoch dirs. Cost
+        amortizes: each partition is rewritten at most once per
+        ``delta_max_age`` epochs even if never touched.
         """
         dm = self.dm
         store = self.store
@@ -211,6 +226,15 @@ class CdcEngine:
         if delta and prev_epoch is not None:
             # untouched partitions stay where they are; only reference them
             sources = {p: prev_sources.get(p, prev_epoch) for p in pending}
+            if delta_max_age is not None:
+                # compaction policy: refresh references older than max_age
+                stale = [
+                    p for p, e in sources.items() if e < epoch - delta_max_age
+                ]
+                if stale:
+                    ray.get([carry_forward.remote(p) for p in stale])
+                    for p in stale:
+                        del sources[p]
             return store.commit_epoch(epoch, dm.num_partitions, sources=sources)
         if pending:
             ray.get([carry_forward.remote(p) for p in pending])

@@ -98,3 +98,40 @@ def test_vacuum_respects_delta_chain(tmp_path):
     assert engine.store.latest_committed_epoch() == 4
     final = engine.final_state().to_pandas()
     assert final[final.path.eq("only.py")].iloc[0]["last_lsn"] == 10_002
+
+
+def test_delta_max_age_compaction_policy(tmp_path):
+    """delta_max_age bounds how old a referenced partition file may be:
+    stale references are refreshed (carried forward), so vacuum can
+    reclaim ancient epochs while final state stays oracle-exact."""
+    snap = str(tmp_path / "snap")
+    engine = CdcEngine(snap, DM)
+    engine.apply_epoch(rd.from_arrow(generate_changelog_tables(CFG)), 1)
+
+    # epochs 2..6: single-key deltas with a 3-epoch age bound
+    lsn = 10_000
+    for e in range(2, 7):
+        engine.apply_epoch(
+            rd.from_arrow(_one_key_event(lsn)), e, delta=True, delta_max_age=3
+        )
+        lsn += 1
+
+    # no source may point further back than epoch-3
+    sources = engine.store.resolve_sources(6)
+    assert all(e >= 6 - 3 for e in sources.values()), sources
+
+    # vacuum keeping only the last commit now reclaims epochs 1-2
+    deleted = engine.store.vacuum(keep_last=1)
+    assert 1 in deleted and 2 in deleted
+
+    exp = oracle_final_state(
+        generate_changelog_tables(CFG)
+        + [_one_key_event(i) for i in range(10_000, lsn)]
+    ).to_pandas()
+    got = (
+        engine.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)[list(exp.columns)]
+    )
+    pd.testing.assert_frame_equal(got, exp)
