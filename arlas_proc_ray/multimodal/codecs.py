@@ -193,10 +193,19 @@ class DecodeAudio:
         return out.drop(columns=[self.payload_col])
 
 
-class DecodeImage:
-    """Actor-pool stage: netpbm payloads → resized tensors + stats.
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: PNG or netpbm → uint8 tensor."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    return decode_pnm(payload)
 
-    Real decode for P5/P6; compressed formats hit the documented
+
+class DecodeImage:
+    """Actor-pool stage: image payloads → resized tensors + stats.
+
+    Real decode for netpbm P5/P6 AND non-interlaced 8-bit PNG
+    (gray/gray+alpha/RGB/RGBA, all five scanline filters — stdlib zlib);
+    other formats (JPEG, palette/16-bit/Adam7 PNG) hit the documented
     ``UnsupportedMediaError`` seam where Pillow/cv2 would plug in.
     Emits (height, width, channels, mean_intensity, thumb) with ``thumb``
     a flattened uint8 tensor of ``target_size`` for downstream models.
@@ -214,7 +223,7 @@ class DecodeImage:
                 heights.append(None); widths.append(None); chans.append(None)
                 means.append(None); thumbs.append(None)
                 continue
-            img = decode_pnm(v.as_py())
+            img = decode_image(v.as_py())
             heights.append(img.shape[0])
             widths.append(img.shape[1])
             chans.append(1 if img.ndim == 2 else img.shape[2])
@@ -229,3 +238,148 @@ class DecodeImage:
         out["mean_intensity"] = means
         out["thumb"] = thumbs
         return out.drop(columns=[self.payload_col])
+
+
+# ---------------------------------------------------------------------------
+# PNG (non-interlaced, 8-bit gray / gray+alpha / RGB / RGBA) — stdlib zlib
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w) or (h, w, channels).
+
+    Pure stdlib-zlib + numpy: supports non-interlaced 8-bit depth with
+    gray / gray+alpha / RGB / RGBA color types and all five scanline
+    filters (None/Sub/Up/Average/Paeth). Palette, 16-bit and Adam7
+    variants raise ``UnsupportedMediaError`` (the Pillow seam).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise UnsupportedMediaError(f"not a PNG (magic {payload[:4]!r})")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise UnsupportedMediaError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise UnsupportedMediaError(
+            f"unsupported PNG variant depth={depth} color={color_type} "
+            f"interlace={interlace} (needs an image library)"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise UnsupportedMediaError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-sequential
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 (h, w[, ch]) → PNG bytes with one filter type for every row
+    (test-fixture encoder; exercises the decoder's filter paths)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    arr = img.astype(np.int64)
+    stride = w * ch
+    flat = arr.reshape(h, stride)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type in (1, 3, 4):
+            enc = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if filter_type == 1:
+                    pred = left
+                elif filter_type == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                enc[x] = (cur[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported filter {filter_type}")
+        lines.append(filter_type)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )

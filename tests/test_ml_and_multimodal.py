@@ -256,3 +256,55 @@ def test_real_image_decode_pipeline():
     # compressed formats still raise at the documented seam
     with pytest.raises(UnsupportedMediaError):
         decode_pnm(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_png_decode_all_filters_and_pipeline():
+    """Pure stdlib-zlib PNG decode: roundtrip across every scanline filter
+    and channel count, plus the mixed PNG+netpbm Dataset pipeline."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from arlas_proc_ray.multimodal.codecs import (
+        DecodeImage,
+        UnsupportedMediaError,
+        decode_png,
+        encode_png,
+        encode_pnm,
+    )
+
+    rng = np.random.RandomState(4)
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4), (4, 5, 2)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for f in range(5):  # None/Sub/Up/Average/Paeth
+            got = decode_png(encode_png(img, filter_type=f))
+            np.testing.assert_array_equal(got, img)
+
+    rgb = rng.randint(0, 256, (12, 9, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (6, 6)).astype(np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": [1, 2],
+            "payload": pa.array(
+                [encode_png(rgb, filter_type=4), encode_pnm(gray)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=1,
+                     concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, ["height", "width", "channels"]].tolist() == [12, 9, 3]
+    assert out.loc[1, ["height", "width", "channels"]].tolist() == [6, 6, 1]
+    assert abs(out.loc[0, "mean_intensity"] - rgb.mean()) < 1e-9
+
+    # 16-bit depth still raises at the seam
+    bad = encode_png(rgb)
+    bad = bad.replace(b"\x08\x02\x00\x00\x00", b"\x10\x02\x00\x00\x00", 1)
+    with pytest.raises(UnsupportedMediaError):
+        decode_png(bad)
