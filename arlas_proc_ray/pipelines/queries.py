@@ -1023,6 +1023,49 @@ def q_embedding_near_dup_ivf(sf_dir: str):
     return embedding_near_duplicates_ivf(ds, threshold=0.4, n_centroids=8)
 
 
+def q_quality_filter(sf_dir: str):
+    """Curation quality gate: keep documents passing the token/punct/
+    token-length thresholds (the filter stage of pipelines/curation.py),
+    with the surviving metrics."""
+    from arlas_proc_ray.functions.text import quality_metrics
+    from arlas_proc_ray.pipelines.curation import CurationConfig, quality_filter_expr
+
+    cfg = CurationConfig(min_tokens=20, max_punct_ratio=0.05,
+                         min_mean_token_len=3.0)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = quality_filter_expr(quality_metrics(t), cfg)
+        out = out.drop_columns(["text"])
+        for c in ("punct_ratio", "mean_token_len"):
+            out = out.set_column(
+                out.schema.get_field_index(c), c, pc.round(out.column(c), 6)
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def q_curation(sf_dir: str):
+    """Full curation chain (quality → language → exact + near dedup) —
+    the flagship LLM-training-data composition; rows-only (dedup phase is
+    LSH-approximate; soundness/recall oracles live in
+    tests/test_python_oracles.py via the shared dedup machinery)."""
+    from arlas_proc_ray.pipelines.curation import CurationConfig, curate_documents
+
+    survivors, stats = curate_documents(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        CurationConfig(
+            min_tokens=5, max_punct_ratio=0.3, min_mean_token_len=2.0,
+            languages=("en", "fr", "de", "es", "unknown"),
+            jaccard_threshold=0.5, num_partitions=NP,
+        ),
+    )
+    return survivors.select_columns(
+        ["doc_id", "n_tokens", "lang_pred", "dup_cluster_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1068,6 +1111,8 @@ QUERIES = {
     "tempo_proportion_collapse": q_tempo_proportion_collapse,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    "quality_filter": q_quality_filter,
+    "curation": q_curation,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1401,7 +1446,32 @@ ORACLE_SQL = {
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
     """,
+    "quality_filter": r"""
+        WITH m AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_m,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_tokens_raw,
+                 (length(text) -
+                  length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / cast(greatest(length(text), 1) AS DOUBLE) AS pr_raw,
+                 length(regexp_replace(text, '\s+', '', 'g'))
+                   / cast(greatest(
+                       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END, 1) AS DOUBLE) AS mtl_raw
+          FROM documents)
+        SELECT doc_id, n_chars_m, n_tokens_raw AS n_tokens,
+               round(pr_raw, 6) AS punct_ratio,
+               round(mtl_raw, 6) AS mean_token_len
+        FROM m
+        WHERE n_tokens_raw BETWEEN 20 AND 1000000
+          AND pr_raw <= 0.05 AND mtl_raw >= 3.0
+    """,
     # lang_id / simhash / fingerprint / minhash_near_dup / hmm_moving_state
-    # / ann_lsh_topk / embedding_near_dup_ivf: heuristic, signature or
-    # approximate algorithms with no SQL equivalent → rows-only checks.
+    # / ann_lsh_topk / embedding_near_dup_ivf / curation: heuristic,
+    # signature or approximate algorithms with no SQL equivalent →
+    # rows-only checks (each has an independent Python oracle in
+    # tests/test_python_oracles.py).
 }

@@ -47,3 +47,41 @@ def test_dedup_documents_on_real_corpus():
     n = survivors.count()
     assert 0 < n <= stats["after_exact"] <= stats["input_docs"] == 500
     assert n == stats["after_exact"] - stats["near_dup_losers"]
+
+
+def test_curation_pipeline_end_to_end():
+    """Full curation chain on the real corpus: stage counts are monotone,
+    survivors are unique, drops are attributable to a stage, and the
+    token budget equals the survivors' token sum."""
+    import ray.data as rd
+
+    from arlas_proc_ray.pipelines.curation import CurationConfig, curate_documents
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    survivors, stats = curate_documents(
+        ds,
+        CurationConfig(
+            min_tokens=5, max_punct_ratio=0.3, min_mean_token_len=2.0,
+            languages=("en", "fr", "de", "es", "unknown"),
+            jaccard_threshold=0.5, num_partitions=4,
+        ),
+    )
+    pdf = survivors.to_pandas()
+    assert stats["input_docs"] == 500
+    assert (
+        stats["input_docs"]
+        >= stats["after_quality"]
+        >= stats["after_language"]
+        >= stats["after_exact_dedup"]
+        >= stats["surviving_docs"]
+        > 0
+    )
+    assert stats["surviving_docs"] == len(pdf)
+    assert pdf["doc_id"].is_unique
+    assert stats["surviving_tokens"] == int(pdf["n_tokens"].sum())
+    assert stats["surviving_docs"] == stats["after_exact_dedup"] - stats["near_dup_losers"]
+    # survivors carry the full per-doc annotation set
+    for col in ("n_tokens", "punct_ratio", "lang_pred", "dup_cluster_id"):
+        assert col in pdf.columns
