@@ -192,6 +192,75 @@ class StreamingCdcEngine:
         summary["routed_events"] = int(routed or 0)
         return summary
 
+    def tail(
+        self,
+        batches,
+        *,
+        epoch_every_events: int,
+        start_epoch: int | None = None,
+    ):
+        """Commit-cadence tailing: ingest an iterable of event tables,
+        committing a fenced epoch whenever ``epoch_every_events`` events
+        have been routed (plus a final flush). Yields each epoch's commit
+        summary as it happens — the long-running-tail usage the batch
+        engine's one-epoch-per-call API doesn't express.
+
+        Out-of-order arrival WITHIN an epoch window is tolerated (LSN
+        ordering at commit); events older than the last committed
+        watermark are fenced exactly once, as everywhere else.
+        """
+        dm = self.dm
+        align = make_align_fn(self.registry)
+        epoch = (
+            start_epoch
+            if start_epoch is not None
+            else (self.store.latest_committed_epoch() or 0) + 1
+        )
+        pending = 0
+
+        def route_table(batch: pa.Table) -> int:
+            if batch.num_rows == 0:
+                return 0
+            batch = align(batch)
+            batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
+            pids = partition_ids(batch, dm.key_list, dm.num_partitions)
+            import numpy as np
+
+            order = np.argsort(pids, kind="stable")
+            sorted_pids = pids[order]
+            bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(sorted_pids)]])
+            refs = []
+            for s, e in zip(starts, ends):
+                p = int(sorted_pids[s])
+                refs.append(
+                    self.actors[p].ingest.remote(batch.take(pa.array(order[s:e])))
+                )
+            ray.get(refs)
+            return batch.num_rows
+
+        def commit(ep: int) -> dict:
+            ray.get([a.commit_epoch.remote(ep) for a in self.actors])
+            return self.store.commit_epoch(ep, dm.num_partitions)
+
+        for batch in batches:
+            # a producer may hand a list of tables (e.g. mixed schema
+            # versions) — route each; alignment normalizes per table
+            parts = batch if isinstance(batch, (list, tuple)) else [batch]
+            for part in parts:
+                pending += route_table(part)
+            if pending >= epoch_every_events:
+                summary = commit(epoch)
+                summary["routed_events"] = pending
+                yield summary
+                epoch += 1
+                pending = 0
+        if pending:
+            summary = commit(epoch)
+            summary["routed_events"] = pending
+            yield summary
+
     def final_state(self, epoch: int | None = None) -> pa.Table:
         t = self.store.read_state(epoch)
         if t is None:
