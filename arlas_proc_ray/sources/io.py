@@ -26,7 +26,7 @@ _MIN_BLOCK_BYTES = 16 * 1024 * 1024  # target ≥16 MB per block
 
 
 def read_parquet(paths, *, columns: Sequence[str] | None = None, filter_expr=None,
-                 **kwargs):
+                 min_parallelism: int = 1, **kwargs):
     """Column-pruned, predicate-pushdown Parquet read.
 
     The file schema is passed explicitly with its metadata STRIPPED:
@@ -65,7 +65,10 @@ def read_parquet(paths, *, columns: Sequence[str] | None = None, filter_expr=Non
 
             if isinstance(paths, str) and os.path.isfile(paths):
                 size = os.path.getsize(paths)
-                cap = max(1, size // _MIN_BLOCK_BYTES)
+                # floor: callers feeding compute-heavy per-row stages
+                # (minhash signatures, model scoring) ask for
+                # min_parallelism so a small input still fans out
+                cap = max(int(min_parallelism), size // _MIN_BLOCK_BYTES, 1)
                 import ray
 
                 cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
