@@ -156,3 +156,28 @@ def rolling_fingerprint(text_col, window: int = 64) -> np.ndarray:
             continue
         out[i] = _all_window_hashes(t.encode("utf-8", "ignore"), window).min()
     return out
+
+
+# GPT-2-style pre-tokenizer pattern (the published openai/gpt-2 regex,
+# rewritten with explicit Latin ranges because RE2 — used by BOTH Arrow and
+# DuckDB — handles \p classes differently than Python re; with one engine
+# on both sides the counts agree exactly).
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-zÀ-ɏ]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9À-ɏ]+"
+    r"|\s+"
+)
+
+
+def regex_token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer regex, fully vectorized in Arrow (RE2); null text → 0.
+
+    Complements the whitespace ``token_count_column`` — the two bracket a
+    corpus' token budget (whitespace undercounts punctuation-heavy text,
+    the pre-tokenizer count tracks BPE vocab consumption closely).
+    """
+    counts = pc.count_substring_regex(text, BPE_ISH_PATTERN)
+    return pc.cast(pc.fill_null(counts, 0), pa.int64())

@@ -1068,6 +1068,24 @@ def q_curation(sf_dir: str):
     )
 
 
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish (GPT-2 pre-tokenizer regex) token counts per document —
+    the second token-budget estimator next to whitespace token_count."""
+    from arlas_proc_ray.functions.text import regex_token_count
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bpe_tokens": regex_token_count(t.column("text")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1115,6 +1133,7 @@ QUERIES = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "quality_filter": q_quality_filter,
     "curation": q_curation,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1447,6 +1466,14 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+    """,
+    "bpe_token_count": r"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(text,
+                      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏ]+|\s+'''))
+               END AS bpe_tokens
+        FROM documents
     """,
     "quality_filter": r"""
         WITH m AS (
