@@ -126,3 +126,57 @@ def test_scylla_token_range_source():
 
     with pytest.raises(ValueError):
         read_from_scylla("no_dot", session_factory=factory)
+
+
+def test_full_publish_flow_scylla_to_elasticsearch():
+    """The reference's end-to-end shape: read from Scylla → keyed
+    transform → asArlasEsData projection → indexed write — all through
+    the injectable connectors."""
+    import numpy as np
+    import pyarrow as pa
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+    from arlas_proc_ray.stages.rowwise import as_es_data
+
+    rng = np.random.RandomState(5)
+    table = pd.DataFrame(
+        {
+            "pk": [f"obj{i%20}#{i}" for i in range(400)],
+            "obj": [f"obj{i%20}" for i in range(400)],
+            "seq": list(range(400)),
+            "lat": rng.uniform(-60, 60, 400).round(4),
+            "lon": rng.uniform(-180, 180, 400).round(4),
+            "arlas_timestamp": 1_700_000_000 + np.arange(400) * 60,
+        }
+    )
+    factory = fake_session_factory({"ks.tracks": table}, {"ks.tracks": "pk"})
+    ds = read_from_scylla("ks.tracks", session_factory=factory, parallelism=4)
+
+    def with_speedish(pdf):
+        pdf["dt"] = pdf.groupby("obj", sort=False)["arlas_timestamp"].diff()
+        return pdf
+
+    transformed = keyed_partition_map(
+        ds, keys=["obj"], order_col="seq", fn=with_speedish, num_partitions=4
+    ).map_batches(
+        lambda t: as_es_data(
+            t, lat_col="lat", lon_col="lon", id_col="obj",
+            ts_col="arlas_timestamp",
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    es = MockElasticsearch.remote()
+    out = write_to_elasticsearch(
+        transformed,
+        "arlas_tracks",
+        id_col="arlas_id",
+        transport_factory=lambda: ActorTransport(es),
+    )
+    assert out == {"indexed": 400, "rejected": 0}
+    docs = ray.get(es.search_all.remote())
+    assert len(docs) == 400
+    sample = docs[0]["_source"]
+    assert "arlas_geo_point" in sample and "," in sample["arlas_geo_point"]
+    assert "#" in docs[0]["_id"]
