@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the hot-path kernels.
+
+These pin the ALGEBRAIC properties the distributed designs rely on:
+LWW associativity (the pre-shuffle combiner's correctness condition),
+rolling-hash prefix/Horner equivalence, quantize/searchsorted bounds,
+partition-id stability, and salted-aggregation invariance.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arlas_proc_ray.cdc.replay import lww_reduce_table
+from arlas_proc_ray.functions.hashing import partition_ids
+from arlas_proc_ray.functions.text import _all_window_hashes
+
+
+def _events_table(rows):
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "lsn": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+event_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(0, 1000),
+        st.integers(0, 10),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _canon(t: pa.Table) -> list:
+    rows = sorted(zip(*(t.column(c).to_pylist() for c in ("k", "lsn", "v"))))
+    return rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(event_lists, st.integers(0, 39))
+def test_lww_combiner_is_associative(rows, split):
+    """combine(combine(A) ∪ combine(B)) == combine(A ∪ B) for ANY split —
+    the exact property that makes the pre-shuffle combiner correct.
+    Ties on (key, lsn) are broken by later physical row, so the property
+    requires unique (key, lsn) pairs per stream (guaranteed by LSN
+    uniqueness in the real changelog)."""
+    seen = set()
+    uniq = []
+    for r in rows:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            uniq.append(r)
+    rows = uniq
+    split = min(split, len(rows))
+    whole = lww_reduce_table(_events_table(rows), ["k"], "lsn")
+    a = lww_reduce_table(_events_table(rows[:split]), ["k"], "lsn")
+    b = lww_reduce_table(_events_table(rows[split:]), ["k"], "lsn")
+    partial = lww_reduce_table(
+        pa.concat_tables([a, b]) if a.num_rows + b.num_rows else a, ["k"], "lsn"
+    )
+    assert _canon(whole) == _canon(partial)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200), st.integers(1, 16))
+def test_rolling_hash_equals_horner(data, w):
+    """The vectorized inverse-power prefix-sum Karp-Rabin equals the
+    textbook Horner evaluation on every window."""
+    if len(data) == 0:
+        return
+    got = _all_window_hashes(data, w)
+    wz = min(w, len(data))
+    B, MASK = 0x100000001B3, (1 << 64) - 1
+    for j in range(len(data) - wz + 1):
+        h = 0
+        for i in range(wz):
+            h = (h * B + data[j + i]) & MASK
+        assert int(got[j]) == h
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=50),
+)
+def test_quantize_bounds_and_monotonicity(values):
+    from arlas_proc_ray.stages.ml import HmmModel, STILLMOVE_MODEL_JSON
+
+    m = HmmModel.from_json(STILLMOVE_MODEL_JSON)
+    bins = m.quantize(np.asarray(values, np.float64))
+    n_bins = m.log_emit.shape[1]
+    assert ((bins >= 0) & (bins < n_bins)).all()
+    order = np.argsort(values, kind="stable")
+    assert (np.diff(bins[order]) >= 0).all()  # monotone in the observation
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=30),
+    st.integers(1, 64),
+)
+def test_partition_ids_stable_and_bounded(keys, P):
+    t = pa.table({"k": pa.array(keys, pa.string())})
+    p1 = partition_ids(t, ["k"], P)
+    p2 = partition_ids(t, ["k"], P)
+    assert (p1 == p2).all()
+    assert ((p1 >= 0) & (p1 < P)).all()
+    # equal keys land in equal partitions
+    df = pd.DataFrame({"k": keys, "p": p1})
+    assert (df.groupby("k")["p"].nunique() == 1).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 6),
+)
+def test_salted_partials_merge_to_exact_counts(rows, salt):
+    """Splitting a key's rows across ANY salt assignment and re-merging
+    partial counts gives the exact per-key count (the salted_aggregate
+    correctness condition for count-like partials)."""
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    rng = np.random.RandomState(0)
+    salts = rng.randint(0, salt, len(df))
+    partials = (
+        df.assign(s=salts).groupby(["k", "s"]).size().reset_index(name="n")
+    )
+    merged = partials.groupby("k")["n"].sum()
+    exact = df.groupby("k").size()
+    pd.testing.assert_series_equal(
+        merged.sort_index(), exact.sort_index(), check_names=False
+    )
