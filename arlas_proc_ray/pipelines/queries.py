@@ -1092,6 +1092,30 @@ def q_bpe_token_count(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_asof_purchase(sf_dir: str):
+    """As-of join: every non-purchase event gains the user's most recent
+    STRICTLY-earlier purchase (id + value); null when none. One hash
+    co-partition of both sides + vectorized merge_asof per partition."""
+    from arlas_proc_ray.stages.joins import asof_join
+
+    left = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type != 'purchase'"
+    )
+    right = _events(sf_dir, columns=["event_id", "user_id", "ts", "value", "event_type"]).filter(
+        expr="event_type == 'purchase'"
+    ).drop_columns(["event_type"])
+    out = asof_join(
+        left,
+        right,
+        by=["user_id"],
+        on="ts",
+        right_cols=["event_id", "value"],
+        suffix="_purchase",
+        num_partitions=NP,
+    )
+    return out.drop_columns(["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1140,6 +1164,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "curation": q_curation,
     "bpe_token_count": q_bpe_token_count,
+    "asof_purchase": q_asof_purchase,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1472,6 +1497,16 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+    """,
+    "asof_purchase": """
+        SELECT a.event_id, a.user_id, a.ts,
+               b.event_id AS event_id_purchase,
+               b.value AS value_purchase
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type <> 'purchase') a
+        ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND a.ts > b.ts
     """,
     "bpe_token_count": r"""
         SELECT doc_id,

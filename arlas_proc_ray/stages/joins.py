@@ -1,0 +1,136 @@
+"""Distributed as-of join — the temporal join Ray Data lacks.
+
+``asof_join(left, right, by=..., on=...)`` attaches, to every left row,
+the LAST right row of the same ``by`` key whose ``on`` value is strictly
+(or non-strictly) earlier — the enrich-with-most-recent-state pattern
+(quote-to-trade, event-to-last-purchase, telemetry-to-last-config).
+
+Scale shape: ONE hash co-partition of both sides on ``by`` (the union
+trick: both sides tagged and exchanged together), then a vectorized
+``pd.merge_asof`` per partition — every key's rows co-locate, the merge
+runs across all keys of the partition at once, and nothing is broadcast
+or driver-resident. The partitioning assumption is the standard one:
+one key's rows fit one partition.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+
+def _side_rows(batch: pa.Table, schema: pa.Schema, kind: int) -> pa.Table:
+    n = batch.num_rows
+    cols = []
+    for f in schema:
+        if f.name in batch.column_names:
+            cols.append(pa.compute.cast(batch.column(f.name), f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    names = [f.name for f in schema] + ["_side"]
+    cols.append(pa.array(np.full(n, kind, dtype=np.int8)))
+    return pa.table(dict(zip(names, cols)))
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    by: Sequence[str],
+    on: str,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+    direction: str = "backward",
+    allow_exact_matches: bool = False,
+    num_partitions: int = 16,
+):
+    """Left as-of join (left keeps every row; matched right cols appended
+    as ``<col><suffix>``, null where no match).
+
+    ``direction='backward'`` + ``allow_exact_matches=False`` matches the
+    SQL ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on > r.on`` semantics.
+    """
+    by = list(by)
+    right_cols = [c for c in right_cols if c not in by and c != on]
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    l_fields = [f for f in l_schema]
+    r_fields = [
+        r_schema.field(c) for c in right_cols
+    ]
+    # union superset schema: all left fields + right payload fields
+    # (renamed with the suffix so they never collide)
+    union_fields = list(l_fields) + [
+        pa.field(f.name + suffix, f.type) for f in r_fields
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        return _side_rows(batch, union_schema, 0)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.select(by + [on] + right_cols)
+        batch = batch.rename_columns(
+            by + [on] + [c + suffix for c in right_cols]
+        )
+        return _side_rows(batch, union_schema, 1)
+
+    union = left_ds.map_batches(
+        left_rows, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(right_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    out_right = [c + suffix for c in right_cols]
+    left_out = [f.name for f in l_fields]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_r = pdf["_side"].to_numpy() == 1
+        left = (
+            pdf.loc[~is_r, left_out]
+            .sort_values(on, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        right = (
+            pdf.loc[is_r, by + [on] + out_right]
+            .sort_values(on, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if left.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=pdf[c].dtype) for c in left_out + out_right}
+            )
+        if right.empty:
+            out = left.copy()
+            for c in out_right:
+                out[c] = pd.Series([None] * len(out), dtype=pdf[c].dtype)
+            return out
+        return pd.merge_asof(
+            left,
+            right,
+            by=by,
+            on=on,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+
+    return keyed_partition_map(
+        union, keys=by, order_col=on, fn=merge, num_partitions=num_partitions
+    )
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    sch = ds.schema()
+    fields = []
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            npt = np.dtype(typ)
+            typ = pa.string() if npt == np.dtype("O") else pa.from_numpy_dtype(npt)
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)

@@ -232,3 +232,67 @@ def test_moving_fragment_sample_summarizer():
     assert bool(merged["tempo_is_multi"]) is True  # both > 0.1
     still = out[out["sample_id"] == "s2"].iloc[0]
     assert still["moving_state"] == "STILL" and still["duration_s"] == 5.0
+
+
+def test_asof_join_directions_and_empties():
+    from arlas_proc_ray.stages.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c"],
+            "t": [10, 20, 30, 15, 5],
+            "x": [1, 2, 3, 4, 5],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "t": [10, 25, 40],
+            "y": [100, 200, 300],
+        }
+    )
+
+    # backward, strict (SQL ASOF l.t > r.t)
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by=["k"], on="t", right_cols=["y"], num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert out["y_right"].tolist()[0:3] == [None, 100, 200] or [
+        v if pd.notna(v) else None for v in out["y_right"][0:3]
+    ] == [None, 100.0, 200.0]
+    # b@15: right b@40 is later -> null; c has no right rows -> null
+    assert pd.isna(out.loc[out["k"] == "b", "y_right"]).all()
+    assert pd.isna(out.loc[out["k"] == "c", "y_right"]).all()
+    assert len(out) == len(left)  # left join keeps every row
+
+    # non-strict: t=10 matches the t=10 right row
+    out2 = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by=["k"], on="t", right_cols=["y"], allow_exact_matches=True,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    a_rows = out2[out2["k"] == "a"]["y_right"].tolist()
+    assert a_rows[0] == 100.0
+
+    # forward direction: first right row at-or-after
+    out3 = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by=["k"], on="t", right_cols=["y"], direction="forward",
+            allow_exact_matches=True, num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert out3[out3["k"] == "b"]["y_right"].tolist() == [300.0]
