@@ -1116,6 +1116,37 @@ def q_asof_purchase(sf_dir: str):
     return out.drop_columns(["event_type"])
 
 
+def q_interval_join_error_span(sf_dir: str):
+    """Keyed range join: view events falling inside the user's error
+    span ([min, max] ts of that user's error events) — one co-partition
+    exchange, vectorized containment per partition."""
+    from arlas_proc_ray.stages.joins import interval_join
+
+    views = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'view'"
+    ).drop_columns(["event_type"])
+    errors = _events(sf_dir, columns=["user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'error'"
+    )
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", as_index=False)["ts"]
+        return g.agg(span_start="min", span_end="max")
+
+    spans = keyed_partition_map(
+        errors, keys=["user_id"], order_col="ts", fn=span, num_partitions=NP
+    )
+    return interval_join(
+        views,
+        spans,
+        by=["user_id"],
+        left_point="ts",
+        right_start="span_start",
+        right_end="span_end",
+        num_partitions=NP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1165,6 +1196,7 @@ QUERIES = {
     "curation": q_curation,
     "bpe_token_count": q_bpe_token_count,
     "asof_purchase": q_asof_purchase,
+    "interval_join_error_span": q_interval_join_error_span,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1497,6 +1529,17 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+    """,
+    "interval_join_error_span": """
+        WITH spans AS (
+          SELECT user_id, min(ts) AS span_start, max(ts) AS span_end
+          FROM events WHERE event_type = 'error' GROUP BY user_id)
+        SELECT v.event_id, v.user_id, v.ts,
+               s.span_start AS span_start_right, s.span_end AS span_end_right
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view') v
+        JOIN spans s ON v.user_id = s.user_id
+         AND v.ts BETWEEN s.span_start AND s.span_end
     """,
     "asof_purchase": """
         SELECT a.event_id, a.user_id, a.ts,

@@ -134,3 +134,81 @@ def _arrow_schema(ds) -> pa.Schema:
             typ = pa.string() if npt == np.dtype("O") else pa.from_numpy_dtype(npt)
         fields.append(pa.field(name, typ))
     return pa.schema(fields)
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    *,
+    by: Sequence[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    right_cols: Sequence[str] = (),
+    suffix: str = "_right",
+    num_partitions: int = 16,
+):
+    """Keyed range join: left rows paired with every right interval of the
+    same ``by`` key containing ``left_point`` (inclusive bounds).
+
+    Same one-exchange co-partition shape as ``asof_join``; inside the
+    partition the containment test is a key-equi merge followed by a
+    vectorized between-filter — worst case Σ|L_k|·|R_k| intermediate rows
+    per key, which is the inherent output bound of a range join (document
+    the per-key interval cardinality assumption when using it).
+    """
+    by = list(by)
+    right_payload = [c for c in right_cols if c not in by]
+    for c in (right_start, right_end):
+        if c not in right_payload:
+            right_payload.append(c)
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    union_fields = [f for f in l_schema] + [
+        pa.field(r_schema.field(c).name + suffix, r_schema.field(c).type)
+        for c in right_payload
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        return _side_rows(batch, union_schema, 0)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.select(by + right_payload)
+        batch = batch.rename_columns(by + [c + suffix for c in right_payload])
+        return _side_rows(batch, union_schema, 1)
+
+    union = left_ds.map_batches(
+        left_rows, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(right_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    left_out = [f.name for f in l_schema]
+    out_right = [c + suffix for c in right_payload]
+    s_col, e_col = right_start + suffix, right_end + suffix
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_r = pdf["_side"].to_numpy() == 1
+        left = pdf.loc[~is_r, left_out]
+        right = pdf.loc[is_r, by + out_right]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=pdf[c].dtype) for c in left_out + out_right}
+            )
+        joined = left.merge(right, on=by, how="inner")
+        keep = (joined[left_point] >= joined[s_col]) & (
+            joined[left_point] <= joined[e_col]
+        )
+        out = joined.loc[keep].reset_index(drop=True)
+        if out.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=pdf[c].dtype) for c in left_out + out_right}
+            )
+        return out
+
+    return keyed_partition_map(
+        union, keys=by, order_col=left_point, fn=merge,
+        num_partitions=num_partitions,
+    )
