@@ -89,11 +89,13 @@ def asof_join(
 
     out_right = [c + suffix for c in right_cols]
     left_out = [f.name for f in l_fields]
+    left_restore = _restore_dtypes(l_fields)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         is_r = pdf["_side"].to_numpy() == 1
         left = (
             pdf.loc[~is_r, left_out]
+            .astype(left_restore)  # union NaN-fill upcast ints → undo
             .sort_values(on, kind="mergesort")
             .reset_index(drop=True)
         )
@@ -104,7 +106,10 @@ def asof_join(
         )
         if left.empty:
             return pd.DataFrame(
-                {c: pd.Series([], dtype=pdf[c].dtype) for c in left_out + out_right}
+                {
+                    c: pd.Series([], dtype=left_restore.get(c, pdf[c].dtype))
+                    for c in left_out + out_right
+                }
             )
         if right.empty:
             out = left.copy()
@@ -123,6 +128,18 @@ def asof_join(
     return keyed_partition_map(
         union, keys=by, order_col=on, fn=merge, num_partitions=num_partitions
     )
+
+
+def _restore_dtypes(fields) -> dict:
+    """Pandas dtypes to cast a side's own rows back to after the union
+    frame upcast them (NULL fill for the other side makes ints float)."""
+    out = {}
+    for f in fields:
+        if pa.types.is_integer(f.type):
+            out[f.name] = "int64"
+        elif pa.types.is_boolean(f.type):
+            out[f.name] = "bool"
+    return out
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -189,13 +206,18 @@ def interval_join(
     out_right = [c + suffix for c in right_payload]
     s_col, e_col = right_start + suffix, right_end + suffix
 
+    left_restore = _restore_dtypes([f for f in l_schema])
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         is_r = pdf["_side"].to_numpy() == 1
-        left = pdf.loc[~is_r, left_out]
+        left = pdf.loc[~is_r, left_out].astype(left_restore)
         right = pdf.loc[is_r, by + out_right]
         if left.empty or right.empty:
             return pd.DataFrame(
-                {c: pd.Series([], dtype=pdf[c].dtype) for c in left_out + out_right}
+                {
+                    c: pd.Series([], dtype=left_restore.get(c, pdf[c].dtype))
+                    for c in left_out + out_right
+                }
             )
         joined = left.merge(right, on=by, how="inner")
         keep = (joined[left_point] >= joined[s_col]) & (
@@ -204,7 +226,10 @@ def interval_join(
         out = joined.loc[keep].reset_index(drop=True)
         if out.empty:
             return pd.DataFrame(
-                {c: pd.Series([], dtype=pdf[c].dtype) for c in left_out + out_right}
+                {
+                    c: pd.Series([], dtype=left_restore.get(c, pdf[c].dtype))
+                    for c in left_out + out_right
+                }
             )
         return out
 
