@@ -1147,6 +1147,57 @@ def q_interval_join_error_span(sf_dir: str):
     )
 
 
+def q_tumbling_daily_value(sf_dir: str):
+    """Tumbling 1-day windows per user: event count + exact-cents value
+    sum (the windowed-aggregate operator, keyed)."""
+    from arlas_proc_ray.stages.windows import tumbling_window_agg
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("_cents", c)
+
+    out = tumbling_window_agg(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        keys=["user_id"],
+        ts_col="ts",
+        width_s=86_400,
+        agg={"n_events": ("event_id", "count"), "_c": ("_cents", "sum")},
+        num_partitions=NP,
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["n_events"] = pdf["n_events"].astype("int64")
+        pdf["value_sum"] = pdf["_c"] / 100.0
+        return pdf[["user_id", "window_start", "n_events", "value_sum"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Sliding 2-day windows hopping daily, per user (hopping-window
+    aggregate; each event feeds 2 windows via a vectorized repeat)."""
+    from arlas_proc_ray.stages.windows import sliding_window_agg
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    out = sliding_window_agg(
+        ds,
+        keys=["user_id"],
+        ts_col="ts",
+        width_s=2 * 86_400,
+        slide_s=86_400,
+        agg={"n_events": ("event_id", "count")},
+        num_partitions=NP,
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["n_events"] = pdf["n_events"].astype("int64")
+        return pdf[["user_id", "window_start", "n_events"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1197,6 +1248,8 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "asof_purchase": q_asof_purchase,
     "interval_join_error_span": q_interval_join_error_span,
+    "tumbling_daily_value": q_tumbling_daily_value,
+    "sliding_window_counts": q_sliding_window_counts,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1529,6 +1582,25 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+    """,
+    "tumbling_daily_value": """
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+                 AS window_start,
+               count(*) AS n_events,
+               sum(cast(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+        FROM events
+        GROUP BY user_id, window_start
+    """,
+    "sliding_window_counts": """
+        SELECT user_id, make_timestamp(w) AS window_start,
+               count(*) AS n_events
+        FROM (SELECT user_id,
+                     ((epoch_us(ts) // 86400000000) - o.k) * 86400000000 AS w,
+                     epoch_us(ts) AS t
+              FROM events, (VALUES (0), (1)) AS o(k))
+        WHERE t < w + 172800000000 AND t >= w
+        GROUP BY user_id, w
     """,
     "interval_join_error_span": """
         WITH spans AS (

@@ -254,3 +254,34 @@ def test_as_es_data_projection():
     ).to_pandas()
     assert out["arlas_geo_point"][0] == "1.5,-3.25"
     assert out["arlas_id"][0] == "a#1700000000"
+
+
+def test_sliding_window_membership():
+    """Each row lands in exactly ceil(width/slide) windows and every
+    window covering its timestamp (unit semantics of the hop explode)."""
+    import pandas as pd
+
+    from arlas_proc_ray.stages.windows import sliding_window_agg
+
+    ts = pd.to_datetime(
+        ["1970-01-01 00:00:05", "1970-01-01 00:00:14", "1970-01-01 00:00:29"]
+    )
+    df = pd.DataFrame({"k": ["a", "a", "a"], "id": [1, 2, 3], "ts": ts})
+    out = (
+        sliding_window_agg(
+            rd.from_pandas(df), keys=["k"], ts_col="ts",
+            width_s=20, slide_s=10,
+            agg={"n": ("id", "count")},
+            num_partitions=1,
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # windows: [-10,10): {5}; [0,20): {5,14}; [10,30): {14,29}; [20,40): {29}
+    starts = (
+        out["window_start"].astype("datetime64[us]").astype("int64")
+        // 1_000_000
+    ).tolist()
+    assert starts == [-10, 0, 10, 20]
+    assert out["n"].tolist() == [1, 2, 2, 1]
