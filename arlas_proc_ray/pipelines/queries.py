@@ -1198,6 +1198,44 @@ def q_sliding_window_counts(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_global_range_join(sf_dir: str):
+    """UN-KEYED range join: every event paired with every event-type value
+    band ([min,max] of that type's values) containing its value — range
+    partitioning on the point domain, intervals replicated per bucket."""
+    from arlas_proc_ray.stages.joins import interval_join_global
+
+    events = _events(sf_dir, columns=["event_id", "value"])
+    typed = _events(sf_dir, columns=["event_type", "value"])
+
+    def band(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("event_type", as_index=False)["value"]
+        return g.agg(band_lo="min", band_hi="max")
+
+    bands = keyed_partition_map(
+        typed, keys=["event_type"], order_col="value", fn=band,
+        num_partitions=4,
+    ).map_batches(
+        lambda p: p.rename(columns={"event_type": "band_type"}),
+        batch_format="pandas",
+    )
+    out = interval_join_global(
+        events,
+        bands,
+        left_point="value",
+        right_start="band_lo",
+        right_end="band_hi",
+        right_cols=["band_type"],
+        num_partitions=NP,
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["event_id", "value", "band_type_right"]].rename(
+            columns={"band_type_right": "band_type"}
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1250,6 +1288,7 @@ QUERIES = {
     "interval_join_error_span": q_interval_join_error_span,
     "tumbling_daily_value": q_tumbling_daily_value,
     "sliding_window_counts": q_sliding_window_counts,
+    "global_range_join": q_global_range_join,
 }
 
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
@@ -1582,6 +1621,15 @@ ORACLE_SQL = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+    """,
+    "global_range_join": """
+        WITH bands AS (
+          SELECT event_type AS band_type, min(value) AS band_lo,
+                 max(value) AS band_hi
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.value, b.band_type
+        FROM events e JOIN bands b
+          ON e.value BETWEEN b.band_lo AND b.band_hi
     """,
     "tumbling_daily_value": """
         SELECT user_id,

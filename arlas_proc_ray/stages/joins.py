@@ -237,3 +237,114 @@ def interval_join(
         union, keys=by, order_col=left_point, fn=merge,
         num_partitions=num_partitions,
     )
+
+
+def interval_join_global(
+    left_ds,
+    right_ds,
+    *,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    right_cols: Sequence[str] = (),
+    suffix: str = "_right",
+    num_partitions: int = 16,
+    sample_rows: int = 20_000,
+):
+    """UN-KEYED range join at scale: range-partition the POINT domain.
+
+    With no equi-key to hash on, the exchange partitions by VALUE range:
+    point rows land in the bucket containing their point (quantile bounds
+    from a bounded driver-side sample, like the IVF trainer); interval
+    rows are REPLICATED into every bucket they overlap. A (point,
+    interval) match is found in exactly one bucket — the point's — so no
+    global dedup is needed. Replication cost is Σ intervals × buckets
+    they span; wide intervals are the skew knob (same trade as every
+    distributed band join).
+    """
+    import ray.data as rd
+
+    right_payload = [c for c in right_cols]
+    for c in (right_start, right_end):
+        if c not in right_payload:
+            right_payload.append(c)
+
+    # quantile bounds from a bounded sample (never the whole column)
+    sample = left_ds.limit(sample_rows).to_pandas()[left_point].to_numpy()
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    bounds = np.unique(np.quantile(sample, qs)) if len(sample) else np.array([])
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    union_fields = [f for f in l_schema] + [
+        pa.field(r_schema.field(c).name + suffix, r_schema.field(c).type)
+        for c in right_payload
+    ]
+    union_schema = pa.schema(union_fields)
+    left_out = [f.name for f in l_schema]
+    out_right = [c + suffix for c in right_payload]
+    s_col, e_col = right_start + suffix, right_end + suffix
+    left_restore = _restore_dtypes([f for f in l_schema])
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        t = _side_rows(batch, union_schema, 0)
+        pts = batch.column(left_point).to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(bounds, pts, side="right").astype(np.int32)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def iv_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.select(right_payload)
+        batch = batch.rename_columns([c + suffix for c in right_payload])
+        t = _side_rows(batch, union_schema, 1)
+        lo = batch.column(s_col).to_numpy(zero_copy_only=False)
+        hi = batch.column(e_col).to_numpy(zero_copy_only=False)
+        b_lo = np.searchsorted(bounds, lo, side="right").astype(np.int32)
+        b_hi = np.searchsorted(bounds, hi, side="right").astype(np.int32)
+        span = b_hi - b_lo + 1
+        idx = np.repeat(np.arange(len(lo)), span)
+        offs = np.concatenate([np.arange(s) for s in span]) if len(span) else np.array([], np.int64)
+        bucket = (b_lo[idx] + offs).astype(np.int32)
+        return t.take(pa.array(idx)).append_column("_bucket", pa.array(bucket))
+
+    union = left_ds.map_batches(
+        point_rows, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(iv_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    def _typed_empty(pdf):
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype=left_restore.get(c, pdf[c].dtype))
+                for c in left_out + out_right
+            }
+        )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # several value-buckets can hash into one partition; an interval
+        # replicated into k of them appears k times here — the cross join
+        # must run PER bucket, where each copy appears exactly once and
+        # each point lives in exactly one bucket
+        outs = []
+        for _, grp in pdf.groupby("_bucket", sort=False):
+            is_r = grp["_side"].to_numpy() == 1
+            left = grp.loc[~is_r, left_out].astype(left_restore)
+            right = grp.loc[is_r, out_right]
+            if left.empty or right.empty:
+                continue
+            joined = left.assign(_x=1).merge(right.assign(_x=1), on="_x").drop(
+                columns=["_x"]
+            )
+            keep = (joined[left_point] >= joined[s_col]) & (
+                joined[left_point] <= joined[e_col]
+            )
+            if keep.any():
+                outs.append(joined.loc[keep])
+        if not outs:
+            return _typed_empty(pdf)
+        return pd.concat(outs, ignore_index=True)
+
+    return keyed_partition_map(
+        union, keys=["_bucket"], order_col=left_point, fn=merge,
+        num_partitions=num_partitions,
+    )
