@@ -140,3 +140,49 @@ def test_salted_partials_merge_to_exact_counts(rows, salt):
     pd.testing.assert_series_equal(
         merged.sort_index(), exact.sort_index(), check_names=False
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.lists(st.integers(1, 799), min_size=1, max_size=4),
+    st.booleans(),
+)
+def test_cdc_exactly_once_under_random_epoch_splits(seed, cuts, redeliver):
+    """END-TO-END property: for ANY way of cutting the changelog into
+    epochs — with or without full redelivery of every prior epoch — the
+    engine's final state equals the pure-Python oracle's full replay."""
+    import ray.data as rd
+    import tempfile
+
+    from arlas_proc_ray.cdc import (
+        ChangelogConfig,
+        CdcEngine,
+        generate_changelog_tables,
+        oracle_final_state,
+    )
+    from arlas_proc_ray.model import DataModel
+
+    cfg = ChangelogConfig(num_events=800, num_keys=120, seed=seed % 100_000,
+                          delete_prob=0.2)
+    bounds = sorted({min(c, cfg.num_events) for c in cuts} | {cfg.num_events})
+    exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+
+    with tempfile.TemporaryDirectory() as d:
+        eng = CdcEngine(d, DataModel(num_partitions=4))
+        lo = 0
+        for e, hi in enumerate(bounds, start=1):
+            start = 0 if redeliver else lo  # at-least-once: resend history
+            if hi <= lo and not redeliver:
+                continue
+            eng.apply_epoch(
+                rd.from_arrow(generate_changelog_tables(cfg, start, hi)), e
+            )
+            lo = hi
+        got = (
+            eng.final_state()
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)[list(exp.columns)]
+        )
+    pd.testing.assert_frame_equal(got, exp)
