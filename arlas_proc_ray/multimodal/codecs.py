@@ -307,7 +307,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up — fully vectorized
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-sequential
+        elif ftype == 1:  # Sub — per-channel-lane prefix sum (vectorized)
+            lanes = line.reshape(w, ch)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
+        elif ftype in (3, 4):  # Average/Paeth: left-sequential
             cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 left = cur[x - ch] if x >= ch else 0
