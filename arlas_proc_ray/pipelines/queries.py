@@ -89,8 +89,9 @@ def q_cdc_lww_upsert(sf_dir: str):
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop_duplicates(subset=["_k"], keep="last")
         pdf = pdf[pdf["value"] >= 0.05]
-        import hashlib
-
+        digests = sha256_hex(
+            pa.Array.from_pandas(pdf["props"], type=pa.string())
+        )
         out = pd.DataFrame(
             {
                 "user_id": pdf["user_id"].values,
@@ -98,10 +99,7 @@ def q_cdc_lww_upsert(sf_dir: str):
                 "last_event_id": pdf["event_id"].values,
                 "last_ts": pdf["ts"].values,
                 "last_value": pdf["value"].values,
-                "props_sha256": [
-                    hashlib.sha256(p.encode()).hexdigest() if p is not None else None
-                    for p in pdf["props"]
-                ],
+                "props_sha256": digests.to_numpy(zero_copy_only=False),
             }
         )
         return out
@@ -1236,11 +1234,67 @@ def q_global_range_join(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_nul_key_segments(sf_dir: str):
+    """Keyed segment/aggregate over keys with EMBEDDED NUL BYTES.
+
+    Regression fixture for the round-2 finding: pandas' object-string
+    hashtable merges keys differing only by NUL bytes while
+    ``partition_ids`` / Arrow / DuckDB keep them apart. The derived key
+    ``'u' + NUL + str(user_id % 50)`` forces every group key (and the
+    derived segment id embedded in the output) through the byte-exact
+    grouping path (stages/keyed.py byte_exact_group_cols).
+    """
+    from arlas_proc_ray.stages.keyed import key_as_str
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+
+    def add_k(t: pa.Table) -> pa.Table:
+        mod = pc.cast(
+            pc.subtract(
+                t.column("user_id"),
+                pc.multiply(pc.divide(t.column("user_id"), 50), 50),
+            ),
+            pa.string(),
+        )
+        n = t.num_rows
+        k = pc.binary_join_element_wise(
+            pa.array(["u"] * n, pa.string()), mod, "\x00"
+        )
+        return t.append_column("k", k).replace_schema_metadata(None)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("k", sort=False)
+        chg = (pdf["event_type"] != g["event_type"].shift(1)) & (
+            g.cumcount() > 0
+        )
+        pdf = pdf.assign(_chg=chg.astype("int64"))
+        out = pdf.groupby("k", as_index=False, sort=False).agg(
+            n_events=("event_id", "size"),
+            first_event_id=("event_id", "first"),
+            last_event_id=("event_id", "last"),
+            n_segments=("_chg", "sum"),
+        )
+        out["n_segments"] = out["n_segments"] + 1
+        out["first_seg_id"] = (
+            key_as_str(out["k"]) + "#" + out["first_event_id"].astype(str)
+        )
+        return out
+
+    return keyed_partition_map(
+        ds.map_batches(add_k, batch_format="pyarrow"),
+        keys=["k"],
+        order_col="event_id",
+        fn=fn,
+        num_partitions=NP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "nul_key_segments": q_nul_key_segments,
     "cdc_lww_upsert": q_cdc_lww_upsert,
     "dedup_first_per_key": q_dedup_first_per_key,
     "gap_state": q_gap_state,
@@ -1701,6 +1755,26 @@ ORACLE_SQL = {
         FROM m
         WHERE n_tokens_raw BETWEEN 20 AND 1000000
           AND pr_raw <= 0.05 AND mtl_raw >= 3.0
+    """,
+    "nul_key_segments": """
+        WITH e AS (
+          SELECT 'u' || chr(0) || cast(user_id % 50 AS VARCHAR) AS k,
+                 event_id, event_type
+          FROM events),
+        w AS (
+          SELECT *,
+                 CASE WHEN lag(event_type) OVER
+                          (PARTITION BY k ORDER BY event_id) IS NOT NULL
+                       AND lag(event_type) OVER
+                          (PARTITION BY k ORDER BY event_id)
+                          IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM e)
+        SELECT k, count(*) AS n_events, min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               cast(sum(chg) + 1 AS BIGINT) AS n_segments,
+               k || '#' || cast(min(event_id) AS VARCHAR) AS first_seg_id
+        FROM w GROUP BY k
     """,
     # lang_id / simhash / fingerprint / minhash_near_dup / hmm_moving_state
     # / ann_lsh_topk / embedding_near_dup_ivf / curation: heuristic,

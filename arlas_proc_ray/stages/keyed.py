@@ -35,6 +35,40 @@ from arlas_proc_ray.model import DataModel
 
 PART_COL = DataModel.PARTITION_COL
 
+_ARROW_STR = pd.ArrowDtype(pa.string())
+
+
+def byte_exact_group_cols(pdf: pd.DataFrame, cols: Sequence[str]) -> pd.DataFrame:
+    """Make string grouping columns byte-exact for pandas groupby.
+
+    pandas' object-dtype string factorization (StringHashTable) hashes with
+    C-string semantics and MERGES keys that differ only by NUL bytes
+    (``''`` vs ``'\\x00'``), which disagrees with ``partition_ids`` /
+    Arrow / DuckDB byte-exact equality. Arrow-backed string columns
+    factorize through ``pa.compute.dictionary_encode`` (byte-exact), so
+    object string key columns are converted in place before any partition
+    fn runs its ``pdf.groupby(keys)``.
+    """
+    for k in cols:
+        s = pdf[k]
+        if s.dtype == object and pd.api.types.infer_dtype(s, skipna=True) in (
+            "string",
+            "empty",
+        ):
+            pdf[k] = s.astype(_ARROW_STR)
+    return pdf
+
+
+def key_as_str(s: pd.Series) -> pd.Series:
+    """Coerce a key column to plain-object str for derived-id concatenation.
+
+    ``Series.astype(str)`` on an Arrow-backed string drops a lone NUL
+    (``'\\x00'`` → ``''``); ``astype(object)`` round-trips every byte.
+    """
+    if pd.api.types.is_string_dtype(s.dtype):
+        return s.astype(object)
+    return s.astype(str)
+
 
 def keyed_partition_map(
     ds,
@@ -73,7 +107,7 @@ def keyed_partition_map(
         return batch.replace_schema_metadata(None)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=[PART_COL])
+        pdf = byte_exact_group_cols(pdf.drop(columns=[PART_COL]), keys)
         for i, f in enumerate(fns):
             if not (presorted and i == 0):
                 pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
@@ -152,9 +186,9 @@ def state_id_fn(keys: list[str], order_col: str, state_col: str, target: str):
         )
         seg = changed.cumsum()  # globally increasing — unique per run
         first_order = pdf[order_col].groupby(seg).transform("first")
-        key_str = pdf[keys[0]].astype(str)
+        key_str = key_as_str(pdf[keys[0]])
         for k in keys[1:]:
-            key_str = key_str + "/" + pdf[k].astype(str)
+            key_str = key_str + "/" + key_as_str(pdf[k])
         pdf[target] = key_str + "#" + first_order.astype(str)
         return pdf
 
@@ -196,9 +230,9 @@ def fragments_fn(keys: list[str], order_col: str, ts_col: str, value_col: str):
             if hasattr(delta, "dt") and hasattr(delta.dt, "total_seconds")
             else delta
         )
-        key_str = pdf[keys[0]].astype(str)
+        key_str = key_as_str(pdf[keys[0]])
         for k in keys[1:]:
-            key_str = key_str + "/" + pdf[k].astype(str)
+            key_str = key_str + "/" + key_as_str(pdf[k])
 
         out = pdf.copy()
         out["fragment_id"] = (
@@ -265,6 +299,7 @@ def with_duration_from_id(
     order_col = order_col or ts_col
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = byte_exact_group_cols(pdf, [group_col])
         g = pdf.groupby(group_col, sort=False)[ts_col]
         span = g.transform("max") - g.transform("min")
         pdf[target] = (
@@ -392,9 +427,9 @@ def sessionize_fn(
         new_session = prev.isna() | (dur > gap_s)
         seg = new_session.cumsum()
         first_order = pdf[order_col].groupby(seg).transform("first")
-        key_str = pdf[keys[0]].astype(str)
+        key_str = key_as_str(pdf[keys[0]])
         for k in keys[1:]:
-            key_str = key_str + "/" + pdf[k].astype(str)
+            key_str = key_str + "/" + key_as_str(pdf[k])
         pdf[target] = key_str + "#" + first_order.astype(str)
         return pdf
 

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from arlas_proc_ray.stages.keyed import keyed_partition_map
+from arlas_proc_ray.stages.keyed import byte_exact_group_cols, keyed_partition_map
 
 
 def detect_hot_keys(
@@ -63,7 +63,7 @@ def detect_hot_keys(
     half = min_fraction / 2.0
 
     def candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        vc = pdf.groupby(keys, sort=False).size()
+        vc = byte_exact_group_cols(pdf, keys).groupby(keys, sort=False).size()
         hot = vc[vc >= max(1.0, half * len(pdf))]
         return hot.reset_index(name="count")[keys]
 
@@ -81,7 +81,9 @@ def detect_hot_keys(
         mask = pd.Series(
             list(map(tuple, pdf[keys].itertuples(index=False))), index=pdf.index
         ).isin(cs)
-        vc = pdf[mask].groupby(keys, sort=False).size()
+        vc = byte_exact_group_cols(pdf[mask].copy(), keys).groupby(
+            keys, sort=False
+        ).size()
         return vc.reset_index(name="count")
 
     counts = ds.map_batches(recount, batch_format="pandas").to_pandas()

@@ -19,7 +19,7 @@ from typing import Callable, Sequence
 import numpy as np
 import pandas as pd
 
-from arlas_proc_ray.stages.keyed import keyed_partition_map
+from arlas_proc_ray.stages.keyed import byte_exact_group_cols, keyed_partition_map
 
 
 def run_collapse_fn(
@@ -44,6 +44,9 @@ def run_collapse_fn(
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group_col is often a derived id (key#order) — make its grouping
+        # byte-exact too (NUL-embedded keys propagate into derived ids)
+        pdf = byte_exact_group_cols(pdf, [group_col])
         mask = condition(pdf).to_numpy(dtype=bool)
         matching = pdf[mask]
         rest = pdf[~mask] if passthrough else pdf.iloc[0:0]

@@ -111,9 +111,14 @@ def test_partition_ids_stable_and_bounded(keys, P):
     p2 = partition_ids(t, ["k"], P)
     assert (p1 == p2).all()
     assert ((p1 >= 0) & (p1 < P)).all()
-    # equal keys land in equal partitions
+    # BYTE-equal keys land in equal partitions. (Grouping by encoded bytes:
+    # pandas' object-str hashtable uses C-string semantics and merges keys
+    # differing only by NUL bytes — bytes objects hash exactly, matching
+    # partition_ids / Arrow / DuckDB equality. The engine's partition fns
+    # group byte-exactly too via byte_exact_group_cols.)
     df = pd.DataFrame({"k": keys, "p": p1})
-    assert (df.groupby("k")["p"].nunique() == 1).all()
+    by_bytes = df.groupby(df["k"].str.encode("utf-8"))["p"]
+    assert (by_bytes.nunique() == 1).all()
 
 
 @settings(max_examples=60, deadline=None)

@@ -285,3 +285,55 @@ def test_sliding_window_membership():
     ).tolist()
     assert starts == [-10, 0, 10, 20]
     assert out["n"].tolist() == [1, 2, 2, 1]
+
+
+def test_nul_byte_keys_group_byte_exactly():
+    """Keys differing only by NUL bytes must stay distinct through the keyed
+    layer (the round-2 Hypothesis finding: pandas' C-string hashtable merges
+    '' with '\\x00' while partition_ids keeps them apart)."""
+    df = pd.DataFrame(
+        {
+            "id": ["", "\x00", "\x00", "a\x00b", "ab", "ab"],
+            "seq": [1, 1, 2, 1, 1, 2],
+            "ts": [0.0, 0.0, 10.0, 0.0, 0.0, 5.0],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "state": ["x", "x", "x", "x", "x", "y"],
+        }
+    )
+    out = _sorted(
+        with_duration(
+            rd.from_pandas(df), keys=["id"], order_col="seq", ts_col="ts",
+            num_partitions=4,
+        ),
+        ["id", "seq"],
+    )
+    # 4 byte-distinct keys: '', '\x00', 'a\x00b', 'ab' — each key's first
+    # row has null duration; lag-diffs never cross NUL-distinct keys
+    assert len(out) == 6
+    by_key = {
+        k: g.sort_values("seq")["duration_s"].tolist()
+        for k, g in out.groupby(out["id"].str.encode("utf-8"))
+    }
+    assert len(by_key) == 4
+    assert len(by_key[b""]) == 1 and np.isnan(by_key[b""][0])
+    assert len(by_key[b"a\x00b"]) == 1 and np.isnan(by_key[b"a\x00b"][0])
+    assert np.isnan(by_key[b"\x00"][0]) and by_key[b"\x00"][1] == 10.0
+    assert np.isnan(by_key[b"ab"][0]) and by_key[b"ab"][1] == 5.0
+
+    sid = _sorted(
+        with_state_id_on_change(
+            rd.from_pandas(df), keys=["id"], order_col="seq",
+            state_col="state", target="sid", num_partitions=4,
+        ),
+        ["id", "seq"],
+    )
+    # derived ids embed the raw key bytes — '\x00' rows share one segment,
+    # '' does not join them (groupby on bytes factorizes exactly; note
+    # pandas .loc on a bytes index is NUL-merging, so assert via groupby)
+    sid_sets = {
+        k: set(g["sid"])
+        for k, g in sid.groupby(sid["id"].str.encode("utf-8"))
+    }
+    assert sid_sets[b"\x00"] == {"\x00#1"}
+    assert sid_sets[b""] == {"#1"}
+    assert sid_sets[b"ab"] == {"ab#1", "ab#2"}
