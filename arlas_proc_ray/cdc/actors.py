@@ -46,12 +46,25 @@ from arlas_proc_ray.model import DataModel
 class MergeActor:
     """Owns one partition: buffered epoch events + current LWW state.
 
-    The ingest buffer is BOUNDED: once buffered rows exceed
-    ``compact_rows``, the buffer is collapsed with the LWW combiner
-    (associative — keep the max-lsn event per key, DELETEs included), so
-    actor memory is O(live keys in the partition), not O(epoch events).
-    The epoch watermark is tracked at ingest time, before any combine or
-    tombstone drop, so the fence never regresses.
+    The ingest buffer is BOUNDED two ways:
+
+    - ``compact_rows`` (combinable merges): once buffered rows exceed it,
+      the buffer is collapsed with the LWW combiner (associative — keep
+      the max-lsn event per key, DELETEs included), so actor memory is
+      O(live keys in the partition), not O(epoch events).
+    - ``spill_bytes`` (any merge, incl. NON-combinable ones where
+      compaction cannot shrink the payload): past the byte budget the
+      buffer spills to Parquet under ``<snapshot_dir>/.spill/`` and is
+      read back at commit. Spill files are epoch-scratch only — they are
+      wiped on actor (re)construction and after every commit; a crash
+      before commit just re-delivers the epoch (at-least-once + the
+      watermark fence), so stale spill must never be replayed.
+
+    Set ``combinable=False`` to disable LWW compaction (e.g. when the
+    buffered rows feed a custom non-associative merge) — memory is then
+    bounded by ``spill_bytes`` alone. The epoch watermark is tracked at
+    ingest time, before any combine or tombstone drop, so the fence never
+    regresses.
     """
 
     def __init__(
@@ -60,13 +73,25 @@ class MergeActor:
         snapshot_dir: str,
         dm: DataModel,
         compact_rows: int = 100_000,
+        spill_bytes: int = 256 * 1024 * 1024,
+        combinable: bool = True,
     ):
+        import os
+        import shutil
+
         self.part = partition_id
         self.dm = dm
         self.store = SnapshotStore(snapshot_dir)
         self.compact_rows = compact_rows
+        self.spill_bytes = spill_bytes
+        self.combinable = combinable
+        self.spill_dir = os.path.join(snapshot_dir, ".spill", f"part={partition_id}")
+        shutil.rmtree(self.spill_dir, ignore_errors=True)  # stale scratch
+        self.spill_seq = 0
+        self.spilled_files: list[str] = []
         self.buffer: list[pa.Table] = []
         self.buffered_rows = 0
+        self.buffered_bytes = 0
         self.epoch_max_lsn = -1  # max lsn SEEN this epoch (pre-combine)
         self.state: pa.Table | None = None
         self.last_lsn = -1
@@ -76,6 +101,22 @@ class MergeActor:
             m = self.store.read_manifest_resolved(e, self.part)
             self.last_lsn = m.last_lsn if m else -1
 
+    def _spill(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(self.spill_dir, f"buf-{self.spill_seq}.parquet")
+        pq.write_table(
+            pa.concat_tables(self.buffer, promote_options="default"), path
+        )
+        self.spill_seq += 1
+        self.spilled_files.append(path)
+        self.buffer = []
+        self.buffered_rows = 0
+        self.buffered_bytes = 0
+
     def ingest(self, table: pa.Table) -> int:
         if table.num_rows:
             self.epoch_max_lsn = max(
@@ -83,7 +124,8 @@ class MergeActor:
             )
             self.buffer.append(table)
             self.buffered_rows += table.num_rows
-            if self.buffered_rows > self.compact_rows:
+            self.buffered_bytes += table.nbytes
+            if self.combinable and self.buffered_rows > self.compact_rows:
                 combined = lww_reduce_table(
                     pa.concat_tables(self.buffer, promote_options="default"),
                     self.dm.key_cols,
@@ -91,12 +133,26 @@ class MergeActor:
                 )
                 self.buffer = [combined]
                 self.buffered_rows = combined.num_rows
+                self.buffered_bytes = combined.nbytes
+            if self.buffered_bytes > self.spill_bytes and self.buffer:
+                self._spill()
         return table.num_rows
 
+    def _buffered_tables(self) -> list[pa.Table]:
+        import pyarrow.parquet as pq
+
+        return [pq.read_table(p) for p in self.spilled_files] + list(self.buffer)
+
     def _reset_epoch_buffer(self):
+        import shutil
+
         self.buffer.clear()
         self.buffered_rows = 0
+        self.buffered_bytes = 0
         self.epoch_max_lsn = -1
+        if self.spilled_files:
+            self.spilled_files = []
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
 
     def commit_epoch(self, epoch: int) -> dict:
         if self.store.partition_done(epoch, self.part):  # resume fence
@@ -108,8 +164,9 @@ class MergeActor:
 
         watermark = max(self.last_lsn, self.epoch_max_lsn)
         inputs = []
-        if self.buffer:
-            ev = pa.concat_tables(self.buffer, promote_options="default")
+        buffered = self._buffered_tables()
+        if buffered:
+            ev = pa.concat_tables(buffered, promote_options="default")
             if self.last_lsn >= 0:
                 ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(self.last_lsn)))
             inputs.append(_events_as_merge_rows(ev))
@@ -136,6 +193,8 @@ class MergeActor:
         return {
             "tables": len(self.buffer),
             "rows": self.buffered_rows,
+            "bytes": self.buffered_bytes,
+            "spilled_files": len(self.spilled_files),
             "epoch_max_lsn": self.epoch_max_lsn,
         }
 
@@ -149,12 +208,16 @@ class StreamingCdcEngine:
         dm: DataModel | None = None,
         registry=None,
         compact_rows: int = 100_000,
+        spill_bytes: int = 256 * 1024 * 1024,
+        combinable: bool = True,
     ):
         self.dm = dm or DataModel()
         self.store = SnapshotStore(snapshot_dir)
         self.registry = registry or default_registry()
         self.actors = [
-            MergeActor.remote(p, snapshot_dir, self.dm, compact_rows)
+            MergeActor.remote(
+                p, snapshot_dir, self.dm, compact_rows, spill_bytes, combinable
+            )
             for p in range(self.dm.num_partitions)
         ]
 

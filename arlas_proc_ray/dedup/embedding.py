@@ -5,12 +5,14 @@ instead of shingle space).
 Two paths:
 
 - ``embedding_near_duplicates`` (exact): the L2-normalized id+matrix of
-  the whole table is broadcast ONCE via ``ray.put``; each batch does one
-  numpy matmul (rows × corpusᵀ) and thresholds. Pairs are emitted only
-  when ``row_id < other_id`` so every unordered pair appears exactly once
-  with no dedup exchange. O(n²/P) compute per worker, O(n·d) broadcast —
-  the right tool to ~10⁶ vectors (a 1M×256-f32 matrix is 1 GB in the
-  object store, read zero-copy by every task).
+  the whole table is assembled ONCE by a Ray task from the dataset's
+  block refs (the driver holds only ObjectRefs) and broadcast through the
+  object store; each batch does one numpy matmul (rows × corpusᵀ) and
+  thresholds. Pairs are emitted only when ``row_id < other_id`` so every
+  unordered pair appears exactly once with no dedup exchange. O(n²/P)
+  compute per worker, O(n·d) broadcast — the right tool to ~10⁶ vectors
+  (a 1M×256-f32 matrix is 1 GB in the object store, read zero-copy by
+  every task).
 - ``embedding_near_duplicates_ivf`` (scale path): k-means coarse
   quantizer (reusing ``ann.ivf``'s bounded-sample trainer), vectors
   bucketed by nearest centroid, exact pairs WITHIN each bucket via one
@@ -57,18 +59,23 @@ def embedding_near_duplicates(
     import pyarrow as pa
     import ray
 
-    # collect ONLY ids + vectors, normalized, as two numpy arrays — this is
-    # the broadcast small side (n·d floats), not driver row objects
-    parts_ids, parts_mat = [], []
-    for t in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        parts_ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
-        parts_mat.append(_as_matrix(t.column(vec_col)))
-    ids = np.concatenate(parts_ids).astype(np.int64)
-    mat = np.concatenate(parts_mat).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    corpus_ref = ray.put((ids, mat))
+    # Build the broadcast id+matrix INSIDE a Ray task from the dataset's
+    # block refs — the driver only ever holds object refs, never the
+    # concatenated corpus (the matrix still bounds this path to ~10⁶
+    # vectors; past that use embedding_near_duplicates_ivf).
+    @ray.remote
+    def _build_corpus(*tables: pa.Table):
+        ids = np.concatenate(
+            [t.column(id_col).to_numpy(zero_copy_only=False) for t in tables]
+        ).astype(np.int64)
+        mat = np.concatenate(
+            [_as_matrix(t.column(vec_col)) for t in tables]
+        ).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return ids, mat
+
+    block_refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    corpus_ref = _build_corpus.remote(*block_refs)
 
     def find_pairs(batch: pa.Table) -> pd.DataFrame:
         c_ids, c_mat = ray.get(corpus_ref)

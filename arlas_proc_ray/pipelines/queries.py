@@ -520,8 +520,12 @@ def q_broadcast_enrich(sf_dir: str):
         region, left_on="n_regionkey", right_on="r_regionkey", how="left"
     )[["n_nationkey", "n_name", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
 
+    # min_parallelism matches the actor pool so a small (1-block) read
+    # does not starve it (round-2 bench regression: 0.88 s -> 1.29 s)
     ds = _rp(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        min_parallelism=2,
     )
     out = broadcast_join(ds, small, on=["c_nationkey"])
     return out.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
@@ -604,7 +608,7 @@ def q_quality_metrics(sf_dir: str):
 def q_lang_id(sf_dir: str):
     from arlas_proc_ray.functions.text import LangIdScorer
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=2)
     out = ds.map_batches(LangIdScorer, batch_format="pandas", concurrency=2)
     return out.select_columns(["doc_id", "lang_pred", "lang_score"])
 
@@ -1060,7 +1064,7 @@ def q_curation(sf_dir: str):
     from arlas_proc_ray.pipelines.curation import CurationConfig, curate_documents
 
     survivors, stats = curate_documents(
-        _docs(sf_dir, columns=["doc_id", "text"]),
+        _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=2),
         CurationConfig(
             min_tokens=5, max_punct_ratio=0.3, min_mean_token_len=2.0,
             languages=("en", "fr", "de", "es", "unknown"),

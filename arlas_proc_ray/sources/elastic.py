@@ -131,6 +131,13 @@ def write_to_elasticsearch(
     ``dynamic_index_col`` (WritableDataFrame.scala:89-107). The row id is
     ``<id_col>#<ts_col>`` when ``ts_col`` is given (the reference's
     ``es.mapping.id`` column, :84-86), else ``id_col`` alone.
+
+    Stats caveat: document writes are idempotent (upsert on (_index,
+    _id)), but the returned ``indexed``/``rejected`` totals sum per-task
+    counters — a Ray task retried after a transient worker failure
+    re-counts its batch, so totals can OVERCOUNT after retries. Treat
+    them as progress telemetry; derive exact counts from the sink (e.g.
+    an index doc-count delta) when they must be authoritative.
     """
     excluded = set(mapping_excluded) | (
         {dynamic_index_col} if dynamic_index_col else set()

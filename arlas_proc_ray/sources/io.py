@@ -47,10 +47,22 @@ def read_parquet(paths, *, columns: Sequence[str] | None = None, filter_expr=Non
             first = paths if isinstance(paths, str) else list(paths)[0]
             file_schema = pq.read_schema(first).remove_metadata()
             if columns is not None:  # schema must match the pruned read
+                # a pushdown filter may reference non-projected columns
+                # (legal in plain read_parquet); the pruned schema would
+                # fail the scan, so fall back to Ray's inference then
+                expr_s = str(filter_expr) if filter_expr is not None else ""
+                refs_outside = any(
+                    f.name in expr_s
+                    for f in file_schema
+                    if f.name not in columns
+                )
                 file_schema = pa.schema(
                     [file_schema.field(c) for c in columns]
                 )
-            opts["schema"] = file_schema
+                if refs_outside:
+                    file_schema = None
+            if file_schema is not None:
+                opts["schema"] = file_schema
         except Exception:
             pass  # directories / remote stores: let Ray infer
     if "override_num_blocks" not in opts:

@@ -31,8 +31,12 @@ def murmur_like_token(values: Iterable) -> np.ndarray:
     stands in for Murmur3Partitioner; any stable hash works for the fake)."""
     import hashlib
 
-    out = np.empty(len(list(values)) if not hasattr(values, "__len__") else len(values),
-                   dtype=np.int64)
+    # materialize once — sizing via len(list(values)) would exhaust a
+    # generator and the enumerate below would silently produce an
+    # UNINITIALIZED token array (round-2 ADVICE)
+    if not hasattr(values, "__len__"):
+        values = list(values)
+    out = np.empty(len(values), dtype=np.int64)
     for i, v in enumerate(values):
         h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
         out[i] = int.from_bytes(h, "big", signed=True)
@@ -100,6 +104,12 @@ class ScyllaDatasource:
         source, factory = self.source, self.session_factory
         for i in range(parallelism):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if i == 0:
+                # ranges are (lo, hi]; make the first range inclusive of
+                # TOKEN_MIN — blake2b can emit exactly -2^63 (unlike
+                # Cassandra's Murmur3, which remaps Long.MIN_VALUE), and
+                # that key would otherwise be read by NO task
+                lo = TOKEN_MIN - 1
 
             def read_fn(lo=lo, hi=hi):
                 session = factory()  # one session per task

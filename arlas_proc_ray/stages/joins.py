@@ -239,6 +239,44 @@ def interval_join(
     )
 
 
+def range_partition_bounds(
+    ds, col: str, num_partitions: int, *, sample_rows: int = 20_000
+) -> np.ndarray:
+    """Quantile bucket bounds for range-partitioning ``col``.
+
+    Per-block sketch: every block contributes a fixed number of LOCAL
+    quantiles weighted by its row count; the driver merges them (size
+    bounded by #blocks, never rows). Unlike a ``limit()``-prefix sample,
+    this covers the whole domain even when the input is sorted/clustered
+    by the column — a head sample puts every bound inside the first
+    blocks' range and collapses the exchange onto one hot bucket
+    (round-2 ADVICE on interval_join_global). ``sample_rows`` scales the
+    per-block sketch resolution (kept for API compatibility).
+    """
+    n_q = max(9, min(257, sample_rows // 256))
+
+    def _block_sketch(batch: pa.Table) -> pa.Table:
+        pts = batch.column(col).to_numpy(zero_copy_only=False)
+        n = len(pts)
+        if n == 0:
+            return pa.table(
+                {"q": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        qs = np.quantile(pts.astype(np.float64), np.linspace(0, 1, n_q))
+        return pa.table({"q": pa.array(qs), "w": pa.array(np.full(n_q, n / n_q))})
+
+    sketch = ds.map_batches(
+        _block_sketch, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not len(sketch):
+        return np.array([])
+    order = np.argsort(sketch["q"].to_numpy())
+    qv = sketch["q"].to_numpy()[order]
+    cw = np.cumsum(sketch["w"].to_numpy()[order])
+    targets = np.linspace(0, 1, num_partitions + 1)[1:-1] * cw[-1]
+    return np.unique(qv[np.minimum(np.searchsorted(cw, targets), len(qv) - 1)])
+
+
 def interval_join_global(
     left_ds,
     right_ds,
@@ -269,10 +307,9 @@ def interval_join_global(
         if c not in right_payload:
             right_payload.append(c)
 
-    # quantile bounds from a bounded sample (never the whole column)
-    sample = left_ds.limit(sample_rows).to_pandas()[left_point].to_numpy()
-    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-    bounds = np.unique(np.quantile(sample, qs)) if len(sample) else np.array([])
+    bounds = range_partition_bounds(
+        left_ds, left_point, num_partitions, sample_rows=sample_rows
+    )
 
     l_schema = _arrow_schema(left_ds)
     r_schema = _arrow_schema(right_ds)

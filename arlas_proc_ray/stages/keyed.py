@@ -59,6 +59,21 @@ def byte_exact_group_cols(pdf: pd.DataFrame, cols: Sequence[str]) -> pd.DataFram
     return pdf
 
 
+def restore_object_cols(pdf: pd.DataFrame, cols: Sequence[str]) -> pd.DataFrame:
+    """Convert Arrow-backed string columns back to object dtype.
+
+    Ray's pandas-block schema inference cannot type ``string[pyarrow]``
+    columns (``pa.from_numpy_dtype`` fails → the column types as null),
+    so every partition fn output must leave the frame with plain object
+    strings. Values round-trip byte-exactly (``astype(object)`` keeps
+    NUL bytes).
+    """
+    for k in cols:
+        if k in pdf.columns and isinstance(pdf[k].dtype, pd.ArrowDtype):
+            pdf[k] = pdf[k].astype(object)
+    return pdf
+
+
 def key_as_str(s: pd.Series) -> pd.Series:
     """Coerce a key column to plain-object str for derived-id concatenation.
 
@@ -112,7 +127,7 @@ def keyed_partition_map(
             if not (presorted and i == 0):
                 pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
             pdf = f(pdf)
-        return pdf.reset_index(drop=True)
+        return restore_object_cols(pdf.reset_index(drop=True), pdf.columns)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)

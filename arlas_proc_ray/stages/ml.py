@@ -74,18 +74,28 @@ def hmm_decode_fn(
     model_json: str,
     target: str,
     window_size: int = 5000,
+    explode_arrays: bool = False,
 ):
     """Partition fn: decode every key's sequence, windowed at 5000 rows.
 
     The 5000-row window cap is kept for parity with the reference
     (HmmProcessor.scala:46) — it bounds per-window memory, and windows of
     one key decode independently exactly as there.
+
+    ``explode_arrays=True`` is the reference's array-source mode
+    (HmmProcessor.scala:134-140): each row's DoubleType-array elements are
+    exploded into the window's observation sequence in row order, decoded
+    as one Viterbi run, and the row's state is the MAJORITY VOTE of its
+    elements' predictions. Ties elect the lowest state index
+    (deterministic; the reference's row_number-over-count tie-break is
+    arbitrary). Rows with empty/null arrays get a null state (they vanish
+    in the reference's explode and come back null through its left join).
+    Scalar mode fills null observations with 0.0 (HmmProcessor.scala:118).
     """
     model = HmmModel.from_json(model_json)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        bins_all = model.quantize(pdf[obs_col].to_numpy(dtype=np.float64))
-        preds = np.empty(len(pdf), dtype=np.int8)
+        n = len(pdf)
         # contiguous key runs (pdf sorted by keys+order)
         key_codes = pd.factorize(
             pd.Series(list(zip(*(pdf[k] for k in keys))), index=pdf.index),
@@ -93,13 +103,51 @@ def hmm_decode_fn(
         )[0] if len(keys) > 1 else pd.factorize(pdf[keys[0]], use_na_sentinel=False)[0]
         boundaries = np.flatnonzero(np.diff(key_codes)) + 1
         starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [len(pdf)]])
+        ends = np.concatenate([boundaries, [n]])
+        states = np.asarray(model.states, dtype=object)
+
+        if not explode_arrays:
+            bins_all = model.quantize(
+                pdf[obs_col].fillna(0.0).to_numpy(dtype=np.float64)
+            )
+            preds = np.empty(n, dtype=np.int8)
+            for s, e in zip(starts, ends):
+                for w in range(s, e, window_size):
+                    we = min(w + window_size, e)
+                    preds[w:we] = model.viterbi(bins_all[w:we])
+            pdf[target] = states[preds]
+            return pdf
+
+        vals = pdf[obs_col].to_numpy()
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vals), np.int64, count=n
+        )
+        flat = (
+            np.concatenate(
+                [np.asarray(v, np.float64) for v in vals if v is not None and len(v)]
+            )
+            if int(lens.sum())
+            else np.empty(0, np.float64)
+        )
+        bins_flat = model.quantize(np.nan_to_num(flat))
+        flat_starts = np.concatenate([[0], np.cumsum(lens)])
+        S = len(model.states)
+        out = np.full(n, None, dtype=object)
         for s, e in zip(starts, ends):
             for w in range(s, e, window_size):
                 we = min(w + window_size, e)
-                preds[w:we] = model.viterbi(bins_all[w:we])
-        states = np.asarray(model.states)
-        pdf[target] = states[preds]
+                fs, fe = int(flat_starts[w]), int(flat_starts[we])
+                if fe == fs:
+                    continue  # all-empty rows stay null
+                path = model.viterbi(bins_flat[fs:fe])
+                ridx = np.repeat(np.arange(w, we), lens[w:we]) - w
+                counts = np.zeros((we - w, S), np.int64)
+                np.add.at(counts, (ridx, path), 1)
+                vote = counts.argmax(axis=1)
+                nonempty = lens[w:we] > 0
+                idx = np.arange(w, we)[nonempty]
+                out[idx] = states[vote[nonempty]]
+        pdf[target] = out
         return pdf
 
     return fn
@@ -115,14 +163,21 @@ def with_hmm_states(
     target: str = "hmm_state",
     window_size: int = 5000,
     num_partitions: int = 64,
+    explode_arrays: bool = False,
 ):
-    """WithMovingState / WithTempo analogue over any numeric observation."""
+    """WithMovingState / WithTempo analogue over any numeric observation.
+
+    ``explode_arrays=True`` scores a list<double> observation column via
+    the reference's explode + majority-vote mode (HmmProcessor.scala:134-140).
+    """
     keys = list(keys)
     return keyed_partition_map(
         ds,
         keys=keys,
         order_col=order_col,
-        fn=hmm_decode_fn(keys, obs_col, model_json, target, window_size),
+        fn=hmm_decode_fn(
+            keys, obs_col, model_json, target, window_size, explode_arrays
+        ),
         num_partitions=num_partitions,
     )
 
@@ -176,6 +231,7 @@ def with_tempo(
     target: str = "tempo",
     irregular_label: str = "tempo_irregular",
     num_partitions: int = 64,
+    window_size: int = 5000,
 ):
     """WithTempo analogue (ml/WithTempo.scala:40-67): HMM over per-key
     inter-observation durations; rows with NO duration (each key's first
@@ -208,8 +264,12 @@ def with_tempo(
         bounds = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(pdf)]])
+        # 5000-row window cap per key for parity with the reference
+        # (HmmProcessor.scala:46) — bounds per-key decode memory
         for s, e in zip(starts, ends):
-            preds[s:e] = model.viterbi(bins[s:e])
+            for w in range(s, e, window_size):
+                we = min(w + window_size, e)
+                preds[w:we] = model.viterbi(bins[w:we])
         labels = np.asarray(model.states)[preds].astype(object)
         labels[first.to_numpy()] = irregular_label
         pdf[target] = labels

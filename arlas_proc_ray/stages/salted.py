@@ -28,7 +28,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from arlas_proc_ray.stages.keyed import byte_exact_group_cols, keyed_partition_map
+from arlas_proc_ray.stages.keyed import (
+    byte_exact_group_cols,
+    keyed_partition_map,
+    restore_object_cols,
+)
 
 
 def detect_hot_keys(
@@ -65,7 +69,7 @@ def detect_hot_keys(
     def candidates(pdf: pd.DataFrame) -> pd.DataFrame:
         vc = byte_exact_group_cols(pdf, keys).groupby(keys, sort=False).size()
         hot = vc[vc >= max(1.0, half * len(pdf))]
-        return hot.reset_index(name="count")[keys]
+        return restore_object_cols(hot.reset_index(name="count")[keys], keys)
 
     cand = (
         ds.map_batches(candidates, batch_format="pandas")
@@ -84,7 +88,7 @@ def detect_hot_keys(
         vc = byte_exact_group_cols(pdf[mask].copy(), keys).groupby(
             keys, sort=False
         ).size()
-        return vc.reset_index(name="count")
+        return restore_object_cols(vc.reset_index(name="count"), keys)
 
     counts = ds.map_batches(recount, batch_format="pandas").to_pandas()
     if counts.empty:

@@ -103,3 +103,40 @@ def test_streaming_tail_commit_cadence(tmp_path):
         assert eng.store.read_epoch_summary(epochs[-1])["last_lsn"] == 2_599
     finally:
         eng.shutdown()
+
+
+def test_streaming_engine_spills_noncombinable_buffer(tmp_path):
+    """With combinable=False and a tiny spill budget, the ingest buffer
+    spills to <snapshot>/.spill instead of growing; commit reads the
+    spilled tables back, result matches the oracle, and the scratch dir
+    is cleaned after commit (round-2 ROADMAP item)."""
+    import os
+
+    import ray
+
+    snap = str(tmp_path / "snap")
+    exp = oracle_final_state(generate_changelog_tables(CFG)).to_pandas()
+
+    engine = StreamingCdcEngine(
+        snap, DM, spill_bytes=1, combinable=False  # spill on every ingest
+    )
+    try:
+        engine.apply_epoch(
+            rd.from_arrow(generate_changelog_tables(CFG, 0, 3_000)), epoch=1
+        )
+        # buffers were reset; spill scratch wiped after commit
+        stats = ray.get([a.buffer_stats.remote() for a in engine.actors])
+        assert all(s["rows"] == 0 and s["spilled_files"] == 0 for s in stats)
+        spill_root = os.path.join(snap, ".spill")
+        assert not os.path.exists(spill_root) or not any(
+            files for _, _, files in os.walk(spill_root)
+        )
+        got = (
+            engine.final_state()
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)[list(exp.columns)]
+        )
+        pd.testing.assert_frame_equal(got, exp)
+    finally:
+        engine.shutdown()

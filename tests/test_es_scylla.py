@@ -180,3 +180,37 @@ def test_full_publish_flow_scylla_to_elasticsearch():
     sample = docs[0]["_source"]
     assert "arlas_geo_point" in sample and "," in sample["arlas_geo_point"]
     assert "#" in docs[0]["_id"]
+
+
+def test_scylla_first_token_range_includes_token_min():
+    """Ranges are (lo, hi]; the first range must still cover a key whose
+    token is exactly TOKEN_MIN (round-2 ADVICE: blake2b can emit -2^63,
+    which Cassandra's Murmur3 remaps but our stand-in does not)."""
+    from arlas_proc_ray.sources.scylla import (
+        TOKEN_MIN,
+        ScyllaDatasource,
+    )
+
+    seen = []
+
+    class RecordingSession:
+        def token_range_scan(self, source, lo, hi, page_size=5000):
+            seen.append((lo, hi))
+            return iter(())
+
+    src = ScyllaDatasource("ks.t", RecordingSession)
+    for task in src.get_read_tasks(4):
+        list(task.read_fn())
+    los = sorted(lo for lo, _ in seen)
+    assert los[0] < TOKEN_MIN  # first range strictly below → TOKEN_MIN included
+    # and ranges tile the space without overlap
+    his = sorted(hi for _, hi in seen)
+    assert los[1:] == his[:-1]
+
+
+def test_murmur_like_token_accepts_generator():
+    from arlas_proc_ray.sources.scylla import murmur_like_token
+
+    as_list = murmur_like_token(["a", "b", "c"])
+    as_gen = murmur_like_token(x for x in ["a", "b", "c"])
+    assert (as_list == as_gen).all()

@@ -308,3 +308,103 @@ def test_png_decode_all_filters_and_pipeline():
     bad = bad.replace(b"\x08\x02\x00\x00\x00", b"\x10\x02\x00\x00\x00", 1)
     with pytest.raises(UnsupportedMediaError):
         decode_png(bad)
+
+
+def test_hmm_array_explode_majority_vote():
+    """Array-source HMM mode (HmmProcessor.scala:134-140): elements explode
+    into the window's sequence, one Viterbi run, per-row majority vote;
+    empty arrays yield a null state (reference's explode + left join)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.ml import (
+        HmmModel,
+        STILLMOVE_MODEL_JSON,
+        with_hmm_states,
+    )
+
+    df = pd.DataFrame(
+        {
+            "id": ["a"] * 3 + ["b"] * 2,
+            "seq": [1, 2, 3, 1, 2],
+            "obs": [
+                [1.0, 2.0, 3.0],
+                [100.0, 90.0],
+                [1.0, 95.0, 96.0],
+                [],
+                [5.0],
+            ],
+        }
+    )
+    out = (
+        with_hmm_states(
+            rd.from_pandas(df),
+            keys=["id"],
+            order_col="seq",
+            obs_col="obs",
+            model_json=STILLMOVE_MODEL_JSON,
+            target="state",
+            explode_arrays=True,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["id", "seq"])
+        .reset_index(drop=True)
+    )
+
+    # independent oracle: flatten per key, Viterbi the whole run, majority
+    # vote per row (ties -> lowest state index)
+    m = HmmModel.from_json(STILLMOVE_MODEL_JSON)
+    for key, grp in df.groupby("id"):
+        flat = (
+            np.concatenate([np.asarray(v) for v in grp.obs if len(v)])
+            if sum(map(len, grp.obs))
+            else np.array([])
+        )
+        path = m.viterbi(m.quantize(flat)) if len(flat) else np.array([], np.int8)
+        i, exp = 0, []
+        for v in grp.obs:
+            if len(v) == 0:
+                exp.append(None)
+                continue
+            seg = path[i : i + len(v)]
+            i += len(v)
+            vals, cnt = np.unique(seg, return_counts=True)
+            exp.append(m.states[vals[np.argmax(cnt)]])
+        got = out[out.id == key]["state"].tolist()
+        assert got == exp, (key, got, exp)
+    assert out[(out.id == "b") & (out.seq == 1)]["state"].isna().all()
+
+
+def test_with_tempo_window_cap_bounds_decode():
+    """with_tempo decodes each key in <=window_size chunks (parity with
+    HmmProcessor.scala:46); windows of one key decode independently."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.ml import with_tempo
+
+    n = 30
+    df = pd.DataFrame(
+        {
+            "id": ["x"] * n,
+            "seq": np.arange(n),
+            "ts": np.cumsum(np.full(n, 100.0)),
+        }
+    )
+    full = (
+        with_tempo(rd.from_pandas(df), keys=["id"], order_col="seq", ts_col="ts",
+                   num_partitions=2)
+        .to_pandas().sort_values("seq")["tempo"].tolist()
+    )
+    capped = (
+        with_tempo(rd.from_pandas(df), keys=["id"], order_col="seq", ts_col="ts",
+                   num_partitions=2, window_size=7)
+        .to_pandas().sort_values("seq")["tempo"].tolist()
+    )
+    # constant 100 s cadence: every window decodes to the same fast tempo,
+    # so capping must not change the labels (and proves the cap code path)
+    assert full == capped
+    assert set(capped[1:]) == {"tempo_fast"} and capped[0] == "tempo_irregular"

@@ -296,3 +296,53 @@ def test_asof_join_directions_and_empties():
         .reset_index(drop=True)
     )
     assert out3[out3["k"] == "b"]["y_right"].tolist() == [300.0]
+
+
+def test_interval_join_global_bounds_balanced_on_sorted_input():
+    """Range-partition bounds must come from the WHOLE point domain, not a
+    prefix: on input sorted by the point column a head sample would put
+    every bound in the first blocks' range and send ~all rows to one hot
+    bucket (round-2 ADVICE on interval_join_global)."""
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.joins import (
+        interval_join_global,
+        range_partition_bounds,
+    )
+
+    n, P = 20_000, 8
+    left = pd.DataFrame(
+        {"pid": np.arange(n, dtype=np.int64),
+         "x": np.linspace(0.0, 1000.0, n)}  # sorted by the point column
+    )
+    # many small blocks so a prefix sample would only see the head
+    left_ds = rd.from_pandas(left).repartition(16)
+
+    bounds = range_partition_bounds(left_ds, "x", P)
+    # bounds span the domain (a prefix sample would squeeze them all into
+    # the first ~1/16th) and occupancy is balanced
+    occupancy = np.bincount(
+        np.searchsorted(bounds, left["x"].to_numpy(), side="right"),
+        minlength=len(bounds) + 1,
+    )
+    assert bounds.min() < 300.0 and bounds.max() > 700.0
+    assert occupancy.max() <= 2.5 * n / P
+
+    right = pd.DataFrame(
+        {"lo": [0.0, 250.0, 500.0, 750.0],
+         "hi": [250.0, 500.0, 750.0, 1000.0],
+         "tag": ["a", "b", "c", "d"]}
+    )
+    out = interval_join_global(
+        left_ds,
+        rd.from_pandas(right),
+        left_point="x",
+        right_start="lo",
+        right_end="hi",
+        right_cols=["tag"],
+        num_partitions=P,
+    ).to_pandas()
+    # correctness unchanged: every point matches >=1 quarter band
+    assert len(out) >= n
+    counts = out.groupby("tag_right").size()
+    assert counts.min() >= n // 4 - 2
