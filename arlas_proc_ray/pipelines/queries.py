@@ -1293,12 +1293,78 @@ def q_nul_key_segments(sf_dir: str):
     )
 
 
+def q_cdc_engine_replay(sf_dir: str):
+    """Drive the ACTUAL epoch-fenced CdcEngine (snapshot store, manifests,
+    resume fences, schema alignment) over a changelog derived
+    DETERMINISTICALLY from the events table — giving the flagship replay
+    path a driver-visible SQL oracle (the seeded synthetic changelog in
+    ``cdc_replay_final_state`` is invisible to SQL; this one is not).
+
+    Mapping: lsn=event_id, key=(repo='u'+user_id%200, path=event_type),
+    op=DELETE when value<0.15 else UPDATE, content=props, v1 schema (lang
+    renamed to language and content_size computed by the alignment stage,
+    replay.py make_align_fn).
+    """
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.model import DataModel
+
+    ds = _events(
+        sf_dir, columns=["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        eid = pc.cast(t.column("event_id"), pa.int64())
+        uid = t.column("user_id")
+        mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+        repo = pc.binary_join_element_wise(
+            pa.array(["u"] * n, pa.string()), pc.cast(mod, pa.string()), ""
+        )
+        op = pc.if_else(
+            pc.less(t.column("value"), pa.scalar(0.15)),
+            pa.scalar("DELETE"),
+            pa.scalar("UPDATE"),
+        )
+        return pa.Table.from_arrays(
+            [
+                eid,                                   # lsn
+                op,
+                repo,
+                t.column("event_type"),                # path
+                pc.cast(eid, pa.string()),             # commit
+                t.column("event_type"),                # lang (v1 name)
+                t.column("props"),                     # content
+                pa.array(np.ones(n, np.int32)),        # schema_version = 1
+                eid,                                   # delivery_index
+            ],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    changelog = ds.map_batches(to_changelog, batch_format="pyarrow", batch_size=None)
+    mid = int(ds.max("event_id") or 0) // 2
+
+    snap = tempfile.mkdtemp(prefix="cdc_engine_replay_")
+    try:
+        eng = CdcEngine(snap, DataModel(num_partitions=NP))
+        eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
+        eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "nul_key_segments": q_nul_key_segments,
+    "cdc_engine_replay": q_cdc_engine_replay,
     "cdc_lww_upsert": q_cdc_lww_upsert,
     "dedup_first_per_key": q_dedup_first_per_key,
     "gap_state": q_gap_state,
@@ -1780,9 +1846,66 @@ ORACLE_SQL = {
                k || '#' || cast(min(event_id) AS VARCHAR) AS first_seg_id
         FROM w GROUP BY k
     """,
-    # lang_id / simhash / fingerprint / minhash_near_dup / hmm_moving_state
-    # / ann_lsh_topk / embedding_near_dup_ivf / curation: heuristic,
-    # signature or approximate algorithms with no SQL equivalent →
+    "cdc_engine_replay": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 CAST(event_id AS VARCHAR) AS commit_id,
+                 event_type AS language,
+                 props AS content
+          FROM events),
+        last AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+                                       ORDER BY lsn DESC) AS rn
+          FROM ch)
+        SELECT repo, path, commit_id AS "commit", language, content,
+               CAST(length(content) AS BIGINT) AS content_size,
+               sha256(content) AS content_sha256,
+               lsn AS last_lsn
+        FROM last WHERE rn = 1 AND op <> 'DELETE'
+    """,
+    "lang_id": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                        '[a-zàâçéèêëîïôûùüÿñæœäöüß]+')) AS word
+          FROM documents),
+        nw AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id),
+        prof(lang, prio, word) AS (VALUES
+          ('en',0,'the'),('en',0,'and'),('en',0,'of'),('en',0,'to'),
+          ('en',0,'a'),('en',0,'in'),('en',0,'is'),('en',0,'it'),
+          ('en',0,'that'),('en',0,'was'),
+          ('fr',1,'le'),('fr',1,'la'),('fr',1,'les'),('fr',1,'de'),
+          ('fr',1,'des'),('fr',1,'et'),('fr',1,'est'),('fr',1,'une'),
+          ('fr',1,'dans'),('fr',1,'que'),
+          ('de',2,'der'),('de',2,'die'),('de',2,'das'),('de',2,'und'),
+          ('de',2,'ist'),('de',2,'ein'),('de',2,'eine'),('de',2,'nicht'),
+          ('de',2,'mit'),('de',2,'zu'),
+          ('es',3,'el'),('es',3,'la'),('es',3,'los'),('es',3,'de'),
+          ('es',3,'y'),('es',3,'es'),('es',3,'una'),('es',3,'en'),
+          ('es',3,'que'),('es',3,'por')),
+        hits AS (
+          SELECT w.doc_id, p.lang, p.prio, count(*) AS h
+          FROM w JOIN prof p ON p.word = w.word
+          GROUP BY w.doc_id, p.lang, p.prio),
+        best AS (
+          SELECT doc_id, lang, h,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY h DESC, prio ASC) AS rn
+          FROM hits)
+        SELECT d.doc_id,
+               coalesce(b.lang, 'unknown') AS lang_pred,
+               CAST(coalesce(b.h, 0) AS DOUBLE)
+                 / greatest(coalesce(nw.n_words, 0), 1) AS lang_score
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+        LEFT JOIN nw ON nw.doc_id = d.doc_id
+    """,
+    # simhash / fingerprint / minhash_near_dup / hmm_moving_state
+    # / ann_lsh_topk / embedding_near_dup_ivf / curation: signature or
+    # approximate algorithms with no practical SQL equivalent →
     # rows-only checks (each has an independent Python oracle in
     # tests/test_python_oracles.py).
 }
