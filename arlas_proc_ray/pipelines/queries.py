@@ -1358,11 +1358,25 @@ def q_cdc_engine_replay(sf_dir: str):
         shutil.rmtree(snap, ignore_errors=True)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs via the inverted-index exchange
+    (dedup/ngram.py) over a doc_id<150 subset — the exact contract that
+    MinHash-LSH approximates, fully SQL-oracled."""
+    from arlas_proc_ray.dedup.ngram import ngram_jaccard_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).filter(expr="doc_id < 150")
+    return ngram_jaccard_pairs(
+        ds, text_col="text", id_col="doc_id", n=5, threshold=0.2,
+        num_partitions=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "nul_key_segments": q_nul_key_segments,
     "cdc_engine_replay": q_cdc_engine_replay,
     "cdc_lww_upsert": q_cdc_lww_upsert,
@@ -1902,6 +1916,43 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
         LEFT JOIN nw ON nw.doc_id = d.doc_id
+    """,
+    "enriched_events": """
+        WITH h AS (
+          SELECT event_id, user_id, event_type,
+                 CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hv
+          FROM events)
+        SELECT event_id, user_id, event_type,
+               ['alphaville','betatown','gammaburg','deltaport'][CAST(hv % 4 AS INTEGER) + 1]
+                 AS geo_city,
+               ['AA','BB','CC'][CAST((hv // 256) % 3 AS INTEGER) + 1]
+                 AS geo_country
+        FROM h
+    """,
+    "ngram_jaccard_pairs": """
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS t
+          FROM documents WHERE doc_id < 150),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN length(t) < 5 THEN t
+                      ELSE substr(t, CAST(i AS INTEGER), 5) END AS s
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1,
+                              CAST(greatest(length(t) - 4, 1) AS BIGINT))) AS i
+                FROM d)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
     """,
     # simhash / fingerprint / minhash_near_dup / hmm_moving_state
     # / ann_lsh_topk / embedding_near_dup_ivf / curation: signature or

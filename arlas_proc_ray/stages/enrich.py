@@ -48,9 +48,9 @@ class DeterministicFakeClient:
             raise ConnectionError(f"unreachable service for {key!r}")
         if self.fail_record_for is not None and self.fail_record_for(key):
             raise ValueError(f"bad record {key!r}")
-        h = int.from_bytes(
-            hashlib.blake2b(str(key).encode(), digest_size=8).digest(), "big"
-        )
+        # sha256 (not blake2b) so the response is reproducible by the
+        # DuckDB oracle: h = first 15 hex chars as an int (60 bits)
+        h = int(hashlib.sha256(str(key).encode()).hexdigest()[:15], 16)
         return {
             "city": self.CITIES[h % len(self.CITIES)],
             "country": self.COUNTRIES[(h >> 8) % len(self.COUNTRIES)],

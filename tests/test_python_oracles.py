@@ -227,9 +227,7 @@ def test_enriched_events_oracle():
     ev = events_pdf(["event_id", "user_id", "event_type"]).sort_values("event_id")
 
     def lookup(key):
-        h = int.from_bytes(
-            hashlib.blake2b(str(key).encode(), digest_size=8).digest(), "big"
-        )
+        h = int(hashlib.sha256(str(key).encode()).hexdigest()[:15], 16)
         return CITIES[h % 4], COUNTRIES[(h >> 8) % 3]
 
     pairs = [lookup(k) for k in ev["user_id"]]
