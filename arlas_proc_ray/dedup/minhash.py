@@ -501,12 +501,13 @@ def simhash64(text: str, ngram: int = 4) -> int:
 
 
 def simhash_column(ds, *, text_col: str = "text", target: str = "simhash",
-                   ngram: int = 4, concurrency: int = 2):
-    class SimHasher:
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch[target] = np.array(
-                [simhash64(t or "", ngram) for t in batch[text_col]], dtype=np.uint64
-            )
-            return batch
+                   ngram: int = 4):
+    # task-based: the stage has no real per-actor state, and a 2-actor
+    # pool costs ~0.5 s of spawn per invocation (round-2 bench lesson)
+    def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[target] = np.array(
+            [simhash64(t or "", ngram) for t in batch[text_col]], dtype=np.uint64
+        )
+        return batch
 
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(simhash_batch, batch_format="pandas")

@@ -76,11 +76,15 @@ def quality_metrics(table: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangIdScorer:
-    """Stopword-profile language-ID heuristic — actor-pool stage.
+    """Stopword-profile language-ID heuristic.
 
     State (profiles, compiled regex) built once per actor in ``__init__``;
     per-batch work is a vectorized pandas str split + set intersection.
     Emits ``lang_pred`` and ``lang_score`` (hit ratio of the winner).
+
+    For plain task-based stages use ``score_lang_batch`` — this state is
+    cheap to build (re.compile is process-cached), and per-pool actor
+    spawn (~0.5 s) dominates small pipelines (round-2 bench regression).
     """
 
     def __init__(self):
@@ -108,6 +112,17 @@ class LangIdScorer:
         batch["lang_pred"] = preds
         batch["lang_score"] = best / safe
         return batch
+
+
+_scorer_cache: dict = {}
+
+
+def score_lang_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Task-based LangIdScorer: per-process cached scorer, no actor pool."""
+    scorer = _scorer_cache.get("s")
+    if scorer is None:
+        scorer = _scorer_cache["s"] = LangIdScorer()
+    return scorer(batch)
 
 
 _FP_B = np.uint64(0x100000001B3)  # odd → invertible mod 2^64

@@ -62,7 +62,7 @@ def curate_documents(ds, cfg: CurationConfig | None = None):
     ``stats`` records per-stage counts and the surviving token budget.
     """
     from arlas_proc_ray.dedup.pipeline import dedup_documents
-    from arlas_proc_ray.functions.text import LangIdScorer, quality_metrics
+    from arlas_proc_ray.functions.text import quality_metrics, score_lang_batch
 
     cfg = cfg or CurationConfig()
     stats: dict = {"input_docs": ds.count()}
@@ -77,9 +77,7 @@ def curate_documents(ds, cfg: CurationConfig | None = None):
     ).materialize()
     stats["after_quality"] = filtered.count()
 
-    langed = filtered.map_batches(
-        LangIdScorer, batch_format="pandas", concurrency=cfg.concurrency
-    )
+    langed = filtered.map_batches(score_lang_batch, batch_format="pandas")
     if cfg.languages is not None:
         wanted = tuple(cfg.languages)
 

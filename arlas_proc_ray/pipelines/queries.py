@@ -606,10 +606,10 @@ def q_quality_metrics(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    from arlas_proc_ray.functions.text import LangIdScorer
+    from arlas_proc_ray.functions.text import score_lang_batch
 
     ds = _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=2)
-    out = ds.map_batches(LangIdScorer, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(score_lang_batch, batch_format="pandas")
     return out.select_columns(["doc_id", "lang_pred", "lang_score"])
 
 

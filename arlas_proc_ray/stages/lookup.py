@@ -38,32 +38,48 @@ class BroadcastJoiner:
 
 def broadcast_join(ds, small, *, on: Sequence[str], how: str = "left",
                    batch_size: int = 65536, concurrency=None):
-    """Left-join ``ds`` against a small in-memory table without a shuffle."""
+    """Left-join ``ds`` against a small in-memory table without a shuffle.
+
+    Default is TASK-based: each task ``ray.get``s the broadcast ref (one
+    object-store fetch per worker process, shared memory thereafter) and
+    merges. Pass ``concurrency=N`` for an actor pool — only worth it when
+    the small side is expensive to DESERIALIZE per task; for a lookup
+    table, per-pool actor spawn (~0.5 s) dominated small pipelines
+    (round-2 ``broadcast_enrich`` regression: task mode measures ~0.17 s
+    vs ~0.8 s actor mode at sf0.1).
+    """
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
     ref = ray.put(small)
-    return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={"small_ref": ref, "on": list(on), "how": how},
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency or 2,
-    )
+    on = list(on)
+    if concurrency is not None:
+        return ds.map_batches(
+            BroadcastJoiner,
+            fn_constructor_kwargs={"small_ref": ref, "on": on, "how": how},
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
 
 
 def broadcast_semi_join(ds, keys_table, *, on: Sequence[str], anti: bool = False):
-    """Semi/anti join: broadcast the key set, filter inside map_batches."""
+    """Semi/anti join: broadcast the key set, filter inside map_batches
+    (task-based for the same spawn-cost reason as ``broadcast_join``)."""
     on = list(on)
     small = keys_table.to_pandas() if isinstance(keys_table, pa.Table) else keys_table
     key_set_ref = ray.put(set(map(tuple, small[on].itertuples(index=False, name=None))))
 
-    class SemiFilter:
-        def __init__(self):
-            self.keys = ray.get(key_set_ref)
+    def semi_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(key_set_ref)
+        present = pd.Series(
+            list(map(tuple, batch[on].itertuples(index=False, name=None))),
+            index=batch.index,
+        ).isin(keys)
+        return batch[~present] if anti else batch[present]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            present = pd.Series(
-                list(map(tuple, batch[on].itertuples(index=False, name=None))),
-                index=batch.index,
-            ).isin(self.keys)
-            return batch[~present] if anti else batch[present]
-
-    return ds.map_batches(SemiFilter, batch_format="pandas", concurrency=2)
+    return ds.map_batches(semi_filter, batch_format="pandas")
