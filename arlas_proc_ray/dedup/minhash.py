@@ -52,11 +52,19 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: text → minhash signature → LSH band rows.
+    """Signature stage: text → minhash signature → LSH band rows.
 
-    Coefficients generated once per actor in ``__init__`` from a fixed
-    seed (the load-state-once pattern, model/MLModel.scala:30-35).
+    Coefficients generated once per process/actor in ``__init__`` from a
+    fixed seed (the load-state-once pattern, model/MLModel.scala:30-35).
     Emits one row per (doc, band): (band_id, band_hash, doc_id).
+
+    ``algo="oph"`` (default) is one-permutation hashing (Li, Owen, Zhang
+    2012): the shingle hashes are scattered into ``num_perm`` bins and the
+    minimum is taken per bin — O(|shingles|) instead of the classic
+    O(num_perm · |shingles|) k-permutation evaluation; empty bins are
+    filled by cyclic rotation densification (Shrivastava & Li 2014), which
+    preserves the unbiased collision probability LSH banding relies on.
+    ``algo="classic"`` keeps the (a·x+b) mod p family.
     """
 
     def __init__(
@@ -67,8 +75,11 @@ class MinHasher:
         seed: int = 1337,
         text_col: str = "text",
         id_col: str = "doc_id",
+        algo: str = "oph",
     ):
         assert num_perm % bands == 0
+        if algo not in ("oph", "classic"):
+            raise ValueError(f"unknown algo: {algo!r}")
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
@@ -78,15 +89,46 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.text_col = text_col
         self.id_col = id_col
+        self.algo = algo
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.ngram)
+        if self.algo == "oph":
+            return self._signature_oph(sh)
         with np.errstate(over="ignore"):
             # (a * x + b) mod Mersenne61, broadcast perm × shingle
             prod = self.a[:, None] * sh[None, :] + self.b[:, None]
             hashed = (prod & _MERSENNE) + (prod >> np.uint64(61))
             hashed = np.where(hashed >= _MERSENNE, hashed - _MERSENNE, hashed)
         return hashed.min(axis=1)
+
+    def _signature_oph(self, sh: np.ndarray) -> np.ndarray:
+        k = self.num_perm
+        sig = np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(sh):
+            bins = (sh % np.uint64(k)).astype(np.int64)
+            # sh is sorted ascending, so a STABLE sort by bin keeps
+            # hash-ascending order within each bin → the first element of
+            # every bin run is its min (no slow ufunc.at scatter)
+            perm = np.argsort(bins, kind="stable")
+            ub, first = np.unique(bins[perm], return_index=True)
+            sig[ub] = sh[perm][first]
+        empty = sig == np.iinfo(np.uint64).max
+        if empty.all():
+            return np.zeros(k, np.uint64)
+        if empty.any():
+            # cyclic rotation densification: an empty bin borrows the next
+            # non-empty bin to its right (wrapping), offset by the rotation
+            # distance so borrowed values stay distinct across bins
+            idx = np.arange(k)
+            nonempty_idx = idx[~empty]
+            pos = np.searchsorted(nonempty_idx, idx)
+            pos[pos == len(nonempty_idx)] = 0
+            src = nonempty_idx[pos]
+            with np.errstate(over="ignore"):
+                borrowed = sig[src] + ((src - idx) % k).astype(np.uint64)
+            sig = np.where(empty, borrowed, sig)
+        return sig
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
         """Band hashes for one signature (docs × 1). See band_hashes_matrix."""
@@ -152,6 +194,8 @@ def _pair_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
     return inter / (union - inter)
 
+
+_MINHASHER_CACHE: dict = {}
 
 _EMPTY_PAIRS = {
     "doc_a": pd.Series([], dtype=np.int64),
@@ -318,9 +362,10 @@ def minhash_near_duplicates(
     bands: int = 32,
     ngram: int = 5,
     jaccard_threshold: float = 0.8,
-    concurrency: int = 2,
+    concurrency: int | None = None,
     max_bucket_size: int = 64,
     verify_mode: str = "distributed",
+    algo: str = "oph",
 ):
     """Near-duplicate pairs (doc_a < doc_b, verified Jaccard ≥ threshold).
 
@@ -370,18 +415,34 @@ def minhash_near_duplicates(
                 shingles[i] = np.asarray(arr, dtype=np.uint64)
         texts_ref = ray.put(shingles)
 
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "ngram": ngram,
-            "text_col": text_col,
-            "id_col": id_col,
-        },
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    mh_kwargs = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "ngram": ngram,
+        "text_col": text_col,
+        "id_col": id_col,
+        "algo": algo,
+    }
+    if concurrency is None:
+        # task-based (default): MinHasher state is two seeded arrays —
+        # cheap to build once per worker process; a dedicated actor pool
+        # costs ~0.5 s of spawn per invocation and caps parallelism at
+        # the pool size
+        def band_rows_task(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = tuple(sorted(mh_kwargs.items()))
+            mh = _MINHASHER_CACHE.get(key)
+            if mh is None:
+                mh = _MINHASHER_CACHE[key] = MinHasher(**mh_kwargs)
+            return mh(pdf)
+
+        band_rows = ds.map_batches(band_rows_task, batch_format="pandas")
+    else:
+        band_rows = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=mh_kwargs,
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
 
     def partition_bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         """All candidate pairs of one hash partition of band buckets.

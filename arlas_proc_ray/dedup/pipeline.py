@@ -55,7 +55,7 @@ def dedup_documents(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
     num_partitions: int = 16,
-    concurrency: int = 2,
+    concurrency: int | None = None,
 ):
     """Deduplicate a document Dataset; returns (survivors_ds, stats dict).
 

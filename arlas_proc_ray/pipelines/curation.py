@@ -30,7 +30,7 @@ class CurationConfig:
     min_lang_score: float = 0.0
     jaccard_threshold: float = 0.8
     num_partitions: int = 16
-    concurrency: int = 2
+    concurrency: int | None = None
     text_col: str = "text"
     id_col: str = "doc_id"
 

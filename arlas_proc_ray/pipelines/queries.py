@@ -643,15 +643,10 @@ def q_minhash_near_dup(sf_dir: str):
     from arlas_proc_ray.dedup.minhash import minhash_near_duplicates
 
     # compute-heavy signatures: keep fan-out even when the input is one
-    # 16 MB block (measured best at sf0.1: 5.1 s vs 6.6 s single-block).
-    # Actor-pool size must leave cpus for the sorts — a pool that reserves
-    # every core deadlocks a small session (two-pool starvation lesson).
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    conc = max(2, min(4, cpus // 4))
+    # 16 MB block; task-based signature stage (no pool spawn, parallelism
+    # = block count) with one-permutation hashing
     ds = _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=8)
-    return minhash_near_duplicates(ds, jaccard_threshold=0.5, concurrency=conc)
+    return minhash_near_duplicates(ds, jaccard_threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
