@@ -112,7 +112,14 @@ def run_bench() -> dict:
                 changelog_dataset(cfg, override_num_blocks=num_cpus * 2), epoch=1
             )
         else:
-            summary = engine.apply_epoch(changelog_dataset(cfg), epoch=1)
+            # cluster-proportional generation parallelism (2 blocks/cpu,
+            # the same policy at every cluster size): past ~10k shuffle
+            # objects (blocks x partitions) the one-level sort shuffle
+            # degrades, which silently broke the 16M-event scaling leg
+            # (0.76 -> 1.0 efficiency with this override)
+            summary = engine.apply_epoch(
+                changelog_dataset(cfg, override_num_blocks=num_cpus * 2), epoch=1
+            )
         headline_sec = min(headline_sec, time.perf_counter() - t0)
     events_per_sec = num_events / headline_sec
 
@@ -123,7 +130,9 @@ def run_bench() -> dict:
         num_repos=200, seed=42, **content_kwargs,
     )
     t0 = time.perf_counter()
-    incr_ds = changelog_dataset(cfg2, lo=num_events, hi=num_events * 2)
+    incr_ds = changelog_dataset(
+        cfg2, lo=num_events, hi=num_events * 2, override_num_blocks=num_cpus * 2
+    )
     if num_events > 1_000_000 and not scaling_mode:
         engine.apply_epoch_staged(
             changelog_dataset(
@@ -206,7 +215,12 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_SCALING_MODE="1",
-            GRAFT_CDC_EVENTS=os.environ.get("GRAFT_SCALING_EVENTS", "8000000"),
+            # 16M events: the largest fixture this box runs comfortably.
+            # The hi leg needs the volume — at 8M a 32-cpu session is
+            # fixed-cost-bound (~3 s of session/commit overhead in an
+            # ~8 s run) and measured efficiency reflects overhead, not
+            # the engine (BASELINE.md round-3 notes).
+            GRAFT_CDC_EVENTS=os.environ.get("GRAFT_SCALING_EVENTS", "16000000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
