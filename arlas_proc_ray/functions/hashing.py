@@ -67,6 +67,36 @@ def sha256_rollup(hex_digests) -> str:
     return h.hexdigest()
 
 
+def sha256_prefix_int(col: pa.Array | pa.ChunkedArray, chars: int = 15) -> np.ndarray:
+    """First ``chars`` hex digits of sha256 per row, as int64 — vectorized.
+
+    The deterministic-assignment kernel (train/val splits, sampling,
+    SQL-reproducible fakes): DuckDB computes the identical value as
+    ``CAST('0x' || substr(sha256(x), 1, chars) AS BIGINT)``. 15 hex chars
+    = 60 bits, safely inside int64. Nulls hash to -1.
+    """
+    assert chars <= 15, "more than 15 hex chars overflows int64"
+    hexes = sha256_hex(col)
+    if isinstance(hexes, pa.ChunkedArray):
+        hexes = hexes.combine_chunks()
+    valid = np.asarray(hexes.is_valid())
+    n = len(hexes)
+    out = np.full(n, -1, dtype=np.int64)
+    if not valid.any():
+        return out
+    # hex digests are fixed-width ASCII: parse the prefix with one
+    # byte-matrix op instead of a per-row int(x, 16) loop
+    joined = "".join(
+        h if h is not None else "0" * 64 for h in hexes.to_pylist()
+    ).encode("ascii")
+    mat = np.frombuffer(joined, dtype=np.uint8).reshape(n, 64)[:, :chars]
+    vals = mat - np.uint8(48) - np.where(mat >= 97, np.uint8(39), np.uint8(0))
+    powers = (np.uint64(16) ** np.arange(chars - 1, -1, -1, dtype=np.uint64))
+    nums = (vals.astype(np.uint64) * powers[None, :]).sum(axis=1).astype(np.int64)
+    out[valid] = nums[valid]
+    return out
+
+
 def key_hash(table: pa.Table | pd.DataFrame, key_cols: list[str]) -> np.ndarray:
     """Stable uint64 hash of composite key columns, vectorized.
 

@@ -125,6 +125,69 @@ def score_lang_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return scorer(batch)
 
 
+def top_terms(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    pattern: str = "[a-z]+",
+    num_partitions: int = 8,
+):
+    """Corpus-wide top-``k`` terms by frequency (vocabulary construction).
+
+    Combiner-first: every batch pre-aggregates its own term counts (the
+    shuffle sees ≤ |vocab| rows per block, never per-token rows), one
+    keyed sum per term, then per-partition top-k partials and a tiny
+    driver merge. Total order (count DESC, term ASC) makes the cut
+    deterministic — shared with the SQL oracle.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        # Arrow lacks a findall kernel → pandas str.findall on the
+        # already-lowered Arrow column (one conversion, C regex loop)
+        text = pc.utf8_lower(batch.column(text_col))
+        s = text.to_pandas().fillna("")
+        words = s.str.findall(pattern).explode().dropna()
+        vc = words.value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+
+    def topk_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby("term", as_index=False, sort=False)["n"].sum()
+        return agg.sort_values(["n", "term"], ascending=[False, True]).head(k)
+
+    per_part = keyed_partition_map(
+        partials, keys=["term"], order_col="n", fn=topk_partition,
+        num_partitions=num_partitions,
+    )
+    out = per_part.to_pandas()
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def redact(col, rules: list[tuple[str, str]]):
+    """Regex redaction over an Arrow string column (RE2 — same engine as
+    DuckDB's regexp_replace, so rules behave identically in the oracle).
+
+    ``rules``: ordered (pattern, replacement) pairs applied in sequence —
+    e.g. emails → ``<EMAIL>``, then digit runs → ``<NUM>``.
+    """
+    import pyarrow.compute as pc
+
+    for pattern, repl in rules:
+        col = pc.replace_substring_regex(col, pattern, repl)
+    return col
+
+
 _FP_B = np.uint64(0x100000001B3)  # odd → invertible mod 2^64
 _FP_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 

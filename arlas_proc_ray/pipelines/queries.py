@@ -1366,11 +1366,54 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_train_val_split(sf_dir: str):
+    """Deterministic content-hash train/val/test assignment per document
+    (stages/sampling.py) — stable across reruns/cluster sizes, and exactly
+    reproducible in SQL (same sha256-prefix bucket kernel)."""
+    from arlas_proc_ray.stages.sampling import split_by_hash
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return split_by_hash(
+        ds, key_col="doc_id", val_permille=100, test_permille=50
+    )
+
+
+def q_vocab_top_terms(sf_dir: str):
+    """Corpus-wide top-50 terms (vocabulary construction): per-batch count
+    combiner → keyed sum → per-partition top-k → tiny driver merge."""
+    from arlas_proc_ray.functions.text import top_terms
+
+    ds = _docs(sf_dir, columns=["text"])
+    return top_terms(ds, text_col="text", k=50)
+
+
+def q_redact_text(sf_dir: str):
+    """PII-style regex redaction (emails → <EMAIL>, digit runs → <NUM>),
+    RE2 on both sides so the oracle matches byte-for-byte."""
+    from arlas_proc_ray.functions.text import redact
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    rules = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        (r"[0-9]+", "<NUM>"),
+    ]
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "redacted": redact(t.column("text"), rules)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "train_val_split": q_train_val_split,
+    "vocab_top_terms": q_vocab_top_terms,
+    "redact_text": q_redact_text,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "nul_key_segments": q_nul_key_segments,
     "cdc_engine_replay": q_cdc_engine_replay,
@@ -1948,6 +1991,35 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    "train_val_split": """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 1000 AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 100 THEN 'val'
+                    WHEN bucket < 150 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM b
+    """,
+    "vocab_top_terms": """
+        SELECT word AS term, count(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                            '[a-z]+')) AS word
+              FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, term ASC
+        LIMIT 50
+    """,
+    "redact_text": """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                                '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g') AS redacted
+        FROM documents
     """,
     # simhash / fingerprint / minhash_near_dup / hmm_moving_state
     # / ann_lsh_topk / embedding_near_dup_ivf / curation: signature or

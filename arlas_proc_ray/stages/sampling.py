@@ -1,0 +1,67 @@
+"""Deterministic, SQL-reproducible sampling / split assignment.
+
+Training-data pipelines need splits and samples that are (a) stable
+across reruns and cluster sizes, (b) derivable per row with no global
+state, and (c) auditable by an external system. Random sampling gives
+none of these; CONTENT-HASH assignment gives all three: every row's
+bucket is ``sha256(key) mod 1000``, computed identically here (vectorized
+buffer-sliced sha256, functions/hashing.py) and in SQL
+(``CAST('0x' || substr(sha256(x),1,15) AS BIGINT) % 1000``).
+
+This is one stateless ``map_batches`` — no shuffle, no driver state, and
+the assignment never changes when the data is repartitioned or the
+cluster is resized (the property a `random_sample` split lacks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arlas_proc_ray.functions.hashing import sha256_prefix_int
+
+
+def hash_buckets(col: pa.Array | pa.ChunkedArray, mod: int = 1000) -> np.ndarray:
+    """Stable per-row bucket: sha256 of the stringified key, mod ``mod``."""
+    as_str = pc.cast(col, pa.string())
+    return sha256_prefix_int(as_str) % np.int64(mod)
+
+
+def split_by_hash(
+    ds,
+    *,
+    key_col: str,
+    val_permille: int = 100,
+    test_permille: int = 0,
+    split_col: str = "split",
+    bucket_col: str | None = "bucket",
+):
+    """Assign train/val(/test) splits by content hash of ``key_col``.
+
+    Buckets ``[0, val)`` → val, ``[val, val+test)`` → test, rest → train.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = hash_buckets(batch.column(key_col))
+        split = np.where(
+            b < val_permille,
+            "val",
+            np.where(b < val_permille + test_permille, "test", "train"),
+        )
+        out = batch
+        if bucket_col is not None:
+            out = out.append_column(bucket_col, pa.array(b, pa.int64()))
+        return out.append_column(split_col, pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def deterministic_sample(ds, *, key_col: str, keep_permille: int):
+    """Keep rows whose hash bucket < ``keep_permille`` (stable ≈0.1% grain)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = hash_buckets(batch.column(key_col))
+        return batch.filter(pa.array(b < keep_permille))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,71 @@
+"""Deterministic sampling / split assignment + vocab top-k unit tests."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from arlas_proc_ray.functions.hashing import sha256_prefix_int
+from arlas_proc_ray.stages.sampling import (
+    deterministic_sample,
+    hash_buckets,
+    split_by_hash,
+)
+
+
+def test_sha256_prefix_int_matches_hexdigest():
+    vals = ["", "a", "hello world", "42", None, "x" * 1000]
+    got = sha256_prefix_int(pa.array(vals, pa.string()))
+    for v, g in zip(vals, got):
+        if v is None:
+            assert g == -1
+        else:
+            exp = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+            assert int(g) == exp
+
+
+def test_split_assignment_is_partitioning_invariant():
+    """The property random_sample lacks: the assignment must not change
+    when the data is repartitioned (cluster resize / rerun)."""
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64)})
+    a = (
+        split_by_hash(rd.from_pandas(df), key_col="k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        split_by_hash(rd.from_pandas(df).repartition(13), key_col="k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # ~10% val at permille=100 (loose band; deterministic, not random)
+    frac = (a["split"] == "val").mean()
+    assert 0.04 < frac < 0.2
+
+
+def test_deterministic_sample_subset_property():
+    """A 50-permille sample is a SUBSET of the 100-permille sample
+    (nested grains — what makes hash sampling auditable)."""
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    s50 = set(
+        deterministic_sample(rd.from_pandas(df), key_col="k", keep_permille=50)
+        .to_pandas()["k"]
+    )
+    s100 = set(
+        deterministic_sample(rd.from_pandas(df), key_col="k", keep_permille=100)
+        .to_pandas()["k"]
+    )
+    assert s50 <= s100
+    assert len(s50) > 0 and len(s100) < 1000
+
+
+def test_top_terms_exact_counts():
+    from arlas_proc_ray.functions.text import top_terms
+
+    df = pd.DataFrame(
+        {"text": ["the cat sat", "the cat", "THE dog", None, "cat! cat?"]}
+    )
+    out = top_terms(rd.from_pandas(df).repartition(3), text_col="text", k=3)
+    assert out["term"].tolist() == ["cat", "the", "dog"]  # 4, 3, 1; tie term asc
+    assert out["n"].tolist() == [4, 3, 1]
