@@ -1410,7 +1410,32 @@ def q_redact_text(sf_dir: str):
 # catalog
 # ---------------------------------------------------------------------------
 
+def q_value_quantiles(sf_dir: str):
+    """Per-event-type exact discrete quantiles of value (p50/p90) —
+    DuckDB quantile_disc rule, one keyed exchange, vectorized gather."""
+    from arlas_proc_ray.stages.summarize import grouped_quantile_disc
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return grouped_quantile_disc(
+        ds, keys=["event_type"], value_col="value",
+        quantiles={"p50": 0.5, "p90": 0.9},
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact distinct-user count per event type with a pre-shuffle pair
+    dedup combiner (combiner-before-groupby at scale)."""
+    from arlas_proc_ray.stages.summarize import grouped_count_distinct
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return grouped_count_distinct(
+        ds, keys=["event_type"], value_col="user_id", target="n_users"
+    )
+
+
 QUERIES = {
+    "value_quantiles": q_value_quantiles,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "train_val_split": q_train_val_split,
     "vocab_top_terms": q_vocab_top_terms,
     "redact_text": q_redact_text,
@@ -1991,6 +2016,16 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    "value_quantiles": """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90
+        FROM events GROUP BY event_type
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "train_val_split": """
         WITH b AS (

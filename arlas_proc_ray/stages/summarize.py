@@ -118,6 +118,80 @@ def conditional_collapse(
     )
 
 
+def grouped_quantile_disc(
+    ds,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: dict[str, float],
+    num_partitions: int = 8,
+):
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc`` rule:
+    ascending-sorted element at index ``ceil(q·n) − 1``).
+
+    One keyed exchange; inside each partition the frame arrives sorted by
+    (keys…, value), so every quantile is a vectorized gather at
+    ``first_row_of_group + ceil(q·n) − 1`` — no per-group Python loop.
+    Exact quantiles need the group co-located (they are not mergeable
+    partials); for sketch-sized state at extreme cardinality a t-digest
+    would replace this, trading exactness away.
+    """
+    keys = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        sizes = g.size().to_numpy(np.int64)
+        firsts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        out = g.head(1)[keys].reset_index(drop=True)
+        vals = pdf[value_col].to_numpy()
+        for name, q in quantiles.items():
+            idx = firsts + np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
+            out[name] = vals[idx]
+        return out
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=value_col, fn=fn, num_partitions=num_partitions
+    )
+
+
+def grouped_count_distinct(
+    ds,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    target: str = "n_distinct",
+    num_partitions: int = 8,
+):
+    """Exact per-group distinct count with a pre-shuffle dedup combiner.
+
+    Each batch first drops duplicate (key, value) pairs — the shuffle
+    then carries at most |distinct pairs| rows per block instead of raw
+    rows (the combiner-before-groupby rule) — and the keyed partition
+    counts unique values per group exactly.
+    """
+    keys = list(keys)
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[keys + [value_col]].drop_duplicates()
+
+    combined = ds.map_batches(combine, batch_format="pandas")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nunique factorizes the VALUE column too — keep it byte-exact
+        pdf = byte_exact_group_cols(pdf, [value_col])
+        out = (
+            pdf.groupby(keys, as_index=False, sort=False)[value_col]
+            .nunique()
+            .rename(columns={value_col: target})
+        )
+        return out
+
+    return keyed_partition_map(
+        combined, keys=keys, order_col=value_col, fn=fn,
+        num_partitions=num_partitions,
+    )
+
+
 def elect_main_tempo(
     pdf: pd.DataFrame,
     proportion_map: dict[str, str],

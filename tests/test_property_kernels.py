@@ -191,3 +191,40 @@ def test_cdc_exactly_once_under_random_epoch_splits(seed, cuts, redeliver):
             .reset_index(drop=True)[list(exp.columns)]
         )
     pd.testing.assert_frame_equal(got, exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_oph_signature_bins_hold_true_minima(text):
+    """One-permutation-hashing invariants: every non-empty bin carries the
+    true minimum of its shingle hashes; empty bins are densified from the
+    next non-empty bin (cyclic) plus the rotation distance; the signature
+    is deterministic."""
+    from arlas_proc_ray.dedup.minhash import MinHasher, _shingle_hashes
+
+    mh = MinHasher(num_perm=32, bands=8, algo="oph")
+    sig1 = mh.signature(text)
+    sig2 = mh.signature(text)
+    assert (sig1 == sig2).all()
+    assert len(sig1) == 32
+
+    sh = _shingle_hashes(text, mh.ngram)
+    k = np.uint64(32)
+    if len(sh) == 0:
+        assert (sig1 == 0).all()
+        return
+    bins = (sh % k).astype(np.int64)
+    for b in range(32):
+        members = sh[bins == b]
+        if len(members):
+            assert sig1[b] == members.min()
+        else:
+            # densified: source bin is the next non-empty to the right
+            # (cyclic); value = its min + distance (mod 2^64)
+            nonempty = sorted(set(bins.tolist()))
+            src = next(
+                (c for c in list(range(b, 32)) + list(range(0, b)) if c in nonempty)
+            )
+            dist = (src - b) % 32
+            exp = (int(sh[bins == src].min()) + dist) % (1 << 64)
+            assert int(sig1[b]) == exp
