@@ -1433,7 +1433,20 @@ def q_distinct_users_per_type(sf_dir: str):
     )
 
 
+def q_sequence_packing(sf_dir: str):
+    """LLM-training sequence packing: documents assigned to fixed-capacity
+    packs by GLOBAL cumulative size (distributed two-pass prefix scan,
+    stages/scan.py) — deterministic shard assignment."""
+    from arlas_proc_ray.stages.scan import sequence_packing
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return sequence_packing(
+        ds, order_col="doc_id", size_col="n_chars", capacity=8192
+    )
+
+
 QUERIES = {
+    "sequence_packing": q_sequence_packing,
     "value_quantiles": q_value_quantiles,
     "distinct_users_per_type": q_distinct_users_per_type,
     "train_val_split": q_train_val_split,
@@ -2016,6 +2029,16 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    "sequence_packing": """
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_size
+          FROM documents)
+        SELECT doc_id, n_chars, cum_size,
+               (cum_size - n_chars) // 8192 AS pack_id
+        FROM s
     """,
     "value_quantiles": """
         SELECT event_type,

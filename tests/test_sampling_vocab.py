@@ -69,3 +69,39 @@ def test_top_terms_exact_counts():
     out = top_terms(rd.from_pandas(df).repartition(3), text_col="text", k=3)
     assert out["term"].tolist() == ["cat", "the", "dog"]  # 4, 3, 1; tie term asc
     assert out["n"].tolist() == [4, 3, 1]
+
+
+def test_global_cumsum_multiblock_matches_pandas():
+    """Distributed two-pass scan == pandas cumsum, regardless of input
+    block layout (the per-block offset lookup is the part that can rot)."""
+    from arlas_proc_ray.stages.scan import global_cumsum, sequence_packing
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "id": rng.permutation(2000).astype(np.int64),
+            "w": rng.randint(1, 500, 2000).astype(np.int64),
+        }
+    )
+    got = (
+        global_cumsum(
+            rd.from_pandas(df).repartition(17), order_col="id", value_col="w",
+            target="cs",
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = df.sort_values("id").reset_index(drop=True)
+    exp["cs"] = exp["w"].cumsum()
+    pd.testing.assert_frame_equal(got[["id", "w", "cs"]], exp)
+
+    packed = (
+        sequence_packing(
+            rd.from_pandas(df).repartition(9), order_col="id", size_col="w",
+            capacity=1000,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp["pack_id"] = (exp["cs"] - exp["w"]) // 1000
+    assert packed["pack_id"].tolist() == exp["pack_id"].tolist()
+    # packs are contiguous runs and non-decreasing in the global order
+    assert (np.diff(packed["pack_id"].to_numpy()) >= 0).all()
