@@ -129,22 +129,18 @@ def ivf_topk(
                 )
             return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(
-        IvfScorer, batch_format="pyarrow", concurrency=concurrency
-    )
+    from arlas_proc_ray.ann.search import _merge_topk_partials
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
-        )
-        return pdf.groupby("query_id", sort=False).head(k)
+    cache: dict = {}
 
-    out = (
-        partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
-    )
-    return out.sort_values(
-        ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
-    ).reset_index(drop=True)
+    def score(batch: pa.Table) -> pd.DataFrame:
+        scorer = cache.get("s")
+        if scorer is None:
+            scorer = cache["s"] = IvfScorer()
+        return scorer(batch)
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk_partials(partials, k)
 
 
 def train_centroids(
