@@ -174,6 +174,61 @@ def top_terms(
     )
 
 
+def repetition_metrics(batch, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style line-repetition quality signals per document.
+
+    - ``frac_dup_lines``   = (n_lines − n_distinct_lines) / max(n_lines, 1)
+    - ``frac_chars_dup_lines`` = chars in lines occurring >1× (all
+      occurrences counted) / max(total line chars, 1)
+
+    Lines are ``\\n``-split INCLUDING empties (shared definition with the
+    SQL oracle). Vectorized: one split/explode + one (doc, line) groupby
+    across the whole batch.
+    """
+    import pandas as pd
+
+    texts = (
+        batch[text_col].fillna("")
+        if isinstance(batch, pd.DataFrame)
+        else pd.Series(batch.column(text_col).to_pylist()).fillna("")
+    )
+    ids = (
+        batch[id_col].to_numpy()
+        if isinstance(batch, pd.DataFrame)
+        else batch.column(id_col).to_numpy(zero_copy_only=False)
+    )
+    lines = texts.str.split("\n")
+    n_lines = lines.str.len().to_numpy(np.int64)
+    ex = lines.explode()
+    pos = ex.index.to_numpy(np.int64)
+    lens = ex.str.len().to_numpy(np.int64)
+    df = pd.DataFrame({"doc": pos, "line": ex.to_numpy(object), "chars": lens})
+    per_line = df.groupby(["doc", "line"], sort=False).agg(
+        cnt=("chars", "size"), chars=("chars", "first")
+    )
+    n_distinct = per_line.groupby(level="doc").size()
+    dup = per_line[per_line["cnt"] > 1]
+    dup_chars = (dup["cnt"] * dup["chars"]).groupby(level="doc").sum()
+    total_chars = df.groupby("doc")["chars"].sum()
+
+    n = len(texts)
+    nd = np.zeros(n, np.int64)
+    nd[n_distinct.index.to_numpy(np.int64)] = n_distinct.to_numpy(np.int64)
+    dc = np.zeros(n, np.int64)
+    if len(dup_chars):
+        dc[dup_chars.index.to_numpy(np.int64)] = dup_chars.to_numpy(np.int64)
+    tc = np.zeros(n, np.int64)
+    tc[total_chars.index.to_numpy(np.int64)] = total_chars.to_numpy(np.int64)
+
+    return pd.DataFrame(
+        {
+            id_col: ids,
+            "frac_dup_lines": (n_lines - nd) / np.maximum(n_lines, 1),
+            "frac_chars_dup_lines": dc / np.maximum(tc, 1),
+        }
+    )
+
+
 def redact(col, rules: list[tuple[str, str]]):
     """Regex redaction over an Arrow string column (RE2 — same engine as
     DuckDB's regexp_replace, so rules behave identically in the oracle).

@@ -1445,7 +1445,34 @@ def q_sequence_packing(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (13-gram overlap vs an eval set — here the
+    doc_id<10 docs stand in for the benchmark), broadcast window set."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.dedup.decontaminate import decontaminate
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 10)],
+    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return decontaminate(ds, bench.column("text").to_pylist(), n=13)
+
+
+def q_repetition_metrics(sf_dir: str):
+    """Gopher-style line-repetition quality signals per document."""
+    from arlas_proc_ray.functions.text import repetition_metrics
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_metrics(t), batch_format="pyarrow", batch_size=None
+    )
+
+
 QUERIES = {
+    "decontaminate": q_decontaminate,
+    "repetition_metrics": q_repetition_metrics,
     "sequence_packing": q_sequence_packing,
     "value_quantiles": q_value_quantiles,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -2029,6 +2056,47 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+    "decontaminate": """
+        WITH bench AS (
+          SELECT DISTINCT substr(t, CAST(i AS INTEGER), 13) AS w
+          FROM (SELECT t, unnest(generate_series(1,
+                       CAST(greatest(length(t) - 12, 0) AS BIGINT))) AS i
+                FROM (SELECT coalesce(text, '') AS t
+                      FROM documents WHERE doc_id < 10))),
+        docw AS (
+          SELECT doc_id, substr(t, CAST(i AS INTEGER), 13) AS w
+          FROM (SELECT doc_id, t, unnest(generate_series(1,
+                       CAST(greatest(length(t) - 12, 0) AS BIGINT))) AS i
+                FROM (SELECT doc_id, coalesce(text, '') AS t
+                      FROM documents)))
+        SELECT d.doc_id, coalesce(h.hit, false) AS contaminated
+        FROM documents d
+        LEFT JOIN (SELECT DISTINCT dw.doc_id, true AS hit
+                   FROM docw dw JOIN bench b ON b.w = dw.w) h
+          ON h.doc_id = d.doc_id
+    """,
+    "repetition_metrics": """
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), chr(10))) AS line
+          FROM documents),
+        per AS (
+          SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+          FROM l GROUP BY doc_id, line),
+        agg AS (
+          SELECT doc_id,
+                 sum(cnt) AS n_lines,
+                 count(*) AS n_distinct,
+                 sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS dup_chars,
+                 sum(cnt * chars) AS total_chars
+          FROM per GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(n_lines - n_distinct AS DOUBLE) / greatest(n_lines, 1)
+                 AS frac_dup_lines,
+               CAST(dup_chars AS DOUBLE) / greatest(total_chars, 1)
+                 AS frac_chars_dup_lines
+        FROM agg
     """,
     "sequence_packing": """
         WITH s AS (

@@ -105,3 +105,48 @@ def test_global_cumsum_multiblock_matches_pandas():
     assert packed["pack_id"].tolist() == exp["pack_id"].tolist()
     # packs are contiguous runs and non-decreasing in the global order
     assert (np.diff(packed["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_repetition_metrics_crafted():
+    from arlas_proc_ray.functions.text import repetition_metrics
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a\nb\nc",          # no dups
+                "x\nx\nx\ny",       # 4 lines, 2 distinct
+                None,                # null -> one empty line
+            ],
+        }
+    )
+    out = repetition_metrics(df).sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "frac_dup_lines"] == 0.0
+    assert out.loc[1, "frac_dup_lines"] == (4 - 2) / 4
+    # 'x' occurs 3x (3 chars of 4 total line chars)
+    assert out.loc[1, "frac_chars_dup_lines"] == 3 / 4
+    assert out.loc[2, "frac_dup_lines"] == 0.0
+
+
+def test_decontaminate_flags_overlap_only():
+    import ray.data as rd2
+
+    from arlas_proc_ray.dedup.decontaminate import decontaminate
+
+    bench = ["The quick brown fox jumps over the lazy dog"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "prefix The quick brown fox suffix",   # shares a 13-gram
+                "completely different words here",     # no overlap
+                "short",                               # < 13 chars: never
+                None,
+            ],
+        }
+    )
+    out = (
+        decontaminate(rd2.from_pandas(docs), bench, n=13)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, False, False, False]
