@@ -182,7 +182,15 @@ class MergeActor:
             if merged is not None
             else FINAL_STATE_SCHEMA.empty_table()
         )
-        m = self.store.write_partition(epoch, self.part, final, last_lsn=watermark)
+        m = self.store.write_partition(
+            epoch, self.part, final, last_lsn=watermark,
+            metrics={
+                # post-compaction buffered rows (compaction may have
+                # collapsed the raw epoch events), plus spill telemetry
+                "events_applied": int(sum(t.num_rows for t in buffered)),
+                "spilled_files": len(self.spilled_files),
+            },
+        )
         self._reset_epoch_buffer()
         self.state = final
         self.last_lsn = m.last_lsn

@@ -34,6 +34,8 @@ manifests, no idempotence; those are the capabilities the north rule adds.
 
 from __future__ import annotations
 
+import time
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -167,6 +169,7 @@ class CdcEngine:
                 pm = store.read_manifest(src, part)
                 prior_last = pm.last_lsn if pm else -1
 
+            t_part0 = time.perf_counter()
             ev = group.drop_columns([PART_COL])
             # applied watermark: BEFORE tombstone drop and dedup filter, so
             # a DELETE holding the top LSN still advances the fence
@@ -186,7 +189,13 @@ class CdcEngine:
             final = finalize_partition_table(merged, dm)
             if fault_hook is not None:
                 fault_hook(epoch, part)
-            m = store.write_partition(epoch, part, final, last_lsn=watermark)
+            m = store.write_partition(
+                epoch, part, final, last_lsn=watermark,
+                metrics={
+                    "events_applied": int(ev.num_rows),
+                    "apply_s": round(time.perf_counter() - t_part0, 4),
+                },
+            )
             return _manifest_row(m)
 
         # run the epoch: the group output is just the tiny manifest table
@@ -215,7 +224,10 @@ class CdcEngine:
             if fault_hook is not None:
                 fault_hook(epoch, part)
             # propagate the applied watermark, not the surviving-row max
-            store.write_partition(epoch, part, carried, last_lsn=prior_last)
+            store.write_partition(
+                epoch, part, carried, last_lsn=prior_last,
+                metrics={"events_applied": 0, "carried_forward": True},
+            )
             return part
 
         pending = [

@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -51,6 +51,10 @@ class PartitionManifest:
     # never used for fencing. May lag last_lsn when the newest event was a
     # DELETE.
     max_surviving_lsn: int = -1
+    # Free-form per-partition apply metrics (events_applied, apply_s, …) —
+    # the north-rule's "per-partition lineage + metrics"; purely
+    # observational, never read by the fence/resume logic.
+    metrics: dict = field(default_factory=dict)
 
 
 def _atomic_write_bytes(path: str, payload: bytes) -> None:
@@ -95,7 +99,8 @@ class SnapshotStore:
         return os.path.exists(self.part_manifest_path(epoch, part))
 
     def write_partition(
-        self, epoch: int, part: int, table: pa.Table, *, last_lsn: int | None = None
+        self, epoch: int, part: int, table: pa.Table, *, last_lsn: int | None = None,
+        metrics: dict | None = None,
     ) -> PartitionManifest:
         """Idempotent atomic write of one partition's compacted state.
 
@@ -118,6 +123,7 @@ class SnapshotStore:
             row_count=table.num_rows,
             sha256_rollup=sha256_rollup(shas),
             max_surviving_lsn=surviving,
+            metrics=dict(metrics or {}),
         )
         data_path = self.part_data_path(epoch, part)
         os.makedirs(os.path.dirname(data_path), exist_ok=True)

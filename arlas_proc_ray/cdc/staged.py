@@ -113,7 +113,12 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
         )
         if fault_hook is not None:
             fault_hook(epoch, part)
-        return store.write_partition(epoch, part, final, last_lsn=watermark)
+        return store.write_partition(
+            epoch, part, final, last_lsn=watermark,
+            metrics={
+                "events_applied": int(ev.num_rows) if ev is not None else 0
+            },
+        )
 
     # phase 1: one split task per input block (refs, never driver-local)
     block_refs = events_ds.to_arrow_refs()
@@ -249,7 +254,12 @@ def staged_apply_epoch_two_level(
         )
         if fault_hook is not None:
             fault_hook(epoch, part)
-        return store.write_partition(epoch, part, final, last_lsn=watermark)
+        return store.write_partition(
+            epoch, part, final, last_lsn=watermark,
+            metrics={
+                "events_applied": int(ev.num_rows) if ev is not None else 0
+            },
+        )
 
     block_refs = events_ds.to_arrow_refs()
     B = len(block_refs)

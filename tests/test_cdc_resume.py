@@ -249,3 +249,26 @@ def test_two_level_crash_resume(tmp_path):
         .reset_index(drop=True)[list(exp.columns)]
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_manifests_carry_apply_metrics(tmp_path):
+    """Per-partition lineage + metrics (north rule): every committed
+    manifest records events_applied (and apply_s on the batch engine)."""
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc import ChangelogConfig, CdcEngine, generate_changelog_tables
+    from arlas_proc_ray.model import DataModel
+
+    cfg = ChangelogConfig(num_events=2000, num_keys=300, seed=3)
+    dm = DataModel(num_partitions=4)
+    eng = CdcEngine(str(tmp_path / "s"), dm)
+    eng.apply_epoch(rd.from_arrow(generate_changelog_tables(cfg)), 1)
+    total = 0
+    for p in range(dm.num_partitions):
+        m = eng.store.read_manifest(1, p)
+        assert "events_applied" in m.metrics
+        if not m.metrics.get("carried_forward"):
+            assert "apply_s" in m.metrics
+        total += m.metrics["events_applied"]
+    # pre-shuffle LWW combining may collapse events; never exceeds input
+    assert 0 < total <= cfg.num_events
