@@ -34,8 +34,8 @@ NP = 16  # partition fan-out for keyed ops at test scale
 # ---------------------------------------------------------------------------
 
 
-def _events(sf_dir: str, columns=None):
-    return _rp(f"{sf_dir}/events.parquet", columns=columns)
+def _events(sf_dir: str, columns=None, **kw):
+    return _rp(f"{sf_dir}/events.parquet", columns=columns, **kw)
 
 
 def _docs(sf_dir: str, columns=None, **kw):
@@ -770,7 +770,10 @@ def q_enriched_events(sf_dir: str):
     deterministic offline client; rows-only check."""
     from arlas_proc_ray.stages.enrich import with_enrichment
 
-    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+    # feed the 2-actor enrichment pool ≥2 blocks even on a small read
+    ds = _events(
+        sf_dir, columns=["event_id", "user_id", "event_type"], min_parallelism=2
+    )
     out = with_enrichment(ds, key_col="user_id", batch_size=1024)
     return out
 
