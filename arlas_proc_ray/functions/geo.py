@@ -203,6 +203,35 @@ def parse_wkt_linestring(wkt: str) -> np.ndarray:
     return np.asarray(pts, np.float64)
 
 
+def trail_geohashes(wkt: str | None, precision: int = 6) -> list[str] | None:
+    """Distinct geohash cells of every point of a WKT trail.
+
+    Named analogue of the WithGeohash transformer
+    (features/WithGeohash.scala:35-48): parse the trail, geohash each
+    coordinate, deduplicate. The reference's Scala ``.toSet.toArray``
+    iterates in hash order; here distinct cells keep FIRST-APPEARANCE
+    order (deterministic and stable — documented divergence, the set
+    CONTENT is identical).
+    """
+    if not wkt:
+        return None
+    pts = parse_wkt_linestring(wkt)
+    cells = geohash(pts[:, 0], pts[:, 1], precision)
+    return list(dict.fromkeys(cells))
+
+
+def with_geohash(ds, *, trail_col: str, target: str = "geohashes",
+                 precision: int = 6):
+    """Dataset stage: append the distinct-geohash array column."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf[target] = [trail_geohashes(t, precision) for t in pdf[trail_col]]
+        return pdf
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 LOCATION_DIGITS = 6  # meter precision (GeoTool.scala:34)
 
 

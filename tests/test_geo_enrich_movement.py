@@ -189,3 +189,26 @@ def test_trail_composition_helpers():
     assert td2["trail"] == "POINT (2.0 1.0)"
     # length mismatch -> None
     assert trail_data_from_trails_and_coords([None], [1.0], [2.0], []) is None
+
+
+def test_with_geohash_trail_cells():
+    """WithGeohash analogue: distinct geohash cells of a trail's points
+    (features/WithGeohash.scala:35-48), null trail -> null."""
+    import pandas as pd
+    import ray.data as rd
+
+    from arlas_proc_ray.functions import geo
+
+    trail = "LINESTRING (10.40744 57.64911, 10.40744 57.64911, 0.0 0.0)"
+    df = pd.DataFrame({"id": [1, 2], "trail": [trail, None]})
+    out = (
+        geo.with_geohash(rd.from_pandas(df), trail_col="trail", precision=5)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    cells = out.loc[0, "geohashes"]
+    # first two points share a cell -> dedup keeps 2 distinct cells
+    assert list(cells) == [
+        geo.geohash([57.64911], [10.40744], precision=5)[0],
+        geo.geohash([0.0], [0.0], precision=5)[0],
+    ]
+    assert out.loc[1, "geohashes"] is None

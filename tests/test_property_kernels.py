@@ -228,3 +228,48 @@ def test_oph_signature_bins_hold_true_minima(text):
             dist = (src - b) % 32
             exp = (int(sh[bins == src].min()) + dist) % (1 << 64)
             assert int(sig1[b]) == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.sampled_from(["\x00", "a", "b", "\x01", "é"]),
+                min_size=0, max_size=4,
+            ),
+            st.integers(0, 50),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.integers(1, 8),
+)
+def test_keyed_duration_byte_exact_vs_pandas_oracle(rows, P):
+    """END-TO-END fuzz: with_duration over ARBITRARY keys (NUL bytes,
+    control chars, unicode) equals a byte-exact pandas oracle grouped on
+    utf-8-encoded keys, for any partition count."""
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.keyed import with_duration
+
+    df = pd.DataFrame(rows, columns=["k", "seq", "ts"])
+    got = (
+        with_duration(
+            rd.from_pandas(df), keys=["k"], order_col="seq", ts_col="ts",
+            num_partitions=P,
+        )
+        .to_pandas()
+        .sort_values(["k", "seq"], key=lambda s: s.map(repr) if s.dtype == object else s)
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(
+        ["k", "seq"], key=lambda s: s.map(repr) if s.dtype == object else s
+    ).reset_index(drop=True)
+    enc = exp["k"].str.encode("utf-8")
+    exp["duration_s"] = exp["ts"] - exp.groupby(enc, sort=False)["ts"].shift(1)
+    pd.testing.assert_series_equal(
+        got["duration_s"], exp["duration_s"], check_names=False
+    )
