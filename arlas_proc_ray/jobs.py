@@ -1,0 +1,147 @@
+"""Job entry points for ``ray job submit`` (the north-rule run mode).
+
+Usage (each command owns the Ray session; on a cluster, submit with
+``ray job submit --working-dir . -- python -m arlas_proc_ray.jobs …``):
+
+    # apply one epoch of a Parquet changelog to a snapshot store
+    python -m arlas_proc_ray.jobs replay \
+        --events /data/changelog/epoch3/*.parquet \
+        --snapshot /data/snapshot --epoch 3 [--staged] [--delta] \
+        [--partitions 256]
+
+    # synthesize a deterministic changelog slice to Parquet (drills/bench)
+    python -m arlas_proc_ray.jobs synthesize \
+        --out /data/changelog/epoch1 --events 1000000 [--lo 0 --hi N]
+
+    # verify a committed snapshot's manifests (row counts + sha256 rollups)
+    python -m arlas_proc_ray.jobs verify --snapshot /data/snapshot
+
+Re-running ``replay`` with the same ``--epoch`` is safe: finished
+partitions are skipped by the manifest fence, unfinished ones re-execute
+idempotently (crash-resume is the same command again).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+_OWNS_SESSION = False
+
+
+def _ray_session(num_cpus: int | None):
+    global _OWNS_SESSION
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)  # on a cluster: RAY_ADDRESS from the job env
+        _OWNS_SESSION = True
+
+
+def cmd_replay(args) -> dict:
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+    from arlas_proc_ray.sources.io import read_parquet
+
+    _ray_session(args.num_cpus)
+    dm = DataModel(num_partitions=args.partitions)
+    engine = CdcEngine(args.snapshot, dm)
+    # job-level idempotence: a retried/resubmitted job whose epoch already
+    # COMMITTED is a successful no-op (the engine rejects re-applying a
+    # committed epoch; partial epochs resume via the manifest fence)
+    latest = engine.store.latest_committed_epoch()
+    if latest is not None and args.epoch <= latest:
+        return {
+            "epoch": args.epoch,
+            "already_committed": True,
+            "latest_committed": latest,
+        }
+    ds = read_parquet(args.events)
+    if args.staged:
+        return engine.apply_epoch_staged(ds, epoch=args.epoch)
+    return engine.apply_epoch(ds, epoch=args.epoch, delta=args.delta)
+
+
+def cmd_synthesize(args) -> dict:
+    from arlas_proc_ray.cdc.events import ChangelogConfig, changelog_dataset
+
+    _ray_session(args.num_cpus)
+    cfg = ChangelogConfig(
+        num_events=args.events,
+        num_keys=args.keys or max(1_000, args.events // 20),
+        seed=args.seed,
+    )
+    hi = args.hi if args.hi is not None else args.events
+    ds = changelog_dataset(cfg, lo=args.lo, hi=hi)
+    ds.write_parquet(args.out)
+    return {"out": args.out, "events": hi - args.lo, "seed": args.seed}
+
+
+def cmd_verify(args) -> dict:
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot)
+    epoch = store.latest_committed_epoch()
+    if epoch is None:
+        return {"ok": False, "error": "no committed epoch"}
+    sources = store.resolve_sources(epoch)
+    rows = 0
+    parts = 0
+    for p, e in sorted(sources.items()):
+        m = store.read_manifest(e, p)
+        if m is None:
+            return {"ok": False, "error": f"missing manifest for partition {p}"}
+        rows += m.row_count
+        parts += 1
+    return {"ok": True, "epoch": epoch, "partitions": parts, "rows": rows}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="arlas_proc_ray.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="apply one changelog epoch")
+    r.add_argument("--events", required=True, help="changelog parquet path/glob")
+    r.add_argument("--snapshot", required=True)
+    r.add_argument("--epoch", type=int, required=True)
+    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--staged", action="store_true")
+    r.add_argument("--delta", action="store_true")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("synthesize", help="write a deterministic changelog")
+    s.add_argument("--out", required=True)
+    s.add_argument("--events", type=int, required=True)
+    s.add_argument("--keys", type=int, default=None)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--lo", type=int, default=0)
+    s.add_argument("--hi", type=int, default=None)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_synthesize)
+
+    v = sub.add_parser("verify", help="check a committed snapshot")
+    v.add_argument("--snapshot", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out, default=str))
+    # only tear down a session THIS process created (never a caller's —
+    # e.g. the pytest session fixture when main() is driven in-process)
+    if _OWNS_SESSION:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+    return 0 if out.get("ok", True) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
