@@ -1409,6 +1409,41 @@ def q_redact_text(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 20 events with the smallest
+    sha256(event_id) per event type — stable across reruns/cluster sizes,
+    per-batch top-k combiner before the (tiny) keyed exchange."""
+    from arlas_proc_ray.stages.sampling import stratified_sample
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return stratified_sample(
+        ds, group_cols=["event_type"], key_col="event_id", k=20
+    )
+
+
+def q_length_quantile_filter(sf_dir: str):
+    """Corpus-length floor filter: drop documents below the EXACT global
+    p25 of n_chars. The quantile comes from distributed value-counts
+    partials (only (value, count) pairs move), then a stateless filter."""
+    from arlas_proc_ray.stages.summarize import global_quantile_disc
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    thr = global_quantile_disc(docs, value_col="n_chars", q=0.25)
+    return _docs(sf_dir, columns=["doc_id", "n_chars"]).filter(
+        expr=f"n_chars >= {int(thr)}"
+    )
+
+
+def q_group_zscore(sf_dir: str):
+    """Per-event-type z-score of value from exact integer-cent moments
+    (partial-moment combiner → k-row broadcast stats → stateless
+    normalize) — bit-identical to the SQL expression."""
+    from arlas_proc_ray.stages.summarize import grouped_zscore
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return grouped_zscore(ds, keys=["event_type"], value_col="value")
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -1474,6 +1509,9 @@ def q_repetition_metrics(sf_dir: str):
 
 
 QUERIES = {
+    "stratified_sample": q_stratified_sample,
+    "length_quantile_filter": q_length_quantile_filter,
+    "group_zscore": q_group_zscore,
     "decontaminate": q_decontaminate,
     "repetition_metrics": q_repetition_metrics,
     "sequence_packing": q_sequence_packing,
@@ -2149,6 +2187,34 @@ ORACLE_SQL = {
                                 '<EMAIL>', 'g'),
                  '[0-9]+', '<NUM>', 'g') AS redacted
         FROM documents
+    """,
+    "stratified_sample": """
+        SELECT event_id, event_type, value FROM (
+          SELECT event_id, event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST('0x' || substr(sha256(cast(event_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT),
+                            event_id) AS rn
+          FROM events)
+        WHERE rn <= 20
+    """,
+    "length_quantile_filter": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
+    """,
+    "group_zscore": """
+        WITH st AS (
+          SELECT event_type,
+                 count(*) AS n,
+                 sum(cast(round(value * 100) AS BIGINT)) AS s,
+                 sum(cast(round(value * 100) AS BIGINT)
+                     * cast(round(value * 100) AS BIGINT)) AS q
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               (cast(round(e.value * 100) AS BIGINT) - s * 1.0 / n)
+                 / sqrt(q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) AS zscore
+        FROM events e JOIN st USING (event_type)
     """,
     # simhash / fingerprint / minhash_near_dup / hmm_moving_state
     # / ann_lsh_topk / embedding_near_dup_ivf / curation: signature or

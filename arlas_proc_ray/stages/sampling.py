@@ -65,3 +65,53 @@ def deterministic_sample(ds, *, key_col: str, keep_permille: int):
         return batch.filter(pa.array(b < keep_permille))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_sample(
+    ds,
+    *,
+    group_cols,
+    key_col: str,
+    k: int,
+    num_partitions: int = 8,
+):
+    """Deterministic per-stratum sample: the ``k`` rows with the smallest
+    ``sha256(key)`` in each group.
+
+    Content-hash ranking makes the sample (a) stable across reruns,
+    repartitioning and cluster sizes, and (b) exactly reproducible by an
+    external auditor (``row_number() OVER (PARTITION BY group ORDER BY
+    sha256-prefix(key), key)`` in SQL). A per-batch combiner keeps at most
+    ``k`` rows per (batch, group) BEFORE the shuffle, so the keyed exchange
+    carries ≤ k·|groups| rows per block regardless of input size — the
+    stratum itself never needs to co-locate.
+    """
+    group_cols = list(group_cols)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        h = sha256_prefix_int(pc.cast(batch.column(key_col), pa.string()))
+        return batch.append_column("_hrank", pa.array(h, pa.int64()))
+
+    def partial_topk(pdf):
+        return (
+            pdf.sort_values(["_hrank", key_col], kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    def final_topk(pdf):
+        out = (
+            pdf.sort_values(group_cols + ["_hrank", key_col], kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+        return out.drop(columns=["_hrank"])
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    combined = ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None
+                              ).map_batches(partial_topk, batch_format="pandas")
+    return keyed_partition_map(
+        combined, keys=group_cols, order_col="_hrank", fn=final_topk,
+        num_partitions=num_partitions,
+    )

@@ -333,3 +333,94 @@ def moving_fragment_sample_summarizer(
 
         out = out.map_batches(elect, batch_format="pandas")
     return out
+
+
+def global_quantile_disc(ds, *, value_col: str, q: float):
+    """Exact GLOBAL discrete quantile (DuckDB ``quantile_disc`` rule:
+    ascending-sorted element at index ``ceil(q·n) − 1``) without sorting
+    the dataset.
+
+    Per-block value-counts partials → one small ``groupby(value).sum`` —
+    the exchange and the driver only ever see (value, count) pairs, never
+    rows. Assumes ``|distinct values| ≪ rows`` (lengths, scores, sizes…);
+    for an unbounded continuous domain a t-digest sketch replaces this,
+    trading exactness away.
+    """
+    import math
+
+    import pyarrow as pa
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vc = batch.column(value_col).combine_chunks().value_counts()
+        return pa.table(
+            {value_col: vc.field("values"), "n": vc.field("counts")}
+        )
+
+    partial = ds.select_columns([value_col]).map_batches(
+        counts, batch_format="pyarrow", batch_size=None
+    )
+    agg = partial.groupby(value_col).sum("n").to_pandas()
+    agg = agg.sort_values(value_col).reset_index(drop=True)
+    cnt = agg["sum(n)"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    if n == 0:
+        return None
+    idx = max(int(math.ceil(q * n)) - 1, 0)
+    pos = int(np.searchsorted(np.cumsum(cnt), idx + 1))
+    return agg[value_col].iloc[pos]
+
+
+def grouped_zscore(
+    ds,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    target: str = "zscore",
+):
+    """Per-group z-score normalization from EXACT integer-cent moments.
+
+    Two-phase, shuffle-free on the big side: (1) per-batch partial
+    moments (n, Σc, Σc²) over exact cents → a tiny global aggregate
+    (|groups| rows); (2) broadcast the stats table and normalize in a
+    stateless ``map_batches``. Both this engine and the SQL oracle
+    evaluate the IDENTICAL float expression on identical exact integers
+    — ``(c − S/n) / sqrt(Q/n − (S/n)²)`` — so results are bit-identical
+    (population std, the textbook normalization).
+    """
+    import ray
+
+    keys = list(keys)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = (pdf[value_col] * 100).round().astype(np.int64)
+        t = pdf[keys].copy()
+        t["_n"] = 1
+        t["_s"] = c
+        t["_q"] = c * c
+        return t.groupby(keys, as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(Sum("_n"), Sum("_s"), Sum("_q"))
+        .to_pandas()
+    )
+    stats = stats.rename(
+        columns={"sum(_n)": "_n", "sum(_s)": "_s", "sum(_q)": "_q"}
+    )
+    ref = ray.put(stats)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        m = pdf.merge(st, on=keys, how="left")
+        c = (m[value_col] * 100).round().astype(np.int64).to_numpy()
+        n = m["_n"].to_numpy(np.float64)
+        mean = m["_s"].to_numpy(np.float64) / n
+        var = m["_q"].to_numpy(np.float64) / n - mean * mean
+        out = pdf.copy()
+        out[target] = (c - mean) / np.sqrt(var)
+        return out
+
+    return ds.map_batches(normalize, batch_format="pandas")
