@@ -314,3 +314,84 @@ def regex_token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """
     counts = pc.count_substring_regex(text, BPE_ISH_PATTERN)
     return pc.cast(pc.fill_null(counts, 0), pa.int64())
+
+
+def bm25_scores(
+    ds,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pattern: str = "[a-z0-9]+",
+    round_dp: int = 6,
+):
+    """Okapi BM25 score of every document against a fixed query-term set.
+
+    Two passes, no shuffle of the corpus:
+
+    1. stats pass — per-batch partials (doc count, token count, per-term
+       doc frequency), reduced to ONE tiny row on the driver;
+    2. score pass — idf/avgdl broadcast as constants into a stateless
+       vectorized ``map_batches`` (findall → explode → bincount per term,
+       the LangIdScorer pattern — no per-doc Python loop).
+
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the standard "plus one"
+    variant, non-negative). Returns (id, bm25) for documents with at
+    least one query-term hit; scores rounded to ``round_dp`` (the sum
+    over terms is order-sensitive in the 1e-16s — same discipline as the
+    cosine queries).
+    """
+    import re as _re
+
+    terms = list(query_terms)
+    rex = _re.compile(pattern)
+
+    def stats_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf[text_col].fillna("").str.lower().reset_index(drop=True)
+        words = texts.str.findall(rex)
+        ex = words.explode().dropna()
+        out = {"n_docs": [len(pdf)], "n_tokens": [int(words.str.len().sum())]}
+        for t in terms:
+            pos = ex.index.to_numpy(np.int64)[(ex == t).to_numpy()]
+            out[f"df_{t}"] = [int(len(np.unique(pos)))]
+        return pd.DataFrame(out)
+
+    stats = (
+        ds.select_columns([text_col])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n = float(stats["n_docs"])
+    avgdl = float(stats["n_tokens"]) * 1.0 / n
+    idf = {
+        t: float(np.log((n - float(stats[f"df_{t}"]) + 0.5)
+                        / (float(stats[f"df_{t}"]) + 0.5) + 1.0))
+        for t in terms
+    }
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf[text_col].fillna("").str.lower().reset_index(drop=True)
+        words = texts.str.findall(rex)
+        dl = words.str.len().to_numpy(np.float64)
+        ex = words.explode().dropna()
+        pos = ex.index.to_numpy(np.int64)
+        s = np.zeros(len(pdf), dtype=np.float64)
+        denom_dl = k1 * ((1.0 - b) + b * dl / avgdl)
+        for t in terms:
+            tf = np.bincount(pos[(ex == t).to_numpy()], minlength=len(pdf)
+                             ).astype(np.float64)
+            s += idf[t] * (tf * (k1 + 1.0)) / (tf + denom_dl)
+        keep = s > 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy()[keep],
+                "bm25": np.round(s[keep], round_dp),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas"
+    )

@@ -1409,6 +1409,25 @@ def q_redact_text(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 of every document against a fixed query (two passes:
+    tiny stats reduce → broadcast-constant vectorized score map)."""
+    from arlas_proc_ray.functions.text import bm25_scores
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bm25_scores(ds, ["batch", "window", "scan", "merge"])
+
+
+def q_duplicated_spans(sf_dir: str):
+    """Exact substring-duplication pairs: documents sharing ≥1 identical
+    50-byte span (windowed suffix-dedup contract, dedup/spans.py) with the
+    count of distinct shared spans per pair."""
+    from arlas_proc_ray.dedup.spans import duplicated_span_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return duplicated_span_pairs(ds, length=50, num_partitions=8)
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: the 20 events with the smallest
     sha256(event_id) per event type — stable across reruns/cluster sizes,
@@ -1509,6 +1528,8 @@ def q_repetition_metrics(sf_dir: str):
 
 
 QUERIES = {
+    "bm25_scores": q_bm25_scores,
+    "duplicated_spans": q_duplicated_spans,
     "stratified_sample": q_stratified_sample,
     "length_quantile_filter": q_length_quantile_filter,
     "group_zscore": q_group_zscore,
@@ -2187,6 +2208,41 @@ ORACLE_SQL = {
                                 '<EMAIL>', 'g'),
                  '[0-9]+', '<NUM>', 'g') AS redacted
         FROM documents
+    """,
+    "bm25_scores": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9]+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        consts AS (
+          SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+                 (SELECT count(*) FROM tok) * 1.0
+                   / (SELECT count(*) FROM documents) AS avgdl),
+        qt AS (SELECT unnest(['batch', 'window', 'scan', 'merge']) AS term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tok JOIN qt USING (term) GROUP BY term),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok JOIN qt USING (term) GROUP BY doc_id, term)
+        SELECT tf.doc_id,
+               round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                         * (tf * (1.2 + 1)) /
+                         (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))), 6)
+                 AS bm25
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id), consts
+        GROUP BY tf.doc_id
+    """,
+    "duplicated_spans": """
+        WITH pos AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 49, 0))) AS i
+          FROM documents),
+        spans AS (SELECT DISTINCT doc_id, substr(text, i, 50) AS span FROM pos)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared_spans
+        FROM spans a JOIN spans b ON a.span = b.span AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """,
     "stratified_sample": """
         SELECT event_id, event_type, value FROM (
