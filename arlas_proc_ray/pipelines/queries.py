@@ -1409,6 +1409,42 @@ def q_redact_text(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means cluster sizes (broadcast-combiner
+    Lloyd's, deterministic content-hash init) — rows-only entry; the
+    Python oracle replicates the full iteration in tests."""
+    import pandas as pd
+
+    from arlas_proc_ray.ann.kmeans import distributed_kmeans, kmeans_assign
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    centroids = distributed_kmeans(ds, k=8, n_iter=5)
+    assigned = kmeans_assign(ds, centroids)
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("cluster", as_index=False, sort=False).agg(
+            n_members=("cluster", "size")
+        )
+
+    parts = assigned.map_batches(counts, batch_format="pandas").to_pandas()
+    return (
+        parts.groupby("cluster", as_index=False, sort=False)["n_members"]
+        .sum()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic near-dup removal decision per vector (cluster +
+    greedy leader keep/drop) — rows-only entry; exact Python oracle in
+    tests/test_kmeans_semdedup.py."""
+    from arlas_proc_ray.ann.kmeans import semdedup
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.4, n_clusters=8, n_iter=5)
+
+
 def q_bm25_scores(sf_dir: str):
     """Okapi BM25 of every document against a fixed query (two passes:
     tiny stats reduce → broadcast-constant vectorized score map)."""
@@ -1528,6 +1564,8 @@ def q_repetition_metrics(sf_dir: str):
 
 
 QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
     "bm25_scores": q_bm25_scores,
     "duplicated_spans": q_duplicated_spans,
     "stratified_sample": q_stratified_sample,
@@ -2272,6 +2310,8 @@ ORACLE_SQL = {
                  / sqrt(q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) AS zscore
         FROM events e JOIN st USING (event_type)
     """,
+    # kmeans_clusters / semdedup: iterative algorithms (exact Python
+    # oracle in tests/test_kmeans_semdedup.py);
     # simhash / fingerprint / minhash_near_dup / hmm_moving_state
     # / ann_lsh_topk / embedding_near_dup_ivf / curation: signature or
     # approximate algorithms with no practical SQL equivalent →
