@@ -187,11 +187,24 @@ def jaccard_ngrams(a: str, b: str, n: int = 5) -> float:
 
 
 def _pair_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
-    """Exact Jaccard of two sorted-unique uint64 shingle-hash arrays."""
+    """Exact Jaccard of two sorted-unique uint64 shingle-hash arrays.
+
+    Binary-search membership count instead of ``np.intersect1d`` (which
+    re-sorts the concatenation): both inputs are already sorted, so the
+    intersect is one ``searchsorted`` + one equality gather — ~3× less
+    per-pair work in the verify hot loop (it runs once per candidate
+    pair, and LSH banding can emit 10³× more candidates than true pairs).
+    """
     union = len(sh_a) + len(sh_b)
     if union == 0:
         return 1.0
-    inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
+    if len(sh_a) == 0 or len(sh_b) == 0:
+        return 0.0
+    if len(sh_b) < len(sh_a):
+        sh_a, sh_b = sh_b, sh_a
+    idx = np.searchsorted(sh_b, sh_a)
+    idx[idx == len(sh_b)] = len(sh_b) - 1
+    inter = int(np.count_nonzero(sh_b[idx] == sh_a))
     return inter / (union - inter)
 
 

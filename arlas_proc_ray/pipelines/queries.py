@@ -646,7 +646,13 @@ def q_minhash_near_dup(sf_dir: str):
     # 16 MB block; task-based signature stage (no pool spawn, parallelism
     # = block count) with one-permutation hashing
     ds = _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=8)
-    return minhash_near_duplicates(ds, jaccard_threshold=0.5)
+    # classic k-permutation signatures here: the documents fixture is
+    # short-doc (47–558 chars → most OPH bins empty → rotation
+    # densification self-correlates signatures → ~2× false-candidate
+    # flood; measured 556k vs 260k candidate pairs at sf0.1, bands=32).
+    # OPH stays the library default — it wins on long-content corpora
+    # (CDC content ~2 KB) where signatures dominate and bins are full.
+    return minhash_near_duplicates(ds, jaccard_threshold=0.5, algo="classic")
 
 
 # ---------------------------------------------------------------------------
