@@ -395,3 +395,59 @@ def bm25_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def inverted_postings(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    pattern: str = "[a-z0-9]+",
+    num_partitions: int = 8,
+):
+    """Inverted-index construction: the top-``k`` postings (by tf desc,
+    then id asc) for EVERY term of the corpus.
+
+    Per-batch tokenize → per-(doc, term) tf (docs are whole rows, so tf
+    is complete within the batch — no combiner needed beyond the explode
+    itself), ONE keyed exchange on the term, then a vectorized per-term
+    head-k inside each partition. Posting rows, never raw tokens, ride
+    the shuffle.
+    """
+    import re as _re
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    rex = _re.compile(pattern)
+
+    def doc_term_tf(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf[text_col].fillna("").str.lower().reset_index(drop=True)
+        words = texts.str.findall(rex)
+        ex = words.explode().dropna()
+        pos = ex.index.to_numpy(np.int64)
+        ids = pdf[id_col].to_numpy()[pos]
+        out = pd.DataFrame({id_col: ids, "term": ex.to_numpy(object)})
+        return out.groupby([id_col, "term"], as_index=False, sort=False).agg(
+            tf=("term", "size")
+        )
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        doc_term_tf, batch_format="pandas"
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.sort_values(["term", "tf", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("term", sort=False)
+            .head(k)
+        )
+        out = out.reset_index(drop=True)
+        out["rank"] = out.groupby("term", sort=False).cumcount() + 1
+        return out[["term", id_col, "tf", "rank"]]
+
+    return keyed_partition_map(
+        postings, keys=["term"], order_col="tf", fn=topk,
+        num_partitions=num_partitions,
+    )

@@ -1415,6 +1415,56 @@ def q_redact_text(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_inverted_postings(sf_dir: str):
+    """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
+    term — one keyed exchange carrying (doc, term, tf) rows only."""
+    from arlas_proc_ray.functions.text import inverted_postings
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return inverted_postings(ds, k=3)
+
+
+def q_cdc_change_stats(sf_dir: str):
+    """Per-repo change-stream statistics over the SAME deterministic
+    events→changelog mapping the flagship replay uses (q_cdc_engine_replay):
+    change counts, delete counts, last applied lsn, distinct paths — the
+    per-partition lineage/metrics view of the change log, SQL-oracled."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type", "value"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+        repo = pc.binary_join_element_wise(
+            pa.array(["u"] * t.num_rows, pa.string()), pc.cast(mod, pa.string()), ""
+        )
+        pdf = pd.DataFrame(
+            {
+                "repo": repo.to_pandas().to_numpy(object),
+                "path": t.column("event_type").to_pandas().to_numpy(object),
+                "lsn": t.column("event_id").to_numpy(),
+                "is_del": (t.column("value").to_numpy() < 0.15).astype(np.int64),
+            }
+        )
+        out = pdf.groupby(["repo", "path"], as_index=False, sort=False).agg(
+            n=("lsn", "size"), n_del=("is_del", "sum"), last=("lsn", "max")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("repo", as_index=False, sort=False).agg(
+            n_changes=("n", "sum"),
+            n_deletes=("n_del", "sum"),
+            last_lsn=("last", "max"),
+            n_paths=("path", "nunique"),
+        )
+
+    return keyed_partition_map(
+        partial, keys=["repo"], order_col="path", fn=finalize, num_partitions=8
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means cluster sizes (broadcast-combiner
     Lloyd's, deterministic content-hash init) — rows-only entry; the
@@ -1570,6 +1620,8 @@ def q_repetition_metrics(sf_dir: str):
 
 
 QUERIES = {
+    "inverted_postings": q_inverted_postings,
+    "cdc_change_stats": q_cdc_change_stats,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "bm25_scores": q_bm25_scores,
@@ -2252,6 +2304,32 @@ ORACLE_SQL = {
                                 '<EMAIL>', 'g'),
                  '[0-9]+', '<NUM>', 'g') AS redacted
         FROM documents
+    """,
+    "inverted_postings": """
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents)
+          GROUP BY doc_id, term)
+        SELECT term, doc_id, tf, rank FROM (
+          SELECT term, doc_id, tf,
+                 row_number() OVER (PARTITION BY term
+                                    ORDER BY tf DESC, doc_id ASC) AS rank
+          FROM tf)
+        WHERE rank <= 3
+    """,
+    "cdc_change_stats": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 'u' || cast(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 CASE WHEN value < 0.15 THEN 1 ELSE 0 END AS is_del
+          FROM events)
+        SELECT repo, count(*) AS n_changes, sum(is_del) AS n_deletes,
+               max(lsn) AS last_lsn, count(DISTINCT path) AS n_paths
+        FROM ch GROUP BY repo
     """,
     "bm25_scores": """
         WITH tok AS (
