@@ -1415,6 +1415,16 @@ def q_redact_text(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def q_global_value_rank(sf_dir: str):
+    """Exact global row_number over (value, event_id): range-partitioned
+    two-pass rank (quantile-bucket counts → prefix offsets → one keyed
+    exchange) — no driver-side sort of the data."""
+    from arlas_proc_ray.stages.scan import global_rank
+
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    return global_rank(ds, order_cols=["value", "event_id"])
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -1620,6 +1630,7 @@ def q_repetition_metrics(sf_dir: str):
 
 
 QUERIES = {
+    "global_value_rank": q_global_value_rank,
     "inverted_postings": q_inverted_postings,
     "cdc_change_stats": q_cdc_change_stats,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2304,6 +2315,11 @@ ORACLE_SQL = {
                                 '<EMAIL>', 'g'),
                  '[0-9]+', '<NUM>', 'g') AS redacted
         FROM documents
+    """,
+    "global_value_rank": """
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY value, event_id) AS rnk
+        FROM events
     """,
     "inverted_postings": """
         WITH tf AS (

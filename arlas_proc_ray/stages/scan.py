@@ -102,3 +102,76 @@ def sequence_packing(
         return batch.append_column(pack_col, pa.array(pack, pa.int64()))
 
     return scanned.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def global_rank(
+    ds,
+    *,
+    order_cols,
+    target: str = "rnk",
+    num_partitions: int = 16,
+):
+    """Exact global ``row_number() OVER (ORDER BY order_cols…)`` without a
+    global sort barrier on the driver.
+
+    Classic two-pass range-partitioned rank:
+
+      1. quantile bounds on the first order column (per-block sketch,
+         stages/joins.py:range_partition_bounds — covers the whole domain
+         even on pre-sorted input);
+      2. a counting pass: per-batch bucket bincount partials → driver
+         prefix offsets (``num_partitions`` integers, never rows);
+      3. ONE keyed exchange on the bucket id; inside each partition rows
+         are sorted by the full ``order_cols`` tie-break chain and ranked
+         as offset[bucket] + local position.
+
+    Rows equal on the first order column always share a bucket (bounds
+    are unique values), so cross-bucket tie-breaks cannot split.
+    """
+    import pandas as pd
+
+    from arlas_proc_ray.stages.joins import range_partition_bounds
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    order_cols = list(order_cols)
+    first = order_cols[0]
+    bounds = range_partition_bounds(ds, first, num_partitions)
+    n_buckets = len(bounds) + 1
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.searchsorted(bounds, vals.astype(np.float64), side="right")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch.column(first).to_numpy(zero_copy_only=False))
+        counts = np.bincount(b, minlength=n_buckets)
+        return pa.table(
+            {"bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counts = (
+        ds.select_columns([first])
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("bucket")["n"]
+        .sum()
+        .reindex(range(n_buckets), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch.column(first).to_numpy(zero_copy_only=False))
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def rank_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_bucket"] + order_cols, kind="mergesort")
+        local = pdf.groupby("_bucket", sort=False).cumcount().to_numpy(np.int64)
+        pdf[target] = offsets[pdf["_bucket"].to_numpy(np.int64)] + local + 1
+        return pdf.drop(columns=["_bucket"])
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+    return keyed_partition_map(
+        bucketed, keys=["_bucket"], order_col=first, fn=rank_partition,
+        num_partitions=min(num_partitions, n_buckets),
+    )

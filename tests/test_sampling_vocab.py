@@ -150,3 +150,45 @@ def test_decontaminate_flags_overlap_only():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert out["contaminated"].tolist() == [True, False, False, False]
+
+
+def test_global_rank_presorted_input_is_exact_and_balanced(ray_session):
+    """Rank must stay exact on input ALREADY sorted by the order column
+    (the adversarial case for prefix-sampled bounds), and the bucket
+    bounds must spread such input across partitions instead of one hot
+    bucket (round-2 ADVICE regression class)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.joins import range_partition_bounds
+    from arlas_proc_ray.stages.scan import global_rank
+
+    rng = np.random.RandomState(5)
+    vals = np.sort(rng.randint(0, 10_000, size=20_000))  # pre-sorted
+    ids = np.arange(20_000)
+    ds = rd.from_pandas(pd.DataFrame({"event_id": ids, "value": vals})
+                        ).repartition(16)
+
+    got = (
+        global_rank(ds, order_cols=["value", "event_id"], num_partitions=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"event_id": ids, "value": vals})
+        .sort_values(["value", "event_id"])
+        .assign(rnk=np.arange(1, 20_001, dtype=np.int64))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["event_id", "value", "rnk"]], want)
+
+    bounds = range_partition_bounds(ds, "value", 8)
+    occupancy = np.bincount(
+        np.searchsorted(bounds, vals.astype(np.float64), side="right"),
+        minlength=len(bounds) + 1,
+    )
+    assert (occupancy > 0).sum() >= max(2, len(bounds) // 2)
+    assert occupancy.max() < len(vals) * 0.75  # not one hot bucket
