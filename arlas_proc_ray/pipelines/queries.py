@@ -1629,7 +1629,40 @@ def q_repetition_metrics(sf_dir: str):
     )
 
 
+def q_equi_join_order_lines(sf_dir: str):
+    """Large×large shuffled hash equi-join: every lineitem row enriched
+    with its order's customer / date / status — NO broadcast side; both
+    tables are exchanged once, co-partitioned on the order key, and merged
+    per partition (`stages/joins.py:equi_join`).
+    """
+    from arlas_proc_ray.stages.joins import equi_join
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey" if c == "o_orderkey" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return equi_join(
+        li,
+        orders,
+        on=["l_orderkey"],
+        right_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+        how="inner",
+        num_partitions=NP,
+    )
+
+
 QUERIES = {
+    "equi_join_order_lines": q_equi_join_order_lines,
     "global_value_rank": q_global_value_rank,
     "inverted_postings": q_inverted_postings,
     "cdc_change_stats": q_cdc_change_stats,
@@ -1704,6 +1737,11 @@ QUERIES = {
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
 
 ORACLE_SQL = {
+    "equi_join_order_lines": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               o_custkey, o_orderstatus, o_totalprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
     "cdc_lww_upsert": """
         SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
                value AS last_value, sha256(props) AS props_sha256

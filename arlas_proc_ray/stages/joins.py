@@ -385,3 +385,104 @@ def interval_join_global(
         union, keys=["_bucket"], order_col=left_point, fn=merge,
         num_partitions=num_partitions,
     )
+
+
+def equi_join(
+    left_ds,
+    right_ds,
+    *,
+    on: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "inner",
+    suffix: str = "",
+    num_partitions: int = 32,
+):
+    """Distributed large×large hash equi-join (inner or left).
+
+    The general-shuffle join the broadcast path (`stages/lookup.py`) can't
+    cover: when NEITHER side fits in a worker's heap, both sides are
+    tagged and exchanged together in ONE hash co-partition on the join
+    keys (the same union trick as `asof_join`), then each partition runs
+    one vectorized ``pd.merge`` across all of its keys. Nothing is
+    broadcast or driver-resident; the exchange moves each side exactly
+    once.
+
+    Key columns must carry the SAME names on both sides (rename upstream
+    with a `map_batches` projection — a column rename is free in Arrow).
+    Right payload columns are appended as ``<col><suffix>`` (default: kept
+    as-is; pass a suffix when names collide with left columns).
+
+    Skew: a join key hot on BOTH sides cannot be salted one-sidedly
+    (every left salt would need every right copy); if one side's hot keys
+    are small in aggregate, pre-extract them and use the broadcast join
+    for that slice. Partitioning assumption: one key's rows (both sides)
+    fit one partition.
+
+    ``how='left'``: unmatched left rows carry nulls in the right payload,
+    so integer right columns upcast to float64 (standard pandas null
+    semantics). ``how='inner'`` restores exact right dtypes.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    on = list(on)
+    right_payload = [c for c in right_cols if c not in on]
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    l_fields = [f for f in l_schema]
+    r_fields = [r_schema.field(c) for c in right_payload]
+    union_schema = pa.schema(
+        l_fields + [pa.field(f.name + suffix, f.type) for f in r_fields]
+    )
+    left_out = [f.name for f in l_fields]
+    out_right = [c + suffix for c in right_payload]
+    left_restore = _restore_dtypes(l_fields)
+    right_restore = _restore_dtypes(
+        [pa.field(f.name + suffix, f.type) for f in r_fields]
+    )
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        return _side_rows(batch, union_schema, 0)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.select(on + right_payload)
+        batch = batch.rename_columns(on + out_right)
+        return _side_rows(batch, union_schema, 1)
+
+    union = left_ds.map_batches(
+        left_rows, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(right_rows, batch_format="pyarrow", batch_size=None)
+    )
+
+    def _typed_empty(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {}
+        for c in left_out:
+            cols[c] = pd.Series([], dtype=left_restore.get(c, pdf[c].dtype))
+        for c in out_right:
+            cols[c] = pd.Series([], dtype=right_restore.get(c, pdf[c].dtype))
+        return pd.DataFrame(cols)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_r = pdf["_side"].to_numpy() == 1
+        left = pdf.loc[~is_r, left_out].astype(left_restore)
+        right = pdf.loc[is_r, on + out_right]
+        if left.empty or (right.empty and how == "inner"):
+            return _typed_empty(pdf)
+        if right.empty:  # how == 'left'
+            out = left.copy()
+            for c in out_right:
+                out[c] = pd.Series([None] * len(out), dtype=pdf[c].dtype)
+            return out
+        # string keys arrive Arrow-backed from byte_exact_group_cols, so
+        # the merge factorization is byte-exact even for NUL-embedded
+        # keys — pinned by test_equi_join_nul_keys.
+        if how == "inner":
+            right = right.astype(right_restore)
+        out = left.merge(right, on=on, how=how, sort=False)
+        return out.reset_index(drop=True)
+
+    return keyed_partition_map(
+        union, keys=on, order_col="_side", fn=merge,
+        num_partitions=num_partitions,
+    )

@@ -346,3 +346,65 @@ def test_interval_join_global_bounds_balanced_on_sorted_input():
     assert len(out) >= n
     counts = out.groupby("tag_right").size()
     assert counts.min() >= n // 4 - 2
+
+
+def test_equi_join_inner_left_and_nul_keys():
+    from arlas_proc_ray.stages.joins import equi_join
+
+    left = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "c", "", "\x00"],
+            "x": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "b", "d", "", "\x00"],
+            "y": [10, 20, 30, 40, 50],
+            "z": ["p", "q", "r", "s", "t"],
+        }
+    )
+
+    inner = (
+        equi_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on=["k"], right_cols=["y", "z"], how="inner", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inner, expect)
+    # NUL-embedded and empty keys stay distinct (byte-exact factorization)
+    assert inner.loc[inner["k"] == "", "y"].tolist() == [40]
+    assert inner.loc[inner["k"] == "\x00", "y"].tolist() == [50]
+    assert inner["y"].dtype == np.int64  # inner join restores right dtypes
+
+    lj = (
+        equi_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on=["k"], right_cols=["y"], how="left", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    assert len(lj) == len(left)  # every left row kept
+    assert lj.loc[lj["k"] == "c", "y"].isna().all()
+    assert lj["x"].dtype == np.int64  # left dtypes restored
+
+    # disjoint keys: inner join comes back empty but typed
+    empty = equi_join(
+        rd.from_pandas(pd.DataFrame({"k": ["zz"], "x": [1]})),
+        rd.from_pandas(right),
+        on=["k"], right_cols=["y"], how="inner", num_partitions=2,
+    ).to_pandas()
+    assert len(empty) == 0
+    # an all-empty Dataset may drop the pandas-block schema entirely
+    # (Ray quirk); when columns survive they must be the join contract
+    assert list(empty.columns) in ([], ["k", "x", "y"])
