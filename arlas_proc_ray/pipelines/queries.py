@@ -1661,7 +1661,36 @@ def q_equi_join_order_lines(sf_dir: str):
     )
 
 
+def q_resample_hourly_ffill(sf_dir: str):
+    """Gap-filled keyed resampling: each user's event stream regularized
+    to an hourly grid, forward-filling the last value / event_type
+    (`stages/windows.py:resample_ffill`)."""
+    from arlas_proc_ray.stages.windows import resample_ffill
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value", "event_type"])
+    out = resample_ffill(
+        ds,
+        keys=["user_id"],
+        ts_col="ts",
+        step_s=3600,
+        value_cols=["value", "event_type"],
+        grid_col="gts",
+        num_partitions=NP,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [
+                {"value": "last_value", "event_type": "last_event_type"}.get(c, c)
+                for c in t.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 QUERIES = {
+    "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
     "global_value_rank": q_global_value_rank,
     "inverted_postings": q_inverted_postings,
@@ -1737,6 +1766,22 @@ QUERIES = {
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
 
 ORACLE_SQL = {
+    "resample_hourly_ffill": """
+        WITH b AS (
+          SELECT user_id,
+                 CAST(ceil(epoch_us(min(ts)) / 3600000000.0) AS BIGINT) AS k0,
+                 CAST(floor(epoch_us(max(ts)) / 3600000000.0) AS BIGINT) AS k1
+          FROM events GROUP BY user_id),
+        grid AS (
+          SELECT user_id,
+                 make_timestamp(unnest(generate_series(k0, k1)) * 3600000000)
+                   AS gts
+          FROM b WHERE k1 >= k0)
+        SELECT g.user_id, g.gts, e.value AS last_value,
+               e.event_type AS last_event_type
+        FROM grid g ASOF JOIN events e
+          ON g.user_id = e.user_id AND g.gts >= e.ts
+    """,
     "equi_join_order_lines": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice

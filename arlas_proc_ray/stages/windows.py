@@ -123,3 +123,83 @@ def sliding_window_agg(
         exploded, keys=group, order_col=ts_col, fn=final,
         num_partitions=num_partitions,
     )
+
+
+def resample_ffill(
+    ds,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    step_s: float,
+    value_cols: Sequence[str],
+    grid_col: str = "gts",
+    num_partitions: int = 64,
+):
+    """Gap-filled keyed resampling: one row per fixed grid tick per key,
+    carrying the LAST observation at-or-before the tick (forward fill).
+
+    The grid for each key spans ``[ceil(min_ts/step), floor(max_ts/step)]``
+    — every tick therefore has at least one observation at-or-before it,
+    so no row is ever null-filled. The classic time-series regularization
+    step (sensor streams → fixed cadence) Ray Data has no operator for.
+
+    Scale shape: ONE hash co-partition on ``keys`` (the same exchange as
+    every keyed op), then a fully vectorized merge-and-fill per partition:
+    grid ticks are generated by repeat/arange from per-key segment bounds,
+    events and ticks are lexsorted together (tick AFTER event at equal
+    timestamp ⇒ as-of ``>=`` semantics), and one ``maximum.accumulate``
+    pass assigns each tick its source row — no per-key Python loop. The
+    output fan-out is span/step rows per key; pick ``step_s`` so that a
+    key's grid fits a partition alongside its events.
+    """
+    keys = list(keys)
+    value_cols = [c for c in value_cols if c not in keys and c != ts_col]
+    step_us = int(round(step_s * 1e6))
+    if step_us <= 0:
+        raise ValueError("step_s must be positive")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            out = {k: pdf[k] for k in keys}
+            out[grid_col] = pd.Series([], dtype="datetime64[us]")
+            for c in value_cols:
+                out[c] = pdf[c]
+            return pd.DataFrame(out)
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        code = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        n_e = len(ts)
+        first = np.r_[True, code[1:] != code[:-1]]
+        seg_start = np.flatnonzero(first)
+        seg_end = np.r_[seg_start[1:], n_e] - 1
+        k0 = -(-ts[seg_start] // step_us)  # ceil
+        k1 = ts[seg_end] // step_us  # floor
+        cnt = np.maximum(k1 - k0 + 1, 0)
+        n_g = int(cnt.sum())
+        seg_idx = np.repeat(np.arange(len(seg_start)), cnt)
+        offs = np.arange(n_g) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        gts = (k0[seg_idx] + offs) * step_us
+
+        comb_key = np.concatenate([code, code[seg_start][seg_idx]])
+        comb_ts = np.concatenate([ts, gts])
+        is_grid = np.concatenate(
+            [np.zeros(n_e, np.int8), np.ones(n_g, np.int8)]
+        )
+        order = np.lexsort((is_grid, comb_ts, comb_key))
+        # event rows carry their own row index; ticks carry -1 — a running
+        # max assigns every tick the latest event at-or-before it (always
+        # same-key: the first tick of a key is >= that key's first event)
+        src = np.where(is_grid == 0, np.arange(n_e + n_g), -1)
+        last_evt = np.maximum.accumulate(src[order])
+        gmask = is_grid[order] == 1
+        evt_idx = last_evt[gmask]
+        out = pdf.iloc[evt_idx][keys + value_cols].reset_index(drop=True)
+        out.insert(
+            len(keys),
+            grid_col,
+            pd.Series(comb_ts[order][gmask].astype("datetime64[us]")),
+        )
+        return out
+
+    return keyed_partition_map(
+        ds, keys=keys, order_col=ts_col, fn=fn, num_partitions=num_partitions
+    )

@@ -337,3 +337,43 @@ def test_nul_byte_keys_group_byte_exactly():
     assert sid_sets[b"\x00"] == {"\x00#1"}
     assert sid_sets[b""] == {"#1"}
     assert sid_sets[b"ab"] == {"ab#1", "ab#2"}
+
+
+def test_resample_ffill_semantics():
+    """Grid bounds are [ceil(min/step), floor(max/step)]; a tick equal to
+    an event timestamp takes THAT event (as-of >=); keys whose span is
+    shorter than one step emit nothing; fill always finds a source."""
+    from arlas_proc_ray.stages.windows import resample_ffill
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:30",  # a: events across 3 ticks
+                    "2024-01-01 00:02:00",  # exactly on a tick
+                    "2024-01-01 00:03:10",
+                    "2024-01-01 00:00:10",  # b: span < 1 min -> no ticks
+                    "2024-01-01 00:05:00",  # c: on-tick start and end
+                    "2024-01-01 00:06:00",
+                ]
+            ),
+            "v": [1.0, 2.0, 3.0, 9.0, 5.0, 6.0],
+        }
+    )
+    out = (
+        resample_ffill(
+            rd.from_pandas(df),
+            keys=["k"], ts_col="ts", step_s=60, value_cols=["v"],
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "gts"])
+        .reset_index(drop=True)
+    )
+    a = out[out["k"] == "a"]
+    assert list(a["gts"].dt.strftime("%H:%M")) == ["00:01", "00:02", "00:03"]
+    assert list(a["v"]) == [1.0, 2.0, 2.0]  # 00:02 tick takes the 00:02 event
+    assert (out["k"] == "b").sum() == 0
+    c = out[out["k"] == "c"]
+    assert list(c["v"]) == [5.0, 6.0]
