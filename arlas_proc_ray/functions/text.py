@@ -451,3 +451,121 @@ def inverted_postings(
         postings, keys=["term"], order_col="tf", fn=topk,
         num_partitions=num_partitions,
     )
+
+
+def document_frequency_stop_terms(
+    ds,
+    *,
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+    num_partitions: int = 8,
+):
+    """Terms whose document frequency exceeds ``max_df_frac`` of the corpus.
+
+    Tokenization is reassembly-compatible: non-empty runs between single
+    spaces, case-sensitive (what ``df_term_filter`` removes must re-join
+    into the surviving text byte-exactly).
+
+    Combiner-first: each batch counts its own DISTINCT (doc, term) pairs —
+    exact globally because one document's row lives in exactly one batch —
+    so the shuffle carries ≤ |batch vocab| partial rows per block, never
+    per-token rows. The high-DF tail is tiny by construction (a term in
+    >50% of a 10¹⁰-doc corpus is a stopword), so the result is always
+    driver-safe.
+
+    Returns a pandas DataFrame (term, df_n), df_n > max_df_frac · n_docs.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    n_docs = ds.count()
+
+    def partial_df(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.split(" ").explode()
+        frame = pd.DataFrame(
+            {"d": toks.index.to_numpy(), "term": toks.to_numpy(object)}
+        )
+        frame = frame[(frame["term"] != "") & frame["term"].notna()]
+        frame = frame.drop_duplicates()
+        vc = frame["term"].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(object), "df_n": vc.to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
+    cut = max_df_frac * n_docs
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby("term", as_index=False, sort=False)["df_n"].sum()
+        return agg[agg["df_n"] > cut]
+
+    out = keyed_partition_map(
+        partials, keys=["term"], order_col="df_n", fn=finalize,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    return out.sort_values(["df_n", "term"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def df_term_filter(
+    ds,
+    *,
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+    target: str | None = None,
+    num_partitions: int = 8,
+):
+    """Remove too-common terms (DF > ``max_df_frac``) from every document,
+    preserving the order and spelling of the surviving tokens.
+
+    Two passes: (1) the combiner-first DF count above, (2) the tiny
+    stop-term set is broadcast (``ray.put`` once; one object-store fetch
+    per worker) and each batch is rewritten with pure Arrow kernels —
+    split → flatten → ``is_in`` mask → offset-rebuilt list → ``binary_join``
+    — no per-row Python. Consecutive spaces collapse (tokens are the unit,
+    not whitespace), matching the SQL oracle's
+    ``array_to_string(list_filter(...))`` semantics.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    stop = document_frequency_stop_terms(
+        ds,
+        text_col=text_col,
+        max_df_frac=max_df_frac,
+        num_partitions=num_partitions,
+    )
+    stop_ref = ray.put(pa.array(stop["term"].to_numpy(object), type=pa.string()))
+    out_col = target or text_col
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        stopset = ray.get(stop_ref)
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.coalesce(col, pa.scalar("")), " ")
+        flat = pc.list_flatten(toks)
+        keep = pc.and_(
+            pc.not_equal(flat, pa.scalar("")),
+            pc.invert(pc.is_in(flat, value_set=stopset)),
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy()
+        cum = np.concatenate([[0], np.cumsum(keep_np)])
+        new_offsets = pa.array(cum[offsets], type=pa.int32())
+        new_list = pa.ListArray.from_arrays(new_offsets, flat.filter(keep))
+        joined = pc.binary_join(new_list, pa.scalar(" "))
+        if out_col in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(out_col), out_col, joined
+            )
+        return batch.append_column(out_col, joined)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", batch_size=None)

@@ -1396,6 +1396,22 @@ def q_vocab_top_terms(sf_dir: str):
     return top_terms(ds, text_col="text", k=50)
 
 
+def q_df_term_filter(sf_dir: str):
+    """Document-frequency stopword removal: terms present in >30% of the
+    corpus are dropped from every document (combiner-first DF count →
+    broadcast stop-set → pure-Arrow token rewrite). Order and spelling of
+    the surviving tokens are preserved byte-exactly."""
+    from arlas_proc_ray.functions.text import df_term_filter
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = df_term_filter(ds, text_col="text", max_df_frac=0.3, num_partitions=NP)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def q_redact_text(sf_dir: str):
     """PII-style regex redaction (emails → <EMAIL>, digit runs → <NUM>),
     RE2 on both sides so the oracle matches byte-for-byte."""
@@ -1690,6 +1706,7 @@ def q_resample_hourly_ffill(sf_dir: str):
 
 
 QUERIES = {
+    "df_term_filter": q_df_term_filter,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
     "global_value_rank": q_global_value_rank,
@@ -1766,6 +1783,27 @@ QUERIES = {
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
 
 ORACLE_SQL = {
+    "df_term_filter": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> t <> '') AS arr
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(arr) AS term,
+                 unnest(generate_series(1, len(arr))) AS pos
+          FROM base),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df_n
+               FROM toks GROUP BY term),
+        stop AS (SELECT term FROM df
+                 WHERE df_n > 0.3 * (SELECT count(*) FROM documents)),
+        kept AS (
+          SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text2
+          FROM toks WHERE term NOT IN (SELECT term FROM stop)
+          GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(k.text2, '') AS text
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
     "resample_hourly_ffill": """
         WITH b AS (
           SELECT user_id,

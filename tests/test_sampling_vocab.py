@@ -192,3 +192,37 @@ def test_global_rank_presorted_input_is_exact_and_balanced(ray_session):
     )
     assert (occupancy > 0).sum() >= max(2, len(bounds) // 2)
     assert occupancy.max() < len(vals) * 0.75  # not one hot bucket
+
+
+def test_df_term_filter_edge_cases(ray_session):
+    from arlas_proc_ray.functions.text import (
+        df_term_filter,
+        document_frequency_stop_terms,
+    )
+
+    # "common" appears in 3/4 docs (75% > 50%); "rare" in 1.
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "common rare",
+                "common only common",   # duplicate term counts once per doc
+                "common",               # all tokens removed -> ""
+                "",                     # empty stays empty (not NaN)
+            ],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+
+    stop = document_frequency_stop_terms(ds, max_df_frac=0.5, num_partitions=2)
+    assert stop["term"].tolist() == ["common"]
+    assert stop["df_n"].tolist() == [3]
+
+    out = (
+        df_term_filter(ds, max_df_frac=0.5, target="clean", num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["clean"].tolist() == ["rare", "only", "", ""]
+    # original column untouched when target= given
+    assert out["text"].tolist() == df["text"].tolist()
