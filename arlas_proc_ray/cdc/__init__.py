@@ -25,6 +25,7 @@ from arlas_proc_ray.cdc.events import (
 from arlas_proc_ray.cdc.oracle import oracle_final_state
 from arlas_proc_ray.cdc.replay import lww_reduce_table, normalize_stage, replay_to_dataset
 from arlas_proc_ray.cdc.engine import CdcEngine
+from arlas_proc_ray.cdc.diff import snapshot_diff
 
 __all__ = [
     "ChangelogConfig",
@@ -36,6 +37,7 @@ __all__ = [
     "normalize_stage",
     "replay_to_dataset",
     "CdcEngine",
+    "snapshot_diff",
     "EVENT_SCHEMA_V1",
     "EVENT_SCHEMA_V2",
     "CANONICAL_EVENT_SCHEMA",

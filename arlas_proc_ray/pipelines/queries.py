@@ -1705,8 +1705,47 @@ def q_resample_hourly_ffill(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff — the INVERSE of CDC apply (cdc/diff.py): the minimal
+    I/U/D changelog between the LWW state of the change stream's first half
+    and its second half, computed from the two RAW streams in ONE hash
+    co-partition (per-side LWW reduce inside the partition, byte-exact key
+    codes, no broadcast). Same events→(repo,path,lsn,content) mapping as
+    the flagship ``cdc_engine_replay``."""
+    from arlas_proc_ray.cdc.diff import snapshot_diff
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type", "props"])
+
+    def to_stream(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+        repo = pc.binary_join_element_wise(
+            pa.array(["u"] * t.num_rows, pa.string()), pc.cast(mod, pa.string()), ""
+        )
+        return pa.table(
+            {
+                "repo": repo,
+                "path": t.column("event_type"),
+                "lsn": pc.cast(t.column("event_id"), pa.int64()),
+                "content": t.column("props"),
+            }
+        )
+
+    stream = ds.map_batches(to_stream, batch_format="pyarrow", batch_size=None)
+    mid = int(ds.max("event_id") or 0) // 2
+    return snapshot_diff(
+        stream.filter(expr=f"lsn <= {mid}"),
+        stream.filter(expr=f"lsn > {mid}"),
+        key=["repo", "path"],
+        compare=["content"],
+        lsn_col="lsn",
+        num_partitions=NP,
+    )
+
+
 QUERIES = {
     "df_term_filter": q_df_term_filter,
+    "snapshot_diff": q_snapshot_diff,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
     "global_value_rank": q_global_value_rank,
@@ -1783,6 +1822,36 @@ QUERIES = {
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
 
 ORACLE_SQL = {
+    "snapshot_diff": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 props AS content
+          FROM events),
+        mid AS (SELECT max(event_id) // 2 AS m FROM events),
+        old_last AS (
+          SELECT repo, path, content FROM (
+            SELECT ch.*, row_number() OVER (PARTITION BY repo, path
+                                            ORDER BY lsn DESC) AS rn
+            FROM ch, mid WHERE lsn <= mid.m) WHERE rn = 1),
+        new_last AS (
+          SELECT repo, path, content FROM (
+            SELECT ch.*, row_number() OVER (PARTITION BY repo, path
+                                            ORDER BY lsn DESC) AS rn
+            FROM ch, mid WHERE lsn > mid.m) WHERE rn = 1)
+        SELECT coalesce(n.repo, o.repo) AS repo,
+               coalesce(n.path, o.path) AS path,
+               CASE WHEN n.repo IS NULL THEN o.content
+                    ELSE n.content END AS content,
+               CASE WHEN o.repo IS NULL THEN 'I'
+                    WHEN n.repo IS NULL THEN 'D'
+                    ELSE 'U' END AS op
+        FROM old_last o
+        FULL OUTER JOIN new_last n ON o.repo = n.repo AND o.path = n.path
+        WHERE o.repo IS NULL OR n.repo IS NULL
+           OR o.content IS DISTINCT FROM n.content
+    """,
     "df_term_filter": """
         WITH base AS (
           SELECT doc_id,
