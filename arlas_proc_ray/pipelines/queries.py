@@ -1743,9 +1743,25 @@ def q_snapshot_diff(sf_dir: str):
     )
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog sketch state (stages/sketch.py): per-event_type sparse
+    register table for distinct-user cardinality — values never shuffle,
+    only (group, bucket, max-rank) partials take the one keyed exchange.
+    Register construction is exact integer math on the repo's
+    sha256-prefix hash, so DuckDB reproduces it bit-for-bit; the derived
+    ESTIMATE's accuracy/mergeability is pinned in tests/test_sketch.py."""
+    from arlas_proc_ray.stages.sketch import hll_registers
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return hll_registers(
+        ds, group_col="event_type", value_col="user_id", p=12, num_partitions=NP
+    )
+
+
 QUERIES = {
     "df_term_filter": q_df_term_filter,
     "snapshot_diff": q_snapshot_diff,
+    "hll_registers": q_hll_registers,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
     "global_value_rank": q_global_value_rank,
@@ -1822,6 +1838,22 @@ QUERIES = {
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
 
 ORACLE_SQL = {
+    "hll_registers": """
+        WITH h AS (
+          SELECT event_type,
+                 CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        b AS (
+          SELECT event_type,
+                 hv // 281474976710656 AS bucket,     -- >> 48  (p = 12)
+                 hv %  281474976710656 AS rem
+          FROM h)
+        SELECT event_type, bucket,
+               max(CASE WHEN rem = 0 THEN 49
+                        ELSE 49 - length(bin(rem)) END) AS register
+        FROM b GROUP BY event_type, bucket
+    """,
     "snapshot_diff": """
         WITH ch AS (
           SELECT event_id AS lsn,

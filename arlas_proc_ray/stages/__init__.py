@@ -7,4 +7,5 @@ Organization:
 - ``summarize`` — conditional group-collapse (SURVEY.md §2.5)
 - ``lookup``    — broadcast small-side joins (SURVEY.md §2.6/2.7)
 - ``ml``        — stateful actor-pool stages: HMM Viterbi (SURVEY.md §2.6)
+- ``sketch``    — mergeable sketches (HyperLogLog count-distinct)
 """

@@ -1,0 +1,164 @@
+"""Mergeable cardinality sketches — HyperLogLog count-distinct.
+
+The canonical 100-TB primitive the reference lacks entirely (ARLAS-proc
+has no approximate aggregation; its only distinct-ish op is the exact
+dedup at tools/DataFrameFormatter.scala:48): per-group distinct counts
+where the exact answer would shuffle every value. Published algorithm
+(Flajolet et al. 2007, with the standard small-range linear-counting
+correction from Heule et al. 2013's presentation of the original).
+
+Scale shape: the VALUES never shuffle. Each batch collapses to at most
+``groups × m`` (group, bucket, register) partial rows inside
+``map_batches`` (the combiner), and only those partials take the one
+keyed exchange, where per-partition ``max`` merges them — register max
+is associative/commutative/idempotent, so at-least-once task retries
+are harmless. A register table is also the resume/merge currency: two
+epochs' registers merge by ``max`` (pinned in tests).
+
+SQL parity: the row hash is the repo-wide deterministic-assignment
+kernel ``sha256-prefix-int`` (functions/hashing.py:70 — 15 hex chars =
+60 bits), so DuckDB reproduces registers EXACTLY:
+``hv // 2^(60-p)`` is the bucket and
+``CASE WHEN rem = 0 THEN 60-p+1 ELSE 60-p+1 - length(bin(rem)) END``
+the rank (bit length via ``bin()`` is exact integer math on both
+sides; numpy uses ``frexp``, exact for ints < 2^53).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arlas_proc_ray.functions.hashing import sha256_prefix_int
+from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+HASH_BITS = 60  # sha256-prefix-int yields 15 hex chars
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_partial_fn(group_col: str, value_col: str, p: int):
+    """Per-batch combiner: (group, bucket, register) sparse partial maxima."""
+    rem_bits = HASH_BITS - p
+    rem_mask = np.int64((1 << rem_bits) - 1)
+    rho_base = rem_bits + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col)
+        hv = sha256_prefix_int(pc.cast(vals, pa.string()))
+        keep = hv >= 0  # nulls hash to -1: a null value is no observation
+        hv = hv[keep]
+        bucket = hv >> np.int64(rem_bits)
+        rem = hv & rem_mask
+        # exact bit length: frexp exponent (ints < 2^53 are float-exact)
+        rho = rho_base - np.frexp(rem.astype(np.float64))[1]
+        gcol = batch.column(group_col).combine_chunks()
+        if keep.sum() != len(keep):
+            gcol = gcol.filter(pa.array(keep))
+        enc = pc.dictionary_encode(gcol)
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # max per (group, bucket): sort by composite code w/ rho secondary,
+        # last of each run is the max (no Python loop)
+        ckey = gcodes << np.int64(p) | bucket
+        order = np.lexsort((rho, ckey))
+        ck_sorted = ckey[order]
+        last = (
+            np.append(ck_sorted[1:] != ck_sorted[:-1], True)
+            if len(ck_sorted)
+            else np.zeros(0, bool)
+        )
+        sel = order[last]
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(pa.array(gcodes[sel])),
+                "bucket": pa.array(bucket[sel], type=pa.int64()),
+                "register": pa.array(rho[sel].astype(np.int64)),
+            }
+        )
+
+    return partial
+
+
+def hll_registers(
+    ds, *, group_col: str, value_col: str, p: int = 12, num_partitions: int = 16
+):
+    """Sparse HLL register table per group: one row per observed
+    (group, bucket) with the max rank — the mergeable sketch state
+    (merge = per-(group,bucket) ``max``; SQL-exact, see module doc)."""
+
+    partials = ds.map_batches(
+        hll_partial_fn(group_col, value_col, p),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def reduce_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby([group_col, "bucket"], sort=False)["register"]
+            .max()
+            .reset_index()
+        )
+
+    return keyed_partition_map(
+        partials,
+        keys=[group_col],
+        order_col="bucket",
+        fn=reduce_max,
+        num_partitions=num_partitions,
+    )
+
+
+def estimate_from_registers(
+    registers: pd.DataFrame, group_col: str, p: int
+) -> pd.DataFrame:
+    """Finalize per-group estimates from a (possibly sparse) register
+    frame — raw HLL with the standard linear-counting small-range
+    correction. Pure pandas/numpy; also the test-side merge oracle."""
+    m = 1 << p
+    alpha = _alpha(m)
+    regs = (
+        registers.groupby([group_col, "bucket"], sort=False)["register"]
+        .max()
+        .reset_index()
+    )
+    out = []
+    for g, sub in regs.groupby(group_col, sort=False):
+        r = sub["register"].to_numpy()
+        zeros = m - len(r)
+        power_sum = np.ldexp(1.0, -r).sum() + zeros
+        est = alpha * m * m / power_sum
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        out.append((g, float(est)))
+    return pd.DataFrame(out, columns=[group_col, "distinct_est"])
+
+
+def hll_count_distinct(
+    ds, *, group_col: str, value_col: str, p: int = 12, num_partitions: int = 16
+):
+    """Per-group approximate distinct count of ``value_col`` (relative
+    error ~1.04/sqrt(2^p); p=12 → ~1.6% σ). One keyed exchange carrying
+    only register partials; values never shuffle."""
+
+    partials = ds.map_batches(
+        hll_partial_fn(group_col, value_col, p),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return estimate_from_registers(pdf, group_col, p)
+
+    return keyed_partition_map(
+        partials,
+        keys=[group_col],
+        order_col="bucket",
+        fn=finalize,
+        num_partitions=num_partitions,
+    )

@@ -1,0 +1,106 @@
+"""HyperLogLog sketch (stages/sketch.py): accuracy, mergeability, kernel
+parity with pure-Python bit_length, and null handling."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from arlas_proc_ray.stages.sketch import (
+    estimate_from_registers,
+    hll_count_distinct,
+    hll_partial_fn,
+    hll_registers,
+)
+
+P = 12
+M = 1 << P
+
+
+def _frame(card_by_group: dict, rows_per_val: int = 3) -> pd.DataFrame:
+    rows = []
+    for g, card in card_by_group.items():
+        for v in range(card):
+            rows.extend((g, f"{g}:{v}") for _ in range(rows_per_val))
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    return df.iloc[rng.permutation(len(df))].reset_index(drop=True)
+
+
+def test_rho_kernel_matches_bit_length():
+    import pyarrow as pa
+
+    vals = [str(i * 7919) for i in range(500)]
+    t = pa.table({"g": ["x"] * 500, "v": vals})
+    out = hll_partial_fn("g", "v", P)(t).to_pandas()
+    # independent oracle: per (bucket) max of 49 - bit_length(rem)
+    expect = {}
+    for v in vals:
+        hv = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+        b, rem = hv >> 48, hv & ((1 << 48) - 1)
+        rho = 49 - rem.bit_length()
+        expect[b] = max(expect.get(b, 0), rho)
+    got = dict(zip(out["bucket"], out["register"]))
+    assert got == expect
+
+
+def test_estimate_accuracy():
+    cards = {"tiny": 17, "mid": 1200, "big": 20000}
+    ds = rd.from_pandas(_frame(cards)).repartition(8)
+    est = (
+        hll_count_distinct(ds, group_col="g", value_col="v", p=P, num_partitions=4)
+        .to_pandas()
+        .set_index("g")["distinct_est"]
+    )
+    for g, card in cards.items():
+        rel = abs(est[g] - card) / card
+        assert rel < 0.05, (g, est[g], card, rel)
+    # linear-counting regime is near-exact for tiny cardinalities
+    assert abs(est["tiny"] - 17) <= 1
+
+
+def test_registers_merge_by_max():
+    df = _frame({"a": 5000, "b": 300})
+    half = len(df) // 2
+    full = hll_registers(
+        rd.from_pandas(df), group_col="g", value_col="v", p=P, num_partitions=4
+    ).to_pandas()
+    r1 = hll_registers(
+        rd.from_pandas(df.iloc[:half]), group_col="g", value_col="v", p=P,
+        num_partitions=4,
+    ).to_pandas()
+    r2 = hll_registers(
+        rd.from_pandas(df.iloc[half:]), group_col="g", value_col="v", p=P,
+        num_partitions=4,
+    ).to_pandas()
+    merged = (
+        pd.concat([r1, r2])
+        .groupby(["g", "bucket"], sort=False)["register"]
+        .max()
+        .reset_index()
+    )
+
+    def canon(x):
+        return (
+            x.sort_values(["g", "bucket"]).reset_index(drop=True)[
+                ["g", "bucket", "register"]
+            ].astype({"bucket": "int64", "register": "int64"})
+        )
+
+    pd.testing.assert_frame_equal(canon(merged), canon(full))
+    # and the merged estimate equals the single-pass estimate exactly
+    e_m = estimate_from_registers(merged, "g", P)
+    e_f = estimate_from_registers(full, "g", P)
+    pd.testing.assert_frame_equal(
+        e_m.sort_values("g").reset_index(drop=True),
+        e_f.sort_values("g").reset_index(drop=True),
+    )
+
+
+def test_null_values_are_not_observations():
+    df = pd.DataFrame({"g": ["a"] * 6, "v": ["x", "y", None, "x", None, "z"]})
+    est = hll_count_distinct(
+        rd.from_pandas(df), group_col="g", value_col="v", p=P, num_partitions=2
+    ).to_pandas()
+    assert abs(est.loc[0, "distinct_est"] - 3) < 0.5
