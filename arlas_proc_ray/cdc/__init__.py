@@ -26,6 +26,7 @@ from arlas_proc_ray.cdc.oracle import oracle_final_state
 from arlas_proc_ray.cdc.replay import lww_reduce_table, normalize_stage, replay_to_dataset
 from arlas_proc_ray.cdc.engine import CdcEngine
 from arlas_proc_ray.cdc.diff import snapshot_diff
+from arlas_proc_ray.cdc.ivm import incremental_agg_view
 
 __all__ = [
     "ChangelogConfig",
@@ -38,6 +39,7 @@ __all__ = [
     "replay_to_dataset",
     "CdcEngine",
     "snapshot_diff",
+    "incremental_agg_view",
     "EVENT_SCHEMA_V1",
     "EVENT_SCHEMA_V2",
     "CANONICAL_EVENT_SCHEMA",

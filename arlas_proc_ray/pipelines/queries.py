@@ -1758,10 +1758,65 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_ivm_group_stats(sf_dir: str):
+    """Incremental view maintenance (cdc/ivm.py): per-group live count +
+    value sum of the state the change stream replays to, computed purely
+    from signed I/U/D deltas — the state table is NEVER materialized
+    (the DuckDB oracle materializes it; matching proves the delta
+    algebra). The group is a content-length bucket, so updates MOVE keys
+    between groups and deletions retract them."""
+    from arlas_proc_ray.cdc.ivm import incremental_agg_view
+
+    ds = _events(
+        sf_dir, columns=["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        uid = t.column("user_id")
+        mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+        repo = pc.binary_join_element_wise(
+            pa.array(["u"] * n, pa.string()), pc.cast(mod, pa.string()), ""
+        )
+        plen = pc.cast(pc.utf8_length(t.column("props")), pa.int64())
+        bucket = pc.divide(plen, pa.scalar(100, pa.int64()))
+        grp = pc.binary_join_element_wise(
+            pa.array(["len"] * n, pa.string()), pc.cast(bucket, pa.string()), ""
+        )
+        return pa.table(
+            {
+                "lsn": pc.cast(t.column("event_id"), pa.int64()),
+                "op": pc.if_else(
+                    pc.less(t.column("value"), pa.scalar(0.15)),
+                    pa.scalar("DELETE"),
+                    pa.scalar("UPDATE"),
+                ),
+                "repo": repo,
+                "path": t.column("event_type"),
+                "grp": grp,
+                "val": plen,
+            }
+        )
+
+    changelog = ds.map_batches(
+        to_changelog, batch_format="pyarrow", batch_size=None
+    )
+    return incremental_agg_view(
+        changelog,
+        key=["repo", "path"],
+        order_col="lsn",
+        op_col="op",
+        group_col="grp",
+        value_col="val",
+        num_partitions=NP,
+    )
+
+
 QUERIES = {
     "df_term_filter": q_df_term_filter,
     "snapshot_diff": q_snapshot_diff,
     "hll_registers": q_hll_registers,
+    "ivm_group_stats": q_ivm_group_stats,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
     "global_value_rank": q_global_value_rank,
@@ -1838,6 +1893,25 @@ QUERIES = {
 _W = "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
 
 ORACLE_SQL = {
+    "ivm_group_stats": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 'len' || CAST(length(props) // 100 AS VARCHAR) AS grp,
+                 CAST(length(props) AS BIGINT) AS val
+          FROM events),
+        last AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+                                       ORDER BY lsn DESC) AS rn
+          FROM ch),
+        state AS (SELECT * FROM last WHERE rn = 1 AND op <> 'DELETE')
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(val) AS BIGINT) AS value_sum
+        FROM state GROUP BY grp
+    """,
     "hll_registers": """
         WITH h AS (
           SELECT event_type,
