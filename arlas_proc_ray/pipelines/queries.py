@@ -1758,6 +1758,19 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_cms_counters(sf_dir: str):
+    """Count-min sketch counter table (stages/sketch.py): per-user_id
+    frequency sketch over events — batches collapse to ≤ depth×width
+    partials in the combiner, one tiny keyed exchange sums them, the
+    raw values never shuffle. Salted sha256-prefix hashing makes every
+    cell SQL-exact; the derived min-estimator's overestimate bound and
+    merge-by-sum are pinned in tests/test_sketch.py."""
+    from arlas_proc_ray.stages.sketch import cms_counters
+
+    ds = _events(sf_dir, columns=["user_id"])
+    return cms_counters(ds, value_col="user_id", depth=4, width=1024)
+
+
 def q_ivm_group_stats(sf_dir: str):
     """Incremental view maintenance (cdc/ivm.py): per-group live count +
     value sum of the state the change stream replays to, computed purely
@@ -1816,6 +1829,7 @@ QUERIES = {
     "df_term_filter": q_df_term_filter,
     "snapshot_diff": q_snapshot_diff,
     "hll_registers": q_hll_registers,
+    "cms_counters": q_cms_counters,
     "ivm_group_stats": q_ivm_group_stats,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
@@ -1911,6 +1925,18 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "cms_counters": """
+        WITH h AS (
+          SELECT CAST('0x' || substr(sha256(CAST(t.r AS VARCHAR) || ':'
+                                            || CAST(user_id AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 1024 AS cell,
+                 t.r AS depth_row
+          FROM events
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) t
+          WHERE user_id IS NOT NULL)
+        SELECT depth_row, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM h GROUP BY depth_row, cell
     """,
     "hll_registers": """
         WITH h AS (

@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches — HyperLogLog count-distinct.
+"""Mergeable sketches — HyperLogLog count-distinct, count-min frequency.
 
 The canonical 100-TB primitive the reference lacks entirely (ARLAS-proc
 has no approximate aggregation; its only distinct-ish op is the exact
@@ -137,6 +137,92 @@ def estimate_from_registers(
             est = m * np.log(m / zeros)
         out.append((g, float(est)))
     return pd.DataFrame(out, columns=[group_col, "distinct_est"])
+
+
+def cms_partial_fn(value_col: str, depth: int, width: int):
+    """Per-batch combiner: sparse (depth_row, cell, cnt) partial counts.
+
+    Each of the ``depth`` rows uses an independent hash — the shared
+    sha256-prefix kernel over the salted string ``"{d}:{value}"`` — so
+    DuckDB reproduces every cell exactly (module doc). A batch of any
+    size collapses to at most ``depth × width`` partial rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch.column(value_col), pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        n = len(vals)
+        counts = np.zeros(depth * width, dtype=np.int64)
+        for d in range(depth):
+            salted = pc.binary_join_element_wise(
+                pa.array([str(d)] * n, pa.string()), vals, ":"
+            )
+            hv = sha256_prefix_int(salted)
+            hv = hv[hv >= 0]  # null values are no observation
+            np.add.at(counts, d * width + hv % width, 1)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "depth_row": pa.array(nz // width, type=pa.int64()),
+                "cell": pa.array(nz % width, type=pa.int64()),
+                "cnt": pa.array(counts[nz]),
+            }
+        )
+
+    return partial
+
+
+def cms_counters(ds, *, value_col: str, depth: int = 4, width: int = 1024):
+    """Count-min sketch counter table for ``value_col``: one row per
+    non-empty (depth_row, cell) with the total count. Values never
+    shuffle — batches collapse to ≤ depth×width partials in the
+    combiner and one keyed exchange sums them. Merge = per-cell ``+``
+    (associative/commutative; Ray block lineage dedups retries, and two
+    epochs' counter tables merge by summing — pinned in tests)."""
+
+    partials = ds.map_batches(
+        cms_partial_fn(value_col, depth, width),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["depth_row", "cell"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+
+    return keyed_partition_map(
+        partials,
+        keys=["depth_row"],
+        order_col="cell",
+        fn=reduce_sum,
+        num_partitions=depth,
+    )
+
+
+def cms_estimate(
+    counters: pd.DataFrame, items: "list[str]", *, depth: int, width: int
+) -> pd.DataFrame:
+    """Point-frequency estimates for ``items`` from a counter frame:
+    min over depth rows of the hashed cell's count (the count-min
+    estimator — an overestimate by ≤ e/width·N w.p. 1-e^-depth).
+    Driver-side finalize over the tiny counter table."""
+    dense = np.zeros((depth, width), dtype=np.int64)
+    dense[counters["depth_row"].to_numpy(), counters["cell"].to_numpy()] = (
+        counters["cnt"].to_numpy()
+    )
+    ests = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    arr = pa.array([str(x) for x in items], pa.string())
+    for d in range(depth):
+        salted = pc.binary_join_element_wise(
+            pa.array([str(d)] * len(items), pa.string()), arr, ":"
+        )
+        cells = sha256_prefix_int(salted) % width
+        ests = np.minimum(ests, dense[d, cells])
+    return pd.DataFrame({"item": items, "freq_est": ests})
 
 
 def hll_count_distinct(

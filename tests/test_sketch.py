@@ -104,3 +104,91 @@ def test_null_values_are_not_observations():
         rd.from_pandas(df), group_col="g", value_col="v", p=P, num_partitions=2
     ).to_pandas()
     assert abs(est.loc[0, "distinct_est"] - 3) < 0.5
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_kernel_matches_pure_python():
+    import pyarrow as pa
+
+    from arlas_proc_ray.stages.sketch import cms_partial_fn
+
+    depth, width = 3, 64
+    vals = [str(i % 37) for i in range(400)]
+    t = pa.table({"v": vals})
+    out = cms_partial_fn("v", depth, width)(t).to_pandas()
+    expect = {}
+    for v in vals:
+        for d in range(depth):
+            hv = int(hashlib.sha256(f"{d}:{v}".encode()).hexdigest()[:15], 16)
+            key = (d, hv % width)
+            expect[key] = expect.get(key, 0) + 1
+    got = {
+        (r, c): n
+        for r, c, n in zip(out["depth_row"], out["cell"], out["cnt"])
+    }
+    assert got == expect
+
+
+def test_cms_overestimates_and_is_accurate():
+    from arlas_proc_ray.stages.sketch import cms_counters, cms_estimate
+
+    depth, width = 4, 1024
+    rng = np.random.default_rng(11)
+    # zipf-ish: item i appears ~ 3000/(i+1) times
+    items = [f"item{i}" for i in range(200)]
+    true = {it: max(1, 3000 // (i + 1)) for i, it in enumerate(items)}
+    vals = [it for it, n in true.items() for _ in range(n)]
+    df = pd.DataFrame({"v": np.array(vals)[rng.permutation(len(vals))]})
+    counters = (
+        cms_counters(
+            rd.from_pandas(df).repartition(6),
+            value_col="v",
+            depth=depth,
+            width=width,
+        )
+        .to_pandas()
+    )
+    est = cms_estimate(counters, items, depth=depth, width=width)
+    n_total = len(vals)
+    eps_n = np.e / width * n_total
+    for it, e in zip(est["item"], est["freq_est"]):
+        assert e >= true[it], (it, e, true[it])
+        assert e - true[it] <= eps_n, (it, e, true[it], eps_n)
+    # heavy hitters rank correctly at the head
+    top = est.sort_values("freq_est", ascending=False)["item"].head(3).tolist()
+    assert top[0] == "item0" and set(top) == {"item0", "item1", "item2"}
+
+
+def test_cms_merges_by_sum():
+    from arlas_proc_ray.stages.sketch import cms_counters
+
+    depth, width = 4, 256
+    df = pd.DataFrame({"v": [str(i % 50) for i in range(2000)]})
+    half = len(df) // 2
+
+    def run(frame):
+        return (
+            cms_counters(
+                rd.from_pandas(frame), value_col="v", depth=depth, width=width
+            )
+            .to_pandas()
+        )
+
+    full = run(df)
+    merged = (
+        pd.concat([run(df.iloc[:half]), run(df.iloc[half:])])
+        .groupby(["depth_row", "cell"], sort=False)["cnt"]
+        .sum()
+        .reset_index()
+    )
+
+    def canon(x):
+        return (
+            x.sort_values(["depth_row", "cell"]).reset_index(drop=True)[
+                ["depth_row", "cell", "cnt"]
+            ].astype("int64")
+        )
+
+    pd.testing.assert_frame_equal(canon(merged), canon(full))
