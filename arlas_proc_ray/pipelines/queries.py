@@ -1758,6 +1758,36 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_bloom_filter_probe(sf_dir: str):
+    """Bloom-filter join prefilter (stages/bloom.py): lineitem rows whose
+    order key tests positive against a bloom built over URGENT orders.
+    The build side collapses to one 16 KiB bitmap per batch (driver ORs
+    the partials), the bitmap broadcasts once, and the big side streams
+    through it with zero shuffle. Salted sha256-prefix hashing makes the
+    survivor set — false positives included — SQL-exact; the end-to-end
+    exact semi-join variant is pinned in tests/test_bloom.py."""
+    from arlas_proc_ray.stages.bloom import bloom_semi_join
+
+    urgent = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    ).select_columns(["o_orderkey"])
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return bloom_semi_join(
+        li,
+        urgent,
+        big_key="l_orderkey",
+        build_key="o_orderkey",
+        num_bits=1 << 17,
+        num_hashes=3,
+        exact=False,
+    )
+
+
 def q_cms_counters(sf_dir: str):
     """Count-min sketch counter table (stages/sketch.py): per-user_id
     frequency sketch over events — batches collapse to ≤ depth×width
@@ -1830,6 +1860,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "hll_registers": q_hll_registers,
     "cms_counters": q_cms_counters,
+    "bloom_filter_probe": q_bloom_filter_probe,
     "ivm_group_stats": q_ivm_group_stats,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
@@ -1925,6 +1956,28 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "bloom_filter_probe": """
+        WITH hr AS (SELECT unnest(generate_series(0, 2)) AS r),
+        bits AS (
+          SELECT DISTINCT
+                 CAST('0x' || substr(sha256(CAST(hr.r AS VARCHAR) || ':'
+                                            || CAST(o_orderkey AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 131072 AS bit
+          FROM orders CROSS JOIN hr
+          WHERE o_orderpriority = '1-URGENT'),
+        keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        kh AS (
+          SELECT key,
+                 CAST('0x' || substr(sha256(CAST(hr.r AS VARCHAR) || ':'
+                                            || CAST(key AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 131072 AS bit
+          FROM keys CROSS JOIN hr),
+        pass AS (
+          SELECT key FROM kh JOIN bits USING (bit)
+          GROUP BY key HAVING count(*) = 3)
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem JOIN pass ON l_orderkey = pass.key
     """,
     "cms_counters": """
         WITH h AS (
