@@ -1758,6 +1758,39 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_funnel_steps(sf_dir: str):
+    """Strictly-ordered conversion funnel (stages/analytics.py): per user
+    the first view, the first click after that view, and the first
+    purchase after that click — one keyed exchange, all per-user mins
+    computed as vectorized pandas groupbys across every user in the
+    partition at once."""
+    from arlas_proc_ray.stages.analytics import funnel
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+    return funnel(
+        ds,
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        steps=["view", "click", "purchase"],
+        num_partitions=NP,
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix (stages/analytics.py): users
+    cohorted by Monday-start week of first event, counted per activity-
+    week offset. Users are disjoint across the keyed partitions so the
+    per-partition distinct counts sum exactly; only tiny
+    (cohort, offset) partials take the second exchange."""
+    from arlas_proc_ray.stages.analytics import cohort_retention
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    return cohort_retention(
+        ds, user_col="user_id", ts_col="ts", num_partitions=NP
+    )
+
+
 def q_bloom_filter_probe(sf_dir: str):
     """Bloom-filter join prefilter (stages/bloom.py): lineitem rows whose
     order key tests positive against a bloom built over URGENT orders.
@@ -1861,6 +1894,8 @@ QUERIES = {
     "hll_registers": q_hll_registers,
     "cms_counters": q_cms_counters,
     "bloom_filter_probe": q_bloom_filter_probe,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
@@ -1956,6 +1991,38 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "funnel_steps": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS view_ts
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS click_ts
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+          GROUP BY e.user_id)
+        SELECT s1.user_id, view_ts, click_ts, purchase_ts
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    "cohort_retention": """
+        WITH f AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cw
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+          FROM events)
+        SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+               CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY cohort_week, week_offset
     """,
     "bloom_filter_probe": """
         WITH hr AS (SELECT unnest(generate_series(0, 2)) AS r),
