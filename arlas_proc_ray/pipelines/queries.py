@@ -1758,6 +1758,98 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def _events_changelog(sf_dir: str):
+    """events → (lsn, op, repo, path, content) I/U/D stream — the same
+    key mapping as the flagship ``cdc_engine_replay`` / ``snapshot_diff``
+    fixtures (value < 0.15 marks a delete)."""
+    ds = _events(
+        sf_dir, columns=["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+        repo = pc.binary_join_element_wise(
+            pa.array(["u"] * t.num_rows, pa.string()),
+            pc.cast(mod, pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "lsn": pc.cast(t.column("event_id"), pa.int64()),
+                "op": pc.if_else(
+                    pc.less(t.column("value"), pa.scalar(0.15)),
+                    pa.scalar("DELETE"),
+                    pa.scalar("UPDATE"),
+                ),
+                "repo": repo,
+                "path": t.column("event_type"),
+                "content": t.column("props"),
+            }
+        )
+
+    return ds.map_batches(to_changelog, batch_format="pyarrow", batch_size=None)
+
+
+_CHANGELOG_SQL = """
+          SELECT event_id AS lsn,
+                 CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 props AS content
+          FROM events"""
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 version table (cdc/history.py): every non-delete event
+    of the changelog with its [valid_from, valid_to) LSN interval — lead
+    over the key computed as one vectorized groupby.shift per partition,
+    one keyed exchange, nothing on the driver."""
+    from arlas_proc_ray.cdc.history import scd2_history
+
+    out = scd2_history(
+        _events_changelog(sf_dir),
+        keys=["repo", "path"],
+        lsn_col="lsn",
+        op_col="op",
+        num_partitions=NP,
+    )
+
+    # driver-compare parity: DuckDB's .df() renders nullable BIGINT as
+    # float64; mirror that for the open intervals (the operator itself
+    # keeps exact Int64)
+    def float_valid_to(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("valid_to")
+        t = t.set_column(
+            i, "valid_to", pc.cast(t.column("valid_to"), pa.float64())
+        )
+        # the pandas-origin schema metadata still says Int64 — strip it or
+        # to_pandas() will faithfully restore the extension dtype
+        return t.replace_schema_metadata(None)
+
+    return out.map_batches(float_valid_to, batch_format="pyarrow", batch_size=None)
+
+
+def q_time_travel_asof(sf_dir: str):
+    """As-of-LSN time travel (cdc/history.py): the changelog's state at
+    3/4 of the stream — last event per key at or before the cut, deletes
+    dropped. Finer-grained than the engine's epoch-fenced
+    ``final_state(epoch=)``; the LSN predicate prunes the scan side of
+    the one keyed exchange."""
+    from arlas_proc_ray.cdc.history import as_of_state
+
+    ds = _events(sf_dir, columns=["event_id"])
+    cut = int(ds.max("event_id") or 0) * 3 // 4
+    return as_of_state(
+        _events_changelog(sf_dir),
+        keys=["repo", "path"],
+        lsn_col="lsn",
+        op_col="op",
+        as_of_lsn=cut,
+        num_partitions=NP,
+    )
+
+
 def q_funnel_steps(sf_dir: str):
     """Strictly-ordered conversion funnel (stages/analytics.py): per user
     the first view, the first click after that view, and the first
@@ -1895,6 +1987,8 @@ QUERIES = {
     "cms_counters": q_cms_counters,
     "bloom_filter_probe": q_bloom_filter_probe,
     "funnel_steps": q_funnel_steps,
+    "scd2_history": q_scd2_history,
+    "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
     "resample_hourly_ffill": q_resample_hourly_ffill,
@@ -1992,6 +2086,28 @@ ORACLE_SQL = {
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
     """,
+    "scd2_history": """
+        WITH ch AS ({CHANGELOG}),
+        v AS (
+          SELECT *, lead(lsn) OVER (PARTITION BY repo, path
+                                    ORDER BY lsn) AS valid_to
+          FROM ch)
+        SELECT repo, path, content,
+               lsn AS valid_from,
+               valid_to,
+               valid_to IS NULL AS is_current
+        FROM v WHERE op <> 'DELETE'
+    """.replace("{CHANGELOG}", _CHANGELOG_SQL),
+    "time_travel_asof": """
+        WITH cut AS (SELECT 3 * max(event_id) // 4 AS c FROM events),
+        ch AS ({CHANGELOG}),
+        last AS (
+          SELECT ch.*, row_number() OVER (PARTITION BY repo, path
+                                          ORDER BY lsn DESC) AS rn
+          FROM ch, cut WHERE lsn <= cut.c)
+        SELECT lsn, repo, path, content
+        FROM last WHERE rn = 1 AND op <> 'DELETE'
+    """.replace("{CHANGELOG}", _CHANGELOG_SQL),
     "funnel_steps": """
         WITH s1 AS (
           SELECT user_id, min(ts) AS view_ts
