@@ -1758,6 +1758,24 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_zorder_values(sf_dir: str):
+    """Z-order clustering (stages/zorder.py): lineitem clustered by the
+    Morton interleave of (part, supplier) — the z-map is a stateless
+    vectorized map_batches and the cluster is Ray's range-partitioned
+    sort, the one all-to-all a global reorder requires. Values are exact
+    integer math (SQL-reproducible); the locality property of the sorted
+    layout is pinned in tests/test_zorder.py."""
+    from arlas_proc_ray.stages.zorder import zorder_sort
+
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    return zorder_sort(ds, cols=["l_partkey", "l_suppkey"], bits=16).select_columns(
+        ["l_orderkey", "l_linenumber", "z_value"]
+    )
+
+
 def _events_changelog(sf_dir: str):
     """events → (lsn, op, repo, path, content) I/U/D stream — the same
     key mapping as the flagship ``cdc_engine_replay`` / ``snapshot_diff``
@@ -1988,6 +2006,7 @@ QUERIES = {
     "bloom_filter_probe": q_bloom_filter_probe,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
+    "zorder_values": q_zorder_values,
     "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
@@ -2086,6 +2105,23 @@ ORACLE_SQL = {
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
     """,
+    # row-preserving closed form (no GROUP BY: the synthetic lineitem is
+    # not unique on (orderkey, linenumber))
+    "zorder_values": """
+        WITH q AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               CAST(({Z_EXPR}) AS BIGINT) AS z_value
+        FROM q
+    """.replace(
+        "{Z_EXPR}",
+        " + ".join(
+            f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+            for b in range(16)
+        ),
+    ),
     "scd2_history": """
         WITH ch AS ({CHANGELOG}),
         v AS (
