@@ -1758,6 +1758,17 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_doc_chunks(sf_dir: str):
+    """Overlapping document chunking (stages/chunking.py): 32-token
+    windows every 24 tokens — a fully vectorized ragged explode inside
+    one stateless map_batches (split_pattern + ragged-arange + take +
+    binary_join; no keyed exchange, no Python row loop)."""
+    from arlas_proc_ray.stages.chunking import chunk_documents
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_documents(ds, id_col="doc_id", text_col="text", window=32, stride=24)
+
+
 def q_zorder_values(sf_dir: str):
     """Z-order clustering (stages/zorder.py): lineitem clustered by the
     Morton interleave of (part, supplier) — the z-map is a stateless
@@ -2007,6 +2018,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
     "zorder_values": q_zorder_values,
+    "doc_chunks": q_doc_chunks,
     "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
@@ -2104,6 +2116,22 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "doc_chunks": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(
+                   0, GREATEST((n - 32 + 23) // 24, 0))) AS chunk_index
+          FROM n)
+        SELECT doc_id, chunk_index,
+               array_to_string(
+                 toks[chunk_index * 24 + 1 : chunk_index * 24 + 32],
+                 ' ') AS chunk_text,
+               CAST(LEAST(32, n - chunk_index * 24) AS BIGINT) AS n_tokens
+        FROM c
     """,
     # row-preserving closed form (no GROUP BY: the synthetic lineitem is
     # not unique on (orderkey, linenumber))
