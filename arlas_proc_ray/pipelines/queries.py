@@ -1758,6 +1758,23 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_changelog_audit(sf_dir: str):
+    """Stream-quality audit (cdc/audit.py): per-user out-of-order
+    deliveries, duplicate LSNs and sequence gaps — the alerting metrics
+    in front of the ingest engine. One keyed exchange, vectorized
+    shift/nunique across all keys per partition."""
+    from arlas_proc_ray.cdc.audit import changelog_audit
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+    return changelog_audit(
+        ds,
+        key_col="user_id",
+        lsn_col="event_id",
+        delivery_order_col="ts",
+        num_partitions=NP,
+    )
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping document chunking (stages/chunking.py): 32-token
     windows every 24 tokens — a fully vectorized ragged explode inside
@@ -2019,6 +2036,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "zorder_values": q_zorder_values,
     "doc_chunks": q_doc_chunks,
+    "changelog_audit": q_changelog_audit,
     "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
@@ -2116,6 +2134,24 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "changelog_audit": """
+        WITH o AS (
+          SELECT user_id, event_id,
+                 lag(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_id
+          FROM events)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ooo,
+               min(event_id) AS lsn_min,
+               max(event_id) AS lsn_max,
+               CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                 AS n_dup_lsn,
+               CAST(max(event_id) - min(event_id) + 1
+                    - count(DISTINCT event_id) AS BIGINT) AS lsn_gaps
+        FROM o GROUP BY user_id
     """,
     "doc_chunks": """
         WITH t AS (
