@@ -76,23 +76,44 @@ def sha256_prefix_int(col: pa.Array | pa.ChunkedArray, chars: int = 15) -> np.nd
     = 60 bits, safely inside int64. Nulls hash to -1.
     """
     assert chars <= 15, "more than 15 hex chars overflows int64"
-    hexes = sha256_hex(col)
-    if isinstance(hexes, pa.ChunkedArray):
-        hexes = hexes.combine_chunks()
-    valid = np.asarray(hexes.is_valid())
-    n = len(hexes)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    n = len(col)
     out = np.full(n, -1, dtype=np.int64)
-    if not valid.any():
+    if n == 0:
         return out
-    # hex digests are fixed-width ASCII: parse the prefix with one
-    # byte-matrix op instead of a per-row int(x, 16) loop
-    joined = "".join(
-        h if h is not None else "0" * 64 for h in hexes.to_pylist()
-    ).encode("ascii")
-    mat = np.frombuffer(joined, dtype=np.uint8).reshape(n, 64)[:, :chars]
-    vals = mat - np.uint8(48) - np.where(mat >= 97, np.uint8(39), np.uint8(0))
-    powers = (np.uint64(16) ** np.arange(chars - 1, -1, -1, dtype=np.uint64))
-    nums = (vals.astype(np.uint64) * powers[None, :]).sum(axis=1).astype(np.int64)
+    # the first `chars` hex digits are the top 4*chars bits of the raw
+    # digest: parse digest()[:8] as big-endian uint64 and shift — no hex
+    # string, no 64-wide byte matrix (that parse dominated this kernel)
+    buffers = col.buffers()
+    offset_width = 8 if pa.types.is_large_string(col.type) else 4
+    odtype = np.int64 if offset_width == 8 else np.int32
+    offs = np.frombuffer(
+        buffers[1], dtype=odtype, count=n + 1, offset=col.offset * offset_width
+    )
+    data = memoryview(buffers[2])
+    sha = hashlib.sha256
+    if col.null_count == 0:
+        raw = b"".join(
+            sha(data[offs[i] : offs[i + 1]]).digest()[:8] for i in range(n)
+        )
+        valid = None
+    else:
+        valid = np.asarray(col.is_valid())
+        raw = b"".join(
+            sha(data[offs[i] : offs[i + 1]]).digest()[:8]
+            if valid[i]
+            else b"\0" * 8
+            for i in range(n)
+        )
+    nums = (
+        np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+        >> np.uint64(64 - 4 * chars)
+    ).astype(np.int64)
+    if valid is None:
+        return nums
     out[valid] = nums[valid]
     return out
 

@@ -1942,11 +1942,13 @@ def q_bloom_filter_probe(sf_dir: str):
     urgent = _rp(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"],
-        filter=pc.field("o_orderpriority") == "1-URGENT",
+        filter_expr=pc.field("o_orderpriority") == "1-URGENT",
+        min_parallelism=4,
     ).select_columns(["o_orderkey"])
     li = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        min_parallelism=16,
     )
     return bloom_semi_join(
         li,
@@ -2240,22 +2242,31 @@ ORACLE_SQL = {
         FROM a JOIN f USING (user_id)
         GROUP BY cohort_week, week_offset
     """,
+    # Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m with
+    # h1 = hv mod m, h2 = (hv // m) mod m | 1 — one sha256 per key
     "bloom_filter_probe": """
         WITH hr AS (SELECT unnest(generate_series(0, 2)) AS r),
+        bh AS (
+          SELECT DISTINCT
+                 CAST('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)),
+                                     1, 15) AS BIGINT) AS hv
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
         bits AS (
           SELECT DISTINCT
-                 CAST('0x' || substr(sha256(CAST(hr.r AS VARCHAR) || ':'
-                                            || CAST(o_orderkey AS VARCHAR)),
-                                     1, 15) AS BIGINT) % 131072 AS bit
-          FROM orders CROSS JOIN hr
-          WHERE o_orderpriority = '1-URGENT'),
+                 ((hv % 131072)
+                  + hr.r * (((hv // 131072) % 131072) | 1)) % 131072 AS bit
+          FROM bh CROSS JOIN hr),
         keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        ph AS (
+          SELECT key,
+                 CAST('0x' || substr(sha256(CAST(key AS VARCHAR)),
+                                     1, 15) AS BIGINT) AS hv
+          FROM keys),
         kh AS (
           SELECT key,
-                 CAST('0x' || substr(sha256(CAST(hr.r AS VARCHAR) || ':'
-                                            || CAST(key AS VARCHAR)),
-                                     1, 15) AS BIGINT) % 131072 AS bit
-          FROM keys CROSS JOIN hr),
+                 ((hv % 131072)
+                  + hr.r * (((hv // 131072) % 131072) | 1)) % 131072 AS bit
+          FROM ph CROSS JOIN hr),
         pass AS (
           SELECT key FROM kh JOIN bits USING (bit)
           GROUP BY key HAVING count(*) = 3)

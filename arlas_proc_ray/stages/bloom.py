@@ -11,11 +11,14 @@ batch collapses to one packed bitmap, driver ORs the tiny partials),
 matches + the ~(1-e^{-kn/m})^k false-positive sliver) are small enough
 for an exact broadcast semi-join afterwards.
 
-SQL parity: the k hash functions are the repo-wide deterministic
-``sha256-prefix-int`` kernel over the salted string ``"{r}:{key}"``
-(functions/hashing.py:70), so DuckDB reproduces every set bit and the
-exact survivor set — false positives included — bit-for-bit. See the
-``bloom_filter_probe`` oracle in pipelines/queries.py.
+SQL parity: the k hash functions are Kirsch-Mitzenmacher double hashing
+(published standard: "Less Hashing, Same Performance", 2006) over ONE
+``sha256-prefix-int`` per key (functions/hashing.py:70):
+``pos_i = (h1 + i*h2) mod m`` with ``h1 = hv mod m`` and
+``h2 = (hv // m) mod m | 1`` (odd, hence coprime with the power-of-two
+``m``). One sha256 per row instead of k, and DuckDB reproduces every set
+bit and the exact survivor set — false positives included — bit-for-bit.
+See the ``bloom_filter_probe`` oracle in pipelines/queries.py.
 """
 
 from __future__ import annotations
@@ -32,24 +35,26 @@ from arlas_proc_ray.functions.hashing import sha256_prefix_int
 def _salted_positions(
     vals: pa.Array | pa.ChunkedArray, num_bits: int, num_hashes: int
 ) -> list[np.ndarray]:
-    """One int64 position array per hash row; null keys yield no position."""
+    """One int64 position array per hash index (double hashing — a single
+    sha256 per key); null keys yield position -1 in every array."""
     vals = pc.cast(vals, pa.string())
-    if isinstance(vals, pa.ChunkedArray):
-        vals = vals.combine_chunks()
-    n = len(vals)
+    hv = sha256_prefix_int(vals)
+    null = hv < 0
+    h1 = hv % num_bits
+    h2 = (hv // num_bits) % num_bits | np.int64(1)
     out = []
-    for r in range(num_hashes):
-        salted = pc.binary_join_element_wise(
-            pa.array([str(r)] * n, pa.string()), vals, ":"
-        )
-        hv = sha256_prefix_int(salted)
-        out.append(hv % num_bits)  # nulls are -1 -> callers mask on hv >= 0
+    for i in range(num_hashes):
+        pos = (h1 + np.int64(i) * h2) % num_bits
+        pos[null] = -1
+        out.append(pos)
     return out
 
 
 def bloom_partial_fn(key_col: str, num_bits: int, num_hashes: int):
     """Per-batch combiner: collapse a batch to ONE packed bitmap row."""
-    assert num_bits % 8 == 0
+    assert num_bits >= 8 and num_bits & (num_bits - 1) == 0, (
+        "num_bits must be a power of two (odd h2 must be coprime with m)"
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         bm = np.zeros(num_bits // 8, dtype=np.uint8)

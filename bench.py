@@ -174,6 +174,10 @@ def run_bench() -> dict:
         "minhash_near_dup",
         "broadcast_enrich",
         "tempo_proportion_collapse",
+        "bloom_filter_probe",
+        "doc_chunks",
+        "zorder_values",
+        "scd2_history",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):

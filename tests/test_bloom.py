@@ -21,10 +21,9 @@ K = 3
 
 
 def _py_positions(key: str) -> list[int]:
-    return [
-        int(hashlib.sha256(f"{r}:{key}".encode()).hexdigest()[:15], 16) % M
-        for r in range(K)
-    ]
+    hv = int(hashlib.sha256(key.encode()).hexdigest()[:15], 16)
+    h1, h2 = hv % M, (hv // M) % M | 1
+    return [(h1 + i * h2) % M for i in range(K)]
 
 
 def test_partial_bitmap_matches_pure_python():
