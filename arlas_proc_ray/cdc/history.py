@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from arlas_proc_ray.stages.keyed import keyed_partition_map
 
@@ -56,6 +58,65 @@ def scd2_history(
         fn=part,
         num_partitions=num_partitions,
     )
+
+
+def temporal_join(
+    facts_ds,
+    versions_ds,
+    *,
+    keys: Sequence[str],
+    lsn_col: str,
+    version_value_cols: Sequence[str],
+    suffix: str = "_v",
+    num_partitions: int = 64,
+):
+    """Inner temporal join: each fact row paired with the SCD2 version
+    of its key that was valid AT the fact's LSN (``valid_from <= lsn``
+    and ``valid_to`` open or ``> lsn``).
+
+    The warehouse pattern "join facts to the dimension as it was at
+    transaction time", composed from the existing primitives: a keyed
+    as-of join against version starts (one co-partition exchange,
+    ``stages/joins.py:40``) plus a vectorized liveness filter — no new
+    shuffle machinery. Facts whose key had no live version at their LSN
+    (e.g. inside a delete/rebirth gap) are dropped.
+    """
+    from arlas_proc_ray.stages.joins import asof_join
+
+    keys = list(keys)
+    value_cols = list(version_value_cols)
+
+    def ren(t: pa.Table) -> pa.Table:
+        # keep valid_from visible under a stable alias (the as-of `on`
+        # column itself is not echoed), then align names for the join
+        t = t.append_column("version_from", t.column("valid_from"))
+        names = [lsn_col if c == "valid_from" else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    vds = versions_ds.map_batches(ren, batch_format="pyarrow", batch_size=None)
+    joined = asof_join(
+        facts_ds,
+        vds,
+        by=keys,
+        on=lsn_col,
+        right_cols=value_cols + ["version_from", "valid_to"],
+        suffix=suffix,
+        allow_exact_matches=True,
+        num_partitions=num_partitions,
+    )
+    vfrom, vto = "version_from" + suffix, "valid_to" + suffix
+
+    def live(t: pa.Table) -> pa.Table:
+        lsn = t.column(lsn_col)
+        matched = pc.is_valid(t.column(vfrom))
+        open_or_after = pc.or_kleene(
+            pc.is_null(t.column(vto)), pc.greater(t.column(vto), lsn)
+        )
+        keep = pc.and_(matched, pc.fill_null(open_or_after, False))
+        t = t.filter(keep)
+        return t.drop_columns([vto])
+
+    return joined.map_batches(live, batch_format="pyarrow", batch_size=None)
 
 
 def as_of_state(

@@ -1758,6 +1758,49 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_temporal_join(sf_dir: str):
+    """Temporal dimension join (cdc/history.py): every changelog event
+    paired with the SCD2 version of its key valid AT the event's LSN —
+    the "dimension as of transaction time" warehouse pattern, composed
+    as keyed as-of join + liveness filter (one co-partition exchange).
+    DELETE events land in a closed interval and drop out."""
+    from arlas_proc_ray.cdc.history import scd2_history, temporal_join
+
+    ch = _events_changelog(sf_dir)
+    versions = scd2_history(
+        ch, keys=["repo", "path"], lsn_col="lsn", op_col="op",
+        num_partitions=NP,
+    ).drop_columns(["is_current"])
+    out = temporal_join(
+        _events_changelog(sf_dir),
+        versions,
+        keys=["repo", "path"],
+        lsn_col="lsn",
+        version_value_cols=["content"],
+        num_partitions=NP,
+    )
+    return out.select_columns(
+        ["lsn", "op", "repo", "path", "content_v", "version_from_v"]
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order event-type transition matrix (stages/analytics.py):
+    consecutive-event pairs per user in LSN order, counted globally —
+    vectorized groupby.shift per partition, only (from, to, n) partials
+    cross the second exchange."""
+    from arlas_proc_ray.stages.analytics import transition_counts
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "event_type"])
+    return transition_counts(
+        ds,
+        key_col="user_id",
+        order_col="event_id",
+        state_col="event_type",
+        num_partitions=NP,
+    )
+
+
 def q_changelog_audit(sf_dir: str):
     """Stream-quality audit (cdc/audit.py): per-user out-of-order
     deliveries, duplicate LSNs and sequence gaps — the alerting metrics
@@ -2039,6 +2082,8 @@ QUERIES = {
     "zorder_values": q_zorder_values,
     "doc_chunks": q_doc_chunks,
     "changelog_audit": q_changelog_audit,
+    "event_transitions": q_event_transitions,
+    "temporal_join": q_temporal_join,
     "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
@@ -2136,6 +2181,36 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "temporal_join": """
+        WITH ch AS ({CHANGELOG}),
+        d AS (
+          SELECT repo, path, content, lsn AS valid_from, valid_to
+          FROM (SELECT ch.*,
+                       lead(lsn) OVER (PARTITION BY repo, path
+                                       ORDER BY lsn) AS valid_to
+                FROM ch)
+          WHERE op <> 'DELETE')
+        SELECT f.lsn, f.op, f.repo, f.path,
+               d.content AS content_v,
+               d.valid_from AS version_from_v
+        FROM ch f
+        JOIN d
+          ON f.repo = d.repo AND f.path = d.path
+         AND d.valid_from <= f.lsn
+         AND (d.valid_to IS NULL OR d.valid_to > f.lsn)
+    """.replace("{CHANGELOG}", _CHANGELOG_SQL),
+    "event_transitions": """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS prev_type
+          FROM events)
+        SELECT prev_type AS from_state,
+               event_type AS to_state,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY from_state, to_state
     """,
     "changelog_audit": """
         WITH o AS (

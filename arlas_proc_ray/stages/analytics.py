@@ -71,6 +71,59 @@ def funnel(
     )
 
 
+def transition_counts(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    num_partitions: int = 64,
+):
+    """First-order transition matrix of ``state_col`` sequences.
+
+    Count of (from_state, to_state) over consecutive events per key —
+    the Markov-chain summary behind funnels and next-event prediction.
+    One keyed exchange; inside the partition a single vectorized
+    ``groupby.shift`` pairs each event with its predecessor, and only
+    tiny (from, to, n) partials take the second (small) exchange.
+    """
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        prev = pdf.groupby(key_col, sort=False)[state_col].shift()
+        pairs = pd.DataFrame(
+            {"from_state": prev, "to_state": pdf[state_col]}
+        ).dropna(subset=["from_state"])
+        return (
+            pairs.groupby(["from_state", "to_state"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    partials = keyed_partition_map(
+        ds,
+        keys=[key_col],
+        order_col=order_col,
+        fn=part,
+        num_partitions=num_partitions,
+    )
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["from_state", "to_state"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    return keyed_partition_map(
+        partials,
+        keys=["from_state"],
+        order_col="to_state",
+        fn=reduce_sum,
+        num_partitions=min(4, num_partitions),
+    )
+
+
 def week_start(ts: pd.Series) -> pd.Series:
     """Monday-00:00 truncation, matching DuckDB ``date_trunc('week', ts)``."""
     d = ts.dt.normalize()

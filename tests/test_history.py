@@ -77,3 +77,65 @@ def test_as_of_state_cuts():
     assert state(5) == {}  # a deleted at 5, c not yet born... b gone
     assert state(6) == {"c": "x1"}
     assert state(100) == {"a": "v3", "c": "x1"}
+
+
+def test_temporal_join_matches_version_at_lsn():
+    from arlas_proc_ray.cdc.history import scd2_history, temporal_join
+
+    versions = scd2_history(
+        _ds(), keys=["key"], lsn_col="lsn", op_col="op", num_partitions=4
+    ).drop_columns(["is_current"])
+    facts = pd.DataFrame(
+        [(2, "q", "a"), (4, "q", "a"), (6, "q", "a"), (8, "q", "a"),
+         (3, "q", "b"), (5, "q", "b"), (7, "q", "c")],
+        columns=["lsn", "op", "key"],
+    )
+    out = (
+        temporal_join(
+            rd.from_pandas(facts).repartition(2),
+            versions,
+            keys=["key"],
+            lsn_col="lsn",
+            version_value_cols=["content"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["key", "lsn"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["key"], out["lsn"], out["content_v"]))
+    # a: v1@[1,3), v2@[3,5), deleted@5, v3@[7,inf)
+    # b: w1@[2,4), deleted@4 ; c: x1@[6,inf)
+    assert got == [
+        ("a", 2, "v1"),
+        ("a", 4, "v2"),
+        # lsn 6 falls in a's delete gap -> dropped
+        ("a", 8, "v3"),
+        ("b", 3, "w1"),
+        # b lsn 5 after delete -> dropped
+        ("c", 7, "x1"),
+    ]
+
+
+def test_transition_counts_exact():
+    from arlas_proc_ray.stages.analytics import transition_counts
+
+    df = pd.DataFrame(
+        [("u", 1, "A"), ("u", 2, "B"), ("u", 3, "A"), ("u", 4, "B"),
+         ("w", 1, "B"), ("w", 2, "A")],
+        columns=["k", "o", "s"],
+    )
+    out = (
+        transition_counts(
+            rd.from_pandas(df.sample(frac=1, random_state=7)).repartition(3),
+            key_col="k",
+            order_col="o",
+            state_col="s",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+    got = {(r["from_state"], r["to_state"]): r["n"] for _, r in out.iterrows()}
+    assert got == {("A", "B"): 2, ("B", "A"): 2}
