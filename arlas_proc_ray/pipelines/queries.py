@@ -1758,6 +1758,25 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_hist_quantiles(sf_dir: str):
+    """Two-pass histogram quantiles (stages/sketch.py): p50/p95/p99 of
+    event value per event_type — one scan for [lo,hi], one scan of
+    (group,bin) count partials, a tiny keyed exchange; raw values never
+    shuffle and the error bound is one bin width. Every float op is
+    IEEE-identical to the SQL oracle."""
+    from arlas_proc_ray.stages.sketch import histogram_quantiles
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return histogram_quantiles(
+        ds,
+        group_col="event_type",
+        value_col="value",
+        qs=[0.5, 0.95, 0.99],
+        bins=1024,
+        num_partitions=NP,
+    )
+
+
 def q_temporal_join(sf_dir: str):
     """Temporal dimension join (cdc/history.py): every changelog event
     paired with the SCD2 version of its key valid AT the event's LSN —
@@ -2084,6 +2103,7 @@ QUERIES = {
     "changelog_audit": q_changelog_audit,
     "event_transitions": q_event_transitions,
     "temporal_join": q_temporal_join,
+    "hist_quantiles": q_hist_quantiles,
     "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
@@ -2181,6 +2201,30 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "hist_quantiles": """
+        WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        b AS (
+          SELECT event_type,
+                 CAST(LEAST(floor((value - mm.lo) * 1024 / (mm.hi - mm.lo)),
+                            1023) AS BIGINT) AS bin
+          FROM events, mm WHERE value IS NOT NULL),
+        counts AS (
+          SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(c) AS n FROM counts GROUP BY 1),
+        cum AS (
+          SELECT event_type, bin,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+          FROM counts),
+        qq AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+        sel AS (
+          SELECT c.event_type, qq.q, min(c.bin) AS bin
+          FROM cum c JOIN t USING (event_type) CROSS JOIN qq
+          WHERE c.cum >= ceil(qq.q * t.n)
+          GROUP BY 1, 2)
+        SELECT event_type, q,
+               mm.lo + bin * (mm.hi - mm.lo) / 1024 AS est
+        FROM sel, mm
     """,
     "temporal_join": """
         WITH ch AS ({CHANGELOG}),

@@ -225,6 +225,90 @@ def cms_estimate(
     return pd.DataFrame({"item": items, "freq_est": ests})
 
 
+def histogram_quantiles(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: "list[float]" = (0.5, 0.95, 0.99),
+    bins: int = 1024,
+    num_partitions: int = 16,
+):
+    """Per-group approximate quantiles via a two-pass fixed histogram.
+
+    Pass 1: one streaming scan for global [lo, hi]. Pass 2: per-batch
+    (group, bin) count partials (each batch collapses to ≤ groups×bins
+    rows), one tiny keyed exchange summing them, then a per-group
+    cumulative scan picks the first bin whose cumulative count reaches
+    ``ceil(q·n)`` — quantile_disc semantics on bins. The estimate is the
+    bin's LEFT edge, so the error is at most one bin width
+    ``(hi-lo)/bins``; raw values never shuffle and the counts merge by
+    ``+`` across epochs. Every arithmetic step (bin assignment, ceil
+    target, edge reconstruction) is IEEE-double-identical to the SQL
+    oracle.
+    """
+    import ray.data.aggregate as agg
+
+    qs = list(qs)
+    mm = ds.aggregate(agg.Min(value_col), agg.Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    if hi == lo:
+        groups = ds.select_columns([group_col]).unique(group_col)
+        return pd.DataFrame(
+            [(g, q, lo) for g in groups for q in qs],
+            columns=[group_col, "q", "est"],
+        )
+    nb = np.float64(bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        # same op order as the SQL: ((v - lo) * bins) / (hi - lo)
+        b = np.minimum(
+            np.floor((v[keep] - lo) * nb / (hi - lo)), bins - 1
+        ).astype(np.int64)
+        gcol = batch.column(group_col).combine_chunks()
+        if not keep.all():
+            gcol = gcol.filter(pa.array(keep))
+        enc = pc.dictionary_encode(gcol)
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        code = gcodes * np.int64(bins) + b
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(pa.array(uniq // bins)),
+                "bin": pa.array(uniq % bins, type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            pdf.groupby([group_col, "bin"], sort=False)["cnt"].sum().reset_index()
+        )
+        out = []
+        for g, sub in counts.groupby(group_col, sort=False):
+            sub = sub.sort_values("bin")
+            cum = sub["cnt"].cumsum().to_numpy()
+            n = cum[-1]
+            b_arr = sub["bin"].to_numpy()
+            for q in qs:
+                target = np.ceil(np.float64(q) * n)
+                b = b_arr[int(np.searchsorted(cum, target))]
+                out.append((g, q, lo + b * (hi - lo) / nb))
+        return pd.DataFrame(out, columns=[group_col, "q", "est"])
+
+    return keyed_partition_map(
+        partials,
+        keys=[group_col],
+        order_col="bin",
+        fn=finalize,
+        num_partitions=num_partitions,
+    )
+
+
 def hll_count_distinct(
     ds, *, group_col: str, value_col: str, p: int = 12, num_partitions: int = 16
 ):

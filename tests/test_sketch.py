@@ -192,3 +192,50 @@ def test_cms_merges_by_sum():
         )
 
     pd.testing.assert_frame_equal(canon(merged), canon(full))
+
+
+# ---------------------------------------------------- histogram quantiles
+
+
+def test_hist_quantiles_bounded_error_and_exact_vs_numpy_bins():
+    from arlas_proc_ray.stages.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 5000),
+            "v": np.concatenate(
+                [rng.normal(10, 2, 5000), rng.exponential(5, 5000)]
+            ),
+        }
+    )
+    bins = 2048
+    out = (
+        histogram_quantiles(
+            rd.from_pandas(df).repartition(6),
+            group_col="g",
+            value_col="v",
+            qs=[0.5, 0.95, 0.99],
+            bins=bins,
+            num_partitions=4,
+        )
+        .to_pandas()
+    )
+    lo, hi = df["v"].min(), df["v"].max()
+    width = (hi - lo) / bins
+    for _, r in out.iterrows():
+        sub = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
+        exact = sub[int(np.ceil(r["q"] * len(sub))) - 1]  # quantile_disc
+        assert abs(r["est"] - exact) <= width + 1e-12, (r, exact, width)
+
+
+def test_hist_quantiles_constant_column():
+    from arlas_proc_ray.stages.sketch import histogram_quantiles
+
+    df = pd.DataFrame({"g": ["x"] * 50, "v": [3.25] * 50})
+    out = histogram_quantiles(
+        rd.from_pandas(df), group_col="g", value_col="v", qs=[0.5],
+        num_partitions=2,
+    )
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert out["est"].tolist() == [3.25]
