@@ -1758,6 +1758,47 @@ def q_hll_registers(sf_dir: str):
     )
 
 
+def q_skew_safe_join(sf_dir: str):
+    """Skew-safe equi-join (stages/joins.py:equi_join_skew_safe): a
+    derived key holding ~50% of the left side would make one straggler
+    partition in the plain shuffled join; here detect_hot_keys routes
+    that key's rows through a broadcast map-side join and only the cold
+    tail shuffles. Result is the exact inner join (parity with
+    equi_join pinned in tests/test_skew_join.py)."""
+    from arlas_proc_ray.stages.joins import equi_join_skew_safe
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            t.column("user_id"),
+            pc.multiply(pc.divide(t.column("user_id"), 100), 100),
+        )
+        k = pc.if_else(pc.less(mod, 50), pa.scalar(0, pa.int64()), mod)
+        return pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "k": pc.cast(k, pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    left = ds.map_batches(mk_left, batch_format="pyarrow", batch_size=None)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(100, dtype=np.int64)}).assign(
+            v=lambda d: d["k"] * 7 + 1
+        )
+    )
+    return equi_join_skew_safe(
+        left,
+        right,
+        on=["k"],
+        right_cols=["v"],
+        num_partitions=NP,
+        hot_fraction=0.05,
+    )
+
+
 def q_hist_quantiles(sf_dir: str):
     """Two-pass histogram quantiles (stages/sketch.py): p50/p95/p99 of
     event value per event_type — one scan for [lo,hi], one scan of
@@ -2104,6 +2145,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "temporal_join": q_temporal_join,
     "hist_quantiles": q_hist_quantiles,
+    "skew_safe_join": q_skew_safe_join,
     "time_travel_asof": q_time_travel_asof,
     "cohort_retention": q_cohort_retention,
     "ivm_group_stats": q_ivm_group_stats,
@@ -2201,6 +2243,19 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_live,
                CAST(sum(val) AS BIGINT) AS value_sum
         FROM state GROUP BY grp
+    """,
+    "skew_safe_join": """
+        WITH l AS (
+          SELECT event_id,
+                 CASE WHEN user_id % 100 < 50 THEN 0
+                      ELSE user_id % 100 END AS k,
+                 value
+          FROM events),
+        r AS (
+          SELECT k, k * 7 + 1 AS v
+          FROM (SELECT unnest(generate_series(0, 99)) AS k))
+        SELECT l.event_id, l.k, l.value, r.v
+        FROM l JOIN r USING (k)
     """,
     "hist_quantiles": """
         WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),

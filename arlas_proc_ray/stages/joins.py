@@ -387,6 +387,103 @@ def interval_join_global(
     )
 
 
+def equi_join_skew_safe(
+    left_ds,
+    right_ds,
+    *,
+    on: Sequence[str],
+    right_cols: Sequence[str],
+    suffix: str = "",
+    num_partitions: int = 32,
+    hot_fraction: float = 0.01,
+):
+    """Inner equi-join that survives join-key skew.
+
+    The shuffled ``equi_join`` co-locates each key's rows in ONE
+    partition — a key holding 30% of the left side makes one straggler
+    partition that defines the job's wall-clock. Here:
+
+    1. ``detect_hot_keys`` (stages/salted.py:38 — pigeonhole candidates,
+       exact recount, no false negatives) finds left keys with share ≥
+       ``hot_fraction``. By construction there are ≤ 1/hot_fraction of
+       them, so the RIGHT rows for hot keys are a bounded broadcast set.
+    2. Hot left rows stream through a broadcast map-side join (zero
+       shuffle for exactly the rows that would have formed straggler
+       partitions); cold rows — with hot keys filtered from BOTH sides —
+       take the normal one-exchange shuffled join.
+    3. The union is the exact inner-join result (parity with plain
+       ``equi_join`` pinned in tests).
+
+    Cost: one extra lightweight counting scan of the left side and a
+    second read of both inputs for the hot/cold split — the price of
+    removing the straggler, worth it only when skew is real; with no hot
+    keys detected this falls through to plain ``equi_join`` unchanged.
+    """
+    import ray
+
+    from arlas_proc_ray.stages.keyed import byte_exact_group_cols
+    from arlas_proc_ray.stages.salted import detect_hot_keys
+
+    on = list(on)
+    hot = detect_hot_keys(left_ds, on, min_fraction=hot_fraction)
+    if hot.empty:
+        return equi_join(
+            left_ds, right_ds, on=on, right_cols=right_cols, how="inner",
+            suffix=suffix, num_partitions=num_partitions,
+        )
+
+    hot_ref = ray.put(set(map(tuple, hot[on].itertuples(index=False))))
+
+    def split_fn(want_hot: bool):
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            hs = ray.get(hot_ref)
+            mask = pd.Series(
+                list(map(tuple, pdf[on].itertuples(index=False))),
+                index=pdf.index,
+            ).isin(hs)
+            return pdf[mask] if want_hot else pdf[~mask]
+
+        return fn
+
+    right_payload = [c for c in right_cols if c not in on]
+    out_right = [c + suffix for c in right_payload]
+
+    # bounded: ≤ 1/hot_fraction keys' worth of right rows
+    right_hot = (
+        right_ds.map_batches(split_fn(True), batch_format="pandas")
+        .select_columns(on + right_payload)
+        .to_pandas()
+    )
+    right_hot = right_hot.rename(columns=dict(zip(right_payload, out_right)))
+
+    rh_ref = ray.put(right_hot)
+
+    def hot_join(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        mask = pd.Series(
+            list(map(tuple, pdf[on].itertuples(index=False))), index=pdf.index
+        ).isin(hs)
+        sub = pdf[mask]
+        rh = ray.get(rh_ref)
+        sub = byte_exact_group_cols(sub.copy(), on)
+        rh = byte_exact_group_cols(rh.copy(), on)
+        from arlas_proc_ray.stages.keyed import restore_object_cols
+
+        return restore_object_cols(sub.merge(rh, on=on, how="inner"), on)
+
+    hot_res = left_ds.map_batches(hot_join, batch_format="pandas")
+    cold = equi_join(
+        left_ds.map_batches(split_fn(False), batch_format="pandas"),
+        right_ds.map_batches(split_fn(False), batch_format="pandas"),
+        on=on,
+        right_cols=right_cols,
+        how="inner",
+        suffix=suffix,
+        num_partitions=num_partitions,
+    )
+    return hot_res.union(cold)
+
+
 def equi_join(
     left_ds,
     right_ds,
