@@ -17,6 +17,8 @@ Determinism policy for floats:
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3255,9 +3257,279 @@ ORACLE_SQL = {
     """,
     # kmeans_clusters / semdedup: iterative algorithms (exact Python
     # oracle in tests/test_kmeans_semdedup.py);
-    # simhash / fingerprint / minhash_near_dup / hmm_moving_state
-    # / ann_lsh_topk / embedding_near_dup_ivf / curation: signature or
-    # approximate algorithms with no practical SQL equivalent →
-    # rows-only checks (each has an independent Python oracle in
-    # tests/test_python_oracles.py).
+    # minhash_near_dup / ann_lsh_topk / embedding_near_dup_ivf /
+    # curation: signature or approximate algorithms with no practical
+    # SQL equivalent → rows-only checks (each has an independent Python
+    # oracle in tests/test_python_oracles.py).
 }
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles for the mod-2^64 hash kernels (fingerprint / simhash)
+#
+# Both kernels are pure modular arithmetic (Karp-Rabin rolling hash,
+# splitmix64 finisher), so DuckDB can reproduce them bit-for-bit with
+# HUGEINT: values stay in [0, 2^64) and every product is split so no
+# intermediate exceeds 2^96. xor / >> / << are native on HUGEINT.
+# ---------------------------------------------------------------------------
+
+_KR_B = 0x100000001B3  # functions/text.py:_FP_B
+_M64 = 1 << 64
+_M64_SQL = "18446744073709551616::HUGEINT"
+_T32_SQL = "4294967296::HUGEINT"
+
+
+def _sql_mulmod64(a_expr: str, c: int) -> str:
+    """(a * c) mod 2^64 for a in [0,2^64), 64-bit constant c — the 32-bit
+    split keeps every HUGEINT intermediate under 2^96 (no overflow)."""
+    return (
+        f"((({a_expr}) % {_T32_SQL}) * {c}::HUGEINT"
+        f" + (((({a_expr}) >> 32) * {c}::HUGEINT) % {_T32_SQL}) * {_T32_SQL})"
+        f" % {_M64_SQL}"
+    )
+
+
+_HEX64 = (
+    "printf('%08x%08x', ({v} >> 32)::BIGINT, ({v} % " + _T32_SQL + ")::BIGINT)"
+)
+
+# fingerprint: min over all 64-byte windows of the Karp-Rabin hash
+# H[j] = sum_i byte[j+i] * B^(w-1-i) mod 2^64 (functions/text.py:250).
+# Fixture text is ASCII (unicode(char) == byte); w = min(64, n).
+_KR_POWS = ",".join(f"({i},{pow(_KR_B, i, _M64)}::HUGEINT)" for i in range(64))
+
+ORACLE_SQL["fingerprint"] = f"""
+    WITH pw(k, p) AS (VALUES {_KR_POWS}),
+    docs AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             least(64, octet_length(encode(text))) AS w
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, i, unicode(substr(text, i+1, 1))::HUGEINT AS b
+      FROM (SELECT doc_id, text, unnest(generate_series(0, n-1)) AS i
+            FROM docs)
+    ),
+    wins AS (
+      SELECT doc_id, unnest(generate_series(0, n - w)) AS j, w FROM docs
+    ),
+    h AS (
+      SELECT y.doc_id,
+             sum(b.b * pw.p)::HUGEINT % {_M64_SQL} AS hv
+      FROM wins y
+      JOIN bytes b ON b.doc_id = y.doc_id
+                  AND b.i BETWEEN y.j AND y.j + y.w - 1
+      JOIN pw ON pw.k = y.w - 1 - (b.i - y.j)
+      GROUP BY y.doc_id, y.j
+    )
+    SELECT doc_id, {_HEX64.format(v="min(hv)")} AS fingerprint_hex
+    FROM h GROUP BY doc_id
+"""
+
+# simhash: 64-bit SimHash over DISTINCT char-4-gram hashes
+# (dedup/minhash.py:565): Karp-Rabin window hash -> splitmix64 finish ->
+# per-bit +1/-1 vote over the distinct shingle set -> sign bits.
+_SM_Z1 = "xor(z, z >> 30)"
+_SM_Z2 = "xor(z, z >> 27)"
+
+ORACLE_SQL["simhash"] = f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t,
+             octet_length(encode(lower(text))) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, i, unicode(substr(t, i+1, 1))::HUGEINT AS b
+      FROM (SELECT doc_id, t, unnest(generate_series(0, n-1)) AS i
+            FROM docs)
+    ),
+    raw AS (
+      SELECT doc_id,
+             (b * {pow(_KR_B, 3, _M64)}::HUGEINT
+              + lead(b,1) OVER w * {pow(_KR_B, 2, _M64)}::HUGEINT
+              + lead(b,2) OVER w * {_KR_B}::HUGEINT
+              + lead(b,3) OVER w) % {_M64_SQL} AS r
+      FROM bytes
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY lead(b,3) OVER w IS NOT NULL
+    ),
+    s1 AS (SELECT doc_id,
+                  (r + 11400714819323198485::HUGEINT) % {_M64_SQL} AS z
+           FROM raw),
+    s2 AS (SELECT doc_id,
+                  {_sql_mulmod64(_SM_Z1, 0xBF58476D1CE4E5B9)} AS z FROM s1),
+    s3 AS (SELECT doc_id,
+                  {_sql_mulmod64(_SM_Z2, 0x94D049BB133111EB)} AS z FROM s2),
+    sh AS (SELECT DISTINCT doc_id, xor(z, z >> 31) AS z FROM s3),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (z >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM sh, (SELECT unnest(generate_series(0, 63)) AS bit)
+      GROUP BY doc_id, bit
+    ),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN 1::HUGEINT << bit
+                      ELSE 0::HUGEINT END)::HUGEINT AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id, {_HEX64.format(v="s")} AS simhash_hex FROM sim
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle for Viterbi decoding (hmm_moving_state / tempo)
+#
+# Viterbi is a max-plus recurrence over IEEE doubles: embedding the
+# numpy-computed log-probabilities as literals and replicating the exact
+# add order makes DuckDB's forward pass bitwise-identical to
+# HmmModel.viterbi (stages/ml.py:56). The backtrace is carried as a state
+# string per (key, state) in a recursive CTE and exploded at the end.
+# Assumes per-key runs < the 5000-row window cap — true for the sf
+# fixtures (max 88 events/user), asserted nowhere cheaper than here.
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_sql(model_json: str, *, key: str, order: str, em_cte: str,
+                 final_select: str) -> str:
+    """Recursive-CTE Viterbi over an ``em`` CTE that must provide
+    (key, t starting at 1, e0..e{S-1} per-state log-emissions).
+
+    Argmax ties break to the LOWEST state index on both sides
+    (np.argmax first-max ↔ chained >= CASE).
+    """
+    import numpy as np
+
+    spec = json.loads(model_json)
+    S = len(spec["states"])
+    LI = np.log(np.asarray(spec["initial"], dtype=np.float64) + 1e-300)
+    LT = np.log(np.asarray(spec["transition"], dtype=np.float64) + 1e-300)
+    lit = lambda x: f"{float(x)!r}::DOUBLE"  # noqa: E731
+
+    init_cols = ", ".join(
+        f"{lit(LI[s])} + e{s} AS d{s}, '{s}' AS p{s}" for s in range(S)
+    )
+
+    def cand(p, s):
+        return f"v.d{p} + {lit(LT[p, s])}"
+
+    step_cols = []
+    for s in range(S):
+        cs = [cand(p, s) for p in range(S)]
+        step_cols.append(f"greatest({', '.join(cs)}) + o.e{s} AS d{s}")
+        # first-max-wins backpointer: state p beats all later states
+        whens = " ".join(
+            "WHEN " + " AND ".join(
+                f"{cs[p]} >= {cs[q]}" for q in range(p + 1, S)
+            ) + f" THEN v.p{p}"
+            for p in range(S - 1)
+        )
+        step_cols.append(f"(CASE {whens} ELSE v.p{S-1} END) || '{s}' AS p{s}")
+
+    fin_whens = " ".join(
+        "WHEN " + " AND ".join(
+            f"d{p} >= d{q}" for q in range(p + 1, S)
+        ) + f" THEN p{p}"
+        for p in range(S - 1)
+    )
+    state_case = " ".join(
+        f"WHEN '{s}' THEN '{name}'" for s, name in enumerate(spec["states"])
+    )
+
+    return f"""
+    WITH RECURSIVE {em_cte},
+    v AS (
+      SELECT {key}, t, {init_cols} FROM em WHERE t = 1
+      UNION ALL
+      SELECT o.{key}, o.t, {', '.join(step_cols)}
+      FROM v JOIN em o ON o.{key} = v.{key} AND o.t = v.t + 1
+    ),
+    fin AS (
+      SELECT v.{key}, CASE {fin_whens} ELSE p{S-1} END AS path
+      FROM v JOIN (SELECT {key}, max(t) AS tn FROM em GROUP BY {key}) n
+        ON n.{key} = v.{key} AND v.t = n.tn
+    ),
+    vit AS (
+      SELECT {key}, i AS t,
+             CASE substr(path, i, 1) {state_case} END AS vit_state
+      FROM (SELECT {key}, path, unnest(generate_series(1, length(path))) AS i
+            FROM fin)
+    )
+    {final_select}
+    """
+
+
+def _emit_case(model_json: str, state: int) -> str:
+    import numpy as np
+
+    spec = json.loads(model_json)
+    LE = np.log(np.asarray(spec["emission"], dtype=np.float64) + 1e-300)
+    return ("CASE bin " + " ".join(
+        f"WHEN {b} THEN {float(LE[state, b])!r}::DOUBLE"
+        for b in range(LE.shape[1])
+    ) + " END")
+
+
+def _bin_case(model_json: str, obs: str) -> str:
+    """searchsorted(edges, obs, 'right')-1 clipped to [0, n_bins-1] as a
+    descending >= CASE (negatives fall to ELSE 0, overflow to the top)."""
+    spec = json.loads(model_json)
+    edges = spec["bin_edges"]
+    n_bins = len(edges) - 1
+    whens = " ".join(
+        f"WHEN {obs} >= {float(edges[b])!r}::DOUBLE THEN {b}"
+        for b in range(n_bins - 1, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _hmm_oracle() -> str:
+    from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON as MJ
+
+    em_cte = f"""obs AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS t,
+             {_bin_case(MJ, "coalesce(value, 0)")} AS bin
+      FROM events
+    ),
+    em AS (SELECT *, {_emit_case(MJ, 0)} AS e0, {_emit_case(MJ, 1)} AS e1
+           FROM obs)"""
+    final = """
+    SELECT o.event_id, o.user_id, o.value, s.vit_state AS moving_state
+    FROM obs o JOIN vit s ON s.user_id = o.user_id AND s.t = o.t
+    """
+    return _viterbi_sql(MJ, key="user_id", order="event_id",
+                        em_cte=em_cte, final_select=final)
+
+
+def _tempo_oracle() -> str:
+    from arlas_proc_ray.stages.ml import TEMPO_MODEL_JSON as MJ
+
+    # (epoch_us(a)-epoch_us(b))/1e6 is bitwise pandas' total_seconds()
+    # on datetime64[us] (plain epoch(interval) differs by 1 ulp on ~1% of
+    # rows); first row per key decodes with dur=0 then gets the
+    # irregular label (ml/WithTempo.scala:60-64 null→irregular fill).
+    em_cte = f"""obs AS (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS t,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY event_id)) / 1e6 AS dur
+      FROM events
+    ),
+    em AS (SELECT *,
+             {_emit_case(MJ, 0)} AS e0, {_emit_case(MJ, 1)} AS e1,
+             {_emit_case(MJ, 2)} AS e2
+           FROM (SELECT *, {_bin_case(MJ, "coalesce(dur, 0)")} AS bin
+                 FROM obs))"""
+    final = """
+    SELECT o.event_id, o.user_id, o.ts,
+           CASE WHEN o.dur IS NULL THEN 'tempo_irregular'
+                ELSE s.vit_state END AS tempo
+    FROM obs o JOIN vit s ON s.user_id = o.user_id AND s.t = o.t
+    """
+    return _viterbi_sql(MJ, key="user_id", order="event_id",
+                        em_cte=em_cte, final_select=final)
+
+
+ORACLE_SQL["hmm_moving_state"] = _hmm_oracle()
+ORACLE_SQL["tempo"] = _tempo_oracle()
