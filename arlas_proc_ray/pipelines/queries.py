@@ -832,12 +832,22 @@ def q_events_period(sf_dir: str):
 
 def q_dedup_documents(sf_dir: str):
     """End-to-end corpus dedup: exact sha256 + MinHash-LSH clusters +
-    survivor selection (rows-only; composition tested in unit suite)."""
+    survivor selection. SQL-oracled: the fixture's true pairs all have
+    jaccard ≥ 0.92, so the LSH (bands=32, r=4) miss probability per pair
+    is (1-0.92^4)^32 ≈ 3e-18 — the verified output deterministically
+    equals the exact all-pairs result the oracle computes."""
     from arlas_proc_ray.dedup.pipeline import dedup_documents
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     survivors, _stats = dedup_documents(ds, jaccard_threshold=0.5, num_partitions=NP)
-    return survivors
+
+    def typed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64 label → float64 (NaN for unclustered): both the
+        # DuckDB oracle (BIGINT+NULL → float64) and pandas compare agree
+        pdf["dup_cluster_id"] = pdf["dup_cluster_id"].astype("float64")
+        return pdf
+
+    return survivors.map_batches(typed, batch_format="pandas")
 
 
 
@@ -1077,9 +1087,18 @@ def q_curation(sf_dir: str):
             jaccard_threshold=0.5, num_partitions=NP,
         ),
     )
-    return survivors.select_columns(
+    out = survivors.select_columns(
         ["doc_id", "n_tokens", "lang_pred", "dup_cluster_id"]
     )
+
+    def typed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # int count (union upcasts) and float64 cluster label — match the
+        # SQL oracle's BIGINT / BIGINT+NULL→float64 output types
+        pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+        pdf["dup_cluster_id"] = pdf["dup_cluster_id"].astype("float64")
+        return pdf
+
+    return out.map_batches(typed, batch_format="pandas")
 
 
 def q_bpe_token_count(sf_dir: str):
@@ -3533,3 +3552,135 @@ def _tempo_oracle() -> str:
 
 ORACLE_SQL["hmm_moving_state"] = _hmm_oracle()
 ORACLE_SQL["tempo"] = _tempo_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles for the near-dup family (minhash_near_dup / dedup_documents /
+# curation)
+#
+# The LSH+verify pipelines emit pairs verified at EXACT jaccard ≥ τ, so
+# output ⊆ exact all-pairs always; the fixtures' true pairs all have
+# jaccard ≥ 0.92 → per-pair LSH miss probability (1-0.92^4)^32 ≈ 3e-18
+# (bands=32, r=4), making the verified output deterministically equal to
+# the exact all-pairs set DuckDB computes below. Jaccard is over DISTINCT
+# lowercase char-5-grams (the 64-bit shingle-hash sets are collision-free
+# at fixture scale), and the division of exact ints is IEEE-identical on
+# both sides. Connected components = transitive closure (tiny pair sets).
+# ---------------------------------------------------------------------------
+
+
+def _shingle_pairs_sql(src: str, threshold: float) -> str:
+    """CTE chain ``sh``→``cnt``→``ix``→``pairs`` over ``src(doc_id,text)``."""
+    return f"""sh AS (
+      SELECT DISTINCT doc_id, substr(t, i+1, 5) AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(0, n-5)) AS i
+            FROM (SELECT doc_id, lower(text) AS t, length(text) AS n
+                  FROM {src}))
+    ),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    ix AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, i * 1.0 / (ca.c + cb.c - i) AS jaccard
+      FROM ix JOIN cnt ca ON ca.doc_id = ix.doc_a
+              JOIN cnt cb ON cb.doc_id = ix.doc_b
+      WHERE i * 1.0 / (ca.c + cb.c - i) >= {threshold}
+    )"""
+
+
+_COMPONENTS_SQL = """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+      WHERE e.b <> r.a
+    ),
+    clus AS (SELECT a AS doc_id, least(a, min(b)) AS lbl
+             FROM reach GROUP BY a)"""
+
+
+ORACLE_SQL["minhash_near_dup"] = (
+    "WITH " + _shingle_pairs_sql("documents", 0.5)
+    + " SELECT doc_a, doc_b, jaccard FROM pairs"
+)
+
+ORACLE_SQL["dedup_documents"] = f"""
+    WITH RECURSIVE ex AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    ed AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+    {_shingle_pairs_sql("ed", 0.5)},
+    {_COMPONENTS_SQL}
+    SELECT e.doc_id, e.text, CAST(c.lbl AS DOUBLE) AS dup_cluster_id
+    FROM ed e LEFT JOIN clus c ON c.doc_id = e.doc_id
+    WHERE c.lbl IS NULL OR c.lbl = e.doc_id
+"""
+
+# curation: quality filter (raw metrics, thresholds from q_curation's
+# CurationConfig) → language ID (same profile table as the lang_id
+# oracle; the configured language set admits every possible prediction,
+# matching the pipeline) → exact + near dedup over the filtered corpus.
+ORACLE_SQL["curation"] = rf"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+      WHERE CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              BETWEEN 5 AND 1000000
+        AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+              / cast(greatest(length(text), 1) AS DOUBLE) <= 0.3
+        AND length(regexp_replace(text, '\s+', '', 'g'))
+              / cast(greatest(
+                  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                  1) AS DOUBLE) >= 2.0
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '[a-zàâçéèêëîïôûùüÿñæœäöüß]+')) AS word
+      FROM q),
+    prof(lang, prio, word) AS (VALUES
+      ('en',0,'the'),('en',0,'and'),('en',0,'of'),('en',0,'to'),
+      ('en',0,'a'),('en',0,'in'),('en',0,'is'),('en',0,'it'),
+      ('en',0,'that'),('en',0,'was'),
+      ('fr',1,'le'),('fr',1,'la'),('fr',1,'les'),('fr',1,'de'),
+      ('fr',1,'des'),('fr',1,'et'),('fr',1,'est'),('fr',1,'une'),
+      ('fr',1,'dans'),('fr',1,'que'),
+      ('de',2,'der'),('de',2,'die'),('de',2,'das'),('de',2,'und'),
+      ('de',2,'ist'),('de',2,'ein'),('de',2,'eine'),('de',2,'nicht'),
+      ('de',2,'mit'),('de',2,'zu'),
+      ('es',3,'el'),('es',3,'la'),('es',3,'los'),('es',3,'de'),
+      ('es',3,'y'),('es',3,'es'),('es',3,'una'),('es',3,'en'),
+      ('es',3,'que'),('es',3,'por')),
+    hits AS (
+      SELECT w.doc_id, p.lang, p.prio, count(*) AS h
+      FROM w JOIN prof p ON p.word = w.word
+      GROUP BY w.doc_id, p.lang, p.prio),
+    best AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, prio ASC) AS rn
+      FROM hits),
+    lng AS (
+      SELECT q.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+      FROM q LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON b.doc_id = q.doc_id),
+    ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+    ed AS (SELECT d.doc_id, d.text, d.n_tokens FROM q d JOIN ex USING (doc_id)),
+    {_shingle_pairs_sql("ed", 0.5)},
+    {_COMPONENTS_SQL}
+    SELECT e.doc_id, e.n_tokens, l.lang_pred,
+           CAST(c.lbl AS DOUBLE) AS dup_cluster_id
+    FROM ed e
+    JOIN lng l ON l.doc_id = e.doc_id
+    LEFT JOIN clus c ON c.doc_id = e.doc_id
+    WHERE c.lbl IS NULL OR c.lbl = e.doc_id
+"""
