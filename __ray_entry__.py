@@ -28,9 +28,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from arlas_proc_ray.pipelines.queries import QUERIES
 
     out = dict(QUERIES)
-    # flagship replay over the synthesized changelog (not derivable from the
-    # sf tables by SQL → rows-only check; full parity is proven against the
-    # independent oracle in tests/test_cdc_replay.py instead)
+    # flagship replay over the synthesized changelog; SQL-oracled — the
+    # counter-based generator is regenerated inside DuckDB (splitmix64 in
+    # HUGEINT arithmetic) and reduced to the same final LWW state
     out["cdc_replay_final_state"] = cdc_replay_final_state
     return out
 

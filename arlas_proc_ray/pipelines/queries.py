@@ -3608,6 +3608,118 @@ ORACLE_SQL["minhash_near_dup"] = (
     + " SELECT doc_a, doc_b, jaccard FROM pairs"
 )
 
+
+def _flagship_oracle() -> str:
+    """SQL oracle for the flagship CDC replay itself.
+
+    The synthetic changelog is a counter-based PRNG (splitmix64 over
+    lsn ^ seed_mix, cdc/events.py:84,136) — pure mod-2^64 arithmetic plus
+    C-level string assembly, so DuckDB regenerates the EXACT event stream
+    from generate_series and reduces it to final LWW state: per-key
+    argmax-lsn row, tombstones dropped, sha256 of the regenerated
+    content. Sizing derives from count(events) (flagship config:
+    num_events = 2e6·sf = 2·|events|, num_keys = max(200, n/10),
+    num_repos = 50 → `% 49`, pipelines/flagship.py:21-30), so the same
+    SQL is correct at every sf fixture. Out-of-order delivery and the v1/
+    v2 schema split affect only the engine's path to the state, not the
+    state — LWW by lsn is delivery-order-free, which is exactly the
+    invariant the engine suites assert.
+    """
+    from arlas_proc_ray.cdc.events import _FILLER
+
+    mu = "18446744073709551616::HUGEINT"
+    t32 = "4294967296::HUGEINT"
+    g = 0x9E3779B97F4A7C15
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+    seed_mix = (42 * 0x5851F42D4C957F2D) % (1 << 64)  # flagship seed=42
+    filler_sql = "'" + _FILLER.replace("'", "''") + "'"
+    flen = len(_FILLER)
+    u01 = "CAST(({h} >> 11) AS DOUBLE) / 9007199254740992.0"
+
+    def mm(a, c):
+        return (f"((({a}) % {t32}) * {c}::HUGEINT"
+                f" + (((({a}) >> 32) * {c}::HUGEINT) % {t32}) * {t32}) % {mu}")
+
+    hashes = ["hk", "ho", "hl", "cm"]
+
+    def rep(tpl):
+        return ", ".join(tpl.format(h=h) + f" AS {h}" for h in hashes)
+
+    return f"""
+    WITH params AS (
+      SELECT 2 * (SELECT count(*) FROM events) AS n_events,
+             greatest(200, (2 * (SELECT count(*) FROM events)) // 10) AS n_keys
+    ),
+    p2 AS (SELECT n_events, n_keys, n_keys // 20 AS hot_keys,
+                  greatest(1, n_keys - n_keys // 20) AS n_cold
+           FROM params),
+    ev AS (SELECT unnest(generate_series(0, n_events - 1))::HUGEINT AS lsn,
+                  hot_keys, n_cold
+           FROM p2),
+    h0 AS (SELECT lsn, hot_keys, n_cold,
+             (xor(lsn, {seed_mix}::HUGEINT) + {g}::HUGEINT) % {mu} AS hk,
+             (xor(xor(lsn, {seed_mix}::HUGEINT), 1::HUGEINT)
+                + {g}::HUGEINT) % {mu} AS ho,
+             (xor(xor(lsn, {seed_mix}::HUGEINT), 2::HUGEINT)
+                + {g}::HUGEINT) % {mu} AS hl,
+             (lsn + {g}::HUGEINT) % {mu} AS cm
+           FROM ev),
+    h1 AS (SELECT lsn, hot_keys, n_cold,
+                  {rep(mm("xor({h}, {h} >> 30)", c1))} FROM h0),
+    h2 AS (SELECT lsn, hot_keys, n_cold,
+                  {rep(mm("xor({h}, {h} >> 27)", c2))} FROM h1),
+    h3 AS (SELECT lsn, hot_keys, n_cold,
+                  {rep("xor({h}, {h} >> 31)")} FROM h2),
+    attrs AS (
+      SELECT lsn, cm,
+             CASE WHEN {u01.format(h="hk")} < 0.5::DOUBLE
+                  THEN CAST(hk % hot_keys::HUGEINT AS BIGINT)
+                  ELSE CAST(hot_keys + hk % n_cold::HUGEINT AS BIGINT)
+             END AS key_id,
+             {u01.format(h="ho")} < '0.1'::DOUBLE AS is_delete,
+             CAST(trunc(200::DOUBLE
+                  + ({u01.format(h="hl")}) * ({u01.format(h="hl")})
+                  * 1800::DOUBLE) AS BIGINT) AS len,
+             hot_keys
+      FROM h3),
+    lu(idx, ext) AS (VALUES (0,'py'),(1,'rs'),(2,'scala'),
+                            (3,'ts'),(4,'go'),(5,'md')),
+    shaped AS (
+      SELECT a.lsn, a.key_id, a.is_delete,
+             CASE WHEN a.key_id < a.hot_keys THEN 'org0/monorepo'
+                  ELSE 'org' || ((1 + a.key_id % 49) % 10)::VARCHAR
+                       || '/repo' || (1 + a.key_id % 49)::VARCHAR END AS repo,
+             'src/d' || ((a.key_id // 97) % 31)::VARCHAR
+               || '/m' || ((a.key_id // 7) % 13)::VARCHAR
+               || '/file_' || a.key_id::VARCHAR || '.' || lu.ext AS path,
+             lu.ext AS language,
+             printf('%08x%08x', (a.cm >> 32)::BIGINT,
+                    (a.cm % {t32})::BIGINT) AS commit,
+             a.len,
+             CAST(a.lsn % greatest(1, {flen} - a.len - 1)::HUGEINT
+                  AS BIGINT) AS strt
+      FROM attrs a JOIN lu ON lu.idx = a.key_id % 6),
+    content_ev AS (
+      SELECT lsn, key_id, is_delete, repo, path, language, commit,
+             CASE WHEN is_delete THEN NULL
+                  ELSE '// ' || repo || ':' || path || ' @ lsn='
+                       || CAST(lsn AS BIGINT)::VARCHAR || chr(10)
+                       || substr({filler_sql}, strt + 1, len) END AS content
+      FROM shaped),
+    last_ev AS (
+      SELECT * FROM content_ev
+      QUALIFY row_number() OVER (PARTITION BY key_id ORDER BY lsn DESC) = 1)
+    SELECT repo, path, commit, language, content,
+           length(content) AS content_size,
+           sha256(content) AS content_sha256,
+           CAST(lsn AS BIGINT) AS last_lsn
+    FROM last_ev WHERE NOT is_delete
+    """
+
+
+ORACLE_SQL["cdc_replay_final_state"] = _flagship_oracle()
+
 ORACLE_SQL["dedup_documents"] = f"""
     WITH RECURSIVE ex AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
