@@ -31,6 +31,7 @@ from arlas_proc_ray.stages.keyed import keyed_partition_map
 from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON, HmmModel
 
 COURSE_TIMEOUT_S = 600.0  # reference default (features/WithCourseOrStop.scala:35)
+COURSE_TIMEOUT_US = 600 * 1_000_000  # integer-us compare: exact on both sides
 
 
 def _decode_moving_state(pdf: pd.DataFrame, model: HmmModel, window: int = 5000):
@@ -52,8 +53,15 @@ def movement_partition_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     g = pdf.groupby("user_id", sort=False)
 
     # --- duration since previous observation (WithDuration) ---------------
+    # integer microseconds: sums are associative/exact (order-free), so
+    # the SQL oracle's group sums are bit-identical; seconds appear only
+    # as a final sum_us/1e6 division
     prev_ts = g["ts"].shift(1)
-    dur = (pdf["ts"] - prev_ts).dt.total_seconds().fillna(0.0)
+    dur_us = (
+        ((pdf["ts"] - prev_ts) // pd.Timedelta(microseconds=1))
+        .fillna(0)
+        .astype("int64")
+    )
 
     # --- HMM moving state (WithMovingState) -------------------------------
     moving = _decode_moving_state(pdf, model)
@@ -67,9 +75,9 @@ def movement_partition_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # --- course-or-stop (WithCourseOrStop): a STILL run longer than the
     # course timeout is a STOP; everything else belongs to a COURSE --------
-    seg_dur = dur.groupby(motion_seg).transform("sum")
+    seg_dur_us = dur_us.groupby(motion_seg).transform("sum")
     course_or_stop = np.where(
-        (moving_s == "STILL") & (seg_dur > COURSE_TIMEOUT_S), "STOP", "COURSE"
+        (moving_s == "STILL") & (seg_dur_us > COURSE_TIMEOUT_US), "STOP", "COURSE"
     )
     cs = pd.Series(course_or_stop, index=pdf.index)
     cs_changed = (cs != cs.groupby(pdf["user_id"], sort=False).shift(1)) | (
@@ -79,7 +87,7 @@ def movement_partition_fn(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # --- collapse each run into one summary row (Stop/Course summary) -----
     tmp = pdf.assign(
-        _dur=dur, _seg=cs_seg, _kind=cs, _cents=(pdf["value"] * 100).round().astype("int64")
+        _dur=dur_us, _seg=cs_seg, _kind=cs, _cents=(pdf["value"] * 100).round().astype("int64")
     )
     gb = tmp.groupby("_seg", sort=False)
     runs = pd.DataFrame(
@@ -89,7 +97,7 @@ def movement_partition_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             "t_start": gb["ts"].min(),
             "t_end": gb["ts"].max(),
             "n_events": gb.size().astype("int64"),
-            "duration_s": gb["_dur"].sum(),
+            "duration_s": gb["_dur"].sum() / 1e6,
             "value_sum": gb["_cents"].sum() / 100.0,
             "first_event_id": gb["event_id"].min().astype("int64"),
         }
@@ -126,10 +134,10 @@ def movement_partition_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     # one user whose inter-course gap is below the timeout chain into one
     # mission ---------------------------------------------------------------
     gc = courses.groupby("user_id", sort=False)
-    gap_to_prev = (
-        courses["t_start"] - gc["t_end"].shift(1)
-    ).dt.total_seconds()
-    new_mission = gap_to_prev.isna() | (gap_to_prev > 10 * COURSE_TIMEOUT_S)
+    gap_to_prev_us = (courses["t_start"] - gc["t_end"].shift(1)) // pd.Timedelta(
+        microseconds=1
+    )
+    new_mission = gap_to_prev_us.isna() | (gap_to_prev_us > 10 * COURSE_TIMEOUT_US)
     mseg = new_mission.cumsum()
     first_course = courses["first_event_id"].groupby(mseg).transform("min")
     courses["mission_id"] = (

@@ -3274,12 +3274,13 @@ ORACLE_SQL = {
                  / sqrt(q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) AS zscore
         FROM events e JOIN st USING (event_type)
     """,
-    # kmeans_clusters / semdedup: iterative algorithms (exact Python
-    # oracle in tests/test_kmeans_semdedup.py);
-    # minhash_near_dup / ann_lsh_topk / embedding_near_dup_ivf /
-    # curation: signature or approximate algorithms with no practical
-    # SQL equivalent → rows-only checks (each has an independent Python
-    # oracle in tests/test_python_oracles.py).
+    # Remaining rows-only entries (each with an independent Python
+    # oracle or recall bound in tests/): kmeans_clusters / semdedup
+    # (iterative float k-means — ulp-chaotic, no exact SQL),
+    # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_ivf (seeded
+    # numpy RNG hyperplanes / trained coarse quantizers — the PRNG is
+    # not SQL-reproducible and the result is recall-bounded by design).
+    # Everything else below is appended programmatically.
 }
 
 
@@ -3719,6 +3720,118 @@ def _flagship_oracle() -> str:
 
 
 ORACLE_SQL["cdc_replay_final_state"] = _flagship_oracle()
+
+
+def _movement_oracle() -> str:
+    """SQL oracle for the fused movement chain (pipelines/movement.py:50).
+
+    Every stage is deterministic: Viterbi via the shared recursive-CTE
+    builder; durations/sums in integer microseconds (associative — group
+    sums are order-free on both sides, the implementation was aligned to
+    sum µs ints); run collapse + neighbor pull + greedy mission merge as
+    window functions. Run ordering ties on t_start break by
+    first_event_id, which equals pandas' stable sort because event ids
+    increase along each user's segment sequence.
+    """
+    from arlas_proc_ray.stages.ml import STILLMOVE_MODEL_JSON as MJ
+
+    em_cte = f"""obs AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS t,
+             {_bin_case(MJ, "value")} AS bin,
+             coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY event_id), 0) AS dur_us
+      FROM events
+    ),
+    em AS (SELECT *, {_emit_case(MJ, 0)} AS e0, {_emit_case(MJ, 1)} AS e1
+           FROM obs)"""
+
+    final = """
+    , base AS (
+      SELECT o.event_id, o.user_id, o.ts, o.value, o.t, o.dur_us,
+             s.vit_state AS moving
+      FROM obs o JOIN vit s ON s.user_id = o.user_id AND s.t = o.t),
+    seg0 AS (
+      SELECT *,
+             CASE WHEN lag(moving) OVER w_ms IS NULL
+                    OR moving <> lag(moving) OVER w_ms THEN 1 ELSE 0 END AS chg
+      FROM base WINDOW w_ms AS (PARTITION BY user_id ORDER BY t)),
+    seg AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS motion_seg
+      FROM seg0),
+    kinds AS (
+      SELECT *,
+             CASE WHEN moving = 'STILL'
+                    AND sum(dur_us) OVER (PARTITION BY user_id, motion_seg)
+                        > 600000000
+                  THEN 'STOP' ELSE 'COURSE' END AS kind
+      FROM seg),
+    cseg0 AS (
+      SELECT *,
+             CASE WHEN lag(kind) OVER w_cs IS NULL
+                    OR kind <> lag(kind) OVER w_cs THEN 1 ELSE 0 END AS kchg
+      FROM kinds WINDOW w_cs AS (PARTITION BY user_id ORDER BY t)),
+    cseg AS (
+      SELECT *, sum(kchg) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS cs_seg
+      FROM cseg0),
+    runs AS (
+      SELECT user_id, cs_seg, min(kind) AS kind,
+             min(ts) AS t_start, max(ts) AS t_end,
+             count(*)::BIGINT AS n_events,
+             sum(dur_us) AS dur_us_sum,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+             min(event_id)::BIGINT AS first_event_id
+      FROM cseg GROUP BY user_id, cs_seg),
+    nb AS (
+      SELECT *,
+             lag(kind) OVER u_nb AS prev_kind,
+             lead(kind) OVER u_nb AS next_kind,
+             lag(t_end) OVER u_nb AS prev_end,
+             lead(t_start) OVER u_nb AS next_start,
+             lag(dur_us_sum) OVER u_nb AS prev_dur,
+             lead(dur_us_sum) OVER u_nb AS next_dur
+      FROM runs
+      WINDOW u_nb AS (PARTITION BY user_id
+                      ORDER BY t_start, first_event_id)),
+    courses AS (SELECT * FROM nb WHERE kind = 'COURSE'),
+    m AS (
+      SELECT *,
+             epoch_us(t_start) - lag(epoch_us(t_end)) OVER u_m AS gap_us
+      FROM courses
+      WINDOW u_m AS (PARTITION BY user_id
+                     ORDER BY t_start, first_event_id)),
+    m2 AS (
+      SELECT *,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 6000000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY t_start, first_event_id
+                     ROWS UNBOUNDED PRECEDING) AS mseg
+      FROM m),
+    m3 AS (SELECT *, min(first_event_id)
+                       OVER (PARTITION BY user_id, mseg) AS first_course
+           FROM m2)
+    SELECT user_id, t_start, t_end, n_events,
+           dur_us_sum / 1e6 AS duration_s,
+           cents / 100.0 AS value_sum,
+           first_event_id,
+           CASE WHEN prev_kind = 'STOP' THEN prev_end END AS departure_ts,
+           CASE WHEN next_kind = 'STOP' THEN next_start END AS arrival_ts,
+           CASE WHEN prev_kind = 'STOP' THEN prev_dur / 1e6 END
+             AS departure_stop_duration_s,
+           CASE WHEN next_kind = 'STOP' THEN next_dur / 1e6 END
+             AS arrival_stop_duration_s,
+           user_id::VARCHAR || '#' || first_event_id::VARCHAR AS course_id,
+           user_id::VARCHAR || '#M' || first_course::VARCHAR AS mission_id
+    FROM m3
+    """
+    return _viterbi_sql(MJ, key="user_id", order="event_id",
+                        em_cte=em_cte, final_select=final)
+
+
+ORACLE_SQL["movement_courses"] = _movement_oracle()
 
 ORACLE_SQL["dedup_documents"] = f"""
     WITH RECURSIVE ex AS (
