@@ -1417,6 +1417,18 @@ def q_vocab_top_terms(sf_dir: str):
     return top_terms(ds, text_col="text", k=50)
 
 
+def q_heavy_hitter_terms(sf_dir: str):
+    """Exact top-20 term frequencies via the bounded-memory Misra-Gries
+    sketch + broadcast exact-recount pass (stages/sketch.py): per-block
+    summaries are capped at ``counters`` rows however large the block
+    vocabulary is — the open-vocabulary complement of vocab_top_terms.
+    Certified exact on this fixture (escalates rather than degrade)."""
+    from arlas_proc_ray.stages.sketch import heavy_hitters_topk
+
+    ds = _docs(sf_dir, columns=["text"], min_parallelism=4)
+    return heavy_hitters_topk(ds, text_col="text", k=20, counters=96)
+
+
 def q_df_term_filter(sf_dir: str):
     """Document-frequency stopword removal: terms present in >30% of the
     corpus are dropped from every document (combiner-first DF count →
@@ -2189,6 +2201,7 @@ QUERIES = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "train_val_split": q_train_val_split,
     "vocab_top_terms": q_vocab_top_terms,
+    "heavy_hitter_terms": q_heavy_hitter_terms,
     "redact_text": q_redact_text,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "nul_key_segments": q_nul_key_segments,
@@ -3171,6 +3184,15 @@ ORACLE_SQL = {
         GROUP BY word
         ORDER BY n DESC, term ASC
         LIMIT 50
+    """,
+    "heavy_hitter_terms": """
+        SELECT word AS term, count(*) AS freq
+        FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                            '[a-z]+')) AS word
+              FROM documents)
+        GROUP BY word
+        ORDER BY freq DESC, term ASC
+        LIMIT 20
     """,
     "redact_text": """
         SELECT doc_id,

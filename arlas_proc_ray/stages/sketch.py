@@ -332,3 +332,153 @@ def hll_count_distinct(
         fn=finalize,
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries-compressed partials + exact verification pass)
+# ---------------------------------------------------------------------------
+
+
+class HeavyHitterGuaranteeError(RuntimeError):
+    """The sketch bound could not prove the candidate set covers the true
+    top-k (raised only when ``on_miss="raise"``)."""
+
+
+def _mg_compress(vc: pd.Series, counters: int):
+    """Keep the ``counters`` largest counts (ties → lexically smaller
+    term); the bound is the largest DROPPED count — every absent term's
+    true block count is ≤ bound (Misra-Gries summary semantics, Misra &
+    Gries 1982; SpaceSaving merge, Metwally et al. 2005)."""
+    if len(vc) <= counters:
+        return vc, 0
+    df = vc.reset_index()
+    df.columns = ["term", "n"]
+    df = df.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    bound = int(df["n"].iloc[counters])
+    kept = df.head(counters)
+    return pd.Series(kept["n"].to_numpy(), index=kept["term"]), bound
+
+
+def heavy_hitters_topk(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    counters: int = 256,
+    slack: int | None = None,
+    pattern: str = "[a-z]+",
+    on_miss: str = "exact",
+) -> pd.DataFrame:
+    """Exact top-``k`` term frequencies via a bounded-memory sketch.
+
+    The 100-TB shape ``vocab_top_terms`` (functions/text.py:128) can't
+    give: that operator shuffles one partial row per DISTINCT term per
+    block — fine for a bounded vocabulary, unbounded pain for open-ended
+    token spaces (URLs, n-grams, ids). Here every block compresses to
+    ≤ ``counters`` Misra-Gries rows regardless of its vocabulary, the
+    merged candidates form a driver-side frame of ≤ counters × blocks
+    rows (the documented tiny-result exception), and a SECOND streaming
+    pass recounts only the broadcast candidate set exactly.
+
+    The output is PROVABLY the exact top-k (count DESC, term ASC
+    tie-break) whenever the sketch bound allows: a term absent from
+    every block summary has true count ≤ B = Σ per-block dropped-count
+    bounds, and a non-candidate present in some summaries has true count
+    ≤ its merged partial count + B ≤ LB(k+slack-th) + B; if the exact
+    k-th candidate count exceeds that ceiling, no outside term can reach
+    the top-k. When the proof fails, ``on_miss="exact"`` (default)
+    escalates to the exact full-vocabulary path (correctness never
+    degrades silently); ``on_miss="raise"`` raises
+    :class:`HeavyHitterGuaranteeError`.
+
+    Reference parity: none (the reference has no approximate
+    aggregation); published-algorithm port.
+    """
+    import ray
+
+    if on_miss not in ("exact", "raise"):
+        raise ValueError(f"unknown on_miss: {on_miss!r}")
+    slack = k if slack is None else slack
+
+    def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        text = pc.utf8_lower(batch.column(text_col))
+        s = text.to_pandas().fillna("")
+        words = s.str.findall(pattern).explode().dropna()
+        vc = words.value_counts()
+        kept, bound = _mg_compress(vc, counters)
+        out = pd.DataFrame(
+            {
+                "term": kept.index.to_numpy(object),
+                "n": kept.to_numpy(np.int64),
+                "bound": np.int64(0),
+            }
+        )
+        if len(out):  # block bound rides on the first row only
+            out.iloc[0, out.columns.get_loc("bound")] = bound
+        return out
+
+    # ≤ counters rows per block: a tiny frame even at thousands of blocks
+    partials = ds.map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=object),
+             "freq": pd.Series([], dtype=np.int64)}
+        )
+
+    total_bound = int(partials["bound"].sum())
+    merged = partials.groupby("term", sort=False)["n"].sum().reset_index()
+    merged = merged.sort_values(
+        ["n", "term"], ascending=[False, True], kind="mergesort"
+    )
+    cand = merged.head(k + slack)
+    best_outside_lb = (
+        int(merged["n"].iloc[k + slack]) if len(merged) > k + slack else 0
+    )
+
+    # pass 2: exact recount of the candidate set only (broadcast once)
+    cand_ref = ray.put(frozenset(cand["term"]))
+
+    def exact_counts(batch: pa.Table) -> pd.DataFrame:
+        cand_set = ray.get(cand_ref)
+        text = pc.utf8_lower(batch.column(text_col))
+        s = text.to_pandas().fillna("")
+        words = s.str.findall(pattern).explode().dropna()
+        words = words[words.isin(cand_set)]
+        vc = words.value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # ≤ (k+slack) rows per block
+        .groupby("term", sort=False)["n"].sum().reset_index()
+        .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    )
+    top = exact.head(k).reset_index(drop=True)
+
+    # certification: any non-candidate's true count ≤ merged-LB of the
+    # best term outside the candidate cut + the total dropped-count bound
+    kth = int(top["n"].iloc[-1]) if len(top) else 0
+    ceiling = best_outside_lb + total_bound
+    # < k candidates is only safe when nothing was ever dropped (the
+    # merged frame then IS the complete vocabulary)
+    uncertified = (
+        (len(top) < k and total_bound > 0)
+        or (len(top) == k and kth <= ceiling)
+    )
+    if uncertified:
+        if on_miss == "raise":
+            raise HeavyHitterGuaranteeError(
+                f"k-th exact count {kth} ≤ outside ceiling {ceiling}; "
+                f"raise counters (={counters}) or slack (={slack})"
+            )
+        from arlas_proc_ray.functions.text import top_terms
+
+        out = top_terms(ds, text_col=text_col, k=k, pattern=pattern)
+        out = out.rename(columns={"n": "freq"})
+        return out[["term", "freq"]]
+
+    return top.rename(columns={"n": "freq"})[["term", "freq"]]

@@ -239,3 +239,76 @@ def test_hist_quantiles_constant_column():
     )
     out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert out["est"].tolist() == [3.25]
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _exact_topk(texts, k, pattern="[a-z]+"):
+    import re
+
+    rx = re.compile(pattern)
+    vc = pd.Series(
+        [w for t in texts for w in rx.findall((t or "").lower())]
+    ).value_counts()
+    df = vc.reset_index()
+    df.columns = ["term", "freq"]
+    return (
+        df.sort_values(["freq", "term"], ascending=[False, True],
+                       kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def test_heavy_hitters_exact_on_documents():
+    from arlas_proc_ray.stages.sketch import heavy_hitters_topk
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    got = heavy_hitters_topk(
+        rd.from_pandas(docs).repartition(6), text_col="text", k=15,
+        counters=64,
+    )
+    exp = _exact_topk(docs["text"].tolist(), 15)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_heavy_hitters_adversarial_blocks_still_exact():
+    """Each block is dominated by a different decoy; the true global
+    heavy hitter is never a block-local top-1. With enough counters the
+    certificate holds and the output is exact; escalation keeps it exact
+    even when counters are starved."""
+    from arlas_proc_ray.stages.sketch import (
+        HeavyHitterGuaranteeError,
+        heavy_hitters_topk,
+    )
+
+    rows = []
+    for blk in range(8):
+        rows += [f"decoy{blk} " * 30] * 20          # block-local flood
+        rows += [f"hot common tail{blk}"] * 25      # global heavy pair
+    df = pd.DataFrame({"text": rows})
+    ds = rd.from_pandas(df).repartition(8)
+    exp = _exact_topk(df["text"].tolist(), 5)
+
+    got = heavy_hitters_topk(ds, text_col="text", k=5, counters=64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+    # starved sketch: certificate fails -> on_miss='exact' escalates and
+    # stays exact; on_miss='raise' surfaces the failure
+    got2 = heavy_hitters_topk(ds, text_col="text", k=5, counters=2, slack=0)
+    pd.testing.assert_frame_equal(
+        got2.reset_index(drop=True).astype({"freq": "int64"}), exp
+    )
+    try:
+        heavy_hitters_topk(
+            ds, text_col="text", k=5, counters=2, slack=0, on_miss="raise"
+        )
+        raised = False
+    except HeavyHitterGuaranteeError:
+        raised = True
+    assert raised
