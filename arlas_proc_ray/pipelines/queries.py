@@ -1678,6 +1678,62 @@ def q_repetition_metrics(sf_dir: str):
     )
 
 
+def q_customer_order_outer(sf_dir: str):
+    """Shuffled FULL OUTER equi-join: positive-balance customers × their
+    orders — exercises null fabrication in BOTH directions (customers
+    without orders keep null order payload; orders of non-positive-
+    balance customers keep null customer payload)."""
+    from arlas_proc_ray.stages.joins import equi_join
+
+    cust = _rp(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"],
+        filter_expr=pc.field("c_acctbal") > 0.0,
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_acctbal"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return equi_join(
+        cust, orders, on=["o_custkey"],
+        right_cols=["o_orderkey", "o_totalprice"], how="outer",
+        num_partitions=NP,
+    )
+
+
+def q_supplier_semi_lineitem(sf_dir: str):
+    """Shuffled LEFT SEMI join (no broadcast side): suppliers that appear
+    on at least one lineitem; left columns/dtypes only."""
+    from arlas_proc_ray.stages.joins import equi_join
+
+    sup = _rp(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_acctbal"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_name", "s_acctbal"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    li = _rp(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    return equi_join(sup, li, on=["l_suppkey"], right_cols=[], how="semi",
+                     num_partitions=NP)
+
+
+def q_customer_anti_events(sf_dir: str):
+    """Shuffled LEFT ANTI join: customers with no activity in the events
+    stream (the orders pair is empty on this fixture — every customer
+    has orders — so the anti path is exercised against events)."""
+    from arlas_proc_ray.stages.joins import equi_join
+
+    cust = _rp(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["user_id", "c_mktsegment"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return equi_join(cust, ev, on=["user_id"], right_cols=[],
+                     how="anti", num_partitions=NP)
+
+
 def q_equi_join_order_lines(sf_dir: str):
     """Large×large shuffled hash equi-join: every lineitem row enriched
     with its order's customer / date / status — NO broadcast side; both
@@ -2184,6 +2240,9 @@ QUERIES = {
     "ivm_group_stats": q_ivm_group_stats,
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
+    "customer_order_outer": q_customer_order_outer,
+    "supplier_semi_lineitem": q_supplier_semi_lineitem,
+    "customer_anti_events": q_customer_anti_events,
     "global_value_rank": q_global_value_rank,
     "inverted_postings": q_inverted_postings,
     "cdc_change_stats": q_cdc_change_stats,
@@ -2580,6 +2639,23 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "customer_order_outer": """
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS o_custkey,
+               c.c_acctbal, o.o_orderkey, o.o_totalprice
+        FROM (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_acctbal > 0) c
+        FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    "supplier_semi_lineitem": """
+        SELECT s_suppkey AS l_suppkey, s_name, s_acctbal FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey)
+    """,
+    "customer_anti_events": """
+        SELECT c_custkey AS user_id, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
     """,
     "cdc_lww_upsert": """
         SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,

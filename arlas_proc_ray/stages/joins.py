@@ -515,14 +515,21 @@ def equi_join(
     for that slice. Partitioning assumption: one key's rows (both sides)
     fit one partition.
 
-    ``how='left'``: unmatched left rows carry nulls in the right payload,
-    so integer right columns upcast to float64 (standard pandas null
-    semantics). ``how='inner'`` restores exact right dtypes.
+    ``how='left'`` / ``'right'`` / ``'outer'``: unmatched rows carry
+    nulls in the other side's payload, so integer columns there upcast
+    to float64 (standard pandas null semantics); ``how='inner'``
+    restores exact dtypes both sides. ``how='semi'`` / ``'anti'`` return
+    LEFT columns only — the shuffled large×large complement of the
+    broadcast semi/anti in `stages/lookup.py` (reference parity:
+    leftsemi/leftanti usage, e.g. transform/features/WithoutOutliers
+    pattern) — with exact left dtypes (no null fabrication).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported how: {how!r}")
     on = list(on)
-    right_payload = [c for c in right_cols if c not in on]
+    right_payload = (
+        [] if how in ("semi", "anti") else [c for c in right_cols if c not in on]
+    )
 
     l_schema = _arrow_schema(left_ds)
     r_schema = _arrow_schema(right_ds)
@@ -564,20 +571,49 @@ def equi_join(
         is_r = pdf["_side"].to_numpy() == 1
         left = pdf.loc[~is_r, left_out].astype(left_restore)
         right = pdf.loc[is_r, on + out_right]
-        if left.empty or (right.empty and how == "inner"):
+
+        if how in ("semi", "anti"):
+            if left.empty:
+                return left  # typed, zero rows
+            keys = right[on].drop_duplicates()
+            if keys.empty:
+                return left.reset_index(drop=True) if how == "anti" else left.iloc[0:0]
+            hit = left.merge(
+                keys.assign(_hit=np.int8(1)), on=on, how="left", sort=False
+            )
+            keep = hit["_hit"].notna() if how == "semi" else hit["_hit"].isna()
+            return (
+                hit.loc[keep, left_out]
+                .astype(left_restore)
+                .reset_index(drop=True)
+            )
+
+        empty_out = (
+            (left.empty and right.empty)
+            or (how == "inner" and (left.empty or right.empty))
+            or (how == "left" and left.empty)
+            or (how == "right" and right.empty)
+        )
+        if empty_out:
             return _typed_empty(pdf)
-        if right.empty:  # how == 'left'
+        if right.empty:  # how in ('left', 'outer') with only left rows
             out = left.copy()
             for c in out_right:
                 out[c] = pd.Series([None] * len(out), dtype=pdf[c].dtype)
             return out
+        if left.empty:  # how in ('right', 'outer') with only right rows
+            out = right.astype(right_restore).reset_index(drop=True)
+            for c in left_out:
+                if c not in out.columns:
+                    out[c] = pd.Series([None] * len(out), dtype=pdf[c].dtype)
+            return out[left_out + out_right]
         # string keys arrive Arrow-backed from byte_exact_group_cols, so
         # the merge factorization is byte-exact even for NUL-embedded
         # keys — pinned by test_equi_join_nul_keys.
         if how == "inner":
             right = right.astype(right_restore)
         out = left.merge(right, on=on, how=how, sort=False)
-        return out.reset_index(drop=True)
+        return out[left_out + out_right].reset_index(drop=True)
 
     return keyed_partition_map(
         union, keys=on, order_col="_side", fn=merge,

@@ -408,3 +408,74 @@ def test_equi_join_inner_left_and_nul_keys():
     # an all-empty Dataset may drop the pandas-block schema entirely
     # (Ray quirk); when columns survive they must be the join contract
     assert list(empty.columns) in ([], ["k", "x", "y"])
+
+
+def test_equi_join_outer_right_semi_anti():
+    from arlas_proc_ray.stages.joins import equi_join
+
+    left = pd.DataFrame(
+        {"k": ["a", "a", "b", "c", "", "\x00"], "x": [1, 2, 3, 4, 5, 6]}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "b", "d", "", "\x00", "d"], "y": [10, 20, 30, 40, 50, 60]}
+    )
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    def run(how, right_cols=("y",)):
+        out = equi_join(
+            lds, rds, on=["k"], right_cols=list(right_cols), how=how,
+            num_partitions=3,
+        ).to_pandas()
+        sort_cols = [c for c in ["k", "x", "y"] if c in out.columns]
+        return out.sort_values(sort_cols).reset_index(drop=True)
+
+    # outer: every left row + the unmatched right keys ('d' twice)
+    outer = run("outer")
+    # plain-pandas outer merge is itself NUL-key-broken (safe_sort treats
+    # '' and '\x00' as duplicates → ValueError) — the engine avoids it by
+    # merging Arrow-backed keys; the expectation comes from DuckDB, whose
+    # VARCHAR semantics are byte-exact
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("left_df", left)
+    con.register("right_df", right)
+    exp = (
+        con.execute(
+            "SELECT coalesce(l.k, r.k) AS k, l.x, r.y "
+            "FROM left_df l FULL OUTER JOIN right_df r ON l.k = r.k"
+        )
+        .df()
+        .sort_values(["k", "x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(outer, exp, check_dtype=False)
+    assert (outer.loc[outer["k"] == "d", "x"].isna()).all()
+    assert outer.loc[outer["k"] == "c", "y"].isna().all()
+
+    # right: unmatched left rows dropped, unmatched right rows kept
+    rj = run("right")
+    expr = (
+        left.merge(right, on="k", how="right", sort=False)
+        .sort_values(["k", "x", "y"])
+        .reset_index(drop=True)[["k", "x", "y"]]
+    )
+    pd.testing.assert_frame_equal(rj, expr, check_dtype=False)
+
+    # semi: left rows with a match, left columns only, dtypes exact
+    semi = run("semi", right_cols=())
+    assert list(semi.columns) == ["k", "x"]
+    assert semi["x"].tolist() == [5, 6, 1, 2, 3]  # k order: '', '\x00', a, a, b
+    assert semi["x"].dtype == np.int64
+
+    # anti: left rows with NO match ('c' only)
+    anti = run("anti", right_cols=())
+    assert list(anti.columns) == ["k", "x"]
+    assert anti["k"].tolist() == ["c"]
+
+    # anti with an empty right side keeps every left row
+    anti_all = equi_join(
+        lds, rd.from_pandas(right.iloc[0:0]), on=["k"], right_cols=[],
+        how="anti", num_partitions=2,
+    ).to_pandas()
+    assert len(anti_all) == len(left)
