@@ -1694,11 +1694,21 @@ def q_customer_order_outer(sf_dir: str):
     )
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_custkey", "o_orderkey", "o_totalprice"])
-    return equi_join(
+    out = equi_join(
         cust, orders, on=["o_custkey"],
         right_cols=["o_orderkey", "o_totalprice"], how="outer",
         num_partitions=NP,
     )
+
+    def typed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # outer-join payloads are nullable: pin float64 at every sf (a
+        # fixture where one side never misses would otherwise stay int64
+        # on the oracle side only)
+        for c in ("c_acctbal", "o_orderkey", "o_totalprice"):
+            pdf[c] = pdf[c].astype("float64")
+        return pdf
+
+    return out.map_batches(typed, batch_format="pandas")
 
 
 def q_supplier_semi_lineitem(sf_dir: str):
@@ -2642,7 +2652,9 @@ ORACLE_SQL = {
     """,
     "customer_order_outer": """
         SELECT coalesce(c.c_custkey, o.o_custkey) AS o_custkey,
-               c.c_acctbal, o.o_orderkey, o.o_totalprice
+               c.c_acctbal,
+               CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+               o.o_totalprice
         FROM (SELECT c_custkey, c_acctbal FROM customer
               WHERE c_acctbal > 0) c
         FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
