@@ -1678,6 +1678,60 @@ def q_repetition_metrics(sf_dir: str):
     )
 
 
+def q_pivot_event_counts(sf_dir: str):
+    """Pivot: per-user event-type counts as one column per type —
+    combiner-first (≤ |batch users| wide partials per block), one keyed
+    exchange regardless of category count."""
+    from arlas_proc_ray.stages.analytics import pivot_agg
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return pivot_agg(
+        ds, key_col="user_id", category_col="event_type", value_col="user_id",
+        categories=["click", "error", "purchase", "signup", "view"],
+        agg="count", num_partitions=NP,
+    )
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """Unpivot/melt: lineitem quantity+price columns into long form —
+    a pure per-batch reshape, zero shuffle."""
+    from arlas_proc_ray.stages.analytics import unpivot
+
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return unpivot(
+        ds, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice"],
+        var_name="measure", value_name="value",
+    )
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) with exact integer-cents
+    revenue — one finest-level aggregation, coarser levels derived from
+    the aggregate (raw data shuffles once for N levels)."""
+    from arlas_proc_ray.stages.analytics import rollup_counts
+
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["cents"] = _cents(pdf["l_extendedprice"])
+        return pdf[["l_returnflag", "l_linestatus", "cents"]]
+
+    out = rollup_counts(
+        ds.map_batches(cents, batch_format="pandas"),
+        group_cols=["l_returnflag", "l_linestatus"], cents_col="cents",
+        num_partitions=NP,
+    )
+    out["revenue"] = out.pop("sum_cents") / 100.0
+    return out
+
+
 def q_customer_order_outer(sf_dir: str):
     """Shuffled FULL OUTER equi-join: positive-balance customers × their
     orders — exercises null fabrication in BOTH directions (customers
@@ -2251,6 +2305,9 @@ QUERIES = {
     "resample_hourly_ffill": q_resample_hourly_ffill,
     "equi_join_order_lines": q_equi_join_order_lines,
     "customer_order_outer": q_customer_order_outer,
+    "pivot_event_counts": q_pivot_event_counts,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "rollup_revenue": q_rollup_revenue,
     "supplier_semi_lineitem": q_supplier_semi_lineitem,
     "customer_anti_events": q_customer_anti_events,
     "global_value_rank": q_global_value_rank,
@@ -2649,6 +2706,37 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS event_type_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS event_type_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS event_type_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS event_type_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS event_type_view
+        FROM events GROUP BY user_id
+    """,
+    "unpivot_lineitem": """
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_extendedprice' AS measure, l_extendedprice AS value
+        FROM lineitem
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               sum(cast(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "customer_order_outer": """
         SELECT coalesce(c.c_custkey, o.o_custkey) AS o_custkey,

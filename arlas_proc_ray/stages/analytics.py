@@ -191,3 +191,137 @@ def cohort_retention(
         fn=reduce_sum,
         num_partitions=min(4, num_partitions),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / rollup
+# ---------------------------------------------------------------------------
+
+
+def pivot_agg(
+    ds,
+    *,
+    key_col: str,
+    category_col: str,
+    value_col: str,
+    categories: Sequence[str],
+    agg: str = "sum",
+    num_partitions: int = 16,
+):
+    """Rows → one column per category (Spark ``groupBy().pivot().agg()``),
+    with integer-exact sums/counts.
+
+    The category list is EXPLICIT (as Spark recommends for determinism —
+    an inferred list is a extra distinct pass): unknown categories are
+    ignored, absent (key, category) cells are 0. Combiner-first: every
+    batch collapses to ≤ |keys in batch| wide partial rows inside
+    ``map_batches``, then ONE keyed exchange sums partials per key —
+    category count never affects the shuffle row count.
+
+    ``agg``: 'sum' (int64-exact) or 'count'.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if agg not in ("sum", "count"):
+        raise ValueError(f"agg must be 'sum' or 'count', got {agg!r}")
+    cats = list(categories)
+    out_cols = [f"{category_col}_{c}" for c in cats]
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[pdf[category_col].isin(cats)]
+        if agg == "count":
+            wide = pd.crosstab(sub[key_col], sub[category_col])
+        else:
+            wide = sub.pivot_table(
+                index=key_col, columns=category_col, values=value_col,
+                aggfunc="sum", fill_value=0,
+            )
+        wide = wide.reindex(columns=cats, fill_value=0).astype(np.int64)
+        wide.columns = out_cols
+        keys_seen = pdf[[key_col]].drop_duplicates().set_index(key_col)
+        wide = wide.reindex(keys_seen.index, fill_value=0).reset_index()
+        return wide
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(key_col, as_index=False, sort=False)[out_cols].sum()
+
+    return keyed_partition_map(
+        partials, keys=[key_col], order_col=out_cols[0], fn=merge,
+        num_partitions=num_partitions,
+    )
+
+
+def unpivot(ds, *, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """Columns → rows (``melt`` / SQL UNPIVOT): pure per-batch reshape,
+    no shuffle at all — each batch melts independently."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=var_name, value_name=value_name,
+        )
+
+    return ds.map_batches(melt, batch_format="pandas", batch_size=None)
+
+
+def rollup_counts(
+    ds,
+    *,
+    group_cols: Sequence[str],
+    cents_col: str,
+    num_partitions: int = 16,
+):
+    """GROUP BY ROLLUP(g1, g2, …): totals at every prefix level, exact
+    integer-cents sums.
+
+    Scale shape: ONE aggregation at the finest level (combiner + keyed
+    exchange); every coarser level is derived from the finest AGGREGATE
+    (≤ |finest groups| rows) on the driver — the raw data is read and
+    shuffled exactly once however many levels the rollup has. NULL marks
+    the rolled-up position (SQL ROLLUP semantics).
+    """
+    import numpy as np
+
+    group_cols = list(group_cols)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(group_cols, as_index=False, sort=False)
+        out = g.agg(_c=(cents_col, "sum"), _n=(cents_col, "size"))
+        out["_n"] = out["_n"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(group_cols, as_index=False, sort=False)[
+            ["_c", "_n"]
+        ].sum()
+
+    finest = keyed_partition_map(
+        partials, keys=group_cols, order_col="_c", fn=merge,
+        num_partitions=num_partitions,
+    ).to_pandas()  # ≤ |finest groups| rows — tiny driver finalize
+
+    levels = [finest]
+    for depth in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:depth]
+        if keep:
+            lvl = finest.groupby(keep, as_index=False, sort=False)[
+                ["_c", "_n"]
+            ].sum()
+        else:
+            lvl = pd.DataFrame(
+                {"_c": [finest["_c"].sum()], "_n": [finest["_n"].sum()]}
+            )
+        for c in group_cols[depth:]:
+            lvl[c] = None
+        levels.append(lvl[group_cols + ["_c", "_n"]])
+    out = pd.concat(levels, ignore_index=True)
+    out = out.rename(columns={"_c": "sum_cents", "_n": "n_rows"})
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out

@@ -1,6 +1,7 @@
 """Funnel + cohort retention (stages/analytics.py): strict ordering,
 chain-break nulls, Monday-week truncation, cross-partition exactness."""
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -91,3 +92,75 @@ def test_cohort_retention_counts_distinct_users_once():
         ),
         expect,
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot / rollup
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_agg_counts_and_sums_across_blocks():
+    from arlas_proc_ray.stages.analytics import pivot_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "cat": ["x", "x", "y", "y", "z", "x"],  # 'z' excluded below
+            "v": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    got = (
+        pivot_agg(ds, key_col="k", category_col="cat", value_col="v",
+                  categories=["x", "y"], agg="sum", num_partitions=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["cat_x"].tolist() == [3, 0, 6]
+    assert got["cat_y"].tolist() == [3, 4, 0]
+    assert got["cat_x"].dtype == np.int64
+    # count mode: key 'b' has one excluded-category row -> still present
+    cnt = (
+        pivot_agg(ds, key_col="k", category_col="cat", value_col="v",
+                  categories=["x", "y"], agg="count", num_partitions=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert cnt["cat_x"].tolist() == [2, 0, 1]
+    assert cnt["cat_y"].tolist() == [1, 1, 0]
+    assert cnt["k"].tolist() == ["a", "b", "c"]
+
+
+def test_unpivot_roundtrip_rowcount_and_values():
+    from arlas_proc_ray.stages.analytics import unpivot
+
+    df = pd.DataFrame({"id": [1, 2], "p": [10, 20], "q": [0.5, 1.5]})
+    out = (
+        unpivot(rd.from_pandas(df), id_cols=["id"], value_cols=["p", "q"],
+                var_name="m", value_name="val")
+        .to_pandas().sort_values(["id", "m"]).reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out.loc[(out.id == 2) & (out.m == "p"), "val"].iloc[0] == 20.0
+    assert out.loc[(out.id == 1) & (out.m == "q"), "val"].iloc[0] == 0.5
+
+
+def test_rollup_counts_levels_sum_exactly():
+    from arlas_proc_ray.stages.analytics import rollup_counts
+
+    df = pd.DataFrame(
+        {
+            "a": ["r", "r", "s", "s"],
+            "b": ["1", "2", "1", "1"],
+            "cents": [100, 200, 300, 400],
+        }
+    )
+    out = rollup_counts(
+        rd.from_pandas(df).repartition(2), group_cols=["a", "b"],
+        cents_col="cents", num_partitions=2,
+    )
+    total = out[out["a"].isna()]
+    assert total["sum_cents"].tolist() == [1000]
+    lvl_a = out[out["a"].notna() & out["b"].isna()].sort_values("a")
+    assert lvl_a["sum_cents"].tolist() == [300, 700]
+    finest = out[out["b"].notna()]
+    assert finest["sum_cents"].sum() == 1000
+    assert finest["n_rows"].sum() == 4
