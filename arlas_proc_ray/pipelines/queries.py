@@ -2452,7 +2452,7 @@ ORACLE_SQL = {
           WHERE op <> 'DELETE')
         SELECT f.lsn, f.op, f.repo, f.path,
                d.content AS content_v,
-               d.valid_from AS version_from_v
+               CAST(d.valid_from AS DOUBLE) AS version_from_v
         FROM ch f
         JOIN d
           ON f.repo = d.repo AND f.path = d.path
@@ -3323,11 +3323,12 @@ ORACLE_SQL = {
     "sequence_packing": """
         WITH s AS (
           SELECT doc_id, n_chars,
-                 sum(n_chars) OVER (ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum_size
+                 CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_size
           FROM documents)
         SELECT doc_id, n_chars, cum_size,
-               (cum_size - n_chars) // 8192 AS pack_id
+               CAST((cum_size - n_chars) // 8192 AS BIGINT) AS pack_id
         FROM s
     """,
     "value_quantiles": """
@@ -3405,7 +3406,8 @@ ORACLE_SQL = {
                  event_type AS path,
                  CASE WHEN value < 0.15 THEN 1 ELSE 0 END AS is_del
           FROM events)
-        SELECT repo, count(*) AS n_changes, sum(is_del) AS n_deletes,
+        SELECT repo, count(*) AS n_changes,
+               CAST(sum(is_del) AS BIGINT) AS n_deletes,
                max(lsn) AS last_lsn, count(DISTINCT path) AS n_paths
         FROM ch GROUP BY repo
     """,

@@ -178,6 +178,9 @@ def run_bench() -> dict:
         "doc_chunks",
         "zorder_values",
         "scd2_history",
+        "heavy_hitter_terms",
+        "customer_order_outer",
+        "pivot_event_counts",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):

@@ -69,6 +69,15 @@ def test_query_matches_oracle(name, con):
     )
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=0, rtol=0)
+    # the driver hashes VALUES: an int64 123 and a float64 123.0 are equal
+    # to assert_frame_equal but not necessarily to a value hash — require
+    # the string forms to match too (catches int-vs-float dtype drift,
+    # e.g. DuckDB HUGEINT sums landing as float64)
+    mism = [
+        c for c in got.columns
+        if not got[c].astype(str).equals(exp[c].astype(str))
+    ]
+    assert not mism, f"{name}: string-form mismatch in columns {mism}"
 
 
 def test_rows_only_queries_run():
