@@ -612,6 +612,31 @@ def equi_join(
         # keys — pinned by test_equi_join_nul_keys.
         if how == "inner":
             right = right.astype(right_restore)
+        if how == "outer":
+            # pandas outer merge safe_sorts the key UNION with C-string
+            # semantics — NUL-variant keys ('' vs '\x00') raise "values
+            # should be unique" even Arrow-backed (found by the join-mode
+            # fuzz). Compose outer = left join + right-only rows instead;
+            # left/inner merges factorize byte-exactly and never
+            # safe_sort.
+            lm = left.merge(right, on=on, how="left", sort=False)
+            hit = right[on].merge(
+                left[on].drop_duplicates().assign(_hit=np.int8(1)),
+                on=on, how="left", sort=False,
+            )
+            ronly = (
+                right.loc[hit["_hit"].isna().to_numpy()]
+                .reset_index(drop=True)
+                .copy()
+            )
+            for c in left_out:
+                if c not in ronly.columns:
+                    ronly[c] = pd.Series([None] * len(ronly), dtype=pdf[c].dtype)
+            out = pd.concat(
+                [lm[left_out + out_right], ronly[left_out + out_right]],
+                ignore_index=True,
+            )
+            return out
         out = left.merge(right, on=on, how=how, sort=False)
         return out[left_out + out_right].reset_index(drop=True)
 

@@ -273,3 +273,140 @@ def test_keyed_duration_byte_exact_vs_pandas_oracle(rows, P):
     pd.testing.assert_series_equal(
         got["duration_s"], exp["duration_s"], check_names=False
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_states=st.integers(2, 4),
+    n_bins=st.integers(2, 5),
+    n_keys=st.integers(1, 4),
+    run_len=st.integers(1, 40),
+)
+def test_viterbi_sql_builder_matches_numpy(seed, n_states, n_bins, n_keys, run_len):
+    """The recursive-CTE Viterbi builder (pipelines/queries.py:_viterbi_sql)
+    must decode EXACTLY like HmmModel.viterbi for arbitrary model shapes —
+    random probabilities, random observation sequences, multiple keys."""
+    import json
+
+    import duckdb
+
+    from arlas_proc_ray.pipelines.queries import _bin_case, _emit_case, _viterbi_sql
+    from arlas_proc_ray.stages.ml import HmmModel
+
+    rng = np.random.default_rng(seed)
+
+    def norm(x):
+        x = x + 1e-3  # keep strictly positive
+        return (x / x.sum(axis=-1, keepdims=True)).tolist()
+
+    edges = np.sort(rng.uniform(0, 100, size=n_bins - 1)).tolist()
+    spec = {
+        "states": [f"S{i}" for i in range(n_states)],
+        "bin_edges": [0.0] + edges + [1e12],
+        "initial": norm(rng.random(n_states)),
+        "transition": norm(rng.random((n_states, n_states))),
+        "emission": norm(rng.random((n_states, n_bins))),
+    }
+    mj = json.dumps(spec)
+    model = HmmModel.from_json(mj)
+
+    obs = rng.uniform(0, 110, size=n_keys * run_len)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(obs)),
+            "user_id": np.repeat(np.arange(n_keys), run_len),
+            "value": obs,
+        }
+    )
+
+    # numpy decode per key
+    exp_states = np.empty(len(df), dtype=object)
+    for uid, grp in df.groupby("user_id"):
+        bins = model.quantize(grp["value"].to_numpy())
+        exp_states[grp.index] = np.asarray(model.states)[model.viterbi(bins)]
+
+    emits = ", ".join(
+        f"{_emit_case(mj, s)} AS e{s}" for s in range(n_states)
+    )
+    em_cte = f"""obs AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS t,
+             {_bin_case(mj, "value")} AS bin
+      FROM events
+    ),
+    em AS (SELECT *, {emits} FROM obs)"""
+    final = """
+    SELECT o.event_id, s.vit_state
+    FROM obs o JOIN vit s ON s.user_id = o.user_id AND s.t = o.t
+    """
+    sql = _viterbi_sql(mj, key="user_id", order="event_id",
+                       em_cte=em_cte, final_select=final)
+    con = duckdb.connect()
+    con.register("events", df)
+    got = con.execute(sql).df().sort_values("event_id")
+    assert got["vit_state"].tolist() == exp_states.tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lkeys=st.lists(
+        st.text(alphabet="ab\x00", min_size=0, max_size=2), min_size=1,
+        max_size=12,
+    ),
+    rkeys=st.lists(
+        st.text(alphabet="ab\x00", min_size=0, max_size=2), min_size=0,
+        max_size=12,
+    ),
+    how=st.sampled_from(["inner", "left", "right", "outer", "semi", "anti"]),
+    P=st.integers(1, 4),
+)
+def test_equi_join_all_modes_match_duckdb(lkeys, rkeys, how, P):
+    """Every join mode, byte-exact on NUL-laden keys, vs DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    left = pd.DataFrame({"k": lkeys, "x": np.arange(len(lkeys))})
+    right = pd.DataFrame(
+        {"k": rkeys, "y": np.arange(len(rkeys)) * 10}
+    )
+    out = equi_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right) if len(right) else rd.from_pandas(
+            pd.DataFrame({"k": pd.Series([], dtype=object),
+                          "y": pd.Series([], dtype=np.int64)})
+        ),
+        on=["k"], right_cols=[] if how in ("semi", "anti") else ["y"],
+        how=how, num_partitions=P,
+    ).to_pandas()
+
+    con = duckdb.connect()
+    # explicit Arrow types: an EMPTY object column would register as
+    # DOUBLE and break the VARCHAR coalesce
+    con.register("l", pa.table({"k": pa.array(lkeys, pa.string()),
+                                "x": pa.array(left["x"])}))
+    con.register("r", pa.table({"k": pa.array(rkeys, pa.string()),
+                                "y": pa.array(right["y"])}))
+    sql = {
+        "inner": "SELECT l.k, l.x, r.y FROM l JOIN r USING (k)",
+        "left": "SELECT l.k, l.x, r.y FROM l LEFT JOIN r USING (k)",
+        "right": "SELECT coalesce(l.k, r.k) AS k, l.x, r.y "
+                 "FROM l RIGHT JOIN r ON l.k = r.k",
+        "outer": "SELECT coalesce(l.k, r.k) AS k, l.x, r.y "
+                 "FROM l FULL OUTER JOIN r ON l.k = r.k",
+        "semi": "SELECT k, x FROM l WHERE EXISTS "
+                "(SELECT 1 FROM r WHERE r.k = l.k)",
+        "anti": "SELECT k, x FROM l WHERE NOT EXISTS "
+                "(SELECT 1 FROM r WHERE r.k = l.k)",
+    }[how]
+    exp = con.execute(sql).df()
+
+    cols = sorted(exp.columns)
+    assert len(out) == len(exp)
+    if len(exp) == 0:
+        return
+    g = out[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
