@@ -1678,6 +1678,41 @@ def q_repetition_metrics(sf_dir: str):
     )
 
 
+def q_user_journeys(sf_dir: str):
+    """Per-user ordered event-type path string (path analysis): one keyed
+    exchange, vectorized in-partition fold."""
+    from arlas_proc_ray.stages.analytics import journey_paths
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "event_id"])
+    return journey_paths(
+        ds, key_col="user_id", step_col="event_type", order_col="event_id",
+        num_partitions=NP,
+    )
+
+
+def q_lineitem_covariance(sf_dir: str):
+    """Population covariance of (quantity, extendedprice-cents) per
+    returnflag from exact integer moments — combiner partials, one tiny
+    keyed merge, double-from-exact-int final division."""
+    from arlas_proc_ray.stages.analytics import group_covariance
+
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def ints(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["q"] = pdf["l_quantity"].astype("int64")
+        pdf["cents"] = _cents(pdf["l_extendedprice"])
+        return pdf[["l_returnflag", "q", "cents"]]
+
+    return group_covariance(
+        ds.map_batches(ints, batch_format="pandas"),
+        group_col="l_returnflag", x_col="q", y_col="cents",
+        num_partitions=4,
+    )
+
+
 def q_pivot_event_counts(sf_dir: str):
     """Pivot: per-user event-type counts as one column per type —
     combiner-first (≤ |batch users| wide partials per block), one keyed
@@ -2306,6 +2341,8 @@ QUERIES = {
     "equi_join_order_lines": q_equi_join_order_lines,
     "customer_order_outer": q_customer_order_outer,
     "pivot_event_counts": q_pivot_event_counts,
+    "user_journeys": q_user_journeys,
+    "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
     "supplier_semi_lineitem": q_supplier_semi_lineitem,
@@ -2706,6 +2743,26 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "user_journeys": """
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY event_id) AS journey,
+               count(*) AS n_steps
+        FROM events GROUP BY user_id
+    """,
+    "lineitem_covariance": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST(l_quantity AS BIGINT)) AS sx,
+                 sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+                 sum(CAST(l_quantity AS BIGINT)
+                     * cast(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) AS cov_pop
+        FROM m
     """,
     "pivot_event_counts": """
         SELECT user_id,

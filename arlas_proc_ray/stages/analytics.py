@@ -325,3 +325,83 @@ def rollup_counts(
     out = out.rename(columns={"_c": "sum_cents", "_n": "n_rows"})
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
+
+
+def journey_paths(
+    ds,
+    *,
+    key_col: str,
+    step_col: str,
+    order_col: str,
+    sep: str = ">",
+    num_partitions: int = 16,
+):
+    """Per-key ordered step sequence as one string (the classic "user
+    journey" / path analysis shape): one keyed exchange, then a
+    vectorized groupby-join inside each partition.
+
+    Returns (key, journey, n_steps)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(key_col, sort=False)
+        out = g[step_col].agg(lambda s: sep.join(s.astype(str))).reset_index()
+        out.columns = [key_col, "journey"]
+        out["n_steps"] = g.size().to_numpy()
+        return out
+
+    return keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=fold,
+        num_partitions=num_partitions,
+    )
+
+
+def group_covariance(
+    ds,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 8,
+):
+    """Population covariance per group from EXACT integer moments.
+
+    x and y must already be integers (e.g. cents): each batch collapses
+    to one (group, n, Σx, Σy, Σxy) partial — associative int sums, so
+    the keyed merge is order-free and retry-safe — and the final value
+    is float(n·Σxy − Σx·Σy) / float(n²), the same double-from-exact-int
+    division DuckDB computes. Σxy must fit int64 (caller contract; at
+    larger magnitudes pre-scale)."""
+    import numpy as np
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(group_col, sort=False)
+        out = pd.DataFrame(
+            {
+                "n": g.size(),
+                "sx": g[x_col].sum(),
+                "sy": g[y_col].sum(),
+                "sxy": g.apply(
+                    lambda s: int((s[x_col] * s[y_col]).sum()),
+                    include_groups=False,
+                ),
+            }
+        ).reset_index()
+        for c in ("n", "sx", "sy", "sxy"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf.groupby(group_col, sort=False, as_index=False)[
+            ["n", "sx", "sy", "sxy"]
+        ].sum()
+        num = (m["n"] * m["sxy"] - m["sx"] * m["sy"]).to_numpy(object)
+        den = (m["n"] * m["n"]).to_numpy(object)
+        m["cov_pop"] = [float(a) / float(b) for a, b in zip(num, den)]
+        return m[[group_col, "n", "cov_pop"]]
+
+    return keyed_partition_map(
+        partials, keys=[group_col], order_col="n", fn=finalize,
+        num_partitions=num_partitions,
+    )
