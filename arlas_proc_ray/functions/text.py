@@ -569,3 +569,34 @@ def df_term_filter(
         return batch.append_column(out_col, joined)
 
     return ds.map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+
+
+def extract_json_int_field(
+    col: pa.ChunkedArray | pa.Array, field: str
+) -> pa.Array | pa.ChunkedArray:
+    """Vectorized integer-field extraction from FLAT JSON text columns.
+
+    The metadata-extraction fast path for schemaless side-columns (the
+    events fixture's ``props``): one RE2 ``extract_regex`` over the
+    whole column, no per-row json.loads. Only correct for flat objects
+    whose field value is a bare integer — nested/quoted cases need a
+    real parser (use a map_batches with stdlib json for those). Missing
+    field → null.
+    """
+    import re as _re
+
+    pat = '"' + _re.escape(field) + r'"\s*:\s*(?P<v>-?\d+)'
+    st = pc.extract_regex(col, pat)  # struct array, one field per NAMED group
+    if isinstance(st, pa.ChunkedArray):
+        vals = pa.chunked_array(
+            [c.field("v") for c in st.chunks] or [pa.array([], pa.string())]
+        )
+    else:
+        vals = st.field("v")
+    # a non-matching row's struct child materializes as '' — null it out
+    vals = pc.if_else(
+        pc.equal(pc.fill_null(vals, ""), pa.scalar("")),
+        pa.scalar(None, pa.string()),
+        vals,
+    )
+    return pc.cast(vals, pa.int64())

@@ -1678,6 +1678,44 @@ def q_repetition_metrics(sf_dir: str):
     )
 
 
+def q_props_field_stats(sf_dir: str):
+    """JSON metadata extraction (flat side-column fast path): pull the
+    integer field from every event's props via one RE2 pass, then a
+    combiner + tiny keyed aggregate per event type."""
+    from arlas_proc_ray.functions.text import extract_json_int_field
+
+    ds = _events(sf_dir, columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "k_val", extract_json_int_field(t.column("props"), "k")
+        ).drop_columns(["props"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.dropna(subset=["k_val"]).groupby("event_type", sort=False)
+        out = g["k_val"].agg(["count", "sum", "max"]).reset_index()
+        out.columns = ["event_type", "n_with_k", "sum_k", "max_k"]
+        return out
+
+    partials = ds.map_batches(extract, batch_format="pyarrow").map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("event_type", as_index=False, sort=False).agg(
+            n_with_k=("n_with_k", "sum"), sum_k=("sum_k", "sum"),
+            max_k=("max_k", "max"),
+        )
+        for c in ("n_with_k", "sum_k", "max_k"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return keyed_partition_map(
+        partials, keys=["event_type"], order_col="n_with_k", fn=merge,
+        num_partitions=4,
+    )
+
+
 def q_user_journeys(sf_dir: str):
     """Per-user ordered event-type path string (path analysis): one keyed
     exchange, vectorized in-partition fold."""
@@ -2342,6 +2380,7 @@ QUERIES = {
     "customer_order_outer": q_customer_order_outer,
     "pivot_event_counts": q_pivot_event_counts,
     "user_journeys": q_user_journeys,
+    "props_field_stats": q_props_field_stats,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -2743,6 +2782,19 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "props_field_stats": """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(NULLIF(regexp_extract(props,
+                        '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k_val
+          FROM events)
+        SELECT event_type,
+               CAST(count(k_val) AS BIGINT) AS n_with_k,
+               CAST(sum(k_val) AS BIGINT) AS sum_k,
+               CAST(max(k_val) AS BIGINT) AS max_k
+        FROM x WHERE k_val IS NOT NULL
+        GROUP BY event_type
     """,
     "user_journeys": """
         SELECT user_id,
