@@ -374,16 +374,14 @@ def group_covariance(
     import numpy as np
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(_xy=pdf[x_col].to_numpy() * pdf[y_col].to_numpy())
         g = pdf.groupby(group_col, sort=False)
         out = pd.DataFrame(
             {
                 "n": g.size(),
                 "sx": g[x_col].sum(),
                 "sy": g[y_col].sum(),
-                "sxy": g.apply(
-                    lambda s: int((s[x_col] * s[y_col]).sum()),
-                    include_groups=False,
-                ),
+                "sxy": g["_xy"].sum(),
             }
         ).reset_index()
         for c in ("n", "sx", "sy", "sxy"):

@@ -226,3 +226,19 @@ def test_df_term_filter_edge_cases(ray_session):
     assert out["clean"].tolist() == ["rare", "only", "", ""]
     # original column untouched when target= given
     assert out["text"].tolist() == df["text"].tolist()
+
+
+def test_extract_json_int_field_edges():
+    import pyarrow as pa
+
+    from arlas_proc_ray.functions.text import extract_json_int_field
+
+    col = pa.array(
+        ['{"k": 87}', '{"a": 1, "k": -3}', '{"x": 5}', None,
+         '{"k":0}', '{"kk": 9}', '{"k": 12, "k2": 99}']
+    )
+    got = extract_json_int_field(col, "k").to_pylist()
+    assert got == [87, -3, None, None, 0, None, 12]
+    # chunked input round-trips
+    got2 = extract_json_int_field(pa.chunked_array([col, col]), "k")
+    assert got2.to_pylist() == got + got
