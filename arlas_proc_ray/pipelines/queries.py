@@ -1678,6 +1678,18 @@ def q_repetition_metrics(sf_dir: str):
     )
 
 
+def q_time_in_state_per_day(sf_dir: str):
+    """Seconds per UTC day in each event_type 'state' (per-user interval
+    chain split at midnights, exact integer-µs overlaps)."""
+    from arlas_proc_ray.stages.windows import time_in_state_per_day
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return time_in_state_per_day(
+        ds, keys=["user_id"], ts_col="ts", state_col="event_type",
+        num_partitions=NP,
+    )
+
+
 def q_props_field_stats(sf_dir: str):
     """JSON metadata extraction (flat side-column fast path): pull the
     integer field from every event's props via one RE2 pass, then a
@@ -2381,6 +2393,7 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "user_journeys": q_user_journeys,
     "props_field_stats": q_props_field_stats,
+    "time_in_state_per_day": q_time_in_state_per_day,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -2782,6 +2795,28 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "time_in_state_per_day": """
+        WITH iv AS (
+          SELECT event_type AS state,
+                 epoch_us(ts) AS s,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS e
+          FROM events
+          QUALIFY e IS NOT NULL
+        ),
+        ex AS (
+          SELECT state,
+                 unnest(generate_series(s // 86400000000,
+                                        (e - 1) // 86400000000)) AS day_idx,
+                 s, e
+          FROM iv
+        )
+        SELECT to_timestamp((day_idx * 86400)::BIGINT)::TIMESTAMP AS day,
+               state,
+               sum(least(e, (day_idx + 1) * 86400000000)
+                   - greatest(s, day_idx * 86400000000)) / 1e6 AS total_s
+        FROM ex GROUP BY day_idx, state
     """,
     "props_field_stats": """
         WITH x AS (

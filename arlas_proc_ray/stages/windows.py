@@ -203,3 +203,87 @@ def resample_ffill(
     return keyed_partition_map(
         ds, keys=keys, order_col=ts_col, fn=fn, num_partitions=num_partitions
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+def time_in_state_per_day(
+    ds,
+    *,
+    keys,
+    ts_col: str,
+    state_col: str,
+    num_partitions: int = 16,
+):
+    """Seconds spent in each state per UTC calendar day.
+
+    Each observation opens an interval [ts_i, ts_{i+1}) in its state
+    (each key's last observation closes nothing — standard
+    state-duration semantics, the WithDuration convention,
+    transform/timeseries/WithDurationFromId.scala analogue applied to
+    wall-clock reporting). Intervals crossing midnight are SPLIT at day
+    boundaries with a vectorized ragged explode (np.repeat + arange —
+    fan-out is bounded by days spanned, like the sliding-window
+    fan-out), every overlap is exact integer microseconds, and partials
+    combine per (day, state) before one tiny keyed exchange.
+
+    Returns (day TIMESTAMP at UTC midnight, state, total_s DOUBLE =
+    exact µs/1e6)."""
+
+    keys = list(keys)
+
+    def intervals(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=False)
+        start_all = (
+            pdf[ts_col].astype("datetime64[us]").to_numpy().view("int64")
+        )
+        end_dt = g[ts_col].shift(-1)
+        m = end_dt.notna().to_numpy()
+        # int64 µs view, never float (µs epochs exceed 2^53); NaT slots
+        # view as INT64_MIN but are masked out
+        e = end_dt.to_numpy().astype("datetime64[us]").view("int64")[m]
+        s = start_all[m]
+        st = pdf[state_col].to_numpy(object)[m]
+
+        d0 = s // _DAY_US
+        d1 = (e - 1) // _DAY_US  # end exclusive: an exact-midnight end
+        n_days = (d1 - d0 + 1).astype(np.int64)  # adds nothing to that day
+        idx = np.repeat(np.arange(len(s)), n_days)
+        # day offset within each interval: global arange minus each run's
+        # start (the standard ragged-explode trick, stages/chunking.py)
+        run_starts = np.concatenate([[0], np.cumsum(n_days)[:-1]])
+        day = d0[idx] + (np.arange(idx.size) - run_starts[idx])
+        lo = np.maximum(s[idx], day * _DAY_US)
+        hi = np.minimum(e[idx], (day + 1) * _DAY_US)
+        part = pd.DataFrame(
+            {"day_idx": day, "state": st[idx], "us": hi - lo}
+        )
+        out = part.groupby(["day_idx", "state"], sort=False, as_index=False)[
+            "us"
+        ].sum()
+        out["us"] = out["us"].astype(np.int64)
+        return out
+
+    # pass 1 MUST see each key's rows together and time-ordered (a plain
+    # map_batches would drop every interval crossing a batch boundary):
+    # one keyed exchange on the entity, partials collapse to (day, state)
+    # rows inside the partition
+    partials = keyed_partition_map(
+        ds, keys=keys, order_col=ts_col, fn=intervals,
+        num_partitions=num_partitions,
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby(["day_idx", "state"], sort=False, as_index=False)[
+            "us"
+        ].sum()
+        day = pd.to_datetime(out.pop("day_idx") * _DAY_US, unit="us")
+        out.insert(0, "day", day.astype("datetime64[us]"))
+        out["total_s"] = out.pop("us") / 1e6
+        return out
+
+    return keyed_partition_map(
+        partials, keys=["day_idx"], order_col="us", fn=merge,
+        num_partitions=num_partitions,
+    )

@@ -377,3 +377,45 @@ def test_resample_ffill_semantics():
     assert (out["k"] == "b").sum() == 0
     c = out[out["k"] == "c"]
     assert list(c["v"]) == [5.0, 6.0]
+
+
+def test_time_in_state_per_day_splits_midnights_exactly():
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.windows import time_in_state_per_day
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 22:00:00",   # A: 2h on day1, then crosses
+                    "2024-01-02 03:00:00",   # B: 3h on day2 (2h A + 3h B)
+                    "2024-01-02 06:00:00",   # last: closes nothing
+                    "2024-01-01 00:00:00",   # C: exactly 3 full days
+                    "2024-01-04 00:00:00",
+                ]
+            ),
+            "state": ["A", "B", "END", "C", "END"],
+        }
+    )
+    out = (
+        time_in_state_per_day(
+            rd.from_pandas(df).repartition(2), keys=["user_id"],
+            ts_col="ts", state_col="state", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values(["day", "state"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (str(r.day)[:10], r.state): r.total_s for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-01-01", "A"): 7200.0,
+        ("2024-01-02", "A"): 10800.0,   # midnight→03:00
+        ("2024-01-02", "B"): 10800.0,   # 03:00→06:00
+        ("2024-01-01", "C"): 86400.0,
+        ("2024-01-02", "C"): 86400.0,
+        ("2024-01-03", "C"): 86400.0,   # exact-midnight end adds nothing
+    }
