@@ -1474,6 +1474,31 @@ def q_global_value_rank(sf_dir: str):
     return global_rank(ds, order_cols=["value", "event_id"])
 
 
+def q_value_ntile(sf_dir: str):
+    """Equi-depth decile assignment (NTILE(10) OVER (ORDER BY value,
+    event_id)) derived from the exact distributed global rank. SQL NTILE
+    front-loads the larger buckets: the first n%k buckets get
+    floor(n/k)+1 rows, the rest floor(n/k) — pure integer arithmetic on
+    the rank, so it matches DuckDB for every n (not just k | n)."""
+    from arlas_proc_ray.stages.scan import global_rank
+
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    n = ds.count()
+    k = 10
+    q, rem = divmod(n, k)
+    cut = rem * (q + 1)  # last rank (1-based) inside the big buckets
+    ranked = global_rank(ds, order_cols=["value", "event_id"])
+
+    def ntile(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf["rnk"] - 1
+        big = r0 // (q + 1) + 1
+        small = rem + (r0 - cut) // max(q, 1) + 1
+        pdf["decile"] = np.where(r0 < cut, big, small).astype("int64")
+        return pdf[["event_id", "value", "decile"]]
+
+    return ranked.map_batches(ntile, batch_format="pandas")
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2394,6 +2419,7 @@ QUERIES = {
     "user_journeys": q_user_journeys,
     "props_field_stats": q_props_field_stats,
     "time_in_state_per_day": q_time_in_state_per_day,
+    "value_ntile": q_value_ntile,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -2795,6 +2821,12 @@ ORACLE_SQL = {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                o_custkey, o_orderstatus, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "value_ntile": """
+        SELECT event_id, value,
+               CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
+                 AS decile
+        FROM events
     """,
     "time_in_state_per_day": """
         WITH iv AS (
