@@ -1499,6 +1499,142 @@ def q_value_ntile(sf_dir: str):
     return ranked.map_batches(ntile, batch_format="pandas")
 
 
+def q_running_user_spend(sf_dir: str):
+    """Per-user running total — SUM OVER (PARTITION BY user ORDER BY id
+    ROWS UNBOUNDED PRECEDING) — in exact integer cents: one keyed
+    exchange, vectorized groupby cumsum (no float-order ambiguity vs
+    the SQL oracle)."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["spend_cents"] = (
+            _cents(pdf["value"]).groupby(pdf["user_id"].values, sort=False).cumsum()
+        )
+        return pdf
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_moving_avg_value(sf_dir: str):
+    """Bounded-frame window aggregate (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): windowed sum as a cumsum difference in exact integer
+    cents; the average is a single int/int double division, which is
+    bitwise-identical on both sides."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["_c"] = _cents(pdf["value"])
+        pdf["_cs"] = pdf.groupby("user_id", sort=False)["_c"].cumsum()
+        g = pdf.groupby("user_id", sort=False)
+        lag = g["_cs"].shift(4).fillna(0).astype("int64")
+        wsum = (pdf["_cs"] - lag).astype("int64")
+        cnt = np.minimum(g.cumcount() + 1, 4)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].values,
+                "user_id": pdf["user_id"].values,
+                "wsum_cents": wsum.values,
+                "avg4_cents": wsum.values / cnt.values,
+            }
+        )
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Orders strictly above their customer's average order value.
+
+    Self-referential aggregate + filter in ONE keyed exchange: every
+    order of a custkey lands in the same partition, so the per-customer
+    mean is an in-partition vectorized transform — no broadcast of a
+    customer-sized aggregate, no second pass over the fact table. The
+    comparison runs in the exact integer domain (cents × count >
+    sum_cents), so no float boundary row can flip vs the SQL oracle."""
+    ds = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(pdf["o_totalprice"])
+        g = c.groupby(pdf["o_custkey"].values)
+        keep = (c * g.transform("size") > g.transform("sum")).values
+        return pdf.loc[keep, ["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    return keyed_partition_map(
+        ds, keys=["o_custkey"], order_col="o_orderkey", fn=fn, num_partitions=NP
+    )
+
+
+def q_purchase_not_error_users(sf_dir: str):
+    """Distinct set difference (EXCEPT) at (user, day) grain: days a
+    user purchased without a single error. Both sides reduce to distinct
+    keys first (bounded by user×day cardinality, not event count); only
+    the already-distinct anti side is collected and broadcast — the big
+    side never leaves the cluster."""
+    import pyarrow.dataset as pads
+
+    from arlas_proc_ray.stages.setops import distinct, except_keys
+
+    def user_days(event_type: str):
+        ds = _events(
+            sf_dir,
+            columns=["user_id", "ts"],
+            filter_expr=pads.field("event_type") == event_type,
+        )
+
+        def add_day(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf["day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+            return pdf[["user_id", "day"]]
+
+        days = ds.map_batches(add_day, batch_format="pandas")
+        return distinct(days, ["user_id", "day"], num_partitions=NP)
+
+    err_days = user_days("error").to_pandas()  # small: distinct keys
+    return except_keys(user_days("purchase"), err_days, on=["user_id", "day"])
+
+
+def q_mode_event_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break (count desc, value
+    asc): a per-batch combiner shrinks the one exchange to
+    (user, type, partial_count) rows."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["user_id", "event_type"], sort=False)
+        return g.size().rename("cnt").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        full = (
+            pdf.groupby(["user_id", "event_type"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        full = full.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = full.drop_duplicates(subset=["user_id"], keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].values,
+                "mode_event_type": out["event_type"].values,
+                "cnt": out["cnt"].values.astype("int64"),
+            }
+        )
+
+    return keyed_partition_map(
+        partials, keys=["user_id"], order_col="cnt", fn=pick, num_partitions=NP
+    )
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2420,6 +2556,11 @@ QUERIES = {
     "props_field_stats": q_props_field_stats,
     "time_in_state_per_day": q_time_in_state_per_day,
     "value_ntile": q_value_ntile,
+    "running_user_spend": q_running_user_spend,
+    "moving_avg_value": q_moving_avg_value,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "purchase_not_error_users": q_purchase_not_error_users,
+    "mode_event_type": q_mode_event_type,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -2827,6 +2968,53 @@ ORACLE_SQL = {
                CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
                  AS decile
         FROM events
+    """,
+    "running_user_spend": """
+        SELECT event_id, user_id, value,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS spend_cents
+        FROM events
+    """,
+    "moving_avg_value": """
+        WITH c AS (SELECT event_id, user_id,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(c) OVER w4 AS BIGINT) AS wsum_cents,
+               CAST(CAST(sum(c) OVER w4 AS BIGINT) AS DOUBLE)
+                 / count(*) OVER w4 AS avg4_cents
+        FROM c
+        WINDOW w4 AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    "orders_above_cust_avg": """
+        WITH agg AS (
+          SELECT o_custkey,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c,
+                 count(*) AS cnt
+          FROM orders GROUP BY o_custkey)
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders JOIN agg USING (o_custkey)
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * cnt > sum_c
+    """,
+    "purchase_not_error_users": """
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'error'
+    """,
+    "mode_event_type": """
+        WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type AS mode_event_type, cnt
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY cnt DESC,
+                                                    event_type ASC) AS rn
+              FROM c)
+        WHERE rn = 1
     """,
     "time_in_state_per_day": """
         WITH iv AS (
