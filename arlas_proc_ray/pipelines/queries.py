@@ -1499,6 +1499,88 @@ def q_value_ntile(sf_dir: str):
     return ranked.map_batches(ntile, batch_format="pandas")
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): 3-table join composed scale-first —
+    the customer dimension filters via a broadcast semi join (one key
+    column broadcast, zero shuffle), lineitem pre-aggregates revenue per
+    order INSIDE map_batches (combiner: the shuffle moves one row per
+    order per batch, not one per lineitem), and the fact⋈fact equi join
+    is the one co-partition exchange. Revenue is exact integer
+    cents×(100−disc_pct); the top-10 is a per-batch nlargest combiner
+    with a deterministic (revenue desc, orderkey asc) tie-break."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.lookup import broadcast_semi_join
+
+    cutoff = pd.Timestamp("1998-01-01")
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = (
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter_expr=pads.field("o_orderdate") < pa.scalar(cutoff),
+    )
+    orders = broadcast_semi_join(orders, building, on=["o_custkey"])
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_expr=pads.field("l_shipdate") > pa.scalar(cutoff),
+    )
+
+    def rev_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        price_c = _cents(pdf["l_extendedprice"])
+        disc_c = _cents(pdf["l_discount"])  # 0..100
+        tmp = pd.DataFrame(
+            {
+                "o_orderkey": pdf["l_orderkey"].values,
+                "rev_c4": (price_c * (100 - disc_c)).values,
+            }
+        )
+        return tmp.groupby("o_orderkey", sort=False).sum().reset_index()
+
+    li_part = li.map_batches(rev_partial, batch_format="pandas")
+
+    joined = equi_join(
+        li_part,
+        orders,
+        on=["o_orderkey"],
+        right_cols=["o_orderdate", "o_orderpriority"],
+        num_partitions=NP,
+    )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False)
+        s = g["rev_c4"].sum().reset_index()
+        s["revenue"] = s["rev_c4"].values / 10000.0
+        s = s.drop(columns=["rev_c4"])
+        return s.sort_values(
+            ["revenue", "o_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    tops = keyed_partition_map(
+        joined, keys=["o_orderkey"], order_col="rev_c4", fn=final,
+        num_partitions=NP,
+    ).to_pandas()  # ≤ 10 rows per partition
+    out = tops.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(
+        drop=True
+    )
+
+
 def q_running_user_spend(sf_dir: str):
     """Per-user running total — SUM OVER (PARTITION BY user ORDER BY id
     ROWS UNBOUNDED PRECEDING) — in exact integer cents: one keyed
@@ -2556,6 +2638,7 @@ QUERIES = {
     "props_field_stats": q_props_field_stats,
     "time_in_state_per_day": q_time_in_state_per_day,
     "value_ntile": q_value_ntile,
+    "tpch_q3": q_tpch_q3,
     "running_user_spend": q_running_user_spend,
     "moving_avg_value": q_moving_avg_value,
     "orders_above_cust_avg": q_orders_above_cust_avg,
@@ -2968,6 +3051,25 @@ ORACLE_SQL = {
                CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
                  AS decile
         FROM events
+    """,
+    "tpch_q3": """
+        WITH li AS (
+          SELECT l_orderkey AS o_orderkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4
+          FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY 1)
+        SELECT o.o_orderkey,
+               CAST(li.rev_c4 AS DOUBLE) / 10000.0 AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM orders o
+        JOIN li USING (o_orderkey)
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
     """,
     "running_user_spend": """
         SELECT event_id, user_id, value,
