@@ -1717,6 +1717,70 @@ def q_mode_event_type(sf_dir: str):
     )
 
 
+def q_rolling_zscore_anomaly(sf_dir: str):
+    """Windowed anomaly flag per user — |x − mean₈| > 2σ₈ over the
+    trailing 8-row frame — decided ENTIRELY in exact integer arithmetic:
+    (c·n − S₁)² > 4·(n·S₂ − S₁²) with c in cents, so no float boundary
+    can disagree with the SQL oracle. Window sums are cumsum
+    differences; one keyed exchange. (2σ, not 3σ: on this near-uniform
+    fixture the max in-window deviation is ~1.7σ, so 3σ never fires and
+    the flag would be a constant.)"""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    W = 8
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["_c"] = _cents(pdf["value"])
+        pdf["_c2"] = pdf["_c"] * pdf["_c"]
+        g0 = pdf.groupby("user_id", sort=False)
+        pdf["_cs1"] = g0["_c"].cumsum()
+        pdf["_cs2"] = g0["_c2"].cumsum()
+        g = pdf.groupby("user_id", sort=False)
+        s1 = (pdf["_cs1"] - g["_cs1"].shift(W).fillna(0)).astype("int64")
+        s2 = (pdf["_cs2"] - g["_cs2"].shift(W).fillna(0)).astype("int64")
+        n = np.minimum(g.cumcount() + 1, W).astype("int64")
+        c = pdf["_c"]
+        lhs = (c * n - s1) ** 2
+        rhs = 4 * (n * s2 - s1 * s1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].values,
+                "user_id": pdf["user_id"].values,
+                "value": pdf["value"].values,
+                "is_anomaly": (lhs > rhs).values,
+            }
+        )
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_lineitem_correlation(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs discount per returnflag)
+    from exact integer moments — see stages/analytics.py:group_correlation."""
+    from arlas_proc_ray.stages.analytics import group_correlation
+
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def to_cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"].values,
+                "qty_c": _cents(pdf["l_quantity"]).values,
+                "disc_c": _cents(pdf["l_discount"]).values,
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    return group_correlation(
+        cents, group_col="l_returnflag", x_col="qty_c", y_col="disc_c",
+        num_partitions=4,
+    )
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2644,6 +2708,8 @@ QUERIES = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "purchase_not_error_users": q_purchase_not_error_users,
     "mode_event_type": q_mode_event_type,
+    "rolling_zscore_anomaly": q_rolling_zscore_anomaly,
+    "lineitem_correlation": q_lineitem_correlation,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3117,6 +3183,37 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "rolling_zscore_anomaly": """
+        WITH c AS (SELECT event_id, user_id, value,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events),
+        w AS (SELECT event_id, user_id, value, c,
+                     sum(c) OVER w8 AS s1,
+                     sum(c * c) OVER w8 AS s2,
+                     count(*) OVER w8 AS n
+              FROM c
+              WINDOW w8 AS (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, value,
+               (c * n - s1) * (c * n - s1) > 4 * (n * s2 - s1 * s1)
+                 AS is_anomaly
+        FROM w
+    """,
+    "lineitem_correlation": """
+        WITH c AS (SELECT l_returnflag,
+                          CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                          CAST(round(l_discount * 100) AS BIGINT) AS y
+                   FROM lineitem),
+        m AS (SELECT l_returnflag, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM c GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        FROM m
     """,
     "time_in_state_per_day": """
         WITH iv AS (

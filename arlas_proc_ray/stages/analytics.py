@@ -403,3 +403,68 @@ def group_covariance(
         partials, keys=[group_col], order_col="n", fn=finalize,
         num_partitions=num_partitions,
     )
+
+
+def group_correlation(
+    ds,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 8,
+):
+    """Pearson correlation per group from EXACT integer moments.
+
+    Like ``group_covariance`` but also carries Σx² and Σy². Per-batch
+    partial sums are int64 (per-batch magnitudes are the caller's
+    contract); the per-group merge promotes to Python ints (arbitrary
+    precision — no overflow at any corpus scale), and the finalize is
+
+        float(n·Σxy − Σx·Σy) / sqrt(float(n·Σx²−Σx²) · float(n·Σy²−Σy²))
+
+    — the same double-from-exact-int expression the SQL oracle computes
+    over HUGEINT sums, so results match bitwise."""
+    import math
+
+    import numpy as np
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy()
+        y = pdf[y_col].to_numpy()
+        pdf = pdf.assign(_xy=x * y, _xx=x * x, _yy=y * y)
+        g = pdf.groupby(group_col, sort=False)
+        out = pd.DataFrame(
+            {
+                "n": g.size(),
+                "sx": g[x_col].sum(),
+                "sy": g[y_col].sum(),
+                "sxy": g["_xy"].sum(),
+                "sxx": g["_xx"].sum(),
+                "syy": g["_yy"].sum(),
+            }
+        ).reset_index()
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf[cols] = pdf[cols].astype(object)  # Python-int exact merge
+        m = pdf.groupby(group_col, sort=False, as_index=False)[cols].sum()
+        num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+        vx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+        vy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+        m["corr"] = [
+            float(a) / math.sqrt(float(b) * float(c)) if b > 0 and c > 0 else None
+            for a, b, c in zip(num, vx, vy)
+        ]
+        m["n"] = m["n"].astype("int64")
+        return m[[group_col, "n", "corr"]]
+
+    return keyed_partition_map(
+        partials, keys=[group_col], order_col="n", fn=finalize,
+        num_partitions=num_partitions,
+    )
