@@ -1781,6 +1781,72 @@ def q_lineitem_correlation(sf_dir: str):
     )
 
 
+def q_user_lifetime_value(sf_dir: str):
+    """Per-user feature profile (the feature-engineering shape a
+    training-data pipeline emits): event count, exact total spend,
+    first/last activity, distinct active days — one keyed exchange,
+    all aggregates vectorized across users in-partition."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["_c"] = _cents(pdf["value"])
+        pdf["_day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+        g = pdf.groupby("user_id", sort=False)
+        days = (
+            pdf.drop_duplicates(["user_id", "_day"])
+            .groupby("user_id", sort=False)
+            .size()
+        )
+        out = pd.DataFrame(
+            {
+                "n_events": g.size().astype("int64"),
+                "total_spend": g["_c"].sum() / 100.0,
+                "first_ts": g["ts"].min(),
+                "last_ts": g["ts"].max(),
+                "active_days": days.astype("int64"),
+            }
+        ).reset_index()
+        return out
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_daily_revenue_delta(sf_dir: str):
+    """Period-over-period: daily revenue (exact cents) with the delta vs
+    the previous day. Per-batch combiner shrinks the exchange to
+    (day, partial_cents); the final day table is bounded by the
+    calendar, so the cross-day lag runs on the collected result."""
+    ds = _events(sf_dir, columns=["ts", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "day": pdf["ts"].dt.strftime("%Y-%m-%d"),
+                "rev_cents": _cents(pdf["value"]).values,
+            }
+        )
+        return tmp.groupby("day", sort=False).sum().reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby("day", sort=False)["rev_cents"].sum().reset_index()
+        )
+
+    days = keyed_partition_map(
+        partials, keys=["day"], order_col="rev_cents", fn=final,
+        num_partitions=4,
+    ).to_pandas()  # bounded: one row per calendar day
+    days = days.sort_values("day").reset_index(drop=True)
+    days["delta_cents"] = (
+        days["rev_cents"] - days["rev_cents"].shift(1).fillna(0)
+    ).astype("int64")
+    return days
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2710,6 +2776,8 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "rolling_zscore_anomaly": q_rolling_zscore_anomaly,
     "lineitem_correlation": q_lineitem_correlation,
+    "user_lifetime_value": q_user_lifetime_value,
+    "daily_revenue_delta": q_daily_revenue_delta,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3183,6 +3251,26 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "user_lifetime_value": """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 AS total_spend,
+               min(ts) AS first_ts, max(ts) AS last_ts,
+               count(DISTINCT strftime(ts, '%Y-%m-%d')) AS active_days
+        FROM events GROUP BY user_id
+    """,
+    "daily_revenue_delta": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+          FROM events GROUP BY 1)
+        SELECT day, rev_cents,
+               rev_cents - coalesce(lag(rev_cents) OVER (ORDER BY day), 0)
+                 AS delta_cents
+        FROM d
     """,
     "rolling_zscore_anomaly": """
         WITH c AS (SELECT event_id, user_id, value,
