@@ -410,3 +410,99 @@ def test_equi_join_all_modes_match_duckdb(lkeys, rkeys, how, P):
     g = out[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     e = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(1, 5000), st.integers(1, 20))
+def test_ntile_integer_formula_matches_sql_semantics(n, k):
+    """The q_value_ntile bucket formula must reproduce SQL NTILE exactly
+    for EVERY n (front-loaded larger buckets), not just k | n."""
+    q, rem = divmod(n, k)
+    cut = rem * (q + 1)
+    r0 = np.arange(n)
+    big = r0 // (q + 1) + 1
+    small = rem + (r0 - cut) // max(q, 1) + 1
+    mine = np.where(r0 < cut, big, small)
+    # reference: first n%k buckets hold q+1 rows, the rest q rows
+    sizes = [q + 1] * rem + [q] * (k - rem)
+    ref = np.repeat(np.arange(1, k + 1), sizes)
+    assert (mine == ref).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 20000), min_size=1, max_size=60),
+    st.integers(1, 10),
+)
+def test_window_sum_cumsum_difference_matches_rolling(cents, w):
+    """The cumsum-difference windowed sum (moving_avg_value /
+    rolling_zscore_anomaly kernel) equals pandas' rolling sum."""
+    s = pd.Series(cents, dtype="int64")
+    cs = s.cumsum()
+    wsum = (cs - cs.shift(w).fillna(0)).astype("int64")
+    ref = s.rolling(w, min_periods=1).sum().astype("int64")
+    assert (wsum == ref).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 20000), min_size=1, max_size=40))
+def test_integer_zscore_decision_matches_float(cents):
+    """(c·n−S₁)² > 4(n·S₂−S₁²) over the trailing-8 frame must agree with
+    the float |x−mean| > 2σ_pop decision away from exact-boundary ties
+    (the integer form exists precisely to pin those ties exactly)."""
+    c = np.asarray(cents, dtype=np.int64)
+    W = 8
+    for i in range(len(c)):
+        lo = max(0, i - W + 1)
+        win = c[lo : i + 1]
+        n = len(win)
+        s1, s2 = int(win.sum()), int((win * win).sum())
+        lhs = (int(c[i]) * n - s1) ** 2
+        rhs = 4 * (n * s2 - s1 * s1)
+        mean = win.mean()
+        var = ((win - mean) ** 2).mean()
+        f_lhs, f_rhs = (c[i] - mean) ** 2, 4 * var
+        if not np.isclose(f_lhs, f_rhs, rtol=1e-9, atol=1e-9):
+            assert (lhs > rhs) == (f_lhs > f_rhs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 10)),
+        min_size=3,
+        max_size=80,
+    ),
+    st.integers(1, 6),
+)
+def test_group_correlation_partials_merge_exactly(rows, nsplit):
+    """group_correlation's moment partials are associative: any batch
+    split merges to the same exact moments, and the finalize matches
+    numpy's corrcoef within float tolerance (exact-int path vs float
+    accumulation)."""
+    import math
+
+    df = pd.DataFrame(rows, columns=["g", "x", "y"])
+    # exact moments per group from ANY split
+    moments = {}
+    for i in range(nsplit):
+        part = df.iloc[i::nsplit]
+        if part.empty:
+            continue
+        for g, sub in part.groupby("g"):
+            m = moments.setdefault(g, [0, 0, 0, 0, 0, 0])
+            m[0] += len(sub)
+            m[1] += int(sub["x"].sum())
+            m[2] += int(sub["y"].sum())
+            m[3] += int((sub["x"] * sub["y"]).sum())
+            m[4] += int((sub["x"] * sub["x"]).sum())
+            m[5] += int((sub["y"] * sub["y"]).sum())
+    for g, sub in df.groupby("g"):
+        n, sx, sy, sxy, sxx, syy = moments[g]
+        assert n == len(sub) and sx == sub["x"].sum() and sy == sub["y"].sum()
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            mine = float(num) / math.sqrt(float(vx) * float(vy))
+            ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert abs(mine - ref) < 1e-9
