@@ -1847,6 +1847,60 @@ def q_daily_revenue_delta(sf_dir: str):
     return days
 
 
+def q_user_session_stats(sf_dir: str):
+    """Two keyed operators FUSED into one exchange via ``chain=``:
+    (1) sessionize (gap > 43200 s) to per-session rows, (2) per-user
+    session statistics — the same key partitioning serves both, so the
+    second operator costs zero additional shuffles (stages/keyed.py
+    chain contract). Durations are exact integer microseconds; the
+    average is int/int double division, bitwise-equal to the oracle."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        prev = g["ts"].shift(1)
+        new_session = prev.isna() | (_dur_s(pdf["ts"], prev) > GAP_S)
+        tmp = pdf.assign(_seg=new_session.cumsum())
+        gb = tmp.groupby("_seg", sort=False)
+        dur_us = (
+            (gb["ts"].max() - gb["ts"].min())
+            .to_numpy()
+            .astype("timedelta64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": gb["user_id"].first(),
+                # session start id keeps the chain's order_col name so the
+                # fused re-sort between stages has its column
+                "event_id": gb["event_id"].min().astype("int64"),
+                "n_events": gb.size().astype("int64"),
+                "dur_us": dur_us,
+            }
+        ).reset_index(drop=True)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        n_sessions = g.size().astype("int64")
+        sum_dur = g["dur_us"].sum().astype("int64")
+        return pd.DataFrame(
+            {
+                "n_sessions": n_sessions,
+                "total_events": g["n_events"].sum().astype("int64"),
+                "max_session_events": g["n_events"].max().astype("int64"),
+                "avg_session_s": sum_dur / n_sessions / 1000000.0,
+            }
+        ).reset_index()
+
+    return keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="event_id",
+        chain=[sessions, stats],
+        num_partitions=NP,
+    )
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2778,6 +2832,7 @@ QUERIES = {
     "lineitem_correlation": q_lineitem_correlation,
     "user_lifetime_value": q_user_lifetime_value,
     "daily_revenue_delta": q_daily_revenue_delta,
+    "user_session_stats": q_user_session_stats,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3251,6 +3306,29 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "user_session_stats": f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 > 43200
+                      THEN 1 ELSE 0 END AS brk
+          FROM events {_W}),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM o),
+        sess AS (
+          SELECT user_id, count(*) AS n_events,
+                 date_diff('microsecond', min(ts), max(ts)) AS dur_us
+          FROM s GROUP BY user_id, seg)
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
+               CAST(max(n_events) AS BIGINT) AS max_session_events,
+               CAST(sum(dur_us) AS BIGINT) / count(*) / 1000000.0
+                 AS avg_session_s
+        FROM sess GROUP BY user_id
     """,
     "user_lifetime_value": """
         SELECT user_id,
