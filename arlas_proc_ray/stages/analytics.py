@@ -229,18 +229,29 @@ def pivot_agg(
     out_cols = [f"{category_col}_{c}" for c in cats]
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        sub = pdf[pdf[category_col].isin(cats)]
+        # factorize + flat bincount: pd.crosstab/pivot_table take a
+        # pure-Python per-group agg path (~10× slower on a 100k-row batch)
+        keys_all = pdf[key_col].to_numpy()
+        ku, key_inv = np.unique(keys_all, return_inverse=True)
+        ci = pd.Categorical(
+            pdf[category_col], categories=cats
+        ).codes.astype(np.int64)  # -1 = not in the explicit category list
+        sel = ci >= 0
+        flat = key_inv[sel] * len(cats) + ci[sel]
+        m = np.zeros(len(ku) * len(cats), dtype=np.int64)
         if agg == "count":
-            wide = pd.crosstab(sub[key_col], sub[category_col])
+            cnt = np.bincount(flat, minlength=len(m))
+            m[: len(cnt)] = cnt
         else:
-            wide = sub.pivot_table(
-                index=key_col, columns=category_col, values=value_col,
-                aggfunc="sum", fill_value=0,
-            )
-        wide = wide.reindex(columns=cats, fill_value=0).astype(np.int64)
-        wide.columns = out_cols
-        keys_seen = pdf[[key_col]].drop_duplicates().set_index(key_col)
-        wide = wide.reindex(keys_seen.index, fill_value=0).reset_index()
+            # int64-exact grouped sum (bincount weights would go float64)
+            sums = pd.Series(pdf[value_col].to_numpy()[sel]).groupby(
+                flat, sort=False
+            ).sum()
+            m[sums.index.to_numpy()] = sums.to_numpy()
+        wide = pd.DataFrame(
+            m.reshape(len(ku), len(cats)), columns=out_cols
+        )
+        wide.insert(0, key_col, ku)
         return wide
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
