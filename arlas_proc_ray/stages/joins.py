@@ -432,15 +432,13 @@ def equi_join_skew_safe(
             suffix=suffix, num_partitions=num_partitions,
         )
 
-    hot_ref = ray.put(set(map(tuple, hot[on].itertuples(index=False))))
+    from arlas_proc_ray.stages.lookup import key_isin, make_key_index
+
+    hot_ref = ray.put(make_key_index(hot, on))
 
     def split_fn(want_hot: bool):
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            hs = ray.get(hot_ref)
-            mask = pd.Series(
-                list(map(tuple, pdf[on].itertuples(index=False))),
-                index=pdf.index,
-            ).isin(hs)
+            mask = key_isin(pdf, on, ray.get(hot_ref))
             return pdf[mask] if want_hot else pdf[~mask]
 
         return fn
@@ -459,10 +457,7 @@ def equi_join_skew_safe(
     rh_ref = ray.put(right_hot)
 
     def hot_join(pdf: pd.DataFrame) -> pd.DataFrame:
-        hs = ray.get(hot_ref)
-        mask = pd.Series(
-            list(map(tuple, pdf[on].itertuples(index=False))), index=pdf.index
-        ).isin(hs)
+        mask = key_isin(pdf, on, ray.get(hot_ref))
         sub = pdf[mask]
         rh = ray.get(rh_ref)
         sub = byte_exact_group_cols(sub.copy(), on)

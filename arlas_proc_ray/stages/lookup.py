@@ -72,14 +72,31 @@ def broadcast_semi_join(ds, keys_table, *, on: Sequence[str], anti: bool = False
     (task-based for the same spawn-cost reason as ``broadcast_join``)."""
     on = list(on)
     small = keys_table.to_pandas() if isinstance(keys_table, pa.Table) else keys_table
-    key_set_ref = ray.put(set(map(tuple, small[on].itertuples(index=False, name=None))))
+    key_ref = ray.put(make_key_index(small, on))
 
     def semi_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(key_set_ref)
-        present = pd.Series(
-            list(map(tuple, batch[on].itertuples(index=False, name=None))),
-            index=batch.index,
-        ).isin(keys)
+        present = key_isin(batch, on, ray.get(key_ref))
         return batch[~present] if anti else batch[present]
 
     return ds.map_batches(semi_filter, batch_format="pandas")
+
+
+def make_key_index(df: pd.DataFrame, on: Sequence[str]):
+    """Broadcastable key-membership structure: a plain set for one key
+    column, a MultiIndex for composite keys. Both hash through PyObject
+    tables — byte-exact on strings (incl. NUL bytes), unlike pandas'
+    C-string factorization — and both test membership vectorized, with
+    no Python per-row tuple loop on the probe side."""
+    on = list(on)
+    if len(on) == 1:
+        return set(df[on[0]].tolist())
+    return pd.MultiIndex.from_frame(df[on].drop_duplicates())
+
+
+def key_isin(pdf: pd.DataFrame, on: Sequence[str], key_index):
+    """Vectorized row membership of ``pdf[on]`` against ``make_key_index``
+    output; returns a boolean numpy array aligned to ``pdf`` rows."""
+    on = list(on)
+    if isinstance(key_index, set):
+        return pdf[on[0]].isin(key_index).to_numpy()
+    return pd.MultiIndex.from_frame(pdf[on]).isin(key_index)

@@ -78,13 +78,12 @@ def detect_hot_keys(
     )
     if cand.empty:
         return pd.DataFrame({**{k: [] for k in keys}, "count": []})
-    cand_ref = ray.put(set(map(tuple, cand[keys].itertuples(index=False))))
+    from arlas_proc_ray.stages.lookup import key_isin, make_key_index
+
+    cand_ref = ray.put(make_key_index(cand, keys))
 
     def recount(pdf: pd.DataFrame) -> pd.DataFrame:
-        cs = ray.get(cand_ref)
-        mask = pd.Series(
-            list(map(tuple, pdf[keys].itertuples(index=False))), index=pdf.index
-        ).isin(cs)
+        mask = key_isin(pdf, keys, ray.get(cand_ref))
         vc = byte_exact_group_cols(pdf[mask].copy(), keys).groupby(
             keys, sort=False
         ).size()
@@ -126,12 +125,12 @@ def salted_aggregate(
     keys = list(keys)
     salt_col = "_salt"
 
+    from arlas_proc_ray.stages.lookup import key_isin, make_key_index
+
     if isinstance(hot_keys, str) and hot_keys == "auto":
         hot_keys = detect_hot_keys(ds, keys, min_fraction=hot_fraction)
     hot_ref = (
-        ray.put(set(map(tuple, hot_keys[keys].itertuples(index=False))))
-        if hot_keys is not None
-        else None
+        ray.put(make_key_index(hot_keys, keys)) if hot_keys is not None else None
     )
 
     def add_salt(batch: pa.Table) -> pa.Table:
@@ -140,11 +139,8 @@ def salted_aggregate(
         n = batch.num_rows
         salts = (np.arange(n, dtype=np.int64) * 2654435761 % salt).astype(np.int32)
         if hot_ref is not None:
-            hs = ray.get(hot_ref)
             pdf = batch.select(keys).to_pandas()
-            is_hot = pd.Series(
-                list(map(tuple, pdf.itertuples(index=False)))
-            ).isin(hs).to_numpy()
+            is_hot = np.asarray(key_isin(pdf, keys, ray.get(hot_ref)))
             salts = np.where(is_hot, salts, 0).astype(np.int32)
         return batch.append_column(salt_col, pa.array(salts))
 
