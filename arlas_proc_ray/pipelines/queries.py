@@ -1552,14 +1552,6 @@ def q_tpch_q3(sf_dir: str):
 
     li_part = li.map_batches(rev_partial, batch_format="pandas")
 
-    joined = equi_join(
-        li_part,
-        orders,
-        on=["o_orderkey"],
-        right_cols=["o_orderdate", "o_orderpriority"],
-        num_partitions=NP,
-    )
-
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False)
         s = g["rev_c4"].sum().reset_index()
@@ -1569,9 +1561,16 @@ def q_tpch_q3(sf_dir: str):
             ["revenue", "o_orderkey"], ascending=[False, True]
         ).head(10)
 
-    tops = keyed_partition_map(
-        joined, keys=["o_orderkey"], order_col="rev_c4", fn=final,
+    # the final per-order aggregation + local top-10 FUSES into the join
+    # partitions (post_fn): the join output is already co-partitioned by
+    # o_orderkey, so a separate keyed pass would re-shuffle for nothing
+    tops = equi_join(
+        li_part,
+        orders,
+        on=["o_orderkey"],
+        right_cols=["o_orderdate", "o_orderpriority"],
         num_partitions=NP,
+        post_fn=final,
     ).to_pandas()  # ≤ 10 rows per partition
     out = tops.sort_values(
         ["revenue", "o_orderkey"], ascending=[False, True]

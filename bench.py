@@ -181,6 +181,9 @@ def run_bench() -> dict:
         "heavy_hitter_terms",
         "customer_order_outer",
         "pivot_event_counts",
+        "tpch_q3",
+        "user_session_stats",
+        "rolling_zscore_anomaly",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
