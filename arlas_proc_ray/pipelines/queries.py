@@ -1900,6 +1900,50 @@ def q_user_session_stats(sf_dir: str):
     )
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Trailing 7-day active users per day (the WAU product-analytics
+    shape). Windowed COUNT(DISTINCT) has no SQL frame form, so both
+    sides compute it as coverage fan-out: distinct (user, day) pairs →
+    each pair covers days d..d+6 (vectorized ×7 repeat) → exact distinct
+    count per covered day. Two exchanges total, both over pair-deduped
+    rows (bounded by users × days, not event count)."""
+    from arlas_proc_ray.stages.setops import distinct
+    from arlas_proc_ray.stages.summarize import grouped_count_distinct
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def to_day(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "d": pdf["ts"].dt.normalize().values,
+            }
+        )
+
+    pairs = distinct(
+        ds.map_batches(to_day, batch_format="pandas"),
+        ["user_id", "d"],
+        num_partitions=NP,
+    )
+
+    def fan_out(pdf: pd.DataFrame) -> pd.DataFrame:
+        rep = pdf.loc[pdf.index.repeat(7)].reset_index(drop=True)
+        offs = np.tile(np.arange(7), len(pdf))
+        day = rep["d"] + pd.to_timedelta(offs, unit="D")
+        return pd.DataFrame(
+            {
+                "user_id": rep["user_id"].values,
+                "day": day.dt.strftime("%Y-%m-%d").values,
+            }
+        )
+
+    covered = pairs.map_batches(fan_out, batch_format="pandas")
+    return grouped_count_distinct(
+        covered, keys=["day"], value_col="user_id", target="active_users",
+        num_partitions=NP,
+    )
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2832,6 +2876,7 @@ QUERIES = {
     "user_lifetime_value": q_user_lifetime_value,
     "daily_revenue_delta": q_daily_revenue_delta,
     "user_session_stats": q_user_session_stats,
+    "rolling_active_users": q_rolling_active_users,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3305,6 +3350,15 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "rolling_active_users": """
+        WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events),
+        f AS (SELECT DISTINCT user_id,
+                     strftime(d + to_days(CAST(i AS INT)), '%Y-%m-%d') AS day
+              FROM p, range(7) t(i))
+        SELECT day, count(*) AS active_users
+        FROM f GROUP BY day
     """,
     "user_session_stats": f"""
         WITH o AS (
