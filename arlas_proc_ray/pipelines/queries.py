@@ -1944,6 +1944,60 @@ def q_rolling_active_users(sf_dir: str):
     )
 
 
+def q_table_profile(sf_dir: str):
+    """Data-profiling operator: per-column row count, null count and
+    EXACT distinct count over the events table — the ingest-validation
+    shape (schema drift / cardinality checks) run before committing a
+    snapshot. One scan emits per-batch (column, repr) pairs ALREADY
+    deduped, so the exchange is bounded by per-column cardinality, not
+    row count; repr is injective per column type (float repr
+    round-trips), so distinct-of-repr == distinct-of-value."""
+    from arlas_proc_ray.stages.summarize import grouped_count_distinct
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _events(sf_dir, columns=cols)
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col_name": cols,
+                "n": np.int64(len(pdf)),
+                "n_null": [int(pdf[c].isna().sum()) for c in cols],
+            }
+        )
+
+    count_partials = ds.map_batches(counts, batch_format="pandas")
+
+    def total(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("col_name", sort=False, as_index=False)[["n", "n_null"]].sum()
+        return g
+
+    totals = keyed_partition_map(
+        count_partials, keys=["col_name"], order_col="n", fn=total,
+        num_partitions=4,
+    ).to_pandas()  # 6 rows
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            s = pdf[c].dropna()
+            frames.append(
+                pd.DataFrame({"col_name": c, "v": s.astype(str).drop_duplicates().values})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    distinct = grouped_count_distinct(
+        ds.map_batches(pairs, batch_format="pandas"),
+        keys=["col_name"], value_col="v", target="n_distinct",
+        num_partitions=NP,
+    ).to_pandas()  # 6 rows
+
+    out = totals.merge(distinct, on="col_name")
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2877,6 +2931,7 @@ QUERIES = {
     "daily_revenue_delta": q_daily_revenue_delta,
     "user_session_stats": q_user_session_stats,
     "rolling_active_users": q_rolling_active_users,
+    "table_profile": q_table_profile,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3350,6 +3405,28 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "table_profile": """
+        SELECT col_name, n, n_null, n_distinct FROM (
+          SELECT 'event_id' AS col_name, count(*) AS n,
+                 count(*) - count(event_id) AS n_null,
+                 count(DISTINCT event_id) AS n_distinct FROM events
+          UNION ALL
+          SELECT 'ts', count(*), count(*) - count(ts),
+                 count(DISTINCT ts) FROM events
+          UNION ALL
+          SELECT 'user_id', count(*), count(*) - count(user_id),
+                 count(DISTINCT user_id) FROM events
+          UNION ALL
+          SELECT 'event_type', count(*), count(*) - count(event_type),
+                 count(DISTINCT event_type) FROM events
+          UNION ALL
+          SELECT 'value', count(*), count(*) - count(value),
+                 count(DISTINCT value) FROM events
+          UNION ALL
+          SELECT 'props', count(*), count(*) - count(props),
+                 count(DISTINCT props) FROM events)
+        ORDER BY col_name
     """,
     "rolling_active_users": """
         WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
