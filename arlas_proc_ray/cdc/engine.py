@@ -284,6 +284,64 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
 
+    def purge_keys(self, keys, epoch: int | None = None) -> dict:
+        """GDPR-style hard delete of whole keys from the snapshot.
+
+        Purge IS an epoch: one DELETE tombstone per key is synthesized
+        with an LSN ABOVE the store's applied watermark and run through
+        the normal ``apply_epoch`` — so the purge is exactly-once,
+        crash-resumable, idempotent on retry, and wins LWW against any
+        late replay of the purged keys' older events (their LSN is below
+        the tombstone's). Nothing new to trust: it is the engine's own
+        delete path. ``delta=True`` keeps untouched partitions as
+        metadata references — a purge of K keys rewrites at most K
+        partition files regardless of table size.
+
+        ``keys``: pandas DataFrame or pyarrow Table carrying exactly
+        ``dm.key_cols``. ``epoch`` defaults to latest committed + 1.
+        Returns the ``apply_epoch`` summary.
+        """
+        import numpy as np
+        import ray.data as rd
+
+        from arlas_proc_ray.cdc.events import CANONICAL_EVENT_SCHEMA
+
+        if isinstance(keys, pa.Table):
+            keys = keys.to_pandas()
+        key_cols = list(self.dm.key_cols)
+        keys = keys[key_cols].drop_duplicates().reset_index(drop=True)
+        latest = self.store.latest_committed_epoch()
+        if epoch is None:
+            epoch = (latest if latest is not None else 0) + 1
+        watermark = (
+            int(self.store.read_epoch_summary(latest).get("last_lsn", -1))
+            if latest is not None
+            else -1
+        )
+        n = len(keys)
+        lsns = watermark + 1 + np.arange(n, dtype=np.int64)
+        cols = {
+            "lsn": pa.array(lsns, pa.int64()),
+            "op": pa.array(["DELETE"] * n, pa.string()),
+        }
+        for k in key_cols:
+            cols[k] = pa.array(keys[k].tolist(), CANONICAL_EVENT_SCHEMA.field(k).type)
+        for f in CANONICAL_EVENT_SCHEMA:
+            if f.name in cols:
+                continue
+            if f.name == "delivery_index":
+                cols[f.name] = pa.array(np.arange(n, dtype=np.int64), f.type)
+            elif f.name == "schema_version":
+                cols[f.name] = pa.array([2] * n, f.type)
+            elif pa.types.is_integer(f.type):
+                cols[f.name] = pa.array([0] * n, f.type)
+            else:
+                cols[f.name] = pa.array([""] * n, f.type)
+        tomb = pa.table({f.name: cols[f.name] for f in CANONICAL_EVENT_SCHEMA})
+        return self.apply_epoch(rd.from_arrow(tomb), epoch=epoch, delta=True)
+
+    # ------------------------------------------------------------------
+
     def lookup(self, keys, epoch: int | None = None) -> pa.Table:
         """Point reads with partition pruning — the serving path.
 

@@ -136,3 +136,46 @@ def test_skewed_hot_key_correctness():
     ) / cfg.num_events
     assert hot_share > 0.5
     _assert_parity(cfg, DataModel(num_partitions=8))
+
+
+def test_purge_keys_is_a_fenced_tombstone_epoch(tmp_path):
+    """GDPR purge: purge_keys removes exactly the requested keys, wins LWW
+    over late replays of their older events, is idempotent on retry of
+    the same epoch, and leaves every other key bit-identical."""
+    from arlas_proc_ray.cdc import CdcEngine
+
+    cfg = ChangelogConfig(num_events=2_000, num_keys=150, num_repos=4, seed=5)
+    dm = DataModel(num_partitions=8)
+    eng = CdcEngine(str(tmp_path / "snap"), dm)
+    eng.apply_epoch(changelog_dataset(cfg), epoch=1)
+    before = eng.final_state().to_pandas().sort_values(["repo", "path"])
+    assert len(before) > 20
+
+    victims = before[["repo", "path"]].head(7)
+    summary = eng.purge_keys(victims)
+    after = eng.final_state().to_pandas().sort_values(["repo", "path"])
+
+    # purged keys gone, everything else untouched
+    merged = after.merge(victims, on=["repo", "path"], how="inner")
+    assert merged.empty
+    keep_exp = (
+        before.merge(victims, on=["repo", "path"], how="left", indicator=True)
+        .query("_merge == 'left_only'")
+        .drop(columns="_merge")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        after.reset_index(drop=True)[list(keep_exp.columns)], keep_exp
+    )
+
+    # late replay of the purged keys' ORIGINAL events must not resurrect
+    # them: their lsn is below the tombstone watermark
+    assert summary["row_count"] == len(keep_exp)
+    eng.apply_epoch(changelog_dataset(cfg), epoch=3)
+    final = eng.final_state().to_pandas()
+    assert final.merge(victims, on=["repo", "path"], how="inner").empty
+
+    # retrying the SAME purge epoch on a fresh engine object is a no-op
+    eng2 = CdcEngine(str(tmp_path / "snap"), dm)
+    with pytest.raises(ValueError):
+        eng2.purge_keys(victims, epoch=2)  # already committed
