@@ -16,6 +16,10 @@ Usage (each command owns the Ray session; on a cluster, submit with
     # verify a committed snapshot's manifests (row counts + sha256 rollups)
     python -m arlas_proc_ray.jobs verify --snapshot /data/snapshot
 
+    # GDPR purge: hard-delete keys via a fenced tombstone epoch
+    python -m arlas_proc_ray.jobs purge \
+        --keys /data/victims.parquet --snapshot /data/snapshot
+
 Re-running ``replay`` with the same ``--epoch`` is safe: finished
 partitions are skipped by the manifest fence, unfinished ones re-execute
 idempotently (crash-resume is the same command again).
@@ -83,6 +87,36 @@ def cmd_synthesize(args) -> dict:
     return {"out": args.out, "events": hi - args.lo, "seed": args.seed}
 
 
+def cmd_purge(args) -> dict:
+    """GDPR-style key purge (see CdcEngine.purge_keys): reads the victim
+    keys from a Parquet/CSV file carrying the key columns and applies one
+    fenced tombstone epoch. Resubmitting the same job after a crash
+    resumes via the manifest fence; resubmitting after success is a
+    committed-epoch no-op like replay."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+
+    _ray_session(args.num_cpus)
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    if args.keys.endswith(".csv"):
+        keys = pacsv.read_csv(args.keys)
+    else:
+        keys = pq.read_table(args.keys)
+    dm = DataModel(num_partitions=args.partitions)
+    engine = CdcEngine(args.snapshot, dm)
+    latest = engine.store.latest_committed_epoch()
+    epoch = args.epoch if args.epoch is not None else None
+    if epoch is not None and latest is not None and epoch <= latest:
+        return {
+            "epoch": epoch,
+            "already_committed": True,
+            "latest_committed": latest,
+        }
+    return engine.purge_keys(keys, epoch=epoch)
+
+
 def cmd_verify(args) -> dict:
     from arlas_proc_ray.cdc.snapshot import SnapshotStore
 
@@ -125,6 +159,16 @@ def main(argv=None) -> int:
     s.add_argument("--hi", type=int, default=None)
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_synthesize)
+
+    g = sub.add_parser("purge", help="hard-delete keys via a tombstone epoch")
+    g.add_argument("--keys", required=True,
+                   help="parquet/csv file with the key columns (repo, path)")
+    g.add_argument("--snapshot", required=True)
+    g.add_argument("--epoch", type=int, default=None,
+                   help="target epoch (default: latest committed + 1)")
+    g.add_argument("--partitions", type=int, default=64)
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_purge)
 
     v = sub.add_parser("verify", help="check a committed snapshot")
     v.add_argument("--snapshot", required=True)

@@ -37,3 +37,44 @@ def test_jobs_cli_roundtrip(tmp_path, capsys):
         generate_changelog_tables(ChangelogConfig(num_events=n, num_keys=max(1000, n // 20), seed=42))
     )
     assert out[-1]["rows"] == exp.num_rows
+
+
+def test_jobs_cli_purge(tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.cdc import CdcEngine
+    from arlas_proc_ray.jobs import main
+    from arlas_proc_ray.model import DataModel
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "8",
+    ]) == 0
+
+    eng = CdcEngine(snap, DataModel(num_partitions=8))
+    before = eng.final_state().to_pandas()
+    victims = before[["repo", "path"]].head(5)
+    vf = str(tmp_path / "victims.parquet")
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(victims, preserve_index=False), vf)
+
+    assert main([
+        "purge", "--keys", vf, "--snapshot", snap, "--partitions", "8",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["row_count"] == len(before) - 5
+
+    after = eng.final_state().to_pandas()
+    assert after.merge(victims, on=["repo", "path"], how="inner").empty
+
+    # resubmitting the same purge epoch is a committed no-op
+    assert main([
+        "purge", "--keys", vf, "--snapshot", snap,
+        "--epoch", "2", "--partitions", "8",
+    ]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2.get("already_committed") is True
