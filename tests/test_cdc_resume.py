@@ -272,3 +272,31 @@ def test_manifests_carry_apply_metrics(tmp_path):
         total += m.metrics["events_applied"]
     # pre-shuffle LWW combining may collapse events; never exceeds input
     assert 0 < total <= cfg.num_events
+
+
+def test_purge_crash_resume(tmp_path):
+    """A purge epoch that crashes mid-commit resumes like any epoch:
+    re-running purge_keys with the SAME epoch completes it and the final
+    state equals an uninterrupted purge."""
+    from arlas_proc_ray.cdc import ChangelogConfig, CdcEngine, changelog_dataset
+    from arlas_proc_ray.model import DataModel
+
+    dm = DataModel(num_partitions=8)
+    cfg = ChangelogConfig(num_events=3_000, num_keys=300, num_repos=5, seed=13)
+    snap = str(tmp_path / "snap")
+    eng = CdcEngine(snap, dm)
+    eng.apply_epoch(changelog_dataset(cfg), epoch=1)
+    before = eng.final_state().to_pandas()
+    victims = before[["repo", "path"]].head(9)
+
+    crashy = CdcEngine(snap, dm, fault_hook=CrashAt(epoch=2, part_threshold=3))
+    with pytest.raises(Exception):
+        crashy.purge_keys(victims, epoch=2)
+    assert crashy.store.latest_committed_epoch() == 1
+
+    resumed = CdcEngine(snap, dm)
+    s = resumed.purge_keys(victims, epoch=2)
+    assert resumed.store.latest_committed_epoch() == 2
+    after = resumed.final_state().to_pandas()
+    assert after.merge(victims, on=["repo", "path"], how="inner").empty
+    assert s["row_count"] == len(before) - 9
