@@ -1998,6 +1998,45 @@ def q_table_profile(sf_dir: str):
     return out.sort_values("col_name").reset_index(drop=True)
 
 
+def q_embedding_position_stats(sf_dir: str):
+    """Vector-column explode: per-position min/max/count over the
+    embedding list column. Each batch reduces the ragged column to ONE
+    64-row partial (zero-copy flatten → reshape → axis-0 min/max), so
+    the exchange carries dims × blocks rows — never the vectors. min and
+    max are order-free, so float parity with SQL is exact."""
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten()
+        arr = np.asarray(flat).reshape(len(col), -1)
+        dims = arr.shape[1]
+        return pd.DataFrame(
+            {
+                "pos": np.arange(1, dims + 1, dtype=np.int64),
+                "mn": arr.min(axis=0),
+                "mx": arr.max(axis=0),
+                "n": np.int64(len(col)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("pos", sort=False)
+        return pd.DataFrame(
+            {
+                "mn": g["mn"].min(),
+                "mx": g["mx"].max(),
+                "n": g["n"].sum().astype("int64"),
+            }
+        ).reset_index()
+
+    return keyed_partition_map(
+        partials, keys=["pos"], order_col="n", fn=combine, num_partitions=4
+    )
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2932,6 +2971,7 @@ QUERIES = {
     "user_session_stats": q_user_session_stats,
     "rolling_active_users": q_rolling_active_users,
     "table_profile": q_table_profile,
+    "embedding_position_stats": q_embedding_position_stats,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3405,6 +3445,14 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "embedding_position_stats": """
+        SELECT CAST(i AS BIGINT) AS pos,
+               min(embedding[i]) AS mn,
+               max(embedding[i]) AS mx,
+               count(*) AS n
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY 1
     """,
     "table_profile": """
         SELECT col_name, n, n_null, n_distinct FROM (
