@@ -235,6 +235,59 @@ class SnapshotStore:
                 parts.append(t)
         return pa.concat_tables(parts) if parts else None
 
+    def lineage(self) -> pa.Table:
+        """Every partition manifest ever committed, as one queryable table.
+
+        The north-rule's per-partition lineage surface: one row per
+        (epoch, partition) with the fence watermark, row count, sha256
+        rollup, whether the file is live in the latest committed epoch's
+        source map, and the apply metrics as a JSON string. Reads only
+        manifests (KBs), never data files — constant-cost introspection
+        at any table size.
+        """
+        latest = self.latest_committed_epoch()
+        live = self.resolve_sources(latest) if latest is not None else {}
+        rows = {
+            "epoch": [], "partition_id": [], "last_lsn": [],
+            "row_count": [], "max_surviving_lsn": [], "sha256_rollup": [],
+            "committed": [], "live": [], "metrics_json": [],
+        }
+        if os.path.isdir(self.root):
+            for name in sorted(os.listdir(self.root)):
+                if not name.startswith("epoch="):
+                    continue
+                e = int(name.split("=", 1)[1])
+                committed = os.path.exists(self.commit_marker_path(e))
+                for f in sorted(os.listdir(os.path.join(self.root, name))):
+                    if not (f.startswith("manifest-") and f.endswith(".json")):
+                        continue
+                    p = int(f[len("manifest-"):-len(".json")])
+                    m = self.read_manifest(e, p)
+                    if m is None:
+                        continue
+                    rows["epoch"].append(e)
+                    rows["partition_id"].append(p)
+                    rows["last_lsn"].append(m.last_lsn)
+                    rows["row_count"].append(m.row_count)
+                    rows["max_surviving_lsn"].append(m.max_surviving_lsn)
+                    rows["sha256_rollup"].append(m.sha256_rollup)
+                    rows["committed"].append(committed)
+                    rows["live"].append(live.get(p) == e)
+                    rows["metrics_json"].append(json.dumps(m.metrics, sort_keys=True))
+        return pa.table(
+            {
+                "epoch": pa.array(rows["epoch"], pa.int64()),
+                "partition_id": pa.array(rows["partition_id"], pa.int32()),
+                "last_lsn": pa.array(rows["last_lsn"], pa.int64()),
+                "row_count": pa.array(rows["row_count"], pa.int64()),
+                "max_surviving_lsn": pa.array(rows["max_surviving_lsn"], pa.int64()),
+                "sha256_rollup": pa.array(rows["sha256_rollup"], pa.string()),
+                "committed": pa.array(rows["committed"], pa.bool_()),
+                "live": pa.array(rows["live"], pa.bool_()),
+                "metrics_json": pa.array(rows["metrics_json"], pa.string()),
+            }
+        )
+
     # ---- retention -------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[int]:

@@ -187,3 +187,34 @@ def test_empty_diff_is_typed_empty():
     # (to_pandas() on an all-empty dataset drops columns — assert upstream)
     assert out.count() == 0
     assert out.schema().names == ["repo", "path", "lang", "content", "op"]
+
+
+def test_lineage_table(tmp_path):
+    """lineage() lists every committed manifest with live/fence fields
+    consistent with the store's own resolution."""
+    from arlas_proc_ray.cdc import ChangelogConfig, CdcEngine, changelog_dataset
+    from arlas_proc_ray.model import DataModel
+
+    dm = DataModel(num_partitions=4)
+    eng = CdcEngine(str(tmp_path / "s"), dm)
+    cfg = ChangelogConfig(num_events=1_000, num_keys=100, seed=2)
+    eng.apply_epoch(changelog_dataset(cfg), epoch=1)
+    cfg2 = ChangelogConfig(num_events=2_000, num_keys=100, seed=2)
+    eng.apply_epoch(
+        changelog_dataset(cfg2, lo=1_000, hi=2_000), epoch=2, delta=True
+    )
+
+    lin = eng.store.lineage().to_pandas()
+    assert set(lin["epoch"]) == {1, 2}
+    assert lin["committed"].all()
+    # exactly num_partitions rows are live, and they match resolve_sources
+    live = lin[lin["live"]]
+    assert len(live) == dm.num_partitions
+    src = eng.store.resolve_sources(2)
+    got = dict(zip(live["partition_id"].astype(int), live["epoch"].astype(int)))
+    assert got == {int(p): int(e) for p, e in src.items()}
+    # fence watermarks are monotone per partition across epochs
+    for p, grp in lin.sort_values("epoch").groupby("partition_id"):
+        assert grp["last_lsn"].is_monotonic_increasing
+    # live row_counts sum to the final state size
+    assert live["row_count"].sum() == eng.final_state().num_rows
