@@ -117,6 +117,18 @@ def cmd_purge(args) -> dict:
     return engine.purge_keys(keys, epoch=epoch)
 
 
+def cmd_lineage(args) -> dict:
+    """Dump the per-partition manifest history (SnapshotStore.lineage)
+    as JSON rows — constant-cost introspection (manifests only)."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    lin = SnapshotStore(args.snapshot).lineage()
+    return {
+        "rows": lin.num_rows,
+        "lineage": lin.to_pylist() if args.full else lin.to_pylist()[: args.head],
+    }
+
+
 def cmd_verify(args) -> dict:
     from arlas_proc_ray.cdc.snapshot import SnapshotStore
 
@@ -173,6 +185,12 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="check a committed snapshot")
     v.add_argument("--snapshot", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    ln = sub.add_parser("lineage", help="dump per-partition manifest history")
+    ln.add_argument("--snapshot", required=True)
+    ln.add_argument("--head", type=int, default=50)
+    ln.add_argument("--full", action="store_true")
+    ln.set_defaults(fn=cmd_lineage)
 
     args = p.parse_args(argv)
     out = args.fn(args)
