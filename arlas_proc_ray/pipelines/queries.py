@@ -2037,6 +2037,47 @@ def q_embedding_position_stats(sf_dir: str):
     )
 
 
+def q_value_mad_by_type(sf_dir: str):
+    """Robust statistics: per-type median and median-absolute-deviation
+    in exact integer cents (DuckDB quantile_disc rule: sorted element at
+    ceil(q·n)−1). One keyed exchange; the median gather, the deviation,
+    and the MAD gather are all vectorized across the partition's groups
+    (the in-partition re-sort of deviations is an O(n log n) mergesort,
+    free next to the shuffle it shares)."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def to_cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].values,
+                "_c": _cents(pdf["value"]).values,
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("event_type", sort=False)
+        sizes = g.size().to_numpy().astype(np.int64)
+        firsts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        idx = firsts + np.maximum(np.ceil(0.5 * sizes).astype(np.int64) - 1, 0)
+        vals = pdf["_c"].to_numpy()
+        med = vals[idx]
+        dev = np.abs(vals - np.repeat(med, sizes))
+        # groups arrive key-sorted, so re-sorting (key, dev) preserves the
+        # same group order and the same firsts/sizes alignment
+        tmp = pd.DataFrame({"k": pdf["event_type"].values, "_d": dev})
+        dvals = tmp.sort_values(["k", "_d"], kind="mergesort")["_d"].to_numpy()
+        out = g.head(1)[["event_type"]].reset_index(drop=True)
+        out["med_cents"] = med
+        out["mad_cents"] = dvals[idx]
+        return out
+
+    return keyed_partition_map(
+        cents, keys=["event_type"], order_col="_c", fn=fn, num_partitions=4
+    )
+
+
 def q_inverted_postings(sf_dir: str):
     """Inverted-index build: top-3 postings (tf desc, id asc) per corpus
     term — one keyed exchange carrying (doc, term, tf) rows only."""
@@ -2972,6 +3013,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "table_profile": q_table_profile,
     "embedding_position_stats": q_embedding_position_stats,
+    "value_mad_by_type": q_value_mad_by_type,
     "lineitem_covariance": q_lineitem_covariance,
     "unpivot_lineitem": q_unpivot_lineitem,
     "rollup_revenue": q_rollup_revenue,
@@ -3445,6 +3487,17 @@ ORACLE_SQL = {
                                                     event_type ASC) AS rn
               FROM c)
         WHERE rn = 1
+    """,
+    "value_mad_by_type": """
+        WITH c AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events),
+        m AS (SELECT event_type, quantile_disc(c, 0.5) AS med_cents
+              FROM c GROUP BY 1)
+        SELECT c.event_type, m.med_cents,
+               quantile_disc(abs(c.c - m.med_cents), 0.5) AS mad_cents
+        FROM c JOIN m USING (event_type)
+        GROUP BY c.event_type, m.med_cents
     """,
     "embedding_position_stats": """
         SELECT CAST(i AS BIGINT) AS pos,
