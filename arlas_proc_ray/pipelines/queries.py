@@ -5069,3 +5069,239 @@ ORACLE_SQL["curation"] = rf"""
     LEFT JOIN clus c ON c.doc_id = e.doc_id
     WHERE c.lbl IS NULL OR c.lbl = e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4 additions: LEAD window, quota sampling, dense rank,
+# grouped linear regression
+# ---------------------------------------------------------------------------
+
+
+def q_next_event_gap(sf_dir: str):
+    """Per-key LEAD window: each event joined with its successor's type
+    and the exact integer-µs gap to it (LEAD(...) OVER (PARTITION BY
+    user ORDER BY event_id)). One keyed exchange; the lead is a
+    vectorized groupby shift inside the partition — at 100 TB this is
+    the same single co-partition shuffle every keyed window here uses,
+    never a self-join."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False)
+        nxt_ts = g["ts"].shift(-1)
+        nxt_ty = g["event_type"].shift(-1)
+        keep = nxt_ts.notna().to_numpy()
+        gap = (
+            nxt_ts.to_numpy()[keep].astype("datetime64[us]").astype("int64")
+            - pdf["ts"].to_numpy()[keep].astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy()[keep],
+                "user_id": pdf["user_id"].to_numpy()[keep],
+                "next_type": nxt_ty.to_numpy()[keep],
+                "gap_us": gap,
+            }
+        )
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_source_quota_sample(sf_dir: str):
+    """Per-domain quota sampling (training-data curation: cap any one
+    source's contribution). Keeps at most K docs per source, elected by
+    a DETERMINISTIC splitmix64 hash of doc_id — an unbiased sample that
+    is reproducible across runs/retries and needs no RNG state. One
+    keyed exchange; the per-source head() is vectorized."""
+    from arlas_proc_ray.cdc.events import _splitmix64
+
+    K = 15
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(pdf["doc_id"].to_numpy().astype(np.uint64))
+        pdf = pdf.assign(_h=h).sort_values(
+            ["source", "_h", "doc_id"], kind="mergesort"
+        )
+        return pdf.groupby("source", sort=False).head(K)[["doc_id", "source"]]
+
+    return keyed_partition_map(
+        ds, keys=["source"], order_col="doc_id", fn=fn, num_partitions=NP
+    )
+
+
+def q_user_spend_rank(sf_dir: str):
+    """DENSE_RANK of users by total spend within each event_type.
+
+    Combiner-first: every batch collapses to (type, user) partial sums
+    in exact integer cents BEFORE the one keyed exchange; the dense
+    rank is a vectorized in-partition groupby rank over the aggregated
+    (small) domain — the fact table itself is never re-shuffled."""
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.assign(_c=_cents(pdf["value"]))
+            .groupby(["event_type", "user_id"], sort=False)["_c"]
+            .sum()
+            .reset_index()
+            .rename(columns={"_c": "spend_cents"})
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            pdf.groupby(["event_type", "user_id"], sort=False, as_index=False)[
+                "spend_cents"
+            ].sum()
+        )
+        s["spend_rank"] = (
+            s.groupby("event_type", sort=False)["spend_cents"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        return s
+
+    return keyed_partition_map(
+        partials, keys=["event_type"], order_col="user_id", fn=fin,
+        num_partitions=NP,
+    )
+
+
+def q_value_trend(sf_dir: str):
+    """Grouped least-squares regression (slope + intercept) of event
+    value-cents against event time in epoch-HOURS, from EXACT integer
+    moments: per-batch int64 partials (hour-scale x keeps Σx² in-range),
+    Python-int merge (overflow-free at any corpus size), one
+    double-from-exact-int expression at the end — bitwise-identical to
+    the SQL oracle's HUGEINT computation."""
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 3_600_000_000
+        )
+        y = _cents(pdf["value"]).to_numpy()
+        tmp = pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "_x": x,
+                "_y": y,
+                "_xy": x * y,
+                "_xx": x * x,
+            }
+        )
+        g = tmp.groupby("event_type", sort=False)
+        out = pd.DataFrame(
+            {
+                "n": g.size(),
+                "sx": g["_x"].sum(),
+                "sy": g["_y"].sum(),
+                "sxy": g["_xy"].sum(),
+                "sxx": g["_xx"].sum(),
+            }
+        ).reset_index()
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    cols = ["n", "sx", "sy", "sxy", "sxx"]
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf[cols] = pdf[cols].astype(object)  # Python-int exact merge
+        m = pdf.groupby("event_type", sort=False, as_index=False)[cols].sum()
+        num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+        den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+        slope = [float(a) / float(b) for a, b in zip(num, den)]
+        icept = [
+            (float(sy) - sl * float(sx)) / float(n)
+            for sy, sl, sx, n in zip(m["sy"], slope, m["sx"], m["n"])
+        ]
+        return pd.DataFrame(
+            {
+                "event_type": m["event_type"],
+                "n": m["n"].astype("int64"),
+                "slope_cents_per_hour": slope,
+                "intercept_cents": icept,
+            }
+        )
+
+    return keyed_partition_map(
+        partials, keys=["event_type"], order_col="n", fn=finalize,
+        num_partitions=NP,
+    )
+
+
+QUERIES["next_event_gap"] = q_next_event_gap
+QUERIES["source_quota_sample"] = q_source_quota_sample
+QUERIES["user_spend_rank"] = q_user_spend_rank
+QUERIES["value_trend"] = q_value_trend
+
+ORACLE_SQL["next_event_gap"] = """
+    WITH w AS (
+      SELECT event_id, user_id, ts,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS next_type,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY event_id) AS next_ts
+      FROM events)
+    SELECT event_id, user_id, next_type,
+           CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS gap_us
+    FROM w WHERE next_ts IS NOT NULL
+"""
+
+_SQS_C2 = 0xBF58476D1CE4E5B9
+_SQS_C3 = 0x94D049BB133111EB
+ORACLE_SQL["source_quota_sample"] = f"""
+    WITH s0 AS (
+      SELECT doc_id, source,
+             (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+               % {_M64_SQL} AS z
+      FROM documents),
+    s1 AS (SELECT doc_id, source,
+                  {_sql_mulmod64("xor(z, z >> 30)", _SQS_C2)} AS z FROM s0),
+    s2 AS (SELECT doc_id, source,
+                  {_sql_mulmod64("xor(z, z >> 27)", _SQS_C3)} AS z FROM s1),
+    h AS (SELECT doc_id, source, xor(z, z >> 31) AS z FROM s2)
+    SELECT doc_id, source FROM h
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY z, doc_id) <= 15
+"""
+
+ORACLE_SQL["user_spend_rank"] = """
+    WITH s AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, user_id, spend_cents,
+           CAST(dense_rank() OVER (PARTITION BY event_type
+                                   ORDER BY spend_cents DESC) AS BIGINT)
+             AS spend_rank
+    FROM s
+"""
+
+ORACLE_SQL["value_trend"] = """
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    m AS (SELECT event_type, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM c GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m
+"""
