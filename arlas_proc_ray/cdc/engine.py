@@ -392,6 +392,12 @@ class CdcEngine:
             return FINAL_STATE_SCHEMA.empty_table()
         return pa.concat_tables(out)
 
+    def scan(self, **kwargs):
+        """Pruned streaming read of the committed snapshot (see
+        SnapshotStore.scan): zone-map + applied-LSN partition pruning from
+        manifests only, pushdown residual filter, lazy Ray Dataset out."""
+        return self.store.scan(**kwargs)
+
     def final_state(self, epoch: int | None = None) -> pa.Table:
         t = self.store.read_state(epoch)
         if t is None:

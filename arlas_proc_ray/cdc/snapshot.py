@@ -55,6 +55,101 @@ class PartitionManifest:
     # the north-rule's "per-partition lineage + metrics"; purely
     # observational, never read by the fence/resume logic.
     metrics: dict = field(default_factory=dict)
+    # Zone maps: {column: [min, max]} over the partition's surviving rows,
+    # for int/float columns and short strings (both bounds ≤ 64 chars).
+    # Purely an OPTIMIZATION surface for scan-time partition pruning —
+    # absence (older manifests) just means "cannot prune".
+    col_stats: dict = field(default_factory=dict)
+
+
+_STATS_MAX_STR = 64
+
+
+def _column_stats(table: pa.Table) -> dict:
+    """JSON-serializable per-column [min, max] zone maps.
+
+    Collected with the Arrow min_max kernel (vectorized, no Python rows).
+    Long strings (e.g. file content) are skipped: a truncated max is not a
+    valid upper bound, and nobody range-filters on them anyway."""
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    stats: dict = {}
+    if table.num_rows == 0:
+        return stats
+    for name in table.column_names:
+        col = table.column(name)
+        t = col.type
+        if not (pt.is_integer(t) or pt.is_floating(t) or pt.is_string(t)
+                or pt.is_large_string(t)):
+            continue
+        try:
+            mm = pc.min_max(col)
+        except pa.ArrowNotImplementedError:  # pragma: no cover
+            continue
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:  # all-null column
+            continue
+        if isinstance(lo, str) and (
+            len(lo) > _STATS_MAX_STR or len(hi) > _STATS_MAX_STR
+        ):
+            continue
+        if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
+            continue
+        stats[name] = [lo, hi]
+    return stats
+
+
+def _stats_may_match(col_stats: dict, predicate) -> bool:
+    """Conservative zone-map overlap test for a conjunctive predicate.
+
+    ``predicate`` is a list of ``(column, op, value)`` with op in
+    {==, !=, <, <=, >, >=}. Returns False only when the partition's
+    [min, max] PROVES no row can satisfy every clause; missing stats for
+    a column mean "may match"."""
+    for col, op, val in predicate:
+        bounds = col_stats.get(col)
+        if bounds is None:
+            continue
+        lo, hi = bounds
+        if op == "==":
+            if val < lo or val > hi:
+                return False
+        elif op == "!=":
+            if lo == hi == val:
+                return False
+        elif op == "<":
+            if lo >= val:
+                return False
+        elif op == "<=":
+            if lo > val:
+                return False
+        elif op == ">":
+            if hi <= val:
+                return False
+        elif op == ">=":
+            if hi < val:
+                return False
+        else:
+            raise ValueError(f"unknown predicate op: {op!r}")
+    return True
+
+
+def _predicate_to_expr(predicate):
+    """Conjunctive (col, op, value) list → pyarrow dataset expression."""
+    import operator
+
+    import pyarrow.dataset as pads
+
+    ops = {
+        "==": operator.eq, "!=": operator.ne, "<": operator.lt,
+        "<=": operator.le, ">": operator.gt, ">=": operator.ge,
+    }
+    expr = None
+    for col, op, val in predicate:
+        e = ops[op](pads.field(col), val)
+        expr = e if expr is None else expr & e
+    return expr
 
 
 def _atomic_write_bytes(path: str, payload: bytes) -> None:
@@ -124,6 +219,7 @@ class SnapshotStore:
             sha256_rollup=sha256_rollup(shas),
             max_surviving_lsn=surviving,
             metrics=dict(metrics or {}),
+            col_stats=_column_stats(table),
         )
         data_path = self.part_data_path(epoch, part)
         os.makedirs(os.path.dirname(data_path), exist_ok=True)
@@ -234,6 +330,120 @@ class SnapshotStore:
             if t is not None and t.num_rows:
                 parts.append(t)
         return pa.concat_tables(parts) if parts else None
+
+    def plan_scan(
+        self,
+        *,
+        epoch: int | None = None,
+        predicate: list[tuple] | None = None,
+        changed_since_lsn: int | None = None,
+    ) -> dict:
+        """Manifest-only pruning plan for a snapshot scan.
+
+        Decides, from manifests alone (KBs, no data I/O), which partition
+        files a scan must read:
+
+        - ``changed_since_lsn``: partitions whose applied watermark
+          (``last_lsn``) is ≤ the given LSN provably received no event
+          after it — skipped (incremental consumption).
+        - ``predicate``: conjunctive ``(col, op, value)`` clauses tested
+          against each partition's zone maps (``col_stats``); a partition
+          whose [min, max] proves no row can match is skipped. Manifests
+          written before zone maps existed simply never prune.
+        - empty partitions (row_count 0) are always skipped.
+
+        Returns ``{"epoch", "files", "partitions_total", "pruned_lsn",
+        "pruned_stats", "pruned_empty"}``. Pruning is conservative: a
+        surviving file may still contain no matching row; ``scan()``
+        applies the predicate as a residual row filter.
+        """
+        e = self.latest_committed_epoch() if epoch is None else epoch
+        if e is None:
+            raise RuntimeError("no committed epoch")
+        sources = self.resolve_sources(e)
+        num_partitions = self.read_epoch_summary(e)["num_partitions"]
+        files: list[str] = []
+        pruned_lsn = pruned_stats = pruned_empty = 0
+        for p in range(num_partitions):
+            src = sources.get(p, e)
+            m = self.read_manifest(src, p)
+            if m is None:  # pragma: no cover - commit_epoch guarantees
+                raise RuntimeError(f"epoch {e}: missing manifest for part {p}")
+            if m.row_count == 0:
+                pruned_empty += 1
+                continue
+            if changed_since_lsn is not None and m.last_lsn <= changed_since_lsn:
+                pruned_lsn += 1
+                continue
+            if predicate and not _stats_may_match(m.col_stats, predicate):
+                pruned_stats += 1
+                continue
+            files.append(self.part_data_path(src, p))
+        return {
+            "epoch": e,
+            "files": files,
+            "partitions_total": num_partitions,
+            "pruned_lsn": pruned_lsn,
+            "pruned_stats": pruned_stats,
+            "pruned_empty": pruned_empty,
+        }
+
+    def scan(
+        self,
+        *,
+        epoch: int | None = None,
+        predicate: list[tuple] | None = None,
+        changed_since_lsn: int | None = None,
+        changed_rows_only: bool = False,
+        columns: list[str] | None = None,
+    ):
+        """Pruned streaming read of a committed snapshot as a Ray Dataset.
+
+        Partition files are pruned by ``plan_scan`` (zone maps + applied-LSN
+        watermarks, manifests only); the surviving files are read with
+        ``ray.data.read_parquet`` with the SAME predicate pushed down as a
+        pyarrow dataset filter (row-group/page pruning inside each file) and
+        ``columns=`` projection — so at 100 TB a selective scan touches only
+        the partitions, row groups and columns it needs, and the result is a
+        lazy Dataset the streaming executor pipelines.
+
+        ``changed_rows_only=True`` (requires ``changed_since_lsn``) further
+        filters to rows with ``last_lsn > changed_since_lsn`` — a true
+        incremental changed-row feed for downstream consumers.
+        """
+        import ray.data as rd
+
+        if changed_rows_only and changed_since_lsn is None:
+            raise ValueError("changed_rows_only requires changed_since_lsn")
+        plan = self.plan_scan(
+            epoch=epoch, predicate=predicate, changed_since_lsn=changed_since_lsn
+        )
+        clauses = list(predicate or [])
+        if changed_rows_only:
+            clauses.append(("last_lsn", ">", int(changed_since_lsn)))
+        expr = _predicate_to_expr(clauses) if clauses else None
+        if not plan["files"]:
+            # typed empty dataset: schema from any live partition file
+            sources = self.resolve_sources(plan["epoch"])
+            schema = None
+            for p, src in sorted(sources.items()):
+                path = self.part_data_path(src, p)
+                if os.path.exists(path):
+                    schema = pq.read_schema(path)
+                    break
+            if schema is None:
+                raise RuntimeError("no partition files to derive schema from")
+            empty = schema.empty_table()
+            if columns:
+                empty = empty.select(columns)
+            return rd.from_arrow(empty)
+        # partitioning=None: the hive-style ``epoch=N`` path segment must
+        # not be inferred as a column — scan schema equals file schema.
+        # (Ray 2.49 can't combine partitioning=None with columns=; with a
+        # projection the hive column is excluded anyway unless requested.)
+        if columns is None:
+            return rd.read_parquet(plan["files"], filter=expr, partitioning=None)
+        return rd.read_parquet(plan["files"], columns=columns, filter=expr)
 
     def lineage(self) -> pa.Table:
         """Every partition manifest ever committed, as one queryable table.

@@ -133,8 +133,12 @@ def key_hash(table: pa.Table | pd.DataFrame, key_cols: list[str]) -> np.ndarray:
             else table[col].to_numpy()
         )
         h = pd.util.hash_array(vals, categorize=False)
-        # combine with a distinct odd multiplier per column position
-        h = h * np.uint64(0x9E3779B97F4A7C15 + 2 * i + 1)
+        # combine with a distinct ODD multiplier per column position.
+        # The golden-ratio constant is itself odd, so the offset must be
+        # EVEN (2i): an even multiplier zeroes the product's low bit and
+        # hash % P could then only ever reach the even partitions —
+        # half the cluster idle on every keyed exchange.
+        h = h * np.uint64(0x9E3779B97F4A7C15 + 2 * i)
         out = h if out is None else (out ^ h)
     assert out is not None, "key_cols must be non-empty"
     return out

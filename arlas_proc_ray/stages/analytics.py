@@ -49,10 +49,14 @@ def funnel(
         )
         out = prev.rename(f"{steps[0]}_ts").to_frame()
         for step in steps[1:]:
+            # merge on a materialized column, not right_index=True: with an
+            # empty side pandas can name the result's INDEX ``user_col``,
+            # making the later groupby(user_col) ambiguous (index level vs
+            # column label) — partition-layout dependent, caught when the
+            # key-routing fix redistributed groups.
+            prev_df = prev.rename("_prev").rename_axis(user_col).reset_index()
             sub = pdf.loc[pdf[type_col] == step, [user_col, ts_col]].merge(
-                prev.rename("_prev"),
-                left_on=user_col,
-                right_index=True,
+                prev_df, on=user_col
             )
             prev = (
                 sub[sub[ts_col] > sub["_prev"]]

@@ -52,3 +52,21 @@ def test_partition_ids_stable_and_in_range():
     np.testing.assert_array_equal(p1, p2)
     assert p1[0] == p1[1]  # same key → same partition
     assert ((p1 >= 0) & (p1 < 16)).all()
+
+
+def test_partition_ids_reach_every_partition():
+    """Regression: an even per-column multiplier once zeroed the hash's
+    low bit, so hash % P could only reach even partitions — half the
+    cluster idle on every keyed exchange. With distinct keys ≫ P, every
+    partition must be hit, for single AND composite keys, odd and even P."""
+    n = 4096
+    t = pa.table(
+        {
+            "repo": [f"org{i % 37}/repo{i % 113}" for i in range(n)],
+            "path": [f"src/f{i}.py" for i in range(n)],
+        }
+    )
+    for P in (7, 8, 16, 64):
+        for cols in (["path"], ["repo", "path"]):
+            hit = set(partition_ids(t, cols, P))
+            assert hit == set(range(P)), (P, cols, sorted(hit))

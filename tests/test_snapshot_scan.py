@@ -1,0 +1,191 @@
+"""Zone-map + watermark-pruned snapshot scans (cdc/snapshot.py).
+
+Pins: per-partition [min, max] zone maps are collected at write time;
+plan_scan prunes partitions from MANIFESTS ONLY (predicate zone-map
+overlap, changed-since-LSN watermark, empty partitions); scan() returns
+a lazy Ray Dataset whose rows equal a full read + row filter; manifests
+written before zone maps existed never prune (conservative); delta
+epochs resolve source files through the metadata chain.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from arlas_proc_ray.cdc.snapshot import (
+    SnapshotStore,
+    _column_stats,
+    _stats_may_match,
+)
+from arlas_proc_ray.functions.hashing import sha256_hex
+
+
+def _part_table(part: int, lsn_base: int) -> pa.Table:
+    """100 rows; v ∈ [part*100, part*100+99]; last_lsn ∈ [lsn_base, +99]."""
+    v = list(range(part * 100, part * 100 + 100))
+    keys = [f"k{part:02d}-{i:03d}" for i in range(100)]
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "v": pa.array(v, pa.int64()),
+            "last_lsn": pa.array(
+                [lsn_base + i for i in range(100)], pa.int64()
+            ),
+            "content_sha256": pa.array(
+                sha256_hex(pa.chunked_array([pa.array(keys)])), pa.string()
+            ),
+        }
+    )
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = SnapshotStore(str(tmp_path / "snap"))
+    # parts 0..3: v ranges [0,99] [100,199] [200,299] [300,399];
+    # fences (manifest last_lsn) 99, 199, 299, 399.
+    for p in range(4):
+        s.write_partition(0, p, _part_table(p, p * 100))
+    s.commit_epoch(0, 4)
+    return s
+
+
+def test_zone_maps_written(store):
+    m = store.read_manifest(0, 2)
+    assert m.col_stats["v"] == [200, 299]
+    assert m.col_stats["last_lsn"] == [200, 299]
+    assert m.col_stats["key"] == ["k02-000", "k02-099"]
+    # content_sha256 is a 64-char string — exactly at the cap, kept
+    assert "content_sha256" in m.col_stats
+
+
+def test_plan_scan_predicate_prunes(store):
+    plan = store.plan_scan(predicate=[("v", ">=", 250)])
+    assert plan["pruned_stats"] == 2  # parts 0,1 (max 99, 199)
+    assert len(plan["files"]) == 2
+    plan = store.plan_scan(predicate=[("v", "==", 150)])
+    assert plan["pruned_stats"] == 3 and len(plan["files"]) == 1
+    plan = store.plan_scan(
+        predicate=[("v", ">=", 150), ("v", "<", 180)]
+    )
+    assert len(plan["files"]) == 1
+    # string zone map prune
+    plan = store.plan_scan(predicate=[("key", "<", "k01-000")])
+    assert len(plan["files"]) == 1
+
+
+def test_scan_rows_match_full_filter(store):
+    got = (
+        store.scan(predicate=[("v", ">=", 250)], columns=["key", "v"])
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    full = store.read_state(0).to_pandas()
+    want = (
+        full.loc[full["v"] >= 250, ["key", "v"]]
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) == 150  # residual filter inside surviving partitions
+
+
+def test_scan_empty_result_typed(store):
+    ds = store.scan(predicate=[("v", ">", 10_000)], columns=["key", "v"])
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema().base_schema] == ["key", "v"]
+
+
+def test_changed_since_lsn_prunes(store):
+    plan = store.plan_scan(changed_since_lsn=199)
+    assert plan["pruned_lsn"] == 2  # fences 99 and 199 are ≤ 199
+    assert len(plan["files"]) == 2
+    # watermark fence uses applied last_lsn, strictly-greater survives
+    plan = store.plan_scan(changed_since_lsn=198)
+    assert plan["pruned_lsn"] == 1
+
+
+def test_changed_rows_only(store):
+    ds = store.scan(changed_since_lsn=250, changed_rows_only=True)
+    df = ds.to_pandas()
+    assert (df["last_lsn"] > 250).all()
+    assert len(df) == 149  # lsns 251..399
+    with pytest.raises(ValueError):
+        store.scan(changed_rows_only=True)
+
+
+def test_legacy_manifest_never_prunes(store):
+    # simulate a manifest written before zone maps existed
+    p = store.part_manifest_path(0, 3)
+    with open(p) as f:
+        m = json.load(f)
+    del m["col_stats"]
+    with open(p, "w") as f:
+        json.dump(m, f)
+    plan = store.plan_scan(predicate=[("v", ">", 10_000)])
+    assert len(plan["files"]) == 1  # part 3 kept: no stats → may match
+    assert store.scan(predicate=[("v", ">", 10_000)]).count() == 0
+
+
+def test_empty_partition_pruned(tmp_path):
+    s = SnapshotStore(str(tmp_path / "snap2"))
+    s.write_partition(0, 0, _part_table(0, 0))
+    s.write_partition(0, 1, _part_table(1, 100).slice(0, 0))
+    s.commit_epoch(0, 2)
+    plan = s.plan_scan()
+    assert plan["pruned_empty"] == 1 and len(plan["files"]) == 1
+
+
+def test_delta_epoch_scan_resolves_sources(store):
+    # epoch 1 rewrites only part 0 (new v range, higher lsns); the other
+    # three partitions are served through the epoch-0 files.
+    t = _part_table(0, 400)
+    t = t.set_column(1, "v", pa.array(range(1000, 1100), pa.int64()))
+    store.write_partition(1, 0, t, last_lsn=499)
+    store.commit_epoch(1, 4, sources={1: 0, 2: 0, 3: 0})
+    plan = store.plan_scan(predicate=[("v", ">=", 1000)])
+    assert len(plan["files"]) == 1
+    assert "epoch=1" in plan["files"][0]
+    # unchanged partitions pruned by the watermark even across the chain
+    plan = store.plan_scan(changed_since_lsn=399)
+    assert len(plan["files"]) == 1
+    # epoch 1 REPLACED part 0 (v now ≥ 1000): v<200 matches only part 1
+    got = store.scan(predicate=[("v", "<", 200)]).to_pandas()
+    assert len(got) == 100 and got["v"].min() == 100 and got["v"].max() == 199
+    assert list(got.columns) == ["key", "v", "last_lsn", "content_sha256"]
+
+
+def test_stats_may_match_ops():
+    st = {"v": [10, 20], "s": ["b", "d"]}
+    assert not _stats_may_match(st, [("v", "==", 9)])
+    assert _stats_may_match(st, [("v", "==", 10)])
+    assert not _stats_may_match(st, [("v", "<", 10)])
+    assert _stats_may_match(st, [("v", "<", 11)])
+    assert not _stats_may_match(st, [("v", "<=", 9)])
+    assert not _stats_may_match(st, [("v", ">", 20)])
+    assert not _stats_may_match(st, [("v", ">=", 21)])
+    assert _stats_may_match(st, [("v", "!=", 15)])
+    assert not _stats_may_match({"v": [7, 7]}, [("v", "!=", 7)])
+    assert not _stats_may_match(st, [("s", ">", "d")])
+    assert _stats_may_match(st, [("missing", "==", 1)])
+    with pytest.raises(ValueError):
+        _stats_may_match(st, [("v", "~", 1)])
+
+
+def test_column_stats_skips_long_and_null():
+    t = pa.table(
+        {
+            "long": pa.array(["x" * 100, "y"]),
+            "nul": pa.array([None, None], pa.int64()),
+            "f": pa.array([1.5, float("nan")]),
+            "ok": pa.array([3, 1], pa.int64()),
+            "bin": pa.array([b"a", b"b"], pa.binary()),
+        }
+    )
+    st = _column_stats(t)
+    assert "long" not in st and "nul" not in st and "bin" not in st
+    assert st["ok"] == [1, 3]
+    # NaN participates in Arrow min_max; bounds with NaN are dropped
+    assert "f" not in st or st["f"][0] == st["f"][0]
