@@ -129,6 +129,47 @@ def cmd_lineage(args) -> dict:
     }
 
 
+def cmd_scan(args) -> dict:
+    """Pruned snapshot export: zone-map + watermark partition pruning from
+    manifests only (SnapshotStore.scan), predicate pushed down into the
+    parquet read, result streamed to ``--out`` as partitioned Parquet.
+    ``--where`` clauses are ``col:op:value`` (op in ==,!=,<,<=,>,>=;
+    value parsed as int/float when it looks numeric)."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    _ray_session(args.num_cpus)
+    predicate = []
+    for clause in args.where or []:
+        col, op, val = clause.split(":", 2)
+        try:
+            val = int(val)
+        except ValueError:
+            try:
+                val = float(val)
+            except ValueError:
+                pass
+        predicate.append((col, op, val))
+    store = SnapshotStore(args.snapshot)
+    plan = store.plan_scan(
+        predicate=predicate or None,
+        changed_since_lsn=args.changed_since_lsn,
+    )
+    ds = store.scan(
+        predicate=predicate or None,
+        changed_since_lsn=args.changed_since_lsn,
+        changed_rows_only=args.changed_rows_only,
+        columns=args.columns.split(",") if args.columns else None,
+    )
+    out = {k: v for k, v in plan.items() if k != "files"}
+    out["files_read"] = len(plan["files"])
+    if args.out:
+        ds.write_parquet(args.out)
+        out["out"] = args.out
+    else:
+        out["rows"] = ds.count()
+    return out
+
+
 def cmd_verify(args) -> dict:
     from arlas_proc_ray.cdc.snapshot import SnapshotStore
 
@@ -185,6 +226,17 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="check a committed snapshot")
     v.add_argument("--snapshot", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    sc = sub.add_parser("scan", help="pruned snapshot export (zone maps + LSN)")
+    sc.add_argument("--snapshot", required=True)
+    sc.add_argument("--out", default=None, help="parquet dir (omit: count only)")
+    sc.add_argument("--where", action="append", default=None,
+                    metavar="COL:OP:VALUE", help="conjunctive clause, repeatable")
+    sc.add_argument("--columns", default=None, help="comma-separated projection")
+    sc.add_argument("--changed-since-lsn", type=int, default=None)
+    sc.add_argument("--changed-rows-only", action="store_true")
+    sc.add_argument("--num-cpus", type=int, default=None)
+    sc.set_defaults(fn=cmd_scan)
 
     ln = sub.add_parser("lineage", help="dump per-partition manifest history")
     ln.add_argument("--snapshot", required=True)

@@ -78,3 +78,37 @@ def test_jobs_cli_purge(tmp_path, capsys):
     ]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2.get("already_committed") is True
+
+
+def test_jobs_cli_scan(tmp_path, capsys):
+    """scan subcommand: pruned export honors --where and counts/exports."""
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "8",
+    ]) == 0
+    # count-only scan with a predicate on repo
+    assert main([
+        "scan", "--snapshot", snap, "--where", "repo:==:org0/monorepo",
+        "--columns", "repo,path,last_lsn",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    sc = lines[-1]
+    assert sc["files_read"] <= sc["partitions_total"]
+    assert sc["rows"] > 0
+
+    # export to parquet, changed-rows-only from lsn 0 == everything
+    out_dir = str(tmp_path / "export")
+    assert main([
+        "scan", "--snapshot", snap, "--out", out_dir,
+        "--changed-since-lsn", "-1", "--changed-rows-only",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(out_dir).count_rows()
+    assert n > 0 and lines[-1]["out"] == out_dir
