@@ -81,7 +81,7 @@ class MergeActor:
 
         self.part = partition_id
         self.dm = dm
-        self.store = SnapshotStore(snapshot_dir)
+        self.store = SnapshotStore(snapshot_dir, bloom_cols=dm.key_list)
         self.compact_rows = compact_rows
         self.spill_bytes = spill_bytes
         self.combinable = combinable

@@ -106,8 +106,10 @@ class CdcEngine:
         registry=None,
         fault_hook=None,
     ):
-        self.store = SnapshotStore(snapshot_dir)
         self.dm = dm or DataModel()
+        # blooms over the key columns: == point lookups prune partitions
+        # zone maps never can (hash partitioning spreads every key range)
+        self.store = SnapshotStore(snapshot_dir, bloom_cols=self.dm.key_list)
         self.registry = registry or default_registry()
         self.fault_hook = fault_hook
 

@@ -60,6 +60,12 @@ class PartitionManifest:
     # Purely an OPTIMIZATION surface for scan-time partition pruning —
     # absence (older manifests) just means "cannot prune".
     col_stats: dict = field(default_factory=dict)
+    # Bloom filters: {column: {"m": bits, "k": hashes, "b64": bitmap}} over
+    # the partition's surviving rows, for point-lookup (==) pruning. Zone
+    # maps cannot prune equality predicates on hash-partitioned key columns
+    # (every partition spans the full key domain); blooms can. Same
+    # optimization-only contract as col_stats: absence = cannot prune.
+    blooms: dict = field(default_factory=dict)
 
 
 _STATS_MAX_STR = 64
@@ -98,6 +104,72 @@ def _column_stats(table: pa.Table) -> dict:
             continue
         stats[name] = [lo, hi]
     return stats
+
+
+_BLOOM_MIN_BITS = 1 << 13  # 1 KiB
+_BLOOM_MAX_BITS = 1 << 20  # 128 KiB
+_BLOOM_HASHES = 3
+
+
+def _bloom_positions(vals, num_bits: int, num_hashes: int):
+    """Kirsch-Mitzenmacher double hashing over one sha256-prefix int per
+    value — the SAME published scheme as stages/bloom.py:_salted_positions,
+    so a bloom built here is reproducible from SQL the same way. Values
+    are cast to string first (one canonical byte form per value)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from arlas_proc_ray.functions.hashing import sha256_prefix_int
+
+    hv = sha256_prefix_int(pc.cast(vals, pa.string()))
+    null = hv < 0
+    h1 = hv % num_bits
+    h2 = (hv // num_bits) % num_bits | np.int64(1)
+    out = []
+    for i in range(num_hashes):
+        pos = (h1 + np.int64(i) * h2) % num_bits
+        pos[null] = -1
+        out.append(pos)
+    return out
+
+
+def _bloom_build(col, num_rows: int) -> dict:
+    """One packed base64 bitmap for a column; ~8 bits/row (FP ≈ 3% at
+    k=3), clamped to [1 KiB, 128 KiB] and rounded up to a power of two
+    (h2 is odd, hence coprime with a power-of-two m)."""
+    import base64
+
+    import numpy as np
+
+    bits = _BLOOM_MIN_BITS
+    while bits < num_rows * 8 and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    bm = np.zeros(bits // 8, dtype=np.uint8)
+    for pos in _bloom_positions(col, bits, _BLOOM_HASHES):
+        pos = pos[pos >= 0]
+        np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return {
+        "m": bits,
+        "k": _BLOOM_HASHES,
+        "b64": base64.b64encode(bm.tobytes()).decode(),
+    }
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """False only when the bloom PROVES the value absent."""
+    import base64
+
+    import numpy as np
+
+    bm = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    col = pa.array([value])
+    for pos in _bloom_positions(col, int(bloom["m"]), int(bloom["k"])):
+        p = int(pos[0])
+        if p < 0:  # null probe value: bloom says nothing
+            return True
+        if not (bm[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
 
 
 def _stats_may_match(col_stats: dict, predicate) -> bool:
@@ -170,8 +242,12 @@ def _atomic_write_bytes(path: str, payload: bytes) -> None:
 class SnapshotStore:
     """Filesystem layout + atomic commit protocol for compacted snapshots."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, *, bloom_cols: list[str] | None = None):
         self.root = root
+        # Columns to build per-partition bloom filters over at write time
+        # (typically the key columns — zone maps cannot prune == on
+        # hash-partitioned keys, blooms can). None → no blooms.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else []
         os.makedirs(root, exist_ok=True)
 
     # ---- paths -----------------------------------------------------------
@@ -220,6 +296,11 @@ class SnapshotStore:
             max_surviving_lsn=surviving,
             metrics=dict(metrics or {}),
             col_stats=_column_stats(table),
+            blooms={
+                c: _bloom_build(table.column(c), table.num_rows)
+                for c in self.bloom_cols
+                if c in table.column_names and table.num_rows
+            },
         )
         data_path = self.part_data_path(epoch, part)
         os.makedirs(os.path.dirname(data_path), exist_ok=True)
@@ -352,8 +433,14 @@ class SnapshotStore:
           written before zone maps existed simply never prune.
         - empty partitions (row_count 0) are always skipped.
 
+        - bloom filters (when the manifest carries them) prune ``==``
+          clauses zone maps cannot — hash-partitioned key columns span
+          the full domain in every partition, but a bloom miss proves
+          the key absent (false-positive keeps, never false prunes).
+
         Returns ``{"epoch", "files", "partitions_total", "pruned_lsn",
-        "pruned_stats", "pruned_empty"}``. Pruning is conservative: a
+        "pruned_stats", "pruned_bloom", "pruned_empty"}``. Pruning is
+        conservative: a
         surviving file may still contain no matching row; ``scan()``
         applies the predicate as a residual row filter.
         """
@@ -363,7 +450,7 @@ class SnapshotStore:
         sources = self.resolve_sources(e)
         num_partitions = self.read_epoch_summary(e)["num_partitions"]
         files: list[str] = []
-        pruned_lsn = pruned_stats = pruned_empty = 0
+        pruned_lsn = pruned_stats = pruned_empty = pruned_bloom = 0
         for p in range(num_partitions):
             src = sources.get(p, e)
             m = self.read_manifest(src, p)
@@ -378,6 +465,13 @@ class SnapshotStore:
             if predicate and not _stats_may_match(m.col_stats, predicate):
                 pruned_stats += 1
                 continue
+            if predicate and m.blooms and any(
+                op == "==" and col in m.blooms
+                and not _bloom_may_contain(m.blooms[col], val)
+                for col, op, val in predicate
+            ):
+                pruned_bloom += 1
+                continue
             files.append(self.part_data_path(src, p))
         return {
             "epoch": e,
@@ -385,6 +479,7 @@ class SnapshotStore:
             "partitions_total": num_partitions,
             "pruned_lsn": pruned_lsn,
             "pruned_stats": pruned_stats,
+            "pruned_bloom": pruned_bloom,
             "pruned_empty": pruned_empty,
         }
 

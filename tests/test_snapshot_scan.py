@@ -189,3 +189,51 @@ def test_column_stats_skips_long_and_null():
     assert st["ok"] == [1, 3]
     # NaN participates in Arrow min_max; bounds with NaN are dropped
     assert "f" not in st or st["f"][0] == st["f"][0]
+
+
+def test_bloom_point_lookup_prunes(tmp_path):
+    """Zone maps cannot prune == on hash-partitioned keys (every partition
+    spans the domain); blooms prove absence. FP keeps, never false-prunes."""
+    s = SnapshotStore(str(tmp_path / "snapb"), bloom_cols=["key"])
+    for p in range(4):
+        s.write_partition(0, p, _part_table(p, p * 100))
+    s.commit_epoch(0, 4)
+    m = s.read_manifest(0, 2)
+    assert set(m.blooms) == {"key"}
+    assert m.blooms["key"]["m"] >= 8192 and m.blooms["key"]["k"] == 3
+
+    # a key that exists in exactly one partition: ≥1 file survives and the
+    # scan returns exactly that row
+    plan = s.plan_scan(predicate=[("key", "==", "k02-017")])
+    assert 1 <= len(plan["files"]) <= 2  # FP may keep an extra partition
+    got = s.scan(predicate=[("key", "==", "k02-017")]).to_pandas()
+    assert len(got) == 1 and got.loc[0, "v"] == 217
+
+    # a key INSIDE part 2's zone-map range but absent: zone maps keep the
+    # partition, only the bloom can prove absence (deterministic hashing,
+    # FP ≈ 1e-9 at 8192 bits / 100 keys / k=3)
+    plan = s.plan_scan(predicate=[("key", "==", "k02-050z")])
+    assert plan["pruned_stats"] == 3  # the other parts: range miss
+    assert plan["pruned_bloom"] == 1  # part 2: bloom miss
+    assert s.scan(predicate=[("key", "==", "k02-050z")]).count() == 0
+
+    # non-== clauses and non-bloomed columns never consult blooms
+    plan = s.plan_scan(predicate=[("key", ">=", "k00-000")])
+    assert plan["pruned_bloom"] == 0
+
+
+def test_bloom_absent_without_bloom_cols(store):
+    """Stores built without bloom_cols (default) write no blooms and the
+    == path falls back to zone maps only — old manifests keep working."""
+    m = store.read_manifest(0, 0)
+    assert m.blooms == {}
+    plan = store.plan_scan(predicate=[("key", "==", "k00-005")])
+    assert plan["pruned_bloom"] == 0
+
+
+def test_engine_store_has_key_blooms(tmp_path):
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+
+    eng = CdcEngine(str(tmp_path / "es"), DataModel(num_partitions=4))
+    assert eng.store.bloom_cols == ["repo", "path"]
