@@ -1333,6 +1333,41 @@ def q_cdc_engine_replay(sf_dir: str):
     import shutil
     import tempfile
 
+    snap = tempfile.mkdtemp(prefix="cdc_engine_replay_")
+    try:
+        eng = _events_engine_snapshot(sf_dir, snap)
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def q_snapshot_pruned_scan(sf_dir: str):
+    """Zone-map + bloom pruned snapshot scan (cdc/snapshot.py plan_scan/
+    scan) with a driver-visible SQL oracle: build the SAME deterministic
+    events-derived snapshot as ``cdc_engine_replay``, then point-scan one
+    repo key. The manifests' bloom filters prove the key absent in most
+    partitions (zone maps cannot — hash partitioning spreads every key
+    range across all of them), so only the partition(s) that can hold
+    'u7' are read; the residual predicate is pushed into the parquet
+    scan. Result must equal the SQL LWW final state filtered to 'u7'."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="snapshot_pruned_scan_")
+    try:
+        eng = _events_engine_snapshot(sf_dir, snap)
+        return eng.scan(
+            predicate=[("repo", "==", "u7")],
+            columns=["repo", "path", "content_sha256", "last_lsn"],
+        ).to_pandas()
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def _events_engine_snapshot(sf_dir: str, snap: str):
+    """Build the deterministic events-derived CdcEngine snapshot used by
+    ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``."""
     from arlas_proc_ray.cdc.engine import CdcEngine
     from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
     from arlas_proc_ray.model import DataModel
@@ -1356,31 +1391,25 @@ def q_cdc_engine_replay(sf_dir: str):
         )
         return pa.Table.from_arrays(
             [
-                eid,                                   # lsn
+                eid,
                 op,
                 repo,
-                t.column("event_type"),                # path
-                pc.cast(eid, pa.string()),             # commit
-                t.column("event_type"),                # lang (v1 name)
-                t.column("props"),                     # content
-                pa.array(np.ones(n, np.int32)),        # schema_version = 1
-                eid,                                   # delivery_index
+                t.column("event_type"),
+                pc.cast(eid, pa.string()),
+                t.column("event_type"),
+                t.column("props"),
+                pa.array(np.ones(n, np.int32)),
+                eid,
             ],
             schema=EVENT_SCHEMA_V1,
         )
 
     changelog = ds.map_batches(to_changelog, batch_format="pyarrow", batch_size=None)
     mid = int(ds.max("event_id") or 0) // 2
-
-    snap = tempfile.mkdtemp(prefix="cdc_engine_replay_")
-    try:
-        eng = CdcEngine(snap, DataModel(num_partitions=NP))
-        eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
-        eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
-        out = eng.final_state()
-        return out.to_pandas() if hasattr(out, "to_pandas") else out
-    finally:
-        shutil.rmtree(snap, ignore_errors=True)
+    eng = CdcEngine(snap, DataModel(num_partitions=NP))
+    eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
+    eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
+    return eng
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -3041,6 +3070,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "nul_key_segments": q_nul_key_segments,
     "cdc_engine_replay": q_cdc_engine_replay,
+    "snapshot_pruned_scan": q_snapshot_pruned_scan,
     "cdc_lww_upsert": q_cdc_lww_upsert,
     "dedup_first_per_key": q_dedup_first_per_key,
     "gap_state": q_gap_state,
@@ -4164,6 +4194,22 @@ ORACLE_SQL = {
                sha256(content) AS content_sha256,
                lsn AS last_lsn
         FROM last WHERE rn = 1 AND op <> 'DELETE'
+    """,
+    "snapshot_pruned_scan": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 props AS content
+          FROM events),
+        last AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+                                       ORDER BY lsn DESC) AS rn
+          FROM ch)
+        SELECT repo, path, sha256(content) AS content_sha256,
+               lsn AS last_lsn
+        FROM last WHERE rn = 1 AND op <> 'DELETE' AND repo = 'u7'
     """,
     "lang_id": """
         WITH w AS (
