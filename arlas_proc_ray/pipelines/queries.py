@@ -4630,7 +4630,11 @@ def _viterbi_sql(model_json: str, *, key: str, order: str, em_cte: str,
     S = len(spec["states"])
     LI = np.log(np.asarray(spec["initial"], dtype=np.float64) + 1e-300)
     LT = np.log(np.asarray(spec["transition"], dtype=np.float64) + 1e-300)
-    lit = lambda x: f"{float(x)!r}::DOUBLE"  # noqa: E731
+    # string-literal cast, NOT a bare numeric literal: DuckDB parses a bare
+    # 17-digit literal as DECIMAL then casts (double rounding, off-by-1-ULP
+    # on e.g. -0.36594965513194083), while a VARCHAR→DOUBLE cast is
+    # correctly rounded — required for bit-exact parity with numpy Viterbi
+    lit = lambda x: f"'{float(x)!r}'::DOUBLE"  # noqa: E731
 
     init_cols = ", ".join(
         f"{lit(LI[s])} + e{s} AS d{s}, '{s}' AS p{s}" for s in range(S)
@@ -4691,7 +4695,7 @@ def _emit_case(model_json: str, state: int) -> str:
     spec = json.loads(model_json)
     LE = np.log(np.asarray(spec["emission"], dtype=np.float64) + 1e-300)
     return ("CASE bin " + " ".join(
-        f"WHEN {b} THEN {float(LE[state, b])!r}::DOUBLE"
+        f"WHEN {b} THEN '{float(LE[state, b])!r}'::DOUBLE"
         for b in range(LE.shape[1])
     ) + " END")
 
@@ -4703,7 +4707,7 @@ def _bin_case(model_json: str, obs: str) -> str:
     edges = spec["bin_edges"]
     n_bins = len(edges) - 1
     whens = " ".join(
-        f"WHEN {obs} >= {float(edges[b])!r}::DOUBLE THEN {b}"
+        f"WHEN {obs} >= '{float(edges[b])!r}'::DOUBLE THEN {b}"
         for b in range(n_bins - 1, 0, -1)
     )
     return f"CASE {whens} ELSE 0 END"

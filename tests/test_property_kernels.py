@@ -9,7 +9,7 @@ partition-id stability, and salted-aggregation invariance.
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from arlas_proc_ray.cdc.replay import lww_reduce_table
@@ -283,6 +283,13 @@ def test_keyed_duration_byte_exact_vs_pandas_oracle(rows, P):
     n_keys=st.integers(1, 4),
     run_len=st.integers(1, 40),
 )
+@example(
+    seed=17971,
+    n_states=2,
+    n_bins=2,
+    n_keys=2,
+    run_len=35,
+).via('discovered failure')
 def test_viterbi_sql_builder_matches_numpy(seed, n_states, n_bins, n_keys, run_len):
     """The recursive-CTE Viterbi builder (pipelines/queries.py:_viterbi_sql)
     must decode EXACTLY like HmmModel.viterbi for arbitrary model shapes —
