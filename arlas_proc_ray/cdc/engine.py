@@ -105,11 +105,21 @@ class CdcEngine:
         dm: DataModel | None = None,
         registry=None,
         fault_hook=None,
+        cluster_by: list[str] | None = None,
+        row_group_rows: int | None = None,
     ):
         self.dm = dm or DataModel()
         # blooms over the key columns: == point lookups prune partitions
-        # zone maps never can (hash partitioning spreads every key range)
-        self.store = SnapshotStore(snapshot_dir, bloom_cols=self.dm.key_list)
+        # zone maps never can (hash partitioning spreads every key range).
+        # cluster_by sorts each partition file by the given columns at
+        # write time so scan() predicates also prune ROW GROUPS inside
+        # surviving files (see SnapshotStore.cluster_by).
+        self.store = SnapshotStore(
+            snapshot_dir,
+            bloom_cols=self.dm.key_list,
+            cluster_by=cluster_by,
+            row_group_rows=row_group_rows,
+        )
         self.registry = registry or default_registry()
         self.fault_hook = fault_hook
 

@@ -207,6 +207,43 @@ def _stats_may_match(col_stats: dict, predicate) -> bool:
     return True
 
 
+def row_group_pruning_stats(files, predicate) -> dict:
+    """Footer-only estimate of row-group pruning for a conjunctive predicate.
+
+    Reads ONLY Parquet footers (KBs per file) and applies the same
+    conservative zone-map test as partition pruning to each row group's
+    column statistics — the set of row groups a pushed-down ``scan()``
+    filter must actually read. With sort-key clustering
+    (``SnapshotStore(cluster_by=...)``), row-group min/max ranges on the
+    cluster columns are near-disjoint and selective predicates prune most
+    groups; on unclustered data every group spans the whole domain and
+    nothing prunes. Returns row-group and row counts, total vs matching.
+    """
+    total_rgs = match_rgs = 0
+    total_rows = match_rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            stats: dict = {}
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    stats[col.path_in_schema] = [st.min, st.max]
+            total_rgs += 1
+            total_rows += rgm.num_rows
+            if _stats_may_match(stats, predicate):
+                match_rgs += 1
+                match_rows += rgm.num_rows
+    return {
+        "row_groups_total": total_rgs,
+        "row_groups_matching": match_rgs,
+        "rows_total": total_rows,
+        "rows_matching": match_rows,
+    }
+
+
 def _predicate_to_expr(predicate):
     """Conjunctive (col, op, value) list → pyarrow dataset expression."""
     import operator
@@ -242,12 +279,31 @@ def _atomic_write_bytes(path: str, payload: bytes) -> None:
 class SnapshotStore:
     """Filesystem layout + atomic commit protocol for compacted snapshots."""
 
-    def __init__(self, root: str, *, bloom_cols: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        *,
+        bloom_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        row_group_rows: int | None = None,
+    ):
         self.root = root
         # Columns to build per-partition bloom filters over at write time
         # (typically the key columns — zone maps cannot prune == on
         # hash-partitioned keys, blooms can). None → no blooms.
         self.bloom_cols = list(bloom_cols) if bloom_cols else []
+        # Sort-key clustering: every partition's rows are sorted by these
+        # columns before the Parquet write, so row-group min/max statistics
+        # become TIGHT (disjoint ranges instead of each row group spanning
+        # the whole domain) and the predicate pushed down by ``scan()``
+        # prunes row groups inside surviving files, not just whole
+        # partitions. Costs one in-memory sort per partition at write time;
+        # changes row ORDER only (LWW content, manifests, rollups and scan
+        # results are order-free).
+        self.cluster_by = list(cluster_by) if cluster_by else []
+        # Parquet row-group size (rows). Smaller groups = finer pruning
+        # granularity for clustered scans; None = pyarrow default.
+        self.row_group_rows = row_group_rows
         os.makedirs(root, exist_ok=True)
 
     # ---- paths -----------------------------------------------------------
@@ -281,6 +337,13 @@ class SnapshotStore:
         (legacy/bootstrap callers) it falls back to the max surviving row
         lsn, which is only safe when no DELETE can hold the top LSN.
         """
+        if self.cluster_by and table.num_rows > 1:
+            sort_keys = [
+                (c, "ascending") for c in self.cluster_by
+                if c in table.column_names
+            ]
+            if sort_keys:
+                table = table.sort_by(sort_keys)
         shas = table.column("content_sha256").to_pylist() if table.num_rows else []
         surviving = (
             int(pa.compute.max(table.column("last_lsn")).as_py())
@@ -309,7 +372,10 @@ class SnapshotStore:
         )
         os.close(fd)
         try:
-            pq.write_table(table, tmp, compression="snappy")
+            pq.write_table(
+                table, tmp, compression="snappy",
+                row_group_size=self.row_group_rows,
+            )
             os.replace(tmp, data_path)
         finally:
             if os.path.exists(tmp):

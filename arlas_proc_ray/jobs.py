@@ -162,6 +162,12 @@ def cmd_scan(args) -> dict:
     )
     out = {k: v for k, v in plan.items() if k != "files"}
     out["files_read"] = len(plan["files"])
+    if args.explain and predicate and plan["files"]:
+        # footer-only row-group pruning estimate inside surviving files
+        # (tight when the store was written with cluster_by sort keys)
+        from arlas_proc_ray.cdc.snapshot import row_group_pruning_stats
+
+        out["row_groups"] = row_group_pruning_stats(plan["files"], predicate)
     if args.out:
         ds.write_parquet(args.out)
         out["out"] = args.out
@@ -235,6 +241,8 @@ def main(argv=None) -> int:
     sc.add_argument("--columns", default=None, help="comma-separated projection")
     sc.add_argument("--changed-since-lsn", type=int, default=None)
     sc.add_argument("--changed-rows-only", action="store_true")
+    sc.add_argument("--explain", action="store_true",
+                    help="report footer-only row-group pruning stats")
     sc.add_argument("--num-cpus", type=int, default=None)
     sc.set_defaults(fn=cmd_scan)
 

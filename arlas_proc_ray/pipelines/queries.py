@@ -1365,7 +1365,31 @@ def q_snapshot_pruned_scan(sf_dir: str):
         shutil.rmtree(snap, ignore_errors=True)
 
 
-def _events_engine_snapshot(sf_dir: str, snap: str):
+def q_clustered_scan(sf_dir: str):
+    """Sort-key-clustered snapshot scan (cdc/snapshot.py cluster_by): the
+    SAME deterministic events-derived snapshot, but every partition file is
+    written sorted by ``path`` with bounded row groups, so the pushed-down
+    ``path = 'error'`` predicate prunes ROW GROUPS inside every surviving
+    partition (zone maps/blooms prune whole partitions; clustering is the
+    intra-file layer below them). Logical result must be IDENTICAL to an
+    unclustered store: the SQL LWW final state filtered to the path."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="clustered_scan_")
+    try:
+        eng = _events_engine_snapshot(
+            sf_dir, snap, cluster_by=["path"], row_group_rows=64
+        )
+        return eng.scan(
+            predicate=[("path", "==", "error")],
+            columns=["repo", "path", "content_sha256", "last_lsn"],
+        ).to_pandas()
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
     """Build the deterministic events-derived CdcEngine snapshot used by
     ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``."""
     from arlas_proc_ray.cdc.engine import CdcEngine
@@ -1406,7 +1430,7 @@ def _events_engine_snapshot(sf_dir: str, snap: str):
 
     changelog = ds.map_batches(to_changelog, batch_format="pyarrow", batch_size=None)
     mid = int(ds.max("event_id") or 0) // 2
-    eng = CdcEngine(snap, DataModel(num_partitions=NP))
+    eng = CdcEngine(snap, DataModel(num_partitions=NP), **engine_kwargs)
     eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
     eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
     return eng
@@ -3071,6 +3095,7 @@ QUERIES = {
     "nul_key_segments": q_nul_key_segments,
     "cdc_engine_replay": q_cdc_engine_replay,
     "snapshot_pruned_scan": q_snapshot_pruned_scan,
+    "clustered_scan": q_clustered_scan,
     "cdc_lww_upsert": q_cdc_lww_upsert,
     "dedup_first_per_key": q_dedup_first_per_key,
     "gap_state": q_gap_state,
@@ -4210,6 +4235,22 @@ ORACLE_SQL = {
         SELECT repo, path, sha256(content) AS content_sha256,
                lsn AS last_lsn
         FROM last WHERE rn = 1 AND op <> 'DELETE' AND repo = 'u7'
+    """,
+    "clustered_scan": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 props AS content
+          FROM events),
+        last AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+                                       ORDER BY lsn DESC) AS rn
+          FROM ch)
+        SELECT repo, path, sha256(content) AS content_sha256,
+               lsn AS last_lsn
+        FROM last WHERE rn = 1 AND op <> 'DELETE' AND path = 'error'
     """,
     "lang_id": """
         WITH w AS (

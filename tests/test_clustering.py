@@ -1,0 +1,143 @@
+"""Sort-key clustering of snapshot partition files.
+
+``SnapshotStore(cluster_by=[...], row_group_rows=N)`` sorts each
+partition's rows by the cluster columns before the Parquet write and
+bounds row-group size, so the predicate ``scan()`` pushes down prunes
+ROW GROUPS inside surviving files — the intra-file complement of the
+manifest-level zone-map/bloom partition pruning. Content must be
+byte-identical to an unclustered store (order-free LWW semantics,
+manifests, rollups); only the physical layout changes.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arlas_proc_ray.cdc.snapshot import SnapshotStore, row_group_pruning_stats
+
+
+def _state_table(n: int, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ts = rng.permutation(n).astype(np.int64)  # shuffled cluster column
+    return pa.table(
+        {
+            "repo": pa.array([f"r{i % 17}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "ts": pa.array(ts),
+            "content_sha256": pa.array([f"{i:064x}" for i in range(n)]),
+            "last_lsn": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+
+
+def test_clustered_write_sorts_rows_and_preserves_content(tmp_path):
+    t = _state_table(1000)
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    clus = SnapshotStore(
+        str(tmp_path / "clus"), cluster_by=["ts"], row_group_rows=100
+    )
+    mp = plain.write_partition(1, 0, t, last_lsn=999)
+    mc = clus.write_partition(1, 0, t, last_lsn=999)
+    plain.commit_epoch(1, 1)
+    clus.commit_epoch(1, 1)
+
+    # identical logical content: same manifest rollup, zone maps, counts
+    assert mc.sha256_rollup == mp.sha256_rollup
+    assert mc.row_count == mp.row_count
+    assert mc.col_stats == mp.col_stats
+    assert mc.last_lsn == mp.last_lsn
+
+    got = clus.read_partition(1, 0)
+    ts = got.column("ts").to_numpy()
+    assert (np.diff(ts) >= 0).all(), "clustered file must be sorted by ts"
+    # same rows as the input, order aside
+    a = t.to_pandas().sort_values("path").reset_index(drop=True)
+    b = got.to_pandas().sort_values("path").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_row_group_pruning_clustered_vs_not(tmp_path):
+    t = _state_table(2000)
+    plain = SnapshotStore(str(tmp_path / "plain"), row_group_rows=100)
+    clus = SnapshotStore(
+        str(tmp_path / "clus"), cluster_by=["ts"], row_group_rows=100
+    )
+    plain.write_partition(1, 0, t, last_lsn=1999)
+    clus.write_partition(1, 0, t, last_lsn=1999)
+    plain.commit_epoch(1, 1)
+    clus.commit_epoch(1, 1)
+
+    pred = [("ts", ">=", 500), ("ts", "<", 600)]  # 5% of the domain
+    sp = row_group_pruning_stats([plain.part_data_path(1, 0)], pred)
+    sc = row_group_pruning_stats([clus.part_data_path(1, 0)], pred)
+    assert sp["row_groups_total"] == sc["row_groups_total"] == 20
+    # shuffled data: every 100-row group spans ~the whole domain → no pruning
+    assert sp["row_groups_matching"] == 20
+    # clustered: the 100-row window covers ≤ 2 adjacent sorted groups
+    assert sc["row_groups_matching"] <= 2
+
+    # the pushed-down scan returns identical rows from both layouts
+    a = (
+        plain.scan(predicate=pred)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    b = (
+        clus.scan(predicate=pred)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 100
+
+    # clustered file parquet metadata really has 100-row groups
+    md = pq.ParquetFile(clus.part_data_path(1, 0)).metadata
+    assert md.row_group(0).num_rows == 100
+
+
+def test_engine_cluster_by_equals_unclustered_state(tmp_path, ray_session):
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import (
+        ChangelogConfig,
+        changelog_dataset,
+        generate_changelog_tables,
+    )
+    from arlas_proc_ray.cdc.oracle import oracle_final_state
+    from arlas_proc_ray.model import DataModel
+
+    cfg = ChangelogConfig(num_events=4000, num_keys=500, seed=13)
+    dm = DataModel(num_partitions=8)
+    mid = cfg.num_events // 2
+
+    plain = CdcEngine(str(tmp_path / "plain"), dm)
+    clus = CdcEngine(
+        str(tmp_path / "clus"), dm, cluster_by=["path"], row_group_rows=256
+    )
+    for eng in (plain, clus):
+        eng.apply_epoch(changelog_dataset(cfg, lo=0, hi=mid), 1)
+        eng.apply_epoch(changelog_dataset(cfg, lo=mid, hi=cfg.num_events), 2)
+
+    a = plain.final_state().to_pandas()
+    b = clus.final_state().to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    oracle = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+    pd.testing.assert_frame_equal(b, oracle)
+
+    # per-partition files are sorted by path; a selective path predicate
+    # prunes row groups inside the surviving partitions
+    e = clus.store.latest_committed_epoch()
+    src = clus.store.resolve_sources(e)
+    files = [
+        clus.store.part_data_path(src.get(p, e), p)
+        for p in range(dm.num_partitions)
+    ]
+    some_path = b["path"].iloc[len(b) // 2]
+    stats = row_group_pruning_stats(files, [("path", "==", some_path)])
+    assert stats["rows_matching"] < stats["rows_total"]

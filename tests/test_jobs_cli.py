@@ -91,15 +91,18 @@ def test_jobs_cli_scan(tmp_path, capsys):
         "replay", "--events", log, "--snapshot", snap,
         "--epoch", "1", "--partitions", "8",
     ]) == 0
-    # count-only scan with a predicate on repo
+    # count-only scan with a predicate on repo, with row-group explain
     assert main([
         "scan", "--snapshot", snap, "--where", "repo:==:org0/monorepo",
-        "--columns", "repo,path,last_lsn",
+        "--columns", "repo,path,last_lsn", "--explain",
     ]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     sc = lines[-1]
     assert sc["files_read"] <= sc["partitions_total"]
     assert sc["rows"] > 0
+    rg = sc["row_groups"]
+    assert rg["row_groups_matching"] <= rg["row_groups_total"]
+    assert rg["rows_matching"] >= sc["rows"]
 
     # export to parquet, changed-rows-only from lsn 0 == everything
     out_dir = str(tmp_path / "export")
