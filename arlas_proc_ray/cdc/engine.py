@@ -155,6 +155,17 @@ class CdcEngine:
         prev_epoch = store.latest_committed_epoch()
         if prev_epoch is not None and prev_epoch >= epoch:
             raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+        if prev_epoch is not None:
+            committed_p = int(
+                store.read_epoch_summary(prev_epoch)["num_partitions"]
+            )
+            if committed_p != dm.num_partitions:
+                raise ValueError(
+                    f"snapshot fan-out is {committed_p} partitions (epoch "
+                    f"{prev_epoch}) but DataModel says {dm.num_partitions}; "
+                    f"construct the engine with num_partitions={committed_p} "
+                    f"or repartition_snapshot() first"
+                )
         prev_sources = (
             store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
         )
@@ -296,6 +307,102 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
 
+    def repartition_snapshot(
+        self, new_num_partitions: int, epoch: int | None = None
+    ) -> dict:
+        """Change the hash fan-out P → P′ by rewriting the snapshot once.
+
+        A growing table eventually outgrows its partition count (and a
+        shrunken one wastes it); this rewrites the latest committed state
+        as ONE full epoch hash-routed over ``new_num_partitions`` with the
+        same ``partition_ids`` kernel every write uses — one all-to-all
+        exchange of the LIVE rows only (tombstones are long gone), fenced
+        and crash-resumable exactly like ``apply_epoch``: finished
+        partitions of a crashed rewrite are skipped on re-run, and the
+        epoch is invisible until ``_COMMITTED``.
+
+        Every new partition's applied watermark is set to the GLOBAL
+        watermark of the source epoch (per-source-partition fences cannot
+        be carried across a re-hash). This is the standard table-
+        maintenance contract: run it BETWEEN epochs, with no in-flight
+        tail delivering lsns at or below the current global watermark —
+        such stragglers would afterwards be treated as already applied.
+
+        After the commit, subsequent engines must be constructed with
+        ``DataModel(num_partitions=new_num_partitions)``; ``apply_epoch``
+        enforces this (fan-out mismatch raises), and ``lookup`` reads the
+        committed fan-out from the epoch summary automatically.
+
+        Returns the commit summary of the rewrite epoch.
+        """
+        import ray
+
+        from arlas_proc_ray.functions.hashing import partition_ids
+
+        store = self.store
+        fault_hook = self.fault_hook
+        latest = store.latest_committed_epoch()
+        if latest is None:
+            raise RuntimeError("no committed epoch to repartition")
+        if epoch is None:
+            epoch = latest + 1
+        summary = store.read_epoch_summary(latest)
+        watermark = int(summary.get("last_lsn", -1))
+        new_p = int(new_num_partitions)
+        if new_p < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        key_cols = self.dm.key_list
+
+        ds = store.scan(epoch=latest)
+
+        def route(batch: pa.Table) -> pa.Table:
+            pids = partition_ids(batch, key_cols, new_p)
+            batch = batch.append_column(PART_COL, pa.array(pids, pa.int32()))
+            return batch.replace_schema_metadata(None)
+
+        ds = ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+
+        def write_part(group: pa.Table) -> pa.Table:
+            p = int(group.column(PART_COL)[0].as_py())
+            if store.partition_done(epoch, p):  # crash-resume fence
+                return _manifest_row(store.read_manifest(epoch, p))
+            if fault_hook is not None:
+                fault_hook(epoch, p)
+            m = store.write_partition(
+                epoch, p, group.drop_columns([PART_COL]),
+                last_lsn=watermark,
+                metrics={"repartitioned_from": latest, "source_fanout":
+                         int(summary["num_partitions"])},
+            )
+            return _manifest_row(m)
+
+        manifests = ds.groupby(PART_COL).map_groups(
+            write_part, batch_format="pyarrow"
+        )
+        done = {r["partition_id"] for r in manifests.take_all()}
+
+        @ray.remote(num_cpus=0.25)
+        def write_empty(p: int):
+            if not store.partition_done(epoch, p):
+                if fault_hook is not None:
+                    fault_hook(epoch, p)
+                store.write_partition(
+                    epoch, p, FINAL_STATE_SCHEMA.empty_table(),
+                    last_lsn=watermark,
+                    metrics={"repartitioned_from": latest},
+                )
+            return p
+
+        pending = [
+            p for p in range(new_p)
+            if p not in done and not store.partition_done(epoch, p)
+        ]
+        if pending:
+            ray.get([write_empty.remote(p) for p in pending])
+        return store.commit_epoch(epoch, new_p)
+
+    # ------------------------------------------------------------------
+
     def purge_keys(self, keys, epoch: int | None = None) -> dict:
         """GDPR-style hard delete of whole keys from the snapshot.
 
@@ -373,10 +480,13 @@ class CdcEngine:
         req = pa.table(
             {c: pa.array([k[i] for k in keys]) for i, c in enumerate(key_cols)}
         )
-        pids = partition_ids(req, key_cols, self.dm.num_partitions)
         e = self.store.latest_committed_epoch() if epoch is None else epoch
         if e is None:
             raise RuntimeError("no committed epoch")
+        # route with the fan-out the snapshot was COMMITTED with (may differ
+        # from dm.num_partitions after a repartition_snapshot)
+        committed_p = int(self.store.read_epoch_summary(e)["num_partitions"])
+        pids = partition_ids(req, key_cols, committed_p)
         from arlas_proc_ray.stages.keyed import (
             byte_exact_group_cols,
             restore_object_cols,

@@ -176,6 +176,38 @@ def cmd_scan(args) -> dict:
     return out
 
 
+def cmd_repartition(args) -> dict:
+    """Fan-out evolution (see CdcEngine.repartition_snapshot): rewrite the
+    latest committed snapshot over ``--new-partitions`` as one fenced full
+    epoch. Resubmitting after a crash resumes finished partitions;
+    resubmitting after success is a committed-epoch no-op."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+    from arlas_proc_ray.model import DataModel
+
+    _ray_session(args.num_cpus)
+    store = SnapshotStore(args.snapshot)
+    latest = store.latest_committed_epoch()
+    if latest is None:
+        return {"ok": False, "error": "no committed epoch"}
+    current_p = int(store.read_epoch_summary(latest)["num_partitions"])
+    if args.epoch is not None and args.epoch <= latest:
+        return {
+            "epoch": args.epoch,
+            "already_committed": True,
+            "latest_committed": latest,
+        }
+    engine = CdcEngine(args.snapshot, DataModel(num_partitions=current_p))
+    summary = engine.repartition_snapshot(args.new_partitions, epoch=args.epoch)
+    return {
+        "epoch": summary["epoch"],
+        "partitions": summary["num_partitions"],
+        "was_partitions": current_p,
+        "rows": summary["row_count"],
+        "last_lsn": summary["last_lsn"],
+    }
+
+
 def cmd_verify(args) -> dict:
     from arlas_proc_ray.cdc.snapshot import SnapshotStore
 
@@ -228,6 +260,14 @@ def main(argv=None) -> int:
     g.add_argument("--partitions", type=int, default=64)
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_purge)
+
+    rp = sub.add_parser("repartition", help="rewrite snapshot at a new fan-out")
+    rp.add_argument("--snapshot", required=True)
+    rp.add_argument("--new-partitions", type=int, required=True)
+    rp.add_argument("--epoch", type=int, default=None,
+                    help="target epoch (default: latest committed + 1)")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_repartition)
 
     v = sub.add_parser("verify", help="check a committed snapshot")
     v.add_argument("--snapshot", required=True)
