@@ -155,17 +155,7 @@ class CdcEngine:
         prev_epoch = store.latest_committed_epoch()
         if prev_epoch is not None and prev_epoch >= epoch:
             raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
-        if prev_epoch is not None:
-            committed_p = int(
-                store.read_epoch_summary(prev_epoch)["num_partitions"]
-            )
-            if committed_p != dm.num_partitions:
-                raise ValueError(
-                    f"snapshot fan-out is {committed_p} partitions (epoch "
-                    f"{prev_epoch}) but DataModel says {dm.num_partitions}; "
-                    f"construct the engine with num_partitions={committed_p} "
-                    f"or repartition_snapshot() first"
-                )
+        check_committed_fanout(store, dm, prev_epoch)
         prev_sources = (
             store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
         )
@@ -528,6 +518,25 @@ class CdcEngine:
             t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
         )
         return t.take(idx)
+
+
+def check_committed_fanout(store: SnapshotStore, dm: DataModel, prev_epoch) -> None:
+    """Reject writes whose DataModel fan-out disagrees with the snapshot.
+
+    After ``repartition_snapshot`` the committed fan-out changes; an engine
+    still configured with the old ``num_partitions`` would route keys to
+    the wrong partitions (silent key splits). Guard every write path.
+    """
+    if prev_epoch is None:
+        return
+    committed_p = int(store.read_epoch_summary(prev_epoch)["num_partitions"])
+    if committed_p != dm.num_partitions:
+        raise ValueError(
+            f"snapshot fan-out is {committed_p} partitions (epoch "
+            f"{prev_epoch}) but DataModel says {dm.num_partitions}; "
+            f"construct the engine with num_partitions={committed_p} "
+            f"or repartition_snapshot() first"
+        )
 
 
 def _manifest_row(m) -> pa.Table:

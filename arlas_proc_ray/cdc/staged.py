@@ -30,7 +30,11 @@ import pyarrow.compute as pc
 
 import ray
 
-from arlas_proc_ray.cdc.engine import _events_as_merge_rows, _state_as_merge_rows
+from arlas_proc_ray.cdc.engine import (
+    _events_as_merge_rows,
+    _state_as_merge_rows,
+    check_committed_fanout,
+)
 from arlas_proc_ray.cdc.events import FINAL_STATE_SCHEMA
 from arlas_proc_ray.cdc.replay import (
     finalize_partition_table,
@@ -67,6 +71,7 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
     prev_epoch = store.latest_committed_epoch()
     if prev_epoch is not None and prev_epoch >= epoch:
         raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+    check_committed_fanout(store, dm, prev_epoch)
     prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
     align = make_align_fn(engine.registry)
@@ -171,6 +176,7 @@ def staged_apply_epoch_two_level(
     prev_epoch = store.latest_committed_epoch()
     if prev_epoch is not None and prev_epoch >= epoch:
         raise ValueError(f"epoch {epoch} already committed (latest {prev_epoch})")
+    check_committed_fanout(store, dm, prev_epoch)
     prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
     align = make_align_fn(engine.registry)
