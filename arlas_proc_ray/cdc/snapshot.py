@@ -465,9 +465,15 @@ class SnapshotStore:
     def read_manifest_resolved(self, epoch: int, part: int) -> PartitionManifest | None:
         return self.read_manifest(self.resolve_sources(epoch).get(part, epoch), part)
 
-    def read_state(self, epoch: int | None = None) -> pa.Table:
+    def _resolve_epoch_arg(self, epoch) -> int | None:
+        """int passes through; a str is a ref name; None = latest."""
+        if isinstance(epoch, str):
+            return self.resolve_ref(epoch)
+        return self.latest_committed_epoch() if epoch is None else epoch
+
+    def read_state(self, epoch: int | str | None = None) -> pa.Table:
         """Whole final state of a committed epoch (small-scale helper)."""
-        e = self.latest_committed_epoch() if epoch is None else epoch
+        e = self._resolve_epoch_arg(epoch)
         if e is None:
             raise RuntimeError("no committed epoch")
         sources = self.resolve_sources(e)
@@ -481,7 +487,7 @@ class SnapshotStore:
     def plan_scan(
         self,
         *,
-        epoch: int | None = None,
+        epoch: int | str | None = None,
         predicate: list[tuple] | None = None,
         changed_since_lsn: int | None = None,
     ) -> dict:
@@ -510,7 +516,7 @@ class SnapshotStore:
         surviving file may still contain no matching row; ``scan()``
         applies the predicate as a residual row filter.
         """
-        e = self.latest_committed_epoch() if epoch is None else epoch
+        e = self._resolve_epoch_arg(epoch)
         if e is None:
             raise RuntimeError("no committed epoch")
         sources = self.resolve_sources(e)
@@ -552,7 +558,7 @@ class SnapshotStore:
     def scan(
         self,
         *,
-        epoch: int | None = None,
+        epoch: int | str | None = None,
         predicate: list[tuple] | None = None,
         changed_since_lsn: int | None = None,
         changed_rows_only: bool = False,
@@ -659,6 +665,52 @@ class SnapshotStore:
             }
         )
 
+    # ---- named refs (tags) -------------------------------------------------
+
+    def refs_dir(self) -> str:
+        return os.path.join(self.root, "_refs")
+
+    def tag(self, name: str, epoch: int | None = None) -> int:
+        """Pin a name to a committed epoch (lakehouse-style tag).
+
+        Tags make time travel operational: a consumer scans ``epoch=
+        store.resolve_ref("prod")`` and a promotion is one atomic pointer
+        flip, never a data copy. ``vacuum`` keeps every tagged epoch (and
+        its delta source chain) reachable. Default epoch: latest committed.
+        """
+        if "/" in name or os.sep in name or name.startswith("."):
+            raise ValueError(f"invalid ref name: {name!r}")
+        e = self.latest_committed_epoch() if epoch is None else int(epoch)
+        if e is None or not os.path.exists(self.commit_marker_path(e)):
+            raise ValueError(f"epoch {e} is not committed")
+        _atomic_write_bytes(
+            os.path.join(self.refs_dir(), f"{name}.json"),
+            json.dumps({"epoch": e}).encode(),
+        )
+        return e
+
+    def resolve_ref(self, name: str) -> int:
+        p = os.path.join(self.refs_dir(), f"{name}.json")
+        if not os.path.exists(p):
+            raise KeyError(f"no such ref: {name!r}")
+        with open(p) as f:
+            return int(json.load(f)["epoch"])
+
+    def list_refs(self) -> dict[str, int]:
+        d = self.refs_dir()
+        if not os.path.isdir(d):
+            return {}
+        return {
+            n[: -len(".json")]: self.resolve_ref(n[: -len(".json")])
+            for n in sorted(os.listdir(d))
+            if n.endswith(".json")
+        }
+
+    def delete_ref(self, name: str) -> None:
+        p = os.path.join(self.refs_dir(), f"{name}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+
     # ---- retention -------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
@@ -681,7 +733,12 @@ class SnapshotStore:
             return []
         keep_commits = committed[-keep_last:]
         referenced: set[int] = set(keep_commits)
-        for e in keep_commits:
+        # tagged epochs are pinned: a tag is a promise a consumer can still
+        # time-travel there, so its whole source chain stays reachable
+        referenced.update(
+            e for e in self.list_refs().values() if e in set(committed)
+        )
+        for e in sorted(referenced):
             referenced.update(self.resolve_sources(e).values())
         latest = committed[-1]
         deleted = []

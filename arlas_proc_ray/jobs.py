@@ -150,11 +150,16 @@ def cmd_scan(args) -> dict:
                 pass
         predicate.append((col, op, val))
     store = SnapshotStore(args.snapshot)
+    epoch = args.epoch
+    if epoch is not None and epoch.lstrip("-").isdigit():
+        epoch = int(epoch)  # otherwise a ref name ("prod", "v1", ...)
     plan = store.plan_scan(
+        epoch=epoch,
         predicate=predicate or None,
         changed_since_lsn=args.changed_since_lsn,
     )
     ds = store.scan(
+        epoch=epoch,
         predicate=predicate or None,
         changed_since_lsn=args.changed_since_lsn,
         changed_rows_only=args.changed_rows_only,
@@ -206,6 +211,63 @@ def cmd_repartition(args) -> dict:
         "rows": summary["row_count"],
         "last_lsn": summary["last_lsn"],
     }
+
+
+def cmd_tag(args) -> dict:
+    """Manage named refs: pin a name to a committed epoch (``--set``),
+    delete one (``--delete``), or list all. A tag is an atomic pointer
+    flip — promotion without a data copy; ``vacuum`` keeps every tagged
+    epoch's source chain reachable."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot)
+    if args.set:
+        e = store.tag(args.set, epoch=args.epoch)
+        return {"ref": args.set, "epoch": e}
+    if args.delete:
+        store.delete_ref(args.delete)
+        return {"deleted": args.delete}
+    return {"refs": store.list_refs()}
+
+
+def cmd_optimize(args) -> dict:
+    """Lakehouse-style OPTIMIZE: rewrite the latest committed snapshot in
+    place (same fan-out) with sort-key clustering and bounded row groups —
+    compacts delta chains into one epoch and tightens row-group statistics
+    so subsequent predicate scans prune inside every file. Same fenced,
+    crash-resumable rewrite as ``repartition_snapshot``."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+    from arlas_proc_ray.model import DataModel
+
+    _ray_session(args.num_cpus)
+    store = SnapshotStore(args.snapshot)
+    latest = store.latest_committed_epoch()
+    if latest is None:
+        return {"ok": False, "error": "no committed epoch"}
+    current_p = int(store.read_epoch_summary(latest)["num_partitions"])
+    if args.epoch is not None and args.epoch <= latest:
+        return {
+            "epoch": args.epoch,
+            "already_committed": True,
+            "latest_committed": latest,
+        }
+    engine = CdcEngine(
+        args.snapshot,
+        DataModel(num_partitions=current_p),
+        cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        row_group_rows=args.row_group_rows,
+    )
+    summary = engine.repartition_snapshot(current_p, epoch=args.epoch)
+    out = {
+        "epoch": summary["epoch"],
+        "partitions": summary["num_partitions"],
+        "rows": summary["row_count"],
+        "clustered_by": args.cluster_by or None,
+    }
+    if args.vacuum_keep is not None:
+        out["vacuumed_epochs"] = engine.store.vacuum(keep_last=args.vacuum_keep)
+    return out
 
 
 def cmd_verify(args) -> dict:
@@ -269,6 +331,25 @@ def main(argv=None) -> int:
     rp.add_argument("--num-cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_repartition)
 
+    tg = sub.add_parser("tag", help="manage named epoch refs")
+    tg.add_argument("--snapshot", required=True)
+    tg.add_argument("--set", default=None, metavar="NAME")
+    tg.add_argument("--delete", default=None, metavar="NAME")
+    tg.add_argument("--epoch", type=int, default=None,
+                    help="with --set: epoch to pin (default: latest)")
+    tg.set_defaults(fn=cmd_tag)
+
+    op = sub.add_parser("optimize", help="recluster + compact the snapshot in place")
+    op.add_argument("--snapshot", required=True)
+    op.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort keys for the rewrite")
+    op.add_argument("--row-group-rows", type=int, default=None)
+    op.add_argument("--epoch", type=int, default=None)
+    op.add_argument("--vacuum-keep", type=int, default=None,
+                    help="after commit, vacuum to the last N committed epochs")
+    op.add_argument("--num-cpus", type=int, default=None)
+    op.set_defaults(fn=cmd_optimize)
+
     v = sub.add_parser("verify", help="check a committed snapshot")
     v.add_argument("--snapshot", required=True)
     v.set_defaults(fn=cmd_verify)
@@ -279,6 +360,8 @@ def main(argv=None) -> int:
     sc.add_argument("--where", action="append", default=None,
                     metavar="COL:OP:VALUE", help="conjunctive clause, repeatable")
     sc.add_argument("--columns", default=None, help="comma-separated projection")
+    sc.add_argument("--epoch", default=None,
+                    help="epoch number or ref name (default: latest committed)")
     sc.add_argument("--changed-since-lsn", type=int, default=None)
     sc.add_argument("--changed-rows-only", action="store_true")
     sc.add_argument("--explain", action="store_true",

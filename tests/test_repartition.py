@@ -147,3 +147,48 @@ def test_jobs_cli_repartition(tmp_path, ray_session, capsys):
     ]) == 0
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again.get("already_committed") is True
+
+
+def test_jobs_cli_optimize_reclusters_and_vacuums(tmp_path, ray_session, capsys):
+    """optimize = same-fan-out fenced rewrite with cluster keys: files come
+    out sorted, row groups prune, state is unchanged, old epochs vacuumed."""
+    import json
+
+    import numpy as np
+
+    from arlas_proc_ray.cdc.snapshot import (
+        SnapshotStore,
+        row_group_pruning_stats,
+    )
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "3000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+    ]) == 0
+    assert main(["verify", "--snapshot", snap]) == 0
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main([
+        "optimize", "--snapshot", snap, "--cluster-by", "path",
+        "--row-group-rows", "64", "--vacuum-keep", "1",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] == 4 and out["rows"] == before["rows"]
+    assert out["vacuumed_epochs"] == [1]
+
+    store = SnapshotStore(snap)
+    e = store.latest_committed_epoch()
+    files = []
+    for p in range(4):
+        t = store.read_partition_resolved(e, p)
+        files.append(store.part_data_path(e, p))
+        if t is not None and t.num_rows >= 2:
+            paths = np.asarray(t.column("path").to_pylist(), dtype=object)
+            assert (paths[:-1] <= paths[1:]).all()
+    some = store.read_partition_resolved(e, 0).column("path")[0].as_py()
+    rg = row_group_pruning_stats(files, [("path", "==", some)])
+    assert rg["rows_matching"] < rg["rows_total"]
