@@ -277,6 +277,11 @@ def cmd_verify(args) -> dict:
     epoch = store.latest_committed_epoch()
     if epoch is None:
         return {"ok": False, "error": "no committed epoch"}
+    if getattr(args, "deep", False):
+        _ray_session(args.num_cpus)
+        return store.verify_deep(
+            epoch, recompute_hashes=getattr(args, "recompute_hashes", False)
+        )
     sources = store.resolve_sources(epoch)
     rows = 0
     parts = 0
@@ -352,6 +357,11 @@ def main(argv=None) -> int:
 
     v = sub.add_parser("verify", help="check a committed snapshot")
     v.add_argument("--snapshot", required=True)
+    v.add_argument("--deep", action="store_true",
+                   help="re-read every partition and check rollups (Ray tasks)")
+    v.add_argument("--recompute-hashes", action="store_true",
+                   help="with --deep: re-hash content and compare per row")
+    v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_verify)
 
     sc = sub.add_parser("scan", help="pruned snapshot export (zone maps + LSN)")
