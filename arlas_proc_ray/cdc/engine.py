@@ -132,6 +132,7 @@ class CdcEngine:
         *,
         delta: bool = False,
         delta_max_age: int | None = None,
+        dead_letter_dir: str | None = None,
     ) -> dict:
         """Apply one epoch of events; idempotent, resumable, exactly-once.
 
@@ -160,7 +161,19 @@ class CdcEngine:
             store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
         )
 
-        ds = normalize_stage(events_ds, self.registry)
+        if dead_letter_dir is not None:
+            # quarantine invalid rows instead of failing the epoch; the
+            # sink is content-addressed so task retries/resume re-runs
+            # rewrite identical files (see replay.make_dead_letter_fn)
+            from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+
+            ds = events_ds.map_batches(
+                make_dead_letter_fn(self.registry, dm, dead_letter_dir, epoch),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        else:
+            ds = normalize_stage(events_ds, self.registry)
         ds = ds.map_batches(
             lambda t: lww_reduce_table(t, dm.key_cols, dm.order_col),
             batch_format="pyarrow",

@@ -94,6 +94,12 @@ def make_align_fn(registry: SchemaRegistry):
         uniq = pc.unique(versions).to_pylist()
         parts: list[pa.Table] = []
         for v in uniq:
+            # strict: an unregistered (or null) schema_version raises —
+            # silently treating unknown shapes as latest would corrupt
+            # state; route garbage through make_dead_letter_fn instead
+            if v is None:
+                reg.get(v)  # raises SchemaEvolutionError
+            reg.get(int(v))
             sub = (
                 batch
                 if len(uniq) == 1
@@ -118,6 +124,148 @@ def make_align_fn(registry: SchemaRegistry):
 
 def normalize_stage(ds, registry: SchemaRegistry):
     return ds.map_batches(make_align_fn(registry), batch_format="pyarrow", batch_size=None)
+
+
+VALID_OPS = ("INSERT", "UPDATE", "DELETE")
+
+
+def make_dead_letter_fn(
+    registry: SchemaRegistry,
+    dm: DataModel,
+    dead_letter_dir: str,
+    epoch: int,
+):
+    """Normalize with quarantine: invalid rows go to a dead-letter sink.
+
+    A production change stream carries garbage — unknown schema versions,
+    unrecognized ops, null LSNs or keys. Failing the whole epoch for one
+    bad row is wrong at 10^10 events; silently dropping is worse. Each
+    batch is split VECTORIZED (is_in / is_null masks, no Python rows):
+
+    - valid rows continue through the registry alignment unchanged;
+    - invalid rows are appended, with a ``dlq_reason`` column and the
+      epoch, to ``dead_letter_dir/epoch=<e>/`` as Parquet for replay
+      after repair.
+
+    Exactly-once: the quarantine file name is the sha256 of the rows'
+    (lsn, reason) content, written atomically — a retried or resumed task
+    rewrites the identical file instead of duplicating rows.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    reg = registry.snapshot()
+    known_versions = [int(v) for v in reg.versions()]
+    align = make_align_fn(registry)
+    key_cols = dm.key_list
+    order_col = dm.order_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return align(batch)
+        reason = np.full(n, None, dtype=object)
+
+        def flag(mask, why):
+            m = mask.to_numpy(zero_copy_only=False)
+            reason[(reason == None) & m] = why  # noqa: E711
+
+        sv = batch.column("schema_version")
+        flag(
+            pc.or_kleene(
+                pc.is_null(sv),
+                pc.invert(
+                    pc.is_in(
+                        sv,
+                        value_set=pa.array(known_versions, sv.type),
+                    )
+                ),
+            ),
+            "unknown_schema_version",
+        )
+        flag(
+            pc.or_kleene(
+                pc.is_null(batch.column("op")),
+                pc.invert(
+                    pc.is_in(
+                        batch.column("op"),
+                        value_set=pa.array(list(VALID_OPS), pa.string()),
+                    )
+                ),
+            ),
+            "invalid_op",
+        )
+        flag(pc.is_null(batch.column(order_col)), "null_order")
+        for k in key_cols:
+            flag(pc.is_null(batch.column(k)), f"null_key:{k}")
+
+        bad = reason != None  # noqa: E711
+        if not bad.any():
+            return align(batch)
+
+        quarantined = batch.filter(pa.array(bad)).append_column(
+            "dlq_reason", pa.array(reason[bad], pa.string())
+        )
+        # deterministic content-addressed file: idempotent under retries
+        h = hashlib.sha256()
+        h.update(str(quarantined.column(order_col).to_pylist()).encode())
+        h.update(str(reason[bad].tolist()).encode())
+        out_dir = os.path.join(dead_letter_dir, f"epoch={epoch}")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"dlq-{h.hexdigest()[:32]}.parquet")
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
+        os.close(fd)
+        try:
+            pq.write_table(quarantined, tmp, compression="snappy")
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+        good = batch.filter(pa.array(~bad))
+        if good.num_rows == 0:
+            # typed empty: align needs no version split on an empty table
+            return reg.align_table(good, from_version=reg.latest_version)
+        return align(good)
+
+    return fn
+
+
+def read_dead_letters(dead_letter_dir: str, epoch: int | None = None) -> pa.Table:
+    """All quarantined rows (optionally one epoch), schemas unified.
+
+    Files may have different physical schemas (each carries its source
+    version's columns); they are concatenated permissively. Small by
+    construction — the DLQ holds the garbage, not the stream.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    tables = []
+    if os.path.isdir(dead_letter_dir):
+        for name in sorted(os.listdir(dead_letter_dir)):
+            if not name.startswith("epoch="):
+                continue
+            e = int(name.split("=", 1)[1])
+            if epoch is not None and e != epoch:
+                continue
+            d = os.path.join(dead_letter_dir, name)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(d, f))
+                    tables.append(
+                        t.append_column(
+                            "dlq_epoch", pa.array([e] * t.num_rows, pa.int64())
+                        )
+                    )
+    if not tables:
+        return pa.table({"dlq_reason": pa.array([], pa.string()),
+                         "dlq_epoch": pa.array([], pa.int64())})
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 def add_partition_stage(ds, dm: DataModel):

@@ -69,7 +69,10 @@ def cmd_replay(args) -> dict:
     ds = read_parquet(args.events)
     if args.staged:
         return engine.apply_epoch_staged(ds, epoch=args.epoch)
-    return engine.apply_epoch(ds, epoch=args.epoch, delta=args.delta)
+    return engine.apply_epoch(
+        ds, epoch=args.epoch, delta=args.delta,
+        dead_letter_dir=args.dead_letter_dir,
+    )
 
 
 def cmd_synthesize(args) -> dict:
@@ -305,6 +308,8 @@ def main(argv=None) -> int:
     r.add_argument("--partitions", type=int, default=64)
     r.add_argument("--staged", action="store_true")
     r.add_argument("--delta", action="store_true")
+    r.add_argument("--dead-letter-dir", default=None,
+                   help="quarantine invalid rows here instead of failing")
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_replay)
 

@@ -64,6 +64,9 @@ class SchemaRegistry:
             version, schema, dict(renames_to_next or {})
         )
 
+    def versions(self) -> list[int]:
+        return sorted(self._versions)
+
     @property
     def latest_version(self) -> int:
         if not self._versions:

@@ -1,0 +1,104 @@
+"""Dead-letter quarantine for malformed change events.
+
+A bad row must neither fail the epoch nor silently vanish: it lands in the
+DLQ with a reason, and the valid rows produce exactly the state the stream
+without the garbage would have produced.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from arlas_proc_ray.cdc.engine import CdcEngine
+from arlas_proc_ray.cdc.events import (
+    ChangelogConfig,
+    generate_changelog_tables,
+)
+from arlas_proc_ray.cdc.oracle import oracle_final_state
+from arlas_proc_ray.cdc.replay import read_dead_letters
+from arlas_proc_ray.model import DataModel
+from arlas_proc_ray.schema import SchemaEvolutionError
+
+CFG = ChangelogConfig(num_events=2000, num_keys=200, seed=55)
+
+
+def _corrupted_stream():
+    """The deterministic changelog plus 4 injected garbage rows."""
+    tables = generate_changelog_tables(CFG)
+    t = tables[-1]  # highest-version physical shape
+    row = t.slice(0, 1).to_pydict()
+
+    def mutant(**edits):
+        d = {k: list(v) for k, v in row.items()}
+        for k, v in edits.items():
+            d[k] = [v]
+        return pa.Table.from_pydict(d, schema=t.schema)
+
+    garbage = [
+        mutant(schema_version=9),              # unregistered version
+        mutant(op="UPSERT"),                   # unknown op
+        mutant(lsn=None),                      # no order value
+        mutant(path=None),                     # null key column
+    ]
+    corrupted = pa.concat_tables([t] + garbage)
+    return tables[:-1] + [corrupted], tables
+
+
+def test_dead_letter_quarantine(tmp_path, ray_session):
+    corrupted, clean = _corrupted_stream()
+    snap = str(tmp_path / "snap")
+    dlq = str(tmp_path / "dlq")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    ds = rd.from_arrow(corrupted)
+    eng.apply_epoch(ds, 1, dead_letter_dir=dlq)
+
+    # valid rows produced exactly the clean stream's state
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(clean).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+    # the 4 garbage rows are quarantined with the right reasons
+    dl = read_dead_letters(dlq).to_pandas()
+    assert len(dl) == 4
+    assert sorted(dl["dlq_reason"]) == [
+        "invalid_op", "null_key:path", "null_order", "unknown_schema_version",
+    ]
+    assert (dl["dlq_epoch"] == 1).all()
+
+    # scoped read
+    assert len(read_dead_letters(dlq, epoch=1)) == 4
+    assert len(read_dead_letters(dlq, epoch=2)) == 0
+
+
+def test_without_dlq_bad_version_fails_epoch(tmp_path, ray_session):
+    corrupted, _ = _corrupted_stream()
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    with pytest.raises(Exception) as ei:
+        eng.apply_epoch(rd.from_arrow(corrupted), 1)
+    assert "schema_version" in str(ei.value) or isinstance(
+        ei.value, SchemaEvolutionError
+    )
+
+
+def test_dlq_rerun_is_idempotent(tmp_path, ray_session):
+    """Re-running the same epoch (resume path) must not duplicate DLQ rows."""
+    corrupted, _ = _corrupted_stream()
+    snap = str(tmp_path / "snap")
+    dlq = str(tmp_path / "dlq")
+
+    def bomb(epoch, part):
+        if part == 2 and not (tmp_path / "armed").exists():
+            (tmp_path / "armed").touch()
+            raise RuntimeError("injected crash")
+
+    eng = CdcEngine(snap, DataModel(num_partitions=4), fault_hook=bomb)
+    try:
+        eng.apply_epoch(rd.from_arrow(corrupted), 1, dead_letter_dir=dlq)
+    except Exception:
+        pass
+    # resume: full re-run of the normalize stage included
+    eng2 = CdcEngine(snap, DataModel(num_partitions=4))
+    eng2.apply_epoch(rd.from_arrow(corrupted), 1, dead_letter_dir=dlq)
+    dl = read_dead_letters(dlq).to_pandas()
+    assert len(dl) == 4, "content-addressed DLQ files must dedupe on re-run"
