@@ -279,7 +279,10 @@ class CdcEngine:
 
         return store.commit_epoch(epoch, dm.num_partitions)
 
-    def apply_epoch_staged(self, events_ds, epoch: int, *, two_level: bool | None = None) -> dict:
+    def apply_epoch_staged(
+        self, events_ds, epoch: int, *, two_level: bool | None = None,
+        dead_letter_dir: str | None = None,
+    ) -> dict:
         """High-volume variant: raw-task staged shuffle (cdc/staged.py).
 
         Same guarantees (fences, manifests, exactly-once); measured ~3.7x
@@ -305,8 +308,12 @@ class CdcEngine:
                 n_blocks = 64
             two_level = n_blocks * self.dm.num_partitions > 10_000
         if two_level:
-            return staged_apply_epoch_two_level(self, events_ds, epoch)
-        return staged_apply_epoch(self, events_ds, epoch)
+            return staged_apply_epoch_two_level(
+                self, events_ds, epoch, dead_letter_dir=dead_letter_dir
+            )
+        return staged_apply_epoch(
+            self, events_ds, epoch, dead_letter_dir=dead_letter_dir
+        )
 
     # ------------------------------------------------------------------
 

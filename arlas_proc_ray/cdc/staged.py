@@ -62,7 +62,7 @@ def _split_block(table: pa.Table, dm: DataModel, align) -> list[pa.Table]:
     ]
 
 
-def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
+def staged_apply_epoch(engine, events_ds, epoch: int, *, dead_letter_dir: str | None = None) -> dict:
     """Apply one epoch with the staged shuffle; same guarantees as
     ``CdcEngine.apply_epoch`` (idempotent, resumable, exactly-once)."""
     dm = engine.dm
@@ -74,7 +74,12 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
     check_committed_fanout(store, dm, prev_epoch)
     prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
-    align = make_align_fn(engine.registry)
+    if dead_letter_dir is not None:
+        from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+
+        align = make_dead_letter_fn(engine.registry, dm, dead_letter_dir, epoch)
+    else:
+        align = make_align_fn(engine.registry)
     P = dm.num_partitions
 
     @ray.remote(num_returns=P)
@@ -147,7 +152,8 @@ def staged_apply_epoch(engine, events_ds, epoch: int) -> dict:
 
 
 def staged_apply_epoch_two_level(
-    engine, events_ds, epoch: int, *, groups: int | None = None
+    engine, events_ds, epoch: int, *, groups: int | None = None,
+    dead_letter_dir: str | None = None,
 ) -> dict:
     """Two-level staged exchange for LARGE partition fan-outs.
 
@@ -179,7 +185,12 @@ def staged_apply_epoch_two_level(
     check_committed_fanout(store, dm, prev_epoch)
     prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
-    align = make_align_fn(engine.registry)
+    if dead_letter_dir is not None:
+        from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+
+        align = make_dead_letter_fn(engine.registry, dm, dead_letter_dir, epoch)
+    else:
+        align = make_align_fn(engine.registry)
     P = dm.num_partitions
     G = groups or max(1, int(math.isqrt(P)))
     G = min(G, P)

@@ -102,3 +102,19 @@ def test_dlq_rerun_is_idempotent(tmp_path, ray_session):
     eng2.apply_epoch(rd.from_arrow(corrupted), 1, dead_letter_dir=dlq)
     dl = read_dead_letters(dlq).to_pandas()
     assert len(dl) == 4, "content-addressed DLQ files must dedupe on re-run"
+
+
+@pytest.mark.parametrize("two_level", [False, True])
+def test_dlq_on_staged_paths(tmp_path, ray_session, two_level):
+    corrupted, clean = _corrupted_stream()
+    snap = str(tmp_path / "snap")
+    dlq = str(tmp_path / "dlq")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    eng.apply_epoch_staged(
+        rd.from_arrow(corrupted), 1,
+        two_level=two_level, dead_letter_dir=dlq,
+    )
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(clean).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(read_dead_letters(dlq)) == 4
