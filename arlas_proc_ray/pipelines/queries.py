@@ -1389,6 +1389,32 @@ def q_clustered_scan(sf_dir: str):
         shutil.rmtree(snap, ignore_errors=True)
 
 
+def q_incremental_feed(sf_dir: str):
+    """Changed-rows incremental consumption (cdc/snapshot.py scan
+    changed_since_lsn + changed_rows_only): build the two-epoch
+    events-derived snapshot, then feed downstream ONLY the rows whose
+    applied LSN is above the first epoch's midpoint watermark — partition
+    pruning from the manifests' applied-LSN fences, then a pushed-down
+    ``last_lsn > mid`` row filter. Oracle: the SQL LWW final state
+    filtered to last_lsn > mid."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="incremental_feed_")
+    try:
+        eng = _events_engine_snapshot(sf_dir, snap)
+        mid = int(
+            _events(sf_dir, columns=["event_id"]).max("event_id") or 0
+        ) // 2
+        return eng.scan(
+            changed_since_lsn=mid,
+            changed_rows_only=True,
+            columns=["repo", "path", "content_sha256", "last_lsn"],
+        ).to_pandas()
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
 def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
     """Build the deterministic events-derived CdcEngine snapshot used by
     ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``."""
@@ -3096,6 +3122,7 @@ QUERIES = {
     "cdc_engine_replay": q_cdc_engine_replay,
     "snapshot_pruned_scan": q_snapshot_pruned_scan,
     "clustered_scan": q_clustered_scan,
+    "incremental_feed": q_incremental_feed,
     "cdc_lww_upsert": q_cdc_lww_upsert,
     "dedup_first_per_key": q_dedup_first_per_key,
     "gap_state": q_gap_state,
@@ -4251,6 +4278,24 @@ ORACLE_SQL = {
         SELECT repo, path, sha256(content) AS content_sha256,
                lsn AS last_lsn
         FROM last WHERE rn = 1 AND op <> 'DELETE' AND path = 'error'
+    """,
+    "incremental_feed": """
+        WITH ch AS (
+          SELECT event_id AS lsn,
+                 CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+                 'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+                 event_type AS path,
+                 props AS content
+          FROM events),
+        last AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+                                       ORDER BY lsn DESC) AS rn
+          FROM ch)
+        SELECT repo, path, sha256(content) AS content_sha256,
+               lsn AS last_lsn
+        FROM last
+        WHERE rn = 1 AND op <> 'DELETE'
+          AND lsn > (SELECT max(event_id) // 2 FROM events)
     """,
     "lang_id": """
         WITH w AS (
