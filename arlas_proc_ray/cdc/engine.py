@@ -273,11 +273,16 @@ class CdcEngine:
                     ray.get([carry_forward.remote(p) for p in stale])
                     for p in stale:
                         del sources[p]
-            return store.commit_epoch(epoch, dm.num_partitions, sources=sources)
+            return store.commit_epoch(
+                epoch, dm.num_partitions, sources=sources,
+                expected_prev=prev_epoch,
+            )
         if pending:
             ray.get([carry_forward.remote(p) for p in pending])
 
-        return store.commit_epoch(epoch, dm.num_partitions)
+        return store.commit_epoch(
+            epoch, dm.num_partitions, expected_prev=prev_epoch
+        )
 
     def apply_epoch_staged(
         self, events_ds, epoch: int, *, two_level: bool | None = None,
@@ -409,7 +414,7 @@ class CdcEngine:
         ]
         if pending:
             ray.get([write_empty.remote(p) for p in pending])
-        return store.commit_epoch(epoch, new_p)
+        return store.commit_epoch(epoch, new_p, expected_prev=latest)
 
     # ------------------------------------------------------------------
 

@@ -276,6 +276,10 @@ def _atomic_write_bytes(path: str, payload: bytes) -> None:
             os.unlink(tmp)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed an epoch since this writer planned its own."""
+
+
 class SnapshotStore:
     """Filesystem layout + atomic commit protocol for compacted snapshots."""
 
@@ -392,6 +396,7 @@ class SnapshotStore:
         epoch: int,
         num_partitions: int,
         sources: dict[int, int] | None = None,
+        expected_prev: int | None | type(...) = ...,
     ) -> dict:
         """Write the _COMMITTED marker once every partition manifest exists.
 
@@ -399,7 +404,24 @@ class SnapshotStore:
         partition's current state. Partitions untouched by this epoch point
         at an older epoch instead of being rewritten (lakehouse-style
         metadata chain); omitted → every partition lives in this epoch.
+
+        ``expected_prev``: optimistic concurrency fence — the latest
+        committed epoch this writer PLANNED against (None for a bootstrap
+        write). If another writer committed anything since, this commit
+        raises ``ConcurrentCommitError`` instead of publishing a state
+        that silently ignores the interleaved epoch's events. Re-running
+        the SAME epoch is still a benign no-op upstream (the engine
+        rejects re-applying a committed epoch). Default ``...`` skips the
+        check (legacy callers).
         """
+        if expected_prev is not ...:
+            latest = self.latest_committed_epoch()
+            if latest != expected_prev and latest != epoch:
+                raise ConcurrentCommitError(
+                    f"planned against epoch {expected_prev} but latest "
+                    f"committed is now {latest}; replay this epoch's events "
+                    f"on top of the current state"
+                )
         sources = {int(p): int(e) for p, e in (sources or {}).items()}
         manifests = [
             self.read_manifest(sources.get(p, epoch), p)

@@ -148,7 +148,7 @@ def staged_apply_epoch(engine, events_ds, epoch: int, *, dead_letter_dir: str | 
         for p in range(P)
     ]
     ray.get(merge_refs)
-    return store.commit_epoch(epoch, P)
+    return store.commit_epoch(epoch, P, expected_prev=prev_epoch)
 
 
 def staged_apply_epoch_two_level(
@@ -297,4 +297,4 @@ def staged_apply_epoch_two_level(
         g, i = part // per_group, part % per_group
         merge_refs.append(merge.remote(part, _l2(g, i)))
     ray.get(merge_refs)
-    return store.commit_epoch(epoch, P)
+    return store.commit_epoch(epoch, P, expected_prev=prev_epoch)

@@ -92,3 +92,24 @@ def test_jobs_cli_tag_and_scan_by_ref(tmp_path, ray_session, capsys):
     assert main(["tag", "--snapshot", snap]) == 0
     ls = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ls == {"refs": {"prod": 1}}
+
+
+def test_optimistic_concurrency_commit_fence(tmp_path, ray_session):
+    """A writer that planned against an older epoch must not publish over
+    an interleaved commit; re-committing the SAME epoch stays benign."""
+    from arlas_proc_ray.cdc.snapshot import ConcurrentCommitError
+
+    eng = _engine(tmp_path)  # commits epochs 1 and 2
+    store = eng.store
+
+    # writer planned against epoch 1, but epoch 2 landed meanwhile
+    with pytest.raises(ConcurrentCommitError, match="latest committed is now 2"):
+        store.commit_epoch(3, 4, expected_prev=1)
+
+    # same-epoch recommit (idempotent retry of the marker write) passes
+    summary = store.commit_epoch(2, 4, expected_prev=1)
+    assert summary["epoch"] == 2
+
+    # correct fence: planned against the true latest
+    eng.apply_epoch(changelog_dataset(CFG, lo=0, hi=50), 3)
+    assert store.latest_committed_epoch() == 3
