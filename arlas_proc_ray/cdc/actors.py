@@ -229,10 +229,19 @@ class StreamingCdcEngine:
             for p in range(self.dm.num_partitions)
         ]
 
-    def apply_epoch(self, events_ds, epoch: int) -> dict:
+    def apply_epoch(
+        self, events_ds, epoch: int, *, dead_letter_dir: str | None = None
+    ) -> dict:
         dm = self.dm
         actors = self.actors
-        align = make_align_fn(self.registry)
+        if dead_letter_dir is not None:
+            from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+
+            align = make_dead_letter_fn(
+                self.registry, dm, dead_letter_dir, epoch
+            )
+        else:
+            align = make_align_fn(self.registry)
 
         def route(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:  # empty blocks are legal in Ray Data

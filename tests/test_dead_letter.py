@@ -118,3 +118,18 @@ def test_dlq_on_staged_paths(tmp_path, ray_session, two_level):
     exp = oracle_final_state(clean).to_pandas()
     pd.testing.assert_frame_equal(got, exp)
     assert len(read_dead_letters(dlq)) == 4
+
+
+def test_dlq_on_streaming_engine(tmp_path, ray_session):
+    from arlas_proc_ray.cdc.actors import StreamingCdcEngine
+
+    corrupted, clean = _corrupted_stream()
+    dlq = str(tmp_path / "dlq")
+    eng = StreamingCdcEngine(
+        str(tmp_path / "snap"), DataModel(num_partitions=4)
+    )
+    eng.apply_epoch(rd.from_arrow(corrupted), 1, dead_letter_dir=dlq)
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(clean).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(read_dead_letters(dlq)) == 4
