@@ -1,0 +1,90 @@
+"""Chaos sequences over the whole engine surface.
+
+A CDC engine's correctness claim is not per-feature but per-LIFETIME: any
+interleaving of epoch applies (Dataset / staged / delta), fan-out
+rewrites, optimizes, tags, vacuums and purges must converge to exactly
+the state an independent oracle computes from the raw change log. Each
+seed drives a different deterministic interleaving.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+
+from arlas_proc_ray.cdc.engine import CdcEngine
+from arlas_proc_ray.cdc.events import (
+    ChangelogConfig,
+    changelog_dataset,
+    generate_changelog_tables,
+)
+from arlas_proc_ray.cdc.oracle import oracle_final_state
+from arlas_proc_ray.model import DataModel
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_lifetime_chaos(tmp_path, ray_session, seed):
+    rng = random.Random(seed)
+    cfg = ChangelogConfig(
+        num_events=4000, num_keys=400, seed=100 + seed
+    )
+
+    # random epoch boundaries over the lsn domain
+    n_epochs = rng.randint(2, 4)
+    cuts = sorted(rng.sample(range(1, cfg.num_events), n_epochs - 1))
+    bounds = [0] + cuts + [cfg.num_events]
+
+    p = rng.choice([4, 8])
+    snap = str(tmp_path / "snap")
+    eng = CdcEngine(snap, DataModel(num_partitions=p))
+    epoch = 0
+    for i in range(n_epochs):
+        epoch += 1
+        ds = changelog_dataset(cfg, lo=bounds[i], hi=bounds[i + 1])
+        mode = rng.choice(["dataset", "staged", "delta"])
+        if mode == "staged":
+            eng.apply_epoch_staged(ds, epoch)
+        elif mode == "delta":
+            eng.apply_epoch(ds, epoch, delta=True, delta_max_age=2)
+        else:
+            eng.apply_epoch(ds, epoch)
+
+        # interleave a random table-service op
+        op = rng.choice(["none", "tag", "repartition", "optimize", "vacuum"])
+        if op == "tag":
+            eng.store.tag(f"t{epoch}")
+        elif op == "repartition":
+            p = rng.choice([3, 6, 12])
+            epoch = eng.repartition_snapshot(p)["epoch"]
+            eng = CdcEngine(snap, DataModel(num_partitions=p))
+        elif op == "optimize":
+            eng2 = CdcEngine(
+                snap, DataModel(num_partitions=p),
+                cluster_by=["path"], row_group_rows=256,
+            )
+            epoch = eng2.repartition_snapshot(p)["epoch"]
+            eng = CdcEngine(snap, DataModel(num_partitions=p))
+        elif op == "vacuum":
+            eng.store.vacuum(keep_last=1)
+
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+    # end with a purge: expected = oracle minus the purged keys
+    victims = exp[["repo", "path"]].sample(
+        n=min(5, len(exp)), random_state=seed
+    )
+    eng.purge_keys(victims)
+    got2 = eng.final_state().to_pandas()
+    merged = exp.merge(victims, on=["repo", "path"], how="left", indicator=True)
+    exp2 = (
+        merged[merged["_merge"] == "left_only"]
+        .drop(columns="_merge")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, exp2)
+
+    # the store is still internally consistent end to end
+    deep = eng.store.verify_deep(recompute_hashes=True)
+    assert deep["ok"], deep["failed"]
