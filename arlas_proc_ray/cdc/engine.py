@@ -107,6 +107,7 @@ class CdcEngine:
         fault_hook=None,
         cluster_by: list[str] | None = None,
         row_group_rows: int | None = None,
+        compression: str = "snappy",
     ):
         self.dm = dm or DataModel()
         # blooms over the key columns: == point lookups prune partitions
@@ -119,6 +120,7 @@ class CdcEngine:
             bloom_cols=self.dm.key_list,
             cluster_by=cluster_by,
             row_group_rows=row_group_rows,
+            compression=compression,
         )
         self.registry = registry or default_registry()
         self.fault_hook = fault_hook

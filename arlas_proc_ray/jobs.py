@@ -260,6 +260,7 @@ def cmd_optimize(args) -> dict:
         DataModel(num_partitions=current_p),
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         row_group_rows=args.row_group_rows,
+        compression=args.compression,
     )
     summary = engine.repartition_snapshot(current_p, epoch=args.epoch)
     out = {
@@ -354,6 +355,8 @@ def main(argv=None) -> int:
     op.add_argument("--cluster-by", default=None,
                     help="comma-separated sort keys for the rewrite")
     op.add_argument("--row-group-rows", type=int, default=None)
+    op.add_argument("--compression", default="snappy",
+                    help="parquet codec for the rewrite (snappy|zstd|gzip|lz4)")
     op.add_argument("--epoch", type=int, default=None)
     op.add_argument("--vacuum-keep", type=int, default=None,
                     help="after commit, vacuum to the last N committed epochs")

@@ -141,3 +141,43 @@ def test_engine_cluster_by_equals_unclustered_state(tmp_path, ray_session):
     some_path = b["path"].iloc[len(b) // 2]
     stats = row_group_pruning_stats(files, [("path", "==", some_path)])
     assert stats["rows_matching"] < stats["rows_total"]
+
+
+def test_compression_codec_roundtrip_and_rewrite(tmp_path, ray_session):
+    """zstd store: identical logical content in a zstd-coded file;
+    jobs optimize --compression rewrites an existing snapshot's codec."""
+    from arlas_proc_ray.jobs import main
+
+    t = _state_table(2000)
+    # repeat content so codecs have something to bite on
+    t = t.set_column(
+        t.schema.get_field_index("content_sha256"),
+        "content_sha256",
+        pa.array([f"{i % 7:064x}" for i in range(2000)]),
+    )
+    snappy = SnapshotStore(str(tmp_path / "sn"))
+    zstd = SnapshotStore(str(tmp_path / "zs"), compression="zstd")
+    ms = snappy.write_partition(1, 0, t, last_lsn=1999)
+    mz = zstd.write_partition(1, 0, t, last_lsn=1999)
+    assert mz.sha256_rollup == ms.sha256_rollup
+    f_sn = snappy.part_data_path(1, 0)
+    f_zs = zstd.part_data_path(1, 0)
+    assert pq.read_table(f_zs).equals(pq.read_table(f_sn))
+    assert pq.ParquetFile(f_zs).metadata.row_group(0).column(0).compression == "ZSTD"
+
+    # CLI: rewrite an engine snapshot to zstd via optimize
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "1500"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+    ]) == 0
+    assert main([
+        "optimize", "--snapshot", snap, "--compression", "zstd",
+    ]) == 0
+    store = SnapshotStore(snap)
+    e = store.latest_committed_epoch()
+    src = store.resolve_sources(e)
+    p0 = store.part_data_path(src.get(0, e), 0)
+    assert pq.ParquetFile(p0).metadata.row_group(0).column(0).compression == "ZSTD"
