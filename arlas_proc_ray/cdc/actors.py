@@ -247,6 +247,8 @@ class StreamingCdcEngine:
             if batch.num_rows == 0:  # empty blocks are legal in Ray Data
                 return pa.table({"routed": pa.array([0], pa.int64())})
             batch = align(batch)
+            if batch.num_rows == 0:  # dead-letter align may quarantine ALL
+                return pa.table({"routed": pa.array([0], pa.int64())})
             batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
             pids = partition_ids(batch, dm.key_list, dm.num_partitions)
             refs = []

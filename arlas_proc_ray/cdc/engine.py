@@ -363,6 +363,15 @@ class CdcEngine:
             raise RuntimeError("no committed epoch to repartition")
         if epoch is None:
             epoch = latest + 1
+        elif epoch <= latest:
+            # never rewrite an already-committed epoch's summary: the fence
+            # partition_done skips all writes and the new fan-out would be
+            # published for data routed with the OLD one (silent key loss
+            # for time travel / tagged reads of that epoch)
+            raise ValueError(
+                f"epoch {epoch} already committed (latest {latest}); "
+                f"repartition writes a NEW epoch"
+            )
         summary = store.read_epoch_summary(latest)
         watermark = int(summary.get("last_lsn", -1))
         new_p = int(new_num_partitions)

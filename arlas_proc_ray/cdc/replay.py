@@ -90,6 +90,10 @@ def make_align_fn(registry: SchemaRegistry):
     reg = registry.snapshot()
 
     def align(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks are legal in Ray Data; pc.unique would yield no
+            # versions and concat_tables([]) raises — emit a typed empty
+            return reg.align_table(batch, from_version=reg.latest_version)
         versions = batch.column("schema_version")
         uniq = pc.unique(versions).to_pylist()
         parts: list[pa.Table] = []
@@ -209,10 +213,12 @@ def make_dead_letter_fn(
         quarantined = batch.filter(pa.array(bad)).append_column(
             "dlq_reason", pa.array(reason[bad], pa.string())
         )
-        # deterministic content-addressed file: idempotent under retries
+        # deterministic content-addressed file: idempotent under retries.
+        # Hash the FULL row content, not just (order, reason) — two
+        # different batches can share those (e.g. both one null-lsn row)
+        # and must not collide onto one filename.
         h = hashlib.sha256()
-        h.update(str(quarantined.column(order_col).to_pylist()).encode())
-        h.update(str(reason[bad].tolist()).encode())
+        h.update(str(quarantined.to_pydict()).encode())
         out_dir = os.path.join(dead_letter_dir, f"epoch={epoch}")
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"dlq-{h.hexdigest()[:32]}.parquet")

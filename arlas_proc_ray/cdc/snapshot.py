@@ -414,16 +414,17 @@ class SnapshotStore:
 
         ``expected_prev``: optimistic concurrency fence — the latest
         committed epoch this writer PLANNED against (None for a bootstrap
-        write). If another writer committed anything since, this commit
-        raises ``ConcurrentCommitError`` instead of publishing a state
-        that silently ignores the interleaved epoch's events. Re-running
-        the SAME epoch is still a benign no-op upstream (the engine
-        rejects re-applying a committed epoch). Default ``...`` skips the
-        check (legacy callers).
+        write). If anything else was committed since — including this
+        epoch NUMBER by a racing duplicate writer, whose partitions may
+        interleave with ours through the partition_done fences — this
+        commit raises ``ConcurrentCommitError`` instead of publishing a
+        silently mixed state. A single-writer retry never reaches here
+        (the engine rejects re-applying a committed epoch earlier).
+        Default ``...`` skips the check (legacy callers).
         """
         if expected_prev is not ...:
             latest = self.latest_committed_epoch()
-            if latest != expected_prev and latest != epoch:
+            if latest != expected_prev:
                 raise ConcurrentCommitError(
                     f"planned against epoch {expected_prev} but latest "
                     f"committed is now {latest}; replay this epoch's events "

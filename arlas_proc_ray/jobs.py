@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -68,7 +69,9 @@ def cmd_replay(args) -> dict:
         }
     ds = read_parquet(args.events)
     if args.staged:
-        return engine.apply_epoch_staged(ds, epoch=args.epoch)
+        return engine.apply_epoch_staged(
+            ds, epoch=args.epoch, dead_letter_dir=args.dead_letter_dir
+        )
     return engine.apply_epoch(
         ds, epoch=args.epoch, delta=args.delta,
         dead_letter_dir=args.dead_letter_dir,
@@ -255,12 +258,28 @@ def cmd_optimize(args) -> dict:
             "already_committed": True,
             "latest_committed": latest,
         }
+    compression = args.compression
+    if compression is None:
+        # preserve the store's current codec: sniff one live file's footer
+        # (a recluster-only run must not silently transcode zstd→snappy)
+        import pyarrow.parquet as pq
+
+        src = store.resolve_sources(latest)
+        for p, e in sorted(src.items()):
+            path = store.part_data_path(e, p)
+            if os.path.exists(path):
+                md = pq.ParquetFile(path).metadata
+                if md.num_row_groups:
+                    compression = md.row_group(0).column(0).compression.lower()
+                    break
+        if compression in (None, "uncompressed"):
+            compression = "none"
     engine = CdcEngine(
         args.snapshot,
         DataModel(num_partitions=current_p),
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
         row_group_rows=args.row_group_rows,
-        compression=args.compression,
+        compression=compression,
     )
     summary = engine.repartition_snapshot(current_p, epoch=args.epoch)
     out = {
@@ -355,8 +374,9 @@ def main(argv=None) -> int:
     op.add_argument("--cluster-by", default=None,
                     help="comma-separated sort keys for the rewrite")
     op.add_argument("--row-group-rows", type=int, default=None)
-    op.add_argument("--compression", default="snappy",
-                    help="parquet codec for the rewrite (snappy|zstd|gzip|lz4)")
+    op.add_argument("--compression", default=None,
+                    help="parquet codec for the rewrite (snappy|zstd|gzip|"
+                         "lz4; default: keep the store's current codec)")
     op.add_argument("--epoch", type=int, default=None)
     op.add_argument("--vacuum-keep", type=int, default=None,
                     help="after commit, vacuum to the last N committed epochs")

@@ -1335,7 +1335,7 @@ def q_cdc_engine_replay(sf_dir: str):
 
     snap = tempfile.mkdtemp(prefix="cdc_engine_replay_")
     try:
-        eng = _events_engine_snapshot(sf_dir, snap)
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
         out = eng.final_state()
         return out.to_pandas() if hasattr(out, "to_pandas") else out
     finally:
@@ -1356,7 +1356,7 @@ def q_snapshot_pruned_scan(sf_dir: str):
 
     snap = tempfile.mkdtemp(prefix="snapshot_pruned_scan_")
     try:
-        eng = _events_engine_snapshot(sf_dir, snap)
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
         return eng.scan(
             predicate=[("repo", "==", "u7")],
             columns=["repo", "path", "content_sha256", "last_lsn"],
@@ -1378,7 +1378,7 @@ def q_clustered_scan(sf_dir: str):
 
     snap = tempfile.mkdtemp(prefix="clustered_scan_")
     try:
-        eng = _events_engine_snapshot(
+        eng, _ = _events_engine_snapshot(
             sf_dir, snap, cluster_by=["path"], row_group_rows=64
         )
         return eng.scan(
@@ -1402,10 +1402,7 @@ def q_incremental_feed(sf_dir: str):
 
     snap = tempfile.mkdtemp(prefix="incremental_feed_")
     try:
-        eng = _events_engine_snapshot(sf_dir, snap)
-        mid = int(
-            _events(sf_dir, columns=["event_id"]).max("event_id") or 0
-        ) // 2
+        eng, mid = _events_engine_snapshot(sf_dir, snap)
         return eng.scan(
             changed_since_lsn=mid,
             changed_rows_only=True,
@@ -1417,7 +1414,10 @@ def q_incremental_feed(sf_dir: str):
 
 def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
     """Build the deterministic events-derived CdcEngine snapshot used by
-    ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``."""
+    ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``.
+
+    Returns ``(engine, mid)`` where ``mid`` is the epoch-boundary
+    watermark, so callers never re-scan events to recompute it."""
     from arlas_proc_ray.cdc.engine import CdcEngine
     from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
     from arlas_proc_ray.model import DataModel
@@ -1459,7 +1459,7 @@ def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
     eng = CdcEngine(snap, DataModel(num_partitions=NP), **engine_kwargs)
     eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
     eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
-    return eng
+    return eng, mid
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

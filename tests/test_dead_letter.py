@@ -133,3 +133,86 @@ def test_dlq_on_streaming_engine(tmp_path, ray_session):
     exp = oracle_final_state(clean).to_pandas()
     pd.testing.assert_frame_equal(got, exp)
     assert len(read_dead_letters(dlq)) == 4
+
+
+def test_dlq_all_bad_block_and_filename_collision(tmp_path, ray_session):
+    """(a) a block whose rows are ALL quarantined must not crash any
+    engine; (b) two batches whose bad rows share (lsn, reason) but differ
+    in content must land in DISTINCT DLQ files (content-addressed by the
+    full rows, not the order column)."""
+    import pyarrow as pa
+
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+    from arlas_proc_ray.schema import SchemaRegistry
+
+    tables = generate_changelog_tables(ChangelogConfig(
+        num_events=200, num_keys=50, seed=66))
+    t = tables[0]
+
+    def bad_row(path_val):
+        d = t.slice(0, 1).to_pydict()
+        d["lsn"] = [None]
+        d["path"] = [path_val]
+        return pa.Table.from_pydict(d, schema=t.schema)
+
+    from arlas_proc_ray.cdc.events import default_registry
+    from arlas_proc_ray.model import DataModel
+
+    dlq = str(tmp_path / "dlq")
+    fn = make_dead_letter_fn(default_registry(), DataModel(num_partitions=4),
+                             dlq, 1)
+    # two separate batches: same (lsn=None, reason=null_order), different keys
+    out_a = fn(bad_row("pathA"))
+    out_b = fn(bad_row("pathB"))
+    assert out_a.num_rows == 0 and out_b.num_rows == 0
+    dl = read_dead_letters(dlq).to_pandas()
+    assert len(dl) == 2, "distinct bad rows must not collide on one DLQ file"
+    assert sorted(dl["path"].fillna("pathA")) == ["pathA", "pathB"]
+
+    # an all-bad BLOCK through each engine (streaming is the fragile one)
+    from arlas_proc_ray.cdc.actors import StreamingCdcEngine
+
+    all_bad = pa.concat_tables([bad_row(f"p{i}") for i in range(5)])
+    mixed = tables + [all_bad]
+    for cls, snap in [("dataset", "s1"), ("staged", "s2"), ("stream", "s3")]:
+        eng_dir = str(tmp_path / snap)
+        d2 = str(tmp_path / f"dlq_{snap}")
+        if cls == "stream":
+            e = StreamingCdcEngine(eng_dir, DataModel(num_partitions=4))
+            e.apply_epoch(rd.from_arrow(mixed), 1, dead_letter_dir=d2)
+            got = e.final_state().to_pandas()
+        else:
+            e = CdcEngine(eng_dir, DataModel(num_partitions=4))
+            if cls == "staged":
+                e.apply_epoch_staged(rd.from_arrow(mixed), 1, dead_letter_dir=d2)
+            else:
+                e.apply_epoch(rd.from_arrow(mixed), 1, dead_letter_dir=d2)
+            got = e.final_state().to_pandas()
+        exp = oracle_final_state(tables).to_pandas()
+        pd.testing.assert_frame_equal(got, exp)
+        assert len(read_dead_letters(d2)) == 5
+
+
+def test_empty_block_alignment(tmp_path, ray_session):
+    """Empty blocks are legal in Ray Data: the aligner must emit a typed
+    empty table, not crash on concat_tables([])."""
+    import pyarrow as pa
+
+    from arlas_proc_ray.cdc.events import default_registry
+    from arlas_proc_ray.cdc.replay import make_align_fn
+
+    tables = generate_changelog_tables(ChangelogConfig(
+        num_events=100, num_keys=20, seed=77))
+    align = make_align_fn(default_registry())
+    empty = tables[0].schema.empty_table()
+    out = align(empty)
+    assert out.num_rows == 0
+    assert "content_size" in out.column_names
+
+    # end to end: a dataset whose blocks include an empty one
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    eng.apply_epoch(rd.from_arrow(tables + [empty]), 1)
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(tables).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)

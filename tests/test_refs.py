@@ -106,9 +106,12 @@ def test_optimistic_concurrency_commit_fence(tmp_path, ray_session):
     with pytest.raises(ConcurrentCommitError, match="latest committed is now 2"):
         store.commit_epoch(3, 4, expected_prev=1)
 
-    # same-epoch recommit (idempotent retry of the marker write) passes
-    summary = store.commit_epoch(2, 4, expected_prev=1)
-    assert summary["epoch"] == 2
+    # a racing DUPLICATE writer of the committed epoch is also rejected —
+    # its partitions may have interleaved with the winner's through the
+    # partition_done fences (single-writer retries never reach commit:
+    # the engine rejects re-applying a committed epoch earlier)
+    with pytest.raises(ConcurrentCommitError):
+        store.commit_epoch(2, 4, expected_prev=1)
 
     # correct fence: planned against the true latest
     eng.apply_epoch(changelog_dataset(CFG, lo=0, hi=50), 3)

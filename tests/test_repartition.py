@@ -192,3 +192,44 @@ def test_jobs_cli_optimize_reclusters_and_vacuums(tmp_path, ray_session, capsys)
     some = store.read_partition_resolved(e, 0).column("path")[0].as_py()
     rg = row_group_pruning_stats(files, [("path", "==", some)])
     assert rg["rows_matching"] < rg["rows_total"]
+
+
+def test_repartition_rejects_committed_epoch(tmp_path, ray_session):
+    """Rewriting an already-committed epoch's summary would publish a
+    fan-out its data was never routed with — must raise."""
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    eng.apply_epoch(_ep(0, 1500), 1)
+    eng.apply_epoch(_ep(1500, 3000), 2)
+    with pytest.raises(ValueError, match="already committed"):
+        eng.repartition_snapshot(4, epoch=1)
+    with pytest.raises(ValueError, match="already committed"):
+        eng.repartition_snapshot(4, epoch=2)
+    eng.repartition_snapshot(4)  # next epoch: fine
+    assert eng.store.latest_committed_epoch() == 3
+
+
+def test_optimize_preserves_codec_by_default(tmp_path, ray_session, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "1000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+    ]) == 0
+    assert main([
+        "optimize", "--snapshot", snap, "--compression", "zstd",
+    ]) == 0
+    # recluster-only run: codec must STAY zstd, not silently revert
+    assert main(["optimize", "--snapshot", snap, "--cluster-by", "path"]) == 0
+    capsys.readouterr()
+    store = SnapshotStore(snap)
+    e = store.latest_committed_epoch()
+    p0 = store.part_data_path(store.resolve_sources(e).get(0, e), 0)
+    assert pq.ParquetFile(p0).metadata.row_group(0).column(0).compression == "ZSTD"
