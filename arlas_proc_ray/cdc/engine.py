@@ -34,6 +34,7 @@ manifests, no idempotence; those are the capabilities the north rule adds.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -426,6 +427,46 @@ class CdcEngine:
         if pending:
             ray.get([write_empty.remote(p) for p in pending])
         return store.commit_epoch(epoch, new_p, expected_prev=latest)
+
+    # ------------------------------------------------------------------
+
+    def rollback(self, to_epoch, epoch: int | None = None) -> dict:
+        """Roll the table back to a committed epoch — metadata only.
+
+        Commits a NEW epoch whose source map points at the target epoch's
+        partition files (the same chain mechanism delta epochs use): no
+        data is copied, the rollback is one atomic marker write, and
+        ``vacuum`` keeps the chain reachable. Because the new epoch's
+        per-partition fences are the TARGET's manifests, the applied-LSN
+        watermarks rewind with the state — events from the undone epochs
+        can be replayed (repaired, re-ordered, DLQ-fixed) and will apply
+        normally instead of being dropped as already-seen.
+
+        This completes the repair loop: quarantine garbage
+        (``dead_letter_dir``) → ``rollback`` past the bad epoch → replay
+        the corrected events. ``to_epoch`` may be an epoch number or a
+        ref name (``store.tag``).
+        """
+        store = self.store
+        latest = store.latest_committed_epoch()
+        if latest is None:
+            raise RuntimeError("no committed epoch to roll back")
+        target = store._resolve_epoch_arg(to_epoch)
+        if not (0 <= target <= latest) or not os.path.exists(
+            store.commit_marker_path(target)
+        ):
+            raise ValueError(f"epoch {target} is not committed")
+        if epoch is None:
+            epoch = latest + 1
+        elif epoch <= latest:
+            raise ValueError(
+                f"epoch {epoch} already committed (latest {latest})"
+            )
+        sources = store.resolve_sources(target)
+        num_p = int(store.read_epoch_summary(target)["num_partitions"])
+        return store.commit_epoch(
+            epoch, num_p, sources=sources, expected_prev=latest
+        )
 
     # ------------------------------------------------------------------
 

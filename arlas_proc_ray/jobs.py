@@ -219,6 +219,33 @@ def cmd_repartition(args) -> dict:
     }
 
 
+def cmd_rollback(args) -> dict:
+    """Metadata-only rollback (see CdcEngine.rollback): commit a new epoch
+    whose source map points at the target epoch's files. Rewinds the
+    applied-LSN fences so repaired events from the undone epochs can be
+    replayed."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+    from arlas_proc_ray.model import DataModel
+
+    store = SnapshotStore(args.snapshot)
+    latest = store.latest_committed_epoch()
+    if latest is None:
+        return {"ok": False, "error": "no committed epoch"}
+    to = args.to
+    if to.lstrip("-").isdigit():
+        to = int(to)
+    current_p = int(store.read_epoch_summary(latest)["num_partitions"])
+    engine = CdcEngine(args.snapshot, DataModel(num_partitions=current_p))
+    summary = engine.rollback(to)
+    return {
+        "epoch": summary["epoch"],
+        "rolled_back_to": store._resolve_epoch_arg(to),
+        "rows": summary["row_count"],
+        "last_lsn": summary["last_lsn"],
+    }
+
+
 def cmd_tag(args) -> dict:
     """Manage named refs: pin a name to a committed epoch (``--set``),
     delete one (``--delete``), or list all. A tag is an atomic pointer
@@ -360,6 +387,12 @@ def main(argv=None) -> int:
                     help="target epoch (default: latest committed + 1)")
     rp.add_argument("--num-cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_repartition)
+
+    rb = sub.add_parser("rollback", help="metadata-only rollback to an epoch/ref")
+    rb.add_argument("--snapshot", required=True)
+    rb.add_argument("--to", required=True,
+                    help="target epoch number or ref name")
+    rb.set_defaults(fn=cmd_rollback)
 
     tg = sub.add_parser("tag", help="manage named epoch refs")
     tg.add_argument("--snapshot", required=True)

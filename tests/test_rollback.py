@@ -1,0 +1,121 @@
+"""Metadata-only rollback + the full repair loop (DLQ → rollback → replay)."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from arlas_proc_ray.cdc.engine import CdcEngine
+from arlas_proc_ray.cdc.events import (
+    ChangelogConfig,
+    changelog_dataset,
+    generate_changelog_tables,
+)
+from arlas_proc_ray.cdc.oracle import oracle_final_state
+from arlas_proc_ray.model import DataModel
+
+CFG = ChangelogConfig(num_events=4000, num_keys=400, seed=88)
+
+
+def test_rollback_restores_state_and_rewinds_fences(tmp_path, ray_session):
+    snap = str(tmp_path / "snap")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    eng.apply_epoch(changelog_dataset(CFG, lo=0, hi=2000), 1)
+    state1 = eng.final_state().to_pandas()
+    eng.store.tag("good")
+    eng.apply_epoch(changelog_dataset(CFG, lo=2000, hi=4000), 2)
+
+    # rollback by ref: state equals epoch 1 exactly; fences rewound
+    summary = eng.rollback("good")
+    assert summary["epoch"] == 3
+    pd.testing.assert_frame_equal(eng.final_state().to_pandas(), state1)
+    assert summary["last_lsn"] == eng.store.read_epoch_summary(1)["last_lsn"]
+
+    # the undone epoch's events REPLAY normally (fences rewound with state)
+    eng.apply_epoch(changelog_dataset(CFG, lo=2000, hi=4000), 4)
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(generate_changelog_tables(CFG)).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+    # vacuum keeps the rollback chain reachable
+    eng.store.vacuum(keep_last=1)
+    assert eng.store.scan().count() == len(exp)
+
+
+def test_rollback_validation(tmp_path, ray_session):
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    with pytest.raises(RuntimeError, match="no committed epoch"):
+        eng.rollback(1)
+    eng.apply_epoch(changelog_dataset(CFG, lo=0, hi=100), 1)
+    with pytest.raises(ValueError, match="not committed"):
+        eng.rollback(7)
+    with pytest.raises(ValueError, match="already committed"):
+        eng.rollback(1, epoch=1)
+
+
+def test_repair_loop_dlq_rollback_replay(tmp_path, ray_session):
+    """The full story: garbage quarantined, bad epoch undone, repaired
+    events replayed — final state equals the clean oracle."""
+    from arlas_proc_ray.cdc.replay import read_dead_letters
+
+    tables = generate_changelog_tables(CFG)
+    t = tables[-1]
+    good_row = t.slice(0, 1).to_pydict()
+
+    # epoch 2's feed arrives with the row's op corrupted
+    bad = {k: list(v) for k, v in good_row.items()}
+    bad["op"] = ["CORRUPT"]
+    corrupted_ep2 = pa.concat_tables(
+        [t, pa.Table.from_pydict(bad, schema=t.schema)]
+    )
+
+    snap, dlq = str(tmp_path / "snap"), str(tmp_path / "dlq")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    eng.apply_epoch(rd.from_arrow(tables[:-1]), 1)
+    eng.store.tag("pre-bad")
+    eng.apply_epoch(rd.from_arrow([corrupted_ep2]), 2, dead_letter_dir=dlq)
+
+    # the garbage is visible with its reason; operator repairs it
+    dl = read_dead_letters(dlq).to_pandas()
+    assert list(dl["dlq_reason"]) == ["invalid_op"]
+    repaired = {k: list(v) for k, v in bad.items()}
+    repaired["op"] = good_row["op"]  # the intended value
+
+    # undo the partial epoch, replay the fully repaired feed
+    eng.rollback("pre-bad")
+    fixed_ep = pa.concat_tables(
+        [t, pa.Table.from_pydict(repaired, schema=t.schema)]
+    )
+    eng.apply_epoch(rd.from_arrow([fixed_ep]), 4)
+
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(
+        tables[:-1] + [fixed_ep]
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_jobs_cli_rollback(tmp_path, ray_session, capsys):
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "1000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+    ]) == 0
+    assert main(["tag", "--snapshot", snap, "--set", "v1"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "2", "--partitions", "4",
+    ]) == 0  # no-op content-wise but commits epoch 2? (same events: LWW same)
+    capsys.readouterr()
+    assert main(["rollback", "--snapshot", snap, "--to", "v1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rolled_back_to"] == 1 and out["epoch"] == 3
+    assert main(["verify", "--snapshot", snap]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["ok"] and v["rows"] == out["rows"]
