@@ -88,3 +88,53 @@ def test_engine_lifetime_chaos(tmp_path, ray_session, seed):
     # the store is still internally consistent end to end
     deep = eng.store.verify_deep(recompute_hashes=True)
     assert deep["ok"], deep["failed"]
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_engine_chaos_with_crashes(tmp_path, ray_session, seed):
+    """Same lifetime chaos, but every epoch first crashes mid-write on a
+    seed-chosen partition subset, then resumes with a clean engine."""
+    rng = random.Random(seed)
+    cfg = ChangelogConfig(num_events=3000, num_keys=300, seed=200 + seed)
+    n_epochs = rng.randint(2, 3)
+    cuts = sorted(rng.sample(range(1, cfg.num_events), n_epochs - 1))
+    bounds = [0] + cuts + [cfg.num_events]
+    p = 6
+    snap = str(tmp_path / "snap")
+
+    for i in range(n_epochs):
+        epoch = i + 1
+        ds = changelog_dataset(cfg, lo=bounds[i], hi=bounds[i + 1])
+        kill_mod = rng.randint(2, 4)
+
+        def bomb(ep, part, _armed=set(), _kill=kill_mod, _e=epoch):
+            # crash each chosen partition exactly once per epoch
+            if ep == _e and part % _kill == 1 and (ep, part) not in _armed:
+                _armed.add((ep, part))
+                raise RuntimeError("chaos crash")
+
+        faulty = CdcEngine(snap, DataModel(num_partitions=p), fault_hook=bomb)
+        staged = rng.random() < 0.5
+        try:
+            if staged:
+                faulty.apply_epoch_staged(ds, epoch)
+            else:
+                faulty.apply_epoch(ds, epoch)
+        except Exception:
+            pass  # mid-epoch crash; partial partitions are on disk
+        # resume with a CLEAN engine (fresh process semantics)
+        eng = CdcEngine(snap, DataModel(num_partitions=p))
+        if eng.store.latest_committed_epoch() != epoch:
+            if staged:
+                eng.apply_epoch_staged(ds, epoch)
+            else:
+                eng.apply_epoch(ds, epoch)
+        assert eng.store.latest_committed_epoch() == epoch
+
+    got = CdcEngine(snap, DataModel(num_partitions=p)).final_state().to_pandas()
+    exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+    deep = CdcEngine(snap, DataModel(num_partitions=p)).store.verify_deep(
+        recompute_hashes=True
+    )
+    assert deep["ok"], deep["failed"]
