@@ -1553,6 +1553,38 @@ def q_global_value_rank(sf_dir: str):
     return global_rank(ds, order_cols=["value", "event_id"])
 
 
+def q_training_shuffle(sf_dir: str):
+    """Deterministic epoch-seeded global shuffle order for training data.
+
+    ``random_shuffle`` gives an irreproducible permutation; training
+    pipelines want one that is (a) uniform, (b) different per epoch, and
+    (c) exactly reproducible after a crash or on a resized cluster. The
+    permutation here is the global rank of sha256(id + '#' + epoch) — a
+    stateless per-row hash plus the exact distributed two-pass rank
+    (stages/scan.py:global_rank), so nothing random and no driver-side
+    sort touches the data. A consumer reads shard k of E as
+    ``shuffle_pos % num_shards == k``."""
+    from arlas_proc_ray.functions.hashing import sha256_prefix_int
+    from arlas_proc_ray.stages.scan import global_rank
+
+    ds = _events(sf_dir, columns=["event_id"])
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("event_id"), pa.string()),
+            pa.array(["#7"] * n, pa.string()),
+            "",
+        )
+        return batch.append_column(
+            "h", pa.array(sha256_prefix_int(key), pa.int64())
+        )
+
+    ds = ds.map_batches(add_h, batch_format="pyarrow", batch_size=None)
+    ranked = global_rank(ds, order_cols=["h", "event_id"], target="shuffle_pos")
+    return ranked.select_columns(["event_id", "shuffle_pos"])
+
+
 def q_value_ntile(sf_dir: str):
     """Equi-depth decile assignment (NTILE(10) OVER (ORDER BY value,
     event_id)) derived from the exact distributed global rank. SQL NTILE
@@ -3099,6 +3131,7 @@ QUERIES = {
     "supplier_semi_lineitem": q_supplier_semi_lineitem,
     "customer_anti_events": q_customer_anti_events,
     "global_value_rank": q_global_value_rank,
+    "training_shuffle": q_training_shuffle,
     "inverted_postings": q_inverted_postings,
     "cdc_change_stats": q_cdc_change_stats,
     "kmeans_clusters": q_kmeans_clusters,
@@ -4474,6 +4507,15 @@ ORACLE_SQL = {
     "global_value_rank": """
         SELECT event_id, value,
                row_number() OVER (ORDER BY value, event_id) AS rnk
+        FROM events
+    """,
+    "training_shuffle": """
+        SELECT event_id,
+               row_number() OVER (
+                 ORDER BY CAST('0x' || substr(
+                     sha256(CAST(event_id AS VARCHAR) || '#7'), 1, 15)
+                   AS BIGINT),
+                   event_id) AS shuffle_pos
         FROM events
     """,
     "inverted_postings": """
