@@ -702,6 +702,7 @@ class SnapshotStore:
         epoch: int | str | None = None,
         *,
         recompute_hashes: bool = False,
+        changed_since_lsn: int | None = None,
     ) -> dict:
         """Distributed integrity check of a committed snapshot.
 
@@ -715,6 +716,12 @@ class SnapshotStore:
         stored hashes column being stale (stronger, ~1 read + 1 hash pass
         per partition; still embarrassingly parallel and driver receives
         only small verdict dicts).
+
+        ``changed_since_lsn``: incremental audit — partitions whose
+        applied watermark is at or below the given LSN were verified by a
+        previous run and are skipped (reported in ``skipped``). At 100 TB
+        a nightly audit re-reads only the partitions the day's epochs
+        touched.
         """
         import ray
 
@@ -758,14 +765,22 @@ class SnapshotStore:
                 "rows": t.num_rows,
             }
 
-        results = ray.get(
-            [check.remote(p, src) for p, src in sorted(sources.items())]
-        )
+        todo = []
+        skipped = 0
+        for p, src in sorted(sources.items()):
+            if changed_since_lsn is not None:
+                m = self.read_manifest(src, p)
+                if m is not None and m.last_lsn <= changed_since_lsn:
+                    skipped += 1
+                    continue
+            todo.append((p, src))
+        results = ray.get([check.remote(p, src) for p, src in todo])
         bad = [r for r in results if not r["ok"]]
         return {
             "ok": not bad,
             "epoch": e,
             "partitions": len(results),
+            "skipped": skipped,
             "rows": sum(r.get("rows", 0) for r in results),
             "failed": bad,
         }

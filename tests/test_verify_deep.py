@@ -87,3 +87,24 @@ def test_jobs_cli_verify_deep(tmp_path, ray_session, capsys):
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] and out["failed"] == [] and out["partitions"] == 4
+
+
+def test_verify_deep_incremental(tmp_path, ray_session):
+    """Incremental audit: only partitions touched above the watermark are
+    re-read; untouched ones are skipped, corruption above it is found."""
+    from arlas_proc_ray.cdc.events import changelog_dataset
+
+    cfg2 = ChangelogConfig(num_events=2000, num_keys=200, seed=45)
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=16))
+    eng.apply_epoch(changelog_dataset(cfg2, lo=0, hi=1000), 1)
+    mid = eng.store.read_epoch_summary(1)["last_lsn"]
+    # delta epoch 2: only partitions with new events advance their fence
+    # (4 events over 16 partitions cannot touch them all)
+    eng.apply_epoch(changelog_dataset(cfg2, lo=1000, hi=1004), 2, delta=True)
+
+    full = eng.store.verify_deep()
+    incr = eng.store.verify_deep(changed_since_lsn=mid)
+    assert incr["ok"]
+    assert incr["skipped"] > 0
+    assert incr["partitions"] + incr["skipped"] == full["partitions"]
+    assert incr["partitions"] < full["partitions"]
