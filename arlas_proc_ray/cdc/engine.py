@@ -309,6 +309,13 @@ class CdcEngine:
             staged_apply_epoch_two_level,
         )
 
+        # materialize ONCE: on a lazy dataset num_blocks() executes the
+        # whole upstream and to_arrow_refs() would then re-execute it —
+        # measured 2× the generation cost on the 2M-event headline. The
+        # staged exchange needs the blocks resident anyway (its split
+        # tasks consume the refs); epoch sizing already bounds this
+        # (BASELINE.md epoch-size/object-store rule).
+        events_ds = events_ds.materialize()
         if two_level is None:
             try:
                 n_blocks = events_ds.num_blocks()
