@@ -309,6 +309,16 @@ class CdcEngine:
             staged_apply_epoch_two_level,
         )
 
+        # validate BEFORE any execution: retrying an already-committed
+        # epoch (the documented resume pattern) must reject with zero
+        # upstream work, not after generating/reading the whole input
+        prev_epoch = self.store.latest_committed_epoch()
+        if prev_epoch is not None and prev_epoch >= epoch:
+            raise ValueError(
+                f"epoch {epoch} already committed (latest {prev_epoch})"
+            )
+        check_committed_fanout(self.store, self.dm, prev_epoch)
+
         # materialize ONCE: on a lazy dataset num_blocks() executes the
         # whole upstream and to_arrow_refs() would then re-execute it —
         # measured 2× the generation cost on the 2M-event headline. The
@@ -317,11 +327,9 @@ class CdcEngine:
         # (BASELINE.md epoch-size/object-store rule).
         events_ds = events_ds.materialize()
         if two_level is None:
-            try:
-                n_blocks = events_ds.num_blocks()
-            except Exception:
-                n_blocks = 64
-            two_level = n_blocks * self.dm.num_partitions > 10_000
+            two_level = (
+                events_ds.num_blocks() * self.dm.num_partitions > 10_000
+            )
         if two_level:
             return staged_apply_epoch_two_level(
                 self, events_ds, epoch, dead_letter_dir=dead_letter_dir

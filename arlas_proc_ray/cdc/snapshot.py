@@ -702,7 +702,7 @@ class SnapshotStore:
         epoch: int | str | None = None,
         *,
         recompute_hashes: bool = False,
-        changed_since_lsn: int | None = None,
+        changed_since_epoch: int | None = None,
     ) -> dict:
         """Distributed integrity check of a committed snapshot.
 
@@ -717,11 +717,14 @@ class SnapshotStore:
         per partition; still embarrassingly parallel and driver receives
         only small verdict dicts).
 
-        ``changed_since_lsn``: incremental audit — partitions whose
-        applied watermark is at or below the given LSN were verified by a
-        previous run and are skipped (reported in ``skipped``). At 100 TB
-        a nightly audit re-reads only the partitions the day's epochs
-        touched.
+        ``changed_since_epoch``: incremental audit — a partition whose
+        file physically lives in an epoch at or below the given
+        (already-audited) epoch is skipped (reported in ``skipped``). The
+        skip keys on the SOURCE epoch, not the LSN fence: carry-forward,
+        repartition and OPTIMIZE rewrite files WITHOUT advancing
+        ``last_lsn``, and freshly written bytes must be re-verified. At
+        100 TB a nightly audit re-reads only the files written since the
+        last audit.
         """
         import ray
 
@@ -768,11 +771,9 @@ class SnapshotStore:
         todo = []
         skipped = 0
         for p, src in sorted(sources.items()):
-            if changed_since_lsn is not None:
-                m = self.read_manifest(src, p)
-                if m is not None and m.last_lsn <= changed_since_lsn:
-                    skipped += 1
-                    continue
+            if changed_since_epoch is not None and src <= changed_since_epoch:
+                skipped += 1
+                continue
             todo.append((p, src))
         results = ray.get([check.remote(p, src) for p, src in todo])
         bad = [r for r in results if not r["ok"]]
@@ -800,6 +801,11 @@ class SnapshotStore:
         """
         if "/" in name or os.sep in name or name.startswith("."):
             raise ValueError(f"invalid ref name: {name!r}")
+        if name.lstrip("-").isdigit():
+            # digit-only names would shadow epoch numbers in every CLI
+            # that accepts "epoch number or ref" (scan --epoch,
+            # rollback --to) and silently target the wrong state
+            raise ValueError(f"ref name must not be numeric: {name!r}")
         e = self.latest_committed_epoch() if epoch is None else int(epoch)
         if e is None or not os.path.exists(self.commit_marker_path(e)):
             raise ValueError(f"epoch {e} is not committed")

@@ -332,7 +332,7 @@ def cmd_verify(args) -> dict:
         return store.verify_deep(
             epoch,
             recompute_hashes=getattr(args, "recompute_hashes", False),
-            changed_since_lsn=getattr(args, "changed_since_lsn", None),
+            changed_since_epoch=getattr(args, "changed_since_epoch", None),
         )
     sources = store.resolve_sources(epoch)
     rows = 0
@@ -424,9 +424,9 @@ def main(argv=None) -> int:
                    help="re-read every partition and check rollups (Ray tasks)")
     v.add_argument("--recompute-hashes", action="store_true",
                    help="with --deep: re-hash content and compare per row")
-    v.add_argument("--changed-since-lsn", type=int, default=None,
-                   help="with --deep: skip partitions already verified at "
-                        "or below this watermark (incremental audit)")
+    v.add_argument("--changed-since-epoch", type=int, default=None,
+                   help="with --deep: skip partition files physically "
+                        "written at or below this already-audited epoch")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_verify)
 

@@ -1554,35 +1554,15 @@ def q_global_value_rank(sf_dir: str):
 
 
 def q_training_shuffle(sf_dir: str):
-    """Deterministic epoch-seeded global shuffle order for training data.
-
-    ``random_shuffle`` gives an irreproducible permutation; training
-    pipelines want one that is (a) uniform, (b) different per epoch, and
-    (c) exactly reproducible after a crash or on a resized cluster. The
-    permutation here is the global rank of sha256(id + '#' + epoch) — a
-    stateless per-row hash plus the exact distributed two-pass rank
-    (stages/scan.py:global_rank), so nothing random and no driver-side
-    sort touches the data. A consumer reads shard k of E as
-    ``shuffle_pos % num_shards == k``."""
-    from arlas_proc_ray.functions.hashing import sha256_prefix_int
-    from arlas_proc_ray.stages.scan import global_rank
+    """Deterministic epoch-seeded global shuffle order for training data
+    (stages/sampling.py:training_shuffle — exact global rank of
+    sha256(id#epoch): uniform, distinct per epoch, reproducible after a
+    crash or on a resized cluster). The catalog entry pins epoch=7 so the
+    SQL oracle can embed the same salt."""
+    from arlas_proc_ray.stages.sampling import training_shuffle
 
     ds = _events(sf_dir, columns=["event_id"])
-
-    def add_h(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        key = pc.binary_join_element_wise(
-            pc.cast(batch.column("event_id"), pa.string()),
-            pa.array(["#7"] * n, pa.string()),
-            "",
-        )
-        return batch.append_column(
-            "h", pa.array(sha256_prefix_int(key), pa.int64())
-        )
-
-    ds = ds.map_batches(add_h, batch_format="pyarrow", batch_size=None)
-    ranked = global_rank(ds, order_cols=["h", "event_id"], target="shuffle_pos")
-    return ranked.select_columns(["event_id", "shuffle_pos"])
+    return training_shuffle(ds, "event_id", shuffle_epoch=7)
 
 
 def q_value_ntile(sf_dir: str):

@@ -115,3 +115,45 @@ def stratified_sample(
         combined, keys=group_cols, order_col="_hrank", fn=final_topk,
         num_partitions=num_partitions,
     )
+
+
+def training_shuffle(
+    ds,
+    id_col: str,
+    shuffle_epoch: int,
+    *,
+    target: str = "shuffle_pos",
+    num_partitions: int = 16,
+):
+    """Deterministic epoch-seeded global shuffle order for training data.
+
+    ``random_shuffle`` gives an irreproducible permutation; training wants
+    one that is (a) uniform, (b) DIFFERENT per ``shuffle_epoch``, and
+    (c) exactly reproducible after a crash or on a resized cluster. The
+    permutation is the exact global rank of ``sha256(id#epoch)``
+    (stages/scan.py:global_rank — two-pass range-partitioned, nothing
+    random, no driver-side sort). A consumer reads shard k of E as
+    ``shuffle_pos % num_shards == k``.
+    """
+    from arlas_proc_ray.stages.scan import global_rank
+
+    salt = f"#{int(shuffle_epoch)}"
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column(id_col), pa.string()),
+            pa.array([salt] * batch.num_rows, pa.string()),
+            "",
+        )
+        return batch.append_column(
+            "_shuffle_h", pa.array(sha256_prefix_int(key), pa.int64())
+        )
+
+    ds = ds.map_batches(add_h, batch_format="pyarrow", batch_size=None)
+    ranked = global_rank(
+        ds,
+        order_cols=["_shuffle_h", id_col],
+        target=target,
+        num_partitions=num_partitions,
+    )
+    return ranked.drop_columns(["_shuffle_h"])

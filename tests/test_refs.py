@@ -116,3 +116,13 @@ def test_optimistic_concurrency_commit_fence(tmp_path, ray_session):
     # correct fence: planned against the true latest
     eng.apply_epoch(changelog_dataset(CFG, lo=0, hi=50), 3)
     assert store.latest_committed_epoch() == 3
+
+
+def test_numeric_ref_names_rejected(tmp_path, ray_session):
+    """Digit-only tags would shadow epoch numbers in every CLI that takes
+    'epoch number or ref' (scan --epoch, rollback --to)."""
+    eng = _engine(tmp_path)
+    with pytest.raises(ValueError, match="numeric"):
+        eng.store.tag("2")
+    with pytest.raises(ValueError, match="numeric"):
+        eng.store.tag("-3", epoch=1)

@@ -242,3 +242,28 @@ def test_extract_json_int_field_edges():
     # chunked input round-trips
     got2 = extract_json_int_field(pa.chunked_array([col, col]), "k")
     assert got2.to_pylist() == got + got
+
+
+def test_training_shuffle_epochs_differ(ray_session):
+    """training_shuffle: a permutation (each pos exactly once), identical
+    across reruns, DIFFERENT across shuffle epochs."""
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.sampling import training_shuffle
+
+    ids = pa.table({"event_id": pa.array(range(500), pa.int64())})
+    e1 = (
+        training_shuffle(rd.from_arrow(ids), "event_id", 1)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    e1b = (
+        training_shuffle(rd.from_arrow(ids), "event_id", 1)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    e2 = (
+        training_shuffle(rd.from_arrow(ids), "event_id", 2)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert sorted(e1["shuffle_pos"]) == list(range(1, 501))
+    pd.testing.assert_frame_equal(e1, e1b)  # reproducible
+    assert (e1["shuffle_pos"] != e2["shuffle_pos"]).mean() > 0.99  # distinct

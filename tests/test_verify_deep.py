@@ -90,21 +90,31 @@ def test_jobs_cli_verify_deep(tmp_path, ray_session, capsys):
 
 
 def test_verify_deep_incremental(tmp_path, ray_session):
-    """Incremental audit: only partitions touched above the watermark are
-    re-read; untouched ones are skipped, corruption above it is found."""
+    """Incremental audit keys on the SOURCE epoch (where the file
+    physically lives): delta-referenced old files are skipped; files
+    REWRITTEN without advancing the LSN fence (carry-forward, optimize)
+    are re-verified."""
     from arlas_proc_ray.cdc.events import changelog_dataset
 
     cfg2 = ChangelogConfig(num_events=2000, num_keys=200, seed=45)
     eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=16))
     eng.apply_epoch(changelog_dataset(cfg2, lo=0, hi=1000), 1)
-    mid = eng.store.read_epoch_summary(1)["last_lsn"]
-    # delta epoch 2: only partitions with new events advance their fence
+    # delta epoch 2: untouched partitions stay as epoch-1 files
     # (4 events over 16 partitions cannot touch them all)
     eng.apply_epoch(changelog_dataset(cfg2, lo=1000, hi=1004), 2, delta=True)
 
     full = eng.store.verify_deep()
-    incr = eng.store.verify_deep(changed_since_lsn=mid)
+    incr = eng.store.verify_deep(changed_since_epoch=1)
     assert incr["ok"]
     assert incr["skipped"] > 0
     assert incr["partitions"] + incr["skipped"] == full["partitions"]
     assert incr["partitions"] < full["partitions"]
+
+    # a same-fan-out rewrite (optimize) rewrites EVERY file with the OLD
+    # lsn fence — the audit must not skip them: nothing lives at <= 2 now
+    eng.repartition_snapshot(16, epoch=3)
+    after = eng.store.verify_deep(changed_since_epoch=2)
+    assert after["skipped"] == 0
+    assert after["partitions"] == full["partitions"]
+    # ...and keyed at the rewrite epoch everything skips again
+    assert eng.store.verify_deep(changed_since_epoch=3)["skipped"] == 16
