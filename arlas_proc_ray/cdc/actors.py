@@ -280,6 +280,7 @@ class StreamingCdcEngine:
         *,
         epoch_every_events: int,
         start_epoch: int | None = None,
+        dead_letter_dir: str | None = None,
     ):
         """Commit-cadence tailing: ingest an iterable of event tables,
         committing a fenced epoch whenever ``epoch_every_events`` events
@@ -290,20 +291,39 @@ class StreamingCdcEngine:
         Out-of-order arrival WITHIN an epoch window is tolerated (LSN
         ordering at commit); events older than the last committed
         watermark are fenced exactly once, as everywhere else.
+
+        ``dead_letter_dir``: quarantine invalid rows (same vectorized
+        split as everywhere, replay.make_dead_letter_fn) under the epoch
+        window that was open when they ARRIVED.
         """
         dm = self.dm
-        align = make_align_fn(self.registry)
         epoch = (
             start_epoch
             if start_epoch is not None
             else (self.store.latest_committed_epoch() or 0) + 1
         )
+        if dead_letter_dir is not None:
+            from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+
+            def make_align(ep: int):
+                return make_dead_letter_fn(
+                    self.registry, dm, dead_letter_dir, ep
+                )
+        else:
+            _align = make_align_fn(self.registry)
+
+            def make_align(ep: int):
+                return _align
+
+        align = make_align(epoch)
         pending = 0
 
         def route_table(batch: pa.Table) -> int:
             if batch.num_rows == 0:
                 return 0
             batch = align(batch)
+            if batch.num_rows == 0:  # dead-letter may quarantine ALL
+                return 0
             batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
             pids = partition_ids(batch, dm.key_list, dm.num_partitions)
             import numpy as np
@@ -338,6 +358,7 @@ class StreamingCdcEngine:
                 yield summary
                 epoch += 1
                 pending = 0
+                align = make_align(epoch)  # DLQ files follow the window
         if pending:
             summary = commit(epoch)
             summary["routed_events"] = pending

@@ -216,3 +216,33 @@ def test_empty_block_alignment(tmp_path, ray_session):
     got = eng.final_state().to_pandas()
     exp = oracle_final_state(tables).to_pandas()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dlq_on_streaming_tail(tmp_path, ray_session):
+    """tail(): garbage is quarantined under the epoch window open when it
+    arrived; valid rows commit on cadence and match the clean oracle."""
+    from arlas_proc_ray.cdc.actors import StreamingCdcEngine
+
+    tables = generate_changelog_tables(CFG)
+    t = tables[-1]
+    bad = {k: list(v) for k, v in t.slice(0, 1).to_pydict().items()}
+    bad["op"] = ["JUNK"]
+    bad_t = pa.Table.from_pydict(bad, schema=t.schema)
+
+    dlq = str(tmp_path / "dlq")
+    eng = StreamingCdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    # feed: clean tables, garbage arrives in the SECOND window. Cadence
+    # counts ROUTED (post-combine) rows ≈ unique keys per batch (~200
+    # here), so a threshold of 150 closes window 1 after the first table.
+    feed = [tables[0], [bad_t], *tables[1:]]
+    summaries = list(eng.tail(
+        feed, epoch_every_events=150, dead_letter_dir=dlq
+    ))
+    assert len(summaries) >= 2
+    got = eng.final_state().to_pandas()
+    exp = oracle_final_state(tables).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+    dl = read_dead_letters(dlq).to_pandas()
+    assert list(dl["dlq_reason"]) == ["invalid_op"]
+    # the junk arrived after window 1 filled -> attributed to window 2
+    assert dl["dlq_epoch"].iloc[0] == summaries[0]["epoch"] + 1
