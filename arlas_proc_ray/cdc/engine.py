@@ -543,6 +543,74 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
 
+    def replay_dead_letters(
+        self,
+        dead_letter_dir: str,
+        *,
+        repair_fn=None,
+        dlq_epoch: int | None = None,
+        epoch: int | None = None,
+        bump_lsn: bool = True,
+    ) -> dict | None:
+        """Re-apply quarantined rows after repair — one normal epoch.
+
+        Reads the DLQ (optionally one quarantine window), strips the
+        ``dlq_reason``/``dlq_epoch`` bookkeeping, applies ``repair_fn``
+        (table → table; fix the op, fill the key, register the schema —
+        whatever made the rows invalid), and applies the result through
+        the ordinary ``apply_epoch`` (fenced, exactly-once, LWW).
+
+        ``bump_lsn=True`` (default) re-stamps LSNs contiguously ABOVE the
+        store's applied watermark, preserving the original (lsn,
+        delivery_index) order: a quarantined row's original LSN is
+        usually already below the fence (its window committed without
+        it), so replaying it verbatim would be silently dropped as
+        already-applied. Pass ``bump_lsn=False`` only after a rollback
+        below the rows' LSNs. Returns the commit summary, or None when
+        the DLQ (window) is empty.
+        """
+        import numpy as np
+        import ray.data as rd
+
+        from arlas_proc_ray.cdc.replay import read_dead_letters
+
+        t = read_dead_letters(dead_letter_dir, epoch=dlq_epoch)
+        if t.num_rows == 0:
+            return None
+        t = t.drop_columns(
+            [c for c in ("dlq_reason", "dlq_epoch") if c in t.column_names]
+        )
+        if repair_fn is not None:
+            t = repair_fn(t)
+        latest = self.store.latest_committed_epoch()
+        if epoch is None:
+            epoch = (latest if latest is not None else 0) + 1
+        if bump_lsn:
+            lsn = t.column("lsn").to_pandas()
+            dlv = (
+                t.column("delivery_index").to_pandas()
+                if "delivery_index" in t.column_names
+                else lsn
+            )
+            # original order preserved; null LSNs (the null_order rows)
+            # deterministically last by delivery index
+            order = np.lexsort((dlv.to_numpy(na_value=0), lsn.to_numpy(
+                na_value=np.iinfo(np.int64).max)))
+            watermark = (
+                int(self.store.read_epoch_summary(latest).get("last_lsn", -1))
+                if latest is not None
+                else -1
+            )
+            new_lsn = np.empty(len(order), dtype=np.int64)
+            new_lsn[order] = watermark + 1 + np.arange(len(order))
+            t = t.set_column(
+                t.schema.get_field_index("lsn"), "lsn",
+                pa.array(new_lsn, pa.int64()),
+            )
+        return self.apply_epoch(rd.from_arrow(t), epoch=epoch, delta=True)
+
+    # ------------------------------------------------------------------
+
     def lookup(self, keys, epoch: int | None = None) -> pa.Table:
         """Point reads with partition pruning — the serving path.
 

@@ -119,3 +119,49 @@ def test_jobs_cli_rollback(tmp_path, ray_session, capsys):
     assert main(["verify", "--snapshot", snap]) == 0
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert v["ok"] and v["rows"] == out["rows"]
+
+
+def test_replay_dead_letters_api(tmp_path, ray_session):
+    """The programmatic repair path: quarantine → repair_fn → one fenced
+    epoch with LSNs re-stamped above the watermark (verbatim replay would
+    be silently fenced as already-applied)."""
+    import pyarrow.compute as pc
+
+    tables = generate_changelog_tables(CFG)
+    t = tables[-1]
+    # two garbage rows in the feed: a bad op and a null lsn
+    g1 = {k: list(v) for k, v in t.slice(0, 1).to_pydict().items()}
+    g1["op"] = ["CORRUPT"]
+    g2 = {k: list(v) for k, v in t.slice(1, 1).to_pydict().items()}
+    g2["lsn"] = [None]
+    garbage = pa.concat_tables([
+        pa.Table.from_pydict(g1, schema=t.schema),
+        pa.Table.from_pydict(g2, schema=t.schema),
+    ])
+
+    snap, dlq = str(tmp_path / "snap"), str(tmp_path / "dlq")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    eng.apply_epoch(
+        rd.from_arrow(tables + [garbage]), 1, dead_letter_dir=dlq
+    )
+
+    def repair(dl: pa.Table) -> pa.Table:
+        # the operator knows the intended values
+        ops = ["UPDATE" if o not in ("INSERT", "UPDATE", "DELETE") else o
+               for o in dl.column("op").to_pylist()]
+        return dl.set_column(
+            dl.schema.get_field_index("op"), "op", pa.array(ops, pa.string())
+        )
+
+    summary = eng.replay_dead_letters(dlq, repair_fn=repair)
+    assert summary is not None and summary["epoch"] == 2
+
+    # both repaired rows are now live with LSNs above epoch-1's watermark
+    keys = [(g1["repo"][0], g1["path"][0]), (g2["repo"][0], g2["path"][0])]
+    hit = eng.lookup(list(set(keys))).to_pandas()
+    w1 = eng.store.read_epoch_summary(1)["last_lsn"]
+    assert len(hit) == len(set(keys))
+    assert (hit["last_lsn"] > w1).all()
+
+    # empty DLQ window: no-op
+    assert eng.replay_dead_letters(dlq, dlq_epoch=99) is None
