@@ -1454,8 +1454,12 @@ def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
             schema=EVENT_SCHEMA_V1,
         )
 
-    changelog = ds.map_batches(to_changelog, batch_format="pyarrow", batch_size=None)
-    mid = int(ds.max("event_id") or 0) // 2
+    # materialize once: max() + the two epoch filters would otherwise
+    # re-execute the parquet read + mapping three times
+    changelog = ds.map_batches(
+        to_changelog, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    mid = int(changelog.max("lsn") or 0) // 2
     eng = CdcEngine(snap, DataModel(num_partitions=NP), **engine_kwargs)
     eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
     eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
