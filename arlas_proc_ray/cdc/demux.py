@@ -1,0 +1,147 @@
+"""Multi-table changelog demux: one stream, many tables, one read.
+
+A production binlog/WAL tail multiplexes change events for MANY tables
+into one stream (the Debezium-relay shape). Applying it naively costs one
+full scan per table; this module splits ONCE:
+
+    multiplexed events ──map_batches──▶ split by ``table_col`` →
+        per-table content-addressed Parquet spool
+        ``spool_dir/table=<t>/epoch=<e>/``             [ONE pass]
+    then, per table: ``engine.apply_epoch(read_parquet(spool slice))``
+        — the ordinary fenced, exactly-once epoch.
+
+Exactly-once composition:
+
+- spool files are content-addressed and atomically replaced — a retried
+  split task rewrites identical bytes (the DLQ sink's contract);
+- a rerun whose upstream BLOCKING differs can spool duplicate event rows,
+  which the engines' LWW reduction absorbs by construction (same
+  ``(key, lsn)`` → one survivor) — duplicates are correctness-neutral;
+- each table's epoch is fenced independently by its own store: a demux
+  rerun skips tables whose epoch already committed (reported as
+  ``already_committed``) and resumes the rest.
+
+Events whose ``table_col`` names no registered engine are quarantined to
+the dead-letter sink with reason ``unknown_table`` when one is given,
+else the epoch fails loudly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _spool_write(table: pa.Table, out_dir: str) -> str:
+    """Content-addressed atomic Parquet write (idempotent under retries)."""
+    h = hashlib.sha256()
+    h.update(str(table.to_pydict()).encode())
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"part-{h.hexdigest()[:32]}.parquet")
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, compression="snappy")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def demux_epoch(
+    events_ds,
+    engines: dict,
+    epoch: int,
+    *,
+    spool_dir: str,
+    table_col: str = "table",
+    dead_letter_dir: str | None = None,
+    delta: bool = True,
+) -> dict:
+    """Apply one multiplexed epoch across per-table engines; one scan.
+
+    ``engines``: table name → ``CdcEngine`` (each with its own snapshot
+    dir, DataModel and registry). Returns ``{table: commit summary}``;
+    a table whose epoch already committed reports
+    ``{"already_committed": True}`` (demux rerun = resume).
+    ``delta=True`` (default): tables see independent streams, so
+    untouched partitions stay metadata references.
+    """
+    import ray.data as rd
+
+    known = sorted(engines)
+
+    def split(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"spooled": pa.array([0], pa.int64())})
+        col = batch.column(table_col)
+        names = pc.unique(col).to_pylist()
+        bad_names = [n for n in names if n not in engines]
+        if bad_names:
+            mask = pc.is_in(
+                col, value_set=pa.array(bad_names, col.type)
+            )
+            bad = batch.filter(mask)
+            if dead_letter_dir is None:
+                raise ValueError(
+                    f"events for unregistered table(s) {bad_names[:5]}; "
+                    f"pass dead_letter_dir to quarantine instead"
+                )
+            q = bad.append_column(
+                "dlq_reason",
+                pa.array(["unknown_table"] * bad.num_rows, pa.string()),
+            )
+            _spool_write(
+                q, os.path.join(dead_letter_dir, f"epoch={epoch}")
+            )
+            batch = batch.filter(pc.invert(mask))
+            col = batch.column(table_col)
+        n = 0
+        for name in (x for x in names if x in engines):
+            sub = batch.filter(pc.equal(col, pa.scalar(name, col.type)))
+            if sub.num_rows == 0:
+                continue
+            _spool_write(
+                sub.drop_columns([table_col]),
+                os.path.join(spool_dir, f"table={name}", f"epoch={epoch}"),
+            )
+            n += sub.num_rows
+        return pa.table({"spooled": pa.array([n], pa.int64())})
+
+    # ONE pass over the multiplexed stream
+    spooled = events_ds.map_batches(
+        split, batch_format="pyarrow", batch_size=None
+    ).sum("spooled")
+
+    out: dict = {}
+    for name in known:
+        eng = engines[name]
+        latest = eng.store.latest_committed_epoch()
+        if latest is not None and latest >= epoch:
+            out[name] = {"epoch": epoch, "already_committed": True,
+                         "latest_committed": latest}
+            continue
+        d = os.path.join(spool_dir, f"table={name}", f"epoch={epoch}")
+        files = (
+            [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if files:
+            slice_ds = rd.read_parquet(files, partitioning=None)
+        else:
+            # no events for this table this epoch: typed empty stream —
+            # the engine still commits the epoch (carry-forward)
+            from arlas_proc_ray.cdc.events import CANONICAL_EVENT_SCHEMA
+
+            slice_ds = rd.from_arrow(CANONICAL_EVENT_SCHEMA.empty_table())
+        out[name] = eng.apply_epoch(slice_ds, epoch, delta=delta)
+    out["_spooled_events"] = int(spooled or 0)
+    return out
