@@ -281,6 +281,7 @@ class StreamingCdcEngine:
         epoch_every_events: int,
         start_epoch: int | None = None,
         dead_letter_dir: str | None = None,
+        ooo_holdback: int = 0,
     ):
         """Commit-cadence tailing: ingest an iterable of event tables,
         committing a fenced epoch whenever ``epoch_every_events`` events
@@ -291,6 +292,19 @@ class StreamingCdcEngine:
         Out-of-order arrival WITHIN an epoch window is tolerated (LSN
         ordering at commit); events older than the last committed
         watermark are fenced exactly once, as everywhere else.
+
+        ``ooo_holdback``: watermark alignment for sources that deliver
+        out of order ACROSS window boundaries (|delivery position − lsn|
+        ≤ holdback). Events above ``max_seen_lsn − holdback`` are HELD at
+        the coordinator and only routed once the horizon passes them, so
+        a committed fence never outruns a not-yet-delivered lower LSN —
+        without this, a cross-boundary straggler lands below its
+        partition's fence and is dropped as already-applied. Held rows
+        are bounded by holdback × arrival rate; the final flush routes
+        everything. With the default 0, the source contract is that
+        commit windows partition the LSN domain (the batch engine's
+        contract). Crash-replay cursor: replay ``lsn >`` the last
+        committed summary's ``last_lsn``.
 
         ``dead_letter_dir``: quarantine invalid rows (same vectorized
         split as everywhere, replay.make_dead_letter_fn) under the epoch
@@ -317,13 +331,31 @@ class StreamingCdcEngine:
 
         align = make_align(epoch)
         pending = 0
+        held: list[pa.Table] = []  # aligned rows above the ooo horizon
+        max_seen = -1
 
         def route_table(batch: pa.Table) -> int:
+            nonlocal max_seen
             if batch.num_rows == 0:
                 return 0
             batch = align(batch)
             if batch.num_rows == 0:  # dead-letter may quarantine ALL
                 return 0
+            if ooo_holdback > 0:
+                max_seen = max(
+                    max_seen, int(pc.max(batch.column("lsn")).as_py())
+                )
+                horizon = max_seen - ooo_holdback
+                late = pc.greater(batch.column("lsn"), pa.scalar(horizon))
+                above = batch.filter(late)
+                if above.num_rows:
+                    held.append(above)
+                batch = batch.filter(pc.invert(late))
+                if batch.num_rows == 0:
+                    return 0
+            return _route_aligned(batch)
+
+        def _route_aligned(batch: pa.Table) -> int:
             batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
             pids = partition_ids(batch, dm.key_list, dm.num_partitions)
             import numpy as np
@@ -342,6 +374,23 @@ class StreamingCdcEngine:
             ray.get(refs)
             return batch.num_rows
 
+        def release_held(flush: bool = False) -> int:
+            """Route held rows that fell at or below the horizon."""
+            nonlocal held
+            if not held:
+                return 0
+            t = pa.concat_tables(held, promote_options="default")
+            if flush:
+                held = []
+                return _route_aligned(t)
+            horizon = max_seen - ooo_holdback
+            ready = t.filter(
+                pc.less_equal(t.column("lsn"), pa.scalar(horizon))
+            )
+            rest = t.filter(pc.greater(t.column("lsn"), pa.scalar(horizon)))
+            held = [rest] if rest.num_rows else []
+            return _route_aligned(ready) if ready.num_rows else 0
+
         def commit(ep: int) -> dict:
             ray.get([a.commit_epoch.remote(ep) for a in self.actors])
             return self.store.commit_epoch(ep, dm.num_partitions)
@@ -353,12 +402,14 @@ class StreamingCdcEngine:
             for part in parts:
                 pending += route_table(part)
             if pending >= epoch_every_events:
+                pending += release_held()
                 summary = commit(epoch)
                 summary["routed_events"] = pending
                 yield summary
                 epoch += 1
                 pending = 0
                 align = make_align(epoch)  # DLQ files follow the window
+        pending += release_held(flush=True)
         if pending:
             summary = commit(epoch)
             summary["routed_events"] = pending

@@ -140,3 +140,54 @@ def test_streaming_engine_spills_noncombinable_buffer(tmp_path):
         pd.testing.assert_frame_equal(got, exp)
     finally:
         engine.shutdown()
+
+
+def test_tail_crash_resume_with_source_cursor(tmp_path, ray_session):
+    """The streaming replay contract: a coordinator crash loses the open
+    window's routed-but-uncommitted buffer BY DESIGN — the source holds a
+    cursor at the last committed watermark and replays from there. A
+    fresh engine (new actors reload committed state) consuming the
+    replayed feed converges to the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from arlas_proc_ray.cdc.actors import StreamingCdcEngine
+    from arlas_proc_ray.cdc.events import (
+        ChangelogConfig,
+        generate_changelog_tables,
+    )
+    from arlas_proc_ray.cdc.oracle import oracle_final_state
+
+    cfg = ChangelogConfig(num_events=3000, num_keys=300, seed=99)
+    tables = generate_changelog_tables(cfg)
+    # a feed of many small batches (the tail shape)
+    batches = [t.slice(o, 500) for t in tables for o in range(0, t.num_rows, 500)]
+
+    snap = str(tmp_path / "snap")
+    eng1 = StreamingCdcEngine(snap, DataModel(num_partitions=4))
+    # ooo_holdback >= the source's out-of-order bound: the committed
+    # watermark never outruns an undelivered lower LSN, so "replay
+    # lsn > watermark" is an exact cursor
+    gen = eng1.tail(iter(batches), epoch_every_events=120,
+                    ooo_holdback=cfg.ooo_window)
+    first = next(gen)   # window 1 commits...
+    next(gen)           # ...window 2 commits; then ABANDON mid-window-3
+    del gen             # coordinator crash: open window's buffer is lost
+
+    # restart: new engine, actors reload the last committed snapshot;
+    # the SOURCE replays everything after its committed-watermark cursor
+    eng2 = StreamingCdcEngine(snap, DataModel(num_partitions=4))
+    last = eng2.store.latest_committed_epoch()
+    assert last is not None and last >= first["epoch"]
+    cursor = eng2.store.read_epoch_summary(last)["last_lsn"]
+    replay = [
+        t.filter(pc.greater(t.column("lsn"), pa.scalar(cursor)))
+        for t in batches
+    ]
+    replay = [t for t in replay if t.num_rows]
+    list(eng2.tail(iter(replay), epoch_every_events=120,
+                   start_epoch=last + 1, ooo_holdback=cfg.ooo_window))
+
+    got = eng2.final_state().to_pandas()
+    exp = oracle_final_state(tables).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
