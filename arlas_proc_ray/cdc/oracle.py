@@ -46,6 +46,30 @@ def oracle_final_state(tables: list[pa.Table]) -> pa.Table:
         if r["op"] == "DELETE":
             state.pop(key, None)
             continue
+        if r["op"] == "PATCH":
+            # partial image: non-null payload columns overlay the live row;
+            # a patch on a dead/absent key is a no-op (cdc/patch.py contract)
+            prev = state.get(key)
+            if prev is None:
+                continue
+            content = r["content"] if r["content"] is not None else prev["content"]
+            size = len(content) if content is not None else None
+            state[key] = {
+                **prev,
+                "commit": r["commit"] if r["commit"] is not None else prev["commit"],
+                "language": (
+                    r["language"] if r["language"] is not None else prev["language"]
+                ),
+                "content": content,
+                "content_size": size,
+                "content_sha256": (
+                    hashlib.sha256(content.encode("utf-8")).hexdigest()
+                    if content is not None
+                    else None
+                ),
+                "last_lsn": r["lsn"],
+            }
+            continue
         content = r["content"]
         size = r["content_size"]
         if size is None and content is not None:

@@ -67,9 +67,19 @@ def lww_reduce_table(
     later physical row. Used both as the pre-shuffle combiner and as the
     per-partition final reduce — LWW is associative, so combining partials
     is correct by construction.
+
+    Batches carrying op='PATCH' rows (partial images, cdc/patch.py) route
+    to the combiner-safe prune instead: a patch must not be LWW-collapsed
+    away, and folding it here would be unsound on a stream subset. The
+    dispatch is one vectorized equality scan; patch-free streams take the
+    plain LWW path unchanged.
     """
     if table.num_rows <= 1:
         return table
+    from arlas_proc_ray.cdc.patch import patch_prune_table, table_has_patches
+
+    if table_has_patches(table):
+        return patch_prune_table(table, key_cols, order_col)
     gid = group_ids(table, list(key_cols))
     order = table.column(order_col).to_numpy()
     sel = np.lexsort((order, gid))
@@ -130,7 +140,7 @@ def normalize_stage(ds, registry: SchemaRegistry):
     return ds.map_batches(make_align_fn(registry), batch_format="pyarrow", batch_size=None)
 
 
-VALID_OPS = ("INSERT", "UPDATE", "DELETE")
+VALID_OPS = ("INSERT", "UPDATE", "DELETE", "PATCH")
 
 
 def make_dead_letter_fn(
@@ -291,10 +301,31 @@ def finalize_partition_table(table: pa.Table, dm: DataModel) -> pa.Table:
     Rows that already carry a ``content_sha256`` column (prior-snapshot rows
     merged back in by the engine) keep it; only new survivors are hashed —
     at 100 TB the hash runs once per surviving row, never per event.
+
+    Partitions carrying op='PATCH' rows take the full overlay fold
+    (cdc/patch.py — sound here because the keyed exchange co-located every
+    event of each key); barrier-less 'PATCH' leftovers (patch on a key
+    that never existed) are dropped with the tombstones.
     """
+    from arlas_proc_ray.cdc.patch import patch_fold_table, table_has_patches
+
+    if table_has_patches(table):
+        reduced = patch_fold_table(table, dm.key_cols, dm.order_col)
+        live = reduced.filter(
+            pc.invert(
+                pc.is_in(
+                    reduced.column("op"),
+                    value_set=pa.array(["DELETE", "PATCH"], pa.string()),
+                )
+            )
+        )
+        return _final_state_from_live(live, dm)
     reduced = lww_reduce_table(table, dm.key_cols, dm.order_col)
     live = reduced.filter(pc.not_equal(reduced.column("op"), pa.scalar("DELETE")))
+    return _final_state_from_live(live, dm)
 
+
+def _final_state_from_live(live: pa.Table, dm: DataModel) -> pa.Table:
     if "content_sha256" in live.column_names:
         sha = live.column("content_sha256")
         if sha.null_count > 0:

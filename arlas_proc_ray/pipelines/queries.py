@@ -5467,3 +5467,107 @@ ORACLE_SQL["value_trend"] = """
              / CAST(n AS DOUBLE) AS intercept_cents
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# partial-image PATCH upsert (cdc/patch.py) — SQL-oracled
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_patch_upsert(sf_dir: str):
+    """Partial-image PATCH upsert over an events-derived changelog.
+
+    Derivation (mirrored bit-for-bit in the DuckDB oracle): with
+    m = event_id % 10 → m=0 DELETE, m=1–4 UPDATE (full image: value AND
+    props), m=5–7 PATCH touching value only, m=8–9 PATCH touching props
+    only; key=user_id, LSN=event_id. NULL columns of a PATCH mean
+    "untouched" (cdc/patch.py contract). Runs the REAL kernels end to
+    end: adaptive pre-shuffle combiner (patch-safe prune) per batch, ONE
+    keyed exchange, per-partition vectorized overlay fold.
+    """
+    from arlas_proc_ray.cdc.patch import patch_fold_table
+    from arlas_proc_ray.cdc.replay import lww_reduce_table
+    from arlas_proc_ray.functions.hashing import partition_ids
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value", "props"])
+
+    def to_changelog(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        m = eid % 10
+        op = np.where(m == 0, "DELETE", np.where(m <= 4, "UPDATE", "PATCH"))
+        value = t.column("value").to_numpy(zero_copy_only=False)
+        props = t.column("props").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "lsn": t.column("event_id"),
+                "op": pa.array(op.astype(object), pa.string()),
+                "value": pa.array(
+                    value, pa.float64(), mask=~((m >= 1) & (m <= 7))
+                ),
+                "props": pa.array(
+                    props, pa.string(), mask=~(((m >= 1) & (m <= 4)) | (m >= 8))
+                ),
+            }
+        )
+
+    ds = ds.map_batches(to_changelog, batch_format="pyarrow")
+    # adaptive combiner: dispatches to the patch-safe prune (patch rows
+    # survive the pre-shuffle reduction unfolded)
+    ds = ds.map_batches(
+        lambda t: lww_reduce_table(t, ["user_id"], "lsn"), batch_format="pyarrow"
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        pid = partition_ids(t, ["user_id"], NP)
+        return t.append_column("_part", pa.array(pid, pa.int32()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        folded = patch_fold_table(g, ["user_id"], "lsn")
+        live = folded.filter(
+            pc.invert(
+                pc.is_in(
+                    folded.column("op"),
+                    value_set=pa.array(["DELETE", "PATCH"], pa.string()),
+                )
+            )
+        )
+        return pa.table(
+            {
+                "user_id": live.column("user_id"),
+                "last_lsn": live.column("lsn"),
+                "last_value": live.column("value"),
+                "last_props": live.column("props"),
+            }
+        )
+
+    return ds.groupby("_part").map_groups(finalize, batch_format="pyarrow")
+
+
+QUERIES["cdc_patch_upsert"] = q_cdc_patch_upsert
+ORACLE_SQL["cdc_patch_upsert"] = """
+    WITH ev AS (
+      SELECT event_id AS lsn, user_id,
+             CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+                  WHEN event_id % 10 <= 4 THEN 'UPDATE'
+                  ELSE 'PATCH' END AS op,
+             CASE WHEN event_id % 10 BETWEEN 1 AND 7 THEN value END AS value,
+             CASE WHEN event_id % 10 BETWEEN 1 AND 4 OR event_id % 10 >= 8
+                  THEN props END AS props
+      FROM events),
+    b AS (SELECT user_id, max(lsn) FILTER (WHERE op <> 'PATCH') AS b_lsn
+          FROM ev GROUP BY user_id)
+    SELECT ev.user_id,
+           max(ev.lsn) AS last_lsn,
+           arg_max(ev.value, ev.lsn) FILTER (WHERE ev.value IS NOT NULL)
+             AS last_value,
+           arg_max(ev.props, ev.lsn) FILTER (WHERE ev.props IS NOT NULL)
+             AS last_props
+    FROM ev JOIN b USING (user_id)
+    WHERE b.b_lsn IS NOT NULL AND ev.lsn >= b.b_lsn
+    GROUP BY ev.user_id
+    HAVING arg_max(ev.op, ev.lsn) FILTER (WHERE ev.op <> 'PATCH') <> 'DELETE'
+"""
