@@ -63,6 +63,7 @@ def demux_epoch(
     table_col: str = "table",
     dead_letter_dir: str | None = None,
     delta: bool = True,
+    txn_log=None,
 ) -> dict:
     """Apply one multiplexed epoch across per-table engines; one scan.
 
@@ -72,6 +73,13 @@ def demux_epoch(
     ``{"already_committed": True}`` (demux rerun = resume).
     ``delta=True`` (default): tables see independent streams, so
     untouched partitions stay metadata references.
+
+    ``txn_log`` (a ``cdc.txn.TxnLog``): after EVERY table committed, one
+    atomic cross-table record ``{table: epoch}`` is published under
+    ``txn_id = epoch`` — readers resolving ``txn_log.cut()`` never see a
+    torn multi-table cut even while a demux run is mid-flight (a crash
+    between per-table commits leaves the record unwritten; the rerun
+    resumes the remaining tables, then publishes).
     """
     import ray.data as rd
 
@@ -144,4 +152,9 @@ def demux_epoch(
             slice_ds = rd.from_arrow(CANONICAL_EVENT_SCHEMA.empty_table())
         out[name] = eng.apply_epoch(slice_ds, epoch, delta=delta)
     out["_spooled_events"] = int(spooled or 0)
+    if txn_log is not None:
+        # publish the consistent cut LAST — its existence certifies that
+        # every table's epoch is fully committed (same marker discipline
+        # as the per-partition manifests inside each store)
+        out["_txn"] = txn_log.record(epoch, {name: epoch for name in known})
     return out

@@ -263,6 +263,18 @@ def cmd_tag(args) -> dict:
     return {"refs": store.list_refs()}
 
 
+def cmd_txn(args) -> dict:
+    """Inspect cross-table transaction records (cdc/txn.py): list every
+    committed txn id, or resolve one cut (``--id``, default latest) to its
+    {table: epoch} map for snapshot-isolated multi-table reads."""
+    from arlas_proc_ray.cdc.txn import TxnLog
+
+    log = TxnLog(args.txn_dir)
+    if args.list:
+        return {"txns": log.list_txns()}
+    return {"cut": log.cut(args.id)}
+
+
 def cmd_optimize(args) -> dict:
     """Lakehouse-style OPTIMIZE: rewrite the latest committed snapshot in
     place (same fan-out) with sort-key clustering and bounded row groups —
@@ -403,6 +415,13 @@ def main(argv=None) -> int:
     tg.add_argument("--epoch", type=int, default=None,
                     help="with --set: epoch to pin (default: latest)")
     tg.set_defaults(fn=cmd_tag)
+
+    tx = sub.add_parser("txn", help="inspect cross-table transaction cuts")
+    tx.add_argument("--txn-dir", required=True)
+    tx.add_argument("--id", type=int, default=None,
+                    help="txn id to resolve (default: latest)")
+    tx.add_argument("--list", action="store_true")
+    tx.set_defaults(fn=cmd_txn)
 
     op = sub.add_parser("optimize", help="recluster + compact the snapshot in place")
     op.add_argument("--snapshot", required=True)
