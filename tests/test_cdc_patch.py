@@ -350,3 +350,87 @@ def test_fold_is_vectorized_scale_smoke():
     )
     rows = t.to_pylist()
     assert fold_to_live(t) == brute_fold(rows)
+
+
+def _patch_stream(tables, n_patch=60, lsn_base=None):
+    """Deterministic PATCH events over keys that exist in ``tables``."""
+    pre = oracle_final_state(tables).to_pandas()
+    top = (lsn_base or max(int(pc.max(t.column("lsn")).as_py()) for t in tables))
+    some = pre.head(n_patch)
+    rows = [
+        {
+            "lsn": top + 1 + i,
+            "op": "PATCH",
+            "repo": r.repo,
+            "path": r.path,
+            "commit": None,
+            "language": "patched" if i % 2 else None,
+            "content": f"pbody-{i}" if i % 2 == 0 else None,
+            "content_size": None,
+            "schema_version": 2,
+            "delivery_index": top + 1 + i,
+        }
+        for i, r in enumerate(some.itertuples())
+    ]
+    return pa.Table.from_pylist(rows, schema=EVENT_SCHEMA_V2)
+
+
+def test_streaming_engine_applies_patches(tmp_path):
+    """MergeActor ingest-compaction + commit fold handle PATCH rows."""
+    from arlas_proc_ray.cdc.actors import StreamingCdcEngine
+    from arlas_proc_ray.cdc.events import ChangelogConfig, generate_changelog_tables
+
+    cfg = ChangelogConfig(num_events=3_000, num_keys=500, seed=17)
+    tables = generate_changelog_tables(cfg)
+    patches = _patch_stream(tables)
+    exp = oracle_final_state(tables + [patches]).to_pandas()
+
+    dm = DataModel(num_partitions=4)
+    engine = StreamingCdcEngine(str(tmp_path / "snap"), dm)
+    try:
+        engine.apply_epoch(rd.from_arrow(tables), epoch=1)
+        engine.apply_epoch(rd.from_arrow([patches]), epoch=2)
+        got = (
+            engine.final_state()
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)[list(exp.columns)]
+        )
+        pd.testing.assert_frame_equal(got, exp)
+    finally:
+        engine.shutdown()
+
+
+def test_staged_engines_apply_patches(tmp_path):
+    """Both staged exchanges fold PATCH rows (mixed into one epoch)."""
+    from arlas_proc_ray.cdc import CdcEngine
+    from arlas_proc_ray.cdc.events import ChangelogConfig, generate_changelog_tables
+    from arlas_proc_ray.cdc.staged import (
+        staged_apply_epoch,
+        staged_apply_epoch_two_level,
+    )
+
+    cfg = ChangelogConfig(num_events=2_000, num_keys=300, seed=23)
+    tables = generate_changelog_tables(cfg)
+    patches = _patch_stream(tables, n_patch=40)
+    exp = oracle_final_state(tables + [patches]).to_pandas()
+
+    for runner, name in [
+        (staged_apply_epoch, "one-level"),
+        (
+            lambda e, ds, ep: staged_apply_epoch_two_level(e, ds, ep, groups=4),
+            "two-level",
+        ),
+    ]:
+        dm = DataModel(num_partitions=8)
+        eng = CdcEngine(str(tmp_path / f"snap-{name}"), dm)
+        # patches arrive in the SAME epoch as the images they modify —
+        # exercises the combiner prune inside the exchange blocks
+        runner(eng, rd.from_arrow(tables + [patches]), 1)
+        got = (
+            eng.final_state()
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)[list(exp.columns)]
+        )
+        pd.testing.assert_frame_equal(got, exp, obj=name)
