@@ -27,8 +27,14 @@ from arlas_proc_ray.cdc.replay import lww_reduce_table, normalize_stage, replay_
 from arlas_proc_ray.cdc.engine import CdcEngine
 from arlas_proc_ray.cdc.diff import snapshot_diff
 from arlas_proc_ray.cdc.ivm import incremental_agg_view
+from arlas_proc_ray.cdc.publish import (
+    publish_to_elasticsearch,
+    read_publish_checkpoint,
+)
 
 __all__ = [
+    "publish_to_elasticsearch",
+    "read_publish_checkpoint",
     "ChangelogConfig",
     "generate_changelog_tables",
     "changelog_dataset",

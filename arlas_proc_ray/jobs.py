@@ -358,6 +358,44 @@ def cmd_verify(args) -> dict:
     return {"ok": True, "epoch": epoch, "partitions": parts, "rows": rows}
 
 
+def cmd_publish_es(args) -> dict:
+    """Incremental search-index publish (cdc/publish.py): diff the last
+    PUBLISHED epoch against the target per partition — unchanged
+    partitions skipped from manifests alone — and send only I/U/D
+    ``_bulk`` actions. ``--es-url`` posts to a real endpoint;
+    ``--dry-run`` computes and counts the actions without sending."""
+    from arlas_proc_ray.cdc.publish import publish_to_elasticsearch
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+    from arlas_proc_ray.sources.elastic import CountingTransport, HttpTransport
+
+    _ray_session(args.num_cpus)
+    store = SnapshotStore(args.snapshot)
+    if args.dry_run:
+        factory = CountingTransport
+    elif args.es_url:
+        url = args.es_url
+
+        def factory():
+            return HttpTransport(url)
+    else:
+        raise SystemExit("publish-es: need --es-url or --dry-run")
+    epoch = args.epoch
+    if epoch is not None and str(epoch).lstrip("-").isdigit():
+        epoch = int(epoch)
+    out = publish_to_elasticsearch(
+        store,
+        index=args.index,
+        transport_factory=factory,
+        key_cols=args.key.split(","),
+        sink_id=args.sink_id,
+        epoch=epoch,
+        full=args.full,
+        commit_checkpoint=not args.dry_run,
+    )
+    out.pop("partition_lineage", None)
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="arlas_proc_ray.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -463,6 +501,23 @@ def main(argv=None) -> int:
                     help="report footer-only row-group pruning stats")
     sc.add_argument("--num-cpus", type=int, default=None)
     sc.set_defaults(fn=cmd_scan)
+
+    pe = sub.add_parser(
+        "publish-es", help="incremental search-index publish (diff since last publish)"
+    )
+    pe.add_argument("--snapshot", required=True)
+    pe.add_argument("--index", required=True)
+    pe.add_argument("--es-url", default=None, help="http(s)://host:9200")
+    pe.add_argument("--dry-run", action="store_true",
+                    help="compute and count actions; send nothing, move no checkpoint")
+    pe.add_argument("--key", default="repo,path", help="comma-separated key columns")
+    pe.add_argument("--sink-id", default="default")
+    pe.add_argument("--epoch", default=None,
+                    help="epoch number or ref name (default: latest committed)")
+    pe.add_argument("--full", action="store_true",
+                    help="ignore the checkpoint; re-index every live row")
+    pe.add_argument("--num-cpus", type=int, default=None)
+    pe.set_defaults(fn=cmd_publish_es)
 
     ln = sub.add_parser("lineage", help="dump per-partition manifest history")
     ln.add_argument("--snapshot", required=True)

@@ -53,9 +53,22 @@ class MockElasticsearch:
         self.bulk_calls += 1
         lines = [ln for ln in body.split("\n") if ln]
         items, errors = [], False
-        for i in range(0, len(lines), 2):
+        i = 0
+        while i < len(lines):
             action = json.loads(lines[i])
-            source = json.loads(lines[i + 1])
+            i += 1
+            if "delete" in action:
+                # delete actions carry NO source line (bulk protocol);
+                # deleting a missing doc is 404 — idempotent, not an error
+                meta = action["delete"]
+                existed = self.docs.pop((meta["_index"], meta["_id"]), None)
+                items.append(
+                    {"delete": {"_id": meta["_id"],
+                                "status": 200 if existed is not None else 404}}
+                )
+                continue
+            source = json.loads(lines[i])
+            i += 1
             meta = action["index"]
             _id, _index = meta["_id"], meta["_index"]
             if self.reject_id_prefix and _id.startswith(self.reject_id_prefix):
@@ -87,6 +100,42 @@ class ActorTransport:
 
     def bulk(self, body: str) -> dict:
         return ray.get(self.actor.bulk.remote(body))
+
+
+class HttpTransport:
+    """Stdlib transport for a real ES ``_bulk`` endpoint (no client lib).
+
+    Untestable in this sandbox (no network) — the protocol itself is
+    exercised against ``MockElasticsearch``; this class only swaps the
+    socket, exactly the injection seam the sink was designed around.
+    """
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self.url = base_url.rstrip("/") + "/_bulk"
+        self.timeout = timeout
+
+    def bulk(self, body: str) -> dict:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=body.encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read())
+        except urllib.error.URLError as ex:  # connection-level → abort policy
+            raise ConnectionError(str(ex)) from ex
+
+
+class CountingTransport:
+    """Dry-run transport: accepts every action, sends nothing."""
+
+    def bulk(self, body: str) -> dict:
+        return {"errors": False, "items": []}
 
 
 def _bulk_ndjson(

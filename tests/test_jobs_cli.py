@@ -115,3 +115,34 @@ def test_jobs_cli_scan(tmp_path, capsys):
 
     n = pads.dataset(out_dir).count_rows()
     assert n > 0 and lines[-1]["out"] == out_dir
+
+
+def test_jobs_cli_publish_es_dry_run(tmp_path, capsys):
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc import (
+        CdcEngine,
+        ChangelogConfig,
+        generate_changelog_tables,
+        read_publish_checkpoint,
+    )
+    from arlas_proc_ray.jobs import main
+    from arlas_proc_ray.model import DataModel
+
+    snap = str(tmp_path / "snap")
+    engine = CdcEngine(snap, DataModel(num_partitions=4))
+    engine.apply_epoch(
+        rd.from_arrow(
+            generate_changelog_tables(
+                ChangelogConfig(num_events=1_500, num_keys=150, seed=9)
+            )
+        ),
+        epoch=1,
+    )
+    assert main(["publish-es", "--snapshot", snap, "--index", "code",
+                 "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "bootstrap"
+    assert out["indexed"] == engine.final_state().num_rows
+    # a dry run moves NO checkpoint: the next real publish still bootstraps
+    assert read_publish_checkpoint(engine.store, "default") is None
