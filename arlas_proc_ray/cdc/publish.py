@@ -97,7 +97,8 @@ def diff_state_tables(
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
     op_col: str = "op",
-) -> pd.DataFrame:
+    old_image_cols: Sequence[str] | None = None,
+):
     """Local changelog between two unique-per-key state tables.
 
     Same classification as ``cdc/diff.py:snapshot_diff`` but for inputs
@@ -105,6 +106,12 @@ def diff_state_tables(
     no exchange, no Dataset. I/U rows carry the NEW image, D rows the OLD
     image. Byte-exact key codes (Arrow dictionary encoding), so NUL-embedded
     keys stay distinct where a pandas merge would collapse them.
+
+    ``old_image_cols``: additionally return a second frame, positionally
+    aligned with the first, holding the OLD values of the named columns
+    (NA on I rows, the pre-update image on U, the deleted image on D) —
+    what delta-propagation consumers (cdc/views.py) retract. Kept as a
+    separate frame so the main output's dtypes stay exact.
     """
     from arlas_proc_ray.cdc.replay import group_ids
 
@@ -116,16 +123,26 @@ def diff_state_tables(
     if compare_cols is None:
         compare_cols = [c for c in cols if c not in key_cols]
     empty = pd.DataFrame({**{c: [] for c in cols}, op_col: []})
+
+    def with_old(out: pd.DataFrame, old_images: pd.DataFrame | None):
+        if old_image_cols is None:
+            return out
+        if old_images is None:  # every row is an insert: no prior image
+            old_images = pd.DataFrame(
+                {c: pd.Series([pd.NA] * len(out)) for c in old_image_cols}
+            )
+        return out, old_images.reset_index(drop=True)
+
     if not o_rows and not n_rows:
-        return empty
+        return with_old(empty, None)
     if not o_rows:
         out = new.to_pandas()
         out[op_col] = "I"
-        return out
+        return with_old(out, None)
     if not n_rows:
         out = old.to_pandas()
         out[op_col] = "D"
-        return out
+        return with_old(out, out[list(old_image_cols)] if old_image_cols else None)
 
     union_keys = pa.concat_tables(
         [old.select(key_cols), new.select(key_cols)]
@@ -155,7 +172,24 @@ def diff_state_tables(
     )
     d = old_pdf.iloc[np.flatnonzero(del_mask)].assign(**{op_col: "D"})
     out = pd.concat([iu, d], ignore_index=True) if len(d) or len(iu) else empty
-    return out
+    if old_image_cols is None:
+        return out
+    # positionally aligned old images for [I..., U..., D...]: reindex with
+    # label -1 (absent from the RangeIndex) yields the NA rows for inserts
+    # without a per-dtype NA construction
+    labels = np.concatenate(
+        [
+            np.full(int(ins_mask.sum()), -1, dtype=np.int64),
+            common_old[changed],
+            np.flatnonzero(del_mask),
+        ]
+    )
+    if not len(labels):
+        return with_old(out, None)
+    # nullable dtypes first: reindex then inserts pd.NA for the I rows
+    # without upcasting int64 -> float64 (which would round large LSNs)
+    src = old_pdf[list(old_image_cols)].convert_dtypes(convert_string=False)
+    return with_old(out, src.reindex(labels))
 
 
 # ---- bulk action stream -----------------------------------------------------

@@ -5571,3 +5571,61 @@ ORACLE_SQL["cdc_patch_upsert"] = """
     GROUP BY ev.user_id
     HAVING arg_max(ev.op, ev.lsn) FILTER (WHERE ev.op <> 'PATCH') <> 'DELETE'
 """
+
+
+# ---------------------------------------------------------------------------
+# incrementally-maintained materialized view (cdc/views.py) — SQL-oracled
+# ---------------------------------------------------------------------------
+
+
+def q_materialized_view(sf_dir: str):
+    """Store-resident materialized view maintained by DELTA PROPAGATION
+    (cdc/views.py): per-path live-row count + content-size sum of the
+    events-derived engine snapshot, bootstrapped at epoch 1 and then
+    REFRESHED to epoch 2 by folding signed I/U/D deltas from shuffle-free
+    per-partition epoch diffs — the state table is never re-aggregated
+    (the DuckDB oracle recomputes the GROUP BY from scratch; matching
+    proves the fold). Reference parity: ARLAS-proc recomputes every
+    aggregate per run (fragments/FragmentSummaryTransformer.scala); this
+    is the CDC-native replacement."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.views import refresh_group_view
+
+    snap = tempfile.mkdtemp(prefix="materialized_view_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        refresh_group_view(
+            eng.store, view_id="by_path", group_cols=["path"],
+            sum_cols=["content_size"], epoch=1,
+        )
+        r = refresh_group_view(
+            eng.store, view_id="by_path", group_cols=["path"],
+            sum_cols=["content_size"], epoch=2,
+        )
+        assert r["mode"] == "incremental"
+        return r["state"]
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["materialized_view"] = q_materialized_view
+ORACLE_SQL["materialized_view"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             props AS content
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(length(content)) AS BIGINT) AS content_size_sum
+    FROM last WHERE rn = 1 AND op <> 'DELETE'
+    GROUP BY path
+"""

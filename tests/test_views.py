@@ -1,0 +1,271 @@
+"""Incrementally-maintained materialized views (cdc/views.py).
+
+The store-resident sibling of cdc/ivm.py: per-group aggregates of the
+snapshot state, refreshed by per-partition epoch diffs (delta
+propagation) instead of recomputation. Contract: however the view got
+here — bootstrap, any chain of incremental refreshes, a fan-out-forced
+recompute — it equals GROUP BY over the state at the refreshed epoch.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from arlas_proc_ray.cdc import CdcEngine, ChangelogConfig, generate_changelog_tables
+from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+from arlas_proc_ray.cdc.publish import diff_state_tables
+from arlas_proc_ray.cdc.views import (
+    read_view,
+    read_view_checkpoint,
+    refresh_group_view,
+)
+from arlas_proc_ray.model import DataModel
+
+DM = DataModel(num_partitions=8)
+GROUP = ["language"]
+SUMS = ["content_size"]
+
+
+def _event(lsn, *, repo="org9/solo", path="only.py", op="UPDATE",
+           lang="py", content="x" * 50) -> pa.Table:
+    return pa.Table.from_pylist(
+        [{
+            "lsn": lsn, "op": op, "repo": repo, "path": path,
+            "commit": f"c{lsn}", "lang": lang,
+            "content": None if op == "DELETE" else content,
+            "schema_version": 1, "delivery_index": lsn,
+        }],
+        schema=EVENT_SCHEMA_V1,
+    )
+
+
+def _expected(state: pa.Table) -> pd.DataFrame:
+    pdf = state.to_pandas()
+    g = pdf.groupby(GROUP, dropna=False, as_index=False)
+    out = g.size().rename(columns={"size": "n_live"})
+    sums = g[SUMS].sum()
+    for c in SUMS:
+        out[f"{c}_sum"] = sums[c].astype(np.int64)
+    out["n_live"] = out["n_live"].astype(np.int64)
+    return out.sort_values(GROUP, kind="stable").reset_index(drop=True)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(GROUP, kind="stable").reset_index(drop=True)
+    return df.astype({c: np.int64 for c in df.columns if c not in GROUP})
+
+
+def test_diff_old_images_alignment():
+    old = pa.table({
+        "k": ["a", "b", "c"], "grp": ["g1", "g1", "g2"], "v": [10, 20, 30],
+    })
+    new = pa.table({
+        "k": ["a", "b", "d"], "grp": ["g1", "g2", "g2"], "v": [10, 21, 40],
+    })
+    diff, imgs = diff_state_tables(
+        old, new, key_cols=["k"], compare_cols=["grp", "v"],
+        old_image_cols=["grp", "v"],
+    )
+    assert len(diff) == len(imgs) == 3
+    by_op = dict(zip(diff["op"], range(len(diff))))
+    # I row ("d"): no prior image
+    i = by_op["I"]
+    assert diff["k"].iloc[i] == "d" and pd.isna(imgs["v"].iloc[i])
+    # U row ("b"): new image in diff, old image aligned in imgs
+    u = by_op["U"]
+    assert diff["k"].iloc[u] == "b" and diff["v"].iloc[u] == 21
+    assert imgs["grp"].iloc[u] == "g1" and imgs["v"].iloc[u] == 20
+    # D row ("c"): old image both sides
+    d = by_op["D"]
+    assert diff["k"].iloc[d] == "c"
+    assert imgs["grp"].iloc[d] == "g2" and imgs["v"].iloc[d] == 30
+    # large int64 old values survive the NA insertion exactly
+    old2 = pa.table({"k": ["a"], "grp": ["g"], "v": [2**62 + 3]})
+    new2 = pa.table({"k": ["a", "b"], "grp": ["g", "g"], "v": [1, 2]})
+    _, imgs2 = diff_state_tables(
+        old2, new2, key_cols=["k"], old_image_cols=["v"],
+    )
+    assert int(imgs2["v"].dropna().iloc[0]) == 2**62 + 3
+
+    # no-op input: still a two-frame return, both empty
+    diff3, imgs3 = diff_state_tables(
+        old, old, key_cols=["k"], old_image_cols=["v"],
+    )
+    assert len(diff3) == 0 and len(imgs3) == 0
+
+
+def test_bootstrap_then_incremental_matches_state(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    tables = generate_changelog_tables(
+        ChangelogConfig(num_events=4_000, num_keys=300, seed=23)
+    )
+    engine.apply_epoch(rd.from_arrow(tables), epoch=1)
+
+    r1 = refresh_group_view(
+        engine.store, view_id="by_lang", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert r1["mode"] == "bootstrap"
+    pd.testing.assert_frame_equal(
+        _norm(r1["state"]), _expected(engine.final_state())
+    )
+
+    # delta epoch: update (content grows), group move (lang change),
+    # delete, insert — only the touched partitions are re-read
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(9_000, content="y" * 400),                       # U same grp
+            _event(9_001, repo="org0/monorepo",
+                   path="src/d0/m0/file_0.py", lang="rb"),          # grp move
+            _event(9_002, repo="org0/monorepo",
+                   path="src/d0/m0/file_1.py", op="DELETE"),        # D
+            _event(9_003, repo="orgX/new", path="brand/new.py",
+                   lang="go", content="z" * 70),                    # I
+        ]),
+        epoch=2, delta=True,
+    )
+    r2 = refresh_group_view(
+        engine.store, view_id="by_lang", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert r2["mode"] == "incremental"
+    assert r2["partitions_skipped"] > 0
+    assert r2["partitions_refreshed"] + r2["partitions_skipped"] == DM.num_partitions
+    pd.testing.assert_frame_equal(
+        _norm(r2["state"]), _expected(engine.final_state())
+    )
+    # the persisted state round-trips and the vacuum pin follows
+    pd.testing.assert_frame_equal(
+        _norm(read_view(engine.store, "by_lang")), _norm(r2["state"])
+    )
+    assert engine.store.resolve_ref("view-by_lang") == 2
+
+    # --- noop: nothing new to fold
+    r3 = refresh_group_view(
+        engine.store, view_id="by_lang", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert r3["mode"] == "noop"
+    assert r3["partitions_skipped"] == DM.num_partitions
+
+    # incremental result == full recompute, exactly
+    full = refresh_group_view(
+        engine.store, view_id="by_lang_full", group_cols=GROUP, sum_cols=SUMS,
+    )
+    pd.testing.assert_frame_equal(_norm(r2["state"]), _norm(full["state"]))
+
+
+def test_group_retracted_to_zero_disappears(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(1, lang="zig", content="a" * 30),
+            _event(2, repo="r2", path="p2", lang="py"),
+        ]),
+        epoch=1,
+    )
+    r1 = refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert set(r1["state"]["language"]) == {"zig", "py"}
+    engine.apply_epoch(
+        rd.from_arrow([_event(3, op="DELETE")]), epoch=2, delta=True
+    )
+    r2 = refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert r2["mode"] == "incremental"
+    assert set(r2["state"]["language"]) == {"py"}  # zig retracted to zero
+    pd.testing.assert_frame_equal(
+        _norm(r2["state"]), _expected(engine.final_state())
+    )
+
+
+def test_crash_before_checkpoint_is_idempotent(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    tables = generate_changelog_tables(
+        ChangelogConfig(num_events=2_000, num_keys=150, seed=31)
+    )
+    engine.apply_epoch(rd.from_arrow(tables), epoch=1)
+    refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    engine.apply_epoch(
+        rd.from_arrow([_event(8_000, content="w" * 300)]), epoch=2, delta=True
+    )
+    # crash BEFORE the checkpoint commit: nothing durable moved …
+    r_crash = refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+        commit_checkpoint=False,
+    )
+    assert read_view_checkpoint(engine.store, "v")["epoch"] == 1
+    # … so the rerun replays the SAME diff from the SAME base and lands
+    # on the same state, now committed
+    r_retry = refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    pd.testing.assert_frame_equal(
+        _norm(r_crash["state"]), _norm(r_retry["state"])
+    )
+    pd.testing.assert_frame_equal(
+        _norm(r_retry["state"]), _expected(engine.final_state())
+    )
+    assert read_view_checkpoint(engine.store, "v")["epoch"] == 2
+
+
+def test_fanout_change_forces_full_recompute(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    tables = generate_changelog_tables(
+        ChangelogConfig(num_events=2_000, num_keys=150, seed=37)
+    )
+    engine.apply_epoch(rd.from_arrow(tables), epoch=1)
+    refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    engine.repartition_snapshot(16, epoch=2)
+    r = refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert r["mode"] == "bootstrap"  # alignment broken -> recompute
+    pd.testing.assert_frame_equal(
+        _norm(r["state"]), _expected(engine.final_state())
+    )
+    # next refresh re-aligns incrementally on the new fan-out
+    engine.dm = DataModel(num_partitions=16)
+    engine.apply_epoch(
+        rd.from_arrow([_event(8_100, content="q" * 99)]), epoch=3, delta=True
+    )
+    r2 = refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    assert r2["mode"] == "incremental" and r2["partitions_skipped"] > 0
+    pd.testing.assert_frame_equal(
+        _norm(r2["state"]), _expected(engine.final_state())
+    )
+
+
+def test_spec_drift_forces_recompute(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow([_event(1), _event(2, repo="r2", path="p2", lang="go")]),
+        epoch=1,
+    )
+    refresh_group_view(
+        engine.store, view_id="v", group_cols=GROUP, sum_cols=SUMS,
+    )
+    # same view id, different grouping: must NOT fold into the old state
+    r = refresh_group_view(
+        engine.store, view_id="v", group_cols=["repo"], sum_cols=SUMS,
+    )
+    assert r["mode"] == "bootstrap"
+    assert set(r["state"]["repo"]) == {"org9/solo", "r2"}
+
+
+def test_nul_byte_group_keys_stay_distinct():
+    from arlas_proc_ray.cdc.views import _agg_partial
+
+    pdf = pd.DataFrame(
+        {"g": ["", "\x00", ""], "v": [1, 2, 4], "_n": np.int64(1)}
+    )
+    out = _agg_partial(pdf, ["g"], ["v"])
+    assert len(out) == 2  # '' and '\x00' are different groups
+    got = {k: (n, v) for k, n, v in zip(out["g"], out["_n"], out["v"])}
+    assert got[""] == (2, 5) and got["\x00"] == (1, 2)
