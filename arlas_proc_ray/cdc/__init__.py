@@ -31,10 +31,15 @@ from arlas_proc_ray.cdc.publish import (
     publish_to_elasticsearch,
     read_publish_checkpoint,
 )
+from arlas_proc_ray.cdc.feed import change_feed
+from arlas_proc_ray.cdc.views import read_view, refresh_group_view
 
 __all__ = [
     "publish_to_elasticsearch",
     "read_publish_checkpoint",
+    "change_feed",
+    "refresh_group_view",
+    "read_view",
     "ChangelogConfig",
     "generate_changelog_tables",
     "changelog_dataset",

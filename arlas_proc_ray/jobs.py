@@ -187,6 +187,40 @@ def cmd_scan(args) -> dict:
     return out
 
 
+def cmd_feed(args) -> dict:
+    """Change data feed between two epochs (cdc/feed.py): stream the
+    I/U/D changelog — optionally with old_<col> pre-images — to ``--out``
+    as partitioned Parquet, or just count it."""
+    from arlas_proc_ray.cdc.feed import change_feed
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    _ray_session(args.num_cpus)
+
+    def _epoch(v):
+        return int(v) if v.lstrip("-").isdigit() else v
+
+    store = SnapshotStore(args.snapshot)
+    ds = change_feed(
+        store,
+        base=_epoch(args.base),
+        target=_epoch(args.target) if args.target else None,
+        key_cols=args.key.split(","),
+        columns=args.columns.split(",") if args.columns else None,
+        include_old=args.include_old.split(",") if args.include_old else (),
+    )
+    out = {
+        "snapshot": args.snapshot,
+        "base": args.base,
+        "target": args.target or "latest",
+    }
+    if args.out:
+        ds.write_parquet(args.out)
+        out["out"] = args.out
+    else:
+        out["rows"] = ds.count()
+    return out
+
+
 def cmd_repartition(args) -> dict:
     """Fan-out evolution (see CdcEngine.repartition_snapshot): rewrite the
     latest committed snapshot over ``--new-partitions`` as one fenced full
@@ -518,6 +552,21 @@ def main(argv=None) -> int:
                     help="ignore the checkpoint; re-index every live row")
     pe.add_argument("--num-cpus", type=int, default=None)
     pe.set_defaults(fn=cmd_publish_es)
+
+    fd = sub.add_parser(
+        "feed", help="change data feed (I/U/D changelog) between two epochs"
+    )
+    fd.add_argument("--snapshot", required=True)
+    fd.add_argument("--base", required=True, help="epoch number or ref name")
+    fd.add_argument("--target", default=None,
+                    help="epoch number or ref name (default: latest committed)")
+    fd.add_argument("--key", default="repo,path", help="comma-separated key columns")
+    fd.add_argument("--columns", default=None, help="comma-separated projection")
+    fd.add_argument("--include-old", default=None,
+                    help="comma-separated pre-image columns (old_<col>)")
+    fd.add_argument("--out", default=None, help="parquet dir (omit: count only)")
+    fd.add_argument("--num-cpus", type=int, default=None)
+    fd.set_defaults(fn=cmd_feed)
 
     ln = sub.add_parser("lineage", help="dump per-partition manifest history")
     ln.add_argument("--snapshot", required=True)

@@ -5629,3 +5629,94 @@ ORACLE_SQL["materialized_view"] = """
     FROM last WHERE rn = 1 AND op <> 'DELETE'
     GROUP BY path
 """
+
+
+# ---------------------------------------------------------------------------
+# change data feed between epochs (cdc/feed.py) — SQL-oracled
+# ---------------------------------------------------------------------------
+
+
+def q_change_feed(sf_dir: str):
+    """Delta-CDF-shaped change data feed (cdc/feed.py): the I/U/D
+    changelog between epoch 1 and epoch 2 of the events-derived engine
+    snapshot, with old_<col> pre-images — per-partition shuffle-free
+    diffs, manifest pruning, nothing resident. I/U rows carry the new
+    image, D rows the final old image; pre-images are NULL on I (the
+    oracle encodes the same contract with a FULL OUTER JOIN of the two
+    LWW states). Reference parity: ARLAS-proc can only re-ship a full
+    run output; this ships what changed."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.feed import change_feed
+
+    cols = ["content_sha256", "last_lsn"]
+    snap = tempfile.mkdtemp(prefix="change_feed_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        ds = change_feed(
+            eng.store, base=1, target=2,
+            compare_cols=cols, columns=cols, include_old=cols,
+        )
+
+        def finish(pdf):
+            if not len(pdf):
+                return pdf.iloc[:0][
+                    ["repo", "path", "op", "content_sha256", "last_lsn",
+                     "old_content_sha256", "old_last_lsn"]
+                ]
+            # NULL pre-image LSN on I rows -> -1 (keeps the column int64;
+            # the oracle coalesces identically)
+            pdf = pdf.copy()
+            pdf["old_last_lsn"] = (
+                pdf["old_last_lsn"].fillna(-1).astype("int64")
+            )
+            pdf["old_content_sha256"] = pdf["old_content_sha256"].where(
+                pdf["old_content_sha256"].notna(), None
+            ).astype(object)
+            return pdf[
+                ["repo", "path", "op", "content_sha256", "last_lsn",
+                 "old_content_sha256", "old_last_lsn"]
+            ]
+
+        return ds.map_batches(finish, batch_format="pandas").to_pandas()
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["change_feed"] = q_change_feed
+ORACLE_SQL["change_feed"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             props AS content
+      FROM events),
+    mid AS (SELECT max(lsn) // 2 AS m FROM ch),
+    s1 AS (
+      SELECT repo, path, sha256(content) AS sha, lsn FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY repo, path
+                                        ORDER BY lsn DESC) AS rn
+        FROM ch, mid WHERE ch.lsn <= mid.m)
+      WHERE rn = 1 AND op <> 'DELETE'),
+    s2 AS (
+      SELECT repo, path, sha256(content) AS sha, lsn FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY repo, path
+                                        ORDER BY lsn DESC) AS rn
+        FROM ch)
+      WHERE rn = 1 AND op <> 'DELETE')
+    SELECT coalesce(s2.repo, s1.repo) AS repo,
+           coalesce(s2.path, s1.path) AS path,
+           CASE WHEN s1.repo IS NULL THEN 'I'
+                WHEN s2.repo IS NULL THEN 'D' ELSE 'U' END AS op,
+           CASE WHEN s2.repo IS NULL THEN s1.sha ELSE s2.sha END
+             AS content_sha256,
+           CAST(CASE WHEN s2.repo IS NULL THEN s1.lsn ELSE s2.lsn END
+                AS BIGINT) AS last_lsn,
+           s1.sha AS old_content_sha256,
+           CAST(coalesce(s1.lsn, -1) AS BIGINT) AS old_last_lsn
+    FROM s1 FULL JOIN s2 ON s1.repo = s2.repo AND s1.path = s2.path
+    WHERE s1.repo IS NULL OR s2.repo IS NULL
+       OR s1.sha <> s2.sha OR s1.lsn <> s2.lsn
+"""

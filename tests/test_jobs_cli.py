@@ -146,3 +146,39 @@ def test_jobs_cli_publish_es_dry_run(tmp_path, capsys):
     assert out["indexed"] == engine.final_state().num_rows
     # a dry run moves NO checkpoint: the next real publish still bootstraps
     assert read_publish_checkpoint(engine.store, "default") is None
+
+
+def test_jobs_cli_feed(tmp_path, capsys):
+    """feed subcommand: I/U/D changelog between two epochs, count + export."""
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    log2 = str(tmp_path / "log2")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "8",
+    ]) == 0
+    assert main(["synthesize", "--out", log2, "--events", "2500"]) == 0
+    assert main([
+        "replay", "--events", log2, "--snapshot", snap,
+        "--epoch", "2", "--partitions", "8",
+    ]) == 0
+    assert main(["feed", "--snapshot", snap, "--base", "1"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["rows"] > 0
+
+    out_dir = str(tmp_path / "feed_out")
+    assert main([
+        "feed", "--snapshot", snap, "--base", "1", "--target", "2",
+        "--columns", "content_sha256,last_lsn",
+        "--include-old", "content_sha256,last_lsn",
+        "--out", out_dir,
+    ]) == 0
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out_dir).to_table()
+    assert t.num_rows == lines[-1]["rows"]
+    assert "old_content_sha256" in t.column_names
+    assert set(t.column("op").to_pylist()) <= {"I", "U", "D"}
