@@ -5720,3 +5720,50 @@ ORACLE_SQL["change_feed"] = """
     WHERE s1.repo IS NULL OR s2.repo IS NULL
        OR s1.sha <> s2.sha OR s1.lsn <> s2.lsn
 """
+
+
+def q_dup_groups_view(sf_dir: str):
+    """Exact-duplicate groups maintained INCREMENTALLY (cdc/views.py over
+    content_sha256): bootstrap the per-content-hash live-count view at
+    epoch 1, delta-refresh to epoch 2, keep groups with >= 2 live rows —
+    cross-key duplicate detection that never re-aggregates the state
+    (the oracle recomputes GROUP BY sha from the final LWW state)."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.views import refresh_group_view
+
+    snap = tempfile.mkdtemp(prefix="dup_groups_view_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        refresh_group_view(
+            eng.store, view_id="dups", group_cols=["content_sha256"], epoch=1,
+        )
+        r = refresh_group_view(
+            eng.store, view_id="dups", group_cols=["content_sha256"], epoch=2,
+        )
+        assert r["mode"] == "incremental"
+        state = r["state"]
+        return state[state["n_live"] >= 2].reset_index(drop=True)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["dup_groups_view"] = q_dup_groups_view
+ORACLE_SQL["dup_groups_view"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             props AS content
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT sha256(content) AS content_sha256,
+           CAST(count(*) AS BIGINT) AS n_live
+    FROM last WHERE rn = 1 AND op <> 'DELETE'
+    GROUP BY 1 HAVING count(*) >= 2
+"""

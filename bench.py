@@ -184,6 +184,7 @@ def run_bench() -> dict:
         "tpch_q3",
         "user_session_stats",
         "rolling_zscore_anomaly",
+        "change_feed",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
