@@ -163,6 +163,13 @@ def snapshot_diff(
                 np.full(int(del_mask.sum()), "D", dtype=object),
             ]
         )
+        if not len(out_pos):
+            # Arrow typed empty (run_group passes it through): Ray's
+            # pandas block sizing can't handle zero-length object columns
+            return pa.table(
+                {**{c: pa.array([], union_schema.field(c).type) for c in cols},
+                 op_col: pa.array([], pa.string())}
+            )
         out = pdf.iloc[out_pos][cols].copy()
         out[op_col] = ops
         return out.reset_index(drop=True)

@@ -42,6 +42,7 @@ import os
 from typing import Sequence
 
 import pandas as pd
+import pyarrow as pa
 
 from arlas_proc_ray.cdc.publish import diff_state_tables
 from arlas_proc_ray.cdc.snapshot import SnapshotStore
@@ -133,8 +134,9 @@ def change_feed(
             if len(d):
                 frames.append(d)
         if not frames:
-            # typed empty frame: stable schema downstream
-            return empty_tmpl.copy()
+            # Arrow typed empty: stable schema downstream, and Ray's
+            # pandas block sizing can't handle zero-length object columns
+            return empty_tmpl
         return pd.concat(frames, ignore_index=True)
 
     parts = rd.from_items([{"part": p} for p in todo])
@@ -151,8 +153,8 @@ def _empty_feed_frame(
     read_cols,
     include_old: list[str],
     op_col: str,
-) -> pd.DataFrame:
-    """Zero-row frame with the feed's exact column set and dtypes."""
+):
+    """Zero-row Arrow table with the feed's exact column set and types."""
     import pyarrow.parquet as pq
 
     schema = None
@@ -162,14 +164,17 @@ def _empty_feed_frame(
             schema = pq.read_schema(path)
             break
     if schema is None:
-        return pd.DataFrame()
-    pdf = schema.empty_table().to_pandas()
-    if read_cols is not None:
-        pdf = pdf[[c for c in read_cols if c in pdf.columns]]
-    pdf[op_col] = pd.Series([], dtype=object)
+        return pa.table({op_col: pa.array([], pa.string())})
+    fields = [
+        f for f in schema
+        if read_cols is None or f.name in read_cols
+    ]
+    cols = {f.name: pa.array([], f.type) for f in fields}
+    cols[op_col] = pa.array([], pa.string())
+    by_name = {f.name: f.type for f in fields}
     for c in include_old:
-        pdf[f"old_{c}"] = pdf[c] if c in pdf.columns else pd.Series([], dtype=object)
-    return pdf
+        cols[f"old_{c}"] = pa.array([], by_name.get(c, pa.string()))
+    return pa.table(cols)
 
 
 def _global_feed(

@@ -1,0 +1,499 @@
+"""Incrementally-maintained MinHash-LSH near-duplicate index over a store.
+
+``refresh_neardup_index`` keeps an LSH band-bucket index — rows
+``(band_id, band_hash, key)`` hash-partitioned by the band bucket — of a
+snapshot store's state table, maintained epoch-over-epoch from the
+change data feed (``cdc/feed.py``) instead of re-signing the corpus:
+
+- **I** rows add the new document's band rows,
+- **U** rows remove the rows the OLD content produced (recomputed
+  deterministically from the feed's pre-image — signatures are seeded,
+  so the removal tuples are byte-identical to what bootstrap wrote) and
+  add the new content's rows,
+- **D** rows remove the final image's band rows.
+
+``epoch_near_duplicates`` then answers the question a 100-TB ingest
+pipeline actually asks — *which documents that changed THIS epoch are
+near-duplicates of anything already in the corpus?* — by probing only
+the changed documents' buckets against the index and exact-Jaccard
+verifying the candidates with the same zero-driver-state co-partitioned
+pair join the batch dedup uses (``minhash._distributed_verify``,
+string-keyed). The corpus is never re-scanned, never re-signed.
+
+Reference parity: ARLAS-proc has no incremental anything — every run
+re-reads and re-processes its whole input slice; the batch MinHash
+pipeline (``dedup/minhash.py``) is the from-scratch equivalent and the
+test oracle (an index refreshed through any epoch chain must equal the
+index bootstrapped from the final state, tuple for tuple).
+
+Scale shape:
+
+- **Refresh cost ∝ changed docs × bands**, not corpus size: the feed is
+  manifest-pruned, signatures are computed only for changed images, and
+  ONE keyed exchange routes delta rows to their index partitions.
+- **Index partitioning is by band bucket, independent of the store's
+  key fan-out** — a snapshot ``repartition_snapshot`` does NOT
+  invalidate the index (but it breaks the feed's pre-images, so that
+  refresh falls back to a full rebuild).
+- **Byte-exact removals.** Anti-joins run on UTF-8-encoded key bytes
+  (pandas object-string merges collapse NUL-distinct keys).
+- **Crash-safe.** Part files are written atomically under an epoch
+  suffix; the checkpoint (epoch, spec, per-partition sources) moves
+  last. A rerun recomputes the same deltas from the same base and
+  overwrites the same files — idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arlas_proc_ray.cdc.snapshot import SnapshotStore, _atomic_write_bytes
+from arlas_proc_ray.dedup.minhash import MinHasher, _distributed_verify
+from arlas_proc_ray.cdc.publish import stable_doc_ids
+
+
+def _index_dir(store: SnapshotStore, index_id: str) -> str:
+    return os.path.join(store.root, "neardup", index_id)
+
+
+def _part_path(store: SnapshotStore, index_id: str, p: int, epoch: int) -> str:
+    return os.path.join(_index_dir(store, index_id), f"part-{p}-{epoch}.parquet")
+
+
+def read_index_checkpoint(store: SnapshotStore, index_id: str) -> dict | None:
+    p = os.path.join(_index_dir(store, index_id), "checkpoint.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+_TRIPLE = ["band_id", "band_hash", "key"]
+
+
+def _empty_triples_arrow(delta: bool = False) -> pa.Table:
+    """Arrow typed empty for Ray-returned paths (pandas block sizing
+    chokes on zero-length object columns)."""
+    cols = {
+        "band_id": pa.array([], pa.int32()),
+        "band_hash": pa.array([], pa.uint64()),
+        "key": pa.array([], pa.string()),
+    }
+    if delta:
+        cols["delta"] = pa.array([], pa.int8())
+    return pa.table(cols)
+
+
+def _empty_pairs_arrow() -> pa.Table:
+    return pa.table(
+        {"doc_a": pa.array([], pa.string()), "doc_b": pa.array([], pa.string())}
+    )
+
+
+def _empty_triples() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "band_id": pd.Series([], dtype=np.int32),
+            "band_hash": pd.Series([], dtype=np.uint64),
+            "key": pd.Series([], dtype=object),
+        }
+    )
+
+
+def _band_rows(mh: MinHasher, keys, texts) -> pd.DataFrame:
+    """(band_id, band_hash, key) rows for string-keyed documents."""
+    ks, sigs = [], []
+    for k, t in zip(keys, texts):
+        if not t:
+            continue
+        ks.append(k)
+        sigs.append(mh.signature(t))
+    if not ks:
+        return _empty_triples()
+    bh = mh.band_hashes_matrix(np.stack(sigs))
+    n = len(ks)
+    return pd.DataFrame(
+        {
+            "band_id": np.tile(np.arange(mh.bands, dtype=np.int32), n),
+            "band_hash": bh.ravel(),
+            "key": np.repeat(np.asarray(ks, dtype=object), mh.bands),
+        }
+    )
+
+
+def _read_part(store: SnapshotStore, index_id: str, p: int, epoch) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    if epoch is None:
+        return _empty_triples()
+    path = _part_path(store, index_id, p, int(epoch))
+    if not os.path.exists(path):
+        return _empty_triples()
+    pdf = pq.read_table(path).to_pandas()
+    pdf["band_hash"] = pdf["band_hash"].astype(np.uint64)
+    return pdf
+
+
+def _write_part(store: SnapshotStore, index_id: str, p: int, epoch: int,
+                pdf: pd.DataFrame) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(_index_dir(store, index_id), exist_ok=True)
+    tbl = pa.table(
+        {
+            "band_id": pa.array(pdf["band_id"].to_numpy(np.int32), pa.int32()),
+            "band_hash": pa.array(
+                pdf["band_hash"].to_numpy(np.uint64), pa.uint64()
+            ),
+            "key": pa.array(pdf["key"].astype(object), pa.string()),
+        }
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink)
+    _atomic_write_bytes(
+        _part_path(store, index_id, p, epoch), sink.getvalue().to_pybytes()
+    )
+
+
+def _state_dataset(store: SnapshotStore, epoch: int, columns):
+    import ray.data as rd
+
+    srcs = store.resolve_sources(epoch)
+    n = store.read_epoch_summary(epoch)["num_partitions"]
+    files = [
+        store.part_data_path(srcs.get(p, epoch), p)
+        for p in range(n)
+        if os.path.exists(store.part_data_path(srcs.get(p, epoch), p))
+    ]
+    return rd.read_parquet(files, columns=list(columns))
+
+
+def _make_hasher(spec: dict) -> MinHasher:
+    return MinHasher(
+        num_perm=spec["num_perm"], bands=spec["bands"], ngram=spec["ngram"],
+        algo=spec["algo"],
+    )
+
+
+def refresh_neardup_index(
+    store: SnapshotStore,
+    *,
+    index_id: str = "default",
+    key_cols: Sequence[str] = ("repo", "path"),
+    text_col: str = "content",
+    epoch: int | str | None = None,
+    num_perm: int = 128,
+    bands: int = 32,
+    ngram: int = 5,
+    algo: str = "oph",
+    num_partitions: int = 16,
+    full: bool = False,
+    commit_checkpoint: bool = True,
+) -> dict:
+    """Bring the LSH index up to ``epoch`` (default: latest committed).
+
+    Bootstrap signs the whole state once; every later refresh signs only
+    the changed images from the change feed and rewrites only the index
+    partitions their band buckets hash into.
+    """
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc.feed import change_feed
+    from arlas_proc_ray.functions.hashing import partition_ids
+
+    key_cols = list(key_cols)
+    target = store._resolve_epoch_arg(epoch)
+    if target is None:
+        raise RuntimeError("no committed epoch to index")
+    spec = {
+        "num_perm": num_perm, "bands": bands, "ngram": ngram, "algo": algo,
+        "num_partitions": num_partitions, "key_cols": key_cols,
+        "text_col": text_col,
+    }
+    ckpt = None if full else read_index_checkpoint(store, index_id)
+    if ckpt is not None and ckpt.get("spec") != spec:
+        ckpt = None  # parameter drift: signatures incomparable -> rebuild
+    base = ckpt["epoch"] if ckpt else None
+    if base is not None and (
+        store.read_epoch_summary(base)["num_partitions"]
+        != store.read_epoch_summary(target)["num_partitions"]
+    ):
+        # store fan-out changed: the feed cannot supply pre-images for
+        # removals across the boundary -> rebuild from the target state
+        ckpt, base = None, None
+
+    if base == target:
+        return {
+            "index_id": index_id, "epoch": target, "base_epoch": base,
+            "mode": "noop", "partitions_touched": 0,
+            "sources": dict(ckpt["sources"]),
+        }
+
+    mh_spec = {k: spec[k] for k in ("num_perm", "bands", "ngram", "algo")}
+
+    if base is None:
+        state = _state_dataset(store, target, key_cols + [text_col])
+
+        def to_triples(pdf: pd.DataFrame):
+            mh = _make_hasher(mh_spec)
+            out = _band_rows(
+                mh, stable_doc_ids(pdf, key_cols), pdf[text_col]
+            )
+            if not len(out):
+                return _empty_triples_arrow(delta=True)
+            out["delta"] = np.int8(1)
+            return out
+
+        deltas = state.map_batches(to_triples, batch_format="pandas")
+    else:
+        feed = change_feed(
+            store, base=base, target=target,
+            columns=[text_col], compare_cols=[text_col],
+            include_old=[text_col],
+        )
+
+        def feed_to_triples(pdf: pd.DataFrame):
+            if not len(pdf):
+                return _empty_triples_arrow(delta=True)
+            mh = _make_hasher(mh_spec)
+            keys = stable_doc_ids(pdf, key_cols)
+            ops = pdf["op"].to_numpy()
+            frames = []
+            add_mask = (ops == "I") | (ops == "U")
+            if add_mask.any():
+                a = _band_rows(
+                    mh, keys[add_mask], pdf.loc[add_mask, text_col]
+                )
+                a["delta"] = np.int8(1)
+                frames.append(a)
+            # U removes the OLD image's rows; D rows carry the old image
+            # in the main column already
+            u_mask = ops == "U"
+            d_mask = ops == "D"
+            old_texts = pd.concat(
+                [pdf.loc[u_mask, f"old_{text_col}"], pdf.loc[d_mask, text_col]]
+            )
+            old_keys = pd.concat([keys[u_mask], keys[d_mask]])
+            if len(old_keys):
+                r = _band_rows(mh, old_keys, old_texts)
+                r["delta"] = np.int8(-1)
+                frames.append(r)
+            if not frames:
+                return _empty_triples_arrow(delta=True)
+            return pd.concat(frames, ignore_index=True)
+
+        deltas = feed.map_batches(feed_to_triples, batch_format="pandas")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        pid = partition_ids(t, ["band_id", "band_hash"], num_partitions)
+        return t.append_column("_part", pa.array(pid, pa.int32()))
+
+    deltas = deltas.map_batches(add_part, batch_format="pyarrow")
+    sources = dict(ckpt["sources"]) if ckpt else {}
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        p = int(group["_part"].iloc[0])
+        old = _read_part(store, index_id, p, sources.get(str(p)))
+        d = group["delta"].to_numpy()
+        adds = group.loc[d > 0, _TRIPLE]
+        rems = group.loc[d < 0, _TRIPLE]
+        if len(rems) and len(old):
+            # byte-exact anti-join: object-string merges collapse
+            # NUL-distinct keys, encoded bytes do not
+            ok = old.assign(_k=old["key"].str.encode("utf-8"))
+            rk = rems.assign(_k=rems["key"].str.encode("utf-8"))
+            m = ok.merge(
+                rk[["band_id", "band_hash", "_k"]].drop_duplicates(),
+                on=["band_id", "band_hash", "_k"],
+                how="left", indicator=True,
+            )
+            old = m.loc[m["_merge"] == "left_only", _TRIPLE].reset_index(
+                drop=True
+            )
+        new = pd.concat([old, adds], ignore_index=True)
+        if len(new):
+            enc = new["key"].str.encode("utf-8")
+            new = new.loc[~new.assign(_k=enc).duplicated(
+                ["band_id", "band_hash", "_k"]
+            )].reset_index(drop=True)
+        _write_part(store, index_id, p, target, new)
+        return pd.DataFrame(
+            {"part": [p], "rows": [len(new)],
+             "added": [int(len(adds))], "removed": [int(len(rems))]}
+        )
+
+    stats = (
+        deltas.groupby("_part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    for _, r in stats.iterrows():
+        sources[str(int(r["part"]))] = target
+    if base is None:
+        # bootstrap: partitions with no band rows at all still need a
+        # defined (empty) source so probes read a real file
+        for p in range(num_partitions):
+            if str(p) not in sources:
+                _write_part(store, index_id, p, target, _empty_triples())
+                sources[str(p)] = target
+
+    out = {
+        "index_id": index_id,
+        "epoch": target,
+        "base_epoch": base,
+        "mode": "bootstrap" if base is None else "incremental",
+        "partitions_touched": int(len(stats)),
+        "rows_added": int(stats["added"].sum()) if len(stats) else 0,
+        "rows_removed": int(stats["removed"].sum()) if len(stats) else 0,
+        "sources": sources,
+    }
+    if commit_checkpoint:
+        ckpt_out = {
+            "index_id": index_id, "epoch": target, "spec": spec,
+            "sources": sources,
+            "last_refresh": {
+                k: out[k]
+                for k in ("base_epoch", "mode", "partitions_touched",
+                          "rows_added", "rows_removed")
+            },
+        }
+        _atomic_write_bytes(
+            os.path.join(_index_dir(store, index_id), "checkpoint.json"),
+            json.dumps(ckpt_out).encode(),
+        )
+        store.tag(f"neardup-{index_id}", target)
+        # drop superseded part files (checkpoint already points away)
+        live = {f"part-{p}-{e}.parquet" for p, e in sources.items()}
+        for f in os.listdir(_index_dir(store, index_id)):
+            if f.startswith("part-") and f not in live:
+                try:
+                    os.remove(os.path.join(_index_dir(store, index_id), f))
+                except OSError:
+                    pass
+    return out
+
+
+def read_index(store: SnapshotStore, index_id: str = "default") -> pd.DataFrame:
+    """The whole index as one frame (tests / small corpora only)."""
+    ckpt = read_index_checkpoint(store, index_id)
+    if ckpt is None:
+        raise RuntimeError(f"index {index_id!r} has never been refreshed")
+    parts = [
+        _read_part(store, index_id, int(p), e)
+        for p, e in sorted(ckpt["sources"].items(), key=lambda kv: int(kv[0]))
+    ]
+    return pd.concat(parts, ignore_index=True) if parts else _empty_triples()
+
+
+def epoch_near_duplicates(
+    store: SnapshotStore,
+    *,
+    index_id: str = "default",
+    base: int | str,
+    target: int | str | None = None,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 64,
+    verify_partitions: int = 16,
+):
+    """Near-duplicate pairs involving documents changed in (base, target].
+
+    Probes ONLY the changed documents' band buckets against the index
+    (which must be refreshed to ``target``), then exact-Jaccard verifies
+    candidates with the zero-driver-state co-partitioned pair join.
+    Returns a Dataset of (doc_a, doc_b, jaccard) — escaped string keys,
+    doc_a < doc_b; pairs between two changed documents appear once.
+    """
+    from arlas_proc_ray.cdc.feed import change_feed
+    from arlas_proc_ray.functions.hashing import partition_ids
+
+    ckpt = read_index_checkpoint(store, index_id)
+    if ckpt is None:
+        raise RuntimeError(f"index {index_id!r} has never been refreshed")
+    t = store._resolve_epoch_arg(target)
+    if ckpt["epoch"] != t:
+        raise RuntimeError(
+            f"index {index_id!r} is at epoch {ckpt['epoch']}, probe wants "
+            f"{t}: refresh_neardup_index first"
+        )
+    spec = ckpt["spec"]
+    key_cols = list(spec["key_cols"])
+    text_col = spec["text_col"]
+    sources = ckpt["sources"]
+    mh_spec = {k: spec[k] for k in ("num_perm", "bands", "ngram", "algo")}
+    num_partitions = spec["num_partitions"]
+
+    feed = change_feed(
+        store, base=base, target=t,
+        columns=[text_col], compare_cols=[text_col],
+    )
+
+    def probe_rows(pdf: pd.DataFrame):
+        if not len(pdf):
+            return _empty_triples_arrow()
+        changed = pdf[pdf["op"].isin(["I", "U"])]
+        mh = _make_hasher(mh_spec)
+        out = _band_rows(
+            mh, stable_doc_ids(changed, key_cols), changed[text_col]
+        )
+        return out if len(out) else _empty_triples_arrow()
+
+    probes = feed.map_batches(probe_rows, batch_format="pandas")
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        pid = partition_ids(tbl, ["band_id", "band_hash"], num_partitions)
+        return tbl.append_column("_part", pa.array(pid, pa.int32()))
+
+    probes = probes.map_batches(add_part, batch_format="pyarrow")
+
+    def probe_fold(group: pd.DataFrame) -> pd.DataFrame:
+        p = int(group["_part"].iloc[0])
+        idx = _read_part(store, index_id, p, sources.get(str(p)))
+        if not len(idx) or not len(group):
+            return _empty_pairs_arrow()
+        # deterministic degenerate-bucket guard (sorted head per bucket)
+        idx = idx.sort_values(_TRIPLE, kind="mergesort")
+        idx = idx.groupby(["band_id", "band_hash"], sort=False).head(
+            max_bucket_size
+        )
+        m = group[["band_id", "band_hash", "key"]].drop_duplicates().merge(
+            idx, on=["band_id", "band_hash"], suffixes=("", "_other")
+        )
+        m = m[m["key"] != m["key_other"]]
+        if not len(m):
+            return _empty_pairs_arrow()
+        a = m["key"].to_numpy(object)
+        b = m["key_other"].to_numpy(object)
+        swap = a > b
+        return pd.DataFrame(
+            {"doc_a": np.where(swap, b, a), "doc_b": np.where(swap, a, b)}
+        ).drop_duplicates()
+
+    pairs = probes.groupby("_part").map_groups(probe_fold, batch_format="pandas")
+
+    def state_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": stable_doc_ids(pdf, key_cols).astype(object),
+                "txt": pdf[text_col].astype(object),
+            }
+        )
+
+    texts = _state_dataset(store, t, key_cols + [text_col]).map_batches(
+        state_keyed, batch_format="pandas"
+    )
+    return _distributed_verify(
+        texts,
+        pairs,
+        id_col="key",
+        text_col="txt",
+        ngram=spec["ngram"],
+        jaccard_threshold=jaccard_threshold,
+        num_partitions=verify_partitions,
+        key_type=pa.string(),
+    )

@@ -225,8 +225,13 @@ def _distributed_verify(
     ngram: int,
     jaccard_threshold: float,
     num_partitions: int = 16,
+    key_type: "pa.DataType | None" = None,
 ):
     """Exact-Jaccard verification with ZERO whole-corpus driver state.
+
+    ``key_type`` is the doc-id Arrow type (default int64; pass
+    ``pa.string()`` for string-keyed corpora such as the snapshot store's
+    escaped ``repo#path`` keys — the exchange stays byte-exact).
 
     Classic two-pass co-partitioned pair join (the scale path promised in
     round 1): document TEXTS and candidate pairs are hash-partitioned on
@@ -246,13 +251,30 @@ def _distributed_verify(
     """
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
+    kt = key_type if key_type is not None else pa.int64()
+    empty_key = pd.Series([], dtype=(object if pa.types.is_string(kt) else np.int64))
+
+    def empty_attach(side: str) -> pa.Table:
+        # Arrow typed empty (not pandas): Ray's block sizing can't handle
+        # zero-length object columns (np.vectorize on size-0 input)
+        cols = {"doc_a": pa.array([], kt), "doc_b": pa.array([], kt),
+                "sh_a": pa.array([], pa.binary())}
+        if side == "b":
+            cols["sh_b"] = pa.array([], pa.binary())
+        return pa.table(cols)
+
+    empty_scored = pa.table(
+        {"doc_a": pa.array([], kt), "doc_b": pa.array([], kt),
+         "jaccard": pa.array([], pa.float64())}
+    )
+
     def text_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
-                "key": pa.compute.cast(batch.column(id_col), pa.int64()),
-                "doc_a": pa.nulls(n, pa.int64()),
-                "doc_b": pa.nulls(n, pa.int64()),
+                "key": pa.compute.cast(batch.column(id_col), kt),
+                "doc_a": pa.nulls(n, kt),
+                "doc_b": pa.nulls(n, kt),
                 "txt": pa.compute.cast(batch.column(text_col), pa.string()),
                 "sh": pa.nulls(n, pa.binary()),
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
@@ -268,7 +290,7 @@ def _distributed_verify(
             n = batch.num_rows
             return pa.table(
                 {
-                    "key": pa.compute.cast(batch.column(col), pa.int64()),
+                    "key": pa.compute.cast(batch.column(col), kt),
                     "doc_a": batch.column("doc_a"),
                     "doc_b": batch.column("doc_b"),
                     "txt": pa.nulls(n, pa.string()),
@@ -294,18 +316,19 @@ def _distributed_verify(
             needed = set(pairs["key"])
             texts = pdf.loc[is_txt]
             texts = texts[texts["key"].isin(needed)]
+            as_key = (str if pa.types.is_string(kt) else int)
             lookup = {
-                int(k): (
+                as_key(k): (
                     _shingle_hashes(t, ngram).tobytes() if t else b""
                 )
                 for k, t in zip(texts["key"], texts["txt"])
             }
-            attached = pairs["key"].map(lookup)
+            attached = pairs["key"].map(lambda k: lookup.get(as_key(k)))
             ok = attached.notna()
             out = pd.DataFrame(
                 {
-                    "doc_a": pairs.loc[ok, "doc_a"].astype(np.int64),
-                    "doc_b": pairs.loc[ok, "doc_b"].astype(np.int64),
+                    "doc_a": pairs.loc[ok, "doc_a"].astype(empty_key.dtype),
+                    "doc_b": pairs.loc[ok, "doc_b"].astype(empty_key.dtype),
                 }
             )
             if side == "a":
@@ -313,11 +336,8 @@ def _distributed_verify(
             else:
                 out["sh_a"] = pairs.loc[ok, "sh"].to_numpy()
                 out["sh_b"] = attached[ok].to_numpy()
-            if out.empty:  # typed empty frame: stable schema downstream
-                dtypes = {**_EMPTY_PAIRS, "sh_a": pd.Series([], dtype=object)}
-                if side == "b":
-                    dtypes["sh_b"] = pd.Series([], dtype=object)
-                return pd.DataFrame(dtypes)
+            if out.empty:  # typed empty: stable schema downstream
+                return empty_attach(side)
             return out
 
         return fn
@@ -345,10 +365,9 @@ def _distributed_verify(
         num_partitions=num_partitions,
     )
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    def score(batch: pd.DataFrame):
         if batch.empty:
-            return pd.DataFrame({**_EMPTY_PAIRS,
-                                 "jaccard": pd.Series([], dtype=np.float64)})
+            return empty_scored
         sims = np.empty(len(batch), dtype=np.float64)
         for i, (ba, bb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
             sims[i] = _pair_jaccard(
@@ -359,8 +378,7 @@ def _distributed_verify(
         out["jaccard"] = sims
         out = out[out["jaccard"] >= jaccard_threshold]
         if out.empty:
-            return pd.DataFrame({**_EMPTY_PAIRS,
-                                 "jaccard": pd.Series([], dtype=np.float64)})
+            return empty_scored
         return out
 
     return pass_b.map_batches(score, batch_format="pandas")

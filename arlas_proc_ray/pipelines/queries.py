@@ -5767,3 +5767,80 @@ ORACLE_SQL["dup_groups_view"] = """
     FROM last WHERE rn = 1 AND op <> 'DELETE'
     GROUP BY 1 HAVING count(*) >= 2
 """
+
+
+def q_incremental_near_dup(sf_dir: str):
+    """Incrementally-maintained LSH near-dup index (dedup/incremental.py):
+    documents doc_id<150 are ingested as epoch 1 and indexed; doc_id in
+    [150,300) arrive as epoch 2, the index refreshes from the change feed
+    (signing ONLY the new docs), and the probe answers "which epoch-2
+    docs are near-dups of anything in the corpus" without re-scanning or
+    re-signing epoch 1. Exact-Jaccard verified (threshold 0.5, classic
+    signatures — short-doc fixture, see q_minhash_near_dup). Rows-only
+    driver check; the pytest Python oracle
+    (test_incremental_neardup.py::test_catalog_query_matches_batch_minhash)
+    proves pair-for-pair equality with the from-scratch batch pipeline."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.dedup.incremental import (
+        epoch_near_duplicates,
+        refresh_neardup_index,
+    )
+    from arlas_proc_ray.model import DataModel
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).filter(expr="doc_id < 300")
+
+    def to_events(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                did,
+                pa.array(["UPDATE"] * n, pa.string()),
+                pc.cast(did, pa.string()),
+                pa.array(["d"] * n, pa.string()),
+                pc.cast(did, pa.string()),
+                pa.array(["txt"] * n, pa.string()),
+                pc.cast(t.column("text"), pa.string()),
+                pa.array(np.ones(n, np.int32)),
+                did,
+            ],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    ev = ds.map_batches(to_events, batch_format="pyarrow").materialize()
+    idx = dict(num_perm=128, bands=32, ngram=5, algo="classic",
+               num_partitions=8)
+    snap = tempfile.mkdtemp(prefix="incremental_near_dup_")
+    try:
+        eng = CdcEngine(snap, DataModel(num_partitions=8))
+        eng.apply_epoch(ev.filter(expr="lsn < 150"), 1)
+        refresh_neardup_index(eng.store, index_id="docs", **idx)
+        eng.apply_epoch(ev.filter(expr="lsn >= 150"), 2)
+        r = refresh_neardup_index(eng.store, index_id="docs", **idx)
+        assert r["mode"] == "incremental"
+        pairs = epoch_near_duplicates(
+            eng.store, index_id="docs", base=1, target=2,
+            jaccard_threshold=0.5,
+        ).to_pandas()
+        if not len(pairs):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "jaccard": pd.Series([], dtype=np.float64)}
+            )
+        a = pairs["doc_a"].str.split("#").str[0].astype(np.int64)
+        b = pairs["doc_b"].str.split("#").str[0].astype(np.int64)
+        out = pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b),
+             "jaccard": pairs["jaccard"].to_numpy()}
+        )
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["incremental_near_dup"] = q_incremental_near_dup

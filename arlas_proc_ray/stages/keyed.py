@@ -121,12 +121,19 @@ def keyed_partition_map(
         # mask real schema drift) — strip it before the shuffle
         return batch.replace_schema_metadata(None)
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_group(pdf: pd.DataFrame):
         pdf = byte_exact_group_cols(pdf.drop(columns=[PART_COL]), keys)
         for i, f in enumerate(fns):
+            if isinstance(pdf, pa.Table):  # chained fn returned Arrow
+                pdf = pdf.to_pandas()
             if not (presorted and i == 0):
                 pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
             pdf = f(pdf)
+        if isinstance(pdf, pa.Table):
+            # Arrow passthrough: partition fns may return typed-empty
+            # pa.Tables (Ray's pandas block sizing can't handle
+            # zero-length object columns)
+            return pdf
         return restore_object_cols(pdf.reset_index(drop=True), pdf.columns)
 
     return (
