@@ -400,12 +400,20 @@ def epoch_near_duplicates(
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 64,
     verify_partitions: int = 16,
+    verify_mode: str = "auto",
+    broadcast_limit: int = 200_000,
 ):
     """Near-duplicate pairs involving documents changed in (base, target].
 
     Probes ONLY the changed documents' band buckets against the index
     (which must be refreshed to ``target``), then exact-Jaccard verifies
-    candidates with the zero-driver-state co-partitioned pair join.
+    the candidates. The involved-document count is bounded by
+    changed docs × bands × max_bucket_size — small for a normal epoch —
+    so ``verify_mode="auto"`` broadcasts the involved docs' shingle
+    arrays and scores pairs with ZERO exchanges (two keyed sorts cost
+    ~seconds of fixed overhead regardless of data size); past
+    ``broadcast_limit`` involved docs it switches to the zero-driver-state
+    co-partitioned pair join (``minhash._distributed_verify``).
     Returns a Dataset of (doc_a, doc_b, jaccard) — escaped string keys,
     doc_a < doc_b; pairs between two changed documents appear once.
     """
@@ -474,26 +482,152 @@ def epoch_near_duplicates(
             {"doc_a": np.where(swap, b, a), "doc_b": np.where(swap, a, b)}
         ).drop_duplicates()
 
-    pairs = probes.groupby("_part").map_groups(probe_fold, batch_format="pandas")
+    # Candidate pairs are bounded by changed docs × bands × max_bucket_size
+    # — materializing them (as blocks, not on the driver) lets us
+    # short-circuit the empty case and semi-join the state texts down to
+    # pair-involved docs BEFORE the verify exchanges. Without this the
+    # verify would ship the ENTIRE corpus text through two keyed
+    # exchanges, breaking the probe's cost ∝ changed-docs contract.
+    import ray
+    import ray.data as rd
+
+    pairs = probes.groupby("_part").map_groups(
+        probe_fold, batch_format="pandas"
+    ).materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.string()),
+                      "doc_b": pa.array([], pa.string()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+
+    @ray.remote
+    def _involved_keys(*tables: pa.Table) -> set:
+        ks: set = set()
+        for tbl in tables:
+            # Ray's sort/groupby can emit schema-less empty blocks
+            if "doc_a" not in tbl.schema.names:
+                continue
+            ks.update(tbl.column("doc_a").to_pylist())
+            ks.update(tbl.column("doc_b").to_pylist())
+        return ks
+
+    keys_ref = _involved_keys.remote(*pairs.to_arrow_refs())
 
     def state_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "key": stable_doc_ids(pdf, key_cols).astype(object),
                 "txt": pdf[text_col].astype(object),
             }
         )
+        involved = ray.get(keys_ref)  # plasma-local after first batch
+        out = out[out["key"].isin(involved)].reset_index(drop=True)
+        if not len(out):
+            # Arrow typed empty: Ray's pandas block sizing can't handle
+            # zero-length object columns
+            return pa.table({"key": pa.array([], pa.string()),
+                             "txt": pa.array([], pa.string())})
+        return out
 
     texts = _state_dataset(store, t, key_cols + [text_col]).map_batches(
         state_keyed, batch_format="pandas"
     )
-    return _distributed_verify(
-        texts,
-        pairs,
-        id_col="key",
-        text_col="txt",
-        ngram=spec["ngram"],
-        jaccard_threshold=jaccard_threshold,
-        num_partitions=verify_partitions,
-        key_type=pa.string(),
+
+    if verify_mode not in ("auto", "broadcast", "distributed"):
+        raise ValueError(f"unknown verify_mode: {verify_mode!r}")
+    mode = verify_mode
+    if mode == "auto":
+        # involved-key count is bounded ∝ changed docs — cheap to learn
+        mode = (
+            "broadcast"
+            if len(ray.get(keys_ref)) <= broadcast_limit
+            else "distributed"
+        )
+
+    if mode == "distributed":
+        return _distributed_verify(
+            texts,
+            pairs,
+            id_col="key",
+            text_col="txt",
+            ngram=spec["ngram"],
+            jaccard_threshold=jaccard_threshold,
+            num_partitions=verify_partitions,
+            key_type=pa.string(),
+        )
+
+    # Broadcast verify: shingle the involved docs DISTRIBUTED, pull back
+    # only the compact sorted-uint64 hash arrays (bounded ∝ changed docs ×
+    # bands × max_bucket_size), ray.put once, score candidate pairs as a
+    # plain map_batches — zero exchanges, so a small epoch's probe costs
+    # sub-second instead of two fixed-cost keyed sorts.
+    from arlas_proc_ray.dedup.minhash import _pair_jaccard, _shingle_hashes
+
+    # a pair surfaces once per matching band partition — dedup globally
+    # in one task (bounded like the broadcast itself; the distributed
+    # path instead dedups inside its doc_a-keyed pass)
+    @ray.remote
+    def _dedup_pairs(*tables: pa.Table) -> pa.Table:
+        frames = [
+            tbl for tbl in tables
+            if "doc_a" in tbl.schema.names and tbl.num_rows
+        ]
+        pdf = (
+            pa.concat_tables(frames, promote_options="permissive")
+            .to_pandas()
+            .drop_duplicates(subset=["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    pairs = rd.from_arrow_refs([_dedup_pairs.remote(*pairs.to_arrow_refs())])
+
+    ngram = spec["ngram"]
+
+    def shingle_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pdf["key"].to_numpy(),
+                "sh": [
+                    _shingle_hashes(tx, ngram).tobytes() if tx else b""
+                    for tx in pdf["txt"]
+                ],
+            }
+        )
+
+    sh_map: dict = {}
+    for b in texts.map_batches(
+        shingle_batch, batch_format="pandas"
+    ).iter_batches(batch_size=4096, batch_format="pandas"):
+        for k, sh in zip(b["key"], b["sh"]):
+            sh_map[k] = sh
+    sh_ref = ray.put(sh_map)
+
+    empty_scored = pa.table(
+        {"doc_a": pa.array([], pa.string()),
+         "doc_b": pa.array([], pa.string()),
+         "jaccard": pa.array([], pa.float64())}
     )
+
+    def score(pdf: pd.DataFrame):
+        if not len(pdf):
+            return empty_scored
+        m = ray.get(sh_ref)  # plasma-local after first batch
+        sims = np.empty(len(pdf), dtype=np.float64)
+        for i, (a, b2) in enumerate(zip(pdf["doc_a"], pdf["doc_b"])):
+            sa, sb = m.get(a), m.get(b2)
+            if sa is None or sb is None:  # key vanished between epochs
+                sims[i] = -1.0
+                continue
+            sims[i] = _pair_jaccard(
+                np.frombuffer(sa, np.uint64), np.frombuffer(sb, np.uint64)
+            )
+        out = pdf[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = sims
+        out = out[out["jaccard"] >= jaccard_threshold]
+        if not len(out):
+            return empty_scored
+        return out.reset_index(drop=True)
+
+    return pairs.map_batches(score, batch_format="pandas")

@@ -323,7 +323,12 @@ def _distributed_verify(
                 )
                 for k, t in zip(texts["key"], texts["txt"])
             }
-            attached = pairs["key"].map(lambda k: lookup.get(as_key(k)))
+            if pa.types.is_string(kt):
+                attached = pairs["key"].map(lambda k: lookup.get(str(k)))
+            else:
+                # dict-map fast path (np.int64 hashes equal to int keys);
+                # the lambda form costs ~1 s at sf0.1 candidate volume
+                attached = pairs["key"].map(lookup)
             ok = attached.notna()
             out = pd.DataFrame(
                 {

@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "user_session_stats",
         "rolling_zscore_anomaly",
         "change_feed",
+        "incremental_near_dup",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
