@@ -5844,3 +5844,91 @@ def q_incremental_near_dup(sf_dir: str):
 
 
 QUERIES["incremental_near_dup"] = q_incremental_near_dup
+
+
+def q_incremental_ann_search(sf_dir: str):
+    """Incrementally-maintained IVF vector index (ann/incremental.py):
+    embeddings vec_id<200 are ingested as epoch 1 (vectors ride the CDC
+    store's string payload as base64 float32) and indexed; vec_id in
+    [200,400) arrive as epoch 2 and the index refreshes from the change
+    feed (assigning ONLY the new vectors against the pinned bootstrap
+    centroids). The search probes n_probe == n_centroids — exact brute
+    force over the indexed corpus, so DuckDB's list_cosine_similarity
+    over the same 400 vectors is a hash-exact oracle (rank on
+    full-precision sims, round output to 6dp, vec_id tie-break)."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.ann.incremental import (
+        encode_vec_f32,
+        refresh_vector_index,
+        vector_index_topk,
+    )
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.model import DataModel
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id < 400")
+
+    def to_events(t: pa.Table) -> pa.Table:
+        from arlas_proc_ray.ann.search import _as_matrix
+
+        vid = pc.cast(t.column("vec_id"), pa.int64())
+        enc = encode_vec_f32(_as_matrix(t.column("embedding")))
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                vid,
+                pa.array(["UPDATE"] * n, pa.string()),
+                pc.cast(vid, pa.string()),
+                pa.array(["v"] * n, pa.string()),
+                pc.cast(vid, pa.string()),
+                pa.array(["vec"] * n, pa.string()),
+                pa.array(enc, pa.string()),
+                pa.array(np.ones(n, np.int32)),
+                vid,
+            ],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    ev = ds.map_batches(to_events, batch_format="pyarrow").materialize()
+    idx = dict(n_centroids=8, num_partitions=4, train_sample=512, seed=17)
+    ids, qmat = _query_vectors(sf_dir, 5)
+    snap = tempfile.mkdtemp(prefix="incremental_ann_")
+    try:
+        eng = CdcEngine(snap, DataModel(num_partitions=4))
+        eng.apply_epoch(ev.filter(expr="lsn < 200"), 1)
+        refresh_vector_index(eng.store, index_id="emb", **idx)
+        eng.apply_epoch(ev.filter(expr="lsn >= 200"), 2)
+        r = refresh_vector_index(eng.store, index_id="emb", **idx)
+        assert r["mode"] == "incremental"
+        hits = vector_index_topk(
+            eng.store, ids, qmat, index_id="emb", k=3, n_probe=8,
+        )
+        return pd.DataFrame(
+            {
+                "query_id": hits["query_id"].astype(np.int64),
+                "vec_id": hits["key"].str.split("#").str[0].astype(np.int64),
+                "cos_sim": hits["cos_sim"].round(6),
+            }
+        ).sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["incremental_ann_search"] = q_incremental_ann_search
+
+ORACLE_SQL["incremental_ann_search"] = """
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 400)
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           round(list_cosine_similarity(q.emb, e.emb), 6) AS cos_sim
+    FROM d e
+    CROSS JOIN (SELECT * FROM d WHERE vec_id < 5) q
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+                 e.vec_id ASC) <= 3
+"""

@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "rolling_zscore_anomaly",
         "change_feed",
         "incremental_near_dup",
+        "incremental_ann_search",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):

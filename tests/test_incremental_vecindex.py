@@ -1,0 +1,233 @@
+"""Incrementally-maintained IVF vector index (ann/incremental.py).
+
+Core invariants: (1) with pinned centroids, an index refreshed through
+ANY chain of epochs equals the index bootstrapped from the final state,
+tuple for tuple; (2) exact-probe search (n_probe == n_centroids) equals
+a numpy brute-force cosine top-k over the live state.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from arlas_proc_ray.ann.incremental import (
+    decode_vec_f32,
+    encode_vec_f32,
+    epoch_vector_neighbors,
+    read_vector_checkpoint,
+    read_vector_index,
+    refresh_vector_index,
+    vector_index_topk,
+)
+from arlas_proc_ray.cdc import CdcEngine
+from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+from arlas_proc_ray.model import DataModel
+
+DM = DataModel(num_partitions=4)
+DIM = 8
+
+
+def _vec(seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    v = rng.randn(DIM)
+    return v / np.linalg.norm(v)
+
+
+def _pinned_centroids(n: int = 4) -> np.ndarray:
+    rng = np.random.RandomState(99)
+    c = rng.randn(n, DIM)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _event(lsn, *, repo="org", path=None, op="UPDATE", vec=None) -> pa.Table:
+    path = path if path is not None else f"v{lsn}.py"
+    content = None
+    if op != "DELETE":
+        content = encode_vec_f32(
+            (vec if vec is not None else _vec(lsn)).reshape(1, -1)
+        )[0]
+    return pa.Table.from_pylist(
+        [{
+            "lsn": lsn, "op": op, "repo": repo, "path": path,
+            "commit": f"c{lsn}", "lang": "py", "content": content,
+            "schema_version": 1, "delivery_index": lsn,
+        }],
+        schema=EVENT_SCHEMA_V1,
+    )
+
+
+def _events(specs) -> rd.Dataset:
+    return rd.from_arrow([_event(*a, **kw) for a, kw in specs])
+
+
+def _sorted_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out["vec"] = out["vec"].map(bytes)
+    return out.sort_values(["bucket", "key", "vec"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+IDX = dict(n_centroids=4, num_partitions=4, centroids=_pinned_centroids())
+
+
+def test_codec_roundtrip():
+    mat = np.stack([_vec(i) for i in range(5)])
+    back = decode_vec_f32(encode_vec_f32(mat))
+    np.testing.assert_allclose(back, mat.astype(np.float32), rtol=0, atol=0)
+
+
+def test_incremental_equals_bootstrap_after_mixed_epochs(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        _events([((i,), {}) for i in range(1, 21)]), epoch=1
+    )
+    r1 = refresh_vector_index(engine.store, index_id="inc", **IDX)
+    assert r1["mode"] == "bootstrap"
+    # epoch 2: inserts, updates (vector moves), deletes
+    engine.apply_epoch(
+        _events(
+            [((30 + i,), {}) for i in range(5)]  # new docs
+            + [((40,), {"path": "v3.py", "vec": _vec(777)})]   # update
+            + [((41,), {"path": "v5.py", "op": "DELETE"})]     # delete
+        ),
+        epoch=2, delta=True,
+    )
+    r2 = refresh_vector_index(engine.store, index_id="inc", **IDX)
+    assert r2["mode"] == "incremental"
+    assert r2["rows_added"] > 0 and r2["rows_removed"] > 0
+
+    scratch = refresh_vector_index(engine.store, index_id="scratch", **IDX)
+    assert scratch["mode"] == "bootstrap"
+    pd.testing.assert_frame_equal(
+        _sorted_rows(read_vector_index(engine.store, "inc")),
+        _sorted_rows(read_vector_index(engine.store, "scratch")),
+    )
+    assert engine.store.resolve_ref("vecindex-inc") == 2
+
+    r3 = refresh_vector_index(engine.store, index_id="inc", **IDX)
+    assert r3["mode"] == "noop"
+
+
+def test_exact_probe_equals_brute_force(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(_events([((i,), {}) for i in range(1, 31)]), epoch=1)
+    refresh_vector_index(engine.store, index_id="d", **IDX)
+
+    qmat = np.stack([_vec(1), _vec(2)])
+    got = vector_index_topk(
+        engine.store, np.array(["q1", "q2"], dtype=object), qmat,
+        index_id="d", k=3, n_probe=4,  # n_probe == n_centroids: exact
+    )
+
+    # numpy oracle over the full live state
+    idx = read_vector_index(engine.store, "d")
+    keys = idx["key"].to_numpy(object)
+    mat = np.stack([
+        np.frombuffer(v, dtype="<f4").astype(np.float64) for v in idx["vec"]
+    ])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    for qi, qid in enumerate(["q1", "q2"]):
+        sims = mat @ q[qi]
+        order = np.lexsort((keys, -sims))[:3]
+        sub = got[got["query_id"] == qid]
+        assert list(sub["key"]) == list(keys[order])
+        np.testing.assert_allclose(
+            sub["cos_sim"].to_numpy(), sims[order], rtol=0, atol=1e-12
+        )
+
+
+def test_update_moves_bucket_and_delete_retracts(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    cents = _pinned_centroids()
+    # doc starts exactly on centroid 0, moves to centroid 2
+    engine.apply_epoch(
+        _events([((1,), {"path": "mover.py", "vec": cents[0]}),
+                 ((2,), {"path": "gone.py", "vec": cents[1]})]),
+        epoch=1,
+    )
+    refresh_vector_index(engine.store, index_id="d", **IDX)
+    idx1 = read_vector_index(engine.store, "d")
+    assert set(idx1["bucket"]) == {0, 1}
+
+    engine.apply_epoch(
+        _events([((10,), {"path": "mover.py", "vec": cents[2]}),
+                 ((11,), {"path": "gone.py", "op": "DELETE"})]),
+        epoch=2, delta=True,
+    )
+    r = refresh_vector_index(engine.store, index_id="d", **IDX)
+    assert r["mode"] == "incremental"
+    idx2 = read_vector_index(engine.store, "d")
+    assert len(idx2) == 1
+    assert idx2.iloc[0]["bucket"] == 2
+    assert idx2.iloc[0]["key"] == "org#mover.py"
+
+
+def test_crash_before_checkpoint_is_idempotent(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(_events([((i,), {}) for i in range(1, 11)]), epoch=1)
+    refresh_vector_index(engine.store, index_id="d", **IDX)
+    engine.apply_epoch(
+        _events([((20,), {}), ((21,), {})]), epoch=2, delta=True
+    )
+    # simulate a crash after part writes but before the checkpoint moved
+    refresh_vector_index(engine.store, index_id="d",
+                         commit_checkpoint=False, **IDX)
+    assert read_vector_checkpoint(engine.store, "d")["epoch"] == 1
+    r = refresh_vector_index(engine.store, index_id="d", **IDX)
+    assert r["mode"] == "incremental"
+    scratch = refresh_vector_index(engine.store, index_id="s", **IDX)
+    assert scratch["mode"] == "bootstrap"
+    pd.testing.assert_frame_equal(
+        _sorted_rows(read_vector_index(engine.store, "d")),
+        _sorted_rows(read_vector_index(engine.store, "s")),
+    )
+
+
+def test_epoch_neighbors_finds_planted_and_drops_self(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    anchor = _vec(555)
+    engine.apply_epoch(
+        _events([((1,), {"path": "anchor.py", "vec": anchor})]
+                + [((i,), {}) for i in range(2, 12)]),
+        epoch=1,
+    )
+    refresh_vector_index(engine.store, index_id="d", **IDX)
+    near = anchor + 0.01 * _vec(556)
+    near /= np.linalg.norm(near)
+    engine.apply_epoch(
+        _events([((20,), {"path": "near.py", "vec": near})]),
+        epoch=2, delta=True,
+    )
+    refresh_vector_index(engine.store, index_id="d", **IDX)
+    hits = epoch_vector_neighbors(
+        engine.store, index_id="d", base=1, target=2, k=1, n_probe=4,
+        min_sim=0.9,
+    )
+    assert len(hits) == 1
+    assert hits.iloc[0]["query_key"] == "org#near.py"
+    assert hits.iloc[0]["key"] == "org#anchor.py"
+    assert hits.iloc[0]["cos_sim"] >= 0.99
+
+
+def test_spec_drift_and_stale_probe_guard(tmp_path, ray_session):
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(_events([((i,), {}) for i in range(1, 6)]), epoch=1)
+    refresh_vector_index(engine.store, index_id="d", **IDX)
+    engine.apply_epoch(_events([((10,), {})]), epoch=2, delta=True)
+    # spec drift -> rebuild, not corruption
+    r = refresh_vector_index(
+        engine.store, index_id="d", n_centroids=2, num_partitions=4,
+        centroids=_pinned_centroids(2),
+    )
+    assert r["mode"] == "bootstrap"
+    # stale index (epoch mismatch) must refuse to probe
+    engine.apply_epoch(_events([((11,), {})]), epoch=3, delta=True)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="refresh_vector_index"):
+        epoch_vector_neighbors(
+            engine.store, index_id="d", base=2, target=3
+        )
