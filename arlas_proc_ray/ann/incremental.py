@@ -1,11 +1,11 @@
 """Incrementally-maintained IVF vector index over a snapshot store.
 
 Companion to the near-dup index (``dedup/incremental.py``), for the
-similarity-search side of a CDC ingest pipeline: ``refresh_vector_index``
-keeps an inverted-file index — rows ``(bucket, key, vec)`` partitioned by
-coarse-centroid bucket — of a snapshot store's state table, maintained
-epoch-over-epoch from the change data feed instead of re-embedding or
-re-assigning the corpus:
+similarity-search side of a CDC ingest pipeline, built on the shared
+partitioned-index kit (``cdc/index_base.py``): rows ``(bucket, key,
+vec)`` partitioned by coarse-centroid bucket, maintained epoch-over-epoch
+from the change data feed instead of re-embedding or re-assigning the
+corpus:
 
 - **I** rows assign the new vector to its nearest centroid and add it,
 - **U** rows retract the OLD vector's row (its bucket is recomputed
@@ -31,27 +31,19 @@ little-endian float32 (``encode_vec_f32`` / ``decode_vec_f32``) — the
 store schema stays string-typed; the index parts hold raw binary.
 
 Reference parity: ARLAS-proc has no vector search at all; the batch IVF
-(`ann/ivf.py`) is the from-scratch equivalent and the oracle (exact mode
-must equal brute force / DuckDB ``list_cosine_similarity``).
+(``ann/ivf.py``) is the from-scratch equivalent and the oracle (exact
+mode must equal brute force / DuckDB ``list_cosine_similarity``).
 
-Scale shape:
-
-- **Refresh cost ∝ changed docs**: the feed is manifest-pruned,
-  assignment is one tiny matmul per changed batch against broadcast
-  centroids, and only the touched bucket partitions are rewritten.
-- **Search cost ∝ probed partitions**, not corpus: the probe set is
-  computed driver-side from the (tiny) centroid matrix; unprobed
-  partitions are never read.
-- **Byte-exact removals** on UTF-8-encoded keys (pandas object-string
-  merges collapse NUL-distinct keys).
-- **Crash-safe**: parts are written atomically under an epoch suffix,
-  the checkpoint moves last; reruns recompute the same deltas — idempotent.
+Scale shape: refresh cost ∝ changed docs (manifest-pruned feed, one tiny
+matmul per changed batch against broadcast centroids, only touched bucket
+partitions rewrite); search cost ∝ probed partitions, not corpus;
+byte-exact removals; crash-safe parts-then-checkpoint commits — all
+inherited from the kit.
 """
 
 from __future__ import annotations
 
 import base64
-import json
 import os
 from typing import Sequence
 
@@ -61,9 +53,12 @@ import pyarrow as pa
 
 from arlas_proc_ray.ann.ivf import kmeans_fit
 from arlas_proc_ray.ann.search import _normalize
+from arlas_proc_ray.cdc.index_base import (
+    IncrementalPartitionedIndex,
+    state_dataset,
+)
 from arlas_proc_ray.cdc.publish import stable_doc_ids
-from arlas_proc_ray.cdc.snapshot import SnapshotStore, _atomic_write_bytes
-from arlas_proc_ray.dedup.incremental import _state_dataset
+from arlas_proc_ray.cdc.snapshot import SnapshotStore
 
 
 # ---------------------------------------------------------------- codecs
@@ -84,82 +79,10 @@ def decode_vec_f32(values) -> np.ndarray:
     return np.stack(rows)
 
 
-# ------------------------------------------------------------- index io
-_COLS = ["bucket", "key", "vec"]
-
-
-def _index_dir(store: SnapshotStore, index_id: str) -> str:
-    return os.path.join(store.root, "vecindex", index_id)
-
-
-def _part_path(store: SnapshotStore, index_id: str, p: int, epoch: int) -> str:
-    return os.path.join(_index_dir(store, index_id), f"part-{p}-{epoch}.parquet")
-
-
-def read_vector_checkpoint(store: SnapshotStore, index_id: str) -> dict | None:
-    p = os.path.join(_index_dir(store, index_id), "checkpoint.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _centroids_from_ckpt(ckpt: dict) -> np.ndarray:
-    raw = base64.b64decode(ckpt["centroids_b64"])
-    c = np.frombuffer(raw, dtype="<f8").astype(np.float64)
-    return c.reshape(ckpt["n_centroids_fit"], ckpt["dim"])
-
-
-def _empty_rows_arrow(delta: bool = False) -> pa.Table:
-    """Arrow typed empty (Ray's pandas block sizing chokes on zero-length
-    object columns)."""
-    cols = {
-        "bucket": pa.array([], pa.int32()),
-        "key": pa.array([], pa.string()),
-        "vec": pa.array([], pa.binary()),
-    }
-    if delta:
-        cols["delta"] = pa.array([], pa.int8())
-    return pa.table(cols)
-
-
-def _empty_rows() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "bucket": pd.Series([], dtype=np.int32),
-            "key": pd.Series([], dtype=object),
-            "vec": pd.Series([], dtype=object),
-        }
-    )
-
-
-def _read_part(store: SnapshotStore, index_id: str, p: int, epoch) -> pd.DataFrame:
-    import pyarrow.parquet as pq
-
-    if epoch is None:
-        return _empty_rows()
-    path = _part_path(store, index_id, p, int(epoch))
-    if not os.path.exists(path):
-        return _empty_rows()
-    return pq.read_table(path).to_pandas()
-
-
-def _write_part(store: SnapshotStore, index_id: str, p: int, epoch: int,
-                pdf: pd.DataFrame) -> None:
-    import pyarrow.parquet as pq
-
-    os.makedirs(_index_dir(store, index_id), exist_ok=True)
-    tbl = pa.table(
-        {
-            "bucket": pa.array(pdf["bucket"].to_numpy(np.int32), pa.int32()),
-            "key": pa.array(pdf["key"].astype(object), pa.string()),
-            "vec": pa.array(list(pdf["vec"]), pa.binary()),
-        }
-    )
-    sink = pa.BufferOutputStream()
-    pq.write_table(tbl, sink)
-    _atomic_write_bytes(
-        _part_path(store, index_id, p, epoch), sink.getvalue().to_pybytes()
+def _raw_f32(values) -> np.ndarray:
+    """Sequence of raw little-endian float32 byte rows → float64 matrix."""
+    return np.stack(
+        [np.frombuffer(v, dtype="<f4").astype(np.float64) for v in values]
     )
 
 
@@ -171,88 +94,82 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmax(sims, axis=1).astype(np.int32)
 
 
-# -------------------------------------------------------------- refresh
-def refresh_vector_index(
-    store: SnapshotStore,
-    *,
-    index_id: str = "default",
-    key_cols: Sequence[str] = ("repo", "path"),
-    vec_col: str = "content",
-    epoch: int | str | None = None,
-    n_centroids: int = 64,
-    num_partitions: int = 8,
-    train_sample: int = 20_000,
-    seed: int = 17,
-    centroids: np.ndarray | None = None,
-    full: bool = False,
-    commit_checkpoint: bool = True,
-) -> dict:
-    """Bring the IVF index up to ``epoch`` (default: latest committed).
+def _centroids_from_ckpt(ckpt: dict) -> np.ndarray:
+    raw = base64.b64decode(ckpt["centroids_b64"])
+    c = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+    return c.reshape(ckpt["n_centroids_fit"], ckpt["dim"])
 
-    Bootstrap trains (seeded, random-sample) centroids and assigns the
-    whole state once; every later refresh assigns only the changed
-    vectors from the change feed and rewrites only the bucket partitions
-    they route to. ``centroids=`` pins an externally-trained quantizer
-    (tests; cross-index comparability).
-    """
-    import ray
 
-    from arlas_proc_ray.cdc.feed import change_feed
+class _VectorIndex(IncrementalPartitionedIndex):
+    kind = "vecindex"
+    schema = pa.schema(
+        [("bucket", pa.int32()), ("key", pa.string()), ("vec", pa.binary())]
+    )
+    identity_cols = ["bucket", "key"]
+    keep = "last"  # a re-added key carries a (possibly) new vector
 
-    key_cols = list(key_cols)
-    target = store._resolve_epoch_arg(epoch)
-    if target is None:
-        raise RuntimeError("no committed epoch to index")
-    spec = {
-        "n_centroids": n_centroids, "num_partitions": num_partitions,
-        "key_cols": key_cols, "vec_col": vec_col, "seed": seed,
-    }
-    ckpt = None if full else read_vector_checkpoint(store, index_id)
-    if ckpt is not None and ckpt.get("spec") != spec:
-        ckpt = None  # parameter drift: assignments incomparable -> rebuild
-    base = ckpt["epoch"] if ckpt else None
-    if base is not None and (
-        store.read_epoch_summary(base)["num_partitions"]
-        != store.read_epoch_summary(target)["num_partitions"]
-    ):
-        # store fan-out changed: the feed cannot supply pre-images for
-        # removals across the boundary -> rebuild from the target state
-        ckpt, base = None, None
+    def __init__(self, store, index_id, spec, *, train_sample, seed,
+                 centroids):
+        super().__init__(store, index_id, spec, spec["num_partitions"])
+        self.train_sample = train_sample
+        self.seed = seed
+        self.cents = (
+            _normalize(np.asarray(centroids, dtype=np.float64))
+            if centroids is not None else None
+        )
+        self._cents_ref = None
 
-    if base == target:
+    def on_loaded_checkpoint(self, ckpt: dict) -> None:
+        self.cents = _centroids_from_ckpt(ckpt)  # pinned quantizer
+
+    def extra_checkpoint(self) -> dict:
         return {
-            "index_id": index_id, "epoch": target, "base_epoch": base,
-            "mode": "noop", "partitions_touched": 0,
-            "sources": dict(ckpt["sources"]),
+            "n_centroids_fit": int(self.cents.shape[0]),
+            "dim": int(self.cents.shape[1]),
+            "centroids_b64": base64.b64encode(
+                np.ascontiguousarray(self.cents, dtype="<f8").tobytes()
+            ).decode("ascii"),
         }
 
-    if ckpt is not None:
-        cents = _centroids_from_ckpt(ckpt)
-    elif centroids is not None:
-        cents = _normalize(np.asarray(centroids, dtype=np.float64))
-    else:
-        # train on a RANDOM bounded sample of the state (a prefix sample
-        # would cover only the head of a clustered key domain)
-        state = _state_dataset(store, target, [vec_col])
-        rows = store.read_epoch_summary(target)["row_count"]
-        frac = min(1.0, (train_sample * 1.5) / max(rows, 1))
-        sampled = state if frac >= 1.0 else state.random_sample(frac, seed=seed)
-        sample_pdf = sampled.limit(train_sample).to_pandas()
-        if not len(sample_pdf):
-            raise RuntimeError("state has no rows to train centroids on")
-        cents = kmeans_fit(
-            decode_vec_f32(sample_pdf[vec_col]), n_centroids, seed=seed
-        )
-    cents_ref = ray.put(cents)
+    # ------------------------------------------------------------ deltas
+    def _ensure_centroids(self, target: int) -> None:
+        import ray
 
-    if base is None:
-        state = _state_dataset(store, target, key_cols + [vec_col])
+        if self.cents is None:
+            # train on a RANDOM bounded sample of the state (a prefix
+            # sample would cover only the head of a clustered domain)
+            vec_col = self.spec["vec_col"]
+            state = state_dataset(self.store, target, [vec_col])
+            rows = self.store.read_epoch_summary(target)["row_count"]
+            frac = min(1.0, (self.train_sample * 1.5) / max(rows, 1))
+            sampled = (
+                state if frac >= 1.0
+                else state.random_sample(frac, seed=self.seed)
+            )
+            sample_pdf = sampled.limit(self.train_sample).to_pandas()
+            if not len(sample_pdf):
+                raise RuntimeError("state has no rows to train centroids on")
+            self.cents = kmeans_fit(
+                decode_vec_f32(sample_pdf[vec_col]),
+                self.spec["n_centroids"], seed=self.seed,
+            )
+        if self._cents_ref is None:
+            self._cents_ref = ray.put(self.cents)
+
+    def bootstrap_deltas(self, target: int):
+        import ray
+
+        self._ensure_centroids(target)
+        cents_ref = self._cents_ref
+        key_cols = list(self.spec["key_cols"])
+        vec_col = self.spec["vec_col"]
+        empty = self.empty_rows_arrow(delta=True)
 
         def to_rows(pdf: pd.DataFrame):
             c = ray.get(cents_ref)
             live = pdf[pdf[vec_col].notna() & (pdf[vec_col] != "")]
             if not len(live):
-                return _empty_rows_arrow(delta=True)
+                return empty
             mat = decode_vec_f32(live[vec_col])
             return pd.DataFrame(
                 {
@@ -266,17 +183,30 @@ def refresh_vector_index(
                 }
             )
 
-        deltas = state.map_batches(to_rows, batch_format="pandas")
-    else:
+        return state_dataset(
+            self.store, target, key_cols + [vec_col]
+        ).map_batches(to_rows, batch_format="pandas")
+
+    def feed_deltas(self, base: int, target: int):
+        import ray
+
+        from arlas_proc_ray.cdc.feed import change_feed
+
+        self._ensure_centroids(target)
+        cents_ref = self._cents_ref
+        key_cols = list(self.spec["key_cols"])
+        vec_col = self.spec["vec_col"]
+        empty = self.empty_rows_arrow(delta=True)
+
         feed = change_feed(
-            store, base=base, target=target,
+            self.store, base=base, target=target,
             columns=[vec_col], compare_cols=[vec_col],
             include_old=[vec_col],
         )
 
         def feed_to_rows(pdf: pd.DataFrame):
             if not len(pdf):
-                return _empty_rows_arrow(delta=True)
+                return empty
             c = ray.get(cents_ref)
             keys = stable_doc_ids(pdf, key_cols)
             ops = pdf["op"].to_numpy()
@@ -314,113 +244,81 @@ def refresh_vector_index(
             if d is not None:
                 frames.append(d)
             if not frames:
-                return _empty_rows_arrow(delta=True)
+                return empty
             return pd.concat(frames, ignore_index=True)
 
-        deltas = feed.map_batches(feed_to_rows, batch_format="pandas")
+        return feed.map_batches(feed_to_rows, batch_format="pandas")
 
-    def add_part(t: pa.Table) -> pa.Table:
-        b = t.column("bucket").to_numpy(zero_copy_only=False)
-        pid = (b.astype(np.int64) % num_partitions).astype(np.int32)
-        return t.append_column("_part", pa.array(pid, pa.int32()))
+    def route(self, table: pa.Table) -> np.ndarray:
+        b = table.column("bucket").to_numpy(zero_copy_only=False)
+        return (b.astype(np.int64) % self.num_partitions).astype(np.int32)
 
-    deltas = deltas.map_batches(add_part, batch_format="pyarrow")
-    sources = dict(ckpt["sources"]) if ckpt else {}
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        p = int(group["_part"].iloc[0])
-        old = _read_part(store, index_id, p, sources.get(str(p)))
-        dlt = group["delta"].to_numpy()
-        adds = group.loc[dlt > 0, _COLS]
-        rems = group.loc[dlt < 0, _COLS]
-        if len(rems) and len(old):
-            # byte-exact anti-join on (bucket, encoded key) — a doc holds
-            # exactly one row per index, so the pair identifies it
-            ok_ = old.assign(_k=old["key"].str.encode("utf-8"))
-            rk = rems.assign(_k=rems["key"].str.encode("utf-8"))
-            m = ok_.merge(
-                rk[["bucket", "_k"]].drop_duplicates(),
-                on=["bucket", "_k"], how="left", indicator=True,
-            )
-            old = m.loc[m["_merge"] == "left_only", _COLS].reset_index(
-                drop=True
-            )
-        new = pd.concat([old, adds], ignore_index=True)
-        if len(new):
-            enc = new["key"].str.encode("utf-8")
-            # keep the LAST image of a key re-added within the window
-            new = new.loc[~new.assign(_k=enc).duplicated(
-                ["bucket", "_k"], keep="last"
-            )].reset_index(drop=True)
-        _write_part(store, index_id, p, target, new)
-        return pd.DataFrame(
-            {"part": [p], "rows": [len(new)],
-             "added": [int(len(adds))], "removed": [int(len(rems))]}
-        )
+def _kit(store: SnapshotStore, index_id: str, spec: dict, *,
+         train_sample: int = 20_000, seed: int = 17,
+         centroids=None) -> _VectorIndex:
+    return _VectorIndex(store, index_id, spec, train_sample=train_sample,
+                        seed=seed, centroids=centroids)
 
-    stats = (
-        deltas.groupby("_part")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
-    for _, r in stats.iterrows():
-        sources[str(int(r["part"]))] = target
-    if base is None:
-        for p in range(num_partitions):
-            if str(p) not in sources:
-                _write_part(store, index_id, p, target, _empty_rows())
-                sources[str(p)] = target
 
-    out = {
-        "index_id": index_id,
-        "epoch": target,
-        "base_epoch": base,
-        "mode": "bootstrap" if base is None else "incremental",
-        "partitions_touched": int(len(stats)),
-        "rows_added": int(stats["added"].sum()) if len(stats) else 0,
-        "rows_removed": int(stats["removed"].sum()) if len(stats) else 0,
-        "sources": sources,
+def _spec(key_cols, vec_col, n_centroids, num_partitions, seed) -> dict:
+    return {
+        "n_centroids": n_centroids, "num_partitions": num_partitions,
+        "key_cols": list(key_cols), "vec_col": vec_col, "seed": seed,
     }
-    if commit_checkpoint:
-        ckpt_out = {
-            "index_id": index_id, "epoch": target, "spec": spec,
-            "sources": sources,
-            "n_centroids_fit": int(cents.shape[0]),
-            "dim": int(cents.shape[1]),
-            "centroids_b64": base64.b64encode(
-                np.ascontiguousarray(cents, dtype="<f8").tobytes()
-            ).decode("ascii"),
-            "last_refresh": {
-                k: out[k]
-                for k in ("base_epoch", "mode", "partitions_touched",
-                          "rows_added", "rows_removed")
-            },
-        }
-        _atomic_write_bytes(
-            os.path.join(_index_dir(store, index_id), "checkpoint.json"),
-            json.dumps(ckpt_out).encode(),
-        )
-        store.tag(f"vecindex-{index_id}", target)
-        live = {f"part-{p}-{e}.parquet" for p, e in sources.items()}
-        for f in os.listdir(_index_dir(store, index_id)):
-            if f.startswith("part-") and f not in live:
-                try:
-                    os.remove(os.path.join(_index_dir(store, index_id), f))
-                except OSError:
-                    pass
-    return out
 
 
-def read_vector_index(store: SnapshotStore, index_id: str = "default") -> pd.DataFrame:
+def read_vector_checkpoint(store: SnapshotStore, index_id: str) -> dict | None:
+    return _VectorIndex(
+        store, index_id, {"num_partitions": 0}, train_sample=0, seed=0,
+        centroids=None,
+    ).read_checkpoint()
+
+
+# -------------------------------------------------------------- refresh
+def refresh_vector_index(
+    store: SnapshotStore,
+    *,
+    index_id: str = "default",
+    key_cols: Sequence[str] = ("repo", "path"),
+    vec_col: str = "content",
+    epoch: int | str | None = None,
+    n_centroids: int = 64,
+    num_partitions: int = 8,
+    train_sample: int = 20_000,
+    seed: int = 17,
+    centroids: np.ndarray | None = None,
+    full: bool = False,
+    commit_checkpoint: bool = True,
+) -> dict:
+    """Bring the IVF index up to ``epoch`` (default: latest committed).
+
+    Bootstrap trains (seeded, random-sample) centroids and assigns the
+    whole state once; every later refresh assigns only the changed
+    vectors from the change feed and rewrites only the bucket partitions
+    they route to. ``centroids=`` pins an externally-trained quantizer
+    (tests; cross-index comparability).
+    """
+    kit = _kit(
+        store, index_id,
+        _spec(key_cols, vec_col, n_centroids, num_partitions, seed),
+        train_sample=train_sample, seed=seed, centroids=centroids,
+    )
+    return kit.refresh(epoch=epoch, full=full,
+                       commit_checkpoint=commit_checkpoint)
+
+
+def read_vector_index(store: SnapshotStore,
+                      index_id: str = "default") -> pd.DataFrame:
     """The whole index as one frame (tests / small corpora only)."""
-    ckpt = read_vector_checkpoint(store, index_id)
+    kit = _VectorIndex(store, index_id, {"num_partitions": 0},
+                       train_sample=0, seed=0, centroids=None)
+    ckpt = kit.read_checkpoint()
     if ckpt is None:
         raise RuntimeError(f"index {index_id!r} has never been refreshed")
-    parts = [
-        _read_part(store, index_id, int(p), e)
-        for p, e in sorted(ckpt["sources"].items(), key=lambda kv: int(kv[0]))
-    ]
-    return pd.concat(parts, ignore_index=True) if parts else _empty_rows()
+    kit.spec = ckpt["spec"]
+    kit.num_partitions = ckpt["spec"]["num_partitions"]
+    return kit.read_all()
 
 
 # --------------------------------------------------------------- search
@@ -443,7 +341,9 @@ def vector_index_topk(
     import ray
     import ray.data as rd
 
-    ckpt = read_vector_checkpoint(store, index_id)
+    kit = _VectorIndex(store, index_id, {"num_partitions": 0},
+                       train_sample=0, seed=0, centroids=None)
+    ckpt = kit.read_checkpoint()
     if ckpt is None:
         raise RuntimeError(f"index {index_id!r} has never been refreshed")
     cents = _centroids_from_ckpt(ckpt)
@@ -456,14 +356,12 @@ def vector_index_topk(
     qsims = qmat @ cents.T
     probed = np.argpartition(-qsims, kth=probe - 1, axis=1)[:, :probe]
     probed_buckets = np.unique(probed)
-    probed_parts = sorted(
-        {int(b) % num_partitions for b in probed_buckets}
-    )
+    probed_parts = sorted({int(b) % num_partitions for b in probed_buckets})
     files = [
-        _part_path(store, index_id, p, int(sources[str(p)]))
+        kit.part_path(p, int(sources[str(p)]))
         for p in probed_parts
         if str(p) in sources
-        and os.path.exists(_part_path(store, index_id, p, int(sources[str(p)])))
+        and os.path.exists(kit.part_path(p, int(sources[str(p)])))
     ]
     if not files:
         return pd.DataFrame(
@@ -488,11 +386,9 @@ def vector_index_topk(
                  "cos_sim": pd.Series([], dtype=np.float64)})
         keys = np.asarray(batch.column("key").to_pylist(), dtype=object)[keep]
         # index parts hold raw little-endian float32 bytes, not base64
-        vecs = np.stack([
-            np.frombuffer(v, dtype="<f4").astype(np.float64)
-            for v, m in zip(batch.column("vec").to_pylist(), keep) if m
-        ])
-        mat = _normalize(vecs)
+        mat = _normalize(_raw_f32(
+            [v for v, m in zip(batch.column("vec").to_pylist(), keep) if m]
+        ))
         bkt = buckets[keep]
         frames = []
         for qi in range(len(st["qids"])):
@@ -545,8 +441,9 @@ def epoch_vector_neighbors(
 
     The ingest-time question: which documents that changed THIS epoch
     are similar to anything already in the corpus? Probes the index with
-    the changed docs' new vectors (cost ∝ changed docs); self-matches
-    are dropped. Returns (query_key, key, cos_sim).
+    the changed docs' new vectors (driver query matrix bounded ∝ the
+    epoch's changed rows — batch huge epochs yourself); self-matches are
+    dropped. Returns (query_key, key, cos_sim).
     """
     from arlas_proc_ray.cdc.feed import change_feed
 

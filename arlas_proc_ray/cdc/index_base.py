@@ -1,0 +1,331 @@
+"""Shared machinery for incrementally-maintained partitioned indexes.
+
+Three index families ride the same skeleton over a snapshot store — the
+MinHash-LSH near-dup index (``dedup/incremental.py``), the IVF vector
+index (``ann/incremental.py``) and the secondary value→key index
+(``cdc/secondary.py``): rows live in ``<store.root>/<kind>/<index_id>/
+part-<p>-<epoch>.parquet`` files; a ``checkpoint.json`` (written LAST,
+atomically) records the indexed epoch, the spec and the per-partition
+source epochs; a refresh computes ±delta rows (from the full state at
+bootstrap, from the change data feed afterwards), routes them to their
+partitions with ONE keyed exchange, and each touched partition applies
+removals as a byte-exact anti-join and additions as a dedup-append,
+rewritten atomically under the new epoch suffix.
+
+The contract every subclass inherits:
+
+- **Refresh cost ∝ changed rows** after bootstrap (the feed is
+  manifest-pruned; only touched partitions rewrite).
+- **Byte-exact identity.** Anti-joins encode string identity columns to
+  UTF-8 bytes (pandas object-string merges collapse NUL-distinct keys).
+- **Crash-safe / idempotent.** Parts first, checkpoint last; a rerun
+  recomputes the same deltas from the same base and overwrites the same
+  files. ``commit_checkpoint=False`` simulates the crash in tests.
+- **Spec drift / store fan-out change → full rebuild**, never silent
+  corruption (a repartitioned store breaks the feed's pre-images).
+- **Vacuum on commit**: part files no longer referenced by the new
+  checkpoint are deleted (the checkpoint already points away).
+
+Subclasses define the row schema, the identity columns, how state /
+feed batches become ±delta rows, and how rows route to partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arlas_proc_ray.cdc.snapshot import SnapshotStore, _atomic_write_bytes
+
+
+def state_dataset(store: SnapshotStore, epoch: int, columns):
+    """The store's live state at ``epoch`` as a pruned-column Dataset."""
+    import ray.data as rd
+
+    srcs = store.resolve_sources(epoch)
+    n = store.read_epoch_summary(epoch)["num_partitions"]
+    files = [
+        store.part_data_path(srcs.get(p, epoch), p)
+        for p in range(n)
+        if os.path.exists(store.part_data_path(srcs.get(p, epoch), p))
+    ]
+    return rd.read_parquet(files, columns=list(columns))
+
+
+class IncrementalPartitionedIndex:
+    """Template for an epoch-maintained partitioned index over a store.
+
+    Subclasses set ``kind`` (directory name, doubles as the ref prefix),
+    ``schema`` (the part-file Arrow schema), ``identity_cols`` (what a
+    removal matches on; string/binary columns compare byte-exact) and
+    ``keep`` ("first": re-adds of an existing identity are dropped;
+    "last": they replace — use "last" when a row carries a payload that
+    updates), and implement ``bootstrap_deltas`` / ``feed_deltas`` /
+    ``route``.
+    """
+
+    kind: str = "index"
+    schema: pa.Schema
+    identity_cols: Sequence[str]
+    keep: str = "first"
+
+    def __init__(self, store: SnapshotStore, index_id: str,
+                 spec: dict, num_partitions: int):
+        self.store = store
+        self.index_id = index_id
+        self.spec = spec
+        self.num_partitions = num_partitions
+
+    # ----------------------------------------------------------- hooks
+    def bootstrap_deltas(self, target: int):
+        """Dataset of schema rows + ``delta`` (+1) from the full state."""
+        raise NotImplementedError
+
+    def feed_deltas(self, base: int, target: int):
+        """Dataset of schema rows + ``delta`` (±1) from the change feed."""
+        raise NotImplementedError
+
+    def route(self, table: pa.Table) -> np.ndarray:
+        """int32 partition id per row (must be stable across epochs)."""
+        raise NotImplementedError
+
+    def extra_checkpoint(self) -> dict:
+        """Subclass-owned payload persisted beside the spec."""
+        return {}
+
+    def on_loaded_checkpoint(self, ckpt: dict) -> None:
+        """Called when an existing checkpoint is adopted for a refresh."""
+
+    def is_noop(self, base: int, target: int, ckpt: dict) -> bool:
+        """Whether nothing changed since ``base`` (override when the
+        index also tracks state outside the host store, e.g. a second
+        store's epoch)."""
+        return base == target
+
+    # ------------------------------------------------------------ paths
+    def dir(self) -> str:
+        return os.path.join(self.store.root, self.kind, self.index_id)
+
+    def part_path(self, p: int, epoch: int) -> str:
+        return os.path.join(self.dir(), f"part-{p}-{epoch}.parquet")
+
+    def ref_name(self) -> str:
+        return f"{self.kind}-{self.index_id}"
+
+    # ------------------------------------------------------- empty rows
+    def _empty_pd(self) -> pd.DataFrame:
+        cols = {}
+        for f in self.schema:
+            if pa.types.is_integer(f.type):
+                cols[f.name] = pd.Series([], dtype=f.type.to_pandas_dtype())
+            elif pa.types.is_floating(f.type):
+                cols[f.name] = pd.Series([], dtype=np.float64)
+            else:
+                cols[f.name] = pd.Series([], dtype=object)
+        return pd.DataFrame(cols)
+
+    def empty_rows_arrow(self, delta: bool = False) -> pa.Table:
+        """Arrow typed empty (Ray's pandas block sizing chokes on
+        zero-length object columns)."""
+        cols = {f.name: pa.array([], f.type) for f in self.schema}
+        if delta:
+            cols["delta"] = pa.array([], pa.int8())
+        return pa.table(cols)
+
+    # --------------------------------------------------------- part io
+    def read_part(self, p: int, epoch) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        if epoch is None:
+            return self._empty_pd()
+        path = self.part_path(p, int(epoch))
+        if not os.path.exists(path):
+            return self._empty_pd()
+        pdf = pq.read_table(path).to_pandas()
+        for f in self.schema:  # preserve unsigned width through pandas
+            if pa.types.is_unsigned_integer(f.type):
+                pdf[f.name] = pdf[f.name].astype(f.type.to_pandas_dtype())
+        return pdf
+
+    def write_part(self, p: int, epoch: int, pdf: pd.DataFrame) -> None:
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.dir(), exist_ok=True)
+        arrays = []
+        for f in self.schema:
+            if pa.types.is_integer(f.type):
+                arrays.append(pa.array(
+                    pdf[f.name].to_numpy(f.type.to_pandas_dtype()), f.type
+                ))
+            elif pa.types.is_binary(f.type):
+                arrays.append(pa.array(list(pdf[f.name]), f.type))
+            else:
+                arrays.append(pa.array(pdf[f.name].astype(object), f.type))
+        tbl = pa.Table.from_arrays(arrays, schema=self.schema)
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink)
+        _atomic_write_bytes(self.part_path(p, epoch),
+                            sink.getvalue().to_pybytes())
+
+    # ------------------------------------------------------- checkpoint
+    def read_checkpoint(self) -> dict | None:
+        p = os.path.join(self.dir(), "checkpoint.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # ---------------------------------------------------------- refresh
+    def _identity_key(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Byte-exact comparable copies of the identity columns."""
+        out = {}
+        for c in self.identity_cols:
+            s = pdf[c]
+            if s.dtype == object:
+                f = self.schema.field(c)
+                if pa.types.is_binary(f.type):
+                    out[f"_id_{c}"] = s.map(bytes)
+                else:
+                    out[f"_id_{c}"] = s.astype(str).str.encode("utf-8")
+            else:
+                out[f"_id_{c}"] = s
+        return pdf.assign(**out)
+
+    def refresh(self, *, epoch=None, full: bool = False,
+                commit_checkpoint: bool = True) -> dict:
+        store = self.store
+        target = store._resolve_epoch_arg(epoch)
+        if target is None:
+            raise RuntimeError("no committed epoch to index")
+        ckpt = None if full else self.read_checkpoint()
+        if ckpt is not None and ckpt.get("spec") != self.spec:
+            ckpt = None  # parameter drift: rows incomparable -> rebuild
+        base = ckpt["epoch"] if ckpt else None
+        if base is not None and (
+            store.read_epoch_summary(base)["num_partitions"]
+            != store.read_epoch_summary(target)["num_partitions"]
+        ):
+            # store fan-out changed: the feed cannot supply pre-images
+            # for removals across the boundary -> rebuild from state
+            ckpt, base = None, None
+        if ckpt is not None:
+            self.on_loaded_checkpoint(ckpt)
+
+        if base is not None and self.is_noop(base, target, ckpt):
+            return {
+                "index_id": self.index_id, "epoch": target,
+                "base_epoch": base, "mode": "noop",
+                "partitions_touched": 0, "sources": dict(ckpt["sources"]),
+            }
+
+        deltas = (
+            self.bootstrap_deltas(target) if base is None
+            else self.feed_deltas(base, target)
+        )
+
+        def add_part(t: pa.Table) -> pa.Table:
+            pid = self.route(t)
+            return t.append_column(
+                "_part", pa.array(np.asarray(pid, np.int32), pa.int32())
+            )
+
+        deltas = deltas.map_batches(add_part, batch_format="pyarrow")
+        sources = dict(ckpt["sources"]) if ckpt else {}
+        row_cols = [f.name for f in self.schema]
+        id_tmp = [f"_id_{c}" for c in self.identity_cols]
+
+        def fold(group: pd.DataFrame) -> pd.DataFrame:
+            p = int(group["_part"].iloc[0])
+            old = self.read_part(p, sources.get(str(p)))
+            d = group["delta"].to_numpy()
+            adds = group.loc[d > 0, row_cols]
+            rems = group.loc[d < 0, row_cols]
+            if len(rems) and len(old):
+                ok_ = self._identity_key(old)
+                rk = self._identity_key(rems)
+                m = ok_.merge(
+                    rk[id_tmp].drop_duplicates(),
+                    on=id_tmp, how="left", indicator=True,
+                )
+                old = m.loc[m["_merge"] == "left_only", row_cols]
+                old = old.reset_index(drop=True)
+            new = pd.concat([old, adds], ignore_index=True)
+            if len(new):
+                dup = self._identity_key(new).duplicated(id_tmp,
+                                                         keep=self.keep)
+                new = new.loc[~dup].reset_index(drop=True)
+            self.write_part(p, target, new)
+            return pd.DataFrame(
+                {"part": [p], "rows": [len(new)],
+                 "added": [int(len(adds))], "removed": [int(len(rems))]}
+            )
+
+        stats = (
+            deltas.groupby("_part")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+        )
+        for _, r in stats.iterrows():
+            sources[str(int(r["part"]))] = target
+        if base is None:
+            # partitions with no rows still need a defined (empty) source
+            for p in range(self.num_partitions):
+                if str(p) not in sources:
+                    self.write_part(p, target, self._empty_pd())
+                    sources[str(p)] = target
+
+        out = {
+            "index_id": self.index_id,
+            "epoch": target,
+            "base_epoch": base,
+            "mode": "bootstrap" if base is None else "incremental",
+            "partitions_touched": int(len(stats)),
+            "rows_added": int(stats["added"].sum()) if len(stats) else 0,
+            "rows_removed": int(stats["removed"].sum()) if len(stats) else 0,
+            "sources": sources,
+        }
+        if commit_checkpoint:
+            ckpt_out = {
+                "index_id": self.index_id, "epoch": target,
+                "spec": self.spec, "sources": sources,
+                **self.extra_checkpoint(),
+                "last_refresh": {
+                    k: out[k]
+                    for k in ("base_epoch", "mode", "partitions_touched",
+                              "rows_added", "rows_removed")
+                },
+            }
+            _atomic_write_bytes(
+                os.path.join(self.dir(), "checkpoint.json"),
+                json.dumps(ckpt_out).encode(),
+            )
+            store.tag(self.ref_name(), target)
+            live = {f"part-{p}-{e}.parquet" for p, e in sources.items()}
+            for f in os.listdir(self.dir()):
+                if f.startswith("part-") and f not in live:
+                    try:
+                        os.remove(os.path.join(self.dir(), f))
+                    except OSError:
+                        pass
+        return out
+
+    def read_all(self) -> pd.DataFrame:
+        """The whole index as one frame (tests / small corpora only)."""
+        ckpt = self.read_checkpoint()
+        if ckpt is None:
+            raise RuntimeError(
+                f"index {self.index_id!r} has never been refreshed"
+            )
+        parts = [
+            self.read_part(int(p), e)
+            for p, e in sorted(ckpt["sources"].items(),
+                               key=lambda kv: int(kv[0]))
+        ]
+        return (
+            pd.concat(parts, ignore_index=True) if parts else self._empty_pd()
+        )

@@ -41,11 +41,14 @@ Scale shape:
   suffix; the checkpoint (epoch, spec, per-partition sources) moves
   last. A rerun recomputes the same deltas from the same base and
   overwrites the same files — idempotent.
+
+Storage/refresh/crash-safety machinery is the shared partitioned-index
+kit (``cdc/index_base.py``); this module owns the LSH-specific delta
+computation and the probe.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Sequence
 
@@ -53,25 +56,30 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from arlas_proc_ray.cdc.snapshot import SnapshotStore, _atomic_write_bytes
+from arlas_proc_ray.cdc.index_base import (
+    IncrementalPartitionedIndex,
+    state_dataset as _state_dataset,
+)
+from arlas_proc_ray.cdc.snapshot import SnapshotStore
 from arlas_proc_ray.dedup.minhash import MinHasher, _distributed_verify
 from arlas_proc_ray.cdc.publish import stable_doc_ids
 
 
+def _bare_kit(store: SnapshotStore, index_id: str) -> "_NearDupIndex":
+    """Kit instance for path/checkpoint/read access (no refresh spec)."""
+    return _NearDupIndex(store, index_id, {"num_partitions": 0}, 0)
+
+
 def _index_dir(store: SnapshotStore, index_id: str) -> str:
-    return os.path.join(store.root, "neardup", index_id)
+    return _bare_kit(store, index_id).dir()
 
 
 def _part_path(store: SnapshotStore, index_id: str, p: int, epoch: int) -> str:
-    return os.path.join(_index_dir(store, index_id), f"part-{p}-{epoch}.parquet")
+    return _bare_kit(store, index_id).part_path(p, epoch)
 
 
 def read_index_checkpoint(store: SnapshotStore, index_id: str) -> dict | None:
-    p = os.path.join(_index_dir(store, index_id), "checkpoint.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    return _bare_kit(store, index_id).read_checkpoint()
 
 
 _TRIPLE = ["band_id", "band_hash", "key"]
@@ -128,50 +136,7 @@ def _band_rows(mh: MinHasher, keys, texts) -> pd.DataFrame:
 
 
 def _read_part(store: SnapshotStore, index_id: str, p: int, epoch) -> pd.DataFrame:
-    import pyarrow.parquet as pq
-
-    if epoch is None:
-        return _empty_triples()
-    path = _part_path(store, index_id, p, int(epoch))
-    if not os.path.exists(path):
-        return _empty_triples()
-    pdf = pq.read_table(path).to_pandas()
-    pdf["band_hash"] = pdf["band_hash"].astype(np.uint64)
-    return pdf
-
-
-def _write_part(store: SnapshotStore, index_id: str, p: int, epoch: int,
-                pdf: pd.DataFrame) -> None:
-    import pyarrow.parquet as pq
-
-    os.makedirs(_index_dir(store, index_id), exist_ok=True)
-    tbl = pa.table(
-        {
-            "band_id": pa.array(pdf["band_id"].to_numpy(np.int32), pa.int32()),
-            "band_hash": pa.array(
-                pdf["band_hash"].to_numpy(np.uint64), pa.uint64()
-            ),
-            "key": pa.array(pdf["key"].astype(object), pa.string()),
-        }
-    )
-    sink = pa.BufferOutputStream()
-    pq.write_table(tbl, sink)
-    _atomic_write_bytes(
-        _part_path(store, index_id, p, epoch), sink.getvalue().to_pybytes()
-    )
-
-
-def _state_dataset(store: SnapshotStore, epoch: int, columns):
-    import ray.data as rd
-
-    srcs = store.resolve_sources(epoch)
-    n = store.read_epoch_summary(epoch)["num_partitions"]
-    files = [
-        store.part_data_path(srcs.get(p, epoch), p)
-        for p in range(n)
-        if os.path.exists(store.part_data_path(srcs.get(p, epoch), p))
-    ]
-    return rd.read_parquet(files, columns=list(columns))
+    return _bare_kit(store, index_id).read_part(p, epoch)
 
 
 def _make_hasher(spec: dict) -> MinHasher:
@@ -179,6 +144,88 @@ def _make_hasher(spec: dict) -> MinHasher:
         num_perm=spec["num_perm"], bands=spec["bands"], ngram=spec["ngram"],
         algo=spec["algo"],
     )
+
+
+class _NearDupIndex(IncrementalPartitionedIndex):
+    kind = "neardup"
+    schema = pa.schema(
+        [("band_id", pa.int32()), ("band_hash", pa.uint64()),
+         ("key", pa.string())]
+    )
+    identity_cols = _TRIPLE
+    keep = "first"
+
+    def bootstrap_deltas(self, target: int):
+        key_cols = list(self.spec["key_cols"])
+        text_col = self.spec["text_col"]
+        mh_spec = {k: self.spec[k]
+                   for k in ("num_perm", "bands", "ngram", "algo")}
+        empty = self.empty_rows_arrow(delta=True)
+
+        def to_triples(pdf: pd.DataFrame):
+            mh = _make_hasher(mh_spec)
+            out = _band_rows(mh, stable_doc_ids(pdf, key_cols), pdf[text_col])
+            if not len(out):
+                return empty
+            out["delta"] = np.int8(1)
+            return out
+
+        return _state_dataset(
+            self.store, target, key_cols + [text_col]
+        ).map_batches(to_triples, batch_format="pandas")
+
+    def feed_deltas(self, base: int, target: int):
+        from arlas_proc_ray.cdc.feed import change_feed
+
+        key_cols = list(self.spec["key_cols"])
+        text_col = self.spec["text_col"]
+        mh_spec = {k: self.spec[k]
+                   for k in ("num_perm", "bands", "ngram", "algo")}
+        empty = self.empty_rows_arrow(delta=True)
+
+        feed = change_feed(
+            self.store, base=base, target=target,
+            columns=[text_col], compare_cols=[text_col],
+            include_old=[text_col],
+        )
+
+        def feed_to_triples(pdf: pd.DataFrame):
+            if not len(pdf):
+                return empty
+            mh = _make_hasher(mh_spec)
+            keys = stable_doc_ids(pdf, key_cols)
+            ops = pdf["op"].to_numpy()
+            frames = []
+            add_mask = (ops == "I") | (ops == "U")
+            if add_mask.any():
+                a = _band_rows(mh, keys[add_mask], pdf.loc[add_mask, text_col])
+                a["delta"] = np.int8(1)
+                frames.append(a)
+            # U removes the OLD image's rows (recomputed deterministically
+            # from the seeded signatures); D rows carry the old image in
+            # the main column already
+            u_mask = ops == "U"
+            d_mask = ops == "D"
+            old_texts = pd.concat(
+                [pdf.loc[u_mask, f"old_{text_col}"], pdf.loc[d_mask, text_col]]
+            )
+            old_keys = pd.concat([keys[u_mask], keys[d_mask]])
+            if len(old_keys):
+                r = _band_rows(mh, old_keys, old_texts)
+                r["delta"] = np.int8(-1)
+                frames.append(r)
+            if not frames:
+                return empty
+            return pd.concat(frames, ignore_index=True)
+
+        return feed.map_batches(feed_to_triples, batch_format="pandas")
+
+    def route(self, table: pa.Table) -> np.ndarray:
+        from arlas_proc_ray.functions.hashing import partition_ids
+
+        return partition_ids(
+            table, ["band_id", "band_hash"], self.num_partitions
+        )
 
 
 def refresh_neardup_index(
@@ -202,193 +249,25 @@ def refresh_neardup_index(
     the changed images from the change feed and rewrites only the index
     partitions their band buckets hash into.
     """
-    import ray.data as rd
-
-    from arlas_proc_ray.cdc.feed import change_feed
-    from arlas_proc_ray.functions.hashing import partition_ids
-
-    key_cols = list(key_cols)
-    target = store._resolve_epoch_arg(epoch)
-    if target is None:
-        raise RuntimeError("no committed epoch to index")
     spec = {
         "num_perm": num_perm, "bands": bands, "ngram": ngram, "algo": algo,
-        "num_partitions": num_partitions, "key_cols": key_cols,
+        "num_partitions": num_partitions, "key_cols": list(key_cols),
         "text_col": text_col,
     }
-    ckpt = None if full else read_index_checkpoint(store, index_id)
-    if ckpt is not None and ckpt.get("spec") != spec:
-        ckpt = None  # parameter drift: signatures incomparable -> rebuild
-    base = ckpt["epoch"] if ckpt else None
-    if base is not None and (
-        store.read_epoch_summary(base)["num_partitions"]
-        != store.read_epoch_summary(target)["num_partitions"]
-    ):
-        # store fan-out changed: the feed cannot supply pre-images for
-        # removals across the boundary -> rebuild from the target state
-        ckpt, base = None, None
-
-    if base == target:
-        return {
-            "index_id": index_id, "epoch": target, "base_epoch": base,
-            "mode": "noop", "partitions_touched": 0,
-            "sources": dict(ckpt["sources"]),
-        }
-
-    mh_spec = {k: spec[k] for k in ("num_perm", "bands", "ngram", "algo")}
-
-    if base is None:
-        state = _state_dataset(store, target, key_cols + [text_col])
-
-        def to_triples(pdf: pd.DataFrame):
-            mh = _make_hasher(mh_spec)
-            out = _band_rows(
-                mh, stable_doc_ids(pdf, key_cols), pdf[text_col]
-            )
-            if not len(out):
-                return _empty_triples_arrow(delta=True)
-            out["delta"] = np.int8(1)
-            return out
-
-        deltas = state.map_batches(to_triples, batch_format="pandas")
-    else:
-        feed = change_feed(
-            store, base=base, target=target,
-            columns=[text_col], compare_cols=[text_col],
-            include_old=[text_col],
-        )
-
-        def feed_to_triples(pdf: pd.DataFrame):
-            if not len(pdf):
-                return _empty_triples_arrow(delta=True)
-            mh = _make_hasher(mh_spec)
-            keys = stable_doc_ids(pdf, key_cols)
-            ops = pdf["op"].to_numpy()
-            frames = []
-            add_mask = (ops == "I") | (ops == "U")
-            if add_mask.any():
-                a = _band_rows(
-                    mh, keys[add_mask], pdf.loc[add_mask, text_col]
-                )
-                a["delta"] = np.int8(1)
-                frames.append(a)
-            # U removes the OLD image's rows; D rows carry the old image
-            # in the main column already
-            u_mask = ops == "U"
-            d_mask = ops == "D"
-            old_texts = pd.concat(
-                [pdf.loc[u_mask, f"old_{text_col}"], pdf.loc[d_mask, text_col]]
-            )
-            old_keys = pd.concat([keys[u_mask], keys[d_mask]])
-            if len(old_keys):
-                r = _band_rows(mh, old_keys, old_texts)
-                r["delta"] = np.int8(-1)
-                frames.append(r)
-            if not frames:
-                return _empty_triples_arrow(delta=True)
-            return pd.concat(frames, ignore_index=True)
-
-        deltas = feed.map_batches(feed_to_triples, batch_format="pandas")
-
-    def add_part(t: pa.Table) -> pa.Table:
-        pid = partition_ids(t, ["band_id", "band_hash"], num_partitions)
-        return t.append_column("_part", pa.array(pid, pa.int32()))
-
-    deltas = deltas.map_batches(add_part, batch_format="pyarrow")
-    sources = dict(ckpt["sources"]) if ckpt else {}
-
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        p = int(group["_part"].iloc[0])
-        old = _read_part(store, index_id, p, sources.get(str(p)))
-        d = group["delta"].to_numpy()
-        adds = group.loc[d > 0, _TRIPLE]
-        rems = group.loc[d < 0, _TRIPLE]
-        if len(rems) and len(old):
-            # byte-exact anti-join: object-string merges collapse
-            # NUL-distinct keys, encoded bytes do not
-            ok = old.assign(_k=old["key"].str.encode("utf-8"))
-            rk = rems.assign(_k=rems["key"].str.encode("utf-8"))
-            m = ok.merge(
-                rk[["band_id", "band_hash", "_k"]].drop_duplicates(),
-                on=["band_id", "band_hash", "_k"],
-                how="left", indicator=True,
-            )
-            old = m.loc[m["_merge"] == "left_only", _TRIPLE].reset_index(
-                drop=True
-            )
-        new = pd.concat([old, adds], ignore_index=True)
-        if len(new):
-            enc = new["key"].str.encode("utf-8")
-            new = new.loc[~new.assign(_k=enc).duplicated(
-                ["band_id", "band_hash", "_k"]
-            )].reset_index(drop=True)
-        _write_part(store, index_id, p, target, new)
-        return pd.DataFrame(
-            {"part": [p], "rows": [len(new)],
-             "added": [int(len(adds))], "removed": [int(len(rems))]}
-        )
-
-    stats = (
-        deltas.groupby("_part")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
-    for _, r in stats.iterrows():
-        sources[str(int(r["part"]))] = target
-    if base is None:
-        # bootstrap: partitions with no band rows at all still need a
-        # defined (empty) source so probes read a real file
-        for p in range(num_partitions):
-            if str(p) not in sources:
-                _write_part(store, index_id, p, target, _empty_triples())
-                sources[str(p)] = target
-
-    out = {
-        "index_id": index_id,
-        "epoch": target,
-        "base_epoch": base,
-        "mode": "bootstrap" if base is None else "incremental",
-        "partitions_touched": int(len(stats)),
-        "rows_added": int(stats["added"].sum()) if len(stats) else 0,
-        "rows_removed": int(stats["removed"].sum()) if len(stats) else 0,
-        "sources": sources,
-    }
-    if commit_checkpoint:
-        ckpt_out = {
-            "index_id": index_id, "epoch": target, "spec": spec,
-            "sources": sources,
-            "last_refresh": {
-                k: out[k]
-                for k in ("base_epoch", "mode", "partitions_touched",
-                          "rows_added", "rows_removed")
-            },
-        }
-        _atomic_write_bytes(
-            os.path.join(_index_dir(store, index_id), "checkpoint.json"),
-            json.dumps(ckpt_out).encode(),
-        )
-        store.tag(f"neardup-{index_id}", target)
-        # drop superseded part files (checkpoint already points away)
-        live = {f"part-{p}-{e}.parquet" for p, e in sources.items()}
-        for f in os.listdir(_index_dir(store, index_id)):
-            if f.startswith("part-") and f not in live:
-                try:
-                    os.remove(os.path.join(_index_dir(store, index_id), f))
-                except OSError:
-                    pass
-    return out
+    kit = _NearDupIndex(store, index_id, spec, num_partitions)
+    return kit.refresh(epoch=epoch, full=full,
+                       commit_checkpoint=commit_checkpoint)
 
 
 def read_index(store: SnapshotStore, index_id: str = "default") -> pd.DataFrame:
     """The whole index as one frame (tests / small corpora only)."""
-    ckpt = read_index_checkpoint(store, index_id)
+    kit = _bare_kit(store, index_id)
+    ckpt = kit.read_checkpoint()
     if ckpt is None:
         raise RuntimeError(f"index {index_id!r} has never been refreshed")
-    parts = [
-        _read_part(store, index_id, int(p), e)
-        for p, e in sorted(ckpt["sources"].items(), key=lambda kv: int(kv[0]))
-    ]
-    return pd.concat(parts, ignore_index=True) if parts else _empty_triples()
+    kit.spec = ckpt["spec"]
+    kit.num_partitions = ckpt["spec"]["num_partitions"]
+    return kit.read_all()
 
 
 def epoch_near_duplicates(
