@@ -77,6 +77,25 @@ def stable_doc_ids(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.Series:
     return out
 
 
+def split_doc_id(doc_id: str) -> tuple[str, ...]:
+    """Inverse of ``stable_doc_ids`` for one id: unescaped key components."""
+    parts, cur, i = [], [], 0
+    while i < len(doc_id):
+        ch = doc_id[i]
+        if ch == "\\" and i + 1 < len(doc_id):
+            cur.append(doc_id[i + 1])
+            i += 2
+        elif ch == "#":
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    parts.append("".join(cur))
+    return tuple(parts)
+
+
 # ---- local (already co-located) snapshot diff ------------------------------
 
 

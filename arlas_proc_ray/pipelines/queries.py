@@ -18,6 +18,7 @@ Determinism policy for floats:
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -5931,4 +5932,175 @@ ORACLE_SQL["incremental_ann_search"] = """
         PARTITION BY q.vec_id
         ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
                  e.vec_id ASC) <= 3
+"""
+
+
+def _orders_as_events(sf_dir: str, *, limit_key: int):
+    """orders rows → CDC events: key (o_orderkey,'o'), fk=o_custkey rides
+    the lang payload column, o_orderpriority rides content."""
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+
+    ds = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    ).filter(expr=f"o_orderkey < {limit_key}")
+
+    def to_events(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t.column("o_orderkey"), pa.int64())
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                ok,
+                pa.array(["UPDATE"] * n, pa.string()),
+                pc.cast(ok, pa.string()),
+                pa.array(["o"] * n, pa.string()),
+                pc.cast(ok, pa.string()),
+                pc.cast(t.column("o_custkey"), pa.string()),
+                pc.cast(t.column("o_orderpriority"), pa.string()),
+                pa.array(np.ones(n, np.int32)),
+                ok,
+            ],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    return ds.map_batches(to_events, batch_format="pyarrow").materialize()
+
+
+def q_secondary_lookup(sf_dir: str):
+    """Incrementally-maintained secondary (value→key) index
+    (cdc/secondary.py): orders o_orderkey<600 ingest as epoch 1 and the
+    index on the priority payload bootstraps; o_orderkey in [600,1200)
+    arrive as epoch 2 and the index refreshes from the change feed
+    (indexing ONLY the changed rows). lookup_keys('1-URGENT') then reads
+    ONLY the partitions that value hashes into — hash-exact against a
+    SQL WHERE over the same rows."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.secondary import (
+        lookup_keys,
+        refresh_secondary_index,
+    )
+    from arlas_proc_ray.model import DataModel
+
+    ev = _orders_as_events(sf_dir, limit_key=1200)
+    snap = tempfile.mkdtemp(prefix="secondary_lookup_")
+    try:
+        eng = CdcEngine(snap, DataModel(num_partitions=4))
+        eng.apply_epoch(ev.filter(expr="lsn < 600"), 1)
+        refresh_secondary_index(
+            eng.store, index_id="prio", value_col="content",
+            num_partitions=8,
+        )
+        eng.apply_epoch(ev.filter(expr="lsn >= 600"), 2)
+        r = refresh_secondary_index(
+            eng.store, index_id="prio", value_col="content",
+            num_partitions=8,
+        )
+        assert r["mode"] == "incremental"
+        hit = lookup_keys(
+            eng.store, ["1-URGENT"], index_id="prio", expect_epoch=2
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": hit["key"].str.split("#").str[0]
+                .astype(np.int64),
+                "o_orderpriority": hit["val"].astype(object),
+            }
+        ).sort_values("o_orderkey").reset_index(drop=True)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["secondary_lookup"] = q_secondary_lookup
+
+ORACLE_SQL["secondary_lookup"] = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 1200 AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+"""
+
+
+def q_incremental_join_view(sf_dir: str):
+    """Incrementally-maintained materialized JOIN view (cdc/joinview.py):
+    orders (fact, fk = o_custkey) and customer (dimension) ingest as two
+    CDC stores over two epochs each — orders split by key range,
+    customers by key range (<100 then the rest) — and the view orders⟕customer refreshes
+    by delta propagation (ΔA via pruned B point lookups, ΔB via the fk
+    secondary index; never a re-join of the tables). Hash-exact against
+    the SQL LEFT JOIN. The epoch-2 refresh is asserted incremental on
+    BOTH sides."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.cdc.joinview import read_join_view, refresh_join_view
+    from arlas_proc_ray.model import DataModel
+
+    a_ev = _orders_as_events(sf_dir, limit_key=1200)
+
+    cust = _rp(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def to_b_events(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                ck,
+                pa.array(["UPDATE"] * n, pa.string()),
+                pc.cast(ck, pa.string()),
+                pa.array(["d"] * n, pa.string()),
+                pc.cast(ck, pa.string()),
+                pa.array(["seg"] * n, pa.string()),
+                pc.cast(t.column("c_mktsegment"), pa.string()),
+                pa.array(np.ones(n, np.int32)),
+                ck,
+            ],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    b_ev = cust.map_batches(to_b_events, batch_format="pyarrow").materialize()
+
+    snap = tempfile.mkdtemp(prefix="incremental_join_")
+    view = dict(fk_col="language", a_cols=["content"],
+                b_cols=["content"], num_partitions=8)
+    try:
+        ea = CdcEngine(os.path.join(snap, "a"), DataModel(num_partitions=4))
+        eb = CdcEngine(
+            os.path.join(snap, "b"),
+            DataModel(key_cols=("repo",), num_partitions=4),
+        )
+        ea.apply_epoch(a_ev.filter(expr="lsn < 600"), 1)
+        eb.apply_epoch(b_ev.filter(expr="lsn < 100"), 1)
+        refresh_join_view(ea, eb, view_id="oc", **view)
+        ea.apply_epoch(a_ev.filter(expr="lsn >= 600"), 2)
+        eb.apply_epoch(b_ev.filter(expr="lsn >= 100"), 2)
+        r = refresh_join_view(ea, eb, view_id="oc", **view)
+        assert r["mode"] == "incremental" and r["b_epoch"] == 2
+        v = read_join_view(ea.store, "oc")
+        return pd.DataFrame(
+            {
+                "o_orderkey": v["key"].str.split("#").str[0].astype(np.int64),
+                "o_custkey": v["language"].astype(np.int64),
+                "o_orderpriority": v["content"].astype(object),
+                "c_mktsegment": v["b_content"].astype(object),
+            }
+        ).sort_values("o_orderkey").reset_index(drop=True)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["incremental_join_view"] = q_incremental_join_view
+
+ORACLE_SQL["incremental_join_view"] = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 1200
+    ORDER BY o.o_orderkey
 """

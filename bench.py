@@ -187,6 +187,8 @@ def run_bench() -> dict:
         "change_feed",
         "incremental_near_dup",
         "incremental_ann_search",
+        "secondary_lookup",
+        "incremental_join_view",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
