@@ -233,35 +233,39 @@ def _distributed_verify(
     ``pa.string()`` for string-keyed corpora such as the snapshot store's
     escaped ``repo#path`` keys — the exchange stays byte-exact).
 
-    Classic two-pass co-partitioned pair join (the scale path promised in
-    round 1): document TEXTS and candidate pairs are hash-partitioned on
-    the SAME key per pass —
+    Co-partitioned pair join where the corpus moves ONCE:
 
-      pass A: key = doc_a ⋈ texts → dedup pairs, shingle doc_a → ``sh_a``
-      pass B: key = doc_b ⋈ texts → shingle doc_b → jaccard
+      exchange 1 (key = doc id): texts ∪ both ENDS of every candidate
+        pair (each pair emits a row keyed on doc_a and a row keyed on
+        doc_b). Per partition: dedup pair-end copies (every bucket that
+        produced the pair sends the same end rows to the same partition,
+        so dedup is local), shingle only pair-involved texts, attach the
+        shingle bytes to each end row.
+      exchange 2 (key = the pair itself): the two shingled end rows of a
+        pair meet; score exact Jaccard. Volume ∝ candidates, not corpus.
 
-    Each partition holds ~|corpus|/P text rows plus its share of pairs;
-    nothing corpus-sized ever touches the driver. Shipping TEXT (and
-    shingling only pair-involved docs inside the partition) beats shipping
-    precomputed shingle arrays: the shingle table is ~8× the text bytes,
-    and only the tiny candidate subset ever needs the kernel. Pair dedup
-    happens inside pass A (all copies of a pair share doc_a, so they
-    co-locate) — no separate exchange. Shingle arrays between the passes
-    travel as binary columns (``uint64.tobytes()``), Arrow-native.
+    Versus the classic sequential pass-A/pass-B pair join, the full text
+    corpus is hash-shuffled once instead of twice and the second exchange
+    carries only candidate-pair rows — at 100 TB the corpus dwarfs the
+    candidate set, so verify shuffle volume is ~halved. Shipping TEXT
+    (and shingling only pair-involved docs inside the partition) beats
+    shipping precomputed shingle arrays: the shingle table is ~8× the
+    text bytes, and only the tiny candidate subset ever needs the kernel.
+    Shingle arrays travel between exchanges as binary columns
+    (``uint64.tobytes()``), Arrow-native.
     """
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
     kt = key_type if key_type is not None else pa.int64()
-    empty_key = pd.Series([], dtype=(object if pa.types.is_string(kt) else np.int64))
+    key_dtype = object if pa.types.is_string(kt) else np.int64
 
-    def empty_attach(side: str) -> pa.Table:
+    def empty_ends() -> pa.Table:
         # Arrow typed empty (not pandas): Ray's block sizing can't handle
         # zero-length object columns (np.vectorize on size-0 input)
-        cols = {"doc_a": pa.array([], kt), "doc_b": pa.array([], kt),
-                "sh_a": pa.array([], pa.binary())}
-        if side == "b":
-            cols["sh_b"] = pa.array([], pa.binary())
-        return pa.table(cols)
+        return pa.table(
+            {"doc_a": pa.array([], kt), "doc_b": pa.array([], kt),
+             "end": pa.array([], pa.int8()), "sh": pa.array([], pa.binary())}
+        )
 
     empty_scored = pa.table(
         {"doc_a": pa.array([], kt), "doc_b": pa.array([], kt),
@@ -275,8 +279,8 @@ def _distributed_verify(
                 "key": pa.compute.cast(batch.column(id_col), kt),
                 "doc_a": pa.nulls(n, kt),
                 "doc_b": pa.nulls(n, kt),
+                "end": pa.nulls(n, pa.int8()),
                 "txt": pa.compute.cast(batch.column(text_col), pa.string()),
-                "sh": pa.nulls(n, pa.binary()),
                 "kind": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
@@ -285,108 +289,124 @@ def _distributed_verify(
         text_rows, batch_format="pyarrow", batch_size=None
     )
 
-    def pairs_keyed_on(col: str, carry_sh: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "key": pa.compute.cast(batch.column(col), kt),
-                    "doc_a": batch.column("doc_a"),
-                    "doc_b": batch.column("doc_b"),
-                    "txt": pa.nulls(n, pa.string()),
-                    "sh": (
-                        batch.column("sh_a")
-                        if carry_sh
-                        else pa.nulls(n, pa.binary())
-                    ),
-                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
-                }
-            )
-
-        return fn
-
-    def attach(side: str):
-        """Partition fn: shingle the pair-involved docs, join onto pairs."""
-
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            is_txt = pdf["kind"].to_numpy() == 1
-            pairs = pdf.loc[~is_txt]
-            if side == "a":  # all copies of a pair co-locate on doc_a
-                pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"])
-            needed = set(pairs["key"])
-            texts = pdf.loc[is_txt]
-            texts = texts[texts["key"].isin(needed)]
-            as_key = (str if pa.types.is_string(kt) else int)
-            lookup = {
-                as_key(k): (
-                    _shingle_hashes(t, ngram).tobytes() if t else b""
-                )
-                for k, t in zip(texts["key"], texts["txt"])
+    def pair_end_rows(batch: pa.Table) -> pa.Table:
+        """Each candidate pair → two rows, keyed on each end's doc id."""
+        n = batch.num_rows
+        a = pa.compute.cast(batch.column("doc_a"), kt)
+        b = pa.compute.cast(batch.column("doc_b"), kt)
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "doc_a": pa.concat_arrays(
+                    [a.combine_chunks(), a.combine_chunks()]
+                ),
+                "doc_b": pa.concat_arrays(
+                    [b.combine_chunks(), b.combine_chunks()]
+                ),
+                "end": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+                "txt": pa.nulls(2 * n, pa.string()),
+                "kind": pa.array(np.zeros(2 * n, dtype=np.int8)),
             }
-            if pa.types.is_string(kt):
-                attached = pairs["key"].map(lambda k: lookup.get(str(k)))
-            else:
-                # dict-map fast path (np.int64 hashes equal to int keys);
-                # the lambda form costs ~1 s at sf0.1 candidate volume
-                attached = pairs["key"].map(lookup)
-            ok = attached.notna()
-            out = pd.DataFrame(
-                {
-                    "doc_a": pairs.loc[ok, "doc_a"].astype(empty_key.dtype),
-                    "doc_b": pairs.loc[ok, "doc_b"].astype(empty_key.dtype),
-                }
+        )
+
+    def attach_ends(pdf: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        """Partition fn: shingle pair-involved docs, attach to end rows.
+
+        Every bucket that generated a given pair routes identical end
+        rows here (same key), so dedup on (doc_a, doc_b, end) is local
+        and exact — no separate dedup exchange.
+        """
+        is_txt = pdf["kind"].to_numpy() == 1
+        ends = pdf.loc[~is_txt].drop_duplicates(subset=["doc_a", "doc_b", "end"])
+        needed = set(ends["key"])
+        texts = pdf.loc[is_txt]
+        texts = texts[texts["key"].isin(needed)]
+        as_key = (str if pa.types.is_string(kt) else int)
+        lookup = {
+            as_key(k): (
+                _shingle_hashes(t, ngram).tobytes() if t else b""
             )
-            if side == "a":
-                out["sh_a"] = attached[ok].to_numpy()
-            else:
-                out["sh_a"] = pairs.loc[ok, "sh"].to_numpy()
-                out["sh_b"] = attached[ok].to_numpy()
-            if out.empty:  # typed empty: stable schema downstream
-                return empty_attach(side)
-            return out
+            for k, t in zip(texts["key"], texts["txt"])
+        }
+        if pa.types.is_string(kt):
+            attached = ends["key"].map(lambda k: lookup.get(str(k)))
+        else:
+            # dict-map fast path (np.int64 hashes equal to int keys);
+            # the lambda form costs ~1 s at sf0.1 candidate volume
+            attached = ends["key"].map(lookup)
+        ok = attached.notna()
+        out = pd.DataFrame(
+            {
+                "doc_a": ends.loc[ok, "doc_a"].astype(key_dtype),
+                "doc_b": ends.loc[ok, "doc_b"].astype(key_dtype),
+                "end": ends.loc[ok, "end"].astype(np.int8),
+                "sh": attached[ok].to_numpy(),
+            }
+        )
+        if out.empty:  # typed empty: stable schema downstream
+            return empty_ends()
+        return out
 
-        return fn
-
-    pass_a = keyed_partition_map(
+    ends = keyed_partition_map(
         candidates.map_batches(
-            pairs_keyed_on("doc_a", carry_sh=False),
-            batch_format="pyarrow",
-            batch_size=None,
+            pair_end_rows, batch_format="pyarrow", batch_size=None
         ).union(text_side),
         keys=["key"],
         order_col="kind",
-        fn=attach("a"),
-        num_partitions=num_partitions,
-    )
-    pass_b = keyed_partition_map(
-        pass_a.map_batches(
-            pairs_keyed_on("doc_b", carry_sh=True),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).union(text_side),
-        keys=["key"],
-        order_col="kind",
-        fn=attach("b"),
+        fn=attach_ends,
         num_partitions=num_partitions,
     )
 
-    def score(batch: pd.DataFrame):
-        if batch.empty:
+    def score_pairs(pdf: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        """Partition fn: join a pair's two shingled ends, score Jaccard.
+
+        Input is sorted by (doc_a, doc_b, end) with ≤1 row per (pair,
+        end); a complete pair is exactly two consecutive rows (end 0
+        then end 1). Pairs missing an end (absent doc text) drop — same
+        contract as the sequential-pass join.
+        """
+        if pdf.empty:
             return empty_scored
-        sims = np.empty(len(batch), dtype=np.float64)
-        for i, (ba, bb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
-            sims[i] = _pair_jaccard(
-                np.frombuffer(ba, dtype=np.uint64),
-                np.frombuffer(bb, dtype=np.uint64),
+        a = pdf["doc_a"].to_numpy()
+        b = pdf["doc_b"].to_numpy()
+        same_next = np.zeros(len(pdf), dtype=bool)
+        if len(pdf) > 1:
+            same_next[:-1] = (a[:-1] == a[1:]) & (b[:-1] == b[1:])
+        first = np.flatnonzero(same_next)  # row i pairs with row i+1
+        if not len(first):
+            return empty_scored
+        sh = pdf["sh"].to_numpy()
+        sims = np.empty(len(first), dtype=np.float64)
+        for j, i in enumerate(first):
+            sims[j] = _pair_jaccard(
+                np.frombuffer(sh[i], dtype=np.uint64),
+                np.frombuffer(sh[i + 1], dtype=np.uint64),
             )
-        out = batch[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = sims
+        out = pd.DataFrame(
+            {
+                "doc_a": a[first],
+                "doc_b": b[first],
+                "jaccard": sims,
+            }
+        )
         out = out[out["jaccard"] >= jaccard_threshold]
         if out.empty:
             return empty_scored
-        return out
+        return out.reset_index(drop=True)
 
-    return pass_b.map_batches(score, batch_format="pandas")
+    return keyed_partition_map(
+        ends,
+        keys=["doc_a", "doc_b"],
+        order_col="end",
+        fn=score_pairs,
+        num_partitions=num_partitions,
+    )
 
 
 def minhash_near_duplicates(
