@@ -143,6 +143,39 @@ def normalize_stage(ds, registry: SchemaRegistry):
 VALID_OPS = ("INSERT", "UPDATE", "DELETE", "PATCH")
 
 
+def write_quarantine(quarantined: pa.Table, dead_letter_dir: str, epoch: int) -> str:
+    """Write quarantined rows as one content-addressed Parquet file.
+
+    Deterministic, idempotent under Ray task retries: the file name is
+    the sha256 of the FULL row content (not just (order, reason) — two
+    different batches can share those, e.g. both one null-lsn row, and
+    must not collide onto one filename), and the write is
+    tmp-then-rename atomic — a retried or resumed task rewrites the
+    identical file instead of duplicating rows. Shared by every DLQ
+    producer (engine normalize, demux, wire decode). Returns the path.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    h = hashlib.sha256()
+    h.update(str(quarantined.to_pydict()).encode())
+    out_dir = os.path.join(dead_letter_dir, f"epoch={epoch}")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"dlq-{h.hexdigest()[:32]}.parquet")
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
+    os.close(fd)
+    try:
+        pq.write_table(quarantined, tmp, compression="snappy")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
 def make_dead_letter_fn(
     registry: SchemaRegistry,
     dm: DataModel,
@@ -165,12 +198,6 @@ def make_dead_letter_fn(
     (lsn, reason) content, written atomically — a retried or resumed task
     rewrites the identical file instead of duplicating rows.
     """
-    import hashlib
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pq
-
     reg = registry.snapshot()
     known_versions = [int(v) for v in reg.versions()]
     align = make_align_fn(registry)
@@ -223,23 +250,7 @@ def make_dead_letter_fn(
         quarantined = batch.filter(pa.array(bad)).append_column(
             "dlq_reason", pa.array(reason[bad], pa.string())
         )
-        # deterministic content-addressed file: idempotent under retries.
-        # Hash the FULL row content, not just (order, reason) — two
-        # different batches can share those (e.g. both one null-lsn row)
-        # and must not collide onto one filename.
-        h = hashlib.sha256()
-        h.update(str(quarantined.to_pydict()).encode())
-        out_dir = os.path.join(dead_letter_dir, f"epoch={epoch}")
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"dlq-{h.hexdigest()[:32]}.parquet")
-        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
-        os.close(fd)
-        try:
-            pq.write_table(quarantined, tmp, compression="snappy")
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        write_quarantine(quarantined, dead_letter_dir, epoch)
 
         good = batch.filter(pa.array(~bad))
         if good.num_rows == 0:

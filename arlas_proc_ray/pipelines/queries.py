@@ -6104,3 +6104,28 @@ ORACLE_SQL["incremental_join_view"] = """
     WHERE o.o_orderkey < 1200
     ORDER BY o.o_orderkey
 """
+
+
+def q_wire_roundtrip(sf_dir: str):
+    """Debezium JSON wire roundtrip (cdc/wire.py): export the
+    events-derived changelog as Debezium envelopes (vectorized C-escaped
+    encode), decode it back through the C++ JSON fast path, and return
+    the change stream — which must equal the changelog itself (oracle:
+    the plain SQL events→changelog mapping). Exercises both wire
+    directions end-to-end on real string content (props JSON)."""
+    from arlas_proc_ray.cdc.wire import decode_debezium, encode_debezium
+
+    decoded = decode_debezium(encode_debezium(_events_changelog(sf_dir)))
+    return decoded.select_columns(["lsn", "op", "repo", "path", "content"])
+
+
+QUERIES["wire_roundtrip"] = q_wire_roundtrip
+
+ORACLE_SQL["wire_roundtrip"] = """
+    SELECT event_id AS lsn,
+           CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+           'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+           event_type AS path,
+           props AS content
+    FROM events
+"""

@@ -1,0 +1,243 @@
+"""Debezium JSON wire format (cdc/wire.py): decode, encode, roundtrip,
+DLQ isolation, and decode→engine end-to-end parity."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from arlas_proc_ray.cdc.engine import CdcEngine
+from arlas_proc_ray.cdc.events import (
+    ChangelogConfig,
+    changelog_dataset,
+    generate_changelog_tables,
+)
+from arlas_proc_ray.cdc.oracle import oracle_final_state
+from arlas_proc_ray.cdc.wire import (
+    decode_debezium,
+    encode_debezium,
+    read_changelog_jsonl,
+    write_changelog_jsonl,
+)
+from arlas_proc_ray.model import DataModel
+
+
+CFG = ChangelogConfig(num_events=4000, seed=23)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("lsn").reset_index(drop=True)
+
+
+def test_roundtrip_exact():
+    ev = changelog_dataset(CFG)
+    orig = _sorted(ev.to_pandas())
+    dec = _sorted(decode_debezium(encode_debezium(ev)).to_pandas())
+    assert list(orig.columns) == list(dec.columns)
+    pd.testing.assert_frame_equal(orig, dec, check_dtype=False)
+
+
+def test_decode_sample_envelope_shape():
+    """One encoded line is genuine Debezium-shaped JSON."""
+    tbl = generate_changelog_tables(ChangelogConfig(num_events=50, seed=3))[0]
+    enc = encode_debezium(rd.from_arrow(tbl)).take(5)
+    for row in enc:
+        obj = json.loads(row["value"])
+        p = obj["payload"]
+        assert p["op"] in ("c", "u", "d")
+        assert isinstance(p["source"]["lsn"], int)
+        if p["op"] == "d":
+            assert p["after"] is None and p["before"] is not None
+        else:
+            assert p["before"] is None and p["after"] is not None
+
+
+def test_decode_foreign_producer_variants():
+    """Lines we didn't encode ourselves: `r` snapshot-read ops, absent
+    schema_version/delivery_index (inferred), extra unknown fields."""
+    lines = [
+        # v1-shaped create with extra fields and no schema_version
+        json.dumps(
+            {
+                "payload": {
+                    "op": "r",
+                    "before": None,
+                    "after": {
+                        "repo": "a/r1",
+                        "path": "src/x.py",
+                        "commit": "c1",
+                        "lang": "py",
+                        "content": "x = 1",
+                        "extra_field": "ignored",
+                    },
+                    "source": {"lsn": 10, "ts_ms": 1700000000000},
+                },
+                "ts_ms": 1700000000001,
+            }
+        ),
+        # v2-shaped update
+        json.dumps(
+            {
+                "payload": {
+                    "op": "u",
+                    "before": None,
+                    "after": {
+                        "repo": "a/r1",
+                        "path": "src/x.py",
+                        "commit": "c2",
+                        "language": "py",
+                        "content": "x = 2",
+                        "content_size": 5,
+                    },
+                    "source": {"lsn": 11, "schema_version": 2},
+                }
+            }
+        ),
+        # delete shipping the last image in `before`
+        json.dumps(
+            {
+                "payload": {
+                    "op": "d",
+                    "before": {"repo": "a/r1", "path": "src/x.py"},
+                    "after": None,
+                    "source": {"lsn": 12, "schema_version": 2},
+                }
+            }
+        ),
+    ]
+    out = _sorted(
+        decode_debezium(rd.from_items([{"value": l} for l in lines])).to_pandas()
+    )
+    assert out["op"].tolist() == ["INSERT", "UPDATE", "DELETE"]
+    assert out["lsn"].tolist() == [10, 11, 12]
+    # absent schema_version on a lang-shaped image → inferred v1
+    assert out["schema_version"].tolist() == [1, 2, 2]
+    # absent delivery_index → lsn
+    assert out["delivery_index"].tolist() == [10, 11, 12]
+    assert out.loc[0, "lang"] == "py"
+    assert out.loc[2, "repo"] == "a/r1"
+
+
+def test_malformed_lines_quarantine(tmp_path):
+    good = json.dumps(
+        {
+            "payload": {
+                "op": "c",
+                "after": {"repo": "r", "path": "p", "lang": "py", "content": "c"},
+                "source": {"lsn": 1},
+            }
+        }
+    )
+    rows = [
+        {"value": good},
+        {"value": "{not json"},
+        {"value": ""},
+        # parses, but violates the event contract (no lsn)
+        {"value": json.dumps({"payload": {"op": "c", "after": {"repo": "r", "path": "p"}, "source": {}}})},
+        # unknown op code → null op → contract violation
+        {"value": json.dumps({"payload": {"op": "z", "after": {"repo": "r", "path": "p"}, "source": {"lsn": 9}}})},
+    ]
+    dlq = str(tmp_path / "dlq")
+    out = decode_debezium(
+        rd.from_items(rows).repartition(1), dead_letter_dir=dlq, epoch=7
+    ).to_pandas()
+    assert len(out) == 1 and out.loc[0, "lsn"] == 1
+
+    from arlas_proc_ray.cdc.replay import read_dead_letters
+
+    q = read_dead_letters(dlq, epoch=7).to_pandas()
+    assert len(q) == 4
+    assert set(q["dlq_reason"]) == {"wire_decode_error"}
+    # raw lines preserved for repair
+    assert "{not json" in set(q["raw"])
+
+
+def test_malformed_strict_raises():
+    rows = [{"value": "{not json"}]
+    with pytest.raises(Exception):
+        decode_debezium(rd.from_items(rows)).materialize()
+
+
+def test_jsonl_file_roundtrip(tmp_path):
+    out_dir = str(tmp_path / "wire")
+    cfg = ChangelogConfig(num_events=1500, seed=5)
+    ev = changelog_dataset(cfg)
+    write_changelog_jsonl(ev, out_dir)
+    files = [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
+    assert len(files) > 1  # sharded, never one giant file
+    back = _sorted(read_changelog_jsonl(out_dir).to_pandas())
+    pd.testing.assert_frame_equal(
+        _sorted(ev.to_pandas()), back, check_dtype=False
+    )
+
+
+def test_decode_to_engine_matches_oracle(tmp_path):
+    """Raw JSON tail → decode → apply_epoch → final state == oracle."""
+    cfg = ChangelogConfig(num_events=3000, seed=41)
+    tables = generate_changelog_tables(cfg)
+    wire_dir = str(tmp_path / "tail")
+    write_changelog_jsonl(changelog_dataset(cfg), wire_dir)
+
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    eng.apply_epoch(read_changelog_jsonl(wire_dir), epoch=1)
+    got = (
+        eng.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_final_state(tables)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_encode_patch_rejected():
+    tbl = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": pa.array(["PATCH"], pa.string()),
+            "repo": pa.array(["r"], pa.string()),
+            "path": pa.array(["p"], pa.string()),
+            "commit": pa.array(["c"], pa.string()),
+            "lang": pa.array(["py"], pa.string()),
+            "content": pa.array([None], pa.string()),
+            "schema_version": pa.array([1], pa.int32()),
+            "delivery_index": pa.array([1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        encode_debezium(rd.from_arrow(tbl)).materialize()
+
+
+def test_content_escaping_roundtrip():
+    """Newlines, quotes, backslashes, unicode and NUL-free control chars
+    in content survive encode→decode byte-exactly."""
+    nasty = [
+        'line1\nline2\t"quoted" \\backslash\\',
+        "unicode: éß漢字 🎉",
+        "ctrl: \x01\x1f bell:\x07",
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "lsn": pa.array(range(len(nasty)), pa.int64()),
+            "op": pa.array(["UPDATE"] * len(nasty), pa.string()),
+            "repo": pa.array(["r"] * len(nasty), pa.string()),
+            "path": pa.array([f"p{i}" for i in range(len(nasty))], pa.string()),
+            "commit": pa.array(["c"] * len(nasty), pa.string()),
+            "lang": pa.array(["py"] * len(nasty), pa.string()),
+            "content": pa.array(nasty, pa.string()),
+            "schema_version": pa.array([1] * len(nasty), pa.int32()),
+            "delivery_index": pa.array(range(len(nasty)), pa.int64()),
+        }
+    )
+    dec = _sorted(decode_debezium(encode_debezium(rd.from_arrow(tbl))).to_pandas())
+    assert dec["content"].tolist() == nasty
