@@ -91,6 +91,8 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 # A deterministic pseudo-code filler sliced per event (cheap, no RNG).
+_FILLER_BYTES = None  # set right after _FILLER below
+
 _FILLER = (
     "\n".join(
         f"    val_{i} = compute(input_{i % 7}, mode='{w}')  # step {i}"
@@ -100,6 +102,9 @@ _FILLER = (
     )
     + "\n"
 )
+
+# uint8 view for the vectorized content gather (ASCII, so bytes == utf8)
+_FILLER_BYTES = np.frombuffer(_FILLER.encode("ascii"), dtype=np.uint8)
 
 
 @dataclass(frozen=True)
@@ -179,34 +184,38 @@ def _gen_range(cfg: ChangelogConfig, lo: int, hi: int) -> dict[str, np.ndarray]:
 
 
 def key_repo_path(key_id: np.ndarray, cfg: ChangelogConfig):
-    """Deterministic (repo, path, lang) per key id — pandas-vectorized.
+    """Deterministic (repo, path, lang) per key id — Arrow-vectorized.
 
-    Returns (repos, paths, langs) as Python lists / numpy; string assembly
-    runs in pandas' C string kernels, not a per-row Python loop.
+    Returns (repos, paths, langs) as (pa.Array, pa.Array, numpy); string
+    assembly runs in Arrow's C++ ``binary_join_element_wise`` (one
+    output buffer, no Python / pandas object strings).
     """
-    import pandas as pd
-
-    k = pd.Series(key_id)
     n_other = max(1, cfg.num_repos - 1)
-    repo_idx = 1 + (k % n_other)
+    repo_idx = 1 + (key_id % n_other)
     lang_idx = (key_id % len(LANGS)).astype(np.int64)
-    repos = np.where(
-        key_id < cfg.hot_keys,
-        "org0/monorepo",
-        ("org" + (repo_idx % 10).astype(str) + "/repo" + repo_idx.astype(str)).to_numpy(),
+
+    def s(a: np.ndarray) -> pa.Array:
+        return pc.cast(pa.array(a), pa.string())
+
+    cold = pc.binary_join_element_wise(
+        "org", s(repo_idx % 10), "/repo", s(repo_idx), ""
     )
-    paths = (
-        "src/d"
-        + ((k // 97) % 31).astype(str)
-        + "/m"
-        + ((k // 7) % 13).astype(str)
-        + "/file_"
-        + k.astype(str)
-        + "."
-        + pd.Series(EXTS[lang_idx])
-    ).to_numpy()
+    repos = pc.if_else(
+        pa.array(key_id < cfg.hot_keys), pa.scalar("org0/monorepo"), cold
+    )
+    paths = pc.binary_join_element_wise(
+        "src/d",
+        s((key_id // 97) % 31),
+        "/m",
+        s((key_id // 7) % 13),
+        "/file_",
+        s(key_id),
+        ".",
+        pa.array(EXTS[lang_idx]),
+        "",
+    )
     langs = LANGS[lang_idx]
-    return repos.tolist(), paths.tolist(), langs
+    return repos, paths, langs
 
 
 def generate_changelog_tables(
@@ -223,34 +232,67 @@ def generate_changelog_tables(
     hi = cfg.num_events if hi is None else hi
     raw = _gen_range(cfg, lo, hi)
     lsn = raw["lsn"]
+    n = len(lsn)
     key_id = raw["key_id"]
     repos, paths, langs = key_repo_path(key_id, cfg)
 
-    commit = [format(int(c), "016x") for c in _splitmix64(lsn.astype(np.uint64))]
-    op = np.where(raw["is_delete"], "DELETE", np.where(raw["is_insert"], "INSERT", "UPDATE"))
+    # commit hex: one C hexlify over the big-endian u64 view, reshaped to
+    # 16-char strings — replaces 1 format() call per event
+    import binascii
+
+    hex_bytes = binascii.hexlify(
+        _splitmix64(lsn.astype(np.uint64)).astype(">u8").tobytes()
+    )
+    commit = pa.array(
+        np.char.decode(np.frombuffer(hex_bytes, dtype="S16"), "ascii")
+    )
+
+    deletes = raw["is_delete"]
+    del_mask = pa.array(deletes)
+    op = pc.if_else(
+        del_mask,
+        pa.scalar("DELETE"),
+        pc.if_else(
+            pa.array(raw["is_insert"]), pa.scalar("INSERT"), pa.scalar("UPDATE")
+        ),
+    )
 
     filler = _FILLER
     flen = len(filler)
     lengths = raw["length"]
-    deletes = raw["is_delete"]
-    # vectorized prefix; per-row work is only a concat + a slice of a
-    # constant string (C-level ops), never f-string interpolation
-    prefix = (
-        "// "
-        + pd.Series(repos)
-        + ":"
-        + pd.Series(paths)
-        + " @ lsn="
-        + pd.Series(lsn).astype(str)
-        + "\n"
-    ).tolist()
-    starts = (lsn % np.maximum(1, flen - lengths - 1)).tolist()
-    lens_l = lengths.tolist()
-    del_l = deletes.tolist()
-    contents: list[str | None] = [
-        None if d else p + filler[s : s + ln]
-        for d, p, s, ln in zip(del_l, prefix, starts, lens_l)
-    ]
+    # content = prefix + filler[start : start+length]; the variable-width
+    # slice of the constant filler is ONE uint8 gather: per-row positions
+    # (start_i + 0..len_i-1) via the repeat/cumsum trick, then the Arrow
+    # string array is built directly on the gathered buffer — no Python
+    # slicing, no object strings
+    starts = (lsn % np.maximum(1, flen - lengths - 1)).astype(np.int64)
+    eff = np.minimum(lengths, flen - starts)  # mirror Python clip slicing
+    eff = np.where(deletes, 0, np.maximum(eff, 0))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(eff, out=offsets[1:])
+    # per-row slices are contiguous, so the right primitive is memcpy,
+    # not a per-character index gather (indices cost 8 bytes of working
+    # set per OUTPUT byte — measured 3× slower than this join). One
+    # zero-copy memoryview slice per row, one C-level join, one buffer.
+    mv = memoryview(_FILLER_BYTES)
+    slice_vals = b"".join(
+        [mv[s : s + e] for s, e in zip(starts.tolist(), eff.tolist())]
+    )
+    slices = pa.Array.from_buffers(
+        pa.large_string(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(slice_vals)],
+    )
+    prefix = pc.binary_join_element_wise(
+        "// ", repos, ":", paths, " @ lsn=", pc.cast(pa.array(lsn), pa.string()), "\n", ""
+    )
+    content = pc.cast(
+        pc.binary_join_element_wise(
+            pc.cast(prefix, pa.large_string()), slices, pa.scalar("", pa.large_string())
+        ),
+        pa.string(),
+    )
+    content = pc.if_else(del_mask, pa.scalar(None, pa.string()), content)
 
     v2_at = cfg.v2_boundary()
     version = np.where(lsn >= v2_at, np.int32(2), np.int32(1))
@@ -258,11 +300,11 @@ def generate_changelog_tables(
     # build full Arrow arrays ONCE, then zero-copy .take() per version/order
     full = {
         "lsn": pa.array(lsn),
-        "op": pa.array(op, type=pa.string()),
-        "repo": pa.array(repos, type=pa.string()),
-        "path": pa.array(paths, type=pa.string()),
-        "commit": pa.array(commit, type=pa.string()),
-        "content": pa.array(contents, type=pa.string()),
+        "op": op,
+        "repo": repos,
+        "path": paths,
+        "commit": commit,
+        "content": content,
         "schema_version": pa.array(version, type=pa.int32()),
         "delivery_index": pa.array(raw["delivery_index"]),
         "langs": pa.array(langs, type=pa.string()),

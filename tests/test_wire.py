@@ -170,9 +170,12 @@ def test_jsonl_file_roundtrip(tmp_path):
     files = [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
     assert len(files) > 1  # sharded, never one giant file
     back = _sorted(read_changelog_jsonl(out_dir).to_pandas())
-    pd.testing.assert_frame_equal(
-        _sorted(ev.to_pandas()), back, check_dtype=False
-    )
+    want = _sorted(ev.to_pandas())
+    # file listing order decides which version's columns lead the union —
+    # align on sorted names before comparing
+    cols = sorted(want.columns)
+    assert sorted(back.columns) == cols
+    pd.testing.assert_frame_equal(want[cols], back[cols], check_dtype=False)
 
 
 def test_decode_to_engine_matches_oracle(tmp_path):
