@@ -6129,3 +6129,95 @@ ORACLE_SQL["wire_roundtrip"] = """
            props AS content
     FROM events
 """
+
+
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO the events-derived snapshot (cdc/merge.py): a source of
+    even-user keys with replacement content upserts (WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT) through the fenced epoch path. Oracle: source
+    image UNION target-rows-not-in-source over the SQL LWW state."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.merge import merge_into
+
+    snap = tempfile.mkdtemp(prefix="merge_upsert_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+
+        ev = _events(sf_dir, columns=["user_id", "event_type"])
+
+        def to_source(t: pa.Table) -> pa.Table:
+            uid = t.column("user_id")
+            keep = pc.equal(
+                pc.subtract(uid, pc.multiply(pc.divide(uid, 2), 2)),
+                pa.scalar(0, uid.type),
+            )
+            t = t.filter(keep)
+            uid = t.column("user_id")
+            mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+            repo = pc.binary_join_element_wise(
+                "u", pc.cast(mod, pa.string()), ""
+            )
+            path = pc.cast(t.column("event_type"), pa.string())
+            content = pc.binary_join_element_wise("M:", repo, "/", path, "")
+            return pa.table(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": pa.array(["m"] * t.num_rows, pa.string()),
+                    "language": pa.array(["x"] * t.num_rows, pa.string()),
+                    "content": content,
+                    "lsn": pc.add(pc.cast(mod, pa.int64()), pa.scalar(1_000_000)),
+                }
+            )
+
+        src = ev.map_batches(to_source, batch_format="pyarrow", batch_size=None)
+        merge_into(eng, src, epoch=3)
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["merge_upsert"] = q_merge_upsert
+
+ORACLE_SQL["merge_upsert"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS language,
+             props AS content
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch),
+    tgt AS (
+      SELECT repo, path, commit_id, language, content,
+             CAST(length(content) AS BIGINT) AS content_size,
+             sha256(content) AS content_sha256,
+             lsn AS last_lsn
+      FROM last WHERE rn = 1 AND op <> 'DELETE'),
+    src AS (
+      SELECT DISTINCT
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             1000000 + (user_id % 200) AS lsn
+      FROM events WHERE user_id % 2 = 0)
+    SELECT s.repo, s.path, 'm' AS "commit", 'x' AS language,
+           'M:' || s.repo || '/' || s.path AS content,
+           CAST(length('M:' || s.repo || '/' || s.path) AS BIGINT)
+             AS content_size,
+           sha256('M:' || s.repo || '/' || s.path) AS content_sha256,
+           s.lsn AS last_lsn
+    FROM src s
+    UNION ALL
+    SELECT t.repo, t.path, t.commit_id AS "commit", t.language, t.content,
+           t.content_size, t.content_sha256, t.last_lsn
+    FROM tgt t LEFT JOIN src s USING (repo, path)
+    WHERE s.repo IS NULL
+"""
