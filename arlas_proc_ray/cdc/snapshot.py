@@ -501,6 +501,63 @@ class SnapshotStore:
             return self.resolve_ref(epoch)
         return self.latest_committed_epoch() if epoch is None else epoch
 
+    def table_stats(self, epoch: int | str | None = None) -> dict:
+        """Table-level statistics from MANIFESTS ONLY — no data files read.
+
+        The ANALYZE / information-schema surface a query planner wants:
+        row count, applied-LSN watermark, per-column global [min, max].
+        At 100 TB this is P small JSON reads (KBs), the same plan-time
+        cost class as ``plan_scan`` — never a data scan.
+
+        A column's global bounds are reported only when EVERY non-empty
+        partition carries zone maps for it (manifest absence means
+        "unknown", and a bound built from a subset would be wrong).
+        """
+        e = self._resolve_epoch_arg(epoch)
+        if e is None:
+            raise RuntimeError("no committed epoch")
+        sources = self.resolve_sources(e)
+        num_parts = self.read_epoch_summary(e)["num_partitions"]
+
+        row_count = 0
+        applied_lsn = -1
+        max_surviving = -1
+        events_applied = 0
+        nonempty = 0
+        col_lo: dict = {}
+        col_hi: dict = {}
+        col_seen: dict = {}
+        for p in range(num_parts):
+            m = self.read_manifest(sources.get(p, e), p)
+            if m is None:
+                continue
+            row_count += m.row_count
+            applied_lsn = max(applied_lsn, m.last_lsn)
+            max_surviving = max(max_surviving, m.max_surviving_lsn)
+            events_applied += int(m.metrics.get("events_applied", 0) or 0)
+            if m.row_count == 0:
+                continue
+            nonempty += 1
+            for c, (lo, hi) in (m.col_stats or {}).items():
+                col_seen[c] = col_seen.get(c, 0) + 1
+                col_lo[c] = lo if c not in col_lo else min(col_lo[c], lo)
+                col_hi[c] = hi if c not in col_hi else max(col_hi[c], hi)
+        columns = {
+            c: [col_lo[c], col_hi[c]]
+            for c in col_seen
+            if col_seen[c] == nonempty
+        }
+        return {
+            "epoch": e,
+            "partitions": num_parts,
+            "nonempty_partitions": nonempty,
+            "row_count": row_count,
+            "applied_lsn": applied_lsn,
+            "max_surviving_lsn": max_surviving,
+            "events_applied": events_applied,
+            "columns": columns,
+        }
+
     def read_state(self, epoch: int | str | None = None) -> pa.Table:
         """Whole final state of a committed epoch (small-scale helper)."""
         e = self._resolve_epoch_arg(epoch)

@@ -135,6 +135,18 @@ def cmd_lineage(args) -> dict:
     }
 
 
+def cmd_stats(args) -> dict:
+    """Manifest-only table statistics (SnapshotStore.table_stats): row
+    count, watermark, per-column global zone bounds — no data reads."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot)
+    epoch = args.epoch
+    if epoch is not None and epoch.lstrip("-").isdigit():
+        epoch = int(epoch)
+    return store.table_stats(epoch)
+
+
 def cmd_scan(args) -> dict:
     """Pruned snapshot export: zone-map + watermark partition pruning from
     manifests only (SnapshotStore.scan), predicate pushed down into the
@@ -520,6 +532,12 @@ def main(argv=None) -> int:
                         "written at or below this already-audited epoch")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_verify)
+
+    st = sub.add_parser("stats", help="manifest-only table statistics")
+    st.add_argument("--snapshot", required=True)
+    st.add_argument("--epoch", default=None,
+                    help="epoch number or ref name (default: latest committed)")
+    st.set_defaults(fn=cmd_stats)
 
     sc = sub.add_parser("scan", help="pruned snapshot export (zone maps + LSN)")
     sc.add_argument("--snapshot", required=True)

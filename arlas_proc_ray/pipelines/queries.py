@@ -6221,3 +6221,57 @@ ORACLE_SQL["merge_upsert"] = """
     FROM tgt t LEFT JOIN src s USING (repo, path)
     WHERE s.repo IS NULL
 """
+
+
+def q_snapshot_stats(sf_dir: str):
+    """Manifest-only table statistics (cdc/snapshot.py table_stats): row
+    count, per-column global [min,max] zone bounds and the LSN range of
+    the events-derived snapshot — computed from P tiny JSON manifests,
+    ZERO data files read. Oracle: the same aggregates over the SQL LWW
+    state."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="snapshot_stats_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        s = eng.store.table_stats()
+        cols = s["columns"]
+        return pd.DataFrame(
+            {
+                "row_count": [np.int64(s["row_count"])],
+                "repo_min": [cols["repo"][0]],
+                "repo_max": [cols["repo"][1]],
+                "path_min": [cols["path"][0]],
+                "path_max": [cols["path"][1]],
+                "lsn_min": [np.int64(cols["last_lsn"][0])],
+                "lsn_max": [np.int64(cols["last_lsn"][1])],
+            }
+        )
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["snapshot_stats"] = q_snapshot_stats
+
+ORACLE_SQL["snapshot_stats"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch),
+    tgt AS (
+      SELECT repo, path, lsn AS last_lsn
+      FROM last WHERE rn = 1 AND op <> 'DELETE')
+    SELECT CAST(count(*) AS BIGINT) AS row_count,
+           min(repo) AS repo_min, max(repo) AS repo_max,
+           min(path) AS path_min, max(path) AS path_max,
+           CAST(min(last_lsn) AS BIGINT) AS lsn_min,
+           CAST(max(last_lsn) AS BIGINT) AS lsn_max
+    FROM tgt
+"""

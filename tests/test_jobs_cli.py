@@ -28,15 +28,20 @@ def test_jobs_cli_roundtrip(tmp_path, capsys):
         "--epoch", "1", "--partitions", "8",
     ]) == 0
     assert main(["verify", "--snapshot", snap]) == 0
+    assert main(["stats", "--snapshot", snap]) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
-    assert out[-1]["ok"] and out[-1]["epoch"] == 1
+    stats = out[-1]
+    assert stats["partitions"] == 8 and stats["row_count"] > 0
+    assert stats["columns"]["last_lsn"][1] <= n - 1
+    assert out[-2]["ok"] and out[-2]["epoch"] == 1
 
     # final state row count matches the pure-Python oracle for the same
     # deterministic changelog
     exp = oracle_final_state(
         generate_changelog_tables(ChangelogConfig(num_events=n, num_keys=max(1000, n // 20), seed=42))
     )
-    assert out[-1]["rows"] == exp.num_rows
+    assert out[-2]["rows"] == exp.num_rows
+    assert stats["row_count"] == exp.num_rows
 
 
 def test_jobs_cli_purge(tmp_path, capsys):

@@ -237,3 +237,49 @@ def test_engine_store_has_key_blooms(tmp_path):
 
     eng = CdcEngine(str(tmp_path / "es"), DataModel(num_partitions=4))
     assert eng.store.bloom_cols == ["repo", "path"]
+
+
+def test_table_stats_manifest_only(store, monkeypatch):
+    """table_stats aggregates row counts / watermark / zone bounds from
+    manifests alone — proven by making every data read explode."""
+    monkeypatch.setattr(
+        SnapshotStore,
+        "read_partition",
+        lambda self, e, p: (_ for _ in ()).throw(AssertionError("data read!")),
+    )
+    s = store.table_stats()
+    assert s["row_count"] == 400
+    assert s["partitions"] == 4 and s["nonempty_partitions"] == 4
+    assert s["applied_lsn"] == 399
+    assert s["columns"]["v"] == [0, 399]
+    assert s["columns"]["last_lsn"] == [0, 399]
+    assert s["columns"]["key"] == ["k00-000", "k03-099"]
+
+
+def test_table_stats_partial_zone_maps_omit_column(store, tmp_path):
+    """A column missing bounds in ANY non-empty partition reports no
+    global bounds (absence = unknown, a subset bound would be wrong)."""
+    # epoch 1: rewrite partition 2 with a manifest lacking col_stats
+    import dataclasses
+
+    for p in range(4):
+        store.write_partition(1, p, _part_table(p, p * 100))
+    mp = store.read_manifest(1, 2)
+    stripped = dataclasses.replace(mp, col_stats={})
+    with open(store.part_manifest_path(1, 2), "w") as f:
+        json.dump(dataclasses.asdict(stripped), f)
+    store.commit_epoch(1, 4)
+    s = store.table_stats()
+    assert s["row_count"] == 400
+    assert "v" not in s["columns"] and "key" not in s["columns"]
+
+
+def test_table_stats_delta_epoch_resolves_sources(store):
+    """Stats follow the delta-epoch source map to each partition's
+    current manifest."""
+    t = _part_table(0, 5000)
+    store.write_partition(1, 0, t)
+    store.commit_epoch(1, 4, sources={p: 0 for p in range(1, 4)})
+    s = store.table_stats()
+    assert s["row_count"] == 400
+    assert s["applied_lsn"] == 5099
