@@ -94,6 +94,7 @@ def keyed_partition_map(
     num_partitions: int = 64,
     presorted: bool = False,
     chain: Sequence[Callable[[pd.DataFrame], pd.DataFrame]] | None = None,
+    exchange: str = "sort",
 ):
     """Hash-partition by ``keys`` and run ``fn`` per partition, sorted.
 
@@ -107,11 +108,34 @@ def keyed_partition_map(
     is re-sorted by (keys…, order_col) before every chained fn, exactly
     as the sequential version would (an in-memory mergesort, ~free next
     to the shuffle it replaces). Mutually exclusive with ``fn``.
+
+    ``exchange``: ``"sort"`` (default) routes through Ray Data's
+    sort-based groupby — streaming, no materialization. ``"staged"``
+    routes through the same two-phase raw-task exchange the CDC engine
+    uses for high-volume epochs (cdc/staged.py rationale): one split
+    task per input block (ONE argsort + per-partition ``take``), one
+    gather task per partition — no sort machinery, no sampling, at the
+    cost of materializing the upstream once. Two semantic differences,
+    both documented: partition fns may be called on 0-row input (the
+    sort path never materializes empty groups — fns here already return
+    typed empties), and the fn must return a pa.Table or a pandas frame
+    convertible to one with a schema CONSTANT across partitions.
     """
     keys = list(keys)
     if (fn is None) == (chain is None):
         raise ValueError("pass exactly one of fn= or chain=")
     fns = [fn] if fn is not None else list(chain)
+    if exchange not in ("sort", "staged"):
+        raise ValueError(f"unknown exchange: {exchange!r}")
+    if exchange == "staged":
+        return _staged_keyed_map(
+            ds,
+            keys=keys,
+            order_col=order_col,
+            fns=fns,
+            num_partitions=num_partitions,
+            presorted=presorted,
+        )
 
     def add_part(batch: pa.Table) -> pa.Table:
         pids = partition_ids(batch, keys, num_partitions)
@@ -141,6 +165,87 @@ def keyed_partition_map(
         .groupby(PART_COL)
         .map_groups(run_group, batch_format="pandas")
     )
+
+
+def _staged_keyed_map(ds, *, keys, order_col, fns, num_partitions, presorted):
+    """Two-phase raw-task exchange behind ``keyed_partition_map``.
+
+    Mirrors cdc/staged.py: split each resident block into P slices with
+    one argsort + per-partition ``take()`` (NOT ``slice()`` — a pyarrow
+    slice pickles the whole parent buffer, a P× blow-up through the
+    object store), then one gather task per partition concatenates its
+    slices and runs the partition fns. blocks×P small objects; use for
+    volumes where the Dataset sort's sample/sort/re-block overhead
+    dominates (the CDC engine's measured crossover is ~1M rows).
+    """
+    import ray
+    import ray.data as rd
+
+    P = num_partitions
+    mat = ds.materialize()
+    # drop 0-row blocks from metadata alone (no fetch): Ray 2.49 passes
+    # empty blocks through map stages carrying a STALE upstream schema
+    # (the RefBundle empty-schema artifact) — routing one through split
+    # would KeyError on the key columns. All-empty input falls back to
+    # the sort path, which resolves the output schema the normal way.
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                block_refs.append(ref)
+    if not block_refs:
+        return keyed_partition_map(
+            mat,
+            keys=keys,
+            order_col=order_col,
+            fn=fns[0] if len(fns) == 1 else None,
+            chain=None if len(fns) == 1 else fns,
+            num_partitions=P,
+            presorted=presorted,
+            exchange="sort",
+        )
+
+    @ray.remote(num_returns=P)
+    def split(block):
+        # internal refs are raw blocks — pandas when the upstream stage
+        # ran in pandas batch format (to_arrow_refs would have converted)
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        block = block.combine_chunks()
+        pids = partition_ids(block, keys, P)
+        order = np.argsort(pids, kind="stable")
+        bounds = np.searchsorted(pids[order], np.arange(P + 1))
+        parts = [
+            block.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        ]
+        return tuple(parts) if P > 1 else parts[0]
+
+    @ray.remote
+    def gather(part: int, *slices: pa.Table) -> pa.Table:
+        t = pa.concat_tables(slices, promote_options="default")
+        pdf = byte_exact_group_cols(t.to_pandas(), keys)
+        for i, f in enumerate(fns):
+            if isinstance(pdf, pa.Table):
+                pdf = pdf.to_pandas()
+            if not (presorted and i == 0):
+                pdf = pdf.sort_values(keys + [order_col], kind="mergesort")
+            pdf = f(pdf)
+        if isinstance(pdf, pa.Table):
+            return pdf
+        return pa.Table.from_pandas(
+            restore_object_cols(pdf.reset_index(drop=True), pdf.columns),
+            preserve_index=False,
+        )
+
+    split_out = [split.remote(ref) for ref in block_refs]
+    out_refs = [
+        gather.remote(
+            p, *([s[p] for s in split_out] if P > 1 else split_out)
+        )
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 # ---------------------------------------------------------------------------

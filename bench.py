@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "user_session_stats",
         "rolling_zscore_anomaly",
         "change_feed",
+        "wire_roundtrip",
         "incremental_near_dup",
         "incremental_ann_search",
         "secondary_lookup",
