@@ -78,6 +78,32 @@ def cmd_replay(args) -> dict:
     )
 
 
+def cmd_tail_dir(args) -> dict:
+    """Consume a growing segment directory (jsonl Debezium envelopes or
+    parquet event segments) into fenced epochs until idle
+    (cdc/tailer.py SegmentTailer — two-phase exactly-once cursor)."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.tailer import SegmentTailer
+    from arlas_proc_ray.model import DataModel
+
+    _ray_session(args.num_cpus)
+    engine = CdcEngine(args.snapshot, DataModel(num_partitions=args.partitions))
+    tailer = SegmentTailer(
+        engine, args.segments, fmt=args.format,
+        dead_letter_dir=args.dead_letter_dir,
+    )
+    results = (
+        [tailer.poll()] if args.once else tailer.run_until_idle()
+    )
+    applied = [r for r in results if r["applied"]]
+    return {
+        "polls": len(results),
+        "epochs_applied": [r["epoch"] for r in applied],
+        "files": sum(len(r["files"]) for r in applied),
+        "latest_committed": engine.store.latest_committed_epoch(),
+    }
+
+
 def cmd_synthesize(args) -> dict:
     from arlas_proc_ray.cdc.events import ChangelogConfig, changelog_dataset
 
@@ -532,6 +558,16 @@ def main(argv=None) -> int:
                         "written at or below this already-audited epoch")
     v.add_argument("--num-cpus", type=int, default=None)
     v.set_defaults(fn=cmd_verify)
+
+    td = sub.add_parser("tail-dir", help="consume a segment directory into epochs")
+    td.add_argument("--segments", required=True, help="directory of segment files")
+    td.add_argument("--snapshot", required=True)
+    td.add_argument("--partitions", type=int, default=16)
+    td.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+    td.add_argument("--dead-letter-dir", default=None)
+    td.add_argument("--once", action="store_true", help="one poll instead of until-idle")
+    td.add_argument("--num-cpus", type=int, default=None)
+    td.set_defaults(fn=cmd_tail_dir)
 
     st = sub.add_parser("stats", help="manifest-only table statistics")
     st.add_argument("--snapshot", required=True)

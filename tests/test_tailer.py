@@ -1,0 +1,164 @@
+"""Segment-directory tailer (cdc/tailer.py): growing binlog dir → epochs."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from arlas_proc_ray.cdc.engine import CdcEngine
+from arlas_proc_ray.cdc.events import (
+    ChangelogConfig,
+    changelog_dataset,
+    generate_changelog_tables,
+)
+from arlas_proc_ray.cdc.oracle import oracle_final_state
+from arlas_proc_ray.cdc.tailer import SegmentTailer
+from arlas_proc_ray.cdc.wire import write_changelog_jsonl
+from arlas_proc_ray.model import DataModel
+
+CFG = ChangelogConfig(num_events=6000, seed=13)
+
+
+def _write_segments(seg_dir, lo, hi, prefix):
+    """Export [lo,hi) as jsonl files named with a sortable prefix."""
+    tmp = seg_dir + ".stage"
+    write_changelog_jsonl(changelog_dataset(CFG, lo=lo, hi=hi), tmp)
+    os.makedirs(seg_dir, exist_ok=True)
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        os.replace(
+            os.path.join(tmp, f), os.path.join(seg_dir, f"{prefix}-{i:04d}.jsonl")
+        )
+    os.rmdir(tmp)
+
+
+def _state(eng):
+    return (
+        eng.final_state()
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def _oracle():
+    return (
+        oracle_final_state(generate_changelog_tables(CFG))
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def test_three_polls_match_oracle(tmp_path):
+    seg = str(tmp_path / "wal")
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    t = SegmentTailer(eng, seg)
+
+    assert t.poll()["applied"] is False  # empty dir
+
+    _write_segments(seg, 0, 2000, "seg-a")
+    r1 = t.poll()
+    assert r1["applied"] and r1["epoch"] == 1
+
+    _write_segments(seg, 2000, 4000, "seg-b")
+    _write_segments(seg, 4000, 6000, "seg-c")
+    r2 = t.poll()
+    assert r2["applied"] and r2["epoch"] == 2
+    assert t.poll()["applied"] is False  # idle
+
+    pd.testing.assert_frame_equal(_state(eng), _oracle(), check_dtype=False)
+    # cursor knows every segment
+    assert t.consumed() == set(os.listdir(seg))
+
+
+def test_crash_mid_apply_resumes_same_epoch(tmp_path):
+    seg = str(tmp_path / "wal")
+    _write_segments(seg, 0, 3000, "seg-a")
+
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+
+    def hook(epoch, part):
+        if part == 3:
+            raise RuntimeError("crash")
+
+    eng.fault_hook = hook
+    t = SegmentTailer(eng, seg)
+    with pytest.raises(Exception):
+        t.poll()
+    # intent survives the crash; epoch not committed
+    assert os.path.exists(t._intent_path)
+    assert eng.store.latest_committed_epoch() is None
+
+    _write_segments(seg, 3000, 6000, "seg-b")  # new data arrives meanwhile
+    eng.fault_hook = None
+    r = t.poll()  # resumes the INTENT set first, same epoch
+    assert r["applied"] and r.get("resumed") and r["epoch"] == 1
+    assert set(r["files"]) == {f for f in os.listdir(seg) if f.startswith("seg-a")}
+    r2 = t.poll()  # then the new segments as epoch 2
+    assert r2["applied"] and r2["epoch"] == 2
+
+    eng2 = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    pd.testing.assert_frame_equal(_state(eng2), _oracle(), check_dtype=False)
+
+
+def test_crash_after_commit_fast_forwards_cursor(tmp_path):
+    seg = str(tmp_path / "wal")
+    _write_segments(seg, 0, 3000, "seg-a")
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    t = SegmentTailer(eng, seg)
+    t.poll()
+    # simulate: commit happened but cursor write was lost; intent restored
+    with open(t._intent_path, "w") as f:
+        json.dump({"epoch": 1, "files": sorted(t.consumed())}, f)
+    os.unlink(t._cursor_path)
+    r = t.poll()
+    assert r["applied"] and r.get("resumed") and r["epoch"] == 1
+    assert t.consumed() == set(os.listdir(seg))
+    assert t.poll()["applied"] is False
+
+
+def test_run_until_idle(tmp_path):
+    seg = str(tmp_path / "wal")
+    _write_segments(seg, 0, 2000, "a")
+    _write_segments(seg, 2000, 4000, "b")
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    t = SegmentTailer(eng, seg)
+    results = t.run_until_idle()
+    # one poll consumed everything (both prefixes were already present)
+    assert [r["applied"] for r in results] == [True, False]
+
+
+def test_parquet_segments(tmp_path):
+    import pyarrow.parquet as pq
+
+    seg = str(tmp_path / "wal")
+    os.makedirs(seg)
+    for i, tbl in enumerate(generate_changelog_tables(CFG)):
+        pq.write_table(tbl, os.path.join(seg, f"seg-{i}.parquet"))
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8))
+    t = SegmentTailer(eng, seg, fmt="parquet")
+    r = t.poll()
+    assert r["applied"] and r["epoch"] == 1
+    pd.testing.assert_frame_equal(_state(eng), _oracle(), check_dtype=False)
+
+
+def test_jobs_cli_tail_dir(tmp_path, capsys):
+    from arlas_proc_ray.jobs import main
+
+    seg = str(tmp_path / "wal")
+    _write_segments(seg, 0, 3000, "a")
+    snap = str(tmp_path / "snap")
+    assert main([
+        "tail-dir", "--segments", seg, "--snapshot", snap,
+        "--partitions", "8",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["epochs_applied"] == [1] and out[-1]["files"] > 0
+    # second run: nothing new
+    assert main([
+        "tail-dir", "--segments", seg, "--snapshot", snap,
+        "--partitions", "8",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["epochs_applied"] == []
