@@ -161,6 +161,20 @@ def cmd_lineage(args) -> dict:
     }
 
 
+def cmd_clone(args) -> dict:
+    """Materialize a committed epoch/ref as an independent store
+    (cdc/clone.py — parallel byte-for-byte copy, resumable, vacuum-safe
+    backup or fork)."""
+    from arlas_proc_ray.cdc.clone import clone_snapshot
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    _ray_session(args.num_cpus)
+    epoch = args.epoch
+    if epoch is not None and epoch.lstrip("-").isdigit():
+        epoch = int(epoch)
+    return clone_snapshot(SnapshotStore(args.snapshot), args.dest, epoch=epoch)
+
+
 def cmd_stats(args) -> dict:
     """Manifest-only table statistics (SnapshotStore.table_stats): row
     count, watermark, per-column global zone bounds — no data reads."""
@@ -568,6 +582,14 @@ def main(argv=None) -> int:
     td.add_argument("--once", action="store_true", help="one poll instead of until-idle")
     td.add_argument("--num-cpus", type=int, default=None)
     td.set_defaults(fn=cmd_tail_dir)
+
+    cl = sub.add_parser("clone", help="copy a committed epoch/ref to a new store")
+    cl.add_argument("--snapshot", required=True, help="source store root")
+    cl.add_argument("--dest", required=True, help="destination store root")
+    cl.add_argument("--epoch", default=None,
+                    help="epoch number or ref name (default: latest committed)")
+    cl.add_argument("--num-cpus", type=int, default=None)
+    cl.set_defaults(fn=cmd_clone)
 
     st = sub.add_parser("stats", help="manifest-only table statistics")
     st.add_argument("--snapshot", required=True)
