@@ -55,6 +55,7 @@ def clone_snapshot(
         dest_root,
         bloom_cols=src_store.bloom_cols,
         cluster_by=src_store.cluster_by or None,
+        cluster_zorder=src_store.cluster_zorder or None,
         row_group_rows=src_store.row_group_rows,
         compression=src_store.compression,
     )

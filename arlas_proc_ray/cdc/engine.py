@@ -107,6 +107,7 @@ class CdcEngine:
         registry=None,
         fault_hook=None,
         cluster_by: list[str] | None = None,
+        cluster_zorder: list[str] | None = None,
         row_group_rows: int | None = None,
         compression: str = "snappy",
     ):
@@ -120,6 +121,7 @@ class CdcEngine:
             snapshot_dir,
             bloom_cols=self.dm.key_list,
             cluster_by=cluster_by,
+            cluster_zorder=cluster_zorder,
             row_group_rows=row_group_rows,
             compression=compression,
         )

@@ -106,6 +106,42 @@ def _column_stats(table: pa.Table) -> dict:
     return stats
 
 
+_ZORDER_BITS = 16
+
+
+def _zorder_cluster(table: pa.Table, cols: list[str]) -> pa.Table:
+    """Reorder one partition's rows by the Morton code of the columns'
+    per-file ranks (stages/zorder.py kernel).
+
+    Rank quantization: ``np.unique(return_inverse)`` gives each column a
+    dense 0..n ordinal (works for ints, floats and strings alike), scaled
+    into ``_ZORDER_BITS`` bits — monotone per column, so the interleave
+    preserves locality regardless of the raw value range. Deterministic:
+    ties broken by a stable argsort of the z-values.
+    """
+    import numpy as np
+
+    from arlas_proc_ray.stages.zorder import morton_interleave
+
+    present = [c for c in cols if c in table.column_names]
+    if not present:
+        return table
+    bits = min(_ZORDER_BITS, 62 // len(present))
+    span = (1 << bits) - 1
+    dims = []
+    for c in present:
+        vals = table.column(c).to_pandas().to_numpy()
+        _, inv = np.unique(vals, return_inverse=True)
+        hi = int(inv.max())
+        dims.append(
+            np.zeros(len(inv), np.int64)
+            if hi == 0
+            else inv.astype(np.int64) * span // hi
+        )
+    z = morton_interleave(dims, bits)
+    return table.take(pa.array(np.argsort(z, kind="stable")))
+
+
 _BLOOM_MIN_BITS = 1 << 13  # 1 KiB
 _BLOOM_MAX_BITS = 1 << 20  # 128 KiB
 _BLOOM_HASHES = 3
@@ -289,9 +325,12 @@ class SnapshotStore:
         *,
         bloom_cols: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        cluster_zorder: list[str] | None = None,
         row_group_rows: int | None = None,
         compression: str = "snappy",
     ):
+        if cluster_by and cluster_zorder:
+            raise ValueError("pass cluster_by or cluster_zorder, not both")
         self.root = root
         # Columns to build per-partition bloom filters over at write time
         # (typically the key columns — zone maps cannot prune == on
@@ -306,6 +345,15 @@ class SnapshotStore:
         # changes row ORDER only (LWW content, manifests, rollups and scan
         # results are order-free).
         self.cluster_by = list(cluster_by) if cluster_by else []
+        # Z-order clustering: the multi-dimensional alternative to
+        # cluster_by (Delta/Iceberg OPTIMIZE ZORDER BY). Rows are ordered
+        # by the Morton interleave of the columns' per-file RANKS, so
+        # row-group min/max stay selective on EVERY listed column at
+        # once — a lexicographic sort only prunes on its leading column.
+        # Rank quantization (not raw values) makes the interleave
+        # scale-free and works for strings; it is an ORDER, zone maps
+        # still store raw values. Same order-only contract as cluster_by.
+        self.cluster_zorder = list(cluster_zorder) if cluster_zorder else []
         # Parquet row-group size (rows). Smaller groups = finer pruning
         # granularity for clustered scans; None = pyarrow default.
         self.row_group_rows = row_group_rows
@@ -348,7 +396,9 @@ class SnapshotStore:
         (legacy/bootstrap callers) it falls back to the max surviving row
         lsn, which is only safe when no DELETE can hold the top LSN.
         """
-        if self.cluster_by and table.num_rows > 1:
+        if self.cluster_zorder and table.num_rows > 1:
+            table = _zorder_cluster(table, self.cluster_zorder)
+        elif self.cluster_by and table.num_rows > 1:
             sort_keys = [
                 (c, "ascending") for c in self.cluster_by
                 if c in table.column_names

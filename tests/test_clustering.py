@@ -181,3 +181,96 @@ def test_compression_codec_roundtrip_and_rewrite(tmp_path, ray_session):
     src = store.resolve_sources(e)
     p0 = store.part_data_path(src.get(0, e), 0)
     assert pq.ParquetFile(p0).metadata.row_group(0).column(0).compression == "ZSTD"
+
+
+def _xy_table(n: int, seed: int = 3) -> pa.Table:
+    """Two independent uniform dims (x, y) — the 2-d pruning fixture."""
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "repo": pa.array([f"r{i % 17}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in range(n)]),
+            "x": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+            "y": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+            "content_sha256": pa.array([f"{i:064x}" for i in range(n)]),
+            "last_lsn": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+
+
+def test_zorder_write_preserves_content(tmp_path):
+    t = _xy_table(2000)
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    zs = SnapshotStore(
+        str(tmp_path / "z"), cluster_zorder=["x", "y"], row_group_rows=100
+    )
+    mp = plain.write_partition(1, 0, t, last_lsn=1999)
+    mz = zs.write_partition(1, 0, t, last_lsn=1999)
+    plain.commit_epoch(1, 1)
+    zs.commit_epoch(1, 1)
+    assert mz.sha256_rollup == mp.sha256_rollup
+    assert mz.col_stats == mp.col_stats
+    a = t.to_pandas().sort_values("path").reset_index(drop=True)
+    b = zs.read_partition(1, 0).to_pandas().sort_values("path").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_zorder_prunes_on_both_dims(tmp_path):
+    """Lexicographic cluster_by=["x","y"] prunes x-ranges but NOT
+    y-ranges (y varies freely within each x run); z-order prunes BOTH."""
+    t = _xy_table(20_000)
+    lex = SnapshotStore(
+        str(tmp_path / "lex"), cluster_by=["x", "y"], row_group_rows=500
+    )
+    zs = SnapshotStore(
+        str(tmp_path / "z"), cluster_zorder=["x", "y"], row_group_rows=500
+    )
+    lex.write_partition(1, 0, t, last_lsn=0)
+    zs.write_partition(1, 0, t, last_lsn=0)
+    lex.commit_epoch(1, 1)
+    zs.commit_epoch(1, 1)
+
+    pred_x = [("x", ">=", 100), ("x", "<", 200)]  # 10% on the LEADING dim
+    pred_y = [("y", ">=", 100), ("y", "<", 200)]  # 10% on the SECOND dim
+
+    lex_x = row_group_pruning_stats([lex.part_data_path(1, 0)], pred_x)
+    lex_y = row_group_pruning_stats([lex.part_data_path(1, 0)], pred_y)
+    z_x = row_group_pruning_stats([zs.part_data_path(1, 0)], pred_x)
+    z_y = row_group_pruning_stats([zs.part_data_path(1, 0)], pred_y)
+
+    total = lex_x["row_groups_total"]
+    # lexicographic: great on x, USELESS on y (every group spans y)
+    assert lex_x["row_groups_matching"] <= total // 4
+    assert lex_y["row_groups_matching"] == total
+    # z-order: selective on BOTH dims
+    assert z_x["row_groups_matching"] <= total // 2
+    assert z_y["row_groups_matching"] <= total // 2
+
+
+def test_zorder_engine_roundtrip(tmp_path):
+    """A z-ordered engine store replays to the same final state."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import ChangelogConfig, changelog_dataset
+    from arlas_proc_ray.model import DataModel
+
+    cfg = ChangelogConfig(num_events=2000, seed=5)
+    a = CdcEngine(str(tmp_path / "a"), DataModel(num_partitions=4))
+    z = CdcEngine(
+        str(tmp_path / "z"), DataModel(num_partitions=4),
+        cluster_zorder=["repo", "path"],
+    )
+    a.apply_epoch(changelog_dataset(cfg), 1)
+    z.apply_epoch(changelog_dataset(cfg), 1)
+    pd.testing.assert_frame_equal(
+        a.final_state().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True),
+        z.final_state().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True),
+    )
+
+
+def test_cluster_by_and_zorder_mutually_exclusive(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        SnapshotStore(
+            str(tmp_path / "bad"), cluster_by=["x"], cluster_zorder=["y"]
+        )
