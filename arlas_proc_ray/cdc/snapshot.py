@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from dataclasses import asdict, dataclass, field
 
@@ -550,6 +551,84 @@ class SnapshotStore:
         if isinstance(epoch, str):
             return self.resolve_ref(epoch)
         return self.latest_committed_epoch() if epoch is None else epoch
+
+    def gc_orphans(self, *, min_age_s: float = 3600.0, dry_run: bool = False) -> dict:
+        """Remove crashed-run litter: uncommitted epoch dirs above the
+        committed tip, and stray ``*.tmp`` files anywhere in the store.
+
+        Complements ``vacuum`` (which reclaims epochs BELOW the tip once
+        nothing references them): a writer that died mid-epoch leaves an
+        epoch dir with partition files but no commit marker — invisible
+        to readers, but at 100 TB it is real object-store money.
+
+        Safety: an uncommitted epoch is removed only when its newest
+        file is older than ``min_age_s`` (a LIVE writer's in-flight
+        epoch keeps getting younger files; a crashed one never does).
+        The epoch exactly at tip+1 is additionally assumed in-flight
+        unless stale. ``dry_run`` reports without deleting.
+        """
+        import time as _time
+
+        now = _time.time()
+        latest = self.latest_committed_epoch()
+        removed: list[str] = []
+        kept: list[str] = []
+        n_bytes = 0
+
+        def newest_mtime(d: str) -> float:
+            newest = 0.0
+            for base, _, files in os.walk(d):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(base, f)))
+                    except OSError:
+                        pass
+            return newest
+
+        for name in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, name)
+            if name.startswith("epoch=") and os.path.isdir(full):
+                try:
+                    e = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                committed = os.path.exists(self.commit_marker_path(e))
+                if committed or (latest is not None and e <= latest):
+                    continue  # vacuum's jurisdiction, not ours
+                if now - newest_mtime(full) < min_age_s:
+                    kept.append(name)
+                    continue
+                size = sum(
+                    os.path.getsize(os.path.join(b, f))
+                    for b, _, fs in os.walk(full)
+                    for f in fs
+                )
+                n_bytes += size
+                removed.append(name)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
+
+        # stray tmp files (atomic-write leftovers) under any surviving dir
+        for base, _, files in os.walk(self.root):
+            for f in files:
+                if f.endswith(".tmp"):
+                    p = os.path.join(base, f)
+                    try:
+                        if now - os.path.getmtime(p) < min_age_s:
+                            continue
+                        n_bytes += os.path.getsize(p)
+                        removed.append(os.path.relpath(p, self.root))
+                        if not dry_run:
+                            os.unlink(p)
+                    except OSError:
+                        pass
+
+        return {
+            "removed": removed,
+            "kept_inflight": kept,
+            "bytes": n_bytes,
+            "dry_run": dry_run,
+        }
 
     def table_stats(self, epoch: int | str | None = None) -> dict:
         """Table-level statistics from MANIFESTS ONLY — no data files read.

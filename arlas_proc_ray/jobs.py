@@ -175,6 +175,16 @@ def cmd_clone(args) -> dict:
     return clone_snapshot(SnapshotStore(args.snapshot), args.dest, epoch=epoch)
 
 
+def cmd_gc(args) -> dict:
+    """Remove crashed-run litter (uncommitted epoch dirs above the tip,
+    stale .tmp files) — SnapshotStore.gc_orphans; complements vacuum."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    return SnapshotStore(args.snapshot).gc_orphans(
+        min_age_s=args.min_age, dry_run=args.dry_run
+    )
+
+
 def cmd_stats(args) -> dict:
     """Manifest-only table statistics (SnapshotStore.table_stats): row
     count, watermark, per-column global zone bounds — no data reads."""
@@ -403,6 +413,7 @@ def cmd_optimize(args) -> dict:
         args.snapshot,
         DataModel(num_partitions=current_p),
         cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        cluster_zorder=args.zorder.split(",") if args.zorder else None,
         row_group_rows=args.row_group_rows,
         compression=compression,
     )
@@ -412,6 +423,7 @@ def cmd_optimize(args) -> dict:
         "partitions": summary["num_partitions"],
         "rows": summary["row_count"],
         "clustered_by": args.cluster_by or None,
+        "zordered_by": args.zorder or None,
     }
     if args.vacuum_keep is not None:
         out["vacuumed_epochs"] = engine.store.vacuum(keep_last=args.vacuum_keep)
@@ -549,6 +561,8 @@ def main(argv=None) -> int:
 
     op = sub.add_parser("optimize", help="recluster + compact the snapshot in place")
     op.add_argument("--snapshot", required=True)
+    op.add_argument("--zorder", default=None,
+                    help="comma-separated z-order columns (multi-dim clustering)")
     op.add_argument("--cluster-by", default=None,
                     help="comma-separated sort keys for the rewrite")
     op.add_argument("--row-group-rows", type=int, default=None)
@@ -590,6 +604,13 @@ def main(argv=None) -> int:
                     help="epoch number or ref name (default: latest committed)")
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    gcp = sub.add_parser("gc", help="remove crashed-run orphans (not vacuum)")
+    gcp.add_argument("--snapshot", required=True)
+    gcp.add_argument("--min-age", type=float, default=3600.0,
+                     help="seconds a file must be untouched before removal")
+    gcp.add_argument("--dry-run", action="store_true")
+    gcp.set_defaults(fn=cmd_gc)
 
     st = sub.add_parser("stats", help="manifest-only table statistics")
     st.add_argument("--snapshot", required=True)

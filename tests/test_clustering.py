@@ -274,3 +274,33 @@ def test_cluster_by_and_zorder_mutually_exclusive(tmp_path):
         SnapshotStore(
             str(tmp_path / "bad"), cluster_by=["x"], cluster_zorder=["y"]
         )
+
+
+def test_jobs_optimize_zorder(tmp_path, capsys):
+    """`jobs optimize --zorder x,y` re-clusters the store z-ordered."""
+    import json
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import ChangelogConfig, changelog_dataset
+    from arlas_proc_ray.jobs import main
+    from arlas_proc_ray.model import DataModel
+
+    snap = str(tmp_path / "snap")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    eng.apply_epoch(changelog_dataset(ChangelogConfig(num_events=2000, seed=9)), 1)
+    before = (
+        eng.final_state().to_pandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert main([
+        "optimize", "--snapshot", snap, "--zorder", "repo,path",
+        "--row-group-rows", "128",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["zordered_by"] == "repo,path"
+    eng2 = CdcEngine(snap, DataModel(num_partitions=4))
+    after = (
+        eng2.final_state().to_pandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)

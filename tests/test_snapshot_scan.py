@@ -283,3 +283,63 @@ def test_table_stats_delta_epoch_resolves_sources(store):
     s = store.table_stats()
     assert s["row_count"] == 400
     assert s["applied_lsn"] == 5099
+
+
+def test_gc_orphans(tmp_path):
+    """Crashed uncommitted epochs and stale tmp files are removed; young
+    (possibly in-flight) epochs and committed history are untouched."""
+    import time
+
+    s = SnapshotStore(str(tmp_path / "snap"))
+    for p in range(2):
+        s.write_partition(1, p, _part_table(p, p * 100))
+    s.commit_epoch(1, 2)
+
+    # crashed epoch 2: partition file, no commit marker
+    s.write_partition(2, 0, _part_table(0, 900))
+    # stray tmp litter
+    tmp_file = os.path.join(s.epoch_dir(1), "junk.parquet.tmp")
+    with open(tmp_file, "w") as f:
+        f.write("x")
+    # age everything
+    old = time.time() - 7200
+    for base, _, files in os.walk(s.root):
+        for f in files:
+            os.utime(os.path.join(base, f), (old, old))
+
+    # a YOUNG uncommitted epoch 3 stays (in-flight writer)
+    s.write_partition(3, 0, _part_table(0, 950))
+
+    dry = s.gc_orphans(min_age_s=3600, dry_run=True)
+    assert "epoch=2" in dry["removed"] and dry["dry_run"]
+    assert os.path.isdir(s.epoch_dir(2))  # dry run deleted nothing
+
+    res = s.gc_orphans(min_age_s=3600)
+    assert "epoch=2" in res["removed"]
+    assert any(r.endswith("junk.parquet.tmp") for r in res["removed"])
+    assert "epoch=3" in res["kept_inflight"]
+    assert not os.path.isdir(s.epoch_dir(2))
+    assert os.path.isdir(s.epoch_dir(3))
+    assert not os.path.exists(tmp_file)
+    # committed state untouched and readable
+    assert s.read_partition(1, 0).num_rows == 100
+    assert s.latest_committed_epoch() == 1
+
+
+def test_gc_cli(tmp_path, capsys):
+    import json as _json
+    import time
+
+    from arlas_proc_ray.jobs import main
+
+    s = SnapshotStore(str(tmp_path / "snap"))
+    s.write_partition(1, 0, _part_table(0, 0))
+    s.commit_epoch(1, 1)
+    s.write_partition(5, 0, _part_table(0, 10))
+    old = time.time() - 7200
+    for base, _, files in os.walk(s.root):
+        for f in files:
+            os.utime(os.path.join(base, f), (old, old))
+    assert main(["gc", "--snapshot", s.root]) == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert "epoch=5" in out[-1]["removed"]
