@@ -126,6 +126,46 @@ def _agg_partial(
     return restore_object_cols(out, group_cols)
 
 
+def _minmax_partial(
+    pdf: pd.DataFrame, group_cols: list[str], minmax_cols: list[str]
+) -> pd.DataFrame:
+    """Per-group min/max partial (columns ``<c>_min`` / ``<c>_max``).
+
+    NaN-skipping like SQL MIN/MAX; an all-NULL group yields NULL.
+    Byte-exact grouping as in ``_agg_partial``.
+    """
+    from arlas_proc_ray.stages.keyed import (
+        byte_exact_group_cols,
+        restore_object_cols,
+    )
+
+    pdf = byte_exact_group_cols(pdf[group_cols + minmax_cols], group_cols)
+    g = pdf.groupby(group_cols, dropna=False, sort=False)
+    lo = g[minmax_cols].min()
+    hi = g[minmax_cols].max()
+    out = lo.rename(columns={c: f"{c}_min" for c in minmax_cols}).join(
+        hi.rename(columns={c: f"{c}_max" for c in minmax_cols})
+    ).reset_index()
+    return restore_object_cols(out, group_cols)
+
+
+def _fold_minmax(
+    frames: list[pd.DataFrame], group_cols: list[str], minmax_cols: list[str]
+) -> pd.DataFrame:
+    """Fold per-group min/max partials (semilattice: min of mins…)."""
+    from arlas_proc_ray.stages.keyed import (
+        byte_exact_group_cols,
+        restore_object_cols,
+    )
+
+    cat = pd.concat(frames, ignore_index=True)
+    cat = byte_exact_group_cols(cat, group_cols)
+    g = cat.groupby(group_cols, dropna=False, sort=False)
+    lo = g[[f"{c}_min" for c in minmax_cols]].min()
+    hi = g[[f"{c}_max" for c in minmax_cols]].max()
+    return restore_object_cols(lo.join(hi).reset_index(), group_cols)
+
+
 def _deltas_from_diff(
     diff: pd.DataFrame,
     old_images: pd.DataFrame,
@@ -167,6 +207,7 @@ def refresh_group_view(
     view_id: str,
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
+    minmax_cols: Sequence[str] = (),
     key_cols: Sequence[str] = ("repo", "path"),
     epoch: int | str | None = None,
     count_name: str = "n_live",
@@ -176,17 +217,27 @@ def refresh_group_view(
     """Refresh (or bootstrap) a per-group aggregate view of the state.
 
     Returns ``{"state": DataFrame(group_cols + [count_name] +
-    ["<c>_sum" ...]), "epoch", "base_epoch", "mode",
-    "partitions_refreshed", "partitions_skipped"}``. The state equals
-    ``SELECT group_cols, count(*), sum(c)... FROM <state at epoch>
-    GROUP BY group_cols`` (groups with zero live rows absent), however
-    it was reached — bootstrap and any chain of incremental refreshes
-    agree exactly for integer measures.
+    ["<c>_sum" ...] + ["<c>_min", "<c>_max" ...]), "epoch",
+    "base_epoch", "mode", "partitions_refreshed",
+    "partitions_skipped"}``. The state equals
+    ``SELECT group_cols, count(*), sum(c)..., min(m)..., max(m)...
+    FROM <state at epoch> GROUP BY group_cols`` (groups with zero live
+    rows absent), however it was reached — bootstrap and any chain of
+    incremental refreshes agree exactly for integer measures.
+
+    ``minmax_cols``: MIN/MAX are only SEMI-incremental — an assert
+    folds (``min(old_min, new)``), but a retraction that removes the
+    current extreme cannot be undone from the aggregate alone. The
+    refresh therefore folds asserts cheaply and RECOMPUTES exactly the
+    groups that received any retraction, in one column-pruned pass over
+    the target state filtered to those groups (``recomputed_groups`` in
+    the result counts them). Retraction-free epochs pay nothing extra.
     """
     import ray
 
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    minmax_cols = list(minmax_cols)
     key_cols = list(key_cols)
     target = store._resolve_epoch_arg(epoch)
     if target is None:
@@ -196,7 +247,13 @@ def refresh_group_view(
     tgt_sources = store.resolve_sources(target)
 
     ckpt = None if full else read_view_checkpoint(store, view_id)
-    spec = {"group_cols": group_cols, "sum_cols": sum_cols, "key_cols": key_cols}
+    spec = {
+        "group_cols": group_cols,
+        "sum_cols": sum_cols,
+        "key_cols": key_cols,
+    }
+    if minmax_cols:  # absent key keeps old checkpoints (no forced rebuild)
+        spec["minmax_cols"] = minmax_cols
     if ckpt is not None and (
         ckpt.get("spec") != spec
         or ckpt["num_partitions"] != num_partitions
@@ -223,43 +280,78 @@ def refresh_group_view(
             continue
         todo.append(p)
 
-    read_cols = sorted(set(key_cols + group_cols + sum_cols))
+    read_cols = sorted(set(key_cols + group_cols + sum_cols + minmax_cols))
 
     @ray.remote(num_cpus=0.5)
-    def partition_partial(part: int) -> pd.DataFrame | None:
+    def partition_partial(part: int):
+        """Returns (sum_partial, minmax_assert_partial, retracted_groups)."""
         new = store.read_partition(tgt_sources.get(part, target), part)
         if base is None:
             if new is None or new.num_rows == 0:
-                return None
+                return None, None, None
             pdf = new.select(
                 [c for c in read_cols if c in new.column_names]
             ).to_pandas()
+            mm = (
+                _minmax_partial(pdf, group_cols, minmax_cols)
+                if minmax_cols
+                else None
+            )
             pdf["_n"] = np.int64(1)
-            return _agg_partial(pdf, group_cols, sum_cols)
+            return _agg_partial(pdf, group_cols, sum_cols), mm, None
         old = store.read_partition(base_sources.get(part, base), part)
-        value_cols = sorted(set(group_cols + sum_cols) - set(key_cols))
+        value_cols = sorted(
+            set(group_cols + sum_cols + minmax_cols) - set(key_cols)
+        )
         diff, old_images = diff_state_tables(
             _select(old, read_cols),
             _select(new, read_cols),
             key_cols=key_cols,
             compare_cols=value_cols,
-            old_image_cols=group_cols + sum_cols,
+            old_image_cols=list(
+                dict.fromkeys(group_cols + sum_cols + minmax_cols)
+            ),
         )
         if not len(diff):
-            return None
+            return None, None, None
         deltas = _deltas_from_diff(diff, old_images, group_cols, sum_cols)
-        if deltas is None:
-            return None
-        return _agg_partial(deltas, group_cols, sum_cols)
+        mm = None
+        retracted = None
+        if minmax_cols:
+            ops = diff["op"].to_numpy()
+            new_mask = (ops == "I") | (ops == "U")
+            if new_mask.any():
+                mm = _minmax_partial(
+                    diff.loc[new_mask, group_cols + minmax_cols],
+                    group_cols,
+                    minmax_cols,
+                )
+            old_mask = (ops == "U") | (ops == "D")
+            if old_mask.any():
+                retracted = (
+                    old_images.iloc[np.flatnonzero(old_mask)][group_cols]
+                    .drop_duplicates()
+                    .reset_index(drop=True)
+                )
+        if deltas is None and mm is None and retracted is None:
+            return None, None, None
+        sum_p = (
+            _agg_partial(deltas, group_cols, sum_cols)
+            if deltas is not None
+            else None
+        )
+        return sum_p, mm, retracted
 
-    partials = [
-        r
-        for r in ray.get([partition_partial.remote(p) for p in todo])
-        if r is not None and len(r)
-    ]
+    triples = ray.get([partition_partial.remote(p) for p in todo])
+    partials = [s for s, _, _ in triples if s is not None and len(s)]
+    mm_asserts = [m for _, m, _ in triples if m is not None and len(m)]
+    retracted_frames = [r for _, _, r in triples if r is not None and len(r)]
+    prior_full = read_view(store, view_id) if base is not None else None
     prior = None
-    if base is not None:
-        prior = read_view(store, view_id).rename(
+    if prior_full is not None:
+        prior = prior_full[
+            group_cols + [count_name] + [f"{c}_sum" for c in sum_cols]
+        ].rename(
             columns={count_name: "_n", **{f"{c}_sum": c for c in sum_cols}}
         )
     frames = ([prior] if prior is not None else []) + partials
@@ -276,6 +368,42 @@ def refresh_group_view(
     state = folded.rename(
         columns={"_n": count_name, **{c: f"{c}_sum" for c in sum_cols}}
     )
+
+    n_recomputed = 0
+    if minmax_cols:
+        mm_cols = [f"{c}_min" for c in minmax_cols] + [
+            f"{c}_max" for c in minmax_cols
+        ]
+        mm_frames = list(mm_asserts)
+        if prior_full is not None:
+            mm_frames.append(prior_full[group_cols + mm_cols])
+        assert_fold = (
+            _fold_minmax(mm_frames, group_cols, minmax_cols)
+            if mm_frames
+            else pd.DataFrame(columns=group_cols + mm_cols)
+        )
+        if retracted_frames:
+            affected = (
+                pd.concat(retracted_frames, ignore_index=True)
+                .drop_duplicates()
+                .reset_index(drop=True)
+            )
+            n_recomputed = len(affected)
+            recomputed = _recompute_group_minmax(
+                store, target, tgt_sources, num_partitions,
+                affected, group_cols, minmax_cols,
+            )
+            # recomputed values REPLACE the fold for affected groups
+            # (merge-based anti-join: byte-exact on object strings)
+            marked = assert_fold.merge(
+                affected.assign(_aff=1), on=group_cols, how="left"
+            )
+            assert_fold = marked[marked["_aff"].isna()].drop(columns=["_aff"])
+            assert_fold = pd.concat(
+                [assert_fold, recomputed], ignore_index=True
+            )
+        state = state.merge(assert_fold, on=group_cols, how="left")
+
     state = state.sort_values(group_cols, kind="stable").reset_index(drop=True)
 
     out = {
@@ -285,11 +413,60 @@ def refresh_group_view(
         "mode": "bootstrap" if base is None else "incremental",
         "partitions_refreshed": len(todo),
         "partitions_skipped": skipped,
+        "recomputed_groups": n_recomputed,
         "state": state,
     }
     if commit_checkpoint:
         _commit_view(store, view_id, out, num_partitions, spec)
     return out
+
+
+def _recompute_group_minmax(
+    store: SnapshotStore,
+    target: int,
+    tgt_sources: dict,
+    num_partitions: int,
+    affected: pd.DataFrame,
+    group_cols: list[str],
+    minmax_cols: list[str],
+) -> pd.DataFrame:
+    """Exact min/max for the retraction-affected groups: one
+    column-pruned pass over the target state, filtered per partition to
+    those groups (group columns are NOT the partition key, so every
+    partition may hold their rows — this pass is the honest price of
+    retraction-sensitive aggregates; the affected-group table is tiny
+    and broadcast once)."""
+    import ray
+
+    aff_ref = ray.put(affected)
+    read_cols = sorted(set(group_cols + minmax_cols))
+
+    @ray.remote(num_cpus=0.5)
+    def part_minmax(part: int) -> pd.DataFrame | None:
+        t = store.read_partition(tgt_sources.get(part, target), part)
+        if t is None or t.num_rows == 0:
+            return None
+        pdf = t.select(
+            [c for c in read_cols if c in t.column_names]
+        ).to_pandas()
+        pdf = pdf.merge(ray.get(aff_ref), on=group_cols, how="inner")
+        if not len(pdf):
+            return None
+        return _minmax_partial(pdf, group_cols, minmax_cols)
+
+    parts = [
+        r
+        for r in ray.get(
+            [part_minmax.remote(p) for p in range(num_partitions)]
+        )
+        if r is not None and len(r)
+    ]
+    if not parts:
+        cols = group_cols + [f"{c}_min" for c in minmax_cols] + [
+            f"{c}_max" for c in minmax_cols
+        ]
+        return pd.DataFrame(columns=cols)
+    return _fold_minmax(parts, group_cols, minmax_cols)
 
 
 def _select(tbl: pa.Table | None, cols: list[str]) -> pa.Table | None:

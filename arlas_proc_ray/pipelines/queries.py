@@ -6275,3 +6275,58 @@ ORACLE_SQL["snapshot_stats"] = """
            CAST(max(last_lsn) AS BIGINT) AS lsn_max
     FROM tgt
 """
+
+
+def q_minmax_view(sf_dir: str):
+    """Incremental MIN/MAX materialized view (cdc/views.py minmax_cols):
+    per-path count + sum + min/max of content_size, bootstrapped at
+    epoch 1 then refreshed to epoch 2 — asserts fold, groups whose
+    current extreme was retracted (epoch-2 deletes/updates) are
+    recomputed exactly from the state in one column-pruned pass. The
+    DuckDB oracle recomputes the GROUP BY from scratch; matching proves
+    the semi-incremental maintenance."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.views import refresh_group_view
+
+    snap = tempfile.mkdtemp(prefix="minmax_view_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        kw = dict(
+            view_id="mm_path", group_cols=["path"],
+            sum_cols=["content_size"], minmax_cols=["content_size"],
+        )
+        refresh_group_view(eng.store, epoch=1, **kw)
+        r = refresh_group_view(eng.store, epoch=2, **kw)
+        assert r["mode"] == "incremental"
+        out = r["state"].copy()
+        for c in ("content_size_min", "content_size_max"):
+            out[c] = out[c].astype(np.int64)
+        return out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["minmax_view"] = q_minmax_view
+
+ORACLE_SQL["minmax_view"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             props AS content
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(length(content)) AS BIGINT) AS content_size_sum,
+           CAST(min(length(content)) AS BIGINT) AS content_size_min,
+           CAST(max(length(content)) AS BIGINT) AS content_size_max
+    FROM last WHERE rn = 1 AND op <> 'DELETE'
+    GROUP BY path
+"""

@@ -269,3 +269,124 @@ def test_nul_byte_group_keys_stay_distinct():
     assert len(out) == 2  # '' and '\x00' are different groups
     got = {k: (n, v) for k, n, v in zip(out["g"], out["_n"], out["v"])}
     assert got[""] == (2, 5) and got["\x00"] == (1, 2)
+
+
+def _expected_mm(state: pa.Table) -> pd.DataFrame:
+    """GROUP BY with count, sum AND min/max over content_size."""
+    pdf = state.to_pandas()
+    g = pdf.groupby(GROUP, dropna=False, as_index=False)
+    out = g.size().rename(columns={"size": "n_live"})
+    out["content_size_sum"] = g["content_size"].sum()["content_size"]
+    out["content_size_min"] = g["content_size"].min()["content_size"]
+    out["content_size_max"] = g["content_size"].max()["content_size"]
+    for c in out.columns:
+        if c not in GROUP:
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values(GROUP, kind="stable").reset_index(drop=True)
+
+
+def _norm_mm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(GROUP, kind="stable").reset_index(drop=True)
+    return df.astype({c: np.int64 for c in df.columns if c not in GROUP})
+
+
+def test_minmax_view_assert_only_folds(tmp_path, ray_session):
+    """Insert-only epoch: min/max fold from asserts, zero recomputes."""
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow(generate_changelog_tables(
+            ChangelogConfig(num_events=3_000, num_keys=250, seed=3)
+        )),
+        epoch=1,
+    )
+    kw = dict(group_cols=GROUP, sum_cols=SUMS, minmax_cols=["content_size"])
+    r1 = refresh_group_view(engine.store, view_id="mm", **kw)
+    assert r1["mode"] == "bootstrap"
+    pd.testing.assert_frame_equal(
+        _norm_mm(r1["state"]), _expected_mm(engine.final_state())
+    )
+
+    # pure INSERTS of brand-new keys: no retraction anywhere
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(9_100, repo="orgN/n1", path="a.py", op="INSERT",
+                   lang="py", content="q" * 999),
+            _event(9_101, repo="orgN/n2", path="b.rb", op="INSERT",
+                   lang="rb", content="q" * 3),
+        ]),
+        epoch=2, delta=True,
+    )
+    r2 = refresh_group_view(engine.store, view_id="mm", **kw)
+    assert r2["mode"] == "incremental"
+    assert r2["recomputed_groups"] == 0  # assert-only fold
+    pd.testing.assert_frame_equal(
+        _norm_mm(r2["state"]), _expected_mm(engine.final_state())
+    )
+
+
+def test_minmax_view_retraction_recomputes_exactly(tmp_path, ray_session):
+    """Deleting the current MAX of a group forces that group's recompute
+    and lands on the true second-best; untouched groups fold."""
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(1, repo="r/a", path="p1", lang="py", content="x" * 500),
+            _event(2, repo="r/a", path="p2", lang="py", content="x" * 100),
+            _event(3, repo="r/a", path="p3", lang="py", content="x" * 50),
+            _event(4, repo="r/b", path="q1", lang="go", content="x" * 70),
+        ]),
+        epoch=1,
+    )
+    kw = dict(group_cols=GROUP, sum_cols=SUMS, minmax_cols=["content_size"])
+    refresh_group_view(engine.store, view_id="mm", **kw)
+
+    # delete the py max (500) and shrink the py min's file (50 -> 20)
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(10, repo="r/a", path="p1", op="DELETE"),
+            _event(11, repo="r/a", path="p3", lang="py", content="x" * 20),
+        ]),
+        epoch=2, delta=True,
+    )
+    r = refresh_group_view(engine.store, view_id="mm", **kw)
+    assert r["mode"] == "incremental"
+    assert r["recomputed_groups"] == 1  # only 'py' retracted
+    st = _norm_mm(r["state"])
+    py = st[st["language"] == "py"].iloc[0]
+    assert py["content_size_max"] == 100  # true second-best, not 500
+    assert py["content_size_min"] == 20
+    go = st[st["language"] == "go"].iloc[0]
+    assert go["content_size_max"] == 70
+    pd.testing.assert_frame_equal(st, _expected_mm(engine.final_state()))
+
+    # chain == scratch
+    full = refresh_group_view(engine.store, view_id="mm_full", **kw)
+    pd.testing.assert_frame_equal(st, _norm_mm(full["state"]))
+
+
+def test_minmax_view_group_move_recomputes_both(tmp_path, ray_session):
+    """A key moving between groups retracts from the old group (its
+    extreme may fall) and asserts into the new one (folds)."""
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(1, repo="r/a", path="p1", lang="py", content="x" * 900),
+            _event(2, repo="r/a", path="p2", lang="py", content="x" * 40),
+            _event(3, repo="r/b", path="q1", lang="go", content="x" * 10),
+        ]),
+        epoch=1,
+    )
+    kw = dict(group_cols=GROUP, sum_cols=SUMS, minmax_cols=["content_size"])
+    refresh_group_view(engine.store, view_id="mm", **kw)
+    # the py max moves to go
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(10, repo="r/a", path="p1", lang="go", content="x" * 900),
+        ]),
+        epoch=2, delta=True,
+    )
+    r = refresh_group_view(engine.store, view_id="mm", **kw)
+    st = _norm_mm(r["state"])
+    assert st[st["language"] == "py"]["content_size_max"].iloc[0] == 40
+    assert st[st["language"] == "go"]["content_size_max"].iloc[0] == 900
+    pd.testing.assert_frame_equal(st, _expected_mm(engine.final_state()))
