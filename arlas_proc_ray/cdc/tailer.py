@@ -68,6 +68,7 @@ class SegmentTailer:
         dead_letter_dir: str | None = None,
         apply=None,
         suffixes: tuple = (".jsonl", ".json", ".parquet"),
+        decode_kwargs: dict | None = None,
     ):
         if fmt not in ("jsonl", "parquet"):
             raise ValueError(f"unknown fmt: {fmt!r}")
@@ -77,6 +78,9 @@ class SegmentTailer:
         self.dead_letter_dir = dead_letter_dir
         self.apply = apply
         self.suffixes = suffixes
+        # extra decode_debezium kwargs (e.g. table_col="table" for a
+        # multiplexed topic feeding a demux `apply` override)
+        self.decode_kwargs = dict(decode_kwargs or {})
 
     # ---- state -----------------------------------------------------------
 
@@ -118,9 +122,9 @@ class SegmentTailer:
         if self.fmt == "jsonl":
             from arlas_proc_ray.cdc.wire import read_changelog_jsonl
 
-            kw = {}
+            kw = dict(self.decode_kwargs)
             if self.dead_letter_dir is not None:
-                kw = {"dead_letter_dir": self.dead_letter_dir}
+                kw["dead_letter_dir"] = self.dead_letter_dir
             return read_changelog_jsonl(paths, **kw)
         import ray.data as rd
 

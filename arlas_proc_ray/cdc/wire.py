@@ -288,6 +288,26 @@ def decode_debezium(
     reason). Without it, the first bad row raises — same STRICT-or-DLQ
     contract as the engines.
     """
+    fn = make_decode_fn(
+        json_col=json_col,
+        dead_letter_dir=dead_letter_dir,
+        epoch=epoch,
+        table_col=table_col,
+    )
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+def make_decode_fn(
+    *,
+    json_col: str = "value",
+    dead_letter_dir: str | None = None,
+    epoch: int = 0,
+    table_col: str | None = None,
+):
+    """The per-batch decode generator behind ``decode_debezium`` —
+    callable directly on a ``pa.Table`` (tests, non-Ray consumers)."""
 
     def fn(batch: pa.Table):
         n = batch.num_rows
@@ -359,9 +379,7 @@ def decode_debezium(
         else:
             yield from _project_versions(events)
 
-    return ds.map_batches(
-        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-    )
+    return fn
 
 
 def read_changelog_jsonl(paths, **decode_kwargs):
@@ -393,13 +411,21 @@ def encode_debezium(
 
     ``table_col``: write this column as the envelope's
     ``source.table`` (multiplexed-stream export); decode it back with
-    ``decode_debezium(table_col=...)``. Table names must not contain
-    control characters (identifier contract; '\\' and '"' are escaped).
+    ``decode_debezium(table_col=...)``. Names are fully JSON-escaped
+    (the Hypothesis roundtrip property covers arbitrary unicode incl.
+    control characters).
 
     Roundtrip contract: ``decode_debezium(encode_debezium(ev))``
     reproduces ``ev`` exactly (same columns, same values) for v1, v2 and
     canonical layouts — pinned by tests/test_wire.py.
     """
+    fn = make_encode_fn(target_col=target_col, table_col=table_col)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def make_encode_fn(*, target_col: str = "value", table_col: str | None = None):
+    """The per-batch encode function behind ``encode_debezium`` —
+    callable directly on a ``pa.Table`` (tests, non-Ray consumers)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -464,13 +490,21 @@ def encode_debezium(
 
         source_tail: list = [pa.scalar("}}}")]
         if table_col is not None and table_col in names:
-            tname = pc.cast(batch.column(table_col), pa.string())
-            tname = pc.replace_substring(tname, "\\", "\\\\")
-            tname = pc.replace_substring(tname, '"', '\\"')
+            # full JSON escaping (incl. control chars) via the same C
+            # to_json path the image uses: serialize {"t": name} per
+            # row, slice off the fixed 5-char prefix and 1-char suffix —
+            # what remains is the quoted escaped literal (or `null`)
+            tj = (
+                pd.DataFrame({"t": batch.column(table_col).to_pandas()})
+                .to_json(orient="records", lines=True, force_ascii=False)
+                .rstrip("\n")
+                .split("\n")
+            )
+            tlit = pc.utf8_slice_codeunits(pa.array(tj, pa.string()), 5, -1)
             source_tail = [
-                pa.scalar(',"table":"'),
-                tname,
-                pa.scalar('"}}}'),
+                pa.scalar(',"table":'),
+                tlit,
+                pa.scalar("}}}"),
             ]
 
         # Arrow-native assembly: one varchar output buffer, no numpy
@@ -493,7 +527,7 @@ def encode_debezium(
         )
         return pa.table({target_col: value})
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return fn
 
 
 def write_changelog_jsonl(ds, out_dir: str, **encode_kwargs) -> None:

@@ -162,3 +162,75 @@ def test_jobs_cli_tail_dir(tmp_path, capsys):
     ]) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[-1]["epochs_applied"] == []
+
+
+def test_multiplexed_tailer_demux(tmp_path):
+    """One segment directory carrying a MULTIPLEXED Debezium topic,
+    consumed by the tailer into per-table stores via a demux apply
+    override — two polls, each an exactly-once multi-table epoch."""
+    import pyarrow as pa
+
+    from arlas_proc_ray.cdc.demux import demux_epoch
+
+    cfg_a = ChangelogConfig(num_events=1600, num_keys=150, seed=81)
+    cfg_b = ChangelogConfig(num_events=1200, num_keys=120, seed=82)
+
+    def tagged(cfg, name, lo=0, hi=None):
+        import ray.data as rd
+
+        tabs = [
+            t.append_column("table", pa.array([name] * t.num_rows, pa.string()))
+            for t in generate_changelog_tables(cfg, lo, hi or cfg.num_events)
+        ]
+        return rd.from_arrow(tabs)
+
+    from arlas_proc_ray.cdc.wire import encode_debezium
+
+    def write_mux(seg, lo_frac, hi_frac, prefix):
+        import ray.data as rd
+
+        parts = []
+        for cfg, name in [(cfg_a, "alpha"), (cfg_b, "beta")]:
+            lo = int(cfg.num_events * lo_frac)
+            hi = int(cfg.num_events * hi_frac)
+            parts.append(tagged(cfg, name, lo, hi))
+        ds = parts[0].union(parts[1])
+        enc = encode_debezium(ds, table_col="table")
+        tmp = seg + ".stage"
+        os.makedirs(tmp, exist_ok=True)
+        rows = enc.to_pandas()["value"]
+        os.makedirs(seg, exist_ok=True)
+        with open(os.path.join(seg, f"{prefix}.jsonl"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+        os.rmdir(tmp)
+
+    seg = str(tmp_path / "topic")
+    engines = {
+        "alpha": CdcEngine(str(tmp_path / "a"), DataModel(num_partitions=4)),
+        "beta": CdcEngine(str(tmp_path / "b"), DataModel(num_partitions=4)),
+    }
+    spool = str(tmp_path / "spool")
+
+    def apply_demux(_eng, ds, epoch):
+        return demux_epoch(ds, engines, epoch, spool_dir=spool)
+
+    t = SegmentTailer(
+        engines["alpha"], seg,
+        apply=apply_demux, decode_kwargs={"table_col": "table"},
+    )
+    write_mux(seg, 0.0, 0.5, "seg-a")
+    assert t.poll()["applied"]
+    write_mux(seg, 0.5, 1.0, "seg-b")
+    assert t.poll()["applied"]
+    assert t.poll()["applied"] is False
+
+    for name, cfg in [("alpha", cfg_a), ("beta", cfg_b)]:
+        got = (
+            engines[name].final_state().to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        exp = (
+            oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

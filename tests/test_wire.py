@@ -303,3 +303,61 @@ def test_table_name_escaping_roundtrip():
         ).to_pandas()
     )
     assert dec["table"].tolist() == ['we"ird\\tbl', "plain"]
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary valid-unicode payloads roundtrip byte-exactly
+# (batch-level factories — no Ray session per example)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arlas_proc_ray.cdc.wire import make_decode_fn, make_encode_fn
+
+_text = st.text(max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2**62),            # lsn
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+            _text,                            # repo
+            _text,                            # path
+            st.one_of(st.none(), _text),      # content
+            _text,                            # table
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_wire_roundtrip_property(rows):
+    lsns = list(range(len(rows)))  # distinct keys irrelevant; lsn unique
+    tbl = pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "repo": pa.array([r[2] for r in rows], pa.string()),
+            "path": pa.array([r[3] for r in rows], pa.string()),
+            "commit": pa.array(["c"] * len(rows), pa.string()),
+            "lang": pa.array(["py"] * len(rows), pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.string()),
+            "schema_version": pa.array([1] * len(rows), pa.int32()),
+            "delivery_index": pa.array(lsns, pa.int64()),
+            "table": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    enc = make_encode_fn(table_col="table")(tbl)
+    dec = pa.concat_tables(
+        list(make_decode_fn(table_col="table")(enc)),
+        promote_options="default",
+    )
+    got = dec.to_pandas().sort_values("lsn", kind="stable").reset_index(drop=True)
+    want = tbl.to_pandas().sort_values("lsn", kind="stable").reset_index(drop=True)
+    for col in ("lsn", "op", "repo", "path", "content", "table"):
+        g = got[col].tolist()
+        w = want[col].tolist()
+        g = [None if x != x else x for x in g] if col == "content" else g
+        assert g == w, f"{col}: {g!r} != {w!r}"
