@@ -175,6 +175,35 @@ def cmd_clone(args) -> dict:
     return clone_snapshot(SnapshotStore(args.snapshot), args.dest, epoch=epoch)
 
 
+def cmd_merge(args) -> dict:
+    """MERGE INTO the snapshot from a Parquet source (cdc/merge.py):
+    matched update/delete/ignore (optional s_*/t_* condition),
+    not-matched insert/ignore, not-matched-by-source delete = full
+    sync. Fenced + resumable like replay."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.merge import merge_into
+    from arlas_proc_ray.model import DataModel
+    from arlas_proc_ray.sources.io import read_parquet
+
+    _ray_session(args.num_cpus)
+    engine = CdcEngine(args.snapshot, DataModel(num_partitions=args.partitions))
+    latest = engine.store.latest_committed_epoch()
+    epoch = args.epoch if args.epoch is not None else (latest or 0) + 1
+    if latest is not None and epoch <= latest:
+        return {"epoch": epoch, "already_committed": True,
+                "latest_committed": latest}
+    return merge_into(
+        engine,
+        read_parquet(args.source),
+        epoch,
+        when_matched=args.when_matched,
+        when_not_matched=args.when_not_matched,
+        when_not_matched_by_source=args.when_not_matched_by_source,
+        matched_condition=args.condition,
+        source_lsn_col=args.lsn_col,
+    )
+
+
 def cmd_gc(args) -> dict:
     """Remove crashed-run litter (uncommitted epoch dirs above the tip,
     stale .tmp files) — SnapshotStore.gc_orphans; complements vacuum."""
@@ -604,6 +633,24 @@ def main(argv=None) -> int:
                     help="epoch number or ref name (default: latest committed)")
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    mg = sub.add_parser("merge", help="MERGE INTO the snapshot from Parquet")
+    mg.add_argument("--snapshot", required=True)
+    mg.add_argument("--source", required=True, help="parquet file/dir of source rows")
+    mg.add_argument("--epoch", type=int, default=None,
+                    help="epoch to commit as (default: tip+1)")
+    mg.add_argument("--partitions", type=int, default=16)
+    mg.add_argument("--when-matched", default="update",
+                    choices=["update", "delete", "ignore"])
+    mg.add_argument("--when-not-matched", default="insert",
+                    choices=["insert", "ignore"])
+    mg.add_argument("--when-not-matched-by-source", default="ignore",
+                    choices=["ignore", "delete"])
+    mg.add_argument("--condition", default=None,
+                    help='matched guard over s_*/t_* cols, e.g. "s_content != t_content"')
+    mg.add_argument("--lsn-col", default="lsn")
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     gcp = sub.add_parser("gc", help="remove crashed-run orphans (not vacuum)")
     gcp.add_argument("--snapshot", required=True)

@@ -240,3 +240,158 @@ def test_untouched_partitions_delta_referenced(tmp_path):
     # some partitions reference epoch 1 instead of being rewritten
     assert any(int(e) == 1 for e in sources.values())
     _assert_state_equal(_state(eng), _oracle_merge(st, src))
+
+
+# ---------------------------------------------------------------------------
+# property: _merge_frames == a row-by-row reference MERGE over random data
+# (driver-side kernel — no Ray per example)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arlas_proc_ray.cdc.merge import _merge_frames
+
+_KEYS = [("r1", "a"), ("r1", "b"), ("r2", "a"), ("r2", "c"), ("r3", "z")]
+
+
+def _mk_tgt(rows):
+    import hashlib
+
+    recs = []
+    for i, (k, content) in enumerate(rows):
+        recs.append(
+            {
+                "repo": k[0], "path": k[1], "commit": f"t{i}",
+                "language": "py", "content": content,
+                "content_size": len(content.encode()),
+                "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+                "last_lsn": i,
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(
+        recs,
+        columns=["repo", "path", "commit", "language", "content",
+                 "content_size", "content_sha256", "last_lsn"],
+    )
+
+
+def _mk_src(rows):
+    import pandas as pd
+
+    recs = [
+        {
+            "repo": k[0], "path": k[1], "commit": "s",
+            "language": "py", "content": content,
+            "lsn": 1000 + i,
+        }
+        for i, (k, content) in enumerate(rows)
+    ]
+    return pd.DataFrame(
+        recs, columns=["repo", "path", "commit", "language", "content", "lsn"]
+    )
+
+
+def _reference_merge(tgt_rows, src_rows, wm, wnm, wnmbs, cond):
+    """Row-by-row reference: dict of key -> (content, lsn, origin)."""
+    import hashlib
+
+    state = {k: (c, i, "t") for i, (k, c) in enumerate(tgt_rows)}
+    src_last = {}
+    for i, (k, c) in enumerate(src_rows):  # highest lsn (later index) wins
+        src_last[k] = (c, 1000 + i)
+    out = {}
+    for k, (c, lsn, _) in state.items():
+        if k in src_last:
+            sc, slsn = src_last[k]
+            passes = cond is None or cond(sc, c)
+            if wm == "update" and passes:
+                out[k] = (sc, slsn)
+            elif wm == "delete" and passes:
+                pass  # killed
+            else:
+                out[k] = (c, lsn)
+        else:
+            if wnmbs == "delete":
+                pass
+            else:
+                out[k] = (c, lsn)
+    if wnm == "insert":
+        for k, (sc, slsn) in src_last.items():
+            if k not in state:
+                out[k] = (sc, slsn)
+    return {
+        k: (c, lsn, hashlib.sha256(c.encode()).hexdigest())
+        for k, (c, lsn) in out.items()
+    }
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    tgt=st.lists(
+        st.tuples(st.sampled_from(_KEYS), st.sampled_from(["x", "y", "zz"])),
+        max_size=5, unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(st.sampled_from(_KEYS), st.sampled_from(["x", "q", "zz"])),
+        max_size=7,
+    ),
+    wm=st.sampled_from(["update", "delete", "ignore"]),
+    wnm=st.sampled_from(["insert", "ignore"]),
+    wnmbs=st.sampled_from(["ignore", "delete"]),
+    use_cond=st.booleans(),
+)
+def test_merge_frames_property(tgt, src, wm, wnm, wnmbs, use_cond):
+    cond_expr = "s_content != t_content" if use_cond else None
+    cond_fn = (lambda s, t: s != t) if use_cond else None
+    got_tbl = _merge_frames(
+        _mk_src(src),
+        _mk_tgt(tgt),
+        key_cols=["repo", "path"],
+        when_matched=wm,
+        when_not_matched=wnm,
+        when_not_matched_by_source=wnmbs,
+        matched_condition=cond_expr,
+        source_lsn_col="lsn",
+        prior_last=len(tgt),
+    )
+    got = {
+        (r["repo"], r["path"]): (r["content"], r["last_lsn"], r["content_sha256"])
+        for r in got_tbl.to_pylist()
+    }
+    want = _reference_merge(tgt, src, wm, wnm, wnmbs, cond_fn)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_jobs_cli_merge(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.jobs import main
+
+    eng = _engine(tmp_path, n_events=1000)
+    st = _state(eng)
+    src = _source_from_state(st, new_rows=5)
+    src_path = str(tmp_path / "src.parquet")
+    pq.write_table(pa.Table.from_pandas(src, preserve_index=False), src_path)
+
+    assert main([
+        "merge", "--snapshot", str(tmp_path / "snap"),
+        "--source", src_path, "--partitions", "8",
+        "--condition", "s_content != t_content",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["epoch"] == 2
+    got = _state(CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=8)))
+    want = _oracle_merge(st, src, cond=lambda p: p["content_s"] != p["content_t"])
+    _assert_state_equal(got, want)
+    # rerun: committed-epoch no-op
+    assert main([
+        "merge", "--snapshot", str(tmp_path / "snap"),
+        "--source", src_path, "--partitions", "8", "--epoch", "2",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["already_committed"]
