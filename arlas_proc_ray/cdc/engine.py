@@ -487,6 +487,29 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
 
+    def purge_where(self, predicate, epoch: int | None = None) -> dict:
+        """Predicate purge: hard-delete every live row matching a
+        conjunctive ``[(col, op, value), ...]`` predicate (the
+        ``plan_scan`` clause language) — retention policies, bulk GDPR
+        ("every row of repo X"), bad-ingest rollbacks.
+
+        Two phases, each already scale-proven: the matching KEYS are
+        found with the pruned ``scan`` (zone maps / blooms / row-group
+        pruning decide what is read — a selective predicate touches a
+        sliver of a 100 TB table), then ``purge_keys`` applies them as
+        a fenced tombstone epoch. Key extraction streams; only the key
+        columns of MATCHING rows materialize.
+        """
+        key_cols = list(self.dm.key_cols)
+        matches = self.store.scan(predicate=predicate, columns=key_cols)
+        keys = matches.to_pandas() if hasattr(matches, "to_pandas") else matches
+        if len(keys) == 0:
+            latest = self.store.latest_committed_epoch()
+            return {"purged_keys": 0, "epoch": latest, "noop": True}
+        out = self.purge_keys(keys, epoch=epoch)
+        out["purged_keys"] = int(len(keys.drop_duplicates()))
+        return out
+
     def purge_keys(self, keys, epoch: int | None = None) -> dict:
         """GDPR-style hard delete of whole keys from the snapshot.
 

@@ -552,6 +552,43 @@ class SnapshotStore:
             return self.resolve_ref(epoch)
         return self.latest_committed_epoch() if epoch is None else epoch
 
+    def sql(self, query: str, *, epoch: int | str | None = None, view: str = "snapshot"):
+        """Ad-hoc SQL over a committed cut with DuckDB (returns pa.Table).
+
+        The resolved partition files of ``epoch`` (or ref; default
+        latest) register as a read-only view named ``view`` — time
+        travel is just ``epoch="prod"``. An operational introspection
+        surface, not the distributed query path: DuckDB scans the
+        Parquet directly (its own projection/filter pushdown applies),
+        single-node — use ``scan()`` for cluster-scale pipelines.
+        """
+        import duckdb
+
+        e = self._resolve_epoch_arg(epoch)
+        if e is None:
+            raise RuntimeError("no committed epoch")
+        sources = self.resolve_sources(e)
+        num_parts = self.read_epoch_summary(e)["num_partitions"]
+        files = [
+            p
+            for p in (
+                self.part_data_path(sources.get(i, e), i)
+                for i in range(num_parts)
+            )
+            if os.path.exists(p)
+        ]
+        if not files:
+            raise RuntimeError(f"epoch {e} has no data files to query")
+        con = duckdb.connect()
+        try:
+            file_list = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+            con.execute(
+                f"CREATE VIEW {view} AS SELECT * FROM read_parquet([{file_list}])"
+            )
+            return con.execute(query).arrow()
+        finally:
+            con.close()
+
     def gc_orphans(self, *, min_age_s: float = 3600.0, dry_run: bool = False) -> dict:
         """Remove crashed-run litter: uncommitted epoch dirs above the
         committed tip, and stray ``*.tmp`` files anywhere in the store.

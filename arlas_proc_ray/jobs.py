@@ -132,10 +132,6 @@ def cmd_purge(args) -> dict:
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
 
-    if args.keys.endswith(".csv"):
-        keys = pacsv.read_csv(args.keys)
-    else:
-        keys = pq.read_table(args.keys)
     dm = DataModel(num_partitions=args.partitions)
     engine = CdcEngine(args.snapshot, dm)
     latest = engine.store.latest_committed_epoch()
@@ -146,6 +142,25 @@ def cmd_purge(args) -> dict:
             "already_committed": True,
             "latest_committed": latest,
         }
+    if args.where:
+        predicate = []
+        for clause in args.where:
+            col, op, val = clause.split(":", 2)
+            try:
+                val = int(val)
+            except ValueError:
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            predicate.append((col, op, val))
+        return engine.purge_where(predicate, epoch=epoch)
+    if not args.keys:
+        raise SystemExit("purge: pass --keys FILE or --where COL:OP:VALUE")
+    if args.keys.endswith(".csv"):
+        keys = pacsv.read_csv(args.keys)
+    else:
+        keys = pq.read_table(args.keys)
     return engine.purge_keys(keys, epoch=epoch)
 
 
@@ -202,6 +217,24 @@ def cmd_merge(args) -> dict:
         matched_condition=args.condition,
         source_lsn_col=args.lsn_col,
     )
+
+
+def cmd_sql(args) -> dict:
+    """Ad-hoc DuckDB SQL over a committed cut (SnapshotStore.sql) —
+    operational introspection; time travel via --epoch <n|ref>."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot)
+    epoch = args.epoch
+    if epoch is not None and epoch.lstrip("-").isdigit():
+        epoch = int(epoch)
+    t = store.sql(args.query, epoch=epoch, view=args.view)
+    rows = t.to_pylist()
+    return {
+        "rows": t.num_rows,
+        "columns": t.column_names,
+        "data": rows if args.full else rows[: args.head],
+    }
 
 
 def cmd_gc(args) -> dict:
@@ -550,8 +583,12 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_synthesize)
 
     g = sub.add_parser("purge", help="hard-delete keys via a tombstone epoch")
-    g.add_argument("--keys", required=True,
+    g.add_argument("--keys", default=None,
                    help="parquet/csv file with the key columns (repo, path)")
+    g.add_argument("--where", action="append", default=None,
+                   metavar="COL:OP:VALUE",
+                   help="predicate purge instead of --keys (pruned scan "
+                        "finds the matching keys); repeatable, ANDed")
     g.add_argument("--snapshot", required=True)
     g.add_argument("--epoch", type=int, default=None,
                    help="target epoch (default: latest committed + 1)")
@@ -651,6 +688,17 @@ def main(argv=None) -> int:
     mg.add_argument("--lsn-col", default="lsn")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    sq = sub.add_parser("sql", help="ad-hoc DuckDB SQL over a committed cut")
+    sq.add_argument("--snapshot", required=True)
+    sq.add_argument("--query", required=True,
+                    help="SQL; the cut is the view 'snapshot' (see --view)")
+    sq.add_argument("--epoch", default=None,
+                    help="epoch number or ref name (default: latest committed)")
+    sq.add_argument("--view", default="snapshot")
+    sq.add_argument("--head", type=int, default=50)
+    sq.add_argument("--full", action="store_true")
+    sq.set_defaults(fn=cmd_sql)
 
     gcp = sub.add_parser("gc", help="remove crashed-run orphans (not vacuum)")
     gcp.add_argument("--snapshot", required=True)

@@ -187,3 +187,43 @@ def test_jobs_cli_feed(tmp_path, capsys):
     assert t.num_rows == lines[-1]["rows"]
     assert "old_content_sha256" in t.column_names
     assert set(t.column("op").to_pylist()) <= {"I", "U", "D"}
+
+
+def test_jobs_cli_purge_where(tmp_path, capsys):
+    """Predicate purge: every live row of one repo dies via the pruned
+    scan → tombstone-epoch path; oracle = pandas filter."""
+    from arlas_proc_ray.cdc import CdcEngine
+    from arlas_proc_ray.jobs import main
+    from arlas_proc_ray.model import DataModel
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "8",
+    ]) == 0
+    eng = CdcEngine(snap, DataModel(num_partitions=8))
+    before = eng.final_state().to_pandas()
+    victim_repo = before["repo"].value_counts().index[0]
+    n_victims = int((before["repo"] == victim_repo).sum())
+    assert n_victims > 1
+
+    assert main([
+        "purge", "--where", f"repo:==:{victim_repo}",
+        "--snapshot", snap, "--partitions", "8",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["purged_keys"] == n_victims
+    after = eng.final_state().to_pandas()
+    assert (after["repo"] != victim_repo).all()
+    assert len(after) == len(before) - n_victims
+
+    # no matches → noop, no new epoch
+    tip = eng.store.latest_committed_epoch()
+    assert main([
+        "purge", "--where", "repo:==:no_such_repo",
+        "--snapshot", snap, "--partitions", "8",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["noop"] and eng.store.latest_committed_epoch() == tip

@@ -343,3 +343,41 @@ def test_gc_cli(tmp_path, capsys):
     assert main(["gc", "--snapshot", s.root]) == 0
     out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert "epoch=5" in out[-1]["removed"]
+
+
+def test_store_sql_and_time_travel(tmp_path):
+    """DuckDB SQL over the resolved cut; refs select older epochs."""
+    s = SnapshotStore(str(tmp_path / "snap"))
+    for p in range(2):
+        s.write_partition(1, p, _part_table(p, p * 100))
+    s.commit_epoch(1, 2)
+    s.tag("v1", 1)
+    # epoch 2 rewrites partition 0 only (delta)
+    s.write_partition(2, 0, _part_table(0, 900))
+    s.commit_epoch(2, 2, sources={1: 1})
+
+    t = s.sql("SELECT count(*) AS n, max(last_lsn) AS m FROM snapshot")
+    assert t.to_pylist() == [{"n": 200, "m": 999}]
+    t1 = s.sql("SELECT max(last_lsn) AS m FROM snapshot", epoch="v1")
+    assert t1.to_pylist() == [{"m": 199}]
+    grouped = s.sql(
+        "SELECT substr(key, 1, 3) AS pfx, count(*) AS n FROM snapshot "
+        "GROUP BY pfx ORDER BY pfx"
+    )
+    assert grouped.num_rows == 2
+
+
+def test_jobs_sql_cli(tmp_path, capsys):
+    import json as _json
+
+    from arlas_proc_ray.jobs import main
+
+    s = SnapshotStore(str(tmp_path / "snap"))
+    s.write_partition(1, 0, _part_table(0, 0))
+    s.commit_epoch(1, 1)
+    assert main([
+        "sql", "--snapshot", s.root,
+        "--query", "SELECT count(*) AS n FROM snapshot",
+    ]) == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["data"] == [{"n": 100}]
