@@ -6330,3 +6330,22 @@ ORACLE_SQL["minmax_view"] = """
     FROM last WHERE rn = 1 AND op <> 'DELETE'
     GROUP BY path
 """
+
+
+def q_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity quality scores (functions/lm.py): train the
+    add-k model on the documents corpus itself (distributed partial
+    counts, bounded vocab), broadcast once, score every document
+    vectorized. Rows-only entry (ln/exp ULP drift makes a SQL hash
+    oracle unsound); the exact Python oracle lives in
+    tests/test_lm.py::test_catalog_query_matches_python_oracle."""
+    from arlas_proc_ray.functions.lm import perplexity_scores, train_bigram_lm
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    model = train_bigram_lm(ds, vocab_size=5000, k=0.5)
+    return perplexity_scores(ds, model).select_columns(
+        ["doc_id", "perplexity"]
+    )
+
+
+QUERIES["lm_perplexity"] = q_lm_perplexity
