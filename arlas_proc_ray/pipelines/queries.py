@@ -6349,3 +6349,27 @@ def q_lm_perplexity(sf_dir: str):
 
 
 QUERIES["lm_perplexity"] = q_lm_perplexity
+
+
+def q_bpe_trained_tokens(sf_dir: str):
+    """Real BPE (functions/bpe.py): train Sennrich merges on the
+    documents corpus' distributed word-frequency table, then count each
+    document's learned-subword tokens (cached per-distinct-word encode).
+    Rows-only entry; reference-trainer and tiling oracles live in
+    tests/test_bpe.py (the merge loop is not SQL-expressible)."""
+    from arlas_proc_ray.functions.bpe import (
+        train_bpe,
+        with_bpe_token_count,
+        word_frequencies,
+    )
+
+    ds = _rp(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(
+        word_frequencies(ds, max_words=20_000), num_merges=200
+    )
+    return with_bpe_token_count(ds, merges).select_columns(
+        ["doc_id", "bpe_tokens"]
+    )
+
+
+QUERIES["bpe_trained_tokens"] = q_bpe_trained_tokens
