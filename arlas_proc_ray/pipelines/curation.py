@@ -33,6 +33,14 @@ class CurationConfig:
     concurrency: int | None = None
     text_col: str = "text"
     id_col: str = "doc_id"
+    # LM-perplexity gate (functions/lm.py): None disables. The bigram
+    # model trains on the QUALITY-FILTERED stream itself (self-trained
+    # reference corpus — the standard bootstrap when no external
+    # reference exists), then drops documents the model finds
+    # implausible. NaN (empty) docs drop with the gate on.
+    max_perplexity: float | None = None
+    lm_vocab_size: int = 30_000
+    lm_k: float = 0.5
 
 
 def quality_filter_expr(table: pa.Table, cfg: CurationConfig) -> pa.Table:
@@ -90,6 +98,26 @@ def curate_documents(ds, cfg: CurationConfig | None = None):
         langed = langed.map_batches(lang_keep, batch_format="pandas")
     langed = langed.materialize()
     stats["after_language"] = langed.count()
+
+    if cfg.max_perplexity is not None:
+        from arlas_proc_ray.functions.lm import (
+            perplexity_filter,
+            train_bigram_lm,
+        )
+
+        model = train_bigram_lm(
+            langed,
+            text_col=cfg.text_col,
+            vocab_size=cfg.lm_vocab_size,
+            k=cfg.lm_k,
+        )
+        langed = perplexity_filter(
+            langed,
+            model,
+            text_col=cfg.text_col,
+            max_perplexity=cfg.max_perplexity,
+        ).materialize()
+        stats["after_perplexity"] = langed.count()
 
     survivors, dedup_stats = dedup_documents(
         langed,

@@ -85,3 +85,33 @@ def test_curation_pipeline_end_to_end():
     # survivors carry the full per-doc annotation set
     for col in ("n_tokens", "punct_ratio", "lang_pred", "dup_cluster_id"):
         assert col in pdf.columns
+
+
+def test_curation_with_perplexity_gate():
+    """max_perplexity: a self-trained LM gate sits between language and
+    dedup; its stage count is monotone and survivors all pass it."""
+    import ray.data as rd
+
+    from arlas_proc_ray.functions.lm import perplexity_scores, train_bigram_lm
+    from arlas_proc_ray.pipelines.curation import CurationConfig, curate_documents
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    cfg = CurationConfig(
+        min_tokens=5, max_punct_ratio=0.3, min_mean_token_len=2.0,
+        jaccard_threshold=0.5, num_partitions=4,
+        max_perplexity=5_000.0, lm_vocab_size=5_000,
+    )
+    survivors, stats = curate_documents(ds, cfg)
+    assert (
+        stats["after_language"]
+        >= stats["after_perplexity"]
+        >= stats["surviving_docs"]
+        > 0
+    )
+    # every survivor passes the gate under a freshly trained equivalent
+    # model? (the model is stream-dependent; assert via the recorded
+    # stage count rather than re-deriving it)
+    assert stats["after_perplexity"] <= stats["after_language"]
+    assert survivors.count() == stats["surviving_docs"]
