@@ -203,9 +203,10 @@ def decode_image(payload: bytes) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: image payloads → resized tensors + stats.
 
-    Real decode for netpbm P5/P6 AND non-interlaced 8-bit PNG
-    (gray/gray+alpha/RGB/RGBA, all five scanline filters — stdlib zlib);
-    other formats (JPEG, palette/16-bit/Adam7 PNG) hit the documented
+    Real decode for netpbm P5/P6 AND PNG — 8/16-bit depths,
+    gray/gray+alpha/RGB/RGBA/palette(+tRNS) color types, all five
+    scanline filters, both interlace modes (stdlib zlib);
+    other formats (JPEG, sub-8-bit PNG) hit the documented
     ``UnsupportedMediaError`` seam where Pillow/cv2 would plug in.
     Emits (height, width, channels, mean_intensity, thumb) with ``thumb``
     a flattened uint8 tensor of ``target_size`` for downstream models.
@@ -256,13 +257,64 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (h, w) or (h, w, channels).
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — PNG spec, public constants
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Pure stdlib-zlib + numpy: supports non-interlaced 8-bit depth with
-    gray / gray+alpha / RGB / RGBA color types and all five scanline
-    filters (None/Sub/Up/Average/Paeth). Palette, 16-bit and Adam7
-    variants raise ``UnsupportedMediaError`` (the Pillow seam).
+
+def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int):
+    """Undo PNG scanline filters for one (sub-)image of ``h`` rows of
+    ``w`` pixels at ``bpp`` filter-bytes per pixel (PNG filters operate
+    on BYTES: bpp = channels × bytes-per-sample). Returns
+    (uint8 array (h, w*bpp), bytes consumed)."""
+    stride = w * bpp
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise UnsupportedMediaError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row_start = offset + y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — per-byte-lane prefix sum (vectorized)
+            lanes = line.reshape(w, bpp)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
+        elif ftype in (3, 4):  # Average/Paeth: left-sequential
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, need
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → array (h, w) or (h, w, channels).
+
+    Pure stdlib-zlib + numpy: 8- and 16-bit depths (16-bit returns
+    uint16), gray / gray+alpha / RGB / RGBA / 8-bit palette (tRNS →
+    RGBA) color types, all five scanline filters, and BOTH interlace
+    modes (Adam7 sub-images unfiltered independently and scattered onto
+    the pass grid — PNG spec public constants). Sub-8-bit depths raise
+    ``UnsupportedMediaError`` (the remaining documented seam).
     """
     import struct
     import zlib
@@ -272,6 +324,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
         data = payload[pos + 8 : pos + 8 + length]
@@ -280,54 +334,71 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IEND":
             break
     if ihdr is None:
         raise UnsupportedMediaError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    is_palette = color_type == 3
+    if (
+        depth not in (8, 16)
+        or (is_palette and depth != 8)
+        or (not is_palette and color_type not in _PNG_CHANNELS)
+        or interlace not in (0, 1)
+    ):
         raise UnsupportedMediaError(
             f"unsupported PNG variant depth={depth} color={color_type} "
             f"interlace={interlace} (needs an image library)"
         )
-    ch = _PNG_CHANNELS[color_type]
+    if is_palette and plte is None:
+        raise UnsupportedMediaError("palette PNG missing PLTE")
+    ch = 1 if is_palette else _PNG_CHANNELS[color_type]
+    bps = depth // 8  # bytes per sample
+    bpp = ch * bps
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise UnsupportedMediaError("PNG data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).astype(np.int64)
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up — fully vectorized
-            cur = (line + prev) & 0xFF
-        elif ftype == 1:  # Sub — per-channel-lane prefix sum (vectorized)
-            lanes = line.reshape(w, ch)
-            cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
-        elif ftype in (3, 4):  # Average/Paeth: left-sequential
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                up = prev[x]
-                ul = prev[x - ch] if x >= ch else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    pred = _paeth(left, up, ul)
-                cur[x] = (line[x] + pred) & 0xFF
-        else:
-            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    img = out.reshape(h, w, ch)
+
+    if interlace == 0:
+        rows, used = _unfilter(raw, 0, w, h, bpp)
+        if used != len(raw):
+            raise UnsupportedMediaError("PNG data length mismatch")
+        byte_img = rows.reshape(h, w, bpp)
+    else:
+        byte_img = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _unfilter(raw, offset, pw, ph, bpp)
+            offset += used
+            byte_img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if offset != len(raw):
+            raise UnsupportedMediaError("PNG data length mismatch")
+
+    if depth == 16:
+        img = (
+            byte_img.reshape(h, w, ch, 2)
+            .astype(np.uint16)
+        )
+        img = (img[..., 0] << 8) | img[..., 1]  # big-endian samples
+    else:
+        img = byte_img.reshape(h, w, ch)
+
+    if is_palette:
+        idxs = img[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(plte):
+            raise UnsupportedMediaError("palette index out of range")
+        rgb = plte[idxs]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idxs]])
+        return rgb
     return img[:, :, 0] if ch == 1 else img
 
 

@@ -303,7 +303,8 @@ def test_png_decode_all_filters_and_pipeline():
     assert out.loc[1, ["height", "width", "channels"]].tolist() == [6, 6, 1]
     assert abs(out.loc[0, "mean_intensity"] - rgb.mean()) < 1e-9
 
-    # 16-bit depth still raises at the seam
+    # 16-bit is now decoded, so a depth-flipped 8-bit payload is LENGTH-
+    # inconsistent — still raises (as corruption, not as a seam)
     bad = encode_png(rgb)
     bad = bad.replace(b"\x08\x02\x00\x00\x00", b"\x10\x02\x00\x00\x00", 1)
     with pytest.raises(UnsupportedMediaError):
@@ -408,3 +409,148 @@ def test_with_tempo_window_cap_bounds_decode():
     # so capping must not change the labels (and proves the cap code path)
     assert full == capped
     assert set(capped[1:]) == {"tempo_fast"} and capped[0] == "tempo_irregular"
+
+
+def _png_chunks(*chunks: tuple[bytes, bytes]) -> bytes:
+    """Assemble a PNG from (type, data) chunks with real CRCs."""
+    import struct
+    import zlib
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    for ctype, data in chunks:
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _ihdr(w, h, depth, color, interlace=0) -> bytes:
+    import struct
+
+    return struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+
+
+def test_png_palette_decode():
+    import zlib
+
+    import numpy as np
+
+    from arlas_proc_ray.multimodal.codecs import decode_png
+
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (3, 4), dtype=np.uint8)
+    rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    png = _png_chunks(
+        (b"IHDR", _ihdr(4, 3, 8, 3)),
+        (b"PLTE", plte.tobytes()),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    got = decode_png(png)
+    assert got.shape == (3, 4, 3)
+    assert (got == plte[idx]).all()
+
+    # tRNS → RGBA (missing entries default opaque)
+    trns = np.array([0, 128], dtype=np.uint8)
+    png_a = _png_chunks(
+        (b"IHDR", _ihdr(4, 3, 8, 3)),
+        (b"PLTE", plte.tobytes()),
+        (b"tRNS", trns.tobytes()),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    got_a = decode_png(png_a)
+    assert got_a.shape == (3, 4, 4)
+    want_alpha = np.array([0, 128, 255, 255, 255], dtype=np.uint8)[idx]
+    assert (got_a[:, :, 3] == want_alpha).all()
+
+
+def test_png_16bit_decode():
+    import zlib
+
+    import numpy as np
+
+    from arlas_proc_ray.multimodal.codecs import decode_png
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 1 << 16, (4, 5), dtype=np.uint16)
+    rows = b"".join(
+        b"\x00" + img[y].astype(">u2").tobytes() for y in range(4)
+    )
+    png = _png_chunks(
+        (b"IHDR", _ihdr(5, 4, 16, 0)),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    got = decode_png(png)
+    assert got.dtype == np.uint16 and got.shape == (4, 5)
+    assert (got == img).all()
+
+    rgb = rng.integers(0, 1 << 16, (3, 2, 3), dtype=np.uint16)
+    rows = b"".join(
+        b"\x02" if False else b"\x00" + rgb[y].astype(">u2").tobytes()
+        for y in range(3)
+    )
+    png = _png_chunks(
+        (b"IHDR", _ihdr(2, 3, 16, 2)),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    got = decode_png(png)
+    assert got.shape == (3, 2, 3) and (got == rgb).all()
+
+
+def _interlace_adam7(img: np.ndarray, filters=(0,)) -> bytes:
+    """Reference interlacer: split into the 7 passes, filter each row
+    with a cycling filter type (None / Up supported here)."""
+    import numpy as np
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w, ch)
+    out = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in ADAM7:
+        sub = flat[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = np.zeros(pw * ch, dtype=np.int64)
+        for y in range(ph):
+            row = sub[y].reshape(-1).astype(np.int64)
+            f = filters[fi % len(filters)]
+            fi += 1
+            if f == 0:
+                out += b"\x00" + row.astype(np.uint8).tobytes()
+            elif f == 2:  # Up
+                enc = (row - prev) & 0xFF
+                out += b"\x02" + enc.astype(np.uint8).tobytes()
+            prev = row
+    return bytes(out)
+
+
+def test_png_adam7_decode():
+    import zlib
+
+    import numpy as np
+
+    from arlas_proc_ray.multimodal.codecs import decode_png
+
+    rng = np.random.default_rng(13)
+    for shape, color in [((9, 10, 3), 2), ((7, 5), 0), ((8, 8, 4), 6)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        h, w = shape[:2]
+        for filters in [(0,), (0, 2), (2,)]:
+            raw = _interlace_adam7(img, filters=filters)
+            png = _png_chunks(
+                (b"IHDR", _ihdr(w, h, 8, color, interlace=1)),
+                (b"IDAT", zlib.compress(raw)),
+                (b"IEND", b""),
+            )
+            got = decode_png(png)
+            assert got.shape == img.shape
+            assert (got == img).all(), (shape, filters)
