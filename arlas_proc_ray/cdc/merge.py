@@ -242,7 +242,13 @@ def _merge_frames(
     source_lsn_col: str,
     prior_last: int,
 ) -> pa.Table:
-    """One partition's merge, fully vectorized. Returns final-state rows."""
+    """One partition's merge, fully vectorized. Returns final-state rows.
+
+    Self-contained: duplicate source keys are resolved here
+    (highest-``source_lsn_col`` wins) even though ``merge_into``'s
+    partition path already dedups — a direct caller must get the same
+    semantics (the Hypothesis property caught the implicit contract).
+    """
     from arlas_proc_ray.cdc.publish import stable_doc_ids
     from arlas_proc_ray.functions.hashing import sha256_hex
 
@@ -250,6 +256,9 @@ def _merge_frames(
 
     src = src.copy()
     tgt = tgt.copy()
+    if source_lsn_col in src.columns:
+        src = src.sort_values(source_lsn_col, kind="mergesort")
+    src = src.drop_duplicates(subset=key_cols, keep="last")
     # byte-exact keyed join on the store's escaped composite key
     src["_jk"] = stable_doc_ids(src, key_cols) if len(src) else pd.Series([], dtype=object)
     tgt["_jk"] = stable_doc_ids(tgt, key_cols) if len(tgt) else pd.Series([], dtype=object)

@@ -264,12 +264,15 @@ _ADAM7 = (
 )
 
 
-def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int):
+def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int, stride: int | None = None):
     """Undo PNG scanline filters for one (sub-)image of ``h`` rows of
     ``w`` pixels at ``bpp`` filter-bytes per pixel (PNG filters operate
-    on BYTES: bpp = channels × bytes-per-sample). Returns
-    (uint8 array (h, w*bpp), bytes consumed)."""
-    stride = w * bpp
+    on BYTES: bpp = channels × bytes-per-sample, minimum 1 for sub-byte
+    depths). ``stride`` overrides the row byte width for sub-byte rows
+    (= ceil(w·depth/8)). Returns (uint8 array (h, stride), bytes
+    consumed)."""
+    if stride is None:
+        stride = w * bpp
     need = h * (stride + 1)
     if offset + need > len(raw):
         raise UnsupportedMediaError("PNG data length mismatch")
@@ -286,7 +289,7 @@ def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int):
         elif ftype == 2:  # Up — fully vectorized
             cur = (line + prev) & 0xFF
         elif ftype == 1:  # Sub — per-byte-lane prefix sum (vectorized)
-            lanes = line.reshape(w, bpp)
+            lanes = line.reshape(-1, bpp)
             cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
         elif ftype in (3, 4):  # Average/Paeth: left-sequential
             cur = np.zeros(stride, dtype=np.int64)
@@ -309,12 +312,13 @@ def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int):
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → array (h, w) or (h, w, channels).
 
-    Pure stdlib-zlib + numpy: 8- and 16-bit depths (16-bit returns
-    uint16), gray / gray+alpha / RGB / RGBA / 8-bit palette (tRNS →
-    RGBA) color types, all five scanline filters, and BOTH interlace
-    modes (Adam7 sub-images unfiltered independently and scattered onto
-    the pass grid — PNG spec public constants). Sub-8-bit depths raise
-    ``UnsupportedMediaError`` (the remaining documented seam).
+    Pure stdlib-zlib + numpy: every legal bit depth (1/2/4-bit
+    gray/palette via one ``unpackbits`` pass, 8-bit, 16-bit returning
+    uint16), gray / gray+alpha / RGB / RGBA / palette (tRNS → RGBA)
+    color types, all five scanline filters, and BOTH interlace modes
+    (Adam7 sub-images unfiltered independently and scattered onto the
+    pass grid — PNG spec public constants). JPEG remains the one
+    documented codec seam.
     """
     import struct
     import zlib
@@ -344,9 +348,11 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
     is_palette = color_type == 3
+    sub_byte = depth in (1, 2, 4)
     if (
-        depth not in (8, 16)
-        or (is_palette and depth != 8)
+        depth not in (1, 2, 4, 8, 16)
+        or (is_palette and depth == 16)
+        or (sub_byte and color_type not in (0, 3))  # spec: gray/palette only
         or (not is_palette and color_type not in _PNG_CHANNELS)
         or interlace not in (0, 1)
     ):
@@ -357,28 +363,52 @@ def decode_png(payload: bytes) -> np.ndarray:
     if is_palette and plte is None:
         raise UnsupportedMediaError("palette PNG missing PLTE")
     ch = 1 if is_palette else _PNG_CHANNELS[color_type]
-    bps = depth // 8  # bytes per sample
-    bpp = ch * bps
+    bpp = max(1, ch * depth // 8)  # filter offset is ≥1 byte per spec
     raw = zlib.decompress(bytes(idat))
 
+    def unpack_rows(rows: np.ndarray, width: int) -> np.ndarray:
+        """(h, stride) packed sub-byte rows → (h, width, 1) sample values
+        (MSB-first within each byte, per spec) — one unpackbits pass."""
+        bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+        grouped = bits.reshape(rows.shape[0], width, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (grouped * weights).sum(axis=2, dtype=np.uint16).astype(
+            np.uint8
+        )[:, :, None]
+
+    def row_stride(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
     if interlace == 0:
-        rows, used = _unfilter(raw, 0, w, h, bpp)
+        rows, used = _unfilter(raw, 0, w, h, bpp, stride=row_stride(w))
         if used != len(raw):
             raise UnsupportedMediaError("PNG data length mismatch")
-        byte_img = rows.reshape(h, w, bpp)
+        byte_img = (
+            unpack_rows(rows, w) if sub_byte else rows.reshape(h, w, bpp)
+        )
     else:
-        byte_img = np.zeros((h, w, bpp), dtype=np.uint8)
+        byte_img = np.zeros((h, w, 1 if sub_byte else bpp), dtype=np.uint8)
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            sub, used = _unfilter(raw, offset, pw, ph, bpp)
+            sub, used = _unfilter(
+                raw, offset, pw, ph, bpp, stride=row_stride(pw)
+            )
             offset += used
-            byte_img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            byte_img[y0::dy, x0::dx] = (
+                unpack_rows(sub, pw) if sub_byte else sub.reshape(ph, pw, bpp)
+            )
         if offset != len(raw):
             raise UnsupportedMediaError("PNG data length mismatch")
+
+    if sub_byte and not is_palette:
+        # grayscale sub-byte: scale to full 8-bit range (spec replication:
+        # max sample value maps to 255 exactly)
+        scale = 255 // ((1 << depth) - 1)
+        byte_img = (byte_img.astype(np.uint16) * scale).astype(np.uint8)
 
     if depth == 16:
         img = (

@@ -554,3 +554,72 @@ def test_png_adam7_decode():
             got = decode_png(png)
             assert got.shape == img.shape
             assert (got == img).all(), (shape, filters)
+
+
+def test_png_sub_byte_depths():
+    """1/2/4-bit grayscale (scaled to 8-bit range) and 4-bit palette,
+    both interlace modes, vs hand-packed rows."""
+    import zlib
+
+    import numpy as np
+
+    from arlas_proc_ray.multimodal.codecs import decode_png
+
+    def pack_bits(vals: np.ndarray, depth: int) -> bytes:
+        """One row of sample values → MSB-first packed bytes."""
+        bits = ((vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+        pad = (-len(bits)) % 8
+        bits = np.concatenate([bits, np.zeros(pad, dtype=bits.dtype)])
+        return np.packbits(bits.astype(np.uint8)).tobytes()
+
+    rng = np.random.default_rng(21)
+    for depth in (1, 2, 4):
+        vals = rng.integers(0, 1 << depth, (5, 7), dtype=np.uint8)
+        rows = b"".join(
+            b"\x00" + pack_bits(vals[y], depth) for y in range(5)
+        )
+        png = _png_chunks(
+            (b"IHDR", _ihdr(7, 5, depth, 0)),
+            (b"IDAT", zlib.compress(rows)),
+            (b"IEND", b""),
+        )
+        got = decode_png(png)
+        scale = 255 // ((1 << depth) - 1)
+        assert got.shape == (5, 7)
+        assert (got == vals * scale).all(), depth
+
+    # 4-bit palette
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 5), dtype=np.uint8)
+    rows = b"".join(b"\x00" + pack_bits(idx[y], 4) for y in range(4))
+    png = _png_chunks(
+        (b"IHDR", _ihdr(5, 4, 4, 3)),
+        (b"PLTE", plte.tobytes()),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    )
+    got = decode_png(png)
+    assert got.shape == (4, 5, 3)
+    assert (got == plte[idx]).all()
+
+    # 2-bit gray, Adam7: interlace by packing each pass's rows
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    vals = rng.integers(0, 4, (9, 10), dtype=np.uint8)
+    out = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = vals[y0::dy, x0::dx]
+        if 0 in sub.shape:
+            continue
+        for y in range(sub.shape[0]):
+            out += b"\x00" + pack_bits(sub[y], 2)
+    png = _png_chunks(
+        (b"IHDR", _ihdr(10, 9, 2, 0, interlace=1)),
+        (b"IDAT", zlib.compress(bytes(out))),
+        (b"IEND", b""),
+    )
+    got = decode_png(png)
+    assert got.shape == (9, 10)
+    assert (got == vals * (255 // 3)).all()
