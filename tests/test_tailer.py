@@ -234,3 +234,83 @@ def test_multiplexed_tailer_demux(tmp_path):
             .sort_values(["repo", "path"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tailer_chaos_random_crash_points(tmp_path):
+    """Randomized crash injection across the tailer's two-phase protocol:
+    for each seed, segments arrive over several polls while crashes hit
+    (a) mid-apply via the engine fault hook, (b) between epoch commit
+    and cursor advance (intent left behind), (c) between cursor advance
+    and intent unlink. However interleaved, re-polling until idle always
+    converges to the replay oracle and never double-applies."""
+    import random
+
+    want = _oracle()  # module CFG: 6000 events
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        base = tmp_path / f"s{seed}"
+        seg = str(base / "wal")
+        # three waves of segments (module CFG = 6000 events)
+        waves = [(0, 2000, "a"), (2000, 4000, "b"), (4000, 6000, "c")]
+        wave_i = 0
+
+        eng = CdcEngine(str(base / "snap"), DataModel(num_partitions=8))
+        t = SegmentTailer(eng, seg)
+
+        def crashy_poll():
+            """One poll with a randomly injected crash; returns True if
+            the poll completed without injection."""
+            mode = rng.choice(["none", "mid_apply", "pre_cursor", "pre_unlink"])
+            if mode == "mid_apply":
+                part = rng.randrange(8)
+
+                def hook(epoch, p, _part=part):
+                    if p == _part:
+                        raise RuntimeError("chaos")
+
+                eng.fault_hook = hook
+                try:
+                    t.poll()
+                except Exception:
+                    pass
+                eng.fault_hook = None
+                return False
+            r = t.poll()
+            if not r["applied"]:
+                return True
+            if mode == "pre_cursor":
+                # simulate: crash happened after commit, before cursor —
+                # restore the intent and roll the cursor back
+                with open(t._intent_path, "w") as f:
+                    json.dump({"epoch": r["epoch"], "files": r["files"]}, f)
+                if os.path.exists(t._cursor_path):
+                    consumed = t.consumed() - set(r["files"])
+                    with open(t._cursor_path, "w") as f:
+                        json.dump({"files": sorted(consumed)}, f)
+            elif mode == "pre_unlink":
+                # crash after cursor advance, before intent unlink
+                with open(t._intent_path, "w") as f:
+                    json.dump({"epoch": r["epoch"], "files": r["files"]}, f)
+            return True
+
+        while wave_i < len(waves) or True:
+            if wave_i < len(waves):
+                lo, hi, p = waves[wave_i]
+                _write_segments(seg, lo, hi, p)
+                wave_i += 1
+            crashy_poll()
+            if wave_i >= len(waves):
+                break
+        # drain to idle with no further injection
+        for _ in range(10):
+            if not t.poll()["applied"]:
+                break
+
+        eng2 = CdcEngine(str(base / "snap"), DataModel(num_partitions=8))
+        got = (
+            eng2.final_state().to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert t.consumed() == set(os.listdir(seg))
