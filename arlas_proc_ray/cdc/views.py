@@ -519,3 +519,57 @@ def _commit_view(
                 os.remove(os.path.join(_view_dir(store), f))
             except OSError:
                 pass
+
+
+def refresh_distinct_view(
+    store: SnapshotStore,
+    *,
+    view_id: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_cols: Sequence[str] = ("repo", "path"),
+    epoch: int | str | None = None,
+    full: bool = False,
+) -> dict:
+    """Exact incremental COUNT(DISTINCT value_col) per group.
+
+    Composition, not new machinery: the maintained state is the
+    (group…, value) live-row count view — delta propagation keeps each
+    pair's count exact through I/U/D and group/value moves — and the
+    distinct count is the per-group row count of that state (pairs with
+    zero live rows drop out of it, so presence == "value still occurs").
+    The rollup is a tiny driver groupby over the pair table; the pair
+    table itself is the honest cost of EXACT distinct counting (an
+    approximate sketch cannot retract — see ROADMAP for the HLL
+    trade-off note).
+
+    Returns the ``refresh_group_view`` dict with ``state`` replaced by
+    ``DataFrame(group_cols + ["n_distinct"])`` and the pair view kept
+    under ``pair_state``.
+    """
+    group_cols = list(group_cols)
+    r = refresh_group_view(
+        store,
+        view_id=view_id,
+        group_cols=group_cols + [value_col],
+        key_cols=key_cols,
+        epoch=epoch,
+        full=full,
+    )
+    pairs = r["state"]
+    from arlas_proc_ray.stages.keyed import (
+        byte_exact_group_cols,
+        restore_object_cols,
+    )
+
+    g = byte_exact_group_cols(pairs.copy(), group_cols)
+    out = (
+        g.groupby(group_cols, dropna=False, sort=False)
+        .size()
+        .rename("n_distinct")
+        .reset_index()
+    )
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out = restore_object_cols(out, group_cols)
+    out = out.sort_values(group_cols, kind="stable").reset_index(drop=True)
+    return {**r, "pair_state": pairs, "state": out}

@@ -6373,3 +6373,50 @@ def q_bpe_trained_tokens(sf_dir: str):
 
 
 QUERIES["bpe_trained_tokens"] = q_bpe_trained_tokens
+
+
+def q_distinct_view(sf_dir: str):
+    """Incremental COUNT DISTINCT view (cdc/views.py
+    refresh_distinct_view): per-path distinct content hashes of the
+    events-derived snapshot, maintained as a (path, sha) pair sub-view
+    refreshed by delta propagation across the two epochs. Oracle:
+    from-scratch COUNT(DISTINCT sha256(content)) per path."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.views import refresh_distinct_view
+
+    snap = tempfile.mkdtemp(prefix="distinct_view_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        kw = dict(
+            view_id="dv_path", group_cols=["path"],
+            value_col="content_sha256",
+        )
+        refresh_distinct_view(eng.store, epoch=1, **kw)
+        r = refresh_distinct_view(eng.store, epoch=2, **kw)
+        assert r["mode"] == "incremental"
+        return r["state"]
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["distinct_view"] = q_distinct_view
+
+ORACLE_SQL["distinct_view"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             props AS content
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT path,
+           CAST(count(DISTINCT sha256(content)) AS BIGINT) AS n_distinct
+    FROM last WHERE rn = 1 AND op <> 'DELETE'
+    GROUP BY path
+"""

@@ -390,3 +390,49 @@ def test_minmax_view_group_move_recomputes_both(tmp_path, ray_session):
     assert st[st["language"] == "py"]["content_size_max"].iloc[0] == 40
     assert st[st["language"] == "go"]["content_size_max"].iloc[0] == 900
     pd.testing.assert_frame_equal(st, _expected_mm(engine.final_state()))
+
+
+def test_distinct_view_incremental_exact(tmp_path, ray_session):
+    """COUNT DISTINCT per group via the pair sub-view: value moves,
+    deletes and duplicate values all land exactly; chain == scratch."""
+    from arlas_proc_ray.cdc.views import refresh_distinct_view
+
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(1, repo="r/a", path="p1", lang="py", content="X"),
+            _event(2, repo="r/a", path="p2", lang="py", content="X"),  # dup value
+            _event(3, repo="r/a", path="p3", lang="py", content="Y"),
+            _event(4, repo="r/b", path="q1", lang="go", content="Z"),
+        ]),
+        epoch=1,
+    )
+    kw = dict(view_id="dv", group_cols=["language"], value_col="content")
+    r1 = refresh_distinct_view(engine.store, **kw)
+    st = r1["state"].set_index("language")["n_distinct"]
+    assert st["py"] == 2 and st["go"] == 1  # X dup collapses
+
+    # epoch 2: delete one X holder (still one left), move Y's doc to go,
+    # add a new value W in py
+    engine.apply_epoch(
+        rd.from_arrow([
+            _event(10, repo="r/a", path="p1", op="DELETE"),
+            _event(11, repo="r/a", path="p3", lang="go", content="Y"),
+            _event(12, repo="r/a", path="p4", lang="py", content="W"),
+        ]),
+        epoch=2, delta=True,
+    )
+    r2 = refresh_distinct_view(engine.store, **kw)
+    assert r2["mode"] == "incremental"
+    st = r2["state"].set_index("language")["n_distinct"]
+    # py: X (one holder left) + W = 2; go: Z + Y = 2
+    assert st["py"] == 2 and st["go"] == 2
+
+    full = refresh_distinct_view(
+        engine.store, view_id="dv_full", group_cols=["language"],
+        value_col="content",
+    )
+    pd.testing.assert_frame_equal(
+        r2["state"].reset_index(drop=True),
+        full["state"].reset_index(drop=True),
+    )
