@@ -20,9 +20,23 @@ Usage (each command owns the Ray session; on a cluster, submit with
     python -m arlas_proc_ray.jobs purge \
         --keys /data/victims.parquet --snapshot /data/snapshot
 
+    # consume a growing segment dir (Debezium jsonl / parquet) until idle
+    python -m arlas_proc_ray.jobs tail-dir --segments /wal --snapshot /s
+
+    # MERGE INTO from a Parquet source; clone/rollback/tag for table ops
+    python -m arlas_proc_ray.jobs merge --snapshot /s --source src.parquet
+    python -m arlas_proc_ray.jobs clone --snapshot /s --dest /backup
+
+    # introspection: manifest-only stats, ad-hoc SQL, views, GC
+    python -m arlas_proc_ray.jobs stats --snapshot /s
+    python -m arlas_proc_ray.jobs sql --snapshot /s --query "SELECT count(*) FROM snapshot"
+    python -m arlas_proc_ray.jobs view --snapshot /s --view-id v --group-by language --sum content_size
+    python -m arlas_proc_ray.jobs gc --snapshot /s --dry-run
+
 Re-running ``replay`` with the same ``--epoch`` is safe: finished
 partitions are skipped by the manifest fence, unfinished ones re-execute
-idempotently (crash-resume is the same command again).
+idempotently (crash-resume is the same command again). Every mutating
+command above shares that property (fenced epochs + idempotent writes).
 """
 
 from __future__ import annotations
@@ -217,6 +231,46 @@ def cmd_merge(args) -> dict:
         matched_condition=args.condition,
         source_lsn_col=args.lsn_col,
     )
+
+
+def cmd_view(args) -> dict:
+    """Refresh or read an incrementally-maintained materialized view
+    (cdc/views.py): per-group count/sum/min-max aggregates or exact
+    COUNT DISTINCT, maintained by delta propagation from epoch diffs."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+    from arlas_proc_ray.cdc.views import (
+        read_view,
+        refresh_distinct_view,
+        refresh_group_view,
+    )
+
+    store = SnapshotStore(args.snapshot)
+    if args.read:
+        df = read_view(store, args.view_id)
+        rows = df.to_dict("records")
+        return {"rows": len(df), "data": rows if args.full else rows[: args.head]}
+    _ray_session(args.num_cpus)
+    epoch = args.epoch
+    if epoch is not None and epoch.lstrip("-").isdigit():
+        epoch = int(epoch)
+    group_cols = args.group_by.split(",")
+    if args.distinct_value:
+        r = refresh_distinct_view(
+            store, view_id=args.view_id, group_cols=group_cols,
+            value_col=args.distinct_value, epoch=epoch, full=args.recompute,
+        )
+    else:
+        r = refresh_group_view(
+            store, view_id=args.view_id, group_cols=group_cols,
+            sum_cols=args.sum.split(",") if args.sum else (),
+            minmax_cols=args.minmax.split(",") if args.minmax else (),
+            epoch=epoch, full=args.recompute,
+        )
+    out = {k: v for k, v in r.items() if k not in ("state", "pair_state")}
+    out["rows"] = len(r["state"])
+    rows = r["state"].to_dict("records")
+    out["data"] = rows if args.full else rows[: args.head]
+    return out
 
 
 def cmd_sql(args) -> dict:
@@ -688,6 +742,25 @@ def main(argv=None) -> int:
     mg.add_argument("--lsn-col", default="lsn")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    vw = sub.add_parser("view", help="refresh/read a materialized view")
+    vw.add_argument("--snapshot", required=True)
+    vw.add_argument("--view-id", required=True)
+    vw.add_argument("--group-by", default=None, help="comma-separated group columns")
+    vw.add_argument("--sum", default=None, help="comma-separated sum columns")
+    vw.add_argument("--minmax", default=None, help="comma-separated min/max columns")
+    vw.add_argument("--distinct-value", default=None,
+                    help="exact COUNT DISTINCT of this column per group")
+    vw.add_argument("--epoch", default=None,
+                    help="epoch number or ref name (default: latest committed)")
+    vw.add_argument("--recompute", action="store_true",
+                    help="ignore the checkpoint; full recompute")
+    vw.add_argument("--read", action="store_true",
+                    help="read the persisted state only, no refresh")
+    vw.add_argument("--head", type=int, default=50)
+    vw.add_argument("--full", action="store_true")
+    vw.add_argument("--num-cpus", type=int, default=None)
+    vw.set_defaults(fn=cmd_view)
 
     sq = sub.add_parser("sql", help="ad-hoc DuckDB SQL over a committed cut")
     sq.add_argument("--snapshot", required=True)

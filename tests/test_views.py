@@ -436,3 +436,40 @@ def test_distinct_view_incremental_exact(tmp_path, ray_session):
         r2["state"].reset_index(drop=True),
         full["state"].reset_index(drop=True),
     )
+
+
+def test_jobs_cli_view(tmp_path, capsys, ray_session):
+    import json as _json
+
+    from arlas_proc_ray.jobs import main
+
+    engine = CdcEngine(str(tmp_path / "snap"), DM)
+    engine.apply_epoch(
+        rd.from_arrow(generate_changelog_tables(
+            ChangelogConfig(num_events=1200, num_keys=120, seed=7)
+        )),
+        epoch=1,
+    )
+    snap = str(tmp_path / "snap")
+    assert main([
+        "view", "--snapshot", snap, "--view-id", "v1",
+        "--group-by", "language", "--sum", "content_size",
+        "--minmax", "content_size", "--full",
+    ]) == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    r = out[-1]
+    assert r["mode"] == "bootstrap" and r["rows"] > 0
+    assert "content_size_min" in r["data"][0]
+    # read-only path returns the persisted state
+    assert main([
+        "view", "--snapshot", snap, "--view-id", "v1", "--read",
+    ]) == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["rows"] == r["rows"]
+    # distinct mode
+    assert main([
+        "view", "--snapshot", snap, "--view-id", "v2",
+        "--group-by", "language", "--distinct-value", "content_sha256",
+    ]) == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["rows"] > 0 and "n_distinct" in out[-1]["data"][0]
