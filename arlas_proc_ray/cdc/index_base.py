@@ -181,82 +181,43 @@ class IncrementalPartitionedIndex:
             return json.load(f)
 
     # ---------------------------------------------------------- refresh
+    _STATS_SCHEMA = pa.schema(
+        [("part", pa.int64()), ("rows", pa.int64()),
+         ("added", pa.int64()), ("removed", pa.int64())]
+    )
+
     def _staged_fold(self, deltas, fold, *, bootstrap: bool) -> pd.DataFrame:
-        """Two-phase raw-task exchange on the precomputed ``_part`` id.
+        """Route deltas by the precomputed ``_part`` id and fold per
+        partition through ``stages.keyed.staged_partition_apply``.
 
         The delta volume per refresh is changed-rows-sized (tiny in the
         incremental steady state, state-sized only at bootstrap), so the
-        Dataset sort-groupby's sample/sort/re-block machinery dominates
-        the actual routing work — the same measured wall the CDC engine
-        hit (cdc/staged.py rationale; here the sort path cost ~1.4 s to
-        route 1200 rows to 8 partitions). Routing needs no ordering and
-        no sampling: one split task per resident block (ONE argsort by
-        ``_part`` + per-partition ``take()`` — NOT ``slice()``, which
-        pickles the whole parent buffer), one gather task per partition
-        running ``fold``. Gathers for untouched partitions short-circuit
-        without a part rewrite (refresh cost stays ∝ changed rows);
-        at bootstrap every partition folds so every part file exists.
-        Stats rows (one per partition) are the only driver traffic.
+        Dataset sort-groupby's sample/sort/re-block machinery dominated
+        the actual routing work (measured ~1.4 s to route 1200 rows to 8
+        partitions). Gathers for untouched partitions short-circuit
+        without a part rewrite (refresh cost stays ∝ changed rows); at
+        bootstrap every partition folds so every part file exists. Stats
+        rows (one per partition) are the only driver traffic.
         """
-        import ray
+        from arlas_proc_ray.stages.keyed import staged_partition_apply
 
-        P = self.num_partitions
-        empty_stats = pd.DataFrame(
-            {"part": pd.Series([], dtype=np.int64),
-             "rows": pd.Series([], dtype=np.int64),
-             "added": pd.Series([], dtype=np.int64),
-             "removed": pd.Series([], dtype=np.int64)}
-        )
-        mat = deltas.materialize()
-        # drop 0-row blocks from metadata alone — Ray 2.49 passes empty
-        # blocks through map stages with a stale upstream schema (the
-        # RefBundle artifact); routing one through split would KeyError
-        # on ``_part``.
-        block_refs = []
-        for bundle in mat.iter_internal_ref_bundles():
-            for ref, meta in bundle.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
-                    block_refs.append(ref)
-        if not block_refs and not bootstrap:
-            return empty_stats
-
-        @ray.remote(num_returns=P)
-        def split(block):
-            if isinstance(block, pd.DataFrame):
-                block = pa.Table.from_pandas(block, preserve_index=False)
-            block = block.combine_chunks()
-            pids = np.asarray(block.column("_part").to_numpy(), np.int64)
-            order = np.argsort(pids, kind="stable")
-            bounds = np.searchsorted(pids[order], np.arange(P + 1))
-            parts = [
-                block.take(pa.array(order[bounds[p]: bounds[p + 1]]))
-                for p in range(P)
-            ]
-            return tuple(parts) if P > 1 else parts[0]
-
-        @ray.remote
-        def gather(p: int, *slices):
-            frames = [s.to_pandas() for s in slices if s.num_rows]
-            if not frames and not bootstrap:
-                return None  # untouched partition: no rewrite, no stats
-            group = (
-                pd.concat(frames, ignore_index=True)
-                if frames else self._empty_pd().assign(
-                    delta=pd.Series([], dtype=np.int8))
-            )
+        def fold_wrap(p: int, group):
+            if group is None:  # bootstrap partition with zero delta rows
+                group = self._empty_pd().assign(
+                    delta=pd.Series([], dtype=np.int8)
+                )
             return fold(p, group)
 
-        split_out = [split.remote(ref) for ref in block_refs]
-        out = ray.get([
-            gather.remote(
-                p, *([s[p] for s in split_out] if P > 1 else split_out)
-            )
-            for p in range(P)
-        ])
-        frames = [f for f in out if f is not None]
-        return (
-            pd.concat(frames, ignore_index=True) if frames else empty_stats
-        )
+        stats = staged_partition_apply(
+            deltas,
+            num_partitions=self.num_partitions,
+            fn=fold_wrap,
+            empty_result=(
+                None if bootstrap
+                else self._STATS_SCHEMA.empty_table()
+            ),
+        ).to_pandas()
+        return stats.reset_index(drop=True)
 
     def _identity_key(self, pdf: pd.DataFrame) -> pd.DataFrame:
         """Byte-exact comparable copies of the identity columns."""

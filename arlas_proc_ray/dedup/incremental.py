@@ -338,8 +338,7 @@ def epoch_near_duplicates(
 
     probes = probes.map_batches(add_part, batch_format="pyarrow")
 
-    def probe_fold(group: pd.DataFrame) -> pd.DataFrame:
-        p = int(group["_part"].iloc[0])
+    def probe_fold(p: int, group: pd.DataFrame) -> pd.DataFrame:
         idx = _read_part(store, index_id, p, sources.get(str(p)))
         if not len(idx) or not len(group):
             return _empty_pairs_arrow()
@@ -370,8 +369,13 @@ def epoch_near_duplicates(
     import ray
     import ray.data as rd
 
-    pairs = probes.groupby("_part").map_groups(
-        probe_fold, batch_format="pandas"
+    from arlas_proc_ray.stages.keyed import staged_partition_apply
+
+    pairs = staged_partition_apply(
+        probes,
+        num_partitions=num_partitions,
+        fn=probe_fold,
+        empty_result=_empty_pairs_arrow(),
     ).materialize()
     if pairs.count() == 0:
         return rd.from_arrow(
@@ -458,7 +462,9 @@ def epoch_near_duplicates(
             .drop_duplicates(subset=["doc_a", "doc_b"])
             .reset_index(drop=True)
         )
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return pa.Table.from_pandas(
+            pdf, preserve_index=False
+        ).replace_schema_metadata(None)
 
     pairs = rd.from_arrow_refs([_dedup_pairs.remote(*pairs.to_arrow_refs())])
 

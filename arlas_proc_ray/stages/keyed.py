@@ -233,10 +233,13 @@ def _staged_keyed_map(ds, *, keys, order_col, fns, num_partitions, presorted):
             pdf = f(pdf)
         if isinstance(pdf, pa.Table):
             return pdf
+        # strip the b'pandas' schema metadata: a metadata-carrying schema
+        # is UNHASHABLE, which defeats Ray's schema dedup in every
+        # downstream shuffle (one warning per block)
         return pa.Table.from_pandas(
             restore_object_cols(pdf.reset_index(drop=True), pdf.columns),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     split_out = [split.remote(ref) for ref in block_refs]
     out_refs = [
@@ -246,6 +249,102 @@ def _staged_keyed_map(ds, *, keys, order_col, fns, num_partitions, presorted):
         for p in range(P)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def staged_partition_apply(
+    ds,
+    *,
+    num_partitions: int,
+    fn: Callable[[int, pd.DataFrame], pd.DataFrame | pa.Table],
+    empty_result: pa.Table | None = None,
+    part_col: str = "_part",
+):
+    """Two-phase raw-task exchange on a PRECOMPUTED partition-id column.
+
+    The caller has already routed every row (an int32 ``part_col`` in
+    [0, num_partitions)); all that remains is a fixed-fan-out exchange —
+    no ordering, no sampling — so the Dataset sort-groupby's machinery
+    is pure overhead (measured ~1.4 s to route 1200 rows to 8
+    partitions). One split task per resident block (ONE argsort +
+    per-partition ``take()``, NOT ``slice()`` — a pyarrow slice pickles
+    the whole parent buffer), one gather task per partition running
+    ``fn(p, pdf)``.
+
+    ``empty_result``: when given, gathers whose partition received zero
+    rows return it WITHOUT calling ``fn`` — the incremental contract
+    (untouched partitions cost nothing). When ``None``, ``fn`` runs for
+    every partition, zero-row input included (bootstrap: every partition
+    must come into existence).
+
+    Returns a Dataset with one block per partition. ``fn`` results must
+    share one schema; pandas results are converted (metadata-stripped).
+    """
+    import ray
+    import ray.data as rd
+
+    P = num_partitions
+    mat = ds.materialize()
+    # drop 0-row blocks from metadata alone — Ray 2.49 passes empty
+    # blocks through map stages with a stale upstream schema (the
+    # RefBundle artifact); routing one through split would KeyError on
+    # the part column.
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                block_refs.append(ref)
+
+    def _to_table(res) -> pa.Table:
+        if isinstance(res, pa.Table):
+            return res
+        return pa.Table.from_pandas(
+            res.reset_index(drop=True), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    if not block_refs:
+        if empty_result is not None:
+            return rd.from_arrow(empty_result)
+
+        @ray.remote
+        def run_empty(p: int) -> pa.Table:
+            return _to_table(fn(p, None))
+
+        return rd.from_arrow_refs([run_empty.remote(p) for p in range(P)])
+
+    @ray.remote(num_returns=P)
+    def split(block):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(
+                block, preserve_index=False
+            ).replace_schema_metadata(None)
+        block = block.combine_chunks()
+        pids = np.asarray(block.column(part_col).to_numpy(), np.int64)
+        order = np.argsort(pids, kind="stable")
+        bounds = np.searchsorted(pids[order], np.arange(P + 1))
+        parts = [
+            block.take(pa.array(order[bounds[p]: bounds[p + 1]]))
+            for p in range(P)
+        ]
+        return tuple(parts) if P > 1 else parts[0]
+
+    @ray.remote
+    def gather(p: int, *slices: pa.Table):
+        live = [s for s in slices if s.num_rows]
+        if not live and empty_result is not None:
+            return empty_result
+        pdf = (
+            pa.concat_tables(live, promote_options="default").to_pandas()
+            if live else None
+        )
+        return _to_table(fn(p, pdf))
+
+    split_out = [split.remote(ref) for ref in block_refs]
+    return rd.from_arrow_refs([
+        gather.remote(
+            p, *([s[p] for s in split_out] if P > 1 else split_out)
+        )
+        for p in range(P)
+    ])
 
 
 # ---------------------------------------------------------------------------
