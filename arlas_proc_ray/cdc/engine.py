@@ -46,7 +46,6 @@ from arlas_proc_ray.cdc.replay import (
     add_partition_stage,
     finalize_partition_table,
     lww_reduce_table,
-    normalize_stage,
 )
 from arlas_proc_ray.cdc.snapshot import SnapshotStore
 from arlas_proc_ray.model import DataModel
@@ -110,6 +109,8 @@ class CdcEngine:
         cluster_zorder: list[str] | None = None,
         row_group_rows: int | None = None,
         compression: str = "snappy",
+        constraints: dict | None = None,
+        on_violation: str = "fail",
     ):
         self.dm = dm or DataModel()
         # blooms over the key columns: == point lookups prune partitions
@@ -127,8 +128,54 @@ class CdcEngine:
         )
         self.registry = registry or default_registry()
         self.fault_hook = fault_hook
+        # table constraints (cdc/constraints.py): persisted with the
+        # store on first declaration so every writer — resumed runs,
+        # other engines on the same table — enforces the same contract
+        from arlas_proc_ray.cdc.constraints import (
+            resolve_constraints,
+            validate_spec,
+        )
+
+        if on_violation not in ("fail", "dead_letter"):
+            raise ValueError(f"unknown on_violation: {on_violation!r}")
+        self.on_violation = on_violation
+        self.constraints = resolve_constraints(self.store, constraints)
+        if self.constraints:
+            validate_spec(self.constraints, self.registry.latest_schema)
 
     # ------------------------------------------------------------------
+
+    def _ingest_fn(self, epoch: int, dead_letter_dir: str | None):
+        """The canonical per-batch ingest head, shared by the Dataset and
+        both staged paths: structural validity (DLQ) or plain schema
+        alignment, then table-constraint enforcement
+        (cdc/constraints.py)."""
+        from arlas_proc_ray.cdc.replay import (
+            make_align_fn,
+            make_dead_letter_fn,
+        )
+
+        if dead_letter_dir is not None:
+            base = make_dead_letter_fn(
+                self.registry, self.dm, dead_letter_dir, epoch
+            )
+        else:
+            base = make_align_fn(self.registry)
+        if not self.constraints:
+            return base
+        from arlas_proc_ray.cdc.constraints import make_constraint_fn
+
+        check = make_constraint_fn(
+            self.constraints,
+            on_violation=self.on_violation,
+            dead_letter_dir=dead_letter_dir,
+            epoch=epoch,
+        )
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return check(base(batch))
+
+        return fn
 
     def apply_epoch(
         self,
@@ -166,19 +213,13 @@ class CdcEngine:
             store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
         )
 
-        if dead_letter_dir is not None:
-            # quarantine invalid rows instead of failing the epoch; the
-            # sink is content-addressed so task retries/resume re-runs
-            # rewrite identical files (see replay.make_dead_letter_fn)
-            from arlas_proc_ray.cdc.replay import make_dead_letter_fn
-
-            ds = events_ds.map_batches(
-                make_dead_letter_fn(self.registry, dm, dead_letter_dir, epoch),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-        else:
-            ds = normalize_stage(events_ds, self.registry)
+        # structural validity (DLQ) or plain alignment, then table
+        # constraints — one shared head (see _ingest_fn)
+        ds = events_ds.map_batches(
+            self._ingest_fn(epoch, dead_letter_dir),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
         ds = ds.map_batches(
             lambda t: lww_reduce_table(t, dm.key_cols, dm.order_col),
             batch_format="pyarrow",

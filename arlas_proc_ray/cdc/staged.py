@@ -39,7 +39,6 @@ from arlas_proc_ray.cdc.events import FINAL_STATE_SCHEMA
 from arlas_proc_ray.cdc.replay import (
     finalize_partition_table,
     lww_reduce_table,
-    make_align_fn,
 )
 from arlas_proc_ray.functions.hashing import partition_ids
 from arlas_proc_ray.model import DataModel
@@ -74,12 +73,9 @@ def staged_apply_epoch(engine, events_ds, epoch: int, *, dead_letter_dir: str | 
     check_committed_fanout(store, dm, prev_epoch)
     prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
-    if dead_letter_dir is not None:
-        from arlas_proc_ray.cdc.replay import make_dead_letter_fn
-
-        align = make_dead_letter_fn(engine.registry, dm, dead_letter_dir, epoch)
-    else:
-        align = make_align_fn(engine.registry)
+    # shared ingest head: structural validity (DLQ) or alignment, then
+    # table-constraint enforcement (engine._ingest_fn / cdc/constraints.py)
+    align = engine._ingest_fn(epoch, dead_letter_dir)
     P = dm.num_partitions
 
     @ray.remote(num_returns=P)
@@ -185,12 +181,9 @@ def staged_apply_epoch_two_level(
     check_committed_fanout(store, dm, prev_epoch)
     prev_sources = store.resolve_sources(prev_epoch) if prev_epoch is not None else {}
 
-    if dead_letter_dir is not None:
-        from arlas_proc_ray.cdc.replay import make_dead_letter_fn
-
-        align = make_dead_letter_fn(engine.registry, dm, dead_letter_dir, epoch)
-    else:
-        align = make_align_fn(engine.registry)
+    # shared ingest head: structural validity (DLQ) or alignment, then
+    # table-constraint enforcement (engine._ingest_fn / cdc/constraints.py)
+    align = engine._ingest_fn(epoch, dead_letter_dir)
     P = dm.num_partitions
     G = groups or max(1, int(math.isqrt(P)))
     G = min(G, P)

@@ -1413,7 +1413,9 @@ def q_incremental_feed(sf_dir: str):
         shutil.rmtree(snap, ignore_errors=True)
 
 
-def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
+def _events_engine_snapshot(
+    sf_dir: str, snap: str, apply_kwargs: dict | None = None, **engine_kwargs
+):
     """Build the deterministic events-derived CdcEngine snapshot used by
     ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``.
 
@@ -1462,8 +1464,9 @@ def _events_engine_snapshot(sf_dir: str, snap: str, **engine_kwargs):
     ).materialize()
     mid = int(changelog.max("lsn") or 0) // 2
     eng = CdcEngine(snap, DataModel(num_partitions=NP), **engine_kwargs)
-    eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1)
-    eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2)
+    ak = apply_kwargs or {}
+    eng.apply_epoch(changelog.filter(expr=f"lsn <= {mid}"), 1, **ak)
+    eng.apply_epoch(changelog.filter(expr=f"lsn > {mid}"), 2, **ak)
     return eng, mid
 
 
@@ -6419,4 +6422,62 @@ ORACLE_SQL["distinct_view"] = """
            CAST(count(DISTINCT sha256(content)) AS BIGINT) AS n_distinct
     FROM last WHERE rn = 1 AND op <> 'DELETE'
     GROUP BY path
+"""
+
+
+def q_constraint_filtered_state(sf_dir: str):
+    """Declarative table constraints at ingest (cdc/constraints.py): the
+    events-derived engine snapshot with CHECK path <> 'error' declared on
+    the table and on_violation='dead_letter' — violating upserts
+    quarantine (reason check:<name>) and the epochs commit WITHOUT them.
+    DELETE events are exempt (a tombstone carries no payload contract),
+    so a delete of a key whose path is 'error' still applies. Hash-exact
+    against the SQL LWW state over the stream with the violating upserts
+    removed up front."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="constraint_state_")
+    dlq = tempfile.mkdtemp(prefix="constraint_dlq_")
+    try:
+        eng, _ = _events_engine_snapshot(
+            sf_dir, snap,
+            constraints={"no_error_path": [("path", "!=", "error")]},
+            on_violation="dead_letter",
+            apply_kwargs={"dead_letter_dir": dlq},
+        )
+        from arlas_proc_ray.cdc.replay import read_dead_letters
+
+        dl = read_dead_letters(dlq)
+        assert dl.num_rows > 0  # the fixture must actually exercise it
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(dlq, ignore_errors=True)
+
+
+QUERIES["constraint_filtered_state"] = q_constraint_filtered_state
+
+ORACLE_SQL["constraint_filtered_state"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS language,
+             props AS content
+      FROM events),
+    kept AS (  -- CHECK path <> 'error': violating UPSERTS removed up front
+      SELECT * FROM ch WHERE NOT (op <> 'DELETE' AND path = 'error')),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM kept)
+    SELECT repo, path, commit_id AS "commit", language, content,
+           CAST(length(content) AS BIGINT) AS content_size,
+           sha256(content) AS content_sha256,
+           lsn AS last_lsn
+    FROM last WHERE rn = 1 AND op <> 'DELETE'
 """
