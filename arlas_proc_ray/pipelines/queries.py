@@ -6481,3 +6481,42 @@ ORACLE_SQL["constraint_filtered_state"] = """
            lsn AS last_lsn
     FROM last WHERE rn = 1 AND op <> 'DELETE'
 """
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic domain-mixture sampling (stages/sampling.py
+    mixture_sample): resample documents to a 50/20/15/10/5 lang mixture
+    — the largest total reachable without upsampling any domain — via
+    per-domain sha256-bucket acceptance thresholds. Pure integer
+    arithmetic end to end, so the SQL oracle reproduces the exact row
+    set (hash parity), and the sample is stable under repartitioning or
+    cluster resize."""
+    from arlas_proc_ray.stages.sampling import mixture_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    return mixture_sample(
+        ds, domain_col="lang", key_col="doc_id",
+        weights={"en": 50, "fr": 20, "de": 15, "es": 10, "zh": 5},
+    )
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+
+ORACLE_SQL["mixture_sample"] = """
+    WITH w(domain, wt) AS (VALUES ('en', 50), ('fr', 20), ('de', 15),
+                                  ('es', 10), ('zh', 5)),
+    mass AS (SELECT lang AS domain, count(*) AS m
+             FROM documents GROUP BY lang),
+    b AS (SELECT min((m * 100) // wt) AS B
+          FROM mass JOIN w USING (domain)),
+    thr AS (SELECT domain, (wt * B * 1000000) // (100 * m) AS t
+            FROM mass JOIN w USING (domain) CROSS JOIN b),
+    docs AS (SELECT doc_id, lang,
+                    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+                                        1, 15) AS BIGINT)
+                      % 1000000 AS bucket
+             FROM documents)
+    SELECT d.doc_id, d.lang
+    FROM docs d JOIN thr ON thr.domain = d.lang
+    WHERE d.bucket < thr.t
+"""

@@ -67,6 +67,132 @@ def deterministic_sample(ds, *, key_col: str, keep_permille: int):
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
+def mixture_plan(
+    ds,
+    *,
+    domain_col: str,
+    weights: dict,
+    size_col: str | None = None,
+    budget: int | None = None,
+    bucket_mod: int = 1_000_000,
+) -> dict:
+    """Plan a deterministic domain-mixture sample (DoReMi-style static
+    data mixing): per-domain acceptance thresholds hitting target
+    proportions ``weights`` (INTEGER parts — e.g. {'en': 50, 'fr': 20} —
+    so the whole plan is exact integer arithmetic, bit-reproducible in
+    SQL; float weights would 1-ULP-diverge between kernels).
+
+    One combiner-first pass computes per-domain available mass (row
+    count, or ``sum(size_col)`` for token-weighted mixing); the driver
+    then solves for the largest total ``B`` ≤ ``budget`` reachable
+    WITHOUT upsampling any domain and the per-domain thresholds
+
+        thr_d = (w_d * B * bucket_mod) // (W * m_d)
+
+    A row of domain d survives iff ``sha256(key) % bucket_mod < thr_d``
+    — stateless, stable under repartitioning/cluster resize, auditable
+    in SQL. Domains absent from ``weights`` are dropped; a weighted
+    domain with zero mass is a loud error (its share is unmeetable).
+    """
+    if not weights or any(
+        (not isinstance(w, (int, np.integer))) or w < 0
+        for w in weights.values()
+    ):
+        raise ValueError("weights must be non-negative INTEGER parts")
+    W = int(sum(weights.values()))
+    if W <= 0:
+        raise ValueError("weights sum to zero")
+
+    cols = [domain_col] + ([size_col] if size_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if size_col is None:
+            vc = pc.value_counts(
+                batch.column(domain_col).combine_chunks()
+            )
+            return pa.table(
+                {"domain": vc.field("values"),
+                 "m": pc.cast(vc.field("counts"), pa.int64())}
+            )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "domain": batch.column(domain_col).to_pandas(),
+                    "m": batch.column(size_col).to_pandas(),
+                }
+            )
+            .groupby("domain", sort=False)["m"].sum().reset_index()
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # ≤ #domains rows per batch — tiny by construction
+    )
+    mass = {
+        str(d): int(m)
+        for d, m in partials.groupby("domain")["m"].sum().items()
+    }
+    for d, w in weights.items():
+        if w > 0 and mass.get(str(d), 0) <= 0:
+            raise ValueError(
+                f"domain {d!r} has weight {w} but no mass in the input"
+            )
+    b_max = min(
+        (mass[str(d)] * W) // int(w)
+        for d, w in weights.items() if w > 0
+    )
+    B = b_max if budget is None else min(int(budget), b_max)
+    thresholds = {
+        str(d): (int(w) * B * bucket_mod) // (W * mass[str(d)])
+        for d, w in weights.items() if w > 0
+    }
+    return {
+        "mass": mass, "total": B, "thresholds": thresholds,
+        "bucket_mod": bucket_mod, "weight_sum": W,
+    }
+
+
+def mixture_sample(
+    ds,
+    *,
+    domain_col: str,
+    key_col: str,
+    weights: dict,
+    size_col: str | None = None,
+    budget: int | None = None,
+    bucket_mod: int = 1_000_000,
+    plan: dict | None = None,
+):
+    """Filter ``ds`` to the deterministic domain mixture (see
+    ``mixture_plan``; pass a precomputed ``plan`` to skip the mass
+    pass, e.g. when sampling several column subsets of one corpus)."""
+    import pandas as pd
+
+    if plan is None:
+        plan = mixture_plan(
+            ds, domain_col=domain_col, weights=weights,
+            size_col=size_col, budget=budget, bucket_mod=bucket_mod,
+        )
+    thr = plan["thresholds"]
+    mod = plan["bucket_mod"]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = hash_buckets(batch.column(key_col), mod=mod)
+        t = (
+            pd.Series(batch.column(domain_col).to_pandas(), dtype=object)
+            .map(thr).fillna(0).to_numpy(np.int64)
+        )
+        return batch.filter(pa.array(b < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def stratified_sample(
     ds,
     *,

@@ -267,3 +267,73 @@ def test_training_shuffle_epochs_differ(ray_session):
     assert sorted(e1["shuffle_pos"]) == list(range(1, 501))
     pd.testing.assert_frame_equal(e1, e1b)  # reproducible
     assert (e1["shuffle_pos"] != e2["shuffle_pos"]).mean() > 0.99  # distinct
+
+
+def _mix_corpus(n=4000):
+    rng = np.random.default_rng(7)
+    domains = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1])
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "dom": domains,
+            "toks": rng.integers(1, 100, size=n),
+        }
+    )
+
+
+def test_mixture_sample_hits_proportions(ray_session):
+    from arlas_proc_ray.stages.sampling import mixture_plan, mixture_sample
+
+    pdf = _mix_corpus()
+    ds = rd.from_pandas(pdf)
+    weights = {"a": 40, "b": 40, "c": 20}
+    plan = mixture_plan(ds, domain_col="dom", weights=weights)
+    # binding domain is the scarcest relative to its share (c here)
+    mass_c = int((pdf["dom"] == "c").sum())
+    assert plan["total"] == mass_c * 100 // 20
+    out = mixture_sample(
+        ds, domain_col="dom", key_col="doc_id", weights=weights, plan=plan
+    ).to_pandas()
+    got = out["dom"].value_counts(normalize=True)
+    # hash-binomial acceptance: proportions approximate, not exact
+    assert abs(got["a"] - 0.4) < 0.05
+    assert abs(got["b"] - 0.4) < 0.05
+    assert abs(got["c"] - 0.2) < 0.05
+    # the binding domain is kept (near-)whole: threshold = bucket_mod
+    assert plan["thresholds"]["c"] == plan["bucket_mod"]
+
+
+def test_mixture_sample_budget_and_determinism(ray_session):
+    from arlas_proc_ray.stages.sampling import mixture_sample
+
+    pdf = _mix_corpus()
+    weights = {"a": 50, "b": 50}
+    a = mixture_sample(
+        rd.from_pandas(pdf), domain_col="dom", key_col="doc_id",
+        weights=weights, budget=500,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # repartition-invariant: same rows from a differently-blocked input
+    b = mixture_sample(
+        rd.from_pandas(pdf).repartition(13), domain_col="dom",
+        key_col="doc_id", weights=weights, budget=500,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert abs(len(a) - 500) < 100  # hash-binomial around the budget
+    assert set(a["dom"]) == {"a", "b"}  # unweighted domain dropped
+
+
+def test_mixture_sample_token_weighted_and_errors(ray_session):
+    import pytest
+
+    from arlas_proc_ray.stages.sampling import mixture_plan
+
+    pdf = _mix_corpus()
+    ds = rd.from_pandas(pdf)
+    plan = mixture_plan(
+        ds, domain_col="dom", weights={"a": 1, "b": 1}, size_col="toks"
+    )
+    assert plan["mass"]["a"] == int(pdf.loc[pdf["dom"] == "a", "toks"].sum())
+    with pytest.raises(ValueError, match="no mass"):
+        mixture_plan(ds, domain_col="dom", weights={"zzz": 1})
+    with pytest.raises(ValueError, match="INTEGER"):
+        mixture_plan(ds, domain_col="dom", weights={"a": 0.5})
