@@ -27,6 +27,13 @@ Usage (each command owns the Ray session; on a cluster, submit with
     python -m arlas_proc_ray.jobs merge --snapshot /s --source src.parquet
     python -m arlas_proc_ray.jobs clone --snapshot /s --dest /backup
 
+    # declare table constraints at ingest (persisted with the store);
+    # inspect or explicitly update the contract later
+    python -m arlas_proc_ray.jobs replay … \
+        --check no_md:language:!=:md --on-violation dead_letter \
+        --dead-letter-dir /data/dlq
+    python -m arlas_proc_ray.jobs constraints --snapshot /s
+
     # introspection: manifest-only stats, ad-hoc SQL, views, GC
     python -m arlas_proc_ray.jobs stats --snapshot /s
     python -m arlas_proc_ray.jobs sql --snapshot /s --query "SELECT count(*) FROM snapshot"
@@ -63,6 +70,33 @@ def _ray_session(num_cpus: int | None):
         _OWNS_SESSION = True
 
 
+def _parse_checks(specs) -> dict | None:
+    """``--check name:col:op[:value]`` clauses → a constraints dict
+    (cdc/constraints.py). Repeated names AND together; ``in`` values are
+    ``|``-separated; numeric-looking values become int/float."""
+    out: dict = {}
+    for s in specs or []:
+        parts = s.split(":", 3)
+        if len(parts) < 3:
+            raise SystemExit(
+                f"bad --check {s!r}: expected name:col:op[:value]"
+            )
+        name, col, op = parts[:3]
+        val = parts[3] if len(parts) > 3 else None
+        if op == "in":
+            val = (val or "").split("|")
+        elif val is not None:
+            for cast in (int, float):
+                try:
+                    val = cast(val)
+                    break
+                except ValueError:
+                    pass
+        clause = (col, op) if val is None else (col, op, val)
+        out.setdefault(name, []).append(clause)
+    return out or None
+
+
 def cmd_replay(args) -> dict:
     from arlas_proc_ray.cdc.engine import CdcEngine
     from arlas_proc_ray.model import DataModel
@@ -70,7 +104,11 @@ def cmd_replay(args) -> dict:
 
     _ray_session(args.num_cpus)
     dm = DataModel(num_partitions=args.partitions)
-    engine = CdcEngine(args.snapshot, dm)
+    engine = CdcEngine(
+        args.snapshot, dm,
+        constraints=_parse_checks(getattr(args, "check", None)),
+        on_violation=getattr(args, "on_violation", "fail"),
+    )
     # job-level idempotence: a retried/resubmitted job whose epoch already
     # COMMITTED is a successful no-op (the engine rejects re-applying a
     # committed epoch; partial epochs resume via the manifest fence)
@@ -101,7 +139,11 @@ def cmd_tail_dir(args) -> dict:
     from arlas_proc_ray.model import DataModel
 
     _ray_session(args.num_cpus)
-    engine = CdcEngine(args.snapshot, DataModel(num_partitions=args.partitions))
+    engine = CdcEngine(
+        args.snapshot, DataModel(num_partitions=args.partitions),
+        constraints=_parse_checks(getattr(args, "check", None)),
+        on_violation=getattr(args, "on_violation", "fail"),
+    )
     tailer = SegmentTailer(
         engine, args.segments, fmt=args.format,
         dead_letter_dir=args.dead_letter_dir,
@@ -299,6 +341,31 @@ def cmd_gc(args) -> dict:
     return SnapshotStore(args.snapshot).gc_orphans(
         min_age_s=args.min_age, dry_run=args.dry_run
     )
+
+
+def cmd_constraints(args) -> dict:
+    """Show the persisted constraint set, or replace it explicitly
+    (``--set --check …`` — the loud contract-update path; ingest-time
+    declarations that DISAGREE with the persisted set are rejected)."""
+    from arlas_proc_ray.cdc.constraints import (
+        load_constraints,
+        save_constraints,
+    )
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    store = SnapshotStore(args.snapshot)
+    if args.set:
+        checks = _parse_checks(args.check)
+        if not checks:
+            raise SystemExit("constraints --set needs at least one --check")
+        save_constraints(store, checks)
+    current = load_constraints(store)
+    return {
+        "constraints": {
+            name: [list(c) for c in clauses]
+            for name, clauses in (current or {}).items()
+        }
+    }
 
 
 def cmd_stats(args) -> dict:
@@ -621,6 +688,13 @@ def main(argv=None) -> int:
     r.add_argument("--partitions", type=int, default=64)
     r.add_argument("--staged", action="store_true")
     r.add_argument("--delta", action="store_true")
+    r.add_argument("--check", action="append", default=None,
+                   metavar="NAME:COL:OP[:VALUE]",
+                   help="declare a table constraint (repeatable; ops "
+                        "== != < <= > >= in not_null; in values are "
+                        "|-separated)")
+    r.add_argument("--on-violation", default="fail",
+                   choices=["fail", "dead_letter"])
     r.add_argument("--dead-letter-dir", default=None,
                    help="quarantine invalid rows here instead of failing")
     r.add_argument("--num-cpus", type=int, default=None)
@@ -712,10 +786,26 @@ def main(argv=None) -> int:
     td.add_argument("--snapshot", required=True)
     td.add_argument("--partitions", type=int, default=16)
     td.add_argument("--format", choices=["jsonl", "parquet"], default="jsonl")
+    td.add_argument("--check", action="append", default=None,
+                    metavar="NAME:COL:OP[:VALUE]",
+                    help="declare a table constraint (repeatable)")
+    td.add_argument("--on-violation", default="fail",
+                    choices=["fail", "dead_letter"])
     td.add_argument("--dead-letter-dir", default=None)
     td.add_argument("--once", action="store_true", help="one poll instead of until-idle")
     td.add_argument("--num-cpus", type=int, default=None)
     td.set_defaults(fn=cmd_tail_dir)
+
+    ck = sub.add_parser(
+        "constraints", help="show or update the table's constraint set"
+    )
+    ck.add_argument("--snapshot", required=True)
+    ck.add_argument("--set", action="store_true",
+                    help="with --check: REPLACE the persisted set "
+                         "(explicit contract update)")
+    ck.add_argument("--check", action="append", default=None,
+                    metavar="NAME:COL:OP[:VALUE]")
+    ck.set_defaults(fn=cmd_constraints)
 
     cl = sub.add_parser("clone", help="copy a committed epoch/ref to a new store")
     cl.add_argument("--snapshot", required=True, help="source store root")

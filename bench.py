@@ -190,6 +190,8 @@ def run_bench() -> dict:
         "incremental_ann_search",
         "secondary_lookup",
         "incremental_join_view",
+        "constraint_filtered_state",
+        "mixture_sample",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):

@@ -227,3 +227,46 @@ def test_jobs_cli_purge_where(tmp_path, capsys):
     ]) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[-1]["noop"] and eng.store.latest_committed_epoch() == tip
+
+
+def test_jobs_cli_constraints(tmp_path, capsys):
+    """--check declares a table constraint at ingest; the persisted set
+    binds later writers; `jobs constraints` shows and updates it."""
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    dlq = str(tmp_path / "dlq")
+
+    assert main(["synthesize", "--out", log, "--events", "3000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+        "--check", "no_md:language:!=:md",
+        "--on-violation", "dead_letter", "--dead-letter-dir", dlq,
+    ]) == 0
+    assert main(["constraints", "--snapshot", snap]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["constraints"] == {"no_md": [["language", "!=", "md"]]}
+    # the committed state contains no banned rows, the DLQ does
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.replay import read_dead_letters
+    from arlas_proc_ray.model import DataModel
+
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    state = eng.final_state().to_pandas()
+    assert (state["language"] != "md").all()
+    assert read_dead_letters(dlq).num_rows > 0
+
+    # explicit contract update via the CLI
+    assert main([
+        "constraints", "--snapshot", snap, "--set",
+        "--check", "no_md:language:!=:md",
+        "--check", "content_set:content:not_null",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["constraints"]["content_set"] == [
+        ["content", "not_null", None]
+    ]
