@@ -41,6 +41,12 @@ class CurationConfig:
     max_perplexity: float | None = None
     lm_vocab_size: int = 30_000
     lm_k: float = 0.5
+    # domain-mixture resampling (stages/sampling.py mixture_sample):
+    # None disables. Runs LAST (over dedup survivors) so the mixture is
+    # computed on what actually ships; token-weighted by n_tokens.
+    mixture_weights: dict | None = None
+    mixture_domain_col: str = "lang_pred"
+    mixture_budget: int | None = None  # target tokens; None = max feasible
 
 
 def quality_filter_expr(table: pa.Table, cfg: CurationConfig) -> pa.Table:
@@ -133,4 +139,28 @@ def curate_documents(ds, cfg: CurationConfig | None = None):
     stats["dup_clusters"] = dedup_stats["clusters"]
     stats["surviving_docs"] = survivors.count()
     stats["surviving_tokens"] = int(survivors.sum("n_tokens") or 0)
+
+    if cfg.mixture_weights is not None:
+        from arlas_proc_ray.stages.sampling import (
+            mixture_plan,
+            mixture_sample,
+        )
+
+        plan = mixture_plan(
+            survivors,
+            domain_col=cfg.mixture_domain_col,
+            weights=cfg.mixture_weights,
+            size_col="n_tokens",
+            budget=cfg.mixture_budget,
+        )
+        survivors = mixture_sample(
+            survivors,
+            domain_col=cfg.mixture_domain_col,
+            key_col=cfg.id_col,
+            weights=cfg.mixture_weights,
+            plan=plan,
+        ).materialize()
+        stats["mixture_target_tokens"] = plan["total"]
+        stats["mixture_docs"] = survivors.count()
+        stats["mixture_tokens"] = int(survivors.sum("n_tokens") or 0)
     return survivors, stats

@@ -115,3 +115,41 @@ def test_curation_with_perplexity_gate():
     # stage count rather than re-deriving it)
     assert stats["after_perplexity"] <= stats["after_language"]
     assert survivors.count() == stats["surviving_docs"]
+
+
+def test_curation_with_mixture_stage():
+    """mixture_weights: a token-weighted domain-mixture resample runs
+    LAST (over dedup survivors); the result is a deterministic subset of
+    the unmixed survivors with the target mixture's token shares."""
+    import ray.data as rd
+
+    from arlas_proc_ray.pipelines.curation import (
+        CurationConfig,
+        curate_documents,
+    )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    base_cfg = dict(
+        min_tokens=5, max_punct_ratio=0.3, min_mean_token_len=2.0,
+        languages=("en", "fr", "unknown"),
+        jaccard_threshold=0.5, num_partitions=4,
+    )
+    plain, _ = curate_documents(ds, CurationConfig(**base_cfg))
+    mixed, stats = curate_documents(
+        ds,
+        CurationConfig(**base_cfg,
+                       mixture_weights={"en": 70, "unknown": 30}),
+    )
+    p = plain.to_pandas()
+    m = mixed.to_pandas()
+    assert set(m["doc_id"]) <= set(p["doc_id"])  # subset of survivors
+    assert set(m["lang_pred"]) <= {"en", "unknown"}  # unweighted drop
+    assert stats["mixture_docs"] == len(m)
+    assert stats["mixture_tokens"] == int(m["n_tokens"].sum())
+    assert stats["mixture_tokens"] <= stats["surviving_tokens"]
+    # token shares near 70/30 (hash-binomial acceptance)
+    shares = m.groupby("lang_pred")["n_tokens"].sum() / m["n_tokens"].sum()
+    assert abs(shares.get("en", 0) - 0.7) < 0.2
+    assert abs(shares.get("unknown", 0) - 0.3) < 0.2
