@@ -573,3 +573,69 @@ def refresh_distinct_view(
     out = restore_object_cols(out, group_cols)
     out = out.sort_values(group_cols, kind="stable").reset_index(drop=True)
     return {**r, "pair_state": pairs, "state": out}
+
+
+def refresh_topk_view(
+    store: SnapshotStore,
+    *,
+    view_id: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int,
+    key_cols: Sequence[str] = ("repo", "path"),
+    epoch: int | str | None = None,
+    full: bool = False,
+) -> dict:
+    """Exact incremental per-group top-``k`` heavy hitters of
+    ``value_col`` by live-row count.
+
+    Same composition as ``refresh_distinct_view``: the maintained state
+    is the (group…, value) live-row-count pair view — delta propagation
+    keeps every pair's count exact through I/U/D and group/value moves,
+    and retractions just work (the failure mode that forces approximate
+    top-k sketches like SpaceSaving to over-report) — and the top-k is
+    a rollup of that state: per group, the ``k`` values with the
+    largest counts, ties broken by ascending value bytes so the result
+    is deterministic and SQL-reproducible
+    (``row_number() OVER (PARTITION BY g ORDER BY n DESC, v) <= k``).
+
+    Returns the ``refresh_group_view`` dict with ``state`` replaced by
+    ``DataFrame(group_cols + [value_col, "n_live"])`` (≤ k rows per
+    group) and the pair view kept under ``pair_state``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols = list(group_cols)
+    r = refresh_group_view(
+        store,
+        view_id=view_id,
+        group_cols=group_cols + [value_col],
+        key_cols=key_cols,
+        epoch=epoch,
+        full=full,
+    )
+    pairs = r["state"]
+    from arlas_proc_ray.stages.keyed import (
+        byte_exact_group_cols,
+        restore_object_cols,
+    )
+
+    g = byte_exact_group_cols(pairs.copy(), group_cols + [value_col])
+    g = g.sort_values(
+        group_cols + ["n_live", value_col],
+        ascending=[True] * len(group_cols) + [False, True],
+        kind="mergesort",
+    )
+    out = (
+        g.groupby(group_cols, dropna=False, sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out = restore_object_cols(out, group_cols + [value_col])
+    out = out.sort_values(
+        group_cols + ["n_live", value_col],
+        ascending=[True] * len(group_cols) + [False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    out["n_live"] = out["n_live"].astype(np.int64)
+    return {**r, "pair_state": pairs, "state": out}

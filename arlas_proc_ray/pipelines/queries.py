@@ -6520,3 +6520,55 @@ ORACLE_SQL["mixture_sample"] = """
     FROM docs d JOIN thr ON thr.domain = d.lang
     WHERE d.bucket < thr.t
 """
+
+
+def q_topk_view(sf_dir: str):
+    """Incremental per-group TOP-K view (cdc/views.py refresh_topk_view):
+    for each repo of the events-derived snapshot, the 2 languages with
+    the most live paths — maintained as the (repo, language) live-count
+    pair view refreshed by delta propagation across the two epochs,
+    rolled up with a deterministic tie-break (count desc, value asc).
+    Oracle: from-scratch row_number() OVER (… ORDER BY n DESC, v) <= 2
+    on the SQL LWW state."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.views import refresh_topk_view
+
+    snap = tempfile.mkdtemp(prefix="topk_view_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        kw = dict(view_id="tk_repo", group_cols=["repo"],
+                  value_col="language", k=2)
+        refresh_topk_view(eng.store, epoch=1, **kw)
+        r = refresh_topk_view(eng.store, epoch=2, **kw)
+        assert r["mode"] == "incremental"
+        return r["state"]
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["topk_view"] = q_topk_view
+
+ORACLE_SQL["topk_view"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             event_type AS language
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch),
+    counts AS (
+      SELECT repo, language, CAST(count(*) AS BIGINT) AS n_live
+      FROM last WHERE rn = 1 AND op <> 'DELETE'
+      GROUP BY repo, language),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo
+                                   ORDER BY n_live DESC, language) AS rk
+      FROM counts)
+    SELECT repo, language, n_live FROM ranked WHERE rk <= 2
+"""

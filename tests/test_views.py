@@ -473,3 +473,41 @@ def test_jobs_cli_view(tmp_path, capsys, ray_session):
     ]) == 0
     out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[-1]["rows"] > 0 and "n_distinct" in out[-1]["data"][0]
+
+
+def test_topk_view_incremental_with_retraction(tmp_path, ray_session):
+    """refresh_topk_view: the incremental top-k equals the from-scratch
+    top-k at every epoch, including after a retraction knocks the
+    leading value out of a group's top-k (the case approximate top-k
+    sketches get wrong)."""
+    from arlas_proc_ray.cdc.views import refresh_topk_view
+
+    eng = CdcEngine(str(tmp_path / "snap"), DM)
+    # repo g1: lang 'py' leads with 3 paths, 'rs' has 2, 'go' has 1
+    ev1 = pa.concat_tables(
+        [_event(i, repo="g1", path=f"p{i}", lang=l)
+         for i, l in enumerate(["py", "py", "py", "rs", "rs", "go"], 1)]
+    )
+    eng.apply_epoch(rd.from_arrow(ev1), 1)
+    kw = dict(view_id="tk", group_cols=["repo"], value_col="language",
+              k=2)
+    r1 = refresh_topk_view(eng.store, **kw)
+    assert r1["mode"] == "bootstrap"
+    assert list(r1["state"]["language"]) == ["py", "rs"]
+    assert list(r1["state"]["n_live"]) == [3, 2]
+
+    # epoch 2: delete two 'py' paths -> 'py' falls to 1; top-2 becomes
+    # rs(2), go/py tie at 1 broken by value bytes ('go' < 'py')
+    ev2 = pa.concat_tables(
+        [_event(10 + i, repo="g1", path=f"p{i}", op="DELETE")
+         for i in (1, 2)]
+    )
+    eng.apply_epoch(rd.from_arrow(ev2), 2)
+    r2 = refresh_topk_view(eng.store, **kw)
+    assert r2["mode"] == "incremental"
+    assert list(r2["state"]["language"]) == ["rs", "go"]
+    assert list(r2["state"]["n_live"]) == [2, 1]
+
+    # from-scratch rebuild agrees exactly
+    rf = refresh_topk_view(eng.store, full=True, **kw)
+    pd.testing.assert_frame_equal(r2["state"], rf["state"])
