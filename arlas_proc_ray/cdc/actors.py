@@ -35,7 +35,6 @@ from arlas_proc_ray.cdc.replay import (
     PART_COL,
     finalize_partition_table,
     lww_reduce_table,
-    make_align_fn,
 )
 from arlas_proc_ray.cdc.snapshot import SnapshotStore
 from arlas_proc_ray.functions.hashing import partition_ids
@@ -218,10 +217,25 @@ class StreamingCdcEngine:
         compact_rows: int = 100_000,
         spill_bytes: int = 256 * 1024 * 1024,
         combinable: bool = True,
+        constraints: dict | None = None,
+        on_violation: str = "fail",
     ):
         self.dm = dm or DataModel()
         self.store = SnapshotStore(snapshot_dir)
         self.registry = registry or default_registry()
+        # same table-constraint handshake as CdcEngine (persisted set
+        # binds every writer; cdc/constraints.py)
+        from arlas_proc_ray.cdc.constraints import (
+            resolve_constraints,
+            validate_spec,
+        )
+
+        if on_violation not in ("fail", "dead_letter"):
+            raise ValueError(f"unknown on_violation: {on_violation!r}")
+        self.on_violation = on_violation
+        self.constraints = resolve_constraints(self.store, constraints)
+        if self.constraints:
+            validate_spec(self.constraints, self.registry.latest_schema)
         self.actors = [
             MergeActor.remote(
                 p, snapshot_dir, self.dm, compact_rows, spill_bytes, combinable
@@ -234,14 +248,14 @@ class StreamingCdcEngine:
     ) -> dict:
         dm = self.dm
         actors = self.actors
-        if dead_letter_dir is not None:
-            from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+        from arlas_proc_ray.cdc.constraints import make_ingest_head
 
-            align = make_dead_letter_fn(
-                self.registry, dm, dead_letter_dir, epoch
-            )
-        else:
-            align = make_align_fn(self.registry)
+        align = make_ingest_head(
+            self.registry, dm, epoch=epoch,
+            dead_letter_dir=dead_letter_dir,
+            constraints=self.constraints,
+            on_violation=self.on_violation,
+        )
 
         def route(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:  # empty blocks are legal in Ray Data
@@ -316,18 +330,15 @@ class StreamingCdcEngine:
             if start_epoch is not None
             else (self.store.latest_committed_epoch() or 0) + 1
         )
-        if dead_letter_dir is not None:
-            from arlas_proc_ray.cdc.replay import make_dead_letter_fn
+        from arlas_proc_ray.cdc.constraints import make_ingest_head
 
-            def make_align(ep: int):
-                return make_dead_letter_fn(
-                    self.registry, dm, dead_letter_dir, ep
-                )
-        else:
-            _align = make_align_fn(self.registry)
-
-            def make_align(ep: int):
-                return _align
+        def make_align(ep: int):
+            return make_ingest_head(
+                self.registry, dm, epoch=ep,
+                dead_letter_dir=dead_letter_dir,
+                constraints=self.constraints,
+                on_violation=self.on_violation,
+            )
 
         align = make_align(epoch)
         pending = 0

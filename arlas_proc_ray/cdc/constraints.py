@@ -166,6 +166,43 @@ def make_constraint_fn(
     return fn
 
 
+def make_ingest_head(
+    registry,
+    dm,
+    *,
+    epoch: int,
+    dead_letter_dir: str | None,
+    constraints: dict | None,
+    on_violation: str = "fail",
+):
+    """The canonical per-batch ingest head every engine shares:
+    structural validity (DLQ) or plain schema alignment, then
+    table-constraint enforcement. Used by CdcEngine (Dataset + both
+    staged paths) and StreamingCdcEngine (apply_epoch + tail)."""
+    from arlas_proc_ray.cdc.replay import (
+        make_align_fn,
+        make_dead_letter_fn,
+    )
+
+    if dead_letter_dir is not None:
+        base = make_dead_letter_fn(registry, dm, dead_letter_dir, epoch)
+    else:
+        base = make_align_fn(registry)
+    if not constraints:
+        return base
+    check = make_constraint_fn(
+        constraints,
+        on_violation=on_violation,
+        dead_letter_dir=dead_letter_dir,
+        epoch=epoch,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return check(base(batch))
+
+    return fn
+
+
 # ------------------------------------------------------------- persistence
 def _path(store) -> str:
     return os.path.join(store.root, "constraints.json")

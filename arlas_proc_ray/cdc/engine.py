@@ -149,33 +149,16 @@ class CdcEngine:
         """The canonical per-batch ingest head, shared by the Dataset and
         both staged paths: structural validity (DLQ) or plain schema
         alignment, then table-constraint enforcement
-        (cdc/constraints.py)."""
-        from arlas_proc_ray.cdc.replay import (
-            make_align_fn,
-            make_dead_letter_fn,
-        )
+        (cdc/constraints.py:make_ingest_head)."""
+        from arlas_proc_ray.cdc.constraints import make_ingest_head
 
-        if dead_letter_dir is not None:
-            base = make_dead_letter_fn(
-                self.registry, self.dm, dead_letter_dir, epoch
-            )
-        else:
-            base = make_align_fn(self.registry)
-        if not self.constraints:
-            return base
-        from arlas_proc_ray.cdc.constraints import make_constraint_fn
-
-        check = make_constraint_fn(
-            self.constraints,
-            on_violation=self.on_violation,
-            dead_letter_dir=dead_letter_dir,
+        return make_ingest_head(
+            self.registry, self.dm,
             epoch=epoch,
+            dead_letter_dir=dead_letter_dir,
+            constraints=self.constraints,
+            on_violation=self.on_violation,
         )
-
-        def fn(batch: pa.Table) -> pa.Table:
-            return check(base(batch))
-
-        return fn
 
     def apply_epoch(
         self,
