@@ -296,7 +296,18 @@ def cmd_view(args) -> dict:
     if epoch is not None and epoch.lstrip("-").isdigit():
         epoch = int(epoch)
     group_cols = args.group_by.split(",")
-    if args.distinct_value:
+    if getattr(args, "topk", None):
+        from arlas_proc_ray.cdc.views import refresh_topk_view
+
+        if not args.distinct_value:
+            raise SystemExit("--topk needs --distinct-value COL (the "
+                             "ranked value column)")
+        r = refresh_topk_view(
+            store, view_id=args.view_id, group_cols=group_cols,
+            value_col=args.distinct_value, k=args.topk,
+            epoch=epoch, full=args.recompute,
+        )
+    elif args.distinct_value:
         r = refresh_distinct_view(
             store, view_id=args.view_id, group_cols=group_cols,
             value_col=args.distinct_value, epoch=epoch, full=args.recompute,
@@ -841,6 +852,9 @@ def main(argv=None) -> int:
     vw.add_argument("--minmax", default=None, help="comma-separated min/max columns")
     vw.add_argument("--distinct-value", default=None,
                     help="exact COUNT DISTINCT of this column per group")
+    vw.add_argument("--topk", type=int, default=None,
+                    help="with --distinct-value: per-group top-k heavy "
+                         "hitters of that column by live-row count")
     vw.add_argument("--epoch", default=None,
                     help="epoch number or ref name (default: latest committed)")
     vw.add_argument("--recompute", action="store_true",

@@ -270,3 +270,30 @@ def test_jobs_cli_constraints(tmp_path, capsys):
     assert out[-1]["constraints"]["content_set"] == [
         ["content", "not_null", None]
     ]
+
+
+def test_jobs_cli_view_topk(tmp_path, capsys):
+    """jobs view --topk K --distinct-value COL: incremental per-group
+    heavy hitters from the command line."""
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "3000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+    ]) == 0
+    assert main([
+        "view", "--snapshot", snap, "--view-id", "tk",
+        "--group-by", "repo", "--distinct-value", "language",
+        "--topk", "2", "--full",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    r = out[-1]
+    assert r["mode"] == "bootstrap" and r["rows"] > 0
+    per_repo = {}
+    for row in r["data"]:
+        per_repo.setdefault(row["repo"], []).append(row["n_live"])
+    assert all(len(v) <= 2 for v in per_repo.values())
+    assert all(v == sorted(v, reverse=True) for v in per_repo.values())

@@ -513,3 +513,59 @@ def test_group_correlation_partials_merge_exactly(rows, nsplit):
             mine = float(num) / math.sqrt(float(vx) * float(vy))
             ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
             assert abs(mine - ref) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# table-constraint evaluation (cdc/constraints.py): the vectorized
+# violation_reasons must agree with a row-at-a-time SQL-CHECK reference
+# on arbitrary batches — null operands pass comparisons, not_null rejects
+# them, DELETE exempt, PATCH exempt from not_null only, first violated
+# constraint (insertion order) names the reason.
+# --------------------------------------------------------------------------
+
+constraint_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["INSERT", "UPDATE", "DELETE", "PATCH"]),
+        st.one_of(st.none(), st.sampled_from(["py", "md", "rs"])),
+        st.one_of(st.none(), st.integers(-5, 5)),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(constraint_rows)
+@settings(max_examples=60, deadline=None)
+def test_violation_reasons_matches_rowwise_reference(rows):
+    from arlas_proc_ray.cdc.constraints import violation_reasons
+
+    t = pa.table(
+        {
+            "op": pa.array([r[0] for r in rows], pa.string()),
+            "language": pa.array([r[1] for r in rows], pa.string()),
+            "content_size": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    constraints = {
+        "no_md": [("language", "!=", "md")],
+        "size_pos": [("content_size", ">=", 0),
+                     ("content_size", "not_null")],
+    }
+    got = list(violation_reasons(t, constraints))
+
+    def ref(op, lang, size):
+        if op == "DELETE":
+            return None
+        # no_md: strictly false only when lang == 'md' (null passes)
+        if lang is not None and lang == "md":
+            return "check:no_md"
+        # size_pos: conjunction false when size < 0, or size null and
+        # not PATCH (not_null clause; PATCH exempt from not_null)
+        if size is not None and size < 0:
+            return "check:size_pos"
+        if size is None and op != "PATCH":
+            return "check:size_pos"
+        return None
+
+    want = [ref(*r) for r in rows]
+    assert got == want
