@@ -185,7 +185,7 @@ class _VectorIndex(IncrementalPartitionedIndex):
 
         return state_dataset(
             self.store, target, key_cols + [vec_col]
-        ).map_batches(to_rows, batch_format="pandas")
+        ).map_batches(to_rows, batch_format="pandas", batch_size=None)
 
     def feed_deltas(self, base: int, target: int):
         import ray
@@ -247,7 +247,7 @@ class _VectorIndex(IncrementalPartitionedIndex):
                 return empty
             return pd.concat(frames, ignore_index=True)
 
-        return feed.map_batches(feed_to_rows, batch_format="pandas")
+        return feed.map_batches(feed_to_rows, batch_format="pandas", batch_size=None)
 
     def route(self, table: pa.Table) -> np.ndarray:
         b = table.column("bucket").to_numpy(zero_copy_only=False)
@@ -412,7 +412,7 @@ def vector_index_topk(
 
     partials = rd.read_parquet(files).map_batches(
         score, batch_format="pyarrow"
-    ).to_pandas()
+    , batch_size=None).to_pandas()
     if not len(partials):
         return partials
     # final per-query reduce on ≤ (parts × queries × k) rows — tiny

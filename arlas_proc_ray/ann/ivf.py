@@ -139,7 +139,7 @@ def ivf_topk(
             scorer = cache["s"] = IvfScorer()
         return scorer(batch)
 
-    partials = ds.map_batches(score, batch_format="pyarrow")
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
     return _merge_topk_partials(partials, k)
 
 

@@ -91,7 +91,7 @@ def distributed_kmeans(
                 )
             return pd.DataFrame(rows)
 
-        parts = vecs.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = vecs.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
         new = centroids.copy()
         for cid, grp in parts.groupby("cluster"):
             s = np.zeros(d)
@@ -113,7 +113,7 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
         pdf[target] = np.argmax(x @ c.T, axis=1).astype(np.int64)
         return pdf
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pandas", batch_size=None)
 
 
 def semdedup(

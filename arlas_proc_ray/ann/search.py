@@ -93,7 +93,7 @@ def brute_force_topk(
             scorer = cache["s"] = BatchScorer(queries_ref, k, id_col, vec_col)
         return scorer(batch)
 
-    partials = ds.map_batches(score, batch_format="pyarrow")
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
     return _merge_topk_partials(partials, k)
 
 
@@ -201,5 +201,5 @@ def lsh_bucketed_topk(
             scorer = cache["s"] = BucketScorer()
         return scorer(batch)
 
-    partials = ds.map_batches(score, batch_format="pyarrow")
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
     return _merge_topk_partials(partials, k)

@@ -283,7 +283,7 @@ class IncrementalPartitionedIndex:
                 "_part", pa.array(np.asarray(pid, np.int32), pa.int32())
             )
 
-        deltas = deltas.map_batches(add_part, batch_format="pyarrow")
+        deltas = deltas.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         sources = dict(ckpt["sources"]) if ckpt else {}
         row_cols = [f.name for f in self.schema]
         id_tmp = [f"_id_{c}" for c in self.identity_cols]

@@ -171,7 +171,7 @@ class _JoinView(IncrementalPartitionedIndex):
 
         return state_dataset(
             self.engine_a.store, target, a_cols_read
-        ).map_batches(to_rows, batch_format="pandas")
+        ).map_batches(to_rows, batch_format="pandas", batch_size=None)
 
     def feed_deltas(self, base: int, target: int):
         import ray

@@ -478,7 +478,7 @@ def _publish_global_diff(
         )
         return pd.DataFrame({k: [v] for k, v in c.items()})
 
-    counts = diff.map_batches(send, batch_format="pandas").to_pandas()
+    counts = diff.map_batches(send, batch_format="pandas", batch_size=None).to_pandas()
     out = {
         "sink_id": sink_id,
         "index": index,

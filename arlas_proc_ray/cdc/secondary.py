@@ -77,7 +77,7 @@ class _SecondaryIndex(IncrementalPartitionedIndex):
 
         return state_dataset(
             self.store, target, key_cols + [value_col]
-        ).map_batches(to_rows, batch_format="pandas")
+        ).map_batches(to_rows, batch_format="pandas", batch_size=None)
 
     def feed_deltas(self, base: int, target: int):
         from arlas_proc_ray.cdc.feed import change_feed
@@ -114,7 +114,7 @@ class _SecondaryIndex(IncrementalPartitionedIndex):
                 return empty
             return pd.concat(frames, ignore_index=True)
 
-        return feed.map_batches(to_rows, batch_format="pandas")
+        return feed.map_batches(to_rows, batch_format="pandas", batch_size=None)
 
     def route(self, table: pa.Table) -> np.ndarray:
         from arlas_proc_ray.functions.hashing import partition_ids

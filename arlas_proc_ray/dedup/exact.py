@@ -19,7 +19,7 @@ def with_text_sha256(ds, text_col: str = "text", target: str = "text_sha256"):
     def add_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column(target, sha256_hex(batch.column(text_col)))
 
-    return ds.map_batches(add_hash, batch_format="pyarrow")
+    return ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
 
 
 def exact_dedup(

@@ -172,7 +172,7 @@ class _NearDupIndex(IncrementalPartitionedIndex):
 
         return _state_dataset(
             self.store, target, key_cols + [text_col]
-        ).map_batches(to_triples, batch_format="pandas")
+        ).map_batches(to_triples, batch_format="pandas", batch_size=None)
 
     def feed_deltas(self, base: int, target: int):
         from arlas_proc_ray.cdc.feed import change_feed
@@ -218,7 +218,7 @@ class _NearDupIndex(IncrementalPartitionedIndex):
                 return empty
             return pd.concat(frames, ignore_index=True)
 
-        return feed.map_batches(feed_to_triples, batch_format="pandas")
+        return feed.map_batches(feed_to_triples, batch_format="pandas", batch_size=None)
 
     def route(self, table: pa.Table) -> np.ndarray:
         from arlas_proc_ray.functions.hashing import partition_ids
@@ -330,13 +330,13 @@ def epoch_near_duplicates(
         )
         return out if len(out) else _empty_triples_arrow()
 
-    probes = feed.map_batches(probe_rows, batch_format="pandas")
+    probes = feed.map_batches(probe_rows, batch_format="pandas", batch_size=None)
 
     def add_part(tbl: pa.Table) -> pa.Table:
         pid = partition_ids(tbl, ["band_id", "band_hash"], num_partitions)
         return tbl.append_column("_part", pa.array(pid, pa.int32()))
 
-    probes = probes.map_batches(add_part, batch_format="pyarrow")
+    probes = probes.map_batches(add_part, batch_format="pyarrow", batch_size=None)
 
     def probe_fold(p: int, group: pd.DataFrame) -> pd.DataFrame:
         idx = _read_part(store, index_id, p, sources.get(str(p)))
@@ -415,7 +415,7 @@ def epoch_near_duplicates(
 
     texts = _state_dataset(store, t, key_cols + [text_col]).map_batches(
         state_keyed, batch_format="pandas"
-    )
+    , batch_size=None)
 
     if verify_mode not in ("auto", "broadcast", "distributed"):
         raise ValueError(f"unknown verify_mode: {verify_mode!r}")
@@ -484,7 +484,7 @@ def epoch_near_duplicates(
     sh_map: dict = {}
     for b in texts.map_batches(
         shingle_batch, batch_format="pandas"
-    ).iter_batches(batch_size=4096, batch_format="pandas"):
+    , batch_size=None).iter_batches(batch_size=4096, batch_format="pandas"):
         for k, sh in zip(b["key"], b["sh"]):
             sh_map[k] = sh
     sh_ref = ray.put(sh_map)
@@ -515,4 +515,4 @@ def epoch_near_duplicates(
             return empty_scored
         return out.reset_index(drop=True)
 
-    return pairs.map_batches(score, batch_format="pandas")
+    return pairs.map_batches(score, batch_format="pandas", batch_size=None)

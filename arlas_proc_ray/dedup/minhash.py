@@ -468,7 +468,7 @@ def minhash_near_duplicates(
         shingles: dict = {}
         for b in (
             ds.select_columns([id_col, text_col])
-            .map_batches(shingle_batch, batch_format="pandas")
+            .map_batches(shingle_batch, batch_format="pandas", batch_size=None)
             .iter_batches(batch_size=4096, batch_format="pandas")
         ):
             for i, arr in zip(b[id_col], b["sh"]):
@@ -495,7 +495,7 @@ def minhash_near_duplicates(
                 mh = _MINHASHER_CACHE[key] = MinHasher(**mh_kwargs)
             return mh(pdf)
 
-        band_rows = ds.map_batches(band_rows_task, batch_format="pandas")
+        band_rows = ds.map_batches(band_rows_task, batch_format="pandas", batch_size=None)
     else:
         band_rows = ds.map_batches(
             MinHasher,
@@ -604,7 +604,7 @@ def minhash_near_duplicates(
                                  "jaccard": pd.Series([], dtype=np.float64)})
         return out
 
-    return candidates.map_batches(verify, batch_format="pandas")
+    return candidates.map_batches(verify, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -634,4 +634,4 @@ def simhash_column(ds, *, text_col: str = "text", target: str = "simhash",
         )
         return batch
 
-    return ds.map_batches(simhash_batch, batch_format="pandas")
+    return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=None)

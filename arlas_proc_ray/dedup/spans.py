@@ -76,7 +76,7 @@ def duplicated_span_pairs(
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
         window_rows, batch_format="pandas"
-    )
+    , batch_size=None)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         """Per-bucket pairs, then a partial per-pair count (combiner)."""

@@ -229,7 +229,7 @@ def with_geohash(ds, *, trail_col: str, target: str = "geohashes",
         pdf[target] = [trail_geohashes(t, precision) for t in pdf[trail_col]]
         return pdf
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
 
 LOCATION_DIGITS = 6  # meter precision (GeoTool.scala:34)

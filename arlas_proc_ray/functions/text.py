@@ -360,7 +360,7 @@ def bm25_scores(
 
     stats = (
         ds.select_columns([text_col])
-        .map_batches(stats_partial, batch_format="pandas")
+        .map_batches(stats_partial, batch_format="pandas", batch_size=None)
         .to_pandas()
         .sum()
     )
@@ -394,7 +394,7 @@ def bm25_scores(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas"
-    )
+    , batch_size=None)
 
 
 def inverted_postings(
@@ -434,7 +434,7 @@ def inverted_postings(
 
     postings = ds.select_columns([id_col, text_col]).map_batches(
         doc_term_tf, batch_format="pandas"
-    )
+    , batch_size=None)
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         out = (

@@ -91,7 +91,7 @@ def curate_documents(ds, cfg: CurationConfig | None = None):
     ).materialize()
     stats["after_quality"] = filtered.count()
 
-    langed = filtered.map_batches(score_lang_batch, batch_format="pandas")
+    langed = filtered.map_batches(score_lang_batch, batch_format="pandas", batch_size=None)
     if cfg.languages is not None:
         wanted = tuple(cfg.languages)
 
@@ -101,7 +101,7 @@ def curate_documents(ds, cfg: CurationConfig | None = None):
             )
             return pdf[m]
 
-        langed = langed.map_batches(lang_keep, batch_format="pandas")
+        langed = langed.map_batches(lang_keep, batch_format="pandas", batch_size=None)
     langed = langed.materialize()
     stats["after_language"] = langed.count()
 

@@ -84,10 +84,10 @@ def q_cdc_lww_upsert(sf_dir: str):
             ),
         )
 
-    ds = ds.map_batches(to_str_keys, batch_format="pyarrow")
+    ds = ds.map_batches(to_str_keys, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(
         lambda t: lww_reduce_table(t, ["_k"], "event_id"), batch_format="pyarrow"
-    )
+    , batch_size=None)
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop_duplicates(subset=["_k"], keep="last")
@@ -213,7 +213,7 @@ def q_duration_from_id(sf_dir: str):
         g = pdf.groupby("user_id")["ts"]
         return g.agg(_min="min", _max="max", _n="count").reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("user_id")
@@ -389,14 +389,14 @@ def q_time_partition_counts(sf_dir: str):
     ds = _events(sf_dir, columns=["ts", "value"])
     ds = ds.map_batches(
         lambda t: with_time_partition(t, "ts"), batch_format="pyarrow"
-    )
+    , batch_size=None)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["_cents"] = _cents(pdf["value"])
         g = pdf.groupby("time_partition")
         return g.agg(n_events=("value", "size"), _c=("_cents", "sum")).reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("time_partition")
@@ -420,7 +420,7 @@ def q_value_range_filter(sf_dir: str):
     ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
     return ds.map_batches(
         lambda t: filter_value_range(t, "value", 1.0, 100.0), batch_format="pyarrow"
-    )
+    , batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +543,7 @@ def q_topk_orders(sf_dir: str):
     def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf.nlargest(10, ["o_totalprice", "o_orderkey"])
 
-    partials = ds.map_batches(local_topk, batch_format="pandas")
+    partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=None)
     allp = partials.to_pandas()
     out = allp.sort_values(
         ["o_totalprice", "o_orderkey"], ascending=[False, True]
@@ -566,7 +566,7 @@ def q_token_count(sf_dir: str):
             {"doc_id": t.column("doc_id"), "n_tokens": token_count_column(t.column("text"))}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def q_doc_dedup_exact(sf_dir: str):
@@ -605,14 +605,14 @@ def q_quality_metrics(sf_dir: str):
         )
         return out
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def q_lang_id(sf_dir: str):
     from arlas_proc_ray.functions.text import score_lang_batch
 
     ds = _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=2)
-    out = ds.map_batches(score_lang_batch, batch_format="pandas")
+    out = ds.map_batches(score_lang_batch, batch_format="pandas", batch_size=None)
     return out.select_columns(["doc_id", "lang_pred", "lang_score"])
 
 
@@ -626,7 +626,7 @@ def q_simhash(sf_dir: str):
         pdf["simhash_hex"] = [format(int(x), "016x") for x in pdf["simhash"]]
         return pdf[["doc_id", "simhash_hex"]]
 
-    return out.map_batches(hexify, batch_format="pandas")
+    return out.map_batches(hexify, batch_format="pandas", batch_size=None)
 
 
 def q_fingerprint(sf_dir: str):
@@ -639,7 +639,7 @@ def q_fingerprint(sf_dir: str):
         pdf["fingerprint_hex"] = [format(int(x), "016x") for x in fp]
         return pdf[["doc_id", "fingerprint_hex"]]
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
 
 def q_minhash_near_dup(sf_dir: str):
@@ -696,7 +696,7 @@ def q_embedding_norms(sf_dir: str):
         norms = np.sqrt((mat * mat).sum(axis=1)).round(6)
         return pa.table({"vec_id": t.column("vec_id"), "l2_norm": pa.array(norms)})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 
@@ -734,7 +734,7 @@ def q_segment_revenue(sf_dir: str):
         g = pdf.groupby("c_mktsegment")
         return g.agg(n_orders=("_c", "size"), _c=("_c", "sum")).reset_index()
 
-    partials = joined.map_batches(partial, batch_format="pandas")
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("c_mktsegment")
@@ -811,7 +811,7 @@ def q_char_jaccard(sf_dir: str):
             {"doc_id": pdf["doc_id"].values, "jac": np.round(sims, 6)}
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
 
 def q_events_period(sf_dir: str):
@@ -848,7 +848,7 @@ def q_dedup_documents(sf_dir: str):
         pdf["dup_cluster_id"] = pdf["dup_cluster_id"].astype("float64")
         return pdf
 
-    return survivors.map_batches(typed, batch_format="pandas")
+    return survivors.map_batches(typed, batch_format="pandas", batch_size=None)
 
 
 
@@ -898,7 +898,7 @@ def q_topk_per_group(sf_dir: str):
             .head(2)
         )
 
-    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    pruned = ds.map_batches(local_prune, batch_format="pandas", batch_size=None)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         return local_prune(pdf)
@@ -931,7 +931,7 @@ def q_brand_revenue(sf_dir: str):
         g = pdf.groupby("p_brand")
         return g.agg(n_items=("_rc", "size"), _rc=("_rc", "sum")).reset_index()
 
-    partials = joined.map_batches(partial, batch_format="pandas")
+    partials = joined.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("p_brand")
@@ -1099,7 +1099,7 @@ def q_curation(sf_dir: str):
         pdf["dup_cluster_id"] = pdf["dup_cluster_id"].astype("float64")
         return pdf
 
-    return out.map_batches(typed, batch_format="pandas")
+    return out.map_batches(typed, batch_format="pandas", batch_size=None)
 
 
 def q_bpe_token_count(sf_dir: str):
@@ -1200,7 +1200,7 @@ def q_tumbling_daily_value(sf_dir: str):
         pdf["value_sum"] = pdf["_c"] / 100.0
         return pdf[["user_id", "window_start", "n_events", "value_sum"]]
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def q_sliding_window_counts(sf_dir: str):
@@ -1223,7 +1223,7 @@ def q_sliding_window_counts(sf_dir: str):
         pdf["n_events"] = pdf["n_events"].astype("int64")
         return pdf[["user_id", "window_start", "n_events"]]
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def q_global_range_join(sf_dir: str):
@@ -1245,7 +1245,7 @@ def q_global_range_join(sf_dir: str):
     ).map_batches(
         lambda p: p.rename(columns={"event_type": "band_type"}),
         batch_format="pandas",
-    )
+    batch_size=None)
     out = interval_join_global(
         events,
         bands,
@@ -1261,7 +1261,7 @@ def q_global_range_join(sf_dir: str):
             columns={"band_type_right": "band_type"}
         )
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def q_nul_key_segments(sf_dir: str):
@@ -1311,7 +1311,7 @@ def q_nul_key_segments(sf_dir: str):
         return out
 
     return keyed_partition_map(
-        ds.map_batches(add_k, batch_format="pyarrow"),
+        ds.map_batches(add_k, batch_format="pyarrow", batch_size=None),
         keys=["k"],
         order_col="event_id",
         fn=fn,
@@ -1595,7 +1595,7 @@ def q_value_ntile(sf_dir: str):
         pdf["decile"] = np.where(r0 < cut, big, small).astype("int64")
         return pdf[["event_id", "value", "decile"]]
 
-    return ranked.map_batches(ntile, batch_format="pandas")
+    return ranked.map_batches(ntile, batch_format="pandas", batch_size=None)
 
 
 def q_tpch_q3(sf_dir: str):
@@ -1649,7 +1649,12 @@ def q_tpch_q3(sf_dir: str):
         )
         return tmp.groupby("o_orderkey", sort=False).sum().reset_index()
 
-    li_part = li.map_batches(rev_partial, batch_format="pandas")
+    # whole-block batches: the default 1024-row batches make the
+    # combiner see ~1 row per order (keys are scattered) and pay pandas
+    # overhead 600x per block
+    li_part = li.map_batches(
+        rev_partial, batch_format="pandas", batch_size=None
+    )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False)
@@ -1670,6 +1675,7 @@ def q_tpch_q3(sf_dir: str):
         right_cols=["o_orderdate", "o_orderpriority"],
         num_partitions=NP,
         post_fn=final,
+        exchange="staged",  # sub-crossover volume: skip the sort machinery
     ).to_pandas()  # ≤ 10 rows per partition
     out = tops.sort_values(
         ["revenue", "o_orderkey"], ascending=[False, True]
@@ -1771,7 +1777,7 @@ def q_purchase_not_error_users(sf_dir: str):
             pdf["day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
             return pdf[["user_id", "day"]]
 
-        days = ds.map_batches(add_day, batch_format="pandas")
+        days = ds.map_batches(add_day, batch_format="pandas", batch_size=None)
         return distinct(days, ["user_id", "day"], num_partitions=NP)
 
     err_days = user_days("error").to_pandas()  # small: distinct keys
@@ -1788,7 +1794,7 @@ def q_mode_event_type(sf_dir: str):
         g = pdf.groupby(["user_id", "event_type"], sort=False)
         return g.size().rename("cnt").reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         full = (
@@ -1872,7 +1878,7 @@ def q_lineitem_correlation(sf_dir: str):
             }
         )
 
-    cents = ds.map_batches(to_cents, batch_format="pandas")
+    cents = ds.map_batches(to_cents, batch_format="pandas", batch_size=None)
     return group_correlation(
         cents, group_col="l_returnflag", x_col="qty_c", y_col="disc_c",
         num_partitions=4,
@@ -1927,7 +1933,7 @@ def q_daily_revenue_delta(sf_dir: str):
         )
         return tmp.groupby("day", sort=False).sum().reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -2020,7 +2026,7 @@ def q_rolling_active_users(sf_dir: str):
         )
 
     pairs = distinct(
-        ds.map_batches(to_day, batch_format="pandas"),
+        ds.map_batches(to_day, batch_format="pandas", batch_size=None),
         ["user_id", "d"],
         num_partitions=NP,
     )
@@ -2036,7 +2042,7 @@ def q_rolling_active_users(sf_dir: str):
             }
         )
 
-    covered = pairs.map_batches(fan_out, batch_format="pandas")
+    covered = pairs.map_batches(fan_out, batch_format="pandas", batch_size=None)
     return grouped_count_distinct(
         covered, keys=["day"], value_col="user_id", target="active_users",
         num_partitions=NP,
@@ -2065,7 +2071,7 @@ def q_table_profile(sf_dir: str):
             }
         )
 
-    count_partials = ds.map_batches(counts, batch_format="pandas")
+    count_partials = ds.map_batches(counts, batch_format="pandas", batch_size=None)
 
     def total(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("col_name", sort=False, as_index=False)[["n", "n_null"]].sum()
@@ -2086,7 +2092,7 @@ def q_table_profile(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     distinct = grouped_count_distinct(
-        ds.map_batches(pairs, batch_format="pandas"),
+        ds.map_batches(pairs, batch_format="pandas", batch_size=None),
         keys=["col_name"], value_col="v", target="n_distinct",
         num_partitions=NP,
     ).to_pandas()  # 6 rows
@@ -2119,7 +2125,7 @@ def q_embedding_position_stats(sf_dir: str):
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("pos", sort=False)
@@ -2153,7 +2159,7 @@ def q_value_mad_by_type(sf_dir: str):
             }
         )
 
-    cents = ds.map_batches(to_cents, batch_format="pandas")
+    cents = ds.map_batches(to_cents, batch_format="pandas", batch_size=None)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby("event_type", sort=False)
@@ -2244,7 +2250,7 @@ def q_kmeans_clusters(sf_dir: str):
             n_members=("cluster", "size")
         )
 
-    parts = assigned.map_batches(counts, batch_format="pandas").to_pandas()
+    parts = assigned.map_batches(counts, batch_format="pandas", batch_size=None).to_pandas()
     return (
         parts.groupby("cluster", as_index=False, sort=False)["n_members"]
         .sum()
@@ -2412,7 +2418,7 @@ def q_props_field_stats(sf_dir: str):
         out.columns = ["event_type", "n_with_k", "sum_k", "max_k"]
         return out
 
-    partials = ds.map_batches(extract, batch_format="pyarrow").map_batches(
+    partials = ds.map_batches(extract, batch_format="pyarrow", batch_size=None).map_batches(
         partial, batch_format="pandas", batch_size=None
     )
 
@@ -2460,7 +2466,7 @@ def q_lineitem_covariance(sf_dir: str):
         return pdf[["l_returnflag", "q", "cents"]]
 
     return group_covariance(
-        ds.map_batches(ints, batch_format="pandas"),
+        ds.map_batches(ints, batch_format="pandas", batch_size=None),
         group_col="l_returnflag", x_col="q", y_col="cents",
         num_partitions=4,
     )
@@ -2512,7 +2518,7 @@ def q_rollup_revenue(sf_dir: str):
         return pdf[["l_returnflag", "l_linestatus", "cents"]]
 
     out = rollup_counts(
-        ds.map_batches(cents, batch_format="pandas"),
+        ds.map_batches(cents, batch_format="pandas", batch_size=None),
         group_cols=["l_returnflag", "l_linestatus"], cents_col="cents",
         num_partitions=NP,
     )
@@ -2550,7 +2556,7 @@ def q_customer_order_outer(sf_dir: str):
             pdf[c] = pdf[c].astype("float64")
         return pdf
 
-    return out.map_batches(typed, batch_format="pandas")
+    return out.map_batches(typed, batch_format="pandas", batch_size=None)
 
 
 def q_supplier_semi_lineitem(sf_dir: str):
@@ -5515,18 +5521,18 @@ def q_cdc_patch_upsert(sf_dir: str):
             }
         )
 
-    ds = ds.map_batches(to_changelog, batch_format="pyarrow")
+    ds = ds.map_batches(to_changelog, batch_format="pyarrow", batch_size=None)
     # adaptive combiner: dispatches to the patch-safe prune (patch rows
     # survive the pre-shuffle reduction unfolded)
     ds = ds.map_batches(
         lambda t: lww_reduce_table(t, ["user_id"], "lsn"), batch_format="pyarrow"
-    )
+    , batch_size=None)
 
     def add_part(t: pa.Table) -> pa.Table:
         pid = partition_ids(t, ["user_id"], NP)
         return t.append_column("_part", pa.array(pid, pa.int32()))
 
-    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    ds = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
 
     def finalize(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_part"])
@@ -5683,7 +5689,7 @@ def q_change_feed(sf_dir: str):
                  "old_content_sha256", "old_last_lsn"]
             ]
 
-        return ds.map_batches(finish, batch_format="pandas").to_pandas()
+        return ds.map_batches(finish, batch_format="pandas", batch_size=None).to_pandas()
     finally:
         shutil.rmtree(snap, ignore_errors=True)
 
@@ -5815,7 +5821,7 @@ def q_incremental_near_dup(sf_dir: str):
             schema=EVENT_SCHEMA_V1,
         )
 
-    ev = ds.map_batches(to_events, batch_format="pyarrow").materialize()
+    ev = ds.map_batches(to_events, batch_format="pyarrow", batch_size=None).materialize()
     idx = dict(num_perm=128, bands=32, ngram=5, algo="classic",
                num_partitions=8)
     snap = tempfile.mkdtemp(prefix="incremental_near_dup_")
@@ -5896,7 +5902,7 @@ def q_incremental_ann_search(sf_dir: str):
             schema=EVENT_SCHEMA_V1,
         )
 
-    ev = ds.map_batches(to_events, batch_format="pyarrow").materialize()
+    ev = ds.map_batches(to_events, batch_format="pyarrow", batch_size=None).materialize()
     idx = dict(n_centroids=8, num_partitions=4, train_sample=512, seed=17)
     ids, qmat = _query_vectors(sf_dir, 5)
     snap = tempfile.mkdtemp(prefix="incremental_ann_")
@@ -5966,7 +5972,7 @@ def _orders_as_events(sf_dir: str, *, limit_key: int):
             schema=EVENT_SCHEMA_V1,
         )
 
-    return ds.map_batches(to_events, batch_format="pyarrow").materialize()
+    return ds.map_batches(to_events, batch_format="pyarrow", batch_size=None).materialize()
 
 
 def q_secondary_lookup(sf_dir: str):
@@ -6067,7 +6073,7 @@ def q_incremental_join_view(sf_dir: str):
             schema=EVENT_SCHEMA_V1,
         )
 
-    b_ev = cust.map_batches(to_b_events, batch_format="pyarrow").materialize()
+    b_ev = cust.map_batches(to_b_events, batch_format="pyarrow", batch_size=None).materialize()
 
     snap = tempfile.mkdtemp(prefix="incremental_join_")
     view = dict(fk_col="language", a_cols=["content"],

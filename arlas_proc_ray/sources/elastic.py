@@ -229,7 +229,7 @@ def write_to_elasticsearch(
                 indexed += len(chunk)
         return pd.DataFrame({"indexed": [indexed], "rejected": [rejected]})
 
-    counts = ds.map_batches(send, batch_format="pandas").to_pandas()
+    counts = ds.map_batches(send, batch_format="pandas", batch_size=None).to_pandas()
     return {
         "indexed": int(counts["indexed"].sum()),
         "rejected": int(counts["rejected"].sum()),

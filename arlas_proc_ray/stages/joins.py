@@ -448,7 +448,7 @@ def equi_join_skew_safe(
 
     # bounded: ≤ 1/hot_fraction keys' worth of right rows
     right_hot = (
-        right_ds.map_batches(split_fn(True), batch_format="pandas")
+        right_ds.map_batches(split_fn(True), batch_format="pandas", batch_size=None)
         .select_columns(on + right_payload)
         .to_pandas()
     )
@@ -466,10 +466,10 @@ def equi_join_skew_safe(
 
         return restore_object_cols(sub.merge(rh, on=on, how="inner"), on)
 
-    hot_res = left_ds.map_batches(hot_join, batch_format="pandas")
+    hot_res = left_ds.map_batches(hot_join, batch_format="pandas", batch_size=None)
     cold = equi_join(
-        left_ds.map_batches(split_fn(False), batch_format="pandas"),
-        right_ds.map_batches(split_fn(False), batch_format="pandas"),
+        left_ds.map_batches(split_fn(False), batch_format="pandas", batch_size=None),
+        right_ds.map_batches(split_fn(False), batch_format="pandas", batch_size=None),
         on=on,
         right_cols=right_cols,
         how="inner",
@@ -489,6 +489,7 @@ def equi_join(
     suffix: str = "",
     num_partitions: int = 32,
     post_fn=None,
+    exchange: str = "sort",
 ):
     """Distributed large×large hash equi-join (inner or left).
 
@@ -645,7 +646,10 @@ def equi_join(
         return out[left_out + out_right].reset_index(drop=True)
 
     fn = merge if post_fn is None else (lambda pdf: post_fn(merge(pdf)))
+    # exchange="staged": the two-phase raw-task exchange (stages/keyed.py)
+    # — wins below the Dataset sort's ~1M-row crossover; fn already
+    # tolerates the 0-row partitions the staged path materializes.
     return keyed_partition_map(
         union, keys=on, order_col="_side", fn=fn,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, exchange=exchange,
     )

@@ -78,7 +78,7 @@ def broadcast_semi_join(ds, keys_table, *, on: Sequence[str], anti: bool = False
         present = key_isin(batch, on, ray.get(key_ref))
         return batch[~present] if anti else batch[present]
 
-    return ds.map_batches(semi_filter, batch_format="pandas")
+    return ds.map_batches(semi_filter, batch_format="pandas", batch_size=None)
 
 
 def make_key_index(df: pd.DataFrame, on: Sequence[str]):

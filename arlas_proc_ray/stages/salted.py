@@ -72,7 +72,7 @@ def detect_hot_keys(
         return restore_object_cols(hot.reset_index(name="count")[keys], keys)
 
     cand = (
-        ds.map_batches(candidates, batch_format="pandas")
+        ds.map_batches(candidates, batch_format="pandas", batch_size=None)
         .to_pandas()
         .drop_duplicates(keys)
     )
@@ -89,7 +89,7 @@ def detect_hot_keys(
         ).size()
         return restore_object_cols(vc.reset_index(name="count"), keys)
 
-    counts = ds.map_batches(recount, batch_format="pandas").to_pandas()
+    counts = ds.map_batches(recount, batch_format="pandas", batch_size=None).to_pandas()
     if counts.empty:
         return pd.DataFrame({**{k: [] for k in keys}, "count": []})
     total = counts.groupby(keys, as_index=False)["count"].sum()

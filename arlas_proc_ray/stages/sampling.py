@@ -131,7 +131,7 @@ def mixture_plan(
 
     partials = (
         ds.select_columns(cols)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .to_pandas()  # ≤ #domains rows per batch — tiny by construction
     )
     mass = {
@@ -236,7 +236,7 @@ def stratified_sample(
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
     combined = ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None
-                              ).map_batches(partial_topk, batch_format="pandas")
+                              ).map_batches(partial_topk, batch_format="pandas", batch_size=None)
     return keyed_partition_map(
         combined, keys=group_cols, order_col="_hrank", fn=final_topk,
         num_partitions=num_partitions,

@@ -174,7 +174,7 @@ def grouped_count_distinct(
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf[keys + [value_col]].drop_duplicates()
 
-    combined = ds.map_batches(combine, batch_format="pandas")
+    combined = ds.map_batches(combine, batch_format="pandas", batch_size=None)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         # nunique factorizes the VALUE column too — keep it byte-exact
@@ -331,7 +331,7 @@ def moving_fragment_sample_summarizer(
                 pdf, pmap, irregular_tempo=irregular_tempo
             )
 
-        out = out.map_batches(elect, batch_format="pandas")
+        out = out.map_batches(elect, batch_format="pandas", batch_size=None)
     return out
 
 
@@ -402,7 +402,7 @@ def grouped_zscore(
     from ray.data.aggregate import Sum
 
     stats = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby(keys)
         .aggregate(Sum("_n"), Sum("_s"), Sum("_q"))
         .to_pandas()
@@ -423,4 +423,4 @@ def grouped_zscore(
         out[target] = (c - mean) / np.sqrt(var)
         return out
 
-    return ds.map_batches(normalize, batch_format="pandas")
+    return ds.map_batches(normalize, batch_format="pandas", batch_size=None)

@@ -93,7 +93,7 @@ class BatchTransform(Transform):
             self._kwargs["fn_constructor_kwargs"] = fn_constructor_kwargs
 
     def apply(self, ds):
-        return ds.map_batches(self.fn, **self._kwargs)
+        return ds.map_batches(self.fn, **self._kwargs, batch_size=None)
 
 
 class KeyedTransform(Transform):
