@@ -82,9 +82,12 @@ class BatchTransform(Transform):
         self.required_cols = tuple(required_cols)
         self.added_fields = tuple(added_fields)
         self.dropped_cols = tuple(dropped_cols)
-        self._kwargs: dict = {"batch_format": batch_format}
-        if batch_size is not None:
-            self._kwargs["batch_size"] = batch_size
+        # batch_size always explicit: None = whole blocks (the default —
+        # Ray's 1024-row "default" batches starve vectorized kernels)
+        self._kwargs: dict = {
+            "batch_format": batch_format,
+            "batch_size": batch_size,
+        }
         if concurrency is not None:
             self._kwargs["concurrency"] = concurrency
         if num_cpus is not None:
@@ -93,7 +96,7 @@ class BatchTransform(Transform):
             self._kwargs["fn_constructor_kwargs"] = fn_constructor_kwargs
 
     def apply(self, ds):
-        return ds.map_batches(self.fn, **self._kwargs, batch_size=None)
+        return ds.map_batches(self.fn, **self._kwargs)
 
 
 class KeyedTransform(Transform):
