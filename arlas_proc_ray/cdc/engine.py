@@ -88,6 +88,17 @@ def _events_as_merge_rows(events: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+class EpochAuditError(RuntimeError):
+    """A write-audit-publish audit failed; ``.report`` has the checks."""
+
+    def __init__(self, report: dict):
+        self.report = report
+        failed = [c["name"] for c in report["checks"] if not c["ok"]]
+        super().__init__(
+            f"epoch {report['epoch']} audit failed: {', '.join(failed)}"
+        )
+
+
 class CdcEngine:
     """Incremental CDC ingest over a snapshot store.
 
@@ -168,8 +179,17 @@ class CdcEngine:
         delta: bool = False,
         delta_max_age: int | None = None,
         dead_letter_dir: str | None = None,
+        publish: bool = True,
     ) -> dict:
         """Apply one epoch of events; idempotent, resumable, exactly-once.
+
+        ``publish=False`` (write-audit-publish): every partition file and
+        manifest is written exactly as usual, but the ``_COMMITTED``
+        marker is withheld — a ``_STAGED`` marker records the pending
+        commit arguments instead. The cut is invisible to every reader
+        (snapshot isolation) until ``publish_epoch``; ``audit_staged``
+        inspects it, ``discard_staged`` drops it. Re-running the same
+        staged epoch resumes through the normal partition fences.
 
         ``delta=True``: partitions untouched by this epoch are NOT
         rewritten — the commit marker's source map points at the epoch that
@@ -302,6 +322,8 @@ class CdcEngine:
                     ray.get([carry_forward.remote(p) for p in stale])
                     for p in stale:
                         del sources[p]
+            if not publish:
+                return self._stage_epoch(epoch, sources, prev_epoch)
             return store.commit_epoch(
                 epoch, dm.num_partitions, sources=sources,
                 expected_prev=prev_epoch,
@@ -309,9 +331,221 @@ class CdcEngine:
         if pending:
             ray.get([carry_forward.remote(p) for p in pending])
 
+        if not publish:
+            return self._stage_epoch(epoch, None, prev_epoch)
         return store.commit_epoch(
             epoch, dm.num_partitions, expected_prev=prev_epoch
         )
+
+    # ---------------------------------------------------- write-audit-publish
+    def _staged_marker_path(self, epoch: int) -> str:
+        return os.path.join(self.store.epoch_dir(epoch), "_STAGED")
+
+    def _stage_epoch(self, epoch: int, sources, expected_prev) -> dict:
+        """Withhold the commit: persist the pending commit arguments so
+        ``publish_epoch`` (possibly another process) can finish the
+        write-audit-publish handshake. Crash-safe: a staged epoch has no
+        ``_COMMITTED`` marker, so it is invisible; ``gc_orphans`` keeps
+        ``_STAGED`` dirs."""
+        import json
+
+        from arlas_proc_ray.cdc.snapshot import _atomic_write_bytes
+
+        payload = {
+            "epoch": int(epoch),
+            "num_partitions": int(self.dm.num_partitions),
+            "sources": {
+                str(p): int(e) for p, e in (sources or {}).items()
+            },
+            "expected_prev": expected_prev,
+        }
+        _atomic_write_bytes(
+            self._staged_marker_path(epoch), json.dumps(payload).encode()
+        )
+        rows = sum(
+            m.row_count
+            for m in (
+                self.store.read_manifest(
+                    payload["sources"].get(str(p), epoch), p
+                )
+                for p in range(self.dm.num_partitions)
+            )
+            if m is not None
+        )
+        return {**payload, "staged": True, "row_count": rows}
+
+    def read_staged(self, epoch: int) -> dict | None:
+        import json
+
+        p = self._staged_marker_path(epoch)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def staged_state(self, epoch: int, columns=None):
+        """The staged (uncommitted) cut as a pruned-column Dataset."""
+        import ray.data as rd
+
+        st = self.read_staged(epoch)
+        if st is None:
+            raise RuntimeError(f"epoch {epoch} is not staged")
+        files = [
+            self.store.part_data_path(
+                int(st["sources"].get(str(p), epoch)), p
+            )
+            for p in range(st["num_partitions"])
+        ]
+        files = [f for f in files if os.path.exists(f)]
+        kwargs = {"columns": list(columns)} if columns else {}
+        return rd.read_parquet(files, **kwargs)
+
+    def publish_epoch(self, epoch: int) -> dict:
+        """Commit a staged epoch (the P of write-audit-publish). The
+        optimistic fence recorded at stage time still applies — a commit
+        that raced past us raises instead of publishing a mixed lineage."""
+        st = self.read_staged(epoch)
+        if st is None:
+            raise RuntimeError(f"epoch {epoch} is not staged")
+        out = self.store.commit_epoch(
+            epoch,
+            st["num_partitions"],
+            sources={int(p): int(e) for p, e in st["sources"].items()},
+            expected_prev=st["expected_prev"],
+        )
+        try:
+            os.unlink(self._staged_marker_path(epoch))
+        except OSError:
+            pass
+        return out
+
+    def discard_staged(self, epoch: int) -> dict:
+        """Drop a staged epoch (audit failed): the whole uncommitted
+        epoch dir goes; committed state is untouched by construction."""
+        import shutil
+
+        if self.read_staged(epoch) is None:
+            raise RuntimeError(f"epoch {epoch} is not staged")
+        d = self.store.epoch_dir(epoch)
+        shutil.rmtree(d, ignore_errors=True)
+        return {"epoch": epoch, "discarded": True}
+
+    def audit_staged(
+        self,
+        epoch: int,
+        *,
+        min_rows: int | None = None,
+        max_rows: int | None = None,
+        max_shrink_fraction: float | None = None,
+        expect: dict | None = None,
+    ) -> dict:
+        """Audit a staged cut before publishing (the A of WAP).
+
+        Manifest-only checks (no data read): ``min_rows`` / ``max_rows``
+        bounds on the staged total, and ``max_shrink_fraction`` — the
+        classic mass-delete guard: fail when the staged cut lost more
+        than that fraction of the previously committed rows (a buggy
+        upstream emitting DELETEs for everything must not publish).
+
+        ``expect``: ``{name: [(col, op, value), ...]}`` constraint-style
+        predicates (cdc/constraints.py clause language, same null
+        semantics) that every live STATE row must satisfy — violations
+        are counted in one pruned column read of the staged cut only.
+        """
+        checks: list[dict] = []
+        st = self.read_staged(epoch)
+        if st is None:
+            raise RuntimeError(f"epoch {epoch} is not staged")
+        rows = sum(
+            m.row_count
+            for m in (
+                self.store.read_manifest(
+                    int(st["sources"].get(str(p), epoch)), p
+                )
+                for p in range(st["num_partitions"])
+            )
+            if m is not None
+        )
+        if min_rows is not None:
+            checks.append({"name": "min_rows", "ok": rows >= min_rows,
+                           "detail": f"{rows} >= {min_rows}"})
+        if max_rows is not None:
+            checks.append({"name": "max_rows", "ok": rows <= max_rows,
+                           "detail": f"{rows} <= {max_rows}"})
+        if max_shrink_fraction is not None:
+            prev = self.store.latest_committed_epoch()
+            prev_rows = (
+                self.store.read_epoch_summary(prev)["row_count"]
+                if prev is not None else 0
+            )
+            floor = int(prev_rows * (1.0 - max_shrink_fraction))
+            checks.append({
+                "name": "max_shrink_fraction",
+                "ok": rows >= floor,
+                "detail": f"{rows} staged vs {prev_rows} committed "
+                          f"(floor {floor})",
+            })
+        if expect:
+            import numpy as np
+
+            from arlas_proc_ray.cdc.constraints import _clause_false_mask
+
+            cols = sorted({c[0] for cl in expect.values() for c in cl})
+            state = self.staged_state(epoch, columns=cols)
+
+            def count_bad(batch: pa.Table) -> pa.Table:
+                outs = {}
+                for name, clauses in expect.items():
+                    bad = np.zeros(batch.num_rows, dtype=bool)
+                    for clause in clauses:
+                        col, op = clause[0], clause[1]
+                        val = clause[2] if len(clause) > 2 else None
+                        bad |= _clause_false_mask(
+                            batch, col, op, val
+                        ).to_numpy(zero_copy_only=False)
+                    outs[name] = [int(bad.sum())]
+                return pa.table(outs)
+
+            partials = state.map_batches(
+                count_bad, batch_format="pyarrow", batch_size=None
+            ).to_pandas()  # one tiny row per block
+            for name in expect:
+                n_bad = int(partials[name].sum()) if len(partials) else 0
+                checks.append({
+                    "name": f"expect:{name}", "ok": n_bad == 0,
+                    "detail": f"{n_bad} violating rows",
+                })
+        return {
+            "epoch": epoch,
+            "row_count": rows,
+            "ok": all(c["ok"] for c in checks),
+            "checks": checks,
+        }
+
+    def apply_epoch_audited(
+        self,
+        events_ds,
+        epoch: int,
+        *,
+        audits: dict,
+        on_fail: str = "discard",
+        **apply_kwargs,
+    ) -> dict:
+        """One-call write-audit-publish: stage the epoch, audit the cut,
+        publish on success. On failure the staged cut is discarded
+        (``on_fail="discard"``) or kept for inspection
+        (``on_fail="keep"``), and ``EpochAuditError`` carries the report
+        — committed state is untouched either way."""
+        if on_fail not in ("discard", "keep"):
+            raise ValueError(f"unknown on_fail: {on_fail!r}")
+        self.apply_epoch(events_ds, epoch, publish=False, **apply_kwargs)
+        report = self.audit_staged(epoch, **audits)
+        if report["ok"]:
+            out = self.publish_epoch(epoch)
+            return {**out, "audit": report, "published": True}
+        if on_fail == "discard":
+            self.discard_staged(epoch)
+        raise EpochAuditError(report)
 
     def apply_epoch_staged(
         self, events_ds, epoch: int, *, two_level: bool | None = None,

@@ -632,6 +632,11 @@ class SnapshotStore:
                 committed = os.path.exists(self.commit_marker_path(e))
                 if committed or (latest is not None and e <= latest):
                     continue  # vacuum's jurisdiction, not ours
+                if os.path.exists(os.path.join(full, "_STAGED")):
+                    # write-audit-publish cut awaiting publish/discard
+                    # (engine.apply_epoch(publish=False)) — not litter
+                    kept.append(name)
+                    continue
                 if now - newest_mtime(full) < min_age_s:
                     kept.append(name)
                     continue

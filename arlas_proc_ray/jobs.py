@@ -127,7 +127,38 @@ def cmd_replay(args) -> dict:
     return engine.apply_epoch(
         ds, epoch=args.epoch, delta=args.delta,
         dead_letter_dir=args.dead_letter_dir,
+        publish=not getattr(args, "stage", False),
     )
+
+
+def cmd_publish_epoch(args) -> dict:
+    """Audit and publish (or discard) a STAGED epoch — the A+P of
+    write-audit-publish (`replay --stage` wrote the W)."""
+    from arlas_proc_ray.cdc.engine import CdcEngine, EpochAuditError
+    from arlas_proc_ray.model import DataModel
+
+    engine = CdcEngine(args.snapshot, DataModel(num_partitions=args.partitions))
+    if args.discard:
+        return engine.discard_staged(args.epoch)
+    audits = {}
+    if args.min_rows is not None:
+        audits["min_rows"] = args.min_rows
+    if args.max_rows is not None:
+        audits["max_rows"] = args.max_rows
+    if args.max_shrink is not None:
+        audits["max_shrink_fraction"] = args.max_shrink
+    if args.expect:
+        audits["expect"] = _parse_checks(args.expect)
+    if audits:
+        _ray_session(args.num_cpus)  # expect predicates scan the cut
+        report = engine.audit_staged(args.epoch, **audits)
+        if not report["ok"]:
+            if args.on_fail == "discard":
+                engine.discard_staged(args.epoch)
+            raise EpochAuditError(report)
+        out = engine.publish_epoch(args.epoch)
+        return {**out, "audit": report, "published": True}
+    return {**engine.publish_epoch(args.epoch), "published": True}
 
 
 def cmd_tail_dir(args) -> dict:
@@ -698,6 +729,9 @@ def main(argv=None) -> int:
     r.add_argument("--epoch", type=int, required=True)
     r.add_argument("--partitions", type=int, default=64)
     r.add_argument("--staged", action="store_true")
+    r.add_argument("--stage", action="store_true",
+                   help="write-audit-publish: withhold the commit marker; "
+                        "finish with `jobs publish`")
     r.add_argument("--delta", action="store_true")
     r.add_argument("--check", action="append", default=None,
                    metavar="NAME:COL:OP[:VALUE]",
@@ -806,6 +840,27 @@ def main(argv=None) -> int:
     td.add_argument("--once", action="store_true", help="one poll instead of until-idle")
     td.add_argument("--num-cpus", type=int, default=None)
     td.set_defaults(fn=cmd_tail_dir)
+
+    pe = sub.add_parser(
+        "publish", help="audit + publish (or discard) a staged epoch"
+    )
+    pe.add_argument("--snapshot", required=True)
+    pe.add_argument("--epoch", type=int, required=True)
+    pe.add_argument("--partitions", type=int, default=64)
+    pe.add_argument("--discard", action="store_true",
+                    help="drop the staged epoch instead of publishing")
+    pe.add_argument("--min-rows", type=int, default=None)
+    pe.add_argument("--max-rows", type=int, default=None)
+    pe.add_argument("--max-shrink", type=float, default=None,
+                    help="mass-delete guard: max fraction of committed "
+                         "rows the staged cut may lose")
+    pe.add_argument("--expect", action="append", default=None,
+                    metavar="NAME:COL:OP[:VALUE]",
+                    help="predicate every live state row must satisfy")
+    pe.add_argument("--on-fail", default="discard",
+                    choices=["discard", "keep"])
+    pe.add_argument("--num-cpus", type=int, default=None)
+    pe.set_defaults(fn=cmd_publish_epoch)
 
     ck = sub.add_parser(
         "constraints", help="show or update the table's constraint set"

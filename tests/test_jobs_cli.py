@@ -297,3 +297,34 @@ def test_jobs_cli_view_topk(tmp_path, capsys):
         per_repo.setdefault(row["repo"], []).append(row["n_live"])
     assert all(len(v) <= 2 for v in per_repo.values())
     assert all(v == sorted(v, reverse=True) for v in per_repo.values())
+
+
+def test_jobs_cli_wap(tmp_path, capsys):
+    """replay --stage withholds the commit; jobs publish audits then
+    publishes; a failed audit discards."""
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "3000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4", "--stage",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["staged"] is True
+    # nothing committed yet
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    assert eng.store.latest_committed_epoch() is None
+    # audit + publish
+    assert main([
+        "publish", "--snapshot", snap, "--epoch", "1",
+        "--partitions", "4", "--min-rows", "1",
+        "--expect", "content_set:content:not_null",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["published"] and out[-1]["audit"]["ok"]
+    assert eng.store.latest_committed_epoch() == 1
