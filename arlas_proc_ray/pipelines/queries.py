@@ -6578,3 +6578,92 @@ ORACLE_SQL["topk_view"] = """
       FROM counts)
     SELECT repo, language, n_live FROM ranked WHERE rk <= 2
 """
+
+
+def q_wap_replay(sf_dir: str):
+    """Write-audit-publish replay (cdc/engine.py apply_epoch_audited):
+    the same two-epoch events-derived snapshot as ``cdc_engine_replay``,
+    but every epoch is STAGED (no commit marker), audited (row bounds +
+    a mass-delete guard + a not_null expectation over the staged state)
+    and only then published through the optimistic fence. Hash parity
+    with the plain replay oracle proves the staged-then-published
+    lineage is byte-identical to a direct commit."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.model import DataModel
+
+    snap = tempfile.mkdtemp(prefix="wap_replay_")
+    try:
+        ds = _events(
+            sf_dir,
+            columns=["event_id", "user_id", "event_type", "value", "props"],
+        )
+
+        def to_changelog(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            eid = pc.cast(t.column("event_id"), pa.int64())
+            uid = t.column("user_id")
+            mod = pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200))
+            repo = pc.binary_join_element_wise(
+                pa.array(["u"] * n, pa.string()), pc.cast(mod, pa.string()),
+                "",
+            )
+            op = pc.if_else(
+                pc.less(t.column("value"), pa.scalar(0.15)),
+                pa.scalar("DELETE"),
+                pa.scalar("UPDATE"),
+            )
+            return pa.Table.from_arrays(
+                [eid, op, repo, t.column("event_type"),
+                 pc.cast(eid, pa.string()), t.column("event_type"),
+                 t.column("props"), pa.array(np.ones(n, np.int32)), eid],
+                schema=EVENT_SCHEMA_V1,
+            )
+
+        changelog = ds.map_batches(
+            to_changelog, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        mid = int(changelog.max("lsn") or 0) // 2
+        eng = CdcEngine(snap, DataModel(num_partitions=NP))
+        audits = {
+            "min_rows": 1,
+            "max_shrink_fraction": 0.9,
+            "expect": {"content_set": [("content", "not_null")]},
+        }
+        eng.apply_epoch_audited(
+            changelog.filter(expr=f"lsn <= {mid}"), 1, audits=audits
+        )
+        eng.apply_epoch_audited(
+            changelog.filter(expr=f"lsn > {mid}"), 2, audits=audits
+        )
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["wap_replay"] = q_wap_replay
+
+ORACLE_SQL["wap_replay"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path,
+             CAST(event_id AS VARCHAR) AS commit_id,
+             event_type AS language,
+             props AS content
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT repo, path, commit_id AS "commit", language, content,
+           CAST(length(content) AS BIGINT) AS content_size,
+           sha256(content) AS content_sha256,
+           lsn AS last_lsn
+    FROM last WHERE rn = 1 AND op <> 'DELETE'
+"""
