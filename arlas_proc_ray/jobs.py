@@ -306,6 +306,45 @@ def cmd_merge(args) -> dict:
     )
 
 
+def cmd_curate(args) -> dict:
+    """Run the end-to-end training-data curation pipeline
+    (pipelines/curation.py) over a documents Parquet table and write the
+    surviving rows as partitioned Parquet."""
+    from arlas_proc_ray.pipelines.curation import (
+        CurationConfig,
+        curate_documents,
+    )
+    from arlas_proc_ray.sources.io import (
+        read_parquet,
+        write_partitioned_parquet,
+    )
+
+    _ray_session(args.num_cpus)
+    mixture = None
+    if args.mixture:
+        mixture = {}
+        for part in args.mixture.split(","):
+            dom, w = part.rsplit(":", 1)
+            mixture[dom] = int(w)
+    cfg = CurationConfig(
+        min_tokens=args.min_tokens,
+        max_punct_ratio=args.max_punct_ratio,
+        languages=tuple(args.languages.split(",")) if args.languages
+        else None,
+        jaccard_threshold=args.jaccard,
+        num_partitions=args.partitions,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        max_perplexity=args.max_perplexity,
+        mixture_weights=mixture,
+        mixture_budget=args.mixture_budget,
+    )
+    ds = read_parquet(args.input)
+    survivors, stats = curate_documents(ds, cfg)
+    write_partitioned_parquet(survivors, args.out)
+    return stats
+
+
 def cmd_view(args) -> dict:
     """Refresh or read an incrementally-maintained materialized view
     (cdc/views.py): per-group count/sum/min-max aggregates or exact
@@ -880,6 +919,28 @@ def main(argv=None) -> int:
                     help="epoch number or ref name (default: latest committed)")
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    cu = sub.add_parser(
+        "curate", help="run the training-data curation pipeline"
+    )
+    cu.add_argument("--input", required=True, help="documents parquet")
+    cu.add_argument("--out", required=True, help="output parquet dir")
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--max-punct-ratio", type=float, default=0.30)
+    cu.add_argument("--languages", default=None,
+                    help="comma-separated lang_pred whitelist")
+    cu.add_argument("--jaccard", type=float, default=0.8)
+    cu.add_argument("--partitions", type=int, default=16)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--max-perplexity", type=float, default=None)
+    cu.add_argument("--mixture", default=None,
+                    metavar="DOM:W[,DOM:W...]",
+                    help="domain-mixture weights over lang_pred")
+    cu.add_argument("--mixture-budget", type=int, default=None,
+                    help="token budget for the mixture stage")
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     mg = sub.add_parser("merge", help="MERGE INTO the snapshot from Parquet")
     mg.add_argument("--snapshot", required=True)

@@ -328,3 +328,27 @@ def test_jobs_cli_wap(tmp_path, capsys):
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[-1]["published"] and out[-1]["audit"]["ok"]
     assert eng.store.latest_committed_epoch() == 1
+
+
+def test_jobs_cli_curate(tmp_path, capsys):
+    """jobs curate: the full curation pipeline (+ mixture) from the CLI."""
+    from arlas_proc_ray.jobs import main
+
+    out_dir = str(tmp_path / "curated")
+    assert main([
+        "curate", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out_dir,
+        "--languages", "en,fr,unknown", "--jaccard", "0.5",
+        "--partitions", "4", "--mixture", "en:70,unknown:30",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stats = out[-1]
+    assert stats["input_docs"] == 500
+    assert stats["mixture_docs"] > 0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(out_dir + "/**/*.parquet", recursive=True)
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    assert rows == stats["mixture_docs"]
