@@ -4,10 +4,11 @@ Images / audio / video are carried as Arrow ``binary`` columns with typed
 metadata columns alongside. The decode/resize/feature-extract kernels are
 actor-pool ``map_batches`` stages. REAL decoders live in
 ``multimodal.codecs`` (WAV via stdlib ``wave``; netpbm P5/P6 via numpy;
-non-interlaced 8-bit PNG via stdlib zlib with all 5 filters;
-nearest-neighbor resize; numpy audio features) — use ``DecodeAudio`` /
-``DecodeImage`` there. Formats needing an external codec library
-(JPEG/MP4, palette/16-bit/Adam7 PNG) remain stubbed:
+full PNG via stdlib zlib — every depth/color type/filter/interlace;
+baseline JPEG via ``multimodal.jpeg``; nearest-neighbor resize; numpy
+audio features) — use ``DecodeAudio`` / ``DecodeImage`` there. Formats
+needing an external codec library (video, progressive JPEG) remain
+stubbed:
 
 - ``DecodeImageStub`` raises ``NotImplementedError`` at the exact seam
   where a real decoder (e.g. Pillow / torchvision / pyAV) would plug in;

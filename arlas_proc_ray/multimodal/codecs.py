@@ -9,9 +9,11 @@ STUB into a working path end-to-end:
   (h, w[, 3]) uint8 tensors; nearest-neighbor resize is an integer
   index-gather, no interpolation library needed.
 
-Compressed formats (PNG/JPEG/MP4) still need a codec library; the
-decoders below raise ``UnsupportedMediaError`` at that seam, and
-``DecodeImage``/``DecodeAudio`` keep the actor-pool contract either way
+PNG and baseline JPEG are decoded HERE (stdlib zlib + numpy; see
+decode_png below and multimodal/jpeg.py); video and progressive JPEG
+still need a codec library — those raise ``UnsupportedMediaError`` at
+the seam, and ``DecodeImage``/``DecodeAudio`` keep the actor-pool
+contract either way
 (state in ``__init__``, small batches of large payloads, typed outputs).
 """
 
@@ -194,20 +196,26 @@ class DecodeAudio:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PNG or netpbm → uint8 tensor."""
+    """Dispatch on magic bytes: PNG, baseline JPEG or netpbm → uint8."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from arlas_proc_ray.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_pnm(payload)
 
 
 class DecodeImage:
     """Actor-pool stage: image payloads → resized tensors + stats.
 
-    Real decode for netpbm P5/P6 AND PNG — 8/16-bit depths,
-    gray/gray+alpha/RGB/RGBA/palette(+tRNS) color types, all five
-    scanline filters, both interlace modes (stdlib zlib);
-    other formats (JPEG, sub-8-bit PNG) hit the documented
-    ``UnsupportedMediaError`` seam where Pillow/cv2 would plug in.
+    Real decode for netpbm P5/P6, PNG (8/16-bit and sub-8-bit depths,
+    gray/gray+alpha/RGB/RGBA/palette(+tRNS), all five scanline filters,
+    both interlace modes — stdlib zlib) AND baseline JPEG
+    (multimodal/jpeg.py: Huffman + dequant + vectorized IDCT, 4:4:4 /
+    4:2:2 / 4:2:0 / grayscale, restart markers). Progressive JPEG and
+    video formats hit the documented ``UnsupportedMediaError`` seam
+    where a C codec would plug in.
     Emits (height, width, channels, mean_intensity, thumb) with ``thumb``
     a flattened uint8 tensor of ``target_size`` for downstream models.
     """
@@ -317,8 +325,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     uint16), gray / gray+alpha / RGB / RGBA / palette (tRNS → RGBA)
     color types, all five scanline filters, and BOTH interlace modes
     (Adam7 sub-images unfiltered independently and scattered onto the
-    pass grid — PNG spec public constants). JPEG remains the one
-    documented codec seam.
+    pass grid — PNG spec public constants). Baseline JPEG lives in
+    multimodal/jpeg.py; progressive JPEG and video remain the seam.
     """
     import struct
     import zlib

@@ -1,0 +1,631 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) — pure numpy + stdlib, no codec lib.
+
+Closes the last documented codec seam (multimodal/codecs.py): WAV,
+netpbm and full PNG were already real; JPEG raised
+``UnsupportedMediaError``. Everything here is public knowledge — the
+T.81 spec's baseline sequential DCT process and the Annex K example
+tables (quantization matrices, DC/AC Huffman tables, zigzag order).
+
+Decoder (``decode_jpeg``): SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker
+parse → entropy decode (canonical Huffman, MSB-first, 0xFF00 stuffing
+removed, FFD0-D7 restart markers reset the DC predictors) → dequantize
+→ de-zigzag → vectorized 8×8 IDCT (one einsum over ALL blocks — the
+separable DCT-II basis matrix, no per-pixel Python) → plane assembly
+per component with h×v sampling factors → chroma upsampled by sample
+replication → JFIF YCbCr→RGB (BT.601 full range). Grayscale,
+4:4:4, 4:2:2 and 4:2:0 layouts; progressive (SOF2) and arithmetic
+coding raise ``UnsupportedMediaError`` (a deliberate baseline-only
+scope, like libjpeg-turbo's default path).
+
+Encoder (``encode_jpeg``): baseline, Annex K tables scaled by the IJG
+quality formula, optional 2×2 chroma subsampling, optional restart
+interval — enough to (a) roundtrip-test the decoder against an
+independent implementation of the forward transform and (b) serve as a
+real sink for the multimodal pipeline. Entropy coding is bit-accurate
+canonical Huffman with 0xFF stuffing.
+
+Throughput note: the DCT/color math is numpy over all blocks at once;
+the entropy (Huffman) loop is per-symbol Python — fine for the
+thumbnail/metadata extraction stage this feeds (bounded images, actor
+pool), and the documented place a C codec would slot in at 100 TB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from arlas_proc_ray.multimodal.codecs import UnsupportedMediaError
+
+# ---------------------------------------------------------------- constants
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 / K.2 example quantization tables (natural order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+)
+
+# Annex K.3 example Huffman tables: (bits[1..16], huffval)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# separable DCT-II basis: C[u, x] = a(u) cos((2x+1)uπ/16)
+_C = np.array([
+    [
+        (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) frequency blocks → (N, 8, 8) samples, one einsum."""
+    return np.einsum("ux,nuv,vy->nxy", _C, coefs, _C, optimize=True)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True)
+
+
+# ---------------------------------------------------------------- bitstream
+class _BitReader:
+    """MSB-first reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # past-the-end padding reads as 0 (spec: 1-padding
+            # only ever completes a final EOB, value is irrelevant)
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _HuffDecoder:
+    """Canonical MSB-first Huffman decode (T.81 F.2.2.3 flow)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits, vals):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = list(vals)
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += n
+                k += n
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read_bit()
+        ln = 1
+        while code > self.maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise UnsupportedMediaError("jpeg: corrupt Huffman stream")
+            code = (code << 1) | br.read_bit()
+        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map t raw bits to the signed coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ------------------------------------------------------------------ decoder
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF → uint8 array (H, W) gray or (H, W, 3) RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    i = 2
+    n = len(payload)
+    while i < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i: i + 2])
+        seg = payload[i + 2: i + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j: j + 64], np.uint8).astype(
+                        np.int64
+                    )
+                    j += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[j: j + 128], ">u2"
+                    ).astype(np.int64)
+                    j += 128
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tbl  # stored in zigzag order
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1: j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17: j + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(
+                    bits, vals
+                )
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"jpeg: non-baseline SOF{marker - 0xC0} (progressive/"
+                "arithmetic) — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise UnsupportedMediaError("jpeg: SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                tdta = seg[2 + 2 * c]
+                sel[cid] = (tdta >> 4, tdta & 0xF)
+            data_start = i + seglen
+            return _decode_scan(
+                payload, data_start, frame, sel, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        i += seglen
+    raise UnsupportedMediaError("jpeg: no SOS found")
+
+
+def _split_entropy(payload: bytes, start: int):
+    """De-stuff entropy data; split at restart markers; stop at marker."""
+    segments = []
+    cur = bytearray()
+    i = start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # any real marker ends the scan
+            break
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_scan(payload, start, frame, sel, qt, huff_dc, huff_ac,
+                 restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    segments = _split_entropy(payload, start)
+
+    # per component: coefficient store, one (blocks_y, blocks_x, 64) array
+    stores = []
+    for cid, hi, vi, tq in comps:
+        stores.append(
+            np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int64)
+        )
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    pred = [0] * len(comps)
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise UnsupportedMediaError("jpeg: missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            dc = huff_dc[sel[cid][0]]
+            ac = huff_ac[sel[cid][1]]
+            for by in range(vi):
+                for bx in range(hi):
+                    coefs = np.zeros(64, np.int64)
+                    t = dc.decode(br)
+                    diff = _extend(br.read_bits(t), t)
+                    pred[ci] += diff
+                    coefs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac.decode(br)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise UnsupportedMediaError(
+                                "jpeg: AC run past block end"
+                            )
+                        coefs[k] = _extend(br.read_bits(s), s)
+                        k += 1
+                    stores[ci][my * vi + by, mx * hi + bx] = coefs
+
+    # dequantize + de-zigzag + IDCT, all blocks of a component at once
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        by, bx, _ = stores[ci].shape
+        flat = stores[ci].reshape(-1, 64) * qt[tq][ZIGZAG][None, :]
+        nat = np.zeros_like(flat)
+        nat[:, ZIGZAG] = flat
+        pix = _idct_blocks(nat.reshape(-1, 8, 8)) + 128.0
+        # blocks → plane
+        plane = (
+            pix.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # upsample to full resolution by sample replication
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encoder
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | (
+                (1 << (8 - self.nbits)) - 1
+            )  # 1-pad per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _huff_encode_table(bits, vals):
+    """symbol → (code, length) for the canonical table."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    *,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes for a uint8 (H, W) gray or (H, W, 3) RGB image.
+
+    ``subsample=True`` writes 4:2:0 (2×2-mean chroma); restart markers
+    every ``restart_interval`` MCUs when set.
+    """
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scaled_qt(QT_LUMA, quality)
+    qc = _scaled_qt(QT_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qmap = [0]
+    else:
+        x = img.astype(np.float64)
+        y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2]
+        cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2]
+        if subsample:
+            pad_h, pad_w = (-h) % 2, (-w) % 2
+            def _ds(p):
+                p = np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge")
+                return (
+                    p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+            planes = [y - 128.0, _ds(cb), _ds(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qmap = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad each plane to its block grid and pre-compute quantized coefs
+    all_q = []
+    for p, (hi, vi), qi in zip(planes, samp, qmap):
+        ph, pw = mcus_y * vi * 8, mcus_x * hi * 8
+        p = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        blocks = (
+            p.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = _fdct_blocks(blocks)
+        q = (qy if qi == 0 else qc).reshape(8, 8)
+        qd = np.round(coefs / q).astype(np.int64)
+        all_q.append(qd.reshape(ph // 8, pw // 8, 64))
+
+    dc_tbl = [_huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tbl = [_huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    tmap = [0] + [1] * (len(planes) - 1)
+
+    bw = _BitWriter()
+    chunks: list[bytes] = []
+    pred = [0] * len(planes)
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            bw = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, (hi, vi) in enumerate(samp):
+            dct, act = dc_tbl[tmap[ci]], ac_tbl[tmap[ci]]
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = all_q[ci][my * vi + by, mx * hi + bx]
+                    zz = zz.reshape(64)[ZIGZAG]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    t = _csize(diff)
+                    code, ln = dct[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(
+                            diff if diff >= 0
+                            else diff + (1 << t) - 1, t
+                        )
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = act[0xF0]  # ZRL
+                            bw.write(code, ln)
+                            run -= 16
+                        s = _csize(v)
+                        code, ln = act[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = act[0x00]  # EOB
+                        bw.write(code, ln)
+    bw.flush()
+    chunks.append(bytes(bw.out))
+    entropy = b"".join(chunks)
+
+    # ---- assemble the file -------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    def dqt(tid, tbl):
+        z = tbl.reshape(64)[ZIGZAG]
+        return (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(v) for v in z))
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+
+    nc = len(planes)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qmap[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (tmap[ci] << 4) | tmap[ci]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -623,3 +623,95 @@ def test_png_sub_byte_depths():
     got = decode_png(png)
     assert got.shape == (9, 10)
     assert (got == vals * (255 // 3)).all()
+
+
+def _gradient_rgb(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        xx * 255 // (w - 1),
+        yy * 255 // (h - 1),
+        (xx + yy) * 255 // (w + h - 2),
+    ], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG (multimodal/jpeg.py): encode→decode roundtrips
+    within quantization error for 4:4:4 and 4:2:0 layouts; a uniform
+    image is bit-exact (DC-only); restart markers decode identically."""
+    from arlas_proc_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb()
+    out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(float) - img).mean() < 2.0
+
+    sub = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    assert sub.shape == img.shape
+    assert np.abs(sub.astype(float) - img).mean() < 4.0
+
+    # restart markers: byte-different stream, identical pixels
+    rst = decode_jpeg(
+        encode_jpeg(img, quality=92, restart_interval=3)
+    )
+    np.testing.assert_array_equal(rst, out)
+
+    uniform = np.full((16, 24, 3), 130, np.uint8)
+    exact = decode_jpeg(encode_jpeg(uniform, quality=85))
+    assert int(np.abs(exact.astype(int) - 130).max()) == 0
+
+
+def test_jpeg_gray_odd_dims_and_rejections():
+    from arlas_proc_ray.multimodal.codecs import (
+        UnsupportedMediaError,
+        decode_image,
+    )
+    from arlas_proc_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:53]  # non-multiple-of-8/16 dims
+    g = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(float) - g).mean() < 12.0
+
+    rgb = _gradient_rgb(37, 53)
+    out = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=True))
+    assert out.shape == rgb.shape
+
+    # decode_image dispatches on the SOI magic
+    assert decode_image(encode_jpeg(g, quality=90)).shape == g.shape
+
+    # progressive (SOF2) is the documented remaining seam
+    payload = bytearray(encode_jpeg(g))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(UnsupportedMediaError, match="baseline"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(UnsupportedMediaError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_feeds_decode_image_stage(ray_session):
+    """DecodeImage actor stage consumes JPEG payloads end to end."""
+    import ray.data as rd
+
+    from arlas_proc_ray.multimodal.codecs import DecodeImage
+    from arlas_proc_ray.multimodal.jpeg import encode_jpeg
+
+    imgs = [_gradient_rgb(24, 32), _gradient_rgb(16, 16)]
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(
+            [encode_jpeg(i, quality=90) for i in imgs], pa.binary()
+        ),
+    })
+    out = (
+        rd.from_arrow(t)
+        .map_batches(DecodeImage, batch_format="pyarrow", concurrency=1,
+                     batch_size=None)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(out["height"]) == [24, 16]
+    assert list(out["width"]) == [32, 16]
+    assert list(out["channels"]) == [3, 3]
+    assert all(len(th) == 8 * 8 * 3 for th in out["thumb"])
