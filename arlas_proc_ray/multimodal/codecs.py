@@ -211,11 +211,11 @@ class DecodeImage:
 
     Real decode for netpbm P5/P6, PNG (8/16-bit and sub-8-bit depths,
     gray/gray+alpha/RGB/RGBA/palette(+tRNS), all five scanline filters,
-    both interlace modes — stdlib zlib) AND baseline JPEG
+    both interlace modes — stdlib zlib) AND JPEG
     (multimodal/jpeg.py: Huffman + dequant + vectorized IDCT, 4:4:4 /
-    4:2:2 / 4:2:0 / grayscale, restart markers). Progressive JPEG and
-    video formats hit the documented ``UnsupportedMediaError`` seam
-    where a C codec would plug in.
+    4:2:2 / 4:2:0 / grayscale, restart markers, baseline AND
+    progressive scans). Video formats hit the documented
+    ``UnsupportedMediaError`` seam where a C codec would plug in.
     Emits (height, width, channels, mean_intensity, thumb) with ``thumb``
     a flattened uint8 tensor of ``target_size`` for downstream models.
     """

@@ -6,16 +6,19 @@ netpbm and full PNG were already real; JPEG raised
 T.81 spec's baseline sequential DCT process and the Annex K example
 tables (quantization matrices, DC/AC Huffman tables, zigzag order).
 
-Decoder (``decode_jpeg``): SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker
+Decoder (``decode_jpeg``): SOI/APPn/COM/DQT/SOF/DHT/DRI/SOS/EOI marker
 parse → entropy decode (canonical Huffman, MSB-first, 0xFF00 stuffing
-removed, FFD0-D7 restart markers reset the DC predictors) → dequantize
-→ de-zigzag → vectorized 8×8 IDCT (one einsum over ALL blocks — the
-separable DCT-II basis matrix, no per-pixel Python) → plane assembly
-per component with h×v sampling factors → chroma upsampled by sample
-replication → JFIF YCbCr→RGB (BT.601 full range). Grayscale,
-4:4:4, 4:2:2 and 4:2:0 layouts; progressive (SOF2) and arithmetic
-coding raise ``UnsupportedMediaError`` (a deliberate baseline-only
-scope, like libjpeg-turbo's default path).
+removed, FFD0-D7 restart markers reset the DC predictors and EOB runs)
+→ dequantize → de-zigzag → vectorized 8×8 IDCT (one einsum over ALL
+blocks — the separable DCT-II basis matrix, no per-pixel Python) →
+plane assembly per component with h×v sampling factors → chroma
+upsampled by sample replication → JFIF YCbCr→RGB (BT.601 full range).
+Grayscale, 4:4:4, 4:2:2 and 4:2:0 layouts. BOTH Huffman DCT modes:
+baseline sequential (SOF0/1) and PROGRESSIVE (SOF2 — spectral
+selection and successive approximation, the T.81 G.1.2 scan
+algorithms with EOB-run and correction-bit handling mirroring
+libjpeg's decode_mcu_AC_refine). Lossless/hierarchical/arithmetic
+SOFs raise ``UnsupportedMediaError``.
 
 Encoder (``encode_jpeg``): baseline, Annex K tables scaled by the IJG
 quality formula, optional 2×2 chroma subsampling, optional restart
@@ -124,6 +127,14 @@ AC_CHROMA_VALS = [
     0xF9, 0xFA,
 ]
 
+# Progressive AC scans need EOBn symbols (n<<4) the Annex K tables do
+# not contain; this flat 176-symbol table (every run/size byte with
+# size <= 10, all at code length 9 — Kraft 176/512, canonical, all-ones
+# unused) is emitted via DHT before the AC scans. Compression is worse
+# than tuned per-scan tables; correctness is identical.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = sorted((r << 4) | s for r in range(16) for s in range(11))
+
 # separable DCT-II basis: C[u, x] = a(u) cos((2x+1)uπ/16)
 _C = np.array([
     [
@@ -215,7 +226,14 @@ def _extend(v: int, t: int) -> int:
 
 # ------------------------------------------------------------------ decoder
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF → uint8 array (H, W) gray or (H, W, 3) RGB."""
+    """JFIF → uint8 array (H, W) gray or (H, W, 3) RGB.
+
+    Baseline (SOF0/1) and progressive (SOF2: spectral selection AND
+    successive approximation, the T.81 G.1.2 / libjpeg algorithms).
+    Scans accumulate into per-component coefficient stores; the IDCT
+    runs ONCE at EOI over every block. Arithmetic coding (SOF9+) and
+    hierarchical modes stay behind ``UnsupportedMediaError``.
+    """
     if payload[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -223,6 +241,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    progressive = False
+    stores: list[np.ndarray] | None = None
+    saw_scan = False
     i = 2
     n = len(payload)
     while i < n:
@@ -255,7 +276,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nat = np.empty(64, np.int64)
                 nat[ZIGZAG] = tbl  # stored in zigzag order
                 qt[tq] = nat
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables are stream-stateful)
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0xF
@@ -266,7 +287,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 j += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -275,34 +297,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            stores = [
+                np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int64)
+                for _, hi, vi, _ in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"jpeg: non-baseline SOF{marker - 0xC0} (progressive/"
-                "arithmetic) — baseline sequential only"
+                f"jpeg: SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) is out of scope — DCT Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise UnsupportedMediaError("jpeg: SOS before SOF")
             ns = seg[0]
-            sel = {}
+            scan_comps = []  # (comp_index, dc_tbl, ac_tbl) in scan order
+            cid_to_idx = {c[0]: k for k, c in enumerate(frame[2])}
             for c in range(ns):
                 cid = seg[1 + 2 * c]
                 tdta = seg[2 + 2 * c]
-                sel[cid] = (tdta >> 4, tdta & 0xF)
-            data_start = i + seglen
-            return _decode_scan(
-                payload, data_start, frame, sel, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan_comps.append(
+                    (cid_to_idx[cid], tdta >> 4, tdta & 0xF)
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            segments, end = _split_entropy(payload, i + seglen)
+            _decode_scan(
+                segments, frame, stores, scan_comps, huff_dc, huff_ac,
+                restart_interval, progressive, ss, se, ah, al,
             )
+            saw_scan = True
+            i = end
+            continue
         i += seglen
-    raise UnsupportedMediaError("jpeg: no SOS found")
+    if not saw_scan:
+        raise UnsupportedMediaError("jpeg: no SOS found")
+    return _finish(frame, stores, qt)
 
 
 def _split_entropy(payload: bytes, start: int):
-    """De-stuff entropy data; split at restart markers; stop at marker."""
+    """De-stuff entropy data; split at restart markers; stop at a real
+    marker. Returns (segments, index of the terminating marker)."""
     segments = []
     cur = bytearray()
     i = start
@@ -324,66 +366,177 @@ def _split_entropy(payload: bytes, start: int):
         else:  # any real marker ends the scan
             break
     segments.append(bytes(cur))
-    return segments
+    return segments, i
 
 
-def _decode_scan(payload, start, frame, sel, qt, huff_dc, huff_ac,
-                 restart_interval):
+def _scan_mcus(frame, scan_comps):
+    """MCU list in scan order; each MCU is a list of (ci, by, bx).
+
+    Interleaved scans follow the frame sampling layout; a
+    single-component scan is non-interleaved — one block per MCU over
+    the COMPONENT's own block grid (T.81 A.2.2: ceil of the scaled
+    dimensions, not the padded MCU grid)."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if len(scan_comps) == 1:
+        ci = scan_comps[0][0]
+        _, hi, vi, _ = comps[ci]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        bx = -(-cw // 8)
+        by = -(-ch // 8)
+        return [
+            [(ci, yy, xx)] for yy in range(by) for xx in range(bx)
+        ]
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    segments = _split_entropy(payload, start)
+    out = []
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        blocks = []
+        for ci, _, _ in scan_comps:
+            _, hi, vi, _ = comps[ci]
+            for byy in range(vi):
+                for bxx in range(hi):
+                    blocks.append((ci, my * vi + byy, mx * hi + bxx))
+        out.append(blocks)
+    return out
 
-    # per component: coefficient store, one (blocks_y, blocks_x, 64) array
-    stores = []
-    for cid, hi, vi, tq in comps:
-        stores.append(
-            np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int64)
-        )
 
+def _decode_scan(segments, frame, stores, scan_comps, huff_dc, huff_ac,
+                 restart_interval, progressive, ss, se, ah, al):
+    mcus = _scan_mcus(frame, scan_comps)
+    tables = {
+        ci: (huff_dc.get(td), huff_ac.get(ta))
+        for ci, td, ta in scan_comps
+    }
     seg_idx = 0
     br = _BitReader(segments[0])
-    pred = [0] * len(comps)
-    for m in range(n_mcus):
+    pred = {ci: 0 for ci, _, _ in scan_comps}
+    state = {"eobrun": 0}
+    for m, blocks in enumerate(mcus):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise UnsupportedMediaError("jpeg: missing restart segment")
             br = _BitReader(segments[seg_idx])
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc = huff_dc[sel[cid][0]]
-            ac = huff_ac[sel[cid][1]]
-            for by in range(vi):
-                for bx in range(hi):
-                    coefs = np.zeros(64, np.int64)
-                    t = dc.decode(br)
-                    diff = _extend(br.read_bits(t), t)
-                    pred[ci] += diff
-                    coefs[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = ac.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise UnsupportedMediaError(
-                                "jpeg: AC run past block end"
-                            )
-                        coefs[k] = _extend(br.read_bits(s), s)
-                        k += 1
-                    stores[ci][my * vi + by, mx * hi + bx] = coefs
+            pred = {ci: 0 for ci, _, _ in scan_comps}
+            state["eobrun"] = 0
+        for ci, by, bx in blocks:
+            coefs = stores[ci][by, bx]
+            dc, ac = tables[ci]
+            if not progressive:
+                _block_sequential(br, coefs, dc, ac, pred, ci)
+            elif ss == 0 and ah == 0:
+                t = dc.decode(br)
+                pred[ci] += _extend(br.read_bits(t), t)
+                coefs[0] = pred[ci] << al
+            elif ss == 0:  # DC refinement: one magnitude bit per block
+                if br.read_bit():
+                    coefs[0] |= 1 << al
+            elif ah == 0:
+                _block_ac_first(br, coefs, ac, ss, se, al, state)
+            else:
+                _block_ac_refine(br, coefs, ac, ss, se, al, state)
 
-    # dequantize + de-zigzag + IDCT, all blocks of a component at once
+
+def _block_sequential(br, coefs, dc, ac, pred, ci):
+    t = dc.decode(br)
+    pred[ci] += _extend(br.read_bits(t), t)
+    coefs[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise UnsupportedMediaError("jpeg: AC run past block end")
+        coefs[k] = _extend(br.read_bits(s), s)
+        k += 1
+
+
+def _block_ac_first(br, coefs, ac, ss, se, al, state):
+    """Progressive AC first pass for one block (T.81 G.1.2.2 decode)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob = 1 << r
+            if r:
+                eob += br.read_bits(r)
+            state["eobrun"] = eob - 1  # this block is the first of them
+            return
+        k += r
+        if k > se:
+            raise UnsupportedMediaError("jpeg: AC run past band end")
+        coefs[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(br, coefs, ac, ss, se, al, state):
+    """Progressive AC refinement for one block (libjpeg
+    decode_mcu_AC_refine structure; correction bit read for every
+    already-nonzero coefficient passed over)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def refine(k):
+        c = int(coefs[k])
+        if c and br.read_bit() and not (c & p1):
+            coefs[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn
+                    eob = 1 << r
+                    if r:
+                        eob += br.read_bits(r)
+                    state["eobrun"] = eob
+                    break
+                # r == 15: ZRL — pass 16 zero-HISTORY coefficients
+            else:
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if coefs[k] != 0:
+                    refine(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coefs[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            refine(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish(frame, stores, qt):
+    """Dequantize + de-zigzag + IDCT every block; assemble planes."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         by, bx, _ = stores[ci].shape
@@ -391,14 +544,12 @@ def _decode_scan(payload, start, frame, sel, qt, huff_dc, huff_ac,
         nat = np.zeros_like(flat)
         nat[:, ZIGZAG] = flat
         pix = _idct_blocks(nat.reshape(-1, 8, 8)) + 128.0
-        # blocks → plane
         plane = (
             pix.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(by * 8, bx * 8)
         )
-        # upsample to full resolution by sample replication
-        if hi != hmax or vi != vmax:
+        if hi != hmax or vi != vmax:  # sample-replication upsample
             plane = np.repeat(
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
             )
@@ -627,5 +778,242 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+class _ProgWriter(_BitWriter):
+    """Bit writer with the progressive AC bookkeeping: a pending EOB
+    run and the buffered correction bits that must follow the next
+    emitted symbol (T.81 G.1.2.2 / libjpeg emit_eobrun)."""
+
+    def __init__(self, ac_codes):
+        super().__init__()
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def emit_ac(self, sym: int):
+        code, ln = self.ac[sym]
+        self.write(code, ln)
+
+    def flush_pending(self):
+        for b in self.pending_bits:
+            self.write(b, 1)
+        self.pending_bits = []
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_ac(nbits << 4)
+            if nbits:
+                self.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        self.flush_pending()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, *, quality: int = 85
+) -> bytes:
+    """Progressive JFIF (SOF2), spectral selection + one successive-
+    approximation level: DC(Al=1) → DC refine → per-component AC
+    1..63 (Al=1) → per-component AC refine (Ah=1, Al=0). Exercises
+    every progressive decode path (EOB runs, ZRL, correction bits);
+    pixel-identical to the baseline encoder's output at the same
+    quality once fully decoded (same quantized coefficients)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scaled_qt(QT_LUMA, quality)
+    qc = _scaled_qt(QT_CHROMA, quality)
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        qmap = [0]
+    else:
+        x = img.astype(np.float64)
+        y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        cb = -0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2]
+        cr = 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2]
+        planes = [y - 128.0, cb, cr]
+        qmap = [0, 1, 1]
+    nc = len(planes)
+    bx = -(-w // 8)
+    by = -(-h // 8)
+
+    zz_all = []  # per component: (by*bx, 64) zigzag-ordered quantized
+    for p, qi in zip(planes, qmap):
+        p = np.pad(p, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+        blocks = (
+            p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        q = (qy if qi == 0 else qc).reshape(8, 8)
+        qd = np.round(_fdct_blocks(blocks) / q).astype(np.int64)
+        zz_all.append(qd.reshape(-1, 64)[:, ZIGZAG])
+
+    dc_codes = [_huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+                _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    prog_ac = _huff_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+    ac_codes = [prog_ac, prog_ac]
+    tmap = [0] + [1] * (nc - 1)
+
+    def sos_header(comp_sel, ss, se, ah, al):
+        sos = bytearray([len(comp_sel)])
+        for ci, td, ta in comp_sel:
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+    scans: list[bytes] = []
+
+    # ---- scan 1: DC first, all components interleaved, Al=1 ----------
+    bw = _BitWriter()
+    pred = [0] * nc
+    for b in range(by * bx):
+        for ci in range(nc):
+            v = int(zz_all[ci][b, 0]) >> 1  # arithmetic shift (DC rule)
+            diff = v - pred[ci]
+            pred[ci] = v
+            t = _csize(diff)
+            code, ln = dc_codes[tmap[ci]][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    scans.append(
+        sos_header([(ci, tmap[ci], 0) for ci in range(nc)], 0, 0, 0, 1)
+        + bytes(bw.out)
+    )
+
+    # ---- scan 2: DC refinement (one raw bit per block) ---------------
+    bw = _BitWriter()
+    for b in range(by * bx):
+        for ci in range(nc):
+            bw.write(int(zz_all[ci][b, 0]) & 1, 1)
+    bw.flush()
+    scans.append(
+        sos_header([(ci, tmap[ci], 0) for ci in range(nc)], 0, 0, 1, 0)
+        + bytes(bw.out)
+    )
+
+    # ---- per component: AC first pass, band 1..63, Al=1 --------------
+    for ci in range(nc):
+        pw = _ProgWriter(ac_codes[tmap[ci]])
+        for b in range(by * bx):
+            zz = zz_all[ci][b]
+            # magnitudes at this approximation level (truncate toward 0)
+            mags = [
+                (abs(int(zz[k])) >> 1) * (1 if zz[k] >= 0 else -1)
+                for k in range(1, 64)
+            ]
+            if not any(mags):
+                pw.eobrun += 1
+                if pw.eobrun == 0x7FFF:
+                    pw.emit_eobrun()
+                continue
+            pw.emit_eobrun()
+            run = 0
+            last_nz = max(k for k, v in enumerate(mags) if v)
+            for k, v in enumerate(mags):
+                if k > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    pw.emit_ac(0xF0)
+                    run -= 16
+                s = _csize(v)
+                pw.emit_ac((run << 4) | s)
+                pw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 62:
+                pw.eobrun += 1
+                if pw.eobrun == 0x7FFF:
+                    pw.emit_eobrun()
+        pw.emit_eobrun()
+        pw.flush()
+        scans.append(
+            sos_header([(ci, 0, tmap[ci])], 1, 63, 0, 1) + bytes(pw.out)
+        )
+
+    # ---- per component: AC refinement, Ah=1 → Al=0 -------------------
+    # libjpeg encode_mcu_AC_refine structure: TWO correction-bit
+    # buffers — ``br`` holds the current block's bits (emitted after
+    # this block's next ZRL/RS symbol), ``pw.pending_bits`` holds bits
+    # riding a pending EOB run (emitted after the EOBn symbol).
+    for ci in range(nc):
+        pw = _ProgWriter(ac_codes[tmap[ci]])
+        for b in range(by * bx):
+            zz = zz_all[ci][b]
+            temps = [abs(int(zz[k])) for k in range(1, 64)]
+            signs = [1 if int(zz[k]) >= 0 else -1 for k in range(1, 64)]
+            eob = -1  # index of the LAST newly-significant coefficient
+            for k, t in enumerate(temps):
+                if t == 1:
+                    eob = k
+            run = 0
+            br: list[int] = []
+            for k, t in enumerate(temps):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    pw.emit_eobrun()
+                    pw.emit_ac(0xF0)
+                    run -= 16
+                    for bit in br:
+                        pw.write(bit, 1)
+                    br = []
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                pw.emit_eobrun()
+                pw.emit_ac((run << 4) | 1)
+                pw.write(1 if signs[k] > 0 else 0, 1)
+                for bit in br:
+                    pw.write(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                pw.eobrun += 1
+                pw.pending_bits.extend(br)
+                if pw.eobrun == 0x7FFF:
+                    pw.emit_eobrun()
+        pw.emit_eobrun()
+        pw.flush()
+        scans.append(
+            sos_header([(ci, 0, tmap[ci])], 1, 63, 1, 0) + bytes(pw.out)
+        )
+
+    # ---- assemble ----------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    def dqt(tid, tbl):
+        z = tbl.reshape(64)[ZIGZAG]
+        return (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(v) for v in z))
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, qmap[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, PROG_AC_BITS, PROG_AC_VALS)
+    for s in scans:
+        out += s
     out += b"\xff\xd9"
     return bytes(out)

@@ -680,11 +680,11 @@ def test_jpeg_gray_odd_dims_and_rejections():
     # decode_image dispatches on the SOI magic
     assert decode_image(encode_jpeg(g, quality=90)).shape == g.shape
 
-    # progressive (SOF2) is the documented remaining seam
+    # lossless/arithmetic SOFs stay out of scope
     payload = bytearray(encode_jpeg(g))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2
-    with pytest.raises(UnsupportedMediaError, match="baseline"):
+    payload[i + 1] = 0xC3
+    with pytest.raises(UnsupportedMediaError, match="out of scope"):
         decode_jpeg(bytes(payload))
     with pytest.raises(UnsupportedMediaError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
@@ -715,3 +715,36 @@ def test_jpeg_feeds_decode_image_stage(ray_session):
     assert list(out["width"]) == [32, 16]
     assert list(out["channels"]) == [3, 3]
     assert all(len(th) == 8 * 8 * 3 for th in out["thumb"])
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive decode (SOF2: spectral selection + successive
+    approximation — DC Al=1→0, AC first pass Al=1 then refinement)
+    reconstructs the EXACT same pixels as the baseline path at the same
+    quality: the quantized coefficients are identical, only the scan
+    script differs. Noisy input stresses ZRL, EOB runs and the two
+    correction-bit buffers; flat input stresses long EOB runs."""
+    from arlas_proc_ray.multimodal.codecs import decode_image
+    from arlas_proc_ray.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (_gradient_rgb(), 88),
+        (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), 70),
+        (np.zeros((24, 24, 3), np.uint8), 85),
+    ]
+    for img, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        np.testing.assert_array_equal(prog, base)
+    # grayscale, via the dispatching entry point
+    yy, xx = np.mgrid[0:37, 0:53]
+    g = ((xx * yy) % 256).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_image(encode_jpeg_progressive(g, quality=80)),
+        decode_jpeg(encode_jpeg(g, quality=80)),
+    )
