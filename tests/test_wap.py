@@ -124,3 +124,42 @@ def test_gc_keeps_staged_epochs(tmp_path, ray_session):
     r = eng.store.gc_orphans(min_age_s=0.0)
     assert "epoch=2" in r["kept_inflight"]
     assert eng.read_staged(2) is not None
+
+
+def test_staged_epoch_crash_resume(tmp_path, ray_session):
+    """A crash mid-stage resumes through the normal partition fences;
+    the eventual publish is byte-identical to an uncrashed run."""
+    import pytest
+
+    tables = _tables()
+
+    class Boom(RuntimeError):
+        pass
+
+    crashed = {"n": 0}
+
+    def fault(epoch, part):
+        if epoch == 1 and part == 2 and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise Boom()
+
+    eng = CdcEngine(
+        str(tmp_path / "s"), DataModel(num_partitions=4), fault_hook=fault
+    )
+    with pytest.raises(Exception):
+        eng.apply_epoch(rd.from_arrow(tables[0]), 1, publish=False)
+    assert eng.store.latest_committed_epoch() is None
+
+    # a fresh engine re-stages the same epoch; done partitions skip
+    eng2 = CdcEngine(str(tmp_path / "s"), DataModel(num_partitions=4))
+    r = eng2.apply_epoch(rd.from_arrow(tables[0]), 1, publish=False)
+    assert r["staged"]
+    assert eng2.audit_staged(1, min_rows=1)["ok"]
+    eng2.publish_epoch(1)
+
+    # reference run without the crash
+    ref = CdcEngine(str(tmp_path / "ref"), DataModel(num_partitions=4))
+    ref.apply_epoch(rd.from_arrow(tables[0]), 1)
+    pd.testing.assert_frame_equal(
+        eng2.final_state().to_pandas(), ref.final_state().to_pandas()
+    )
