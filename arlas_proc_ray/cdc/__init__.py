@@ -32,9 +32,26 @@ from arlas_proc_ray.cdc.publish import (
     read_publish_checkpoint,
 )
 from arlas_proc_ray.cdc.feed import change_feed
-from arlas_proc_ray.cdc.views import read_view, refresh_group_view
+from arlas_proc_ray.cdc.views import (
+    read_view,
+    refresh_distinct_view,
+    refresh_group_view,
+    refresh_topk_view,
+)
+from arlas_proc_ray.cdc.constraints import (
+    ConstraintViolation,
+    load_constraints,
+    save_constraints,
+)
+from arlas_proc_ray.cdc.engine import EpochAuditError
 
 __all__ = [
+    "ConstraintViolation",
+    "EpochAuditError",
+    "load_constraints",
+    "save_constraints",
+    "refresh_distinct_view",
+    "refresh_topk_view",
     "publish_to_elasticsearch",
     "read_publish_checkpoint",
     "change_feed",

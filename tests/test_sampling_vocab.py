@@ -337,3 +337,50 @@ def test_mixture_sample_token_weighted_and_errors(ray_session):
         mixture_plan(ds, domain_col="dom", weights={"zzz": 1})
     with pytest.raises(ValueError, match="INTEGER"):
         mixture_plan(ds, domain_col="dom", weights={"a": 0.5})
+
+
+def test_mixture_plan_properties():
+    """Hypothesis: mixture_plan's integer thresholds respect the budget,
+    never upsample, and the binding domain saturates at bucket_mod."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from arlas_proc_ray.stages.sampling import mixture_plan
+
+    @given(
+        masses=st.lists(st.integers(1, 10_000), min_size=2, max_size=5),
+        weights=st.lists(st.integers(1, 100), min_size=2, max_size=5),
+        budget=st.one_of(st.none(), st.integers(1, 50_000)),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(masses, weights, budget):
+        k = min(len(masses), len(weights))
+        doms = [f"d{i}" for i in range(k)]
+        rows = []
+        for d, m in zip(doms, masses[:k]):
+            rows.append(pd.DataFrame({"dom": [d] * m}))
+        pdf = pd.concat(rows, ignore_index=True)
+        w = dict(zip(doms, weights[:k]))
+        plan = mixture_plan(
+            rd.from_pandas(pdf), domain_col="dom", weights=w,
+            budget=budget,
+        )
+        W = sum(w.values())
+        mod = plan["bucket_mod"]
+        B = plan["total"]
+        if budget is not None:
+            assert B <= budget
+        for d in doms:
+            thr = plan["thresholds"][d]
+            assert 0 <= thr <= mod  # never upsamples
+            # expected kept count is within one row of the exact target
+            assert thr == (w[d] * B * mod) // (W * plan["mass"][d])
+        if budget is None:
+            # B is exactly the largest no-upsampling total (integer
+            # truncation means the binding domain's threshold may sit
+            # just below bucket_mod, so saturation is NOT guaranteed)
+            assert B == min(
+                (plan["mass"][d] * W) // w[d] for d in doms
+            )
+
+    check()
