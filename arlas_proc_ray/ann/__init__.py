@@ -1,3 +1,13 @@
 from arlas_proc_ray.ann.search import brute_force_topk, lsh_bucketed_topk
+from arlas_proc_ray.ann.ivf import ivf_topk, train_centroids
+from arlas_proc_ray.ann.pq import pq_encode, pq_topk, train_pq
 
-__all__ = ["brute_force_topk", "lsh_bucketed_topk"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "ivf_topk",
+    "train_centroids",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+]

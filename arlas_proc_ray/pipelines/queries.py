@@ -6667,3 +6667,25 @@ ORACLE_SQL["wap_replay"] = """
            lsn AS last_lsn
     FROM last WHERE rn = 1 AND op <> 'DELETE'
 """
+
+
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized ADC top-k (ann/pq.py — Jégou 2011): 16-byte
+    codes instead of 256-byte float vectors, asymmetric-distance lookup
+    tables per query, per-block partials merged on the driver.
+    Approximate by construction → rows-only check; the recall bound vs
+    brute force is pinned in tests/test_ann.py."""
+    from arlas_proc_ray.ann.pq import pq_encode, pq_topk, train_pq
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    ds = _rp(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    books = train_pq(ds, m=16, k=64, train_sample=2000)
+    codes = pq_encode(ds, books)
+    out = pq_topk(codes, ids, mat, books, k=3)
+    out["cos_est"] = out["cos_est"].round(6)
+    return out
+
+
+QUERIES["ann_pq_topk"] = q_ann_pq_topk
