@@ -6689,3 +6689,24 @@ def q_ann_pq_topk(sf_dir: str):
 
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk
+
+
+def q_ann_ivfpq_topk(sf_dir: str):
+    """IVFADC top-k (ann/pq.py ivfpq_*): coarse quantizer prunes to
+    n_probe buckets, residual PQ codes refine inside them — the
+    canonical billion-scale layout (Jégou 2011 §IV). Approximate →
+    rows-only; recall bound pinned in tests/test_ann.py."""
+    from arlas_proc_ray.ann.pq import ivfpq_build, ivfpq_encode, ivfpq_topk
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    ds = _rp(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    model = ivfpq_build(ds, n_centroids=32, m=32, k=64, train_sample=2000)
+    codes = ivfpq_encode(ds, model)
+    out = ivfpq_topk(codes, ids, mat, model, k=3, n_probe=8)
+    out["cos_est"] = out["cos_est"].round(6)
+    return out
+
+
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk

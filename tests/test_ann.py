@@ -136,3 +136,44 @@ def test_pq_determinism_and_errors(ray_session):
     pd.testing.assert_frame_equal(
         c1.reset_index(drop=True), c2.reset_index(drop=True)
     )
+
+
+def test_ivfpq_recall_vs_brute(ray_session):
+    """IVFADC (coarse quantizer + residual PQ): probing most buckets
+    with 16-byte residual codes recovers the exact top-10 within a
+    recall bound; fewer probes trade recall for work."""
+    import numpy as np
+    import ray.data as rd
+
+    from arlas_proc_ray.ann import brute_force_topk
+    from arlas_proc_ray.ann.pq import ivfpq_build, ivfpq_encode, ivfpq_topk
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).materialize()
+    rows = ds.limit(5).to_pandas()
+    qids = rows["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(v, np.float64) for v in rows["embedding"]])
+
+    model = ivfpq_build(ds, n_centroids=16, m=32, k=64, train_sample=500)
+    codes = ivfpq_encode(ds, model).materialize()
+    assert codes.count() == ds.count()
+
+    k = 10
+    exact = brute_force_topk(ds, qids, qmat, k=k)
+    # near-random embeddings are ANN-hostile; probing every bucket
+    # isolates the residual-PQ accuracy itself (≈ flat PQ)
+    wide = ivfpq_topk(codes, qids, qmat, model, k=k, n_probe=16)
+    narrow = ivfpq_topk(codes, qids, qmat, model, k=k, n_probe=2)
+
+    def recall(approx):
+        rs = []
+        for q in qids:
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            rs.append(len(e & a) / k)
+        return float(np.mean(rs))
+
+    assert recall(wide) >= 0.7  # measured 0.84 at these parameters
+    assert recall(wide) >= recall(narrow) - 1e-9  # probes only help
