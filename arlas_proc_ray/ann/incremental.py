@@ -482,3 +482,343 @@ def epoch_vector_neighbors(
     if min_sim is not None:
         hits = hits[hits["cos_sim"] >= min_sim]
     return hits.reset_index(drop=True)
+
+
+# ------------------------------------------------- PQ-coded variant (IVFADC)
+class _PqVectorIndex(_VectorIndex):
+    """IVFADC over the store: same bucket partitioning and feed-driven
+    ±delta maintenance as ``_VectorIndex``, but rows hold the m-byte
+    RESIDUAL PQ code instead of the raw float32 vector — 16–32× smaller
+    index parts at the cost of approximate distances (ann/pq.py
+    rationale). Codebooks are trained once at bootstrap on the same
+    sample as the coarse quantizer and PINNED in the checkpoint (the
+    FAISS contract: updates never retrain; ``full=True`` rebuilds)."""
+
+    kind = "pqvecindex"
+    schema = pa.schema(
+        [("bucket", pa.int32()), ("key", pa.string()),
+         ("code", pa.binary())]
+    )
+    identity_cols = ["bucket", "key"]
+    keep = "last"
+
+    def __init__(self, store, index_id, spec, *, train_sample, seed,
+                 centroids=None, books=None):
+        super().__init__(store, index_id, spec,
+                         train_sample=train_sample, seed=seed,
+                         centroids=centroids)
+        self.books = (
+            np.asarray(books, np.float64) if books is not None else None
+        )
+        self._model_ref = None
+
+    def on_loaded_checkpoint(self, ckpt: dict) -> None:
+        super().on_loaded_checkpoint(ckpt)
+        m = int(ckpt["pq_m"])
+        kq = int(ckpt["pq_k"])
+        dsub = int(ckpt["dim"]) // m
+        self.books = np.frombuffer(
+            base64.b64decode(ckpt["books_b64"]), dtype="<f8"
+        ).reshape(m, kq, dsub).copy()
+
+    def extra_checkpoint(self) -> dict:
+        out = super().extra_checkpoint()
+        out.update({
+            "pq_m": int(self.books.shape[0]),
+            "pq_k": int(self.books.shape[1]),
+            "books_b64": base64.b64encode(
+                np.ascontiguousarray(self.books, dtype="<f8").tobytes()
+            ).decode("ascii"),
+        })
+        return out
+
+    def _ensure_centroids(self, target: int) -> None:
+        import ray
+
+        from arlas_proc_ray.ann.pq import _lloyd_l2
+
+        need_books = self.books is None
+        if self.cents is None or need_books:
+            vec_col = self.spec["vec_col"]
+            state = state_dataset(self.store, target, [vec_col])
+            rows = self.store.read_epoch_summary(target)["row_count"]
+            frac = min(1.0, (self.train_sample * 1.5) / max(rows, 1))
+            sampled = (
+                state if frac >= 1.0
+                else state.random_sample(frac, seed=self.seed)
+            )
+            sample_pdf = sampled.limit(self.train_sample).to_pandas()
+            if not len(sample_pdf):
+                raise RuntimeError("state has no rows to train on")
+            sample = _normalize(decode_vec_f32(sample_pdf[vec_col]))
+            if self.cents is None:
+                self.cents = kmeans_fit(
+                    sample, self.spec["n_centroids"], seed=self.seed
+                )
+            if need_books:
+                m = int(self.spec["pq_m"])
+                kq = int(self.spec["pq_k"])
+                d = sample.shape[1]
+                if d % m:
+                    raise ValueError(f"dim {d} not divisible by m={m}")
+                dsub = d // m
+                assign = np.argmax(sample @ self.cents.T, axis=1)
+                res = sample - self.cents[assign]
+                self.books = np.stack([
+                    _lloyd_l2(
+                        np.ascontiguousarray(
+                            res[:, j * dsub:(j + 1) * dsub]
+                        ),
+                        kq, seed=self.seed + j,
+                    )
+                    for j in range(m)
+                ])
+        if self._model_ref is None:
+            self._model_ref = ray.put(
+                {"cents": self.cents, "books": self.books}
+            )
+
+    def _rows_frame(self, mat, keys, sign, model) -> pd.DataFrame:
+        cents, books = model["cents"], model["books"]
+        m, kq, dsub = books.shape
+        x = _normalize(mat)
+        buckets = np.argmax(x @ cents.T, axis=1)
+        res = x - cents[buckets]
+        codes = np.empty((len(x), m), np.uint8)
+        for j in range(m):
+            sub = np.ascontiguousarray(res[:, j * dsub:(j + 1) * dsub])
+            c = books[j]
+            d2 = -2.0 * (sub @ c.T) + (c**2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        buf = codes.tobytes()
+        return pd.DataFrame({
+            "bucket": buckets.astype(np.int32),
+            "key": np.asarray(keys, object),
+            "code": [buf[i * m:(i + 1) * m] for i in range(len(x))],
+            "delta": np.full(len(x), sign, dtype=np.int8),
+        })
+
+    def bootstrap_deltas(self, target: int):
+        import ray
+
+        self._ensure_centroids(target)
+        model_ref = self._model_ref
+        key_cols = list(self.spec["key_cols"])
+        vec_col = self.spec["vec_col"]
+        empty = self.empty_rows_arrow(delta=True)
+        build = self._rows_frame
+
+        def to_rows(pdf: pd.DataFrame):
+            live = pdf[pdf[vec_col].notna() & (pdf[vec_col] != "")]
+            if not len(live):
+                return empty
+            return build(
+                decode_vec_f32(live[vec_col]),
+                stable_doc_ids(live, key_cols).to_numpy(object),
+                1, ray.get(model_ref),
+            )
+
+        return state_dataset(
+            self.store, target, key_cols + [vec_col]
+        ).map_batches(to_rows, batch_format="pandas", batch_size=None)
+
+    def feed_deltas(self, base: int, target: int):
+        import ray
+
+        from arlas_proc_ray.cdc.feed import change_feed
+
+        self._ensure_centroids(target)
+        model_ref = self._model_ref
+        key_cols = list(self.spec["key_cols"])
+        vec_col = self.spec["vec_col"]
+        empty = self.empty_rows_arrow(delta=True)
+        build = self._rows_frame
+
+        feed = change_feed(
+            self.store, base=base, target=target,
+            columns=[vec_col], compare_cols=[vec_col],
+            include_old=[vec_col],
+        )
+
+        def feed_to_rows(pdf: pd.DataFrame):
+            if not len(pdf):
+                return empty
+            model = ray.get(model_ref)
+            keys = stable_doc_ids(pdf, key_cols)
+            ops = pdf["op"].to_numpy()
+            frames = []
+
+            def rows_for(mask, col, sign):
+                sub = pdf.loc[mask]
+                live = sub[col].notna() & (sub[col] != "")
+                sub = sub.loc[live]
+                if not len(sub):
+                    return None
+                return build(
+                    decode_vec_f32(sub[col]),
+                    keys.loc[sub.index].to_numpy(object), sign, model,
+                )
+
+            a = rows_for((ops == "I") | (ops == "U"), vec_col, 1)
+            if a is not None:
+                frames.append(a)
+            u = rows_for(ops == "U", f"old_{vec_col}", -1)
+            if u is not None:
+                frames.append(u)
+            d = rows_for(ops == "D", vec_col, -1)
+            if d is not None:
+                frames.append(d)
+            if not frames:
+                return empty
+            return pd.concat(frames, ignore_index=True)
+
+        return feed.map_batches(
+            feed_to_rows, batch_format="pandas", batch_size=None
+        )
+
+
+def refresh_pq_vector_index(
+    store: SnapshotStore,
+    *,
+    index_id: str = "default",
+    key_cols: Sequence[str] = ("repo", "path"),
+    vec_col: str = "content",
+    epoch: int | str | None = None,
+    n_centroids: int = 64,
+    pq_m: int = 8,
+    pq_k: int = 64,
+    num_partitions: int = 8,
+    train_sample: int = 20_000,
+    seed: int = 17,
+    centroids: np.ndarray | None = None,
+    books: np.ndarray | None = None,
+    full: bool = False,
+    commit_checkpoint: bool = True,
+) -> dict:
+    """Bring the IVFADC index up to ``epoch``: bootstrap trains coarse
+    centroids AND residual PQ codebooks on one bounded random sample;
+    every later refresh re-encodes only the changed vectors from the
+    change feed (pinned model → deterministic retraction codes).
+    ``centroids=``/``books=`` pin an externally-trained model (e.g. a
+    prior checkpoint's) — ``full=True`` with them is a re-encode, not a
+    retrain."""
+    spec = _spec(key_cols, vec_col, n_centroids, num_partitions, seed)
+    spec.update({"pq_m": int(pq_m), "pq_k": int(pq_k)})
+    kit = _PqVectorIndex(store, index_id, spec,
+                         train_sample=train_sample, seed=seed,
+                         centroids=centroids, books=books)
+    return kit.refresh(epoch=epoch, full=full,
+                       commit_checkpoint=commit_checkpoint)
+
+
+def pq_vector_index_topk(
+    store: SnapshotStore,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    index_id: str = "default",
+    k: int = 3,
+    n_probe: int = 8,
+) -> pd.DataFrame:
+    """ADC top-k against the PQ index, reading ONLY the partitions that
+    hold the queries' probed buckets. Returns (query_id, key, cos_est),
+    ≤k rows per query, deterministic key tie-break."""
+    import ray
+    import ray.data as rd
+
+    kit = _PqVectorIndex(store, index_id, {"num_partitions": 0},
+                         train_sample=0, seed=0)
+    ckpt = kit.read_checkpoint()
+    if ckpt is None:
+        raise RuntimeError(f"index {index_id!r} has never been refreshed")
+    kit.on_loaded_checkpoint(ckpt)
+    cents, books = kit.cents, kit.books
+    m, kq, dsub = books.shape
+    num_partitions = ckpt["spec"]["num_partitions"]
+    sources = ckpt["sources"]
+
+    qmat = _normalize(np.asarray(query_matrix, np.float64))
+    qids = np.asarray(query_ids)
+    probe = min(n_probe, cents.shape[0])
+    probed = np.argpartition(-(qmat @ cents.T), kth=probe - 1,
+                             axis=1)[:, :probe]
+    probed_buckets = np.unique(probed)
+    probed_parts = sorted({int(b) % num_partitions for b in probed_buckets})
+    files = [
+        kit.part_path(p, int(sources[str(p)]))
+        for p in probed_parts
+        if str(p) in sources
+        and os.path.exists(kit.part_path(p, int(sources[str(p)])))
+    ]
+    empty = pd.DataFrame(
+        {"query_id": pd.Series([], dtype=qids.dtype),
+         "key": pd.Series([], dtype=object),
+         "cos_est": pd.Series([], dtype=np.float64)}
+    )
+    if not files:
+        return empty
+
+    state_ref = ray.put({
+        "qids": qids, "qmat": qmat, "probed": probed,
+        "cents": cents, "books": books,
+    })
+
+    def score(batch: pa.Table):
+        st = ray.get(state_ref)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch.column("key").to_pylist(), dtype=object)
+        code_bytes = batch.column("code").combine_chunks()
+        codes = np.frombuffer(
+            b"".join(code_bytes.to_pylist()), np.uint8
+        ).reshape(len(keys), m)
+        probing: dict[int, list[int]] = {}
+        for qpos, cs in enumerate(st["probed"]):
+            for c in cs:
+                probing.setdefault(int(c), []).append(qpos)
+        frames = []
+        for c, qpos in probing.items():
+            mask = buckets == c
+            if not mask.any():
+                continue
+            sub_codes = codes[mask]
+            sub_keys = keys[mask]
+            qr = st["qmat"][qpos] - st["cents"][c]
+            dists = np.zeros((len(qpos), len(sub_keys)))
+            for j in range(m):
+                sq = np.ascontiguousarray(qr[:, j * dsub:(j + 1) * dsub])
+                cb = st["books"][j]
+                lut = (
+                    (sq**2).sum(axis=1)[:, None]
+                    - 2.0 * (sq @ cb.T)
+                    + (cb**2).sum(axis=1)[None, :]
+                )
+                dists += lut[:, sub_codes[:, j]]
+            cos_est = 1.0 - dists / 2.0
+            kk = min(k, cos_est.shape[1])
+            top = np.argpartition(-cos_est, kth=kk - 1, axis=1)[:, :kk]
+            frames.append(pd.DataFrame({
+                "query_id": np.repeat(st["qids"][qpos], kk),
+                "key": sub_keys[top].ravel(),
+                "cos_sim": np.take_along_axis(
+                    cos_est, top, axis=1
+                ).ravel(),
+            }))
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=st["qids"].dtype),
+                 "key": pd.Series([], dtype=object),
+                 "cos_sim": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = rd.read_parquet(files).map_batches(
+        score, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not len(partials):
+        return empty
+    # final per-query reduce on ≤ (parts × queries × k) rows — tiny
+    partials = partials.sort_values(
+        ["query_id", "cos_sim", "key"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = partials.groupby("query_id", sort=True).head(k)
+    return out.rename(columns={"cos_sim": "cos_est"}).reset_index(drop=True)

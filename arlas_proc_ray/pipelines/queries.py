@@ -6710,3 +6710,77 @@ def q_ann_ivfpq_topk(sf_dir: str):
 
 
 QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+
+
+def q_incremental_pq_search(sf_dir: str):
+    """Incrementally-maintained IVFADC index (ann/incremental.py
+    _PqVectorIndex): same two-epoch ingest as incremental_ann_search,
+    but the index rows hold m-byte RESIDUAL PQ codes instead of raw
+    float32 vectors (16–32× smaller parts; the FAISS IVFADC layout with
+    the model pinned at bootstrap). ADC distances are approximate by
+    construction → rows-only; the recall bound vs the raw-vector index
+    is pinned in tests/test_incremental_vecindex.py."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.ann.incremental import (
+        encode_vec_f32,
+        pq_vector_index_topk,
+        refresh_pq_vector_index,
+    )
+    from arlas_proc_ray.ann.search import _as_matrix
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.model import DataModel
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id < 400")
+
+    def to_events(t: pa.Table) -> pa.Table:
+        vid = pc.cast(t.column("vec_id"), pa.int64())
+        enc = encode_vec_f32(_as_matrix(t.column("embedding")))
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                vid,
+                pa.array(["UPDATE"] * n, pa.string()),
+                pc.cast(vid, pa.string()),
+                pa.array(["v"] * n, pa.string()),
+                pc.cast(vid, pa.string()),
+                pa.array(["vec"] * n, pa.string()),
+                pa.array(enc, pa.string()),
+                pa.array(np.ones(n, np.int32)),
+                vid,
+            ],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    ev = ds.map_batches(
+        to_events, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    idx = dict(n_centroids=8, pq_m=32, pq_k=64, num_partitions=4,
+               train_sample=512, seed=17)
+    ids, qmat = _query_vectors(sf_dir, 5)
+    snap = tempfile.mkdtemp(prefix="incremental_pq_")
+    try:
+        eng = CdcEngine(snap, DataModel(num_partitions=4))
+        eng.apply_epoch(ev.filter(expr="lsn < 200"), 1)
+        refresh_pq_vector_index(eng.store, index_id="pq", **idx)
+        eng.apply_epoch(ev.filter(expr="lsn >= 200"), 2)
+        r = refresh_pq_vector_index(eng.store, index_id="pq", **idx)
+        assert r["mode"] == "incremental"
+        hits = pq_vector_index_topk(
+            eng.store, ids, qmat, index_id="pq", k=3, n_probe=8,
+        )
+        return pd.DataFrame(
+            {
+                "query_id": hits["query_id"].astype(np.int64),
+                "vec_id": hits["key"].str.split("#").str[0].astype(np.int64),
+                "cos_est": hits["cos_est"].round(6),
+            }
+        ).sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["incremental_pq_search"] = q_incremental_pq_search

@@ -231,3 +231,131 @@ def test_spec_drift_and_stale_probe_guard(tmp_path, ray_session):
         epoch_vector_neighbors(
             engine.store, index_id="d", base=2, target=3
         )
+
+
+def _pq_store(tmp_path, n=240, dim=32, seed=5):
+    """Small CDC store whose content column carries base64 f32 vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arlas_proc_ray.ann.incremental import encode_vec_f32
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
+    from arlas_proc_ray.model import DataModel
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n // 2, dim))
+    # second half = noisy copies of the first: planted near-neighbour
+    # structure that survives PQ distortion (pure gaussian clouds have
+    # no stable neighbours to recall)
+    vecs = np.concatenate([base, base + 0.15 * rng.normal(size=base.shape)])
+    enc = encode_vec_f32(vecs)
+
+    def ev_table(lo, hi, op="UPDATE"):
+        idx = list(range(lo, hi))
+        return pa.Table.from_pylist(
+            [{
+                "lsn": 1000 + i, "op": op, "repo": f"r{i % 7}",
+                "path": f"p{i}", "commit": f"c{i}", "lang": "py",
+                "content": None if op == "DELETE" else enc[i],
+                "schema_version": 1, "delivery_index": 1000 + i,
+            } for i in idx],
+            schema=EVENT_SCHEMA_V1,
+        )
+
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    eng.apply_epoch(rd.from_arrow(ev_table(0, n // 2)), 1)
+    return eng, vecs, ev_table
+
+
+def test_pq_index_bootstrap_incremental_and_recall(tmp_path, ray_session):
+    """IVFADC over the store (_PqVectorIndex): bootstrap then a feed
+    refresh with updates+deletes equals the full rebuild EXACTLY (pinned
+    model -> deterministic codes), retracted keys vanish, and ADC top-k
+    tracks the raw-vector index within a recall bound."""
+    import numpy as np
+    import ray.data as rd
+
+    from arlas_proc_ray.ann.incremental import (
+        pq_vector_index_topk,
+        refresh_pq_vector_index,
+        refresh_vector_index,
+        vector_index_topk,
+    )
+
+    eng, vecs, ev_table = _pq_store(tmp_path)
+    store = eng.store
+    kw = dict(index_id="pq", vec_col="content", n_centroids=8,
+              pq_m=8, pq_k=32, num_partitions=4, train_sample=500)
+    r1 = refresh_pq_vector_index(store, **kw)
+    assert r1["mode"] == "bootstrap"
+
+    # epoch 2: second half inserts + delete a few epoch-1 keys
+    import pyarrow as pa
+
+    n = len(vecs)
+    dels = pa.Table.from_pylist(
+        [{
+            "lsn": 5000 + i, "op": "DELETE", "repo": f"r{i % 7}",
+            "path": f"p{i}", "commit": "x", "lang": "py",
+            "content": None, "schema_version": 1,
+            "delivery_index": 5000 + i,
+        } for i in range(5)],
+        schema=ev_table(0, 1).schema,
+    )
+    eng.apply_epoch(
+        rd.from_arrow(pa.concat_tables([ev_table(n // 2, n), dels])), 2
+    )
+    r2 = refresh_pq_vector_index(store, **kw)
+    assert r2["mode"] == "incremental"
+
+    # pinned-model determinism: incremental chain == full rebuild
+    from arlas_proc_ray.ann.incremental import _PqVectorIndex
+
+    kit = _PqVectorIndex(store, "pq", {"num_partitions": 0},
+                         train_sample=0, seed=0)
+    ckpt = kit.read_checkpoint()
+    kit.spec = ckpt["spec"]
+    kit.num_partitions = ckpt["spec"]["num_partitions"]
+    inc = kit.read_all().sort_values(["bucket", "key"]).reset_index(drop=True)
+    # full re-encode with the PINNED model (a bare full=True retrains on
+    # the larger state and legitimately moves buckets)
+    kit.on_loaded_checkpoint(ckpt)
+    refresh_pq_vector_index(
+        store, full=True, centroids=kit.cents, books=kit.books, **kw
+    )
+    ckpt2 = kit.read_checkpoint()
+    full = kit.read_all().sort_values(["bucket", "key"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(inc, full)
+    # deleted keys are gone
+    assert not inc["key"].str.startswith("r0#p0\x00").any()
+    for i in range(5):
+        assert f"p{i}\x00" not in set(
+            k.split("#", 1)[1] if "#" in k else k for k in inc["key"]
+        )
+
+    # ADC recall vs the raw-vector incremental index (exact at full probe)
+    refresh_vector_index(store, index_id="raw", vec_col="content",
+                         n_centroids=8, num_partitions=4)
+    # query with the noisy copies 10..19 (alive in the index); their
+    # planted partner is base vector i - n//2
+    n_q = 10
+    q_idx = [n // 2 + 10 + i for i in range(n_q)]
+    qids = np.array([f"q{i}" for i in q_idx], dtype=object)
+    qmat = vecs[q_idx]
+    exact = vector_index_topk(store, qids, qmat, index_id="raw",
+                              k=5, n_probe=8)
+    approx = pq_vector_index_topk(store, qids, qmat, index_id="pq",
+                                  k=5, n_probe=8)
+    hits_exact = hits_pq = 0
+    for qi, q in zip(q_idx, qids):
+        partner = f"r{(qi - n // 2) % 7}#p{qi - n // 2}"
+        if partner in set(exact[exact["query_id"] == q]["key"]):
+            hits_exact += 1
+        if partner in set(approx[approx["query_id"] == q]["key"]):
+            hits_pq += 1
+    assert hits_exact >= 8  # sanity: the structure is really there
+    assert hits_pq >= 6  # PQ keeps most planted neighbours in top-5
