@@ -306,6 +306,49 @@ def cmd_merge(args) -> dict:
     )
 
 
+def cmd_index(args) -> dict:
+    """Refresh one of the incrementally-maintained indexes over the
+    snapshot store (secondary value→key, MinHash-LSH near-dup, IVF
+    vector, IVFADC PQ vector) — `kind` picks the family; every refresh
+    is feed-driven past bootstrap (cost ∝ changed rows)."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    _ray_session(args.num_cpus)
+    store = SnapshotStore(args.snapshot)
+    common = dict(index_id=args.index_id, epoch=None, full=args.rebuild)
+    if args.kind == "secondary":
+        from arlas_proc_ray.cdc.secondary import refresh_secondary_index
+
+        if not args.value_col:
+            raise SystemExit("index --kind secondary needs --value-col")
+        return refresh_secondary_index(
+            store, value_col=args.value_col,
+            num_partitions=args.partitions, **common,
+        )
+    if args.kind == "neardup":
+        from arlas_proc_ray.dedup.incremental import refresh_neardup_index
+
+        return refresh_neardup_index(
+            store, text_col=args.value_col or "content",
+            num_partitions=args.partitions, **common,
+        )
+    if args.kind == "vector":
+        from arlas_proc_ray.ann.incremental import refresh_vector_index
+
+        return refresh_vector_index(
+            store, vec_col=args.value_col or "content",
+            num_partitions=args.partitions, **common,
+        )
+    if args.kind == "pq":
+        from arlas_proc_ray.ann.incremental import refresh_pq_vector_index
+
+        return refresh_pq_vector_index(
+            store, vec_col=args.value_col or "content",
+            num_partitions=args.partitions, **common,
+        )
+    raise SystemExit(f"unknown index kind {args.kind!r}")
+
+
 def cmd_curate(args) -> dict:
     """Run the end-to-end training-data curation pipeline
     (pipelines/curation.py) over a documents Parquet table and write the
@@ -919,6 +962,22 @@ def main(argv=None) -> int:
                     help="epoch number or ref name (default: latest committed)")
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    ix = sub.add_parser(
+        "index", help="refresh an incrementally-maintained index"
+    )
+    ix.add_argument("--snapshot", required=True)
+    ix.add_argument("--kind", required=True,
+                    choices=["secondary", "neardup", "vector", "pq"])
+    ix.add_argument("--index-id", default="default")
+    ix.add_argument("--value-col", default=None,
+                    help="indexed column (value/text/vector source)")
+    ix.add_argument("--partitions", type=int, default=8,
+                    help="index fan-out (NOT the store's)")
+    ix.add_argument("--rebuild", action="store_true",
+                    help="ignore the checkpoint; full rebuild/retrain")
+    ix.add_argument("--num-cpus", type=int, default=None)
+    ix.set_defaults(fn=cmd_index)
 
     cu = sub.add_parser(
         "curate", help="run the training-data curation pipeline"

@@ -352,3 +352,37 @@ def test_jobs_cli_curate(tmp_path, capsys):
     files = glob.glob(out_dir + "/**/*.parquet", recursive=True)
     rows = sum(pq.read_metadata(f).num_rows for f in files)
     assert rows == stats["mixture_docs"]
+
+
+def test_jobs_cli_index(tmp_path, capsys):
+    """jobs index: secondary-index refresh from the CLI (bootstrap then
+    incremental after another epoch)."""
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    snap = str(tmp_path / "snap")
+    assert main(["synthesize", "--out", log, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--events", log, "--snapshot", snap,
+        "--epoch", "1", "--partitions", "4",
+    ]) == 0
+    assert main([
+        "index", "--snapshot", snap, "--kind", "secondary",
+        "--value-col", "language", "--partitions", "4",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["mode"] == "bootstrap"
+
+    log2 = str(tmp_path / "log2")
+    assert main(["synthesize", "--out", log2, "--events", "2400",
+                 "--lo", "2000", "--hi", "2400"]) == 0
+    assert main([
+        "replay", "--events", log2, "--snapshot", snap,
+        "--epoch", "2", "--partitions", "4",
+    ]) == 0
+    assert main([
+        "index", "--snapshot", snap, "--kind", "secondary",
+        "--value-col", "language", "--partitions", "4",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["mode"] == "incremental"
