@@ -41,11 +41,19 @@ def test_engine_lifetime_chaos(tmp_path, ray_session, seed):
     for i in range(n_epochs):
         epoch += 1
         ds = changelog_dataset(cfg, lo=bounds[i], hi=bounds[i + 1])
-        mode = rng.choice(["dataset", "staged", "delta"])
+        mode = rng.choice(["dataset", "staged", "delta", "wap"])
         if mode == "staged":
             eng.apply_epoch_staged(ds, epoch)
         elif mode == "delta":
             eng.apply_epoch(ds, epoch, delta=True, delta_max_age=2)
+        elif mode == "wap":
+            # write-audit-publish: staged cut is invisible until the
+            # audit passes, then publishes through the stage-time fence
+            eng.apply_epoch(ds, epoch, publish=False)
+            assert eng.audit_staged(
+                epoch, min_rows=0, max_shrink_fraction=1.0
+            )["ok"]
+            eng.publish_epoch(epoch)
         else:
             eng.apply_epoch(ds, epoch)
 
