@@ -549,7 +549,7 @@ class CdcEngine:
 
     def apply_epoch_staged(
         self, events_ds, epoch: int, *, two_level: bool | None = None,
-        dead_letter_dir: str | None = None,
+        dead_letter_dir: str | None = None, publish: bool = True,
     ) -> dict:
         """High-volume variant: raw-task staged shuffle (cdc/staged.py).
 
@@ -592,10 +592,12 @@ class CdcEngine:
             )
         if two_level:
             return staged_apply_epoch_two_level(
-                self, events_ds, epoch, dead_letter_dir=dead_letter_dir
+                self, events_ds, epoch, dead_letter_dir=dead_letter_dir,
+                publish=publish,
             )
         return staged_apply_epoch(
-            self, events_ds, epoch, dead_letter_dir=dead_letter_dir
+            self, events_ds, epoch, dead_letter_dir=dead_letter_dir,
+            publish=publish,
         )
 
     # ------------------------------------------------------------------

@@ -61,9 +61,13 @@ def _split_block(table: pa.Table, dm: DataModel, align) -> list[pa.Table]:
     ]
 
 
-def staged_apply_epoch(engine, events_ds, epoch: int, *, dead_letter_dir: str | None = None) -> dict:
+def staged_apply_epoch(engine, events_ds, epoch: int, *,
+                      dead_letter_dir: str | None = None,
+                      publish: bool = True) -> dict:
     """Apply one epoch with the staged shuffle; same guarantees as
-    ``CdcEngine.apply_epoch`` (idempotent, resumable, exactly-once)."""
+    ``CdcEngine.apply_epoch`` (idempotent, resumable, exactly-once).
+    ``publish=False`` stages the cut for write-audit-publish exactly as
+    the Dataset path does (engine._stage_epoch)."""
     dm = engine.dm
     store = engine.store
     fault_hook = engine.fault_hook
@@ -144,12 +148,15 @@ def staged_apply_epoch(engine, events_ds, epoch: int, *, dead_letter_dir: str | 
         for p in range(P)
     ]
     ray.get(merge_refs)
+    if not publish:
+        return engine._stage_epoch(epoch, None, prev_epoch)
     return store.commit_epoch(epoch, P, expected_prev=prev_epoch)
 
 
 def staged_apply_epoch_two_level(
     engine, events_ds, epoch: int, *, groups: int | None = None,
     dead_letter_dir: str | None = None,
+    publish: bool = True,
 ) -> dict:
     """Two-level staged exchange for LARGE partition fan-outs.
 
@@ -290,4 +297,6 @@ def staged_apply_epoch_two_level(
         g, i = part // per_group, part % per_group
         merge_refs.append(merge.remote(part, _l2(g, i)))
     ray.get(merge_refs)
+    if not publish:
+        return engine._stage_epoch(epoch, None, prev_epoch)
     return store.commit_epoch(epoch, P, expected_prev=prev_epoch)

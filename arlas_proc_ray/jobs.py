@@ -122,7 +122,8 @@ def cmd_replay(args) -> dict:
     ds = read_parquet(args.events)
     if args.staged:
         return engine.apply_epoch_staged(
-            ds, epoch=args.epoch, dead_letter_dir=args.dead_letter_dir
+            ds, epoch=args.epoch, dead_letter_dir=args.dead_letter_dir,
+            publish=not getattr(args, "stage", False),
         )
     return engine.apply_epoch(
         ds, epoch=args.epoch, delta=args.delta,

@@ -163,3 +163,29 @@ def test_staged_epoch_crash_resume(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         eng2.final_state().to_pandas(), ref.final_state().to_pandas()
     )
+
+
+def test_staged_exchange_supports_wap(tmp_path, ray_session):
+    """Both raw-task staged exchanges honor publish=False; the published
+    cut equals the Dataset path's."""
+    tables = _tables()
+    for two_level in (False, True):
+        eng = CdcEngine(
+            str(tmp_path / f"s{int(two_level)}"),
+            DataModel(num_partitions=4),
+        )
+        r = eng.apply_epoch_staged(
+            rd.from_arrow(tables[0]), 1, two_level=two_level,
+            publish=False,
+        )
+        assert r["staged"]
+        assert eng.store.latest_committed_epoch() is None
+        assert eng.audit_staged(1, min_rows=1)["ok"]
+        eng.publish_epoch(1)
+        assert eng.store.latest_committed_epoch() == 1
+    ref = CdcEngine(str(tmp_path / "ref"), DataModel(num_partitions=4))
+    ref.apply_epoch(rd.from_arrow(tables[0]), 1)
+    a = CdcEngine(str(tmp_path / "s0"), DataModel(num_partitions=4))
+    pd.testing.assert_frame_equal(
+        a.final_state().to_pandas(), ref.final_state().to_pandas()
+    )
