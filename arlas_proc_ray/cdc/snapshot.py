@@ -589,7 +589,8 @@ class SnapshotStore:
         finally:
             con.close()
 
-    def gc_orphans(self, *, min_age_s: float = 3600.0, dry_run: bool = False) -> dict:
+    def gc_orphans(self, *, min_age_s: float = 3600.0, dry_run: bool = False,
+                   include_staged: bool = False) -> dict:
         """Remove crashed-run litter: uncommitted epoch dirs above the
         committed tip, and stray ``*.tmp`` files anywhere in the store.
 
@@ -632,9 +633,11 @@ class SnapshotStore:
                 committed = os.path.exists(self.commit_marker_path(e))
                 if committed or (latest is not None and e <= latest):
                     continue  # vacuum's jurisdiction, not ours
-                if os.path.exists(os.path.join(full, "_STAGED")):
+                if (not include_staged
+                        and os.path.exists(os.path.join(full, "_STAGED"))):
                     # write-audit-publish cut awaiting publish/discard
                     # (engine.apply_epoch(publish=False)) — not litter
+                    # unless the caller opts in (abandoned-cut cleanup)
                     kept.append(name)
                     continue
                 if now - newest_mtime(full) < min_age_s:

@@ -189,3 +189,18 @@ def test_staged_exchange_supports_wap(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         a.final_state().to_pandas(), ref.final_state().to_pandas()
     )
+
+
+def test_gc_can_reclaim_abandoned_staged(tmp_path, ray_session):
+    tables = _tables()
+    eng = CdcEngine(str(tmp_path / "s"), DataModel(num_partitions=4))
+    eng.apply_epoch(rd.from_arrow(tables[0]), 1)
+    eng.apply_epoch(rd.from_arrow(tables[1]), 2, publish=False)
+    # default: staged cut is protected
+    r = eng.store.gc_orphans(min_age_s=0.0)
+    assert "epoch=2" in r["kept_inflight"]
+    # explicit opt-in reclaims it
+    r2 = eng.store.gc_orphans(min_age_s=0.0, include_staged=True)
+    assert "epoch=2" in r2["removed"]
+    assert eng.read_staged(2) is None
+    assert eng.store.latest_committed_epoch() == 1
