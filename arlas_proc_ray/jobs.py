@@ -464,7 +464,8 @@ def cmd_gc(args) -> dict:
     from arlas_proc_ray.cdc.snapshot import SnapshotStore
 
     return SnapshotStore(args.snapshot).gc_orphans(
-        min_age_s=args.min_age, dry_run=args.dry_run
+        min_age_s=args.min_age, dry_run=args.dry_run,
+        include_staged=getattr(args, "include_staged", False),
     )
 
 
@@ -1058,6 +1059,9 @@ def main(argv=None) -> int:
     gcp.add_argument("--min-age", type=float, default=3600.0,
                      help="seconds a file must be untouched before removal")
     gcp.add_argument("--dry-run", action="store_true")
+    gcp.add_argument("--include-staged", action="store_true",
+                     help="also reclaim abandoned write-audit-publish "
+                          "cuts (default: _STAGED dirs are protected)")
     gcp.set_defaults(fn=cmd_gc)
 
     st = sub.add_parser("stats", help="manifest-only table statistics")
