@@ -675,6 +675,49 @@ class SnapshotStore:
             "dry_run": dry_run,
         }
 
+    def epoch_history(self) -> list[dict]:
+        """Per-epoch lineage time series from commit markers + manifests
+        ONLY — no data files read: for every committed epoch, the row
+        count, applied-LSN watermark, events applied and rewritten vs
+        referenced partition counts (delta epochs reference untouched
+        partitions instead of rewriting them). The ops answer to "what
+        did each ingest cycle actually do?"."""
+        out: list[dict] = []
+        if not os.path.isdir(self.root):
+            return out
+        epochs = sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.root)
+            if n.startswith("epoch=")
+            and os.path.exists(
+                self.commit_marker_path(int(n.split("=", 1)[1]))
+            )
+        )
+        for e in epochs:
+            summary = self.read_epoch_summary(e)
+            sources = self.resolve_sources(e)
+            num_parts = summary["num_partitions"]
+            rewritten = sum(
+                1 for p in range(num_parts) if sources.get(p, e) == e
+            )
+            events = 0
+            for p in range(num_parts):
+                if sources.get(p, e) != e:
+                    continue  # referenced partition: no work this epoch
+                m = self.read_manifest(e, p)
+                if m is not None:
+                    events += int(m.metrics.get("events_applied", 0) or 0)
+            out.append({
+                "epoch": e,
+                "row_count": summary["row_count"],
+                "last_lsn": summary["last_lsn"],
+                "num_partitions": num_parts,
+                "partitions_rewritten": rewritten,
+                "partitions_referenced": num_parts - rewritten,
+                "events_applied": events,
+            })
+        return out
+
     def table_stats(self, epoch: int | str | None = None) -> dict:
         """Table-level statistics from MANIFESTS ONLY — no data files read.
 

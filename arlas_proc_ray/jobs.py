@@ -469,6 +469,16 @@ def cmd_gc(args) -> dict:
     )
 
 
+def cmd_history(args) -> dict:
+    """Per-epoch lineage time series (manifest-only; cdc/snapshot.py
+    epoch_history): rows, watermark, events applied, rewritten vs
+    referenced partitions for every committed epoch."""
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    hist = SnapshotStore(args.snapshot).epoch_history()
+    return {"epochs": len(hist), "history": hist}
+
+
 def cmd_constraints(args) -> dict:
     """Show the persisted constraint set, or replace it explicitly
     (``--set --check …`` — the loud contract-update path; ingest-time
@@ -1063,6 +1073,10 @@ def main(argv=None) -> int:
                      help="also reclaim abandoned write-audit-publish "
                           "cuts (default: _STAGED dirs are protected)")
     gcp.set_defaults(fn=cmd_gc)
+
+    hi = sub.add_parser("history", help="per-epoch lineage time series")
+    hi.add_argument("--snapshot", required=True)
+    hi.set_defaults(fn=cmd_history)
 
     st = sub.add_parser("stats", help="manifest-only table statistics")
     st.add_argument("--snapshot", required=True)

@@ -386,3 +386,35 @@ def test_jobs_cli_index(tmp_path, capsys):
     ]) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[-1]["mode"] == "incremental"
+
+
+def test_jobs_cli_history(tmp_path, capsys):
+    """jobs history: per-epoch lineage from manifests only, delta epochs
+    reporting referenced (not rewritten) partitions."""
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc import ChangelogConfig, generate_changelog_tables
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.jobs import main
+    from arlas_proc_ray.model import DataModel
+
+    tables = generate_changelog_tables(
+        ChangelogConfig(num_events=2000, num_keys=200, seed=31)
+    )
+    snap = str(tmp_path / "snap")
+    eng = CdcEngine(snap, DataModel(num_partitions=4))
+    eng.apply_epoch(rd.from_arrow(tables[0]), 1)
+    # delta epoch touching few keys: some partitions referenced
+    small = tables[1].slice(0, 20)
+    eng.apply_epoch(rd.from_arrow(small), 2, delta=True)
+
+    assert main(["history", "--snapshot", snap]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    h = out[-1]["history"]
+    assert [r["epoch"] for r in h] == [1, 2]
+    assert h[0]["partitions_rewritten"] == 4
+    assert h[0]["events_applied"] > 0
+    assert h[1]["partitions_referenced"] >= 0
+    assert h[1]["row_count"] >= h[0]["row_count"] - 20
+    # epoch 2 applied at most the 20 delta events
+    assert h[1]["events_applied"] <= 20
