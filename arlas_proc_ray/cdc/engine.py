@@ -383,10 +383,7 @@ class CdcEngine:
         with open(p) as f:
             return json.load(f)
 
-    def staged_state(self, epoch: int, columns=None):
-        """The staged (uncommitted) cut as a pruned-column Dataset."""
-        import ray.data as rd
-
+    def _staged_files(self, epoch: int) -> list[str]:
         st = self.read_staged(epoch)
         if st is None:
             raise RuntimeError(f"epoch {epoch} is not staged")
@@ -396,7 +393,13 @@ class CdcEngine:
             )
             for p in range(st["num_partitions"])
         ]
-        files = [f for f in files if os.path.exists(f)]
+        return [f for f in files if os.path.exists(f)]
+
+    def staged_state(self, epoch: int, columns=None):
+        """The staged (uncommitted) cut as a pruned-column Dataset."""
+        import ray.data as rd
+
+        files = self._staged_files(epoch)
         kwargs = {"columns": list(columns)} if columns else {}
         return rd.read_parquet(files, **kwargs)
 
@@ -491,7 +494,6 @@ class CdcEngine:
             from arlas_proc_ray.cdc.constraints import _clause_false_mask
 
             cols = sorted({c[0] for cl in expect.values() for c in cl})
-            state = self.staged_state(epoch, columns=cols)
 
             def count_bad(batch: pa.Table) -> pa.Table:
                 outs = {}
@@ -506,9 +508,27 @@ class CdcEngine:
                     outs[name] = [int(bad.sum())]
                 return pa.table(outs)
 
-            partials = state.map_batches(
-                count_bad, batch_format="pyarrow", batch_size=None
-            ).to_pandas()  # one tiny row per block
+            files = self._staged_files(epoch)
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            if total_bytes <= 64 * 1024 * 1024:
+                # small cut: one local pruned read beats a Ray Dataset
+                # execution's fixed cost (~0.3-1 s) by ~10×
+                import pyarrow.parquet as pq
+
+                tbl = (
+                    pa.concat_tables(
+                        [pq.read_table(f, columns=cols) for f in files]
+                    )
+                    if files else pa.table({c: [] for c in cols})
+                )
+                partials = count_bad(tbl).to_pandas()
+            else:
+                import ray.data as rd
+
+                state = rd.read_parquet(files, columns=cols)
+                partials = state.map_batches(
+                    count_bad, batch_format="pyarrow", batch_size=None
+                ).to_pandas()  # one tiny row per block
             for name in expect:
                 n_bad = int(partials[name].sum()) if len(partials) else 0
                 checks.append({
