@@ -192,6 +192,11 @@ def run_bench() -> dict:
         "incremental_join_view",
         "constraint_filtered_state",
         "mixture_sample",
+        "wap_replay",
+        "topk_view",
+        "ann_pq_topk",
+        "ann_ivfpq_topk",
+        "incremental_pq_search",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
