@@ -6784,3 +6784,58 @@ def q_incremental_pq_search(sf_dir: str):
 
 
 QUERIES["incremental_pq_search"] = q_incremental_pq_search
+
+
+def q_epoch_history(sf_dir: str):
+    """Per-epoch lineage time series (cdc/snapshot.py epoch_history —
+    manifest-only, no data read): the two-epoch events-derived snapshot
+    reports each committed epoch's surviving row count and applied-LSN
+    watermark. Hash-exact against SQL recomputing the LWW state at each
+    epoch's cut."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="epoch_history_")
+    try:
+        eng, _ = _events_engine_snapshot(sf_dir, snap)
+        hist = eng.store.epoch_history()
+        return pd.DataFrame(
+            {
+                "epoch": [int(h["epoch"]) for h in hist],
+                "row_count": [int(h["row_count"]) for h in hist],
+                "last_lsn": [int(h["last_lsn"]) for h in hist],
+            }
+        )
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["epoch_history"] = q_epoch_history
+
+ORACLE_SQL["epoch_history"] = """
+    WITH ch AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 0.15 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+             'u' || CAST(user_id % 200 AS VARCHAR) AS repo,
+             event_type AS path
+      FROM events),
+    m AS (SELECT max(lsn) // 2 AS mid FROM ch),
+    cut1 AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch WHERE lsn <= (SELECT mid FROM m)),
+    cut2 AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT 1 AS epoch,
+           (SELECT CAST(count(*) AS BIGINT) FROM cut1
+            WHERE rn = 1 AND op <> 'DELETE') AS row_count,
+           (SELECT max(lsn) FROM ch
+            WHERE lsn <= (SELECT mid FROM m)) AS last_lsn
+    UNION ALL
+    SELECT 2,
+           (SELECT CAST(count(*) AS BIGINT) FROM cut2
+            WHERE rn = 1 AND op <> 'DELETE'),
+           (SELECT max(lsn) FROM ch)
+"""
