@@ -7,8 +7,7 @@ actor-pool ``map_batches`` stages. REAL decoders live in
 full PNG via stdlib zlib — every depth/color type/filter/interlace;
 baseline JPEG via ``multimodal.jpeg``; nearest-neighbor resize; numpy
 audio features) — use ``DecodeAudio`` / ``DecodeImage`` there. Formats
-needing an external codec library (video, progressive JPEG) remain
-stubbed:
+needing an external codec library (video formats) remain stubbed:
 
 - ``DecodeImageStub`` raises ``NotImplementedError`` at the exact seam
   where a real decoder (e.g. Pillow / torchvision / pyAV) would plug in;
