@@ -6839,3 +6839,39 @@ ORACLE_SQL["epoch_history"] = """
             WHERE rn = 1 AND op <> 'DELETE'),
            (SELECT max(lsn) FROM ch)
 """
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus) with exact integer-cents
+    revenue — one finest-level aggregation; all 2^k subsets derived from
+    the aggregate (raw data scans and shuffles exactly once)."""
+    from arlas_proc_ray.stages.analytics import cube_counts
+
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["cents"] = _cents(pdf["l_extendedprice"])
+        return pdf[["l_returnflag", "l_linestatus", "cents"]]
+
+    out = cube_counts(
+        ds.map_batches(cents, batch_format="pandas", batch_size=None),
+        group_cols=["l_returnflag", "l_linestatus"], cents_col="cents",
+        num_partitions=NP,
+    )
+    out["revenue"] = out.pop("sum_cents") / 100.0
+    return out
+
+
+QUERIES["cube_revenue"] = q_cube_revenue
+
+ORACLE_SQL["cube_revenue"] = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(cast(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

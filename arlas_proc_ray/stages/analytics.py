@@ -483,3 +483,66 @@ def group_correlation(
         partials, keys=[group_col], order_col="n", fn=finalize,
         num_partitions=num_partitions,
     )
+
+
+def cube_counts(
+    ds,
+    *,
+    group_cols: Sequence[str],
+    cents_col: str,
+    num_partitions: int = 16,
+):
+    """GROUP BY CUBE(g1, g2, …): totals at EVERY subset of the group
+    columns, exact integer-cents sums.
+
+    Same scale shape as ``rollup_counts``: one combiner-first
+    aggregation at the finest level (the only scan and the only
+    exchange), then every one of the 2^k − 1 coarser subsets derives
+    from the finest AGGREGATE on the driver (≤ |finest groups| rows
+    each). NULL marks a rolled-up position (SQL CUBE semantics).
+    """
+    from itertools import combinations
+
+    import numpy as np
+
+    group_cols = list(group_cols)
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(group_cols, as_index=False, sort=False)
+        out = g.agg(_c=(cents_col, "sum"), _n=(cents_col, "size"))
+        out["_n"] = out["_n"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(group_cols, as_index=False, sort=False)[
+            ["_c", "_n"]
+        ].sum()
+
+    finest = keyed_partition_map(
+        partials, keys=group_cols, order_col="_c", fn=merge,
+        num_partitions=num_partitions,
+    ).to_pandas()  # ≤ |finest groups| rows — tiny driver finalize
+
+    levels = [finest]
+    for r in range(len(group_cols) - 1, -1, -1):
+        for keep in combinations(group_cols, r):
+            keep = list(keep)
+            if keep:
+                lvl = finest.groupby(keep, as_index=False, sort=False)[
+                    ["_c", "_n"]
+                ].sum()
+            else:
+                lvl = pd.DataFrame(
+                    {"_c": [finest["_c"].sum()],
+                     "_n": [finest["_n"].sum()]}
+                )
+            for c in group_cols:
+                if c not in keep:
+                    lvl[c] = None
+            levels.append(lvl[group_cols + ["_c", "_n"]])
+    out = pd.concat(levels, ignore_index=True)
+    out = out.rename(columns={"_c": "sum_cents", "_n": "n_rows"})
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
