@@ -197,6 +197,8 @@ def run_bench() -> dict:
         "ann_pq_topk",
         "ann_ivfpq_topk",
         "incremental_pq_search",
+        "epoch_history",
+        "cube_revenue",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
