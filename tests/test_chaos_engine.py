@@ -146,3 +146,42 @@ def test_engine_chaos_with_crashes(tmp_path, ray_session, seed):
         recompute_hashes=True
     )
     assert deep["ok"], deep["failed"]
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_all_apply_paths_identical(tmp_path, ray_session, seed):
+    """Cross-path equivalence: the Dataset, staged, two-level-staged and
+    write-audit-publish paths produce byte-identical final states and
+    equal commit summaries for the same epochs."""
+    import ray.data as rd
+
+    cfg = ChangelogConfig(num_events=3000, num_keys=300, seed=300 + seed)
+    tables = generate_changelog_tables(cfg)
+
+    def run(mode):
+        snap = str(tmp_path / mode)
+        eng = CdcEngine(snap, DataModel(num_partitions=4))
+        summaries = []
+        for i, t in enumerate(tables, start=1):
+            ds = rd.from_arrow(t)
+            if mode == "dataset":
+                s = eng.apply_epoch(ds, i)
+            elif mode == "staged":
+                s = eng.apply_epoch_staged(ds, i, two_level=False)
+            elif mode == "two_level":
+                s = eng.apply_epoch_staged(ds, i, two_level=True)
+            else:  # wap
+                eng.apply_epoch(ds, i, publish=False)
+                s = eng.publish_epoch(i)
+            summaries.append(
+                {k: s[k] for k in ("row_count", "last_lsn", "rollup")}
+            )
+        return eng.final_state().to_pandas(), summaries
+
+    base_state, base_sum = run("dataset")
+    exp = oracle_final_state(tables).to_pandas()
+    pd.testing.assert_frame_equal(base_state, exp)
+    for mode in ("staged", "two_level", "wap"):
+        state, summ = run(mode)
+        pd.testing.assert_frame_equal(state, base_state)
+        assert summ == base_sum, mode
