@@ -34,8 +34,18 @@ Usage (each command owns the Ray session; on a cluster, submit with
         --dead-letter-dir /data/dlq
     python -m arlas_proc_ray.jobs constraints --snapshot /s
 
-    # introspection: manifest-only stats, ad-hoc SQL, views, GC
+    # write-audit-publish: stage, then audit + publish (or discard)
+    python -m arlas_proc_ray.jobs replay … --stage
+    python -m arlas_proc_ray.jobs publish --snapshot /s --epoch 3 \
+        --min-rows 1 --max-shrink 0.5 --expect ok:content:not_null
+
+    # refresh an incrementally-maintained index; run the curation chain
+    python -m arlas_proc_ray.jobs index --snapshot /s --kind secondary --value-col language
+    python -m arlas_proc_ray.jobs curate --input docs.parquet --out /curated --mixture en:70,fr:30
+
+    # introspection: manifest-only stats/history, ad-hoc SQL, views, GC
     python -m arlas_proc_ray.jobs stats --snapshot /s
+    python -m arlas_proc_ray.jobs history --snapshot /s
     python -m arlas_proc_ray.jobs sql --snapshot /s --query "SELECT count(*) FROM snapshot"
     python -m arlas_proc_ray.jobs view --snapshot /s --view-id v --group-by language --sum content_size
     python -m arlas_proc_ray.jobs gc --snapshot /s --dry-run
