@@ -317,6 +317,22 @@ def cmd_merge(args) -> dict:
     )
 
 
+def cmd_sync(args) -> dict:
+    """Incremental clone (cdc/clone.py sync_snapshot): bring a backup /
+    DR destination up to the source's committed cut, copying only the
+    partitions whose backing file moved since the last sync."""
+    from arlas_proc_ray.cdc.clone import sync_snapshot
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    _ray_session(args.num_cpus)
+    epoch = args.epoch
+    if epoch is not None and str(epoch).lstrip("-").isdigit():
+        epoch = int(epoch)
+    return sync_snapshot(
+        SnapshotStore(args.snapshot), args.dest, epoch=epoch
+    )
+
+
 def cmd_index(args) -> dict:
     """Refresh one of the incrementally-maintained indexes over the
     snapshot store (secondary value→key, MinHash-LSH near-dup, IVF
@@ -984,6 +1000,16 @@ def main(argv=None) -> int:
                     help="epoch number or ref name (default: latest committed)")
     cl.add_argument("--num-cpus", type=int, default=None)
     cl.set_defaults(fn=cmd_clone)
+
+    sy = sub.add_parser(
+        "sync", help="incremental clone to a backup/DR destination"
+    )
+    sy.add_argument("--snapshot", required=True, help="source store root")
+    sy.add_argument("--dest", required=True, help="destination store root")
+    sy.add_argument("--epoch", default=None,
+                    help="source epoch or ref (default: latest committed)")
+    sy.add_argument("--num-cpus", type=int, default=None)
+    sy.set_defaults(fn=cmd_sync)
 
     ix = sub.add_parser(
         "index", help="refresh an incrementally-maintained index"

@@ -126,3 +126,59 @@ def test_jobs_cli_clone(tmp_path, capsys):
     assert main(["stats", "--snapshot", str(tmp_path / "dst")]) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[-1]["row_count"] == _state(eng).shape[0]
+
+
+def test_sync_snapshot_incremental(tmp_path, ray_session):
+    """sync_snapshot: bootstrap clone, then a delta sync copies ONLY the
+    partitions whose backing file moved; idle source is a noop; the
+    destination always deep-verifies equal to the source cut."""
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc import ChangelogConfig, generate_changelog_tables
+    from arlas_proc_ray.cdc.clone import sync_snapshot
+
+    tables = generate_changelog_tables(
+        ChangelogConfig(num_events=3000, num_keys=300, seed=61)
+    )
+    src = CdcEngine(str(tmp_path / "src"), DataModel(num_partitions=8))
+    src.apply_epoch(rd.from_arrow(tables[0]), 1)
+
+    dst_root = str(tmp_path / "dst")
+    r1 = sync_snapshot(src.store, dst_root)
+    assert r1["mode"] == "bootstrap" and r1["partitions_copied"] == 8
+
+    # idle source: noop, no new epoch
+    r_noop = sync_snapshot(src.store, dst_root)
+    assert r_noop["mode"] == "noop"
+
+    # delta epoch touching a few keys -> only those partitions re-copy
+    small = tables[1].slice(0, 3)  # ≤3 keys → ≤3 of 8 partitions move
+    src.apply_epoch(rd.from_arrow(small), 2, delta=True)
+    r2 = sync_snapshot(src.store, dst_root)
+    assert r2["mode"] == "incremental"
+    assert 0 < r2["partitions_copied"] < 8
+    assert r2["partitions_copied"] + r2["partitions_referenced"] == 8
+
+    dst = CdcEngine(dst_root, DataModel(num_partitions=8))
+    pd.testing.assert_frame_equal(
+        dst.final_state().to_pandas(), src.final_state().to_pandas()
+    )
+    deep = dst.store.verify_deep(recompute_hashes=True)
+    assert deep["ok"], deep["failed"]
+
+    # source fan-out change -> full re-copy at the new fan-out
+    src.repartition_snapshot(4)
+    r3 = sync_snapshot(src.store, dst_root)
+    assert r3["mode"] == "full" and r3["partitions_copied"] == 4
+    dst2 = CdcEngine(dst_root, DataModel(num_partitions=4))
+    pd.testing.assert_frame_equal(
+        dst2.final_state().to_pandas(),
+        CdcEngine(str(tmp_path / "src"),
+                  DataModel(num_partitions=4)).final_state().to_pandas(),
+    )
+
+    # an unrelated store with commits is refused
+    other = CdcEngine(str(tmp_path / "other"), DataModel(num_partitions=2))
+    other.apply_epoch(rd.from_arrow(tables[0]), 1)
+    with pytest.raises(RuntimeError, match="_SYNC"):
+        sync_snapshot(src.store, str(tmp_path / "other"))
