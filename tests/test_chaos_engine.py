@@ -58,8 +58,14 @@ def test_engine_lifetime_chaos(tmp_path, ray_session, seed):
             eng.apply_epoch(ds, epoch)
 
         # interleave a random table-service op
-        op = rng.choice(["none", "tag", "repartition", "optimize", "vacuum"])
-        if op == "tag":
+        op = rng.choice(
+            ["none", "tag", "repartition", "optimize", "vacuum", "sync"]
+        )
+        if op == "sync":
+            from arlas_proc_ray.cdc.clone import sync_snapshot
+
+            sync_snapshot(eng.store, str(tmp_path / "dr"))
+        elif op == "tag":
             eng.store.tag(f"t{epoch}")
         elif op == "repartition":
             p = rng.choice([3, 6, 12])
@@ -96,6 +102,21 @@ def test_engine_lifetime_chaos(tmp_path, ray_session, seed):
     # the store is still internally consistent end to end
     deep = eng.store.verify_deep(recompute_hashes=True)
     assert deep["ok"], deep["failed"]
+
+    # a final DR sync converges the replica to the post-purge state,
+    # whatever interleaving (incl. repartitions) happened before it
+    from arlas_proc_ray.cdc.clone import sync_snapshot
+
+    from arlas_proc_ray.cdc.snapshot import SnapshotStore
+
+    sync_snapshot(eng.store, str(tmp_path / "dr"))
+    dr = CdcEngine(str(tmp_path / "dr"), eng.dm)
+    pd.testing.assert_frame_equal(
+        dr.final_state().to_pandas(), got2
+    )
+    assert SnapshotStore(str(tmp_path / "dr")).verify_deep(
+        recompute_hashes=True
+    )["ok"]
 
 
 @pytest.mark.parametrize("seed", [7, 8])
