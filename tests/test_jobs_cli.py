@@ -418,3 +418,20 @@ def test_jobs_cli_history(tmp_path, capsys):
     assert h[1]["row_count"] >= h[0]["row_count"] - 20
     # epoch 2 applied at most the 20 delta events
     assert h[1]["events_applied"] <= 20
+
+
+def test_jobs_cli_sync(tmp_path, capsys):
+    from arlas_proc_ray.jobs import main
+
+    log = str(tmp_path / "log")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    assert main(["synthesize", "--out", log, "--events", "2000"]) == 0
+    assert main(["replay", "--events", log, "--snapshot", src,
+                 "--epoch", "1", "--partitions", "4"]) == 0
+    assert main(["sync", "--snapshot", src, "--dest", dst]) == 0
+    assert main(["sync", "--snapshot", src, "--dest", dst]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-2]["mode"] == "bootstrap"
+    assert out[-1]["mode"] == "noop"
+    assert main(["verify", "--snapshot", dst]) == 0
