@@ -292,16 +292,25 @@ class StreamingCdcEngine:
         self,
         batches,
         *,
-        epoch_every_events: int,
+        epoch_every_events: int | str,
         start_epoch: int | None = None,
         dead_letter_dir: str | None = None,
         ooo_holdback: int = 0,
+        budget_bytes: int | None = None,
     ):
         """Commit-cadence tailing: ingest an iterable of event tables,
         committing a fenced epoch whenever ``epoch_every_events`` events
         have been routed (plus a final flush). Yields each epoch's commit
         summary as it happens — the long-running-tail usage the batch
         engine's one-epoch-per-call API doesn't express.
+
+        ``epoch_every_events="auto"`` derives the cadence from the
+        object-store budget instead of an event count: an epoch commits
+        once the routed BYTES reach ``sizing.auto_epoch_bytes()`` (the
+        ~4×-bytes rule, BASELINE.md round-3 addendum) so the operator
+        never has to translate the documented sizing rule into an event
+        count by hand. ``budget_bytes`` overrides the detected store
+        size (tests).
 
         Out-of-order arrival WITHIN an epoch window is tolerated (LSN
         ordering at commit); events older than the last committed
@@ -340,8 +349,20 @@ class StreamingCdcEngine:
                 on_violation=self.on_violation,
             )
 
+        auto_cadence = epoch_every_events == "auto"
+        if auto_cadence:
+            from arlas_proc_ray.cdc.sizing import auto_epoch_bytes
+
+            bytes_cadence = auto_epoch_bytes(budget_bytes)
+        elif not isinstance(epoch_every_events, int):
+            raise ValueError(
+                f"epoch_every_events must be an int or 'auto', got "
+                f"{epoch_every_events!r}"
+            )
+
         align = make_align(epoch)
         pending = 0
+        pending_bytes = 0
         held: list[pa.Table] = []  # aligned rows above the ooo horizon
         max_seen = -1
 
@@ -367,6 +388,8 @@ class StreamingCdcEngine:
             return _route_aligned(batch)
 
         def _route_aligned(batch: pa.Table) -> int:
+            nonlocal pending_bytes
+            pending_bytes += batch.nbytes
             batch = lww_reduce_table(batch, dm.key_cols, dm.order_col)
             pids = partition_ids(batch, dm.key_list, dm.num_partitions)
             import numpy as np
@@ -412,13 +435,19 @@ class StreamingCdcEngine:
             parts = batch if isinstance(batch, (list, tuple)) else [batch]
             for part in parts:
                 pending += route_table(part)
-            if pending >= epoch_every_events:
+            due = (
+                pending_bytes >= bytes_cadence
+                if auto_cadence
+                else pending >= epoch_every_events
+            )
+            if due and pending:
                 pending += release_held()
                 summary = commit(epoch)
                 summary["routed_events"] = pending
                 yield summary
                 epoch += 1
                 pending = 0
+                pending_bytes = 0
                 align = make_align(epoch)  # DLQ files follow the window
         pending += release_held(flush=True)
         if pending:

@@ -570,6 +570,8 @@ class CdcEngine:
     def apply_epoch_staged(
         self, events_ds, epoch: int, *, two_level: bool | None = None,
         dead_letter_dir: str | None = None, publish: bool = True,
+        auto_split: bool | int | None = None,
+        budget_bytes: int | None = None,
     ) -> dict:
         """High-volume variant: raw-task staged shuffle (cdc/staged.py).
 
@@ -583,7 +585,29 @@ class CdcEngine:
         level costs a re-materialization, so below the knee one level
         wins: 3.1 s vs 5.2 s at P=64/B=64, 20M events). Pass
         ``two_level=`` to override.
+
+        **Object-store auto-sizing** (cdc/sizing.py): the exchange holds
+        ≈4× the epoch's bytes in flight; an epoch past the plasma budget
+        spills and falls off a measured 4× cliff (BASELINE.md round-3
+        addendum). When ``4×bytes > 0.85×object_store`` this call
+        auto-splits the epoch into LSN-range chunks and commits each as
+        its own fenced sub-epoch ``epoch, epoch+1, …`` (chunk boundaries
+        are LSN values, so every later chunk carries strictly higher LSNs
+        — the per-partition fence semantics are exactly the multi-epoch
+        contract). The returned summary is the LAST sub-epoch's, with
+        ``epochs`` listing all committed sub-epochs and ``auto_split``
+        the chunk count. Callers deriving the next epoch number must use
+        ``store.latest_committed_epoch() + 1`` (the documented pattern).
+        Crash mid-split resumes the same way: re-apply the full event set
+        at ``latest+1`` — already-applied LSNs are fenced per partition.
+
+        ``auto_split``: None = size automatically (default); False =
+        never split (round-2 behavior); int = force that many chunks.
+        Splitting needs sequential commits, so with ``publish=False``
+        an oversized epoch warns and runs unsplit. ``budget_bytes``
+        overrides the detected object-store size (tests).
         """
+        from arlas_proc_ray.cdc.sizing import plan_epoch_chunks
         from arlas_proc_ray.cdc.staged import (
             staged_apply_epoch,
             staged_apply_epoch_two_level,
@@ -603,9 +627,38 @@ class CdcEngine:
         # whole upstream and to_arrow_refs() would then re-execute it —
         # measured 2× the generation cost on the 2M-event headline. The
         # staged exchange needs the blocks resident anyway (its split
-        # tasks consume the refs); epoch sizing already bounds this
-        # (BASELINE.md epoch-size/object-store rule).
+        # tasks consume the refs); oversized epochs are split below.
         events_ds = events_ds.materialize()
+
+        plan = None
+        if auto_split is not False:
+            plan = plan_epoch_chunks(
+                events_ds.size_bytes() or 0, budget_bytes
+            )
+            if isinstance(auto_split, int) and not isinstance(auto_split, bool):
+                from arlas_proc_ray.cdc.sizing import EpochPlan
+
+                plan = EpochPlan(
+                    "inmem" if plan.strategy != "scratch" else "scratch",
+                    max(1, auto_split), plan.epoch_bytes, plan.budget_bytes,
+                )
+            if plan.chunks > 1 and not publish:
+                import warnings
+
+                warnings.warn(
+                    f"epoch {epoch}: {plan.epoch_bytes} bytes exceeds the "
+                    f"object-store sizing rule (4x bytes > 0.85x "
+                    f"{plan.budget_bytes}) but publish=False forbids "
+                    "sub-epoch commits; running unsplit — expect spill",
+                    RuntimeWarning,
+                )
+                plan = None
+        if plan is not None and plan.chunks > 1:
+            return self._apply_epoch_chunked(
+                events_ds, epoch, plan,
+                dead_letter_dir=dead_letter_dir, two_level=two_level,
+            )
+
         if two_level is None:
             two_level = (
                 events_ds.num_blocks() * self.dm.num_partitions > 10_000
@@ -619,6 +672,106 @@ class CdcEngine:
             self, events_ds, epoch, dead_letter_dir=dead_letter_dir,
             publish=publish,
         )
+
+    def _apply_epoch_chunked(
+        self, events_mat, epoch: int, plan, *, dead_letter_dir, two_level
+    ) -> dict:
+        """Apply an oversized epoch as LSN-range sub-epochs (see
+        ``apply_epoch_staged``). ``events_mat`` is materialized.
+
+        ``inmem``: the input stays pinned; each chunk is filtered out of
+        the blocks with one cheap task per block (1/K extra bytes).
+        ``scratch``: the input is streamed once to a chunk-partitioned
+        parquet scratch, the pinned blocks are RELEASED, and each chunk
+        is applied from disk — only ≈4×/K bytes ever in flight.
+        """
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from arlas_proc_ray.cdc.sizing import lsn_cutpoints, lsn_range_refs
+        from arlas_proc_ray.cdc.staged import (
+            staged_apply_epoch,
+            staged_apply_epoch_two_level,
+        )
+
+        refs = events_mat.to_arrow_refs()
+        cuts = lsn_cutpoints(refs, plan.chunks)
+        bounds = [None, *cuts, None]
+        n_chunks = len(bounds) - 1
+
+        scratch = None
+        if plan.strategy == "scratch":
+            import tempfile
+
+            scratch = tempfile.mkdtemp(prefix="cdc_epoch_chunks_")
+            cuts_arr = np.asarray(cuts, dtype=np.int64)
+
+            def tag(t: pa.Table) -> pa.Table:
+                lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+                cid = np.searchsorted(cuts_arr, lsn, side="left")
+                return t.append_column(
+                    "_chunk", pa.array(cid.astype(np.int64))
+                ).replace_schema_metadata(None)
+
+            events_mat.map_batches(
+                tag, batch_format="pyarrow", batch_size=None
+            ).write_parquet(scratch, partition_cols=["_chunk"])
+            # release the pinned input before the chunk applies
+            events_mat = None
+            refs = None
+
+        committed: list[int] = []
+        summary: dict = {}
+        e = epoch
+        try:
+            for i in range(n_chunks):
+                if scratch is not None:
+                    import os as _os
+
+                    d = _os.path.join(scratch, f"_chunk={i}")
+                    if not _os.path.isdir(d):
+                        continue  # empty chunk: no events in this range
+                    # hive inference re-adds _chunk (as string) from the
+                    # path segment — drop it before the ingest head
+                    chunk_ds = (
+                        rd.read_parquet(d)
+                        .drop_columns(["_chunk"])
+                        .materialize()
+                    )
+                else:
+                    chunk_ds = rd.from_arrow_refs(
+                        lsn_range_refs(refs, bounds[i], bounds[i + 1])
+                    )
+                if chunk_ds.count() == 0:
+                    del chunk_ds
+                    continue
+                tl = two_level
+                if tl is None:
+                    tl = (
+                        chunk_ds.num_blocks() * self.dm.num_partitions
+                        > 10_000
+                    )
+                fn = staged_apply_epoch_two_level if tl else staged_apply_epoch
+                summary = fn(
+                    self, chunk_ds, e, dead_letter_dir=dead_letter_dir,
+                    publish=True,
+                )
+                committed.append(e)
+                e += 1
+                del chunk_ds  # unpin this chunk before the next
+        finally:
+            if scratch is not None:
+                import shutil
+
+                shutil.rmtree(scratch, ignore_errors=True)
+        if not committed:
+            raise ValueError("auto-split epoch contained no events")
+        summary = dict(summary)
+        summary["auto_split"] = len(committed)
+        summary["split_strategy"] = plan.strategy
+        summary["epochs"] = committed
+        return summary
 
     # ------------------------------------------------------------------
 
