@@ -654,8 +654,13 @@ class CdcEngine:
                 )
                 plan = None
         if plan is not None and plan.chunks > 1:
+            # hand ownership through a box so this frame drops its
+            # reference — the chunked path frees the pinned input once
+            # the chunk copies exist
+            box = [events_ds]
+            events_ds = None
             return self._apply_epoch_chunked(
-                events_ds, epoch, plan,
+                box, epoch, plan,
                 dead_letter_dir=dead_letter_dir, two_level=two_level,
             )
 
@@ -674,19 +679,27 @@ class CdcEngine:
         )
 
     def _apply_epoch_chunked(
-        self, events_mat, epoch: int, plan, *, dead_letter_dir, two_level
+        self, events_box, epoch: int, plan, *, dead_letter_dir, two_level
     ) -> dict:
         """Apply an oversized epoch as LSN-range sub-epochs (see
-        ``apply_epoch_staged``). ``events_mat`` is materialized.
+        ``apply_epoch_staged``). ``events_box`` is a 1-list holding the
+        materialized input — popped so this path owns the only reference
+        and can FREE the pinned blocks before the chunk applies (the
+        whole point: the exchange's ≈4×/K in-flight bytes must not sit
+        on top of a pinned full input).
 
-        ``inmem``: the input stays pinned; each chunk is filtered out of
-        the blocks with one cheap task per block (1/K extra bytes).
+        ``inmem``: every chunk is filtered out of the blocks up front
+        (one cheap task per block per chunk, 1× total extra bytes —
+        admissible because the inmem plan requires ``2×bytes ≤ budget``),
+        then the input is released and chunks apply sequentially, each
+        freed as it commits.
         ``scratch``: the input is streamed once to a chunk-partitioned
-        parquet scratch, the pinned blocks are RELEASED, and each chunk
-        is applied from disk — only ≈4×/K bytes ever in flight.
+        parquet scratch, released, and each chunk is applied from disk —
+        only ≈4×/K bytes ever in flight.
         """
         import numpy as np
         import pyarrow as pa
+        import ray
         import ray.data as rd
 
         from arlas_proc_ray.cdc.sizing import lsn_cutpoints, lsn_range_refs
@@ -695,12 +708,14 @@ class CdcEngine:
             staged_apply_epoch_two_level,
         )
 
+        events_mat = events_box.pop()
         refs = events_mat.to_arrow_refs()
         cuts = lsn_cutpoints(refs, plan.chunks)
         bounds = [None, *cuts, None]
         n_chunks = len(bounds) - 1
 
         scratch = None
+        chunk_refs: list = []
         if plan.strategy == "scratch":
             import tempfile
 
@@ -717,9 +732,19 @@ class CdcEngine:
             events_mat.map_batches(
                 tag, batch_format="pyarrow", batch_size=None
             ).write_parquet(scratch, partition_cols=["_chunk"])
-            # release the pinned input before the chunk applies
-            events_mat = None
-            refs = None
+        else:
+            # cut ALL chunks first so the input can be released before
+            # any apply starts — sequential filtering would keep the
+            # full input pinned under every chunk's exchange
+            chunk_refs = [
+                lsn_range_refs(refs, bounds[i], bounds[i + 1])
+                for i in range(n_chunks)
+            ]
+            flat = [r for c in chunk_refs for r in c]
+            ray.wait(flat, num_returns=len(flat), fetch_local=False)
+        # release the pinned input before the chunk applies
+        events_mat = None
+        refs = None
 
         committed: list[int] = []
         summary: dict = {}
@@ -740,9 +765,8 @@ class CdcEngine:
                         .materialize()
                     )
                 else:
-                    chunk_ds = rd.from_arrow_refs(
-                        lsn_range_refs(refs, bounds[i], bounds[i + 1])
-                    )
+                    chunk_ds = rd.from_arrow_refs(chunk_refs[i])
+                    chunk_refs[i] = None  # ownership to chunk_ds
                 if chunk_ds.count() == 0:
                     del chunk_ds
                     continue

@@ -3,21 +3,24 @@
 The per-key ordered operators (stages/keyed.py) cover windows *within* a
 key; some pipelines need a running aggregate over the WHOLE dataset in one
 global order — e.g. sequence packing for LLM training (assign documents to
-fixed-token-budget packs by cumulative token count). The classic two-pass
-scan:
+fixed-token-budget packs by cumulative token count). Both scans here use
+the same range-bucketed two-pass (no global sort, no full
+materialization — nothing on this path ever pins O(dataset)):
 
-    1. global sort on the order column (Ray's range-partitioned sort);
-    2. one tiny pass collecting per-block (first_key, block_total) —
-       O(#blocks) rows on the driver, never row data;
-    3. exclusive scan of the block totals on the driver → per-block
-       offsets, broadcast via closure (an O(#blocks) array);
-    4. per-block vectorized cumsum + its offset.
+    1. quantile bucket bounds on the order column (per-block sketch,
+       stages/joins.py:range_partition_bounds — every block contributes,
+       never a ``limit()`` prefix);
+    2. a counting/summing pass: per-batch per-bucket partials →
+       driver prefix offsets (``num_partitions`` scalars, never rows);
+    3. ONE keyed exchange on the bucket id; inside each partition rows
+       sort by the order column and the local cumulative aggregate is
+       added to its bucket's offset.
 
-Requires a UNIQUE order column (ties across a block boundary would make
-the block-offset lookup ambiguous); ids like ``doc_id``/``lsn`` qualify.
-Order keys and block totals travel as float64 in the tiny block-meta
-table — exact for integer magnitudes ≤ 2^53 (int64 ids near the full 63
-bits would need a widened meta path).
+Requires a UNIQUE order column (duplicate order keys would make the
+cumulative total at a tied key ambiguous); ids like ``doc_id``/``lsn``
+qualify. Order keys travel as float64 in the bucket sketch — exact for
+integer magnitudes ≤ 2^53; integer VALUE totals accumulate in int64
+end-to-end (exact).
 """
 
 from __future__ import annotations
@@ -33,44 +36,76 @@ def global_cumsum(
     order_col: str,
     value_col: str,
     target: str = "cumsum",
+    num_partitions: int = 16,
 ):
     """Inclusive running sum of ``value_col`` over the global ``order_col``
-    order. Returns the dataset sorted by ``order_col`` with ``target``
-    appended (int64 for integer inputs, float64 otherwise)."""
-    sorted_ds = ds.sort(order_col).materialize()
+    order (int64 for integer inputs, float64 otherwise). Rows come back
+    grouped by order-range bucket and sorted by ``order_col`` within each
+    bucket; consumers needing a total presentation order sort the (much
+    smaller) result. Same shape as ``global_rank`` — no global sort, no
+    ``materialize()`` of the dataset (the round-3 ``.sort().materialize()``
+    version pinned O(dataset) in the object store)."""
+    import pandas as pd
 
-    def block_meta(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {"first": pa.array([], pa.float64()), "total": pa.array([], pa.float64())}
-            )
-        first = pc.cast(batch.column(order_col)[0], pa.float64())
-        total = pc.cast(pc.sum(batch.column(value_col)), pa.float64())
-        return pa.table({"first": pa.array([first.as_py()]), "total": pa.array([total.as_py()])})
+    from arlas_proc_ray.stages.joins import range_partition_bounds
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
 
-    meta = (
-        sorted_ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-        .sort_values("first")
+    bounds = range_partition_bounds(
+        ds.select_columns([order_col]), order_col, num_partitions
     )
-    bounds = meta["first"].to_numpy(np.float64)
-    offsets = np.concatenate([[0.0], np.cumsum(meta["total"].to_numpy())[:-1]])
+    n_buckets = len(bounds) + 1
+    sch = ds.schema()
+    vtype = dict(zip(sch.names, sch.types))[value_col]
+    is_int = (
+        pa.types.is_integer(vtype)
+        if isinstance(vtype, pa.DataType)
+        else np.issubdtype(vtype, np.integer)  # pandas-block schema
+    )
+    acc_np = np.int64 if is_int else np.float64
 
-    def add_scan(batch: pa.Table) -> pa.Table:
-        vals = batch.column(value_col)
-        is_int = pa.types.is_integer(vals.type)
-        out_type = pa.int64() if is_int else pa.float64()
-        if batch.num_rows == 0:
-            return batch.append_column(target, pa.array([], out_type))
-        first = float(pc.cast(batch.column(order_col)[0], pa.float64()).as_py())
-        i = int(np.searchsorted(bounds, first, side="right")) - 1
-        off = offsets[max(i, 0)]
-        v = vals.to_numpy(zero_copy_only=False)
-        cs = np.cumsum(v.astype(np.int64 if is_int else np.float64))
-        cs = cs + (np.int64(round(off)) if is_int else off)
-        return batch.append_column(target, pa.array(cs, out_type))
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.searchsorted(bounds, vals.astype(np.float64), side="right")
 
-    return sorted_ds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch.column(order_col).to_numpy(zero_copy_only=False))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        sums = np.zeros(n_buckets, dtype=acc_np)
+        np.add.at(sums, b, v.astype(acc_np))  # exact int64 accumulation
+        return pa.table(
+            {"bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+             "s": pa.array(sums)}
+        )
+
+    totals = (
+        ds.select_columns([order_col, value_col])
+        .map_batches(sum_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # n_buckets rows per block — scalars, never row data
+        .groupby("bucket")["s"]
+        .sum()
+        .reindex(range(n_buckets), fill_value=0)
+        .to_numpy(acc_np)
+    )
+    offsets = np.concatenate([[acc_np(0)], np.cumsum(totals)[:-1]])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch.column(order_col).to_numpy(zero_copy_only=False))
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def scan_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_bucket", order_col], kind="mergesort")
+        local = (
+            pdf.groupby("_bucket", sort=False)[value_col]
+            .cumsum()
+            .to_numpy(acc_np)
+        )
+        pdf[target] = offsets[pdf["_bucket"].to_numpy(np.int64)] + local
+        return pdf.drop(columns=["_bucket"])
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+    return keyed_partition_map(
+        bucketed, keys=["_bucket"], order_col=order_col, fn=scan_partition,
+        num_partitions=min(num_partitions, n_buckets),
+    )
 
 
 def sequence_packing(
