@@ -255,6 +255,24 @@ def _all_window_hashes(data: bytes, window: int) -> np.ndarray:
          = B^(w-1+j) · (prefix[j+w] − prefix[j]),  prefix[k] = Σ d[i]·B^(−i).
     """
     d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    return _window_hashes_from_ints(d, window)
+
+
+def _char_window_hashes(text: str, window: int) -> np.ndarray:
+    """Karp-Rabin over UNICODE CODE POINTS, so each hash corresponds 1:1
+    to a character ``window``-gram (the decontamination window unit) —
+    byte windows would split multi-byte UTF-8 characters. Texts shorter
+    than ``window`` characters yield NO windows (same contract as
+    dedup/decontaminate.ngram_windows)."""
+    t = text or ""
+    if len(t) < window:
+        return np.empty(0, dtype=np.uint64)
+    d = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    return _window_hashes_from_ints(d, window)
+
+
+def _window_hashes_from_ints(d: np.ndarray, window: int) -> np.ndarray:
+    """Shared rolling-hash core over an int symbol array (uint64)."""
     n = len(d)
     w = min(window, n)
     with np.errstate(over="ignore"):

@@ -384,3 +384,84 @@ def test_mixture_plan_properties():
             )
 
     check()
+
+
+def test_decontaminate_hashed_and_bloom_parity():
+    """The scale modes (8-byte hashes / Bloom bitmap) flag exactly the
+    same fixture docs as the oracle-exact string mode, including
+    multi-byte UTF-8 text (hashes are per CHARACTER window, not bytes),
+    and their broadcast payloads are strictly smaller."""
+    import ray.data as rd2
+
+    from arlas_proc_ray.dedup.decontaminate import (
+        benchmark_window_payload,
+        decontaminate,
+    )
+
+    bench = [
+        "The quick brown fox jumps over the lazy dog",
+        "àéîõü çñ über naïve façade — mixed script bench",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "prefix The quick brown fox suffix",     # shares a 13-gram
+                "completely different words here",       # no overlap
+                "short",                                 # < 13 chars: never
+                None,
+                "xx über naïve façade — mixed yy",       # multi-byte overlap
+                "ueber naive facade plain ascii",        # NOT the same chars
+            ],
+        }
+    )
+    ds = rd2.from_pandas(docs).repartition(3)
+    results = {}
+    for mode in ("exact", "hashed", "bloom"):
+        results[mode] = (
+            decontaminate(ds, bench, n=13, mode=mode)
+            .to_pandas().sort_values("doc_id")["contaminated"].tolist()
+        )
+    assert results["exact"] == [True, False, False, False, True, False]
+    assert results["hashed"] == results["exact"]
+    # bloom is superset-only; on this fixture the FP rate (~6e-4) makes
+    # exact equality overwhelmingly likely — assert it, plus supersetness
+    assert results["bloom"] == results["exact"]
+    assert all(
+        b or not e for b, e in zip(results["bloom"], results["exact"])
+    )
+
+    # broadcast-size ordering: bloom < hashed < exact strings
+    _, b_exact = benchmark_window_payload(bench, 13, "exact")
+    _, b_hashed = benchmark_window_payload(bench, 13, "hashed")
+    _, b_bloom = benchmark_window_payload(bench, 13, "bloom")
+    assert b_bloom < b_hashed < b_exact
+    # hashed is exactly 8 bytes per distinct window
+    hv, _ = benchmark_window_payload(bench, 13, "hashed")
+    assert b_hashed == 8 * len(hv)
+
+
+def test_decontaminate_bloom_fp_rate_is_bounded():
+    """Random corpus with ZERO true overlap: bloom false-positive DOC
+    rate stays under a generous multiple of the per-window bound."""
+    import ray.data as rd2
+
+    from arlas_proc_ray.dedup.decontaminate import decontaminate
+
+    rng = np.random.RandomState(11)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    mk = lambda ln: "".join(rng.choice(alpha, ln))
+    bench = [mk(500) for _ in range(5)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            # digits only -> cannot share an alpha 13-gram
+            "text": ["".join(rng.choice(list("0123456789"), 60)) for _ in range(400)],
+        }
+    )
+    out = (
+        decontaminate(rd2.from_pandas(docs), bench, n=13, mode="bloom")
+        .to_pandas()
+    )
+    # ~48 windows/doc x 5.7e-4 -> P(doc flagged) ~ 2.7%; allow slack
+    assert out["contaminated"].mean() <= 0.15
