@@ -28,9 +28,14 @@ real sink for the multimodal pipeline. Entropy coding is bit-accurate
 canonical Huffman with 0xFF stuffing.
 
 Throughput note: the DCT/color math is numpy over all blocks at once;
-the entropy (Huffman) loop is per-symbol Python — fine for the
-thumbnail/metadata extraction stage this feeds (bounded images, actor
-pool), and the documented place a C codec would slot in at 100 TB.
+marker de-stuffing/splitting is one numpy pass; the entropy decode is
+table-driven (16-bit-prefix Huffman LUT + a bit window threaded through
+local variables — no per-bit loops, no per-symbol method dispatch) and
+runs at the CPython integer-op floor (~0.3 µs/symbol; 2.4× baseline /
+3.1× progressive over the round-3 per-bit reader end-to-end, measured
+in BASELINE.md round-4 addendum). Throughput at volume comes from
+per-image parallelism (the actor-pool map_batches stage this feeds);
+a C codec remains the documented slot-in past that.
 """
 
 from __future__ import annotations
@@ -156,65 +161,44 @@ def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- bitstream
-class _BitReader:
-    """MSB-first reader over a de-stuffed entropy segment."""
-
-    __slots__ = ("data", "pos", "bit")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.bit = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            return 0  # past-the-end padding reads as 0 (spec: 1-padding
-            # only ever completes a final EOB, value is irrelevant)
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+# The entropy decode is table-driven and call-free in the hot path: a
+# 16-bit-prefix LUT per Huffman table (one lookup per symbol instead of
+# the per-bit T.81 F.2.2.3 walk) and a bit WINDOW carried through the
+# block decoders as a plain (byte_index, window, valid_bits) tuple held
+# in LOCAL variables — no bound-method calls, no attribute access per
+# symbol. Measured ≥10× over the per-bit reader on the decode
+# micro-bench (BASELINE.md round-4 addendum). Past-the-end reads are 0
+# (spec: final-byte padding only ever completes an EOB).
+_BMASK = tuple((1 << i) - 1 for i in range(80))
 
 
 class _HuffDecoder:
-    """Canonical MSB-first Huffman decode (T.81 F.2.2.3 flow)."""
+    """Canonical MSB-first Huffman table as a flat 16-bit-prefix LUT.
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+    Every 16-bit window value maps to (symbol, code length) — built once
+    per DHT with numpy range fills, stored as ``bytes`` (the fastest
+    scalar-indexable sequence in CPython). Window values no valid code
+    covers have length 0 → corrupt-stream error at decode.
+    """
+
+    __slots__ = ("llen", "lsym")
 
     def __init__(self, bits, vals):
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        self.vals = list(vals)
+        llen = np.zeros(1 << 16, np.uint8)
+        lsym = np.zeros(1 << 16, np.uint8)
         code = 0
         k = 0
         for ln in range(1, 17):
-            n = bits[ln - 1]
-            if n:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += n
-                k += n
-                self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                start = code << (16 - ln)
+                span = 1 << (16 - ln)
+                llen[start : start + span] = ln
+                lsym[start : start + span] = vals[k]
+                code += 1
+                k += 1
             code <<= 1
-
-    def decode(self, br: _BitReader) -> int:
-        code = br.read_bit()
-        ln = 1
-        while code > self.maxcode[ln]:
-            ln += 1
-            if ln > 16:
-                raise UnsupportedMediaError("jpeg: corrupt Huffman stream")
-            code = (code << 1) | br.read_bit()
-        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+        self.llen = llen.tobytes()
+        self.lsym = lsym.tobytes()
 
 
 def _extend(v: int, t: int) -> int:
@@ -344,29 +328,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _split_entropy(payload: bytes, start: int):
     """De-stuff entropy data; split at restart markers; stop at a real
-    marker. Returns (segments, index of the terminating marker)."""
+    marker. Returns (segments, index of the terminating marker).
+
+    Vectorized: one numpy pass finds every 0xFF, classifies the byte
+    after it (stuffed 0x00 / RSTn / real marker), masks the stuffing
+    bytes out and splits at the restart positions — the round-3
+    byte-at-a-time bytearray loop was ~20% of a baseline decode.
+    """
+    arr = np.frombuffer(payload, np.uint8)[start:]
+    ff = np.flatnonzero(arr == 0xFF)
+    nxt = arr[np.minimum(ff + 1, len(arr) - 1)]
+    if len(ff) and ff[-1] == len(arr) - 1:
+        # trailing lone 0xFF: treat as scan end (implicit EOI)
+        nxt = nxt.copy()
+        nxt[-1] = 0xD9
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = ~(is_stuff | is_rst)
+    end_rel = int(ff[real][0]) if real.any() else len(arr)
+    # drop everything from the terminating marker on
+    keep_ff = ff[ff < end_rel]
+    keep_stuff = is_stuff[ff < end_rel]
+    keep_rst = is_rst[ff < end_rel]
+    drop = np.zeros(end_rel, dtype=bool)
+    # stuffed FF00 -> drop the 0x00; RSTn -> drop both marker bytes
+    stuff_pos = keep_ff[keep_stuff] + 1
+    drop[stuff_pos[stuff_pos < end_rel]] = True
+    rst_pos = keep_ff[keep_rst]
+    drop[rst_pos] = True
+    drop[np.minimum(rst_pos + 1, end_rel - 1)] = True
+    kept = ~drop
+    # segment id = number of restarts at or before each byte
+    cut = np.zeros(end_rel, dtype=np.int64)
+    cut[rst_pos] = 1
+    seg_id = np.cumsum(cut)
+    data = arr[:end_rel]
+    n_seg = int(seg_id[-1]) + 1 if end_rel else 1
     segments = []
-    cur = bytearray()
-    i = start
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = payload[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # any real marker ends the scan
-            break
-    segments.append(bytes(cur))
-    return segments, i
+    for s in range(n_seg):
+        m = kept & (seg_id == s)
+        segments.append(data[m].tobytes())
+    return segments, start + end_rel
 
 
 def _scan_mcus(frame, scan_comps):
@@ -412,7 +414,9 @@ def _decode_scan(segments, frame, stores, scan_comps, huff_dc, huff_ac,
         for ci, td, ta in scan_comps
     }
     seg_idx = 0
-    br = _BitReader(segments[0])
+    data = segments[0]
+    n = len(data)
+    st = (0, 0, 0)  # (next byte index, bit window, valid bits in window)
     pred = {ci: 0 for ci, _, _ in scan_comps}
     state = {"eobrun": 0}
     for m, blocks in enumerate(mcus):
@@ -420,55 +424,164 @@ def _decode_scan(segments, frame, stores, scan_comps, huff_dc, huff_ac,
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise UnsupportedMediaError("jpeg: missing restart segment")
-            br = _BitReader(segments[seg_idx])
+            data = segments[seg_idx]
+            n = len(data)
+            st = (0, 0, 0)
             pred = {ci: 0 for ci, _, _ in scan_comps}
             state["eobrun"] = 0
         for ci, by, bx in blocks:
             coefs = stores[ci][by, bx]
             dc, ac = tables[ci]
             if not progressive:
-                _block_sequential(br, coefs, dc, ac, pred, ci)
-            elif ss == 0 and ah == 0:
-                t = dc.decode(br)
-                pred[ci] += _extend(br.read_bits(t), t)
+                st = _block_sequential(st, data, n, coefs, dc, ac, pred, ci)
+            elif ss == 0 and ah == 0:  # progressive DC first
+                i, buf, nbits = st
+                while nbits < 16:
+                    buf = (buf << 8) | (data[i] if i < n else 0)
+                    i += 1
+                    nbits += 8
+                idx = buf >> (nbits - 16)
+                ln = dc.llen[idx]
+                if not ln:
+                    raise UnsupportedMediaError(
+                        "jpeg: corrupt Huffman stream"
+                    )
+                nbits -= ln
+                buf &= _BMASK[nbits]
+                t = dc.lsym[idx]
+                if t:
+                    while nbits < t:
+                        buf = (buf << 8) | (data[i] if i < n else 0)
+                        i += 1
+                        nbits += 8
+                    nbits -= t
+                    v = buf >> nbits
+                    buf &= _BMASK[nbits]
+                    pred[ci] += v if v >> (t - 1) else v - (1 << t) + 1
                 coefs[0] = pred[ci] << al
+                st = (i, buf, nbits)
             elif ss == 0:  # DC refinement: one magnitude bit per block
-                if br.read_bit():
+                i, buf, nbits = st
+                if not nbits:
+                    buf = data[i] if i < n else 0
+                    i += 1
+                    nbits = 8
+                nbits -= 1
+                if buf >> nbits:
                     coefs[0] |= 1 << al
+                buf &= _BMASK[nbits]
+                st = (i, buf, nbits)
             elif ah == 0:
-                _block_ac_first(br, coefs, ac, ss, se, al, state)
+                st = _block_ac_first(
+                    st, data, n, coefs, ac, ss, se, al, state
+                )
             else:
-                _block_ac_refine(br, coefs, ac, ss, se, al, state)
+                st = _block_ac_refine(
+                    st, data, n, coefs, ac, ss, se, al, state
+                )
 
 
-def _block_sequential(br, coefs, dc, ac, pred, ci):
-    t = dc.decode(br)
-    pred[ci] += _extend(br.read_bits(t), t)
+# Each block decoder threads the bit-window state (i, buf, nbits)
+# through LOCAL variables and returns the updated tuple: the per-symbol
+# hot path is pure local int arithmetic + two bytes-LUT lookups — no
+# function calls, no attribute access (the round-3 per-bit reader spent
+# most of the decode in bound-method dispatch).
+
+
+def _block_sequential(st, data, n, coefs, dc, ac, pred, ci):
+    i, buf, nbits = st
+    dc_llen, dc_lsym = dc.llen, dc.lsym
+    ac_llen, ac_lsym = ac.llen, ac.lsym
+    bmask = _BMASK
+    # DC: one Huffman symbol + t raw bits
+    while nbits < 16:
+        buf = (buf << 8) | (data[i] if i < n else 0)
+        i += 1
+        nbits += 8
+    idx = buf >> (nbits - 16)
+    ln = dc_llen[idx]
+    if not ln:
+        raise UnsupportedMediaError("jpeg: corrupt Huffman stream")
+    nbits -= ln
+    buf &= bmask[nbits]
+    t = dc_lsym[idx]
+    if t:
+        while nbits < t:
+            buf = (buf << 8) | (data[i] if i < n else 0)
+            i += 1
+            nbits += 8
+        nbits -= t
+        v = buf >> nbits
+        buf &= bmask[nbits]
+        pred[ci] += v if v >> (t - 1) else v - (1 << t) + 1
     coefs[0] = pred[ci]
     k = 1
     while k < 64:
-        rs = ac.decode(br)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:  # ZRL
+        if nbits < 16:
+            if i + 6 <= n:
+                buf = (buf << 48) | int.from_bytes(data[i : i + 6], "big")
+                i += 6
+                nbits += 48
+            else:
+                while nbits < 16:
+                    buf = (buf << 8) | (data[i] if i < n else 0)
+                    i += 1
+                    nbits += 8
+        idx = buf >> (nbits - 16)
+        ln = ac_llen[idx]
+        if not ln:
+            raise UnsupportedMediaError("jpeg: corrupt Huffman stream")
+        nbits -= ln
+        buf &= bmask[nbits]
+        rs = ac_lsym[idx]
+        s = rs & 0xF
+        if not s:
+            if rs == 0xF0:  # ZRL
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise UnsupportedMediaError("jpeg: AC run past block end")
-        coefs[k] = _extend(br.read_bits(s), s)
+        if nbits < s:
+            buf = (buf << 8) | (data[i] if i < n else 0)
+            i += 1
+            nbits += 8
+        nbits -= s
+        v = buf >> nbits
+        buf &= bmask[nbits]
+        coefs[k] = v if v >> (s - 1) else v - (1 << s) + 1
         k += 1
+    return (i, buf, nbits)
 
 
-def _block_ac_first(br, coefs, ac, ss, se, al, state):
+def _block_ac_first(st, data, n, coefs, ac, ss, se, al, state):
     """Progressive AC first pass for one block (T.81 G.1.2.2 decode)."""
     if state["eobrun"] > 0:
         state["eobrun"] -= 1
-        return
+        return st
+    i, buf, nbits = st
+    ac_llen, ac_lsym = ac.llen, ac.lsym
+    bmask = _BMASK
     k = ss
     while k <= se:
-        rs = ac.decode(br)
+        if nbits < 16:
+            if i + 6 <= n:
+                buf = (buf << 48) | int.from_bytes(data[i : i + 6], "big")
+                i += 6
+                nbits += 48
+            else:
+                while nbits < 16:
+                    buf = (buf << 8) | (data[i] if i < n else 0)
+                    i += 1
+                    nbits += 8
+        idx = buf >> (nbits - 16)
+        ln = ac_llen[idx]
+        if not ln:
+            raise UnsupportedMediaError("jpeg: corrupt Huffman stream")
+        nbits -= ln
+        buf &= bmask[nbits]
+        rs = ac_lsym[idx]
         r, s = rs >> 4, rs & 0xF
         if s == 0:
             if r == 15:  # ZRL
@@ -476,60 +589,128 @@ def _block_ac_first(br, coefs, ac, ss, se, al, state):
                 continue
             eob = 1 << r
             if r:
-                eob += br.read_bits(r)
+                while nbits < r:
+                    buf = (buf << 8) | (data[i] if i < n else 0)
+                    i += 1
+                    nbits += 8
+                nbits -= r
+                eob += buf >> nbits
+                buf &= bmask[nbits]
             state["eobrun"] = eob - 1  # this block is the first of them
-            return
+            return (i, buf, nbits)
         k += r
         if k > se:
             raise UnsupportedMediaError("jpeg: AC run past band end")
-        coefs[k] = _extend(br.read_bits(s), s) << al
+        while nbits < s:
+            buf = (buf << 8) | (data[i] if i < n else 0)
+            i += 1
+            nbits += 8
+        nbits -= s
+        v = buf >> nbits
+        buf &= bmask[nbits]
+        coefs[k] = (v if v >> (s - 1) else v - (1 << s) + 1) << al
         k += 1
+    return (i, buf, nbits)
 
 
-def _block_ac_refine(br, coefs, ac, ss, se, al, state):
+def _block_ac_refine(st, data, n, coefs, ac, ss, se, al, state):
     """Progressive AC refinement for one block (libjpeg
     decode_mcu_AC_refine structure; correction bit read for every
-    already-nonzero coefficient passed over)."""
+    already-nonzero coefficient passed over).
+
+    The block's band is pulled into a Python list once (``tolist``) and
+    written back once — per-coefficient numpy scalar reads were the
+    second-largest cost of the progressive decode after the bit reader.
+    """
+    i, buf, nbits = st
+    ac_llen, ac_lsym = ac.llen, ac.lsym
+    bmask = _BMASK
     p1 = 1 << al
     m1 = -1 << al
-
-    def refine(k):
-        c = int(coefs[k])
-        if c and br.read_bit() and not (c & p1):
-            coefs[k] = c + (p1 if c >= 0 else m1)
-
+    band = coefs[ss : se + 1].tolist()
+    off = ss
     k = ss
     if state["eobrun"] == 0:
         while k <= se:
-            rs = ac.decode(br)
+            if nbits < 16:
+                if i + 6 <= n:
+                    buf = (buf << 48) | int.from_bytes(data[i : i + 6], "big")
+                    i += 6
+                    nbits += 48
+                else:
+                    while nbits < 16:
+                        buf = (buf << 8) | (data[i] if i < n else 0)
+                        i += 1
+                        nbits += 8
+            idx = buf >> (nbits - 16)
+            ln = ac_llen[idx]
+            if not ln:
+                raise UnsupportedMediaError("jpeg: corrupt Huffman stream")
+            nbits -= ln
+            buf &= bmask[nbits]
+            rs = ac_lsym[idx]
             r, s = rs >> 4, rs & 0xF
             newval = 0
             if s == 0:
                 if r != 15:  # EOBn
                     eob = 1 << r
                     if r:
-                        eob += br.read_bits(r)
+                        while nbits < r:
+                            buf = (buf << 8) | (data[i] if i < n else 0)
+                            i += 1
+                            nbits += 8
+                        nbits -= r
+                        eob += buf >> nbits
+                        buf &= bmask[nbits]
                     state["eobrun"] = eob
                     break
                 # r == 15: ZRL — pass 16 zero-HISTORY coefficients
             else:
-                newval = p1 if br.read_bit() else m1
+                if not nbits:
+                    buf = data[i] if i < n else 0
+                    i += 1
+                    nbits = 8
+                nbits -= 1
+                newval = p1 if buf >> nbits else m1
+                buf &= bmask[nbits]
             while k <= se:
-                if coefs[k] != 0:
-                    refine(k)
+                c = band[k - off]
+                if c != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if not nbits:
+                        buf = data[i] if i < n else 0
+                        i += 1
+                        nbits = 8
+                    nbits -= 1
+                    bit = buf >> nbits
+                    buf &= bmask[nbits]
+                    if bit and not (c & p1):
+                        band[k - off] = c + (p1 if c >= 0 else m1)
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if newval and k <= se:
-                coefs[k] = newval
+                band[k - off] = newval
             k += 1
     if state["eobrun"] > 0:
         while k <= se:
-            refine(k)
+            c = band[k - off]
+            if c != 0:
+                if not nbits:
+                    buf = data[i] if i < n else 0
+                    i += 1
+                    nbits = 8
+                nbits -= 1
+                bit = buf >> nbits
+                buf &= bmask[nbits]
+                if bit and not (c & p1):
+                    band[k - off] = c + (p1 if c >= 0 else m1)
             k += 1
         state["eobrun"] -= 1
+    coefs[ss : se + 1] = band
+    return (i, buf, nbits)
 
 
 def _finish(frame, stores, qt):
