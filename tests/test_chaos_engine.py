@@ -171,9 +171,9 @@ def test_engine_chaos_with_crashes(tmp_path, ray_session, seed):
 
 @pytest.mark.parametrize("seed", [11, 12, 13])
 def test_all_apply_paths_identical(tmp_path, ray_session, seed):
-    """Cross-path equivalence: the Dataset, staged, two-level-staged and
-    write-audit-publish paths produce byte-identical final states and
-    equal commit summaries for the same epochs."""
+    """Cross-path equivalence: the Dataset, staged, two-level-staged,
+    write-audit-publish and warm-cache-actor paths produce byte-identical
+    final states and equal commit summaries for the same epochs."""
     import ray.data as rd
 
     cfg = ChangelogConfig(num_events=3000, num_keys=300, seed=300 + seed)
@@ -191,18 +191,25 @@ def test_all_apply_paths_identical(tmp_path, ray_session, seed):
                 s = eng.apply_epoch_staged(ds, i, two_level=False)
             elif mode == "two_level":
                 s = eng.apply_epoch_staged(ds, i, two_level=True)
+            elif mode == "warm":
+                s = eng.apply_epoch_staged(ds, i, warm_cache=True)
             else:  # wap
                 eng.apply_epoch(ds, i, publish=False)
                 s = eng.publish_epoch(i)
             summaries.append(
                 {k: s[k] for k in ("row_count", "last_lsn", "rollup")}
             )
+        if mode == "warm":
+            # epochs 2+ must have been served from the actor cache
+            stats = eng.warm_cache_stats()
+            assert sum(st["hits"] for st in stats) > 0
+            eng.shutdown_warm_pool()
         return eng.final_state().to_pandas(), summaries
 
     base_state, base_sum = run("dataset")
     exp = oracle_final_state(tables).to_pandas()
     pd.testing.assert_frame_equal(base_state, exp)
-    for mode in ("staged", "two_level", "wap"):
+    for mode in ("staged", "two_level", "wap", "warm"):
         state, summ = run(mode)
         pd.testing.assert_frame_equal(state, base_state)
         assert summ == base_sum, mode
