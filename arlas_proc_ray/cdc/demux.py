@@ -64,6 +64,7 @@ def demux_epoch(
     dead_letter_dir: str | None = None,
     delta: bool = True,
     txn_log=None,
+    apply_fn=None,
 ) -> dict:
     """Apply one multiplexed epoch across per-table engines; one scan.
 
@@ -73,6 +74,12 @@ def demux_epoch(
     ``{"already_committed": True}`` (demux rerun = resume).
     ``delta=True`` (default): tables see independent streams, so
     untouched partitions stay metadata references.
+
+    ``apply_fn``: per-table apply override ``(engine, slice_ds, epoch) ->
+    summary`` — e.g. ``lambda e, ds, ep: e.apply_epoch_staged(ds, ep)``
+    to run big slices through the staged exchange (which needs no
+    ``delta``: it carries every partition forward itself). Default is
+    the Dataset path ``apply_epoch(..., delta=delta)``.
 
     ``txn_log`` (a ``cdc.txn.TxnLog``): after EVERY table committed, one
     atomic cross-table record ``{table: epoch}`` is published under
@@ -150,7 +157,10 @@ def demux_epoch(
             from arlas_proc_ray.cdc.events import CANONICAL_EVENT_SCHEMA
 
             slice_ds = rd.from_arrow(CANONICAL_EVENT_SCHEMA.empty_table())
-        out[name] = eng.apply_epoch(slice_ds, epoch, delta=delta)
+        if apply_fn is not None:
+            out[name] = apply_fn(eng, slice_ds, epoch)
+        else:
+            out[name] = eng.apply_epoch(slice_ds, epoch, delta=delta)
     out["_spooled_events"] = int(spooled or 0)
     if txn_log is not None:
         # publish the consistent cut LAST — its existence certifies that

@@ -69,6 +69,7 @@ class SegmentTailer:
         apply=None,
         suffixes: tuple = (".jsonl", ".json", ".parquet"),
         decode_kwargs: dict | None = None,
+        committed_fn=None,
     ):
         if fmt not in ("jsonl", "parquet"):
             raise ValueError(f"unknown fmt: {fmt!r}")
@@ -81,6 +82,18 @@ class SegmentTailer:
         # extra decode_debezium kwargs (e.g. table_col="table" for a
         # multiplexed topic feeding a demux `apply` override)
         self.decode_kwargs = dict(decode_kwargs or {})
+        # committed_fn: the "is epoch e fully applied?" probe, defaulting
+        # to this engine's store. A multi-engine `apply` (demux) MUST
+        # pass the MIN over all its engines — with the single-engine
+        # default, a crash after the first table committed but before
+        # the last would fast-forward the cursor and silently drop the
+        # lagging tables' events (found by the composed chaos test).
+        self.committed_fn = committed_fn
+
+    def _committed(self):
+        if self.committed_fn is not None:
+            return self.committed_fn()
+        return self.engine.store.latest_committed_epoch()
 
     # ---- state -----------------------------------------------------------
 
@@ -141,8 +154,7 @@ class SegmentTailer:
     def poll(self) -> dict:
         """One cadence. Returns ``{epoch, files, applied}`` —
         ``applied=False`` means nothing new arrived."""
-        store = self.engine.store
-        committed = store.latest_committed_epoch()
+        committed = self._committed()
 
         intent = self._read(self._intent_path)
         if intent is not None:

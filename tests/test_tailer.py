@@ -314,3 +314,116 @@ def test_tailer_chaos_random_crash_points(tmp_path):
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert t.consumed() == set(os.listdir(seg))
+
+
+def test_composed_stream_chaos_kill_resume(tmp_path):
+    """The FULL streaming story end-to-end with a mid-epoch kill: binlog
+    dir tailer → Debezium wire decode → multi-table demux → per-table
+    fenced epochs → cross-table txn cut. A crash lands between the two
+    tables' commits; resume happens with FRESH objects (as a restarted
+    process would), while more segments keep arriving. Regression pins
+    the tailer's multi-engine committed probe: with the single-engine
+    default the crashed epoch would fast-forward and silently drop the
+    lagging table's events.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc.demux import demux_epoch
+    from arlas_proc_ray.cdc.txn import TxnLog
+    from arlas_proc_ray.cdc.wire import encode_debezium
+
+    cfg_a = ChangelogConfig(num_events=4000, num_keys=300, seed=71)
+    cfg_b = ChangelogConfig(num_events=3000, num_keys=200, seed=72)
+    seg = str(tmp_path / "topic")
+    spool = str(tmp_path / "spool")
+    txn_dir = str(tmp_path / "txn")
+
+    def tagged(cfg, name, lo, hi):
+        tabs = [
+            t.append_column(
+                "table", pa.array([name] * t.num_rows, pa.string())
+            )
+            for t in generate_changelog_tables(cfg, lo, hi)
+        ]
+        return rd.from_arrow(tabs)
+
+    def write_mux(lo_frac, hi_frac, prefix):
+        parts = []
+        for cfg, name in [(cfg_a, "alpha"), (cfg_b, "beta")]:
+            lo = int(cfg.num_events * lo_frac)
+            hi = int(cfg.num_events * hi_frac)
+            parts.append(tagged(cfg, name, lo, hi))
+        enc = encode_debezium(parts[0].union(parts[1]), table_col="table")
+        os.makedirs(seg, exist_ok=True)
+        rows = enc.to_pandas()["value"]
+        with open(os.path.join(seg, f"{prefix}.jsonl"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    crash = {"armed": False}
+
+    def beta_fault(epoch, part):
+        if crash["armed"]:
+            raise RuntimeError("injected kill")
+
+    def build(fresh_fault):
+        """Fresh engines + tailer — what a restarted process sees."""
+        engines = {
+            "alpha": CdcEngine(str(tmp_path / "a"), DataModel(num_partitions=4)),
+            "beta": CdcEngine(
+                str(tmp_path / "b"), DataModel(num_partitions=4),
+                fault_hook=beta_fault if fresh_fault else None,
+            ),
+        }
+        txn = TxnLog(txn_dir)
+
+        def apply_demux(_eng, ds, epoch):
+            return demux_epoch(
+                ds, engines, epoch, spool_dir=spool, txn_log=txn
+            )
+
+        tailer = SegmentTailer(
+            engines["alpha"], seg,
+            apply=apply_demux, decode_kwargs={"table_col": "table"},
+            committed_fn=lambda: min(
+                (e.store.latest_committed_epoch() or 0)
+                for e in engines.values()
+            ) or None,
+        )
+        return engines, tailer, txn
+
+    engines, tailer, txn = build(fresh_fault=True)
+    write_mux(0.0, 0.4, "seg-a")
+    assert tailer.poll()["applied"]
+
+    # wave 2 lands; the kill hits beta mid-apply AFTER alpha committed
+    write_mux(0.4, 0.7, "seg-b")
+    crash["armed"] = True
+    with pytest.raises(Exception):
+        tailer.poll()
+    assert engines["alpha"].store.latest_committed_epoch() == 2
+    assert engines["beta"].store.latest_committed_epoch() == 1
+    assert txn.read(2) is None  # no torn cross-table cut published
+    crash["armed"] = False
+
+    # "process restart": all fresh objects; wave 3 arrives before resume
+    engines, tailer, txn = build(fresh_fault=False)
+    write_mux(0.7, 1.0, "seg-c")
+    r = tailer.poll()
+    assert r.get("resumed") is True and r["epoch"] == 2
+    assert engines["beta"].store.latest_committed_epoch() == 2
+    assert txn.read(2) == {"txn": 2, "tables": {"alpha": 2, "beta": 2}}
+    assert tailer.poll()["applied"]  # wave 3 as epoch 3
+    assert tailer.poll()["applied"] is False
+
+    for name, cfg in [("alpha", cfg_a), ("beta", cfg_b)]:
+        got = (
+            engines[name].final_state().to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        exp = (
+            oracle_final_state(generate_changelog_tables(cfg)).to_pandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert txn.read(3) == {"txn": 3, "tables": {"alpha": 3, "beta": 3}}
