@@ -1343,6 +1343,67 @@ def q_cdc_engine_replay(sf_dir: str):
         shutil.rmtree(snap, ignore_errors=True)
 
 
+def q_cdc_autosplit_replay(sf_dir: str):
+    """The SAME deterministic events-derived replay as
+    ``cdc_engine_replay``, but applied as ONE staged epoch under an
+    injected object-store budget small enough to force the auto-split
+    path (cdc/sizing.py): the engine cuts the changelog into LSN-range
+    sub-epochs, commits each behind the normal fences, and the final
+    state must be hash-identical to the single-epoch SQL LWW oracle —
+    driver-visible verification that epoch auto-sizing preserves
+    exactly-once semantics."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+
+    snap = tempfile.mkdtemp(prefix="cdc_autosplit_replay_")
+    try:
+        changelog = _events_changelog_v1(sf_dir).materialize()
+        eng = CdcEngine(snap, DataModel(num_partitions=NP))
+        budget = int((changelog.size_bytes() or 1) * 3.0)  # forces inmem split
+        s = eng.apply_epoch_staged(changelog, 1, budget_bytes=budget)
+        if s.get("auto_split", 1) < 2:
+            raise RuntimeError(f"auto-split did not engage: {s}")
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def q_cdc_warm_replay(sf_dir: str):
+    """The SAME deterministic events-derived replay, two staged epochs
+    through the warm partition-state cache (cdc/warmcache.py,
+    ``CdcEngine(warm_cache=True)``): epoch 2's prior state is served
+    from the cache actors, and the final state must stay hash-identical
+    to the SQL LWW oracle — driver-visible verification of the warm
+    path."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+
+    snap = tempfile.mkdtemp(prefix="cdc_warm_replay_")
+    eng = None
+    try:
+        changelog = _events_changelog_v1(sf_dir).materialize()
+        mid = int(changelog.max("lsn") or 0) // 2
+        eng = CdcEngine(snap, DataModel(num_partitions=NP), warm_cache=True)
+        eng.apply_epoch_staged(changelog.filter(expr=f"lsn <= {mid}"), 1)
+        eng.apply_epoch_staged(changelog.filter(expr=f"lsn > {mid}"), 2)
+        stats = eng.warm_cache_stats()
+        if sum(st["hits"] for st in stats) == 0:
+            raise RuntimeError(f"warm cache never hit: {stats}")
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        if eng is not None:
+            eng.shutdown_warm_pool()
+        shutil.rmtree(snap, ignore_errors=True)
+
+
 def q_snapshot_pruned_scan(sf_dir: str):
     """Zone-map + bloom pruned snapshot scan (cdc/snapshot.py plan_scan/
     scan) with a driver-visible SQL oracle: build the SAME deterministic
@@ -1413,17 +1474,10 @@ def q_incremental_feed(sf_dir: str):
         shutil.rmtree(snap, ignore_errors=True)
 
 
-def _events_engine_snapshot(
-    sf_dir: str, snap: str, apply_kwargs: dict | None = None, **engine_kwargs
-):
-    """Build the deterministic events-derived CdcEngine snapshot used by
-    ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``.
-
-    Returns ``(engine, mid)`` where ``mid`` is the epoch-boundary
-    watermark, so callers never re-scan events to recompute it."""
-    from arlas_proc_ray.cdc.engine import CdcEngine
+def _events_changelog_v1(sf_dir: str):
+    """The deterministic events→changelog mapping shared by the
+    ``cdc_engine_replay`` oracle family (lazy Dataset, v1 schema)."""
     from arlas_proc_ray.cdc.events import EVENT_SCHEMA_V1
-    from arlas_proc_ray.model import DataModel
 
     ds = _events(
         sf_dir, columns=["event_id", "user_id", "event_type", "value", "props"]
@@ -1457,11 +1511,25 @@ def _events_engine_snapshot(
             schema=EVENT_SCHEMA_V1,
         )
 
+    return ds.map_batches(
+        to_changelog, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _events_engine_snapshot(
+    sf_dir: str, snap: str, apply_kwargs: dict | None = None, **engine_kwargs
+):
+    """Build the deterministic events-derived CdcEngine snapshot used by
+    ``q_cdc_engine_replay`` (same mapping, same two epochs) at ``snap``.
+
+    Returns ``(engine, mid)`` where ``mid`` is the epoch-boundary
+    watermark, so callers never re-scan events to recompute it."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.model import DataModel
+
     # materialize once: max() + the two epoch filters would otherwise
     # re-execute the parquet read + mapping three times
-    changelog = ds.map_batches(
-        to_changelog, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    changelog = _events_changelog_v1(sf_dir).materialize()
     mid = int(changelog.max("lsn") or 0) // 2
     eng = CdcEngine(snap, DataModel(num_partitions=NP), **engine_kwargs)
     ak = apply_kwargs or {}
@@ -2377,6 +2445,26 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(ds, bench.column("text").to_pylist(), n=13)
 
 
+def q_decontaminate_hashed(sf_dir: str):
+    """Same decontamination contract through the SCALE broadcast mode
+    (``mode="hashed"``: 8-byte code-point Karp-Rabin window hashes, 8 B
+    per distinct window instead of raw strings). Deterministically equal
+    to the exact mode absent a 64-bit collision, so it shares the exact
+    mode's SQL oracle — driver-visible verification of the hashed path."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.dedup.decontaminate import decontaminate
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 10)],
+    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return decontaminate(
+        ds, bench.column("text").to_pylist(), n=13, mode="hashed"
+    )
+
+
 def q_repetition_metrics(sf_dir: str):
     """Gopher-style line-repetition quality signals per document."""
     from arlas_proc_ray.functions.text import repetition_metrics
@@ -3136,6 +3224,7 @@ QUERIES = {
     "length_quantile_filter": q_length_quantile_filter,
     "group_zscore": q_group_zscore,
     "decontaminate": q_decontaminate,
+    "decontaminate_hashed": q_decontaminate_hashed,
     "repetition_metrics": q_repetition_metrics,
     "sequence_packing": q_sequence_packing,
     "value_quantiles": q_value_quantiles,
@@ -3147,6 +3236,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "nul_key_segments": q_nul_key_segments,
     "cdc_engine_replay": q_cdc_engine_replay,
+    "cdc_autosplit_replay": q_cdc_autosplit_replay,
+    "cdc_warm_replay": q_cdc_warm_replay,
     "snapshot_pruned_scan": q_snapshot_pruned_scan,
     "clustered_scan": q_clustered_scan,
     "incremental_feed": q_incremental_feed,
@@ -5164,6 +5255,13 @@ def _movement_oracle() -> str:
 
 
 ORACLE_SQL["movement_courses"] = _movement_oracle()
+
+# Scale-path queries share the exact paths' oracles: auto-split and
+# warm-cache replays must be hash-identical to the single-path LWW
+# state, and hashed decontamination to the exact string mode.
+ORACLE_SQL["cdc_autosplit_replay"] = ORACLE_SQL["cdc_engine_replay"]
+ORACLE_SQL["cdc_warm_replay"] = ORACLE_SQL["cdc_engine_replay"]
+ORACLE_SQL["decontaminate_hashed"] = ORACLE_SQL["decontaminate"]
 
 ORACLE_SQL["dedup_documents"] = f"""
     WITH RECURSIVE ex AS (
