@@ -161,6 +161,20 @@ def demux_epoch(
             out[name] = apply_fn(eng, slice_ds, epoch)
         else:
             out[name] = eng.apply_epoch(slice_ds, epoch, delta=delta)
+        committed_now = eng.store.latest_committed_epoch()
+        if committed_now != epoch:
+            # Lockstep guard: demux fences on shared epoch numbers, so an
+            # apply that commits PAST `epoch` (an auto-split apply_fn —
+            # apply_epoch_staged splitting an oversized slice into
+            # sub-epochs) would make every FUTURE demux epoch for this
+            # table look already-committed and silently skip its events.
+            # Fail loudly at the first overshoot instead; size demux
+            # epochs within budget or pass auto_split=False in apply_fn.
+            raise RuntimeError(
+                f"demux lockstep broken for table {name!r}: apply "
+                f"committed through epoch {committed_now}, expected "
+                f"{epoch} (auto-split apply_fn? oversized slice?)"
+            )
     out["_spooled_events"] = int(spooled or 0)
     if txn_log is not None:
         # publish the consistent cut LAST — its existence certifies that

@@ -144,10 +144,10 @@ def lsn_cutpoints(
         stride = len(a) // samples_per_block
         return a[::stride].astype(np.int64)
 
-    parts = ray.get([sample.remote(r) for r in block_refs])
-    allv = np.concatenate([p for p in parts if len(p)]) if parts else np.array([], np.int64)
-    if len(allv) == 0 or k <= 1:
-        return []
+    parts = [p for p in ray.get([sample.remote(r) for r in block_refs]) if len(p)]
+    if not parts or k <= 1:
+        return []  # empty input (or no split): one chunk covers everything
+    allv = np.concatenate(parts)
     qs = np.quantile(allv.astype(np.float64), np.linspace(0, 1, k + 1)[1:-1])
     cuts = np.unique(np.floor(qs).astype(np.int64))
     return [int(c) for c in cuts]

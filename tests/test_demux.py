@@ -102,3 +102,28 @@ def test_demux_unknown_table(tmp_path, ray_session):
     assert set(pc.unique(dl.column("dlq_reason")).to_pylist()) == {
         "unknown_table"
     }
+
+
+def test_demux_rejects_lockstep_breaking_apply(tmp_path, ray_session):
+    """An apply_fn that commits past the shared epoch number (an
+    auto-split staged apply on an oversized slice) must fail LOUDLY at
+    the first overshoot — with demux's shared-epoch fencing, a silent
+    overshoot would make every later demux epoch for that table look
+    already-committed and drop its events."""
+    engines = {
+        "alpha": CdcEngine(str(tmp_path / "a"), DataModel(num_partitions=4)),
+        "beta": CdcEngine(str(tmp_path / "b"), DataModel(num_partitions=4)),
+    }
+
+    def oversplit_apply(eng, ds, epoch):
+        mat = ds.materialize()
+        # inject a budget that forces an inmem auto-split into >=2 epochs
+        return eng.apply_epoch_staged(
+            mat, epoch, budget_bytes=int((mat.size_bytes() or 1) * 3)
+        )
+
+    with pytest.raises(RuntimeError, match="lockstep"):
+        demux_epoch(
+            rd.from_arrow(_mux()), engines, 1,
+            spool_dir=str(tmp_path / "spool"), apply_fn=oversplit_apply,
+        )

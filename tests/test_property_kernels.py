@@ -569,3 +569,82 @@ def test_violation_reasons_matches_rowwise_reference(rows):
 
     want = [ref(*r) for r in rows]
     assert got == want
+
+
+# ---------------------------------------------------------- epoch sizing
+
+@given(
+    st.integers(min_value=1, max_value=10**14),
+    st.integers(min_value=1, max_value=10**14),
+)
+@settings(max_examples=300, deadline=None)
+def test_epoch_plan_is_memory_admissible(epoch_bytes, budget):
+    """plan_epoch_chunks' decision always satisfies its own memory model:
+    single → 4·b ≤ allow; inmem → pinned(1) + chunk(1/K) + exchange(4/K)
+    ≤ allow; scratch → 4·b/K ≤ allow (allow = HEADROOM × budget)."""
+    from arlas_proc_ray.cdc.sizing import (
+        AMPLIFICATION,
+        HEADROOM,
+        plan_epoch_chunks,
+    )
+
+    p = plan_epoch_chunks(epoch_bytes, budget)
+    allow = budget * HEADROOM
+    assert p.chunks >= 1
+    if p.strategy == "single":
+        assert p.chunks == 1
+        assert AMPLIFICATION * epoch_bytes <= allow
+    elif p.strategy == "inmem":
+        assert p.chunks >= 2
+        assert epoch_bytes * (1 + (AMPLIFICATION + 1) / p.chunks) <= allow
+    else:
+        assert p.strategy == "scratch"
+        assert AMPLIFICATION * epoch_bytes / p.chunks <= allow
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=25, deadline=None)
+def test_lsn_chunks_partition_exactly(ray_session, blocks, k):
+    """LSN-range chunking (cdc/sizing.py) partitions ARBITRARY block
+    layouts exactly once — heavy ties, negative LSNs, empty blocks,
+    pre-sorted and adversarial orders — and later chunks carry strictly
+    higher LSNs than earlier ones (the per-partition fence contract)."""
+    import ray
+
+    from arlas_proc_ray.cdc.sizing import lsn_cutpoints, lsn_range_refs
+
+    tables = [
+        pa.table({"lsn": pa.array(b, pa.int64()),
+                  "v": pa.array(list(range(len(b))), pa.int64())})
+        for b in blocks
+    ]
+    refs = [ray.put(t) for t in tables]
+    cuts = lsn_cutpoints(refs, k)
+    assert cuts == sorted(cuts) and len(set(cuts)) == len(cuts)
+    bounds = [None, *cuts, None]
+    all_lsns = np.concatenate(
+        [np.asarray(b, np.int64) for b in blocks]
+    ) if any(blocks) else np.array([], np.int64)
+    seen = []
+    prev_max = None
+    for i in range(len(bounds) - 1):
+        chunk = pa.concat_tables(
+            ray.get(lsn_range_refs(refs, bounds[i], bounds[i + 1]))
+        )
+        vals = chunk.column("lsn").to_numpy(zero_copy_only=False)
+        seen.append(vals)
+        if len(vals):
+            if prev_max is not None:
+                assert vals.min() > prev_max
+            prev_max = vals.max()
+    got = np.sort(np.concatenate(seen)) if seen else np.array([], np.int64)
+    assert np.array_equal(got, np.sort(all_lsns))
