@@ -622,6 +622,7 @@ class CdcEngine:
         auto_split: bool | int | None = None,
         budget_bytes: int | None = None,
         warm_cache: bool | None = None,
+        delta: bool = False,
     ) -> dict:
         """High-volume variant: raw-task staged shuffle (cdc/staged.py).
 
@@ -713,7 +714,7 @@ class CdcEngine:
             return self._apply_epoch_chunked(
                 box, epoch, plan,
                 dead_letter_dir=dead_letter_dir, two_level=two_level,
-                warm=warm,
+                warm=warm, delta=delta,
             )
 
         if warm:
@@ -722,6 +723,7 @@ class CdcEngine:
             return staged_apply_epoch_warm(
                 self, events_ds, epoch, pool=self._warm_pool(),
                 dead_letter_dir=dead_letter_dir, publish=publish,
+                delta=delta,
             )
         if two_level is None:
             two_level = (
@@ -730,16 +732,16 @@ class CdcEngine:
         if two_level:
             return staged_apply_epoch_two_level(
                 self, events_ds, epoch, dead_letter_dir=dead_letter_dir,
-                publish=publish,
+                publish=publish, delta=delta,
             )
         return staged_apply_epoch(
             self, events_ds, epoch, dead_letter_dir=dead_letter_dir,
-            publish=publish,
+            publish=publish, delta=delta,
         )
 
     def _apply_epoch_chunked(
         self, events_box, epoch: int, plan, *, dead_letter_dir, two_level,
-        warm: bool = False,
+        warm: bool = False, delta: bool = False,
     ) -> dict:
         """Apply an oversized epoch as LSN-range sub-epochs (see
         ``apply_epoch_staged``). ``events_box`` is a 1-list holding the
@@ -838,6 +840,7 @@ class CdcEngine:
                     summary = staged_apply_epoch_warm(
                         self, chunk_ds, e, pool=self._warm_pool(),
                         dead_letter_dir=dead_letter_dir, publish=True,
+                        delta=delta,
                     )
                 else:
                     tl = two_level
@@ -853,7 +856,7 @@ class CdcEngine:
                     )
                     summary = fn(
                         self, chunk_ds, e, dead_letter_dir=dead_letter_dir,
-                        publish=True,
+                        publish=True, delta=delta,
                     )
                 committed.append(e)
                 e += 1

@@ -63,11 +63,20 @@ def _split_block(table: pa.Table, dm: DataModel, align) -> list[pa.Table]:
 
 def staged_apply_epoch(engine, events_ds, epoch: int, *,
                       dead_letter_dir: str | None = None,
-                      publish: bool = True) -> dict:
+                      publish: bool = True, delta: bool = False) -> dict:
     """Apply one epoch with the staged shuffle; same guarantees as
     ``CdcEngine.apply_epoch`` (idempotent, resumable, exactly-once).
     ``publish=False`` stages the cut for write-audit-publish exactly as
-    the Dataset path does (engine._stage_epoch)."""
+    the Dataset path does (engine._stage_epoch).
+
+    ``delta=True``: a partition that received NO surviving events this
+    epoch is not rewritten — the commit marker's source map references
+    the epoch that last wrote it (the same metadata chain as the Dataset
+    path's ``delta``). A re-delivered duplicate (every event ≤ the
+    partition fence) also references: the state AND watermark are
+    provably unchanged. At low change rates this removes the dominant
+    copy-forward cost from the staged path too.
+    """
     dm = engine.dm
     store = engine.store
     fault_hook = engine.fault_hook
@@ -94,6 +103,7 @@ def staged_apply_epoch(engine, events_ds, epoch: int, *,
             return m
         prior = None
         prior_last = -1
+        src = None
         if prev_epoch is not None:
             src = prev_sources.get(part, prev_epoch)
             prior = store.read_partition(src, part)
@@ -112,6 +122,12 @@ def staged_apply_epoch(engine, events_ds, epoch: int, *,
             if prior_last >= 0:
                 ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(prior_last)))
             inputs.append(_events_as_merge_rows(ev))
+        if delta and src is not None and (
+            ev is None or ev.num_rows == 0
+        ):
+            # untouched (or fully-fenced duplicate) partition: reference
+            # the prior epoch's file instead of rewriting it
+            return int(src)
         if prior is not None and prior.num_rows:
             inputs.append(_state_as_merge_rows(prior))
         final = (
@@ -147,16 +163,21 @@ def staged_apply_epoch(engine, events_ds, epoch: int, *,
         )
         for p in range(P)
     ]
-    ray.get(merge_refs)
+    results = ray.get(merge_refs)
+    sources = {
+        p: r for p, r in enumerate(results) if isinstance(r, int)
+    } or None
     if not publish:
-        return engine._stage_epoch(epoch, None, prev_epoch)
-    return store.commit_epoch(epoch, P, expected_prev=prev_epoch)
+        return engine._stage_epoch(epoch, sources, prev_epoch)
+    return store.commit_epoch(
+        epoch, P, sources=sources, expected_prev=prev_epoch
+    )
 
 
 def staged_apply_epoch_two_level(
     engine, events_ds, epoch: int, *, groups: int | None = None,
     dead_letter_dir: str | None = None,
-    publish: bool = True,
+    publish: bool = True, delta: bool = False,
 ) -> dict:
     """Two-level staged exchange for LARGE partition fan-outs.
 
@@ -239,6 +260,7 @@ def staged_apply_epoch_two_level(
             return store.read_manifest(epoch, part)
         prior = None
         prior_last = -1
+        src = None
         if prev_epoch is not None:
             src = prev_sources.get(part, prev_epoch)
             prior = store.read_partition(src, part)
@@ -260,6 +282,8 @@ def staged_apply_epoch_two_level(
             if prior_last >= 0:
                 ev = ev.filter(pc.greater(ev.column("lsn"), pa.scalar(prior_last)))
             inputs.append(_events_as_merge_rows(ev))
+        if delta and src is not None and (ev is None or ev.num_rows == 0):
+            return int(src)  # untouched: reference, don't rewrite
         if prior is not None and prior.num_rows:
             inputs.append(_state_as_merge_rows(prior))
         final = (
@@ -296,7 +320,12 @@ def staged_apply_epoch_two_level(
     for part in range(P):
         g, i = part // per_group, part % per_group
         merge_refs.append(merge.remote(part, _l2(g, i)))
-    ray.get(merge_refs)
+    results = ray.get(merge_refs)
+    sources = {
+        p: r for p, r in enumerate(results) if isinstance(r, int)
+    } or None
     if not publish:
-        return engine._stage_epoch(epoch, None, prev_epoch)
-    return store.commit_epoch(epoch, P, expected_prev=prev_epoch)
+        return engine._stage_epoch(epoch, sources, prev_epoch)
+    return store.commit_epoch(
+        epoch, P, sources=sources, expected_prev=prev_epoch
+    )

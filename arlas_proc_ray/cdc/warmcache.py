@@ -81,7 +81,8 @@ class PartitionCacheActor:
             del self.cache[p]
 
     def merge(
-        self, epoch: int, part: int, src_epoch, *slices: pa.Table
+        self, epoch: int, part: int, src_epoch, delta: bool,
+        *slices: pa.Table
     ):
         """Same merge/fence/finalize/write as cdc/staged.py's merge task,
         with the prior-state read served from cache when the cached entry
@@ -124,6 +125,13 @@ class PartitionCacheActor:
                     pc.greater(ev.column("lsn"), pa.scalar(prior_last))
                 )
             inputs.append(_events_as_merge_rows(ev))
+        if delta and src_epoch is not None and (
+            ev is None or ev.num_rows == 0
+        ):
+            # untouched: reference the prior epoch's file; the cache
+            # entry stays keyed to that epoch, which is exactly what the
+            # next epoch's resolved source will ask for
+            return int(src_epoch)
         if prior is not None and prior.num_rows:
             inputs.append(_state_as_merge_rows(prior))
         final = (
@@ -161,6 +169,7 @@ class PartitionCacheActor:
 def staged_apply_epoch_warm(
     engine, events_ds, epoch: int, *, pool,
     dead_letter_dir: str | None = None, publish: bool = True,
+    delta: bool = False,
 ) -> dict:
     """One-level staged exchange with warm-cache actor merges. Identical
     guarantees to ``staged_apply_epoch`` (fences, manifests, commit
@@ -194,14 +203,19 @@ def staged_apply_epoch_warm(
         src = prev_sources.get(p, prev_epoch) if prev_epoch is not None else None
         merge_refs.append(
             pool[p % G].merge.remote(
-                epoch, p, src,
+                epoch, p, src, delta,
                 *[
                     (split_out[b] if P == 1 else split_out[b][p])
                     for b in range(len(split_out))
                 ],
             )
         )
-    ray.get(merge_refs)
+    results = ray.get(merge_refs)
+    sources = {
+        p: r for p, r in enumerate(results) if isinstance(r, int)
+    } or None
     if not publish:
-        return engine._stage_epoch(epoch, None, prev_epoch)
-    return store.commit_epoch(epoch, P, expected_prev=prev_epoch)
+        return engine._stage_epoch(epoch, sources, prev_epoch)
+    return store.commit_epoch(
+        epoch, P, sources=sources, expected_prev=prev_epoch
+    )
