@@ -134,6 +134,7 @@ def cmd_replay(args) -> dict:
         return engine.apply_epoch_staged(
             ds, epoch=args.epoch, dead_letter_dir=args.dead_letter_dir,
             publish=not getattr(args, "stage", False),
+            delta=args.delta,
         )
     return engine.apply_epoch(
         ds, epoch=args.epoch, delta=args.delta,
