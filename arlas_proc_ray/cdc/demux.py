@@ -38,15 +38,27 @@ import pyarrow.parquet as pq
 
 
 def _spool_write(table: pa.Table, out_dir: str) -> str:
-    """Content-addressed atomic Parquet write (idempotent under retries)."""
-    h = hashlib.sha256()
-    h.update(str(table.to_pydict()).encode())
+    """Content-addressed atomic Parquet write (idempotent under retries).
+
+    The address is the sha256 of the SERIALIZED parquet bytes — one
+    in-memory write, hash, rename. (The round-3 version hashed
+    ``str(table.to_pydict())``: a whole-table Python-object string that
+    dominated the demux split at volume — measured as the 20M-event
+    composed-tail bottleneck.) Parquet serialization is deterministic
+    for identical input tables with fixed writer options, so a retried
+    split task still lands on the same path."""
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    data = buf.getbuffer()
+    h = hashlib.sha256(data)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"part-{h.hexdigest()[:32]}.parquet")
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
-    os.close(fd)
     try:
-        pq.write_table(table, tmp, compression="snappy")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -65,6 +77,7 @@ def demux_epoch(
     delta: bool = True,
     txn_log=None,
     apply_fn=None,
+    parallel_tables: bool = False,
 ) -> dict:
     """Apply one multiplexed epoch across per-table engines; one scan.
 
@@ -74,6 +87,11 @@ def demux_epoch(
     ``{"already_committed": True}`` (demux rerun = resume).
     ``delta=True`` (default): tables see independent streams, so
     untouched partitions stay metadata references.
+
+    ``parallel_tables=True``: the per-table applies run concurrently
+    from driver threads (each is an independent Ray execution over its
+    own store — fences and commits are per-table already). Serial is the
+    default: at low core counts concurrent applies just contend.
 
     ``apply_fn``: per-table apply override ``(engine, slice_ds, epoch) ->
     summary`` — e.g. ``lambda e, ds, ep: e.apply_epoch_staged(ds, ep)``
@@ -134,14 +152,12 @@ def demux_epoch(
         split, batch_format="pyarrow", batch_size=None
     ).sum("spooled")
 
-    out: dict = {}
-    for name in known:
-        eng = engines[name]
-        latest = eng.store.latest_committed_epoch()
-        if latest is not None and latest >= epoch:
-            out[name] = {"epoch": epoch, "already_committed": True,
-                         "latest_committed": latest}
-            continue
+    def slice_for(name: str):
+        """Driver-side dataset CREATION — kept serial even under
+        parallel_tables: Ray's read_parquet path resolution lazily
+        imports fsspec modules, and that import races across threads
+        (measured: both 20M tail processes died with a partial
+        fsspec.implementations.http import)."""
         d = os.path.join(spool_dir, f"table={name}", f"epoch={epoch}")
         files = (
             [os.path.join(d, f) for f in sorted(os.listdir(d))
@@ -150,17 +166,23 @@ def demux_epoch(
             else []
         )
         if files:
-            slice_ds = rd.read_parquet(files, partitioning=None)
-        else:
-            # no events for this table this epoch: typed empty stream —
-            # the engine still commits the epoch (carry-forward)
-            from arlas_proc_ray.cdc.events import CANONICAL_EVENT_SCHEMA
+            return rd.read_parquet(files, partitioning=None)
+        # no events for this table this epoch: typed empty stream —
+        # the engine still commits the epoch (carry-forward)
+        from arlas_proc_ray.cdc.events import CANONICAL_EVENT_SCHEMA
 
-            slice_ds = rd.from_arrow(CANONICAL_EVENT_SCHEMA.empty_table())
+        return rd.from_arrow(CANONICAL_EVENT_SCHEMA.empty_table())
+
+    def apply_table(name: str, slice_ds):
+        eng = engines[name]
+        if slice_ds is None:
+            latest = eng.store.latest_committed_epoch()
+            return name, {"epoch": epoch, "already_committed": True,
+                          "latest_committed": latest}
         if apply_fn is not None:
-            out[name] = apply_fn(eng, slice_ds, epoch)
+            res = apply_fn(eng, slice_ds, epoch)
         else:
-            out[name] = eng.apply_epoch(slice_ds, epoch, delta=delta)
+            res = eng.apply_epoch(slice_ds, epoch, delta=delta)
         committed_now = eng.store.latest_committed_epoch()
         if committed_now != epoch:
             # Lockstep guard: demux fences on shared epoch numbers, so an
@@ -175,6 +197,31 @@ def demux_epoch(
                 f"committed through epoch {committed_now}, expected "
                 f"{epoch} (auto-split apply_fn? oversized slice?)"
             )
+        return name, res
+
+    # serial phase: fences + dataset creation (thread-unsafe lazy imports)
+    slices = {}
+    for name in known:
+        eng = engines[name]
+        latest = eng.store.latest_committed_epoch()
+        slices[name] = (
+            None  # already committed: resume no-op
+            if latest is not None and latest >= epoch
+            else slice_for(name)
+        )
+    out: dict = {}
+    if parallel_tables and len(known) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(known)) as ex:
+            for name, res in ex.map(
+                lambda n: apply_table(n, slices[n]), known
+            ):
+                out[name] = res
+    else:
+        for name in known:
+            n, res = apply_table(name, slices[name])
+            out[n] = res
     out["_spooled_events"] = int(spooled or 0)
     if txn_log is not None:
         # publish the consistent cut LAST — its existence certifies that

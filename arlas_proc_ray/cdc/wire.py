@@ -382,15 +382,115 @@ def make_decode_fn(
     return fn
 
 
-def read_changelog_jsonl(paths, **decode_kwargs):
+def _jsonl_range_plans(paths, target_bytes: int) -> list[dict]:
+    """Byte-range shards over the segment files: every range owns the
+    lines whose FIRST byte falls inside it (a line starts at offset 0 or
+    right after a newline), so the union over ranges is exactly the file
+    with no duplicates — the standard splittable-text contract."""
+    import os
+
+    files = []
+    for p in paths:
+        if os.path.isdir(p):  # read_text parity: a directory means its files
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if not f.startswith(".")
+            )
+        else:
+            files.append(p)
+    plans = []
+    for p in files:
+        size = os.path.getsize(p)
+        k = max(1, -(-size // target_bytes))
+        for i in range(k):
+            plans.append(
+                {"path": p, "lo": size * i // k, "hi": size * (i + 1) // k}
+            )
+    return plans
+
+
+def _read_jsonl_range(path: str, lo: int, hi: int) -> pa.Array:
+    """One range's complete lines as an Arrow string array. Line
+    splitting is one C++ ``split_pattern`` over the raw buffer — no
+    per-line Python objects (``ray.data.read_text`` materializes a
+    Python str per line, measured 10× slower than the decode it feeds
+    at 20M events)."""
+    import pyarrow.compute as pc
+
+    with open(path, "rb") as f:
+        start = lo
+        if lo > 0:
+            # starting mid-line iff the previous byte is not a newline:
+            # skip forward to the first line that STARTS in [lo, hi)
+            f.seek(lo - 1)
+            prev = f.read(1)
+            if prev != b"\n":
+                chunk = f.read(hi - lo)
+                nl = chunk.find(b"\n")
+                if nl < 0:
+                    return pa.array([], pa.string())  # interior of one line
+                start = lo + nl + 1
+        f.seek(start)
+        data = f.read(hi - start)
+        if not data:
+            return pa.array([], pa.string())
+        # the last owned line may continue past hi: extend to its newline
+        if not data.endswith(b"\n"):
+            tail = f.read(1 << 20)
+            while tail:
+                nl = tail.find(b"\n")
+                if nl >= 0:
+                    data += tail[: nl + 1]
+                    break
+                data += tail
+                tail = f.read(1 << 20)
+    lines = pc.list_flatten(
+        pc.split_pattern(pa.array([data], pa.large_binary()), pattern=b"\n")
+    )
+    lines = pc.cast(lines, pa.string())
+    return lines.filter(pc.not_equal(lines, pa.scalar("")))
+
+
+def read_changelog_jsonl(paths, *, target_bytes: int = 64 * 1024 * 1024,
+                         **decode_kwargs):
     """Tail a directory/file list of JSON-lines change events → canonical
-    events Dataset (``ray.data.read_text`` shards files across the
-    cluster; decode runs per batch with the C++ fast path)."""
+    events Dataset. Files are sharded into ``target_bytes`` byte ranges
+    (newline-aligned, so one 10 GB segment parallelizes like 160 small
+    ones) and each range splits its lines with one Arrow kernel; decode
+    runs per batch with the C++ fast path."""
     import ray.data as rd
 
-    return decode_debezium(
-        rd.read_text(paths), json_col="text", **decode_kwargs
+    plans = _jsonl_range_plans(
+        [paths] if isinstance(paths, str) else list(paths), target_bytes
     )
+    if not plans:  # empty directory: typed empty stream
+        import ray.data as _rd
+
+        return decode_debezium(
+            _rd.from_arrow(pa.table({"text": pa.array([], pa.string())})),
+            json_col="text", **decode_kwargs,
+        )
+
+    def read_ranges(batch: pa.Table) -> pa.Table:
+        parts = [
+            _read_jsonl_range(p, int(lo), int(hi))
+            for p, lo, hi in zip(
+                batch.column("path").to_pylist(),
+                batch.column("lo").to_pylist(),
+                batch.column("hi").to_pylist(),
+            )
+        ]
+        out = (
+            pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+            if parts
+            else pa.array([], pa.string())
+        )
+        return pa.table({"text": out})
+
+    text = rd.from_items(plans, override_num_blocks=max(1, len(plans))).map_batches(
+        read_ranges, batch_format="pyarrow", batch_size=None
+    )
+    return decode_debezium(text, json_col="text", **decode_kwargs)
 
 
 def encode_debezium(

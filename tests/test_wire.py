@@ -403,3 +403,45 @@ def test_streaming_engine_tails_decoded_wire(tmp_path):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     eng.shutdown()
+
+
+def test_ranged_jsonl_reader_matches_readlines(tmp_path):
+    """Byte-range sharding owns every line exactly once regardless of
+    where the cuts land: tiny target_bytes (cuts inside lines, ranges
+    fully interior to one line, boundary exactly at a newline) must
+    reproduce the file's lines exactly, in aggregate."""
+    import os
+
+    from arlas_proc_ray.cdc.wire import (
+        _jsonl_range_plans,
+        _read_jsonl_range,
+    )
+
+    rng = __import__("random").Random(7)
+    lines = [
+        "x" * rng.randint(0, 200) + f"#{i}" for i in range(500)
+    ]
+    p = str(tmp_path / "seg.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    for target in (7, 64, 1000, 10**9):
+        plans = _jsonl_range_plans([p], target)
+        got = []
+        for pl in plans:
+            got.extend(
+                _read_jsonl_range(pl["path"], pl["lo"], pl["hi"]).to_pylist()
+            )
+        assert got == lines, f"target_bytes={target}"
+    # a file with no trailing newline
+    p2 = str(tmp_path / "seg2.jsonl")
+    with open(p2, "w") as f:
+        f.write("\n".join(lines))
+    for target in (13, 10**9):
+        plans = _jsonl_range_plans([p2], target)
+        got = []
+        for pl in plans:
+            got.extend(
+                _read_jsonl_range(pl["path"], pl["lo"], pl["hi"]).to_pylist()
+            )
+        assert got == lines, f"no-trailing-newline target={target}"

@@ -16,7 +16,7 @@ for f in $(ls stage); do
   mv "stage/$f" "topic/$f"
   i=$((i+1))
   if [ $i -eq 4 ]; then
-    sleep 9   # let epoch(s) get mid-flight
+    sleep 2   # epoch 4's apply is now in flight (applies take ~4-5s)
     kill -9 $TAIL_PID 2>/dev/null
     echo "KILLED tail after wave 4" >> _kill.log
     sleep 2

@@ -13,7 +13,7 @@ from the intent record and converges. Scratch lives under /tmp/tail20m.
 """
 import os, sys, time, shutil
 import ray
-ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")), include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 import pyarrow as pa
@@ -81,6 +81,7 @@ def mode_tail():
         return demux_epoch(
             ds, engs, epoch, spool_dir=SPOOL, txn_log=txn,
             apply_fn=lambda e, sds, ep: e.apply_epoch_staged(sds, ep),
+            parallel_tables=False,
         )
     t = SegmentTailer(
         engs["alpha"], SEG, apply=apply_demux,
