@@ -6973,3 +6973,121 @@ ORACLE_SQL["cube_revenue"] = """
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# iterative graph analytics (stages/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_interactions(sf_dir: str):
+    """PageRank over the undirected user↔event-type interaction
+    multigraph (3 power iterations, exact int64 fixed-point — see
+    stages/graph.py determinism contract). Edge construction is one
+    stateless map_batches (events mirrored, duplicates kept: PageRank
+    is linear over edge rows so a multigraph needs no DISTINCT
+    exchange); each iteration = one in-block partial + one node-sized
+    groupby. The rank vector is the broadcast small side."""
+    from arlas_proc_ray.stages.graph import pagerank
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return pagerank(edges, src_col="src", dst_col="dst", iterations=3)
+
+
+QUERIES["pagerank_interactions"] = q_pagerank_interactions
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Chained-CTE power iteration: same int64 fixed-point formula as
+    stages/graph.py (85·c//100 split as 85·(c//100)+(85·(c%100))//100,
+    exact and overflow-safe on both sides)."""
+    sql = """
+    WITH pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2),
+    edges AS (SELECT u AS src, t AS dst, w FROM pw
+              UNION ALL SELECT t, u, w FROM pw),
+    deg AS (SELECT src AS node, SUM(w) AS d FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1000000000::BIGINT AS r FROM deg)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, SUM(e.w * (r.r // d.d)) AS c
+             FROM edges e
+             JOIN {prev} r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+             GROUP BY 1),
+    r{i} AS (SELECT d.node,
+                    150000000 + 85 * (COALESCE(c.c, 0) // 100)
+                              + (85 * (COALESCE(c.c, 0) % 100)) // 100 AS r
+             FROM deg d LEFT JOIN c{i} c ON c.node = d.node)"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, CAST(r AS BIGINT) AS pagerank FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["pagerank_interactions"] = _pagerank_oracle()
+
+
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted priority sample: K docs elected by the smallest
+    DETERMINISTIC priority ``splitmix64(doc_id) // n_chars`` — longer
+    docs draw smaller priorities more often (the integer cousin of
+    priority sampling's u^(1/w) keys), reproducible across runs and
+    cluster resizes with no RNG state. Per-block bottom-K combiner,
+    then a tiny global sort — the same two-level shape as topk."""
+    from arlas_proc_ray.cdc.events import _splitmix64
+
+    K = 25
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def local_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(pdf["doc_id"].to_numpy().astype(np.uint64))
+        # weight clamp ≥2 keeps priority < 2^63 for ANY doc (int64-safe)
+        w = np.maximum(pdf["n_chars"].to_numpy(), 2).astype(np.uint64)
+        pdf = pdf.assign(priority=(h // w).astype("uint64"))
+        return pdf.nsmallest(K, ["priority", "doc_id"])
+
+    allp = ds.map_batches(
+        local_k, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    out = allp.sort_values(["priority", "doc_id"]).head(K)
+    out["priority"] = out["priority"].astype("int64")  # < 2^63 by the clamp
+    return out.reset_index(drop=True)
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+
+ORACLE_SQL["weighted_sample"] = f"""
+    WITH s0 AS (
+      SELECT doc_id, source, n_chars,
+             (doc_id::HUGEINT + 11400714819323198485::HUGEINT)
+               % {_M64_SQL} AS z
+      FROM documents),
+    s1 AS (SELECT doc_id, source, n_chars,
+                  {_sql_mulmod64("xor(z, z >> 30)", _SQS_C2)} AS z FROM s0),
+    s2 AS (SELECT doc_id, source, n_chars,
+                  {_sql_mulmod64("xor(z, z >> 27)", _SQS_C3)} AS z FROM s1),
+    h AS (SELECT doc_id, source, n_chars, xor(z, z >> 31) AS z FROM s2)
+    SELECT doc_id, source, n_chars,
+           CAST(z // GREATEST(n_chars, 2)::HUGEINT AS BIGINT) AS priority
+    FROM h
+    ORDER BY priority, doc_id
+    LIMIT 25
+"""

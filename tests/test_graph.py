@@ -1,0 +1,96 @@
+"""stages/graph.py — PageRank vs a direct pure-Python oracle."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from arlas_proc_ray.stages.graph import pagerank
+
+
+def _py_pagerank(edges, iterations, scale=10**9, d=85):
+    """Direct dict-based reference: edges = [(src, dst, w), ...]."""
+    deg: dict = {}
+    nodes = set()
+    for s, t, w in edges:
+        deg[s] = deg.get(s, 0) + w
+        nodes.update((s, t))
+    base = (100 - d) * scale // 100
+    rank = {v: scale for v in nodes}
+    for _ in range(iterations):
+        share = {v: (rank[v] // deg[v] if deg.get(v) else 0) for v in nodes}
+        c = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            c[t] += w * share[s]
+        rank = {
+            v: base + d * (c[v] // 100) + (d * (c[v] % 100)) // 100 for v in nodes
+        }
+    return rank
+
+
+EDGES = [
+    ("a", "b", 1),
+    ("a", "c", 3),
+    ("b", "c", 2),
+    ("c", "a", 1),
+    ("a", "b", 1),  # multigraph duplicate — must count as extra weight
+    ("d", "a", 5),  # d is dangling-in only via c? no: d has out-edge
+    ("b", "e", 1),  # e has NO out-edges: dangling, keeps base term
+]
+
+
+def _edges_ds(edges):
+    pdf = pd.DataFrame(edges, columns=["src", "dst", "w"])
+    return rd.from_pandas(pdf).repartition(3)
+
+
+def test_pagerank_matches_python_oracle():
+    for iters in (1, 2, 4):
+        got = pagerank(
+            _edges_ds(EDGES),
+            src_col="src",
+            dst_col="dst",
+            weight_col="w",
+            iterations=iters,
+        )
+        want = _py_pagerank(EDGES, iters)
+        got_map = dict(zip(got["node"], got["pagerank"]))
+        assert got_map == want
+        assert got["pagerank"].dtype == np.int64
+
+
+def test_pagerank_unweighted_counts_duplicate_rows():
+    """weight_col=None → every row weighs 1 (multigraph semantics)."""
+    got = pagerank(
+        _edges_ds(EDGES), src_col="src", dst_col="dst", iterations=2
+    )
+    want = _py_pagerank([(s, t, 1) for s, t, _ in EDGES], 2)
+    assert dict(zip(got["node"], got["pagerank"])) == want
+
+
+def test_pagerank_dangling_node_keeps_base_term():
+    got = pagerank(
+        _edges_ds(EDGES), src_col="src", dst_col="dst", weight_col="w",
+        iterations=3,
+    )
+    got_map = dict(zip(got["node"], got["pagerank"]))
+    # e never propagates but still receives from b and keeps the base
+    assert got_map["e"] > 150_000_000
+    # d receives nothing (no in-edges): exactly the base term
+    assert got_map["d"] == 150_000_000
+
+
+def test_pagerank_mass_is_int64_safe_at_scale_formula():
+    """The split damping formula equals (85*c)//100 exactly."""
+    rng = np.random.default_rng(3)
+    for c in [0, 1, 99, 100, 101, 10**14, int(rng.integers(0, 2**62))]:
+        assert 85 * (c // 100) + (85 * (c % 100)) // 100 == (85 * c) // 100
+
+
+def test_pagerank_empty_edges():
+    got = pagerank(
+        _edges_ds([]).filter(lambda r: False),
+        src_col="src",
+        dst_col="dst",
+        iterations=2,
+    )
+    assert len(got) == 0
