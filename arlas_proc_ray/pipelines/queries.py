@@ -7091,3 +7091,65 @@ ORACLE_SQL["weighted_sample"] = f"""
     ORDER BY priority, doc_id
     LIMIT 25
 """
+
+
+def q_hops_from_user(sf_dir: str):
+    """Multi-source BFS hop distance over the user↔event-type
+    interaction graph (stages/graph.py:shortest_hops), rooted at the
+    smallest user_id. Level-synchronous frontier expansion: per hop one
+    broadcast-frontier map_batches + one node-sized dedup exchange —
+    edges never leave their blocks."""
+    from arlas_proc_ray.stages.graph import shortest_hops
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    root = int(ds.min("user_id"))
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return shortest_hops(
+        edges, src_col="src", dst_col="dst", sources=[f"u:{root}"], max_hops=3
+    )
+
+
+QUERIES["hops_from_user"] = q_hops_from_user
+
+
+def _hops_oracle(max_hops: int = 3) -> str:
+    """Chained frontier CTEs (level-synchronous BFS, dedup per level) —
+    no recursive walk enumeration, so no combinatorial blow-up."""
+    sql = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION ALL SELECT t, u FROM pw),
+    d0 AS (SELECT 'u:' || CAST(min(user_id) AS VARCHAR) AS node,
+                  0 AS hops FROM events)"""
+    prev = "d0"
+    for i in range(1, max_hops + 1):
+        sql += f""",
+    f{i} AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN {prev} p ON p.node = e.src
+             WHERE p.hops = {i - 1}),
+    d{i} AS (SELECT node, hops FROM {prev}
+             UNION ALL
+             SELECT f.node, {i} FROM f{i} f
+             WHERE f.node NOT IN (SELECT node FROM {prev}))"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT node, CAST(hops AS BIGINT) AS hops FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["hops_from_user"] = _hops_oracle()

@@ -140,3 +140,58 @@ def pagerank(
     out = ranks.rename(rank_col).rename_axis(node_col).reset_index()
     out[rank_col] = out[rank_col].astype("int64")
     return out
+
+
+def shortest_hops(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    sources,
+    max_hops: int = 4,
+    node_col: str = "node",
+    hops_col: str = "hops",
+) -> pd.DataFrame:
+    """Multi-source BFS hop distance (unweighted shortest path).
+
+    Level-synchronous frontier expansion — the distributed-BFS shape:
+    per hop, ONE stateless ``map_batches`` filters edge rows whose src
+    is in the broadcast frontier (node-sized, ``ray.put``) and emits
+    their dst nodes, then ONE node-sized ``groupby().count()`` dedups
+    the reached set. Edges never leave their blocks; what shuffles per
+    hop is bounded by the frontier's distinct out-neighborhood. The
+    visited map lives driver-side (node-sized — the same small-side
+    contract as :func:`pagerank`). Terminates at ``max_hops`` or an
+    empty frontier, whichever first.
+
+    Returns ``(node_col, hops_col)`` — int64 hop counts, one row per
+    reached node (sources included at hop 0). Unreached nodes are
+    absent, mirroring the SQL frontier-CTE form.
+    """
+    dist = {s: 0 for s in sources}
+    frontier = list(dict.fromkeys(sources))
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(frozenset(frontier))
+
+        def reach(pdf: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(f_ref)
+            hit = pdf[pdf[src_col].isin(fr)]
+            return pd.DataFrame({node_col: hit[dst_col].unique()})
+
+        reached = (
+            edges_ds.map_batches(reach, batch_format="pandas", batch_size=None)
+            .groupby(node_col)
+            .count()
+            .to_pandas()
+        )
+        if len(reached) == 0:
+            break
+        frontier = [n for n in reached[node_col] if n not in dist]
+        for n in frontier:
+            dist[n] = hop
+    out = pd.DataFrame(
+        {node_col: list(dist), hops_col: np.fromiter(dist.values(), dtype=np.int64)}
+    )
+    return out.sort_values(node_col).reset_index(drop=True)

@@ -94,3 +94,50 @@ def test_pagerank_empty_edges():
         iterations=2,
     )
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# shortest_hops
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.stages.graph import shortest_hops  # noqa: E402
+
+LINE = [  # a→b→c→d→e plus isolated island x→y
+    ("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1),
+    ("x", "y", 1),
+]
+
+
+def test_shortest_hops_line_graph():
+    got = shortest_hops(
+        _edges_ds(LINE), src_col="src", dst_col="dst", sources=["a"],
+        max_hops=10,
+    )
+    assert dict(zip(got["node"], got["hops"])) == {
+        "a": 0, "b": 1, "c": 2, "d": 3, "e": 4,
+    }  # x, y unreachable → absent
+
+
+def test_shortest_hops_max_hops_cutoff():
+    got = shortest_hops(
+        _edges_ds(LINE), src_col="src", dst_col="dst", sources=["a"],
+        max_hops=2,
+    )
+    assert dict(zip(got["node"], got["hops"])) == {"a": 0, "b": 1, "c": 2}
+
+
+def test_shortest_hops_multi_source_takes_min():
+    got = shortest_hops(
+        _edges_ds(LINE), src_col="src", dst_col="dst", sources=["a", "d"],
+        max_hops=10,
+    )
+    m = dict(zip(got["node"], got["hops"]))
+    assert m["e"] == 1 and m["b"] == 1 and m["c"] == 2 and m["d"] == 0
+
+
+def test_shortest_hops_empty_frontier_terminates():
+    got = shortest_hops(
+        _edges_ds(LINE), src_col="src", dst_col="dst", sources=["e"],
+        max_hops=99,
+    )
+    assert dict(zip(got["node"], got["hops"])) == {"e": 0}
