@@ -1,0 +1,162 @@
+"""Edit-distance-1 similarity join (typo near-duplicates), FastSS-style.
+
+The k=1 specialization of the published FastSS deletion-neighborhood
+scheme, sharpened so the bucketing itself is EXACT — no verification
+stage, unlike generic FastSS where colliding variants from different
+delete positions must be re-checked:
+
+- substitution pairs (same length, differ at exactly one position i):
+  both strings' position-i deletion variants are equal, and a collision
+  on the key ``(i, variant)`` can ONLY come from strings differing
+  solely at position i — so every same-kind pair in a position-keyed
+  bucket is a true lev≤1 pair. (Keying by variant string alone is NOT
+  sound: "xab"→del0→"ab" and "axb"→del1→"ab" collide at lev 2.)
+- insert/delete pairs (length differs by 1): the shorter string IS a
+  deletion variant of the longer — an (original, deletion-variant) pair
+  inside a plain variant-string bucket is a true lev=1 pair by
+  construction.
+- equal terms (lev 0) are excluded: exact duplicates belong to the
+  exact-dedup family (dedup/exact.py).
+
+Pair uniqueness needs no final dedup exchange: a substitution pair
+differs at exactly ONE position so it collides in exactly one
+``(i, variant)`` bucket; deletion variants are de-duplicated per term
+at emission (repeated characters make several positions yield the same
+variant), so an insert/delete pair collides on exactly one variant
+string; and the two families can never overlap (their bucket key
+domains are disjoint by the kind tag).
+
+Scale shape: one ``map_batches`` emits ~2·len(term) short bucket rows
+per term, then ONE keyed exchange co-locates buckets; pair emission is
+bucket-local. Σ|bucket|² is bounded by ``max_bucket`` (dropping an
+over-full bucket loses recall on that pathological neighborhood only,
+never soundness). The reference has no similarity-join surface; this is
+beyond-reference, next to the MinHash/ngram-Jaccard family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+
+def _emit_rows(ids, terms, id_col: str):
+    bucket: list[str] = []
+    out_id: list = []
+    out_term: list[str] = []
+    kind: list[str] = []
+    for i, t in zip(ids, terms):
+        t = t or ""
+        # original row — the join target for longer strings' variants
+        bucket.append("v|" + t)
+        out_id.append(i)
+        out_term.append(t)
+        kind.append("o")
+        seen: set[str] = set()
+        for p in range(len(t)):
+            v = t[:p] + t[p + 1 :]
+            # substitution family: position-keyed, exact by construction
+            bucket.append(f"s|{p}|{v}")
+            out_id.append(i)
+            out_term.append(t)
+            kind.append("s")
+            # insert/delete family: variant-string keyed, deduped per term
+            if v not in seen:
+                seen.add(v)
+                bucket.append("v|" + v)
+                out_id.append(i)
+                out_term.append(t)
+                kind.append("d")
+    return pd.DataFrame(
+        {"bucket": bucket, id_col: out_id, "term": out_term, "kind": kind}
+    )
+
+
+def edit_distance_pairs(
+    ds,
+    *,
+    id_col: str = "id",
+    term_col: str = "term",
+    num_partitions: int = 16,
+    max_bucket: int = 2_000,
+):
+    """All unordered pairs with Levenshtein distance EXACTLY 1.
+
+    Returns a Dataset of ``(id_a, id_b, term_a, term_b)`` with
+    ``id_a < id_b`` — every pair of rows whose terms are one
+    substitution, insertion, or deletion apart (equal terms excluded).
+    """
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        terms = batch.column(term_col).to_pylist()
+        return _emit_rows(ids, terms, id_col)
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bvals = pdf["bucket"].to_numpy()
+        bounds = np.flatnonzero(bvals[1:] != bvals[:-1]) + 1
+        starts = np.concatenate([[0], bounds]) if len(pdf) else np.array([], np.int64)
+        ends = (
+            np.concatenate([bounds, [len(pdf)]]) if len(pdf) else np.array([], np.int64)
+        )
+        ids = pdf[id_col].to_numpy()
+        terms = pdf["term"].to_numpy()
+        kinds = pdf["kind"].to_numpy()
+        outs = []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2 or k > max_bucket:
+                continue
+            if bvals[s0].startswith("s|"):
+                # substitution bucket: all distinct-term pairs are lev 1
+                r, c = np.triu_indices(k, 1)
+                a, b = ids[s0:e0][r], ids[s0:e0][c]
+                ta, tb = terms[s0:e0][r], terms[s0:e0][c]
+                keep = ta != tb
+            else:
+                # variant bucket: (original × deletion-variant) pairs
+                ko = kinds[s0:e0] == "o"
+                kd = kinds[s0:e0] == "d"
+                no, nd = int(ko.sum()), int(kd.sum())
+                if no == 0 or nd == 0:
+                    continue
+                oi = np.flatnonzero(ko)
+                di = np.flatnonzero(kd)
+                r = np.repeat(oi, nd)
+                c = np.tile(di, no)
+                a, b = ids[s0:e0][r], ids[s0:e0][c]
+                ta, tb = terms[s0:e0][r], terms[s0:e0][c]
+                keep = a != b
+            if not keep.any():
+                continue
+            a, b, ta, tb = a[keep], b[keep], ta[keep], tb[keep]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            ta2 = np.where(swap, tb, ta)
+            tb2 = np.where(swap, ta, tb)
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": a2, "id_b": b2, "term_a": ta2, "term_b": tb2}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=ids.dtype),
+                    "id_b": pd.Series([], dtype=ids.dtype),
+                    "term_a": pd.Series([], dtype="object"),
+                    "term_b": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return keyed_partition_map(
+        rows, keys=["bucket"], order_col=id_col, fn=pairs_fn,
+        num_partitions=num_partitions,
+    )

@@ -7153,3 +7153,29 @@ def _hops_oracle(max_hops: int = 3) -> str:
 
 
 ORACLE_SQL["hops_from_user"] = _hops_oracle()
+
+
+def q_typo_pairs(sf_dir: str):
+    """Edit-distance-1 similarity join (dedup/editdist.py): every pair
+    of customer names one substitution/insert/delete apart. FastSS k=1
+    deletion-neighborhood bucketing sharpened to be exact (position-
+    keyed substitution buckets, variant-keyed insert/delete buckets) —
+    one keyed exchange, no verification stage, no all-pairs scan."""
+    from arlas_proc_ray.dedup.editdist import edit_distance_pairs
+
+    ds = _rp(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return edit_distance_pairs(
+        ds, id_col="c_custkey", term_col="c_name", num_partitions=NP
+    )
+
+
+QUERIES["typo_pairs"] = q_typo_pairs
+
+ORACLE_SQL["typo_pairs"] = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS term_a, b.c_name AS term_b
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) = 1
+"""
