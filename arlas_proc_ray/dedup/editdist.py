@@ -43,35 +43,72 @@ import pyarrow as pa
 from arlas_proc_ray.stages.keyed import keyed_partition_map
 
 
-def _emit_rows(ids, terms, id_col: str):
-    bucket: list[str] = []
-    out_id: list = []
-    out_term: list[str] = []
-    kind: list[str] = []
-    for i, t in zip(ids, terms):
-        t = t or ""
-        # original row — the join target for longer strings' variants
-        bucket.append("v|" + t)
-        out_id.append(i)
-        out_term.append(t)
-        kind.append("o")
-        seen: set[str] = set()
-        for p in range(len(t)):
-            v = t[:p] + t[p + 1 :]
-            # substitution family: position-keyed, exact by construction
-            bucket.append(f"s|{p}|{v}")
-            out_id.append(i)
-            out_term.append(t)
-            kind.append("s")
-            # insert/delete family: variant-string keyed, deduped per term
-            if v not in seen:
-                seen.add(v)
-                bucket.append("v|" + v)
-                out_id.append(i)
-                out_term.append(t)
-                kind.append("d")
-    return pd.DataFrame(
-        {"bucket": bucket, id_col: out_id, "term": out_term, "kind": kind}
+def _emit_rows(ids, terms, id_col: str) -> pa.Table:
+    """Bucket-row emission, vectorized by DELETE POSITION: ~maxlen
+    passes of whole-column Arrow slice/join kernels instead of a Python
+    loop over terms (the loop form measured 1.0 s for 15k names; this
+    is ~30 ms). Per-term variant dedup becomes the run-head rule —
+    deleting any position of a run of equal characters yields the same
+    variant, and ONLY runs can collide (t[:p]+t[p+1:] == t[:q]+t[q+1:]
+    ⟺ t[p..q] is one equal-char run) — so keeping p where
+    t[p] != t[p-1] is exactly the seen-set semantics."""
+    import pyarrow.compute as pc
+
+    ids = pa.array(ids) if not isinstance(ids, (pa.Array, pa.ChunkedArray)) else ids
+    terms = pa.array(terms) if not isinstance(terms, (pa.Array, pa.ChunkedArray)) else terms
+    terms = pc.fill_null(pc.cast(terms, pa.string()), "")
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    n = len(terms)
+    lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+    maxlen = int(lens.max()) if n else 0
+    empty = pa.scalar("")
+
+    b_parts = [pc.binary_join_element_wise(pa.scalar("v|"), terms, empty)]
+    i_parts = [ids]
+    t_parts = [terms]
+    k_parts = [pa.array(np.full(n, "o"))]
+    for p in range(maxlen):
+        idx = np.flatnonzero(lens > p)
+        t_p = terms.take(idx)
+        i_p = ids.take(idx)
+        variant = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t_p, 0, p),
+            pc.utf8_slice_codeunits(t_p, p + 1, 2**30),
+            empty,
+        )
+        b_parts.append(
+            pc.binary_join_element_wise(pa.scalar(f"s|{p}|"), variant, empty)
+        )
+        i_parts.append(i_p)
+        t_parts.append(t_p)
+        k_parts.append(pa.array(np.full(len(idx), "s")))
+        if p == 0:
+            head = np.arange(len(idx))
+        else:
+            head = np.flatnonzero(
+                pc.not_equal(
+                    pc.utf8_slice_codeunits(t_p, p, p + 1),
+                    pc.utf8_slice_codeunits(t_p, p - 1, p),
+                ).to_numpy(zero_copy_only=False)
+            )
+        b_parts.append(
+            pc.binary_join_element_wise(
+                pa.scalar("v|"), variant.take(head), empty
+            )
+        )
+        i_parts.append(i_p.take(head))
+        t_parts.append(t_p.take(head))
+        k_parts.append(pa.array(np.full(len(head), "d")))
+    return pa.table(
+        {
+            "bucket": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in b_parts]),
+            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in i_parts]),
+            "term": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in t_parts]),
+            "kind": pa.concat_arrays(k_parts),
+        }
     )
 
 
@@ -90,10 +127,8 @@ def edit_distance_pairs(
     substitution, insertion, or deletion apart (equal terms excluded).
     """
 
-    def emit(batch: pa.Table) -> pd.DataFrame:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        terms = batch.column(term_col).to_pylist()
-        return _emit_rows(ids, terms, id_col)
+    def emit(batch: pa.Table) -> pa.Table:
+        return _emit_rows(batch.column(id_col), batch.column(term_col), id_col)
 
     rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
@@ -108,10 +143,12 @@ def edit_distance_pairs(
         terms = pdf["term"].to_numpy()
         kinds = pdf["kind"].to_numpy()
         outs = []
-        for s0, e0 in zip(starts, ends):
+        sizes = ends - starts
+        # singleton buckets dominate — skip them without a Python iteration
+        qual = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket))
+        for qi in qual:
+            s0, e0 = starts[qi], ends[qi]
             k = e0 - s0
-            if k < 2 or k > max_bucket:
-                continue
             if bvals[s0].startswith("s|"):
                 # substitution bucket: all distinct-term pairs are lev 1
                 r, c = np.triu_indices(k, 1)
@@ -156,7 +193,11 @@ def edit_distance_pairs(
             )
         return pd.concat(outs, ignore_index=True)
 
+    # staged raw-task exchange: no sort machinery (seconds of fixed cost
+    # at any scale), one split + one gather task per partition — the
+    # same default the MinHash family uses; pairs_fn returns typed
+    # empties with a constant schema, as the staged contract requires
     return keyed_partition_map(
         rows, keys=["bucket"], order_col=id_col, fn=pairs_fn,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, exchange="staged",
     )

@@ -8,8 +8,9 @@ reference surface — the reference (gisaia/ARLAS-proc) has no graph ops.
 Scale shape (the standard broadcast-Pregel split):
 - The EDGE list is the big side. It stays a Dataset, is never collected,
   and each iteration touches it with exactly one ``map_batches`` (an
-  in-block partial sum per destination) followed by one node-sized
-  ``groupby().sum()`` exchange.
+  in-block partial sum per destination) followed by a sort-free
+  bounded-fan-in tree collect (:func:`_tree_collect`) of the node-sized
+  partials.
 - The NODE state (rank vector) is the small side. It is broadcast via
   ``ray.put`` each iteration and re-collected node-sized — the same
   contract as every broadcast join here: node count ≪ edge count. For
@@ -36,6 +37,32 @@ import numpy as np
 import pandas as pd
 
 import ray
+
+
+def _tree_collect(partials, combine, *, fanin: int = 32) -> pd.DataFrame:
+    """Collect node-sized per-block partials WITHOUT a sort exchange.
+
+    Ray Data's sort-based ``groupby()`` costs seconds of fixed overhead
+    even on node-sized input (measured 3.2 s vs 0.08 s for a plain
+    collect at sf0.1, 32 cpus), and every partial here is already
+    ≤ node-sized. So: materialize the partials (node-sized × blocks —
+    small by the node contract), and if they span more than ``fanin``
+    blocks, coalesce with a round-robin ``repartition`` (block movement,
+    no sort, no sampling) + an in-block ``combine`` first. Either way
+    the driver reads at most ~``fanin`` × nodes rows — bounded by the
+    same small-side contract that lets the node state broadcast — and
+    runs ``combine`` once more. Exact for any commutative per-node
+    reduction.
+    """
+    pm = partials.materialize()
+    if pm.num_blocks() > fanin:
+        pm = pm.repartition(fanin).map_batches(
+            combine, batch_format="pandas", batch_size=None
+        )
+    pdf = pm.to_pandas()
+    if pdf.empty:  # an empty Dataset collects with NO columns
+        return pdf
+    return combine(pdf)
 
 
 def pagerank(
@@ -86,15 +113,16 @@ def pagerank(
         out.columns = [node_col, "d"]
         return out
 
-    deg_pdf = (
-        edges_ds.map_batches(deg_partial, batch_format="pandas", batch_size=None)
-        .groupby(node_col)
-        .sum("d")
-        .to_pandas()
+    def combine_d(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(node_col, sort=False, as_index=False)["d"].sum()
+
+    deg_pdf = _tree_collect(
+        edges_ds.map_batches(deg_partial, batch_format="pandas", batch_size=None),
+        combine_d,
     )
     if len(deg_pdf) == 0:
         return pd.DataFrame({node_col: [], rank_col: pd.Series([], dtype="int64")})
-    deg = deg_pdf.set_index(node_col)["sum(d)"].astype("int64")
+    deg = deg_pdf.set_index(node_col)["d"].astype("int64")
     nodes = deg.index
     ranks = pd.Series(np.int64(scale), index=nodes)
 
@@ -121,16 +149,17 @@ def pagerank(
             )
             return out
 
-        contrib_pdf = (
+        def combine_c(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.groupby(node_col, sort=False, as_index=False)["c"].sum()
+
+        contrib_pdf = _tree_collect(
             edges_ds.map_batches(
                 contrib_partial, batch_format="pandas", batch_size=None
-            )
-            .groupby(node_col)
-            .sum("c")
-            .to_pandas()
+            ),
+            combine_c,
         )
         c = (
-            contrib_pdf.set_index(node_col)["sum(c)"]
+            contrib_pdf.set_index(node_col)["c"]
             .astype("int64")
             .reindex(nodes, fill_value=np.int64(0))
         )
@@ -157,8 +186,8 @@ def shortest_hops(
     Level-synchronous frontier expansion — the distributed-BFS shape:
     per hop, ONE stateless ``map_batches`` filters edge rows whose src
     is in the broadcast frontier (node-sized, ``ray.put``) and emits
-    their dst nodes, then ONE node-sized ``groupby().count()`` dedups
-    the reached set. Edges never leave their blocks; what shuffles per
+    their dst nodes, then a sort-free tree collect
+    (:func:`_tree_collect`) dedups the reached set. Edges never leave their blocks; what shuffles per
     hop is bounded by the frontier's distinct out-neighborhood. The
     visited map lives driver-side (node-sized — the same small-side
     contract as :func:`pagerank`). Terminates at ``max_hops`` or an
@@ -180,11 +209,9 @@ def shortest_hops(
             hit = pdf[pdf[src_col].isin(fr)]
             return pd.DataFrame({node_col: hit[dst_col].unique()})
 
-        reached = (
-            edges_ds.map_batches(reach, batch_format="pandas", batch_size=None)
-            .groupby(node_col)
-            .count()
-            .to_pandas()
+        reached = _tree_collect(
+            edges_ds.map_batches(reach, batch_format="pandas", batch_size=None),
+            lambda pdf: pdf.drop_duplicates(node_col),
         )
         if len(reached) == 0:
             break

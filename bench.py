@@ -199,6 +199,10 @@ def run_bench() -> dict:
         "incremental_pq_search",
         "epoch_history",
         "cube_revenue",
+        "pagerank_interactions",
+        "typo_pairs",
+        "hops_from_user",
+        "weighted_sample",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
