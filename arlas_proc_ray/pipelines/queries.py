@@ -7179,3 +7179,36 @@ ORACLE_SQL["typo_pairs"] = """
       ON a.c_custkey < b.c_custkey
      AND levenshtein(a.c_name, b.c_name) = 1
 """
+
+
+def q_throttled_events(sf_dir: str):
+    """Debounce/rate-limit filter (stages/windows.py:throttle_events):
+    per (user, event_type), drop events within 6 h of their predecessor
+    (LAG semantics, event_id tie-break). One keyed exchange."""
+    from arlas_proc_ray.stages.windows import throttle_events
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    out = throttle_events(
+        ds,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        min_gap_us=6 * 3600 * 1_000_000,
+        order_cols=["event_id"],
+        num_partitions=NP,
+    )
+    return out
+
+
+QUERIES["throttled_events"] = q_throttled_events
+
+ORACLE_SQL["throttled_events"] = """
+    WITH w AS (
+      SELECT event_id, ts, user_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_id, ts, user_id, event_type
+    FROM w
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+"""

@@ -287,3 +287,47 @@ def time_in_state_per_day(
         partials, keys=["day_idx"], order_col="us", fn=merge,
         num_partitions=num_partitions,
     )
+
+
+def throttle_events(
+    ds,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    min_gap_us: int,
+    order_cols: Sequence[str] = (),
+    num_partitions: int = 16,
+):
+    """Debounce filter: drop rows closer than ``min_gap_us`` to their
+    per-key PREDECESSOR (``lag`` semantics — the gap is measured to the
+    previous row in (ts, *order_cols) order whether or not that row was
+    itself kept; the chained keep-anchored variant is sessionization's
+    job, stages/keyed.py). The standard rate-limit/debounce shape of
+    every streaming engine, as a batch operator: one keyed co-partition
+    exchange, then a vectorized groupby-shift-diff inside the partition.
+
+    ``order_cols`` breaks timestamp ties deterministically (pass the
+    row id). First row per key is always kept.
+    """
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [ts_col] + order_cols, kind="mergesort")
+        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        prev = (
+            pd.Series(ts_us, index=pdf.index)
+            .groupby([pdf[k] for k in keys], sort=False)
+            .shift(1)
+        )
+        keep = prev.isna().to_numpy() | (
+            ts_us - prev.fillna(0).to_numpy().astype(np.int64) > min_gap_us
+        )
+        return pdf[keep]
+
+    order_col = order_cols[0] if order_cols else ts_col
+    return keyed_partition_map(
+        ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
+    )
