@@ -14,9 +14,9 @@ Scale shape (the standard broadcast-Pregel split):
 - The NODE state (rank vector) is the small side. It is broadcast via
   ``ray.put`` each iteration and re-collected node-sized — the same
   contract as every broadcast join here: node count ≪ edge count. For
-  node sets too large to broadcast, the alternative is co-partitioning
-  ranks with edges by src (one extra keyed exchange per iteration);
-  this module implements the broadcast form.
+  node sets too large to broadcast, :func:`pagerank_exchange` keeps the
+  rank vector as a hash-partitioned Dataset instead — two co-partition
+  exchanges per iteration, zero driver state, bit-identical results.
 - Duplicate (src, dst) rows need NO global dedup: everything PageRank
   computes is linear over edge rows (degree = Σ weight, contribution =
   Σ weight × share), so a multigraph edge list — e.g. raw interaction
@@ -222,3 +222,149 @@ def shortest_hops(
         {node_col: list(dist), hops_col: np.fromiter(dist.values(), dtype=np.int64)}
     )
     return out.sort_values(node_col).reset_index(drop=True)
+
+
+def pagerank_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None = None,
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    rank_col: str = "pagerank",
+    num_partitions: int = 32,
+):
+    """PageRank with NO driver-resident node state — the scale path for
+    node sets too large to broadcast (the seam :func:`pagerank`'s
+    docstring documents).
+
+    The rank vector lives as a hash-partitioned Dataset ``(node, d,
+    rank)``; each iteration costs exactly two co-partition exchanges:
+
+    1. ``equi_join(edges, shares, on=src)`` — shares are a stateless
+       projection of the state Dataset; the per-dst contribution sum is
+       fused into the join partition via ``post_fn`` (zero extra
+       exchange).
+    2. one keyed exchange merging contribution partials back into the
+       state rows (state rows ride with ``c=0``, contribution rows with
+       ``d=0`` — both sums are then exact per node).
+
+    Same exact int64 fixed-point arithmetic as :func:`pagerank`
+    (bit-identical results, pinned by the parity test). The state
+    Dataset is materialized once per iteration — node-sized in the
+    OBJECT STORE, which is precisely the regime this variant targets:
+    too big for one driver heap, fine across the cluster. Reserved
+    internal column names: ``d``, ``c``, ``share``; ``src_col``,
+    ``dst_col`` and ``node_col`` must be three distinct names.
+
+    Returns the final state as a Dataset of ``(node_col, rank_col)``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    base = (100 - damping_pct) * scale // 100
+
+    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            pdf[weight_col].astype("int64")
+            if weight_col is not None
+            else np.ones(len(pdf), dtype=np.int64)
+        )
+        d = (
+            pd.DataFrame({node_col: pdf[src_col], "d": w})
+            .groupby(node_col, sort=False)["d"]
+            .sum()
+        )
+        sinks = pd.Index(pdf[dst_col].unique()).difference(d.index)
+        out = pd.concat(
+            [d, pd.Series(np.int64(0), index=sinks, name="d")]
+        ).reset_index()
+        out.columns = [node_col, "d"]
+        return out
+
+    def sum_d(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(node_col, sort=False, as_index=False)["d"].sum()
+        g[rank_col] = np.int64(scale)
+        g["c"] = np.int64(0)
+        return g
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    state = keyed_partition_map(
+        edges_ds.map_batches(deg_partial, batch_format="pandas", batch_size=None),
+        keys=[node_col],
+        order_col="d",
+        fn=sum_d,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    for _ in range(iterations):
+
+        def share_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            d = pdf["d"].to_numpy()
+            r = pdf[rank_col].to_numpy()
+            sh = np.where(d > 0, r // np.maximum(d, 1), 0).astype(np.int64)
+            return pd.DataFrame({src_col: pdf[node_col], "share": sh})
+
+        shares = state.map_batches(
+            share_fn, batch_format="pandas", batch_size=None
+        )
+
+        def contrib_post(pdf: pd.DataFrame) -> pd.DataFrame:
+            w = (
+                pdf[weight_col].to_numpy().astype(np.int64)
+                if weight_col is not None
+                else np.ones(len(pdf), dtype=np.int64)
+            )
+            c = w * pdf["share"].to_numpy().astype(np.int64)
+            out = (
+                pd.DataFrame({node_col: pdf[dst_col].to_numpy(), "c": c})
+                .groupby(node_col, sort=False, as_index=False)["c"]
+                .sum()
+            )
+            out["d"] = np.int64(0)
+            out[rank_col] = np.int64(0)
+            return out[[node_col, "d", rank_col, "c"]]
+
+        contribs = equi_join(
+            edges_ds,
+            shares,
+            on=[src_col],
+            right_cols=["share"],
+            num_partitions=num_partitions,
+            post_fn=contrib_post,
+        )
+
+        def new_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby(node_col, sort=False, as_index=False).agg(
+                d=("d", "sum"), c=("c", "sum")
+            )
+            c = g["c"].to_numpy().astype(np.int64)
+            g[rank_col] = (
+                base + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
+            )
+            g["c"] = np.int64(0)
+            return g[[node_col, "d", rank_col, "c"]]
+
+        cols = [node_col, "d", rank_col, "c"]
+
+        def project(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf[cols]
+
+        state = keyed_partition_map(
+            state.map_batches(project, batch_format="pandas", batch_size=None)
+            .union(contribs),
+            keys=[node_col],
+            order_col="d",
+            fn=new_rank,
+            num_partitions=num_partitions,
+        ).materialize()
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[[node_col, rank_col]]
+
+    return state.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -141,3 +141,30 @@ def test_shortest_hops_empty_frontier_terminates():
         max_hops=99,
     )
     assert dict(zip(got["node"], got["hops"])) == {"e": 0}
+
+
+# ---------------------------------------------------------------------------
+# pagerank_exchange (no-broadcast scale path)
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.stages.graph import pagerank_exchange  # noqa: E402
+
+
+def test_pagerank_exchange_bit_identical_to_broadcast():
+    for iters, wcol in [(1, "w"), (3, "w"), (2, None)]:
+        want = pagerank(
+            _edges_ds(EDGES), src_col="src", dst_col="dst",
+            weight_col=wcol, iterations=iters,
+        )
+        got = (
+            pagerank_exchange(
+                _edges_ds(EDGES), src_col="src", dst_col="dst",
+                weight_col=wcol, iterations=iters, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want.sort_values("node").reset_index(drop=True)
+        )
