@@ -112,6 +112,71 @@ def _emit_rows(ids, terms, id_col: str) -> pa.Table:
     )
 
 
+def _pairs_from_rows(pdf: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
+    """Bucket-local pair emission — ``pdf`` is one exchange partition,
+    sorted by (bucket, id). Module-level so the Hypothesis parity test
+    can drive the bucketing logic directly."""
+    bvals = pdf["bucket"].to_numpy()
+    bounds = np.flatnonzero(bvals[1:] != bvals[:-1]) + 1
+    starts = np.concatenate([[0], bounds]) if len(pdf) else np.array([], np.int64)
+    ends = (
+        np.concatenate([bounds, [len(pdf)]]) if len(pdf) else np.array([], np.int64)
+    )
+    ids = pdf[id_col].to_numpy()
+    terms = pdf["term"].to_numpy()
+    kinds = pdf["kind"].to_numpy()
+    outs = []
+    sizes = ends - starts
+    # singleton buckets dominate — skip them without a Python iteration
+    qual = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket))
+    for qi in qual:
+        s0, e0 = starts[qi], ends[qi]
+        k = e0 - s0
+        if bvals[s0].startswith("s|"):
+            # substitution bucket: all distinct-term pairs are lev 1
+            r, c = np.triu_indices(k, 1)
+            a, b = ids[s0:e0][r], ids[s0:e0][c]
+            ta, tb = terms[s0:e0][r], terms[s0:e0][c]
+            keep = ta != tb
+        else:
+            # variant bucket: (original × deletion-variant) pairs
+            ko = kinds[s0:e0] == "o"
+            kd = kinds[s0:e0] == "d"
+            no, nd = int(ko.sum()), int(kd.sum())
+            if no == 0 or nd == 0:
+                continue
+            oi = np.flatnonzero(ko)
+            di = np.flatnonzero(kd)
+            r = np.repeat(oi, nd)
+            c = np.tile(di, no)
+            a, b = ids[s0:e0][r], ids[s0:e0][c]
+            ta, tb = terms[s0:e0][r], terms[s0:e0][c]
+            keep = a != b
+        if not keep.any():
+            continue
+        a, b, ta, tb = a[keep], b[keep], ta[keep], tb[keep]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        ta2 = np.where(swap, tb, ta)
+        tb2 = np.where(swap, ta, tb)
+        outs.append(
+            pd.DataFrame(
+                {"id_a": a2, "id_b": b2, "term_a": ta2, "term_b": tb2}
+            )
+        )
+    if not outs:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=ids.dtype),
+                "id_b": pd.Series([], dtype=ids.dtype),
+                "term_a": pd.Series([], dtype="object"),
+                "term_b": pd.Series([], dtype="object"),
+            }
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
 def edit_distance_pairs(
     ds,
     *,
@@ -133,65 +198,7 @@ def edit_distance_pairs(
     rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
     def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        bvals = pdf["bucket"].to_numpy()
-        bounds = np.flatnonzero(bvals[1:] != bvals[:-1]) + 1
-        starts = np.concatenate([[0], bounds]) if len(pdf) else np.array([], np.int64)
-        ends = (
-            np.concatenate([bounds, [len(pdf)]]) if len(pdf) else np.array([], np.int64)
-        )
-        ids = pdf[id_col].to_numpy()
-        terms = pdf["term"].to_numpy()
-        kinds = pdf["kind"].to_numpy()
-        outs = []
-        sizes = ends - starts
-        # singleton buckets dominate — skip them without a Python iteration
-        qual = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket))
-        for qi in qual:
-            s0, e0 = starts[qi], ends[qi]
-            k = e0 - s0
-            if bvals[s0].startswith("s|"):
-                # substitution bucket: all distinct-term pairs are lev 1
-                r, c = np.triu_indices(k, 1)
-                a, b = ids[s0:e0][r], ids[s0:e0][c]
-                ta, tb = terms[s0:e0][r], terms[s0:e0][c]
-                keep = ta != tb
-            else:
-                # variant bucket: (original × deletion-variant) pairs
-                ko = kinds[s0:e0] == "o"
-                kd = kinds[s0:e0] == "d"
-                no, nd = int(ko.sum()), int(kd.sum())
-                if no == 0 or nd == 0:
-                    continue
-                oi = np.flatnonzero(ko)
-                di = np.flatnonzero(kd)
-                r = np.repeat(oi, nd)
-                c = np.tile(di, no)
-                a, b = ids[s0:e0][r], ids[s0:e0][c]
-                ta, tb = terms[s0:e0][r], terms[s0:e0][c]
-                keep = a != b
-            if not keep.any():
-                continue
-            a, b, ta, tb = a[keep], b[keep], ta[keep], tb[keep]
-            swap = a > b
-            a2 = np.where(swap, b, a)
-            b2 = np.where(swap, a, b)
-            ta2 = np.where(swap, tb, ta)
-            tb2 = np.where(swap, ta, tb)
-            outs.append(
-                pd.DataFrame(
-                    {"id_a": a2, "id_b": b2, "term_a": ta2, "term_b": tb2}
-                )
-            )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=ids.dtype),
-                    "id_b": pd.Series([], dtype=ids.dtype),
-                    "term_a": pd.Series([], dtype="object"),
-                    "term_b": pd.Series([], dtype="object"),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
+        return _pairs_from_rows(pdf, id_col, max_bucket)
 
     # staged raw-task exchange: no sort machinery (seconds of fixed cost
     # at any scale), one split + one gather task per partition — the

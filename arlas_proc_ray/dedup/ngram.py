@@ -84,10 +84,12 @@ def ngram_jaccard_pairs(
         docs = pdf["doc"].to_numpy()
         nsh = pdf["nsh"].to_numpy()
         outs = []
-        for s0, e0 in zip(starts, ends):
+        sizes = ends - starts
+        # singleton shingles dominate — skip them without a Python iteration
+        qual = np.flatnonzero((sizes >= 2) & (sizes <= max_postings))
+        for qi in qual:
+            s0, e0 = starts[qi], ends[qi]
             k = e0 - s0
-            if k < 2 or k > max_postings:
-                continue
             r, c = np.triu_indices(k, 1)
             outs.append(
                 pd.DataFrame(

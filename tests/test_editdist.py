@@ -99,3 +99,27 @@ def test_editdist_bucket_cap_sound_and_uncapped_complete():
             assert _lev(terms[a], terms[b]) == 1
     full = _run(terms)
     assert set(zip(full["id_a"], full["id_b"])) == _brute(terms)
+
+
+def test_editdist_hypothesis_bucketing_parity():
+    """Property: for ANY term multiset over a tiny alphabet, the
+    emit→bucket→pair logic (driven locally, simulating the exchange as
+    one sorted partition) equals the brute-force lev-1 pair set, with
+    zero duplicate emissions."""
+    from hypothesis import given, settings, strategies as st
+
+    from arlas_proc_ray.dedup.editdist import _emit_rows, _pairs_from_rows
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.text(alphabet="ab", max_size=4), min_size=2, max_size=14))
+    def run(terms):
+        ids = np.arange(len(terms), dtype=np.int64)
+        rows = _emit_rows(ids, terms, "id").to_pandas()
+        part = rows.sort_values(["bucket", "id"], kind="mergesort")
+        got = _pairs_from_rows(part, "id", 2_000)
+        keyed = list(zip(got["id_a"], got["id_b"]))
+        assert len(keyed) == len(set(keyed)), "duplicate pair"
+        want = _brute(terms)
+        assert set(keyed) == want
+
+    run()
