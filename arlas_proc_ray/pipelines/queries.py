@@ -7212,3 +7212,74 @@ ORACLE_SQL["throttled_events"] = """
     WHERE prev_ts IS NULL
        OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
 """
+
+
+def q_ppr_from_user(sf_dir: str):
+    """Personalized PageRank (teleport mass pinned to the smallest
+    user's node) over the mirrored interaction multigraph — the
+    recommendation-flavored variant: ranks measure proximity to the
+    source. Same int64 fixed-point contract as pagerank_interactions."""
+    from arlas_proc_ray.stages.graph import pagerank
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    root = int(ds.min("user_id"))
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return pagerank(
+        edges, src_col="src", dst_col="dst", iterations=3,
+        teleport_nodes=[f"u:{root}"],
+    )
+
+
+QUERIES["ppr_from_user"] = q_ppr_from_user
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    """Personalized variant of the pagerank CTE chain: teleport mass
+    (init + base term) concentrated on the min-user node."""
+    sql = """
+    WITH pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2),
+    edges AS (SELECT u AS src, t AS dst, w FROM pw
+              UNION ALL SELECT t, u, w FROM pw),
+    deg AS (SELECT src AS node, SUM(w) AS d FROM edges GROUP BY 1),
+    root AS (SELECT 'u:' || CAST(min(user_id) AS VARCHAR) AS node FROM events),
+    r0 AS (SELECT d.node,
+                  CASE WHEN d.node = (SELECT node FROM root)
+                       THEN 1000000000::BIGINT ELSE 0::BIGINT END AS r
+           FROM deg d)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, SUM(e.w * (r.r // d.d)) AS c
+             FROM edges e
+             JOIN {prev} r ON r.node = e.src
+             JOIN deg d ON d.node = e.src
+             GROUP BY 1),
+    r{i} AS (SELECT d.node,
+                    CASE WHEN d.node = (SELECT node FROM root)
+                         THEN 150000000 ELSE 0 END
+                    + 85 * (COALESCE(c.c, 0) // 100)
+                    + (85 * (COALESCE(c.c, 0) % 100)) // 100 AS r
+             FROM deg d LEFT JOIN c{i} c ON c.node = d.node)"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, CAST(r AS BIGINT) AS pagerank FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["ppr_from_user"] = _ppr_oracle()

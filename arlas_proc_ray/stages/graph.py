@@ -76,6 +76,7 @@ def pagerank(
     damping_pct: int = 85,
     node_col: str = "node",
     rank_col: str = "pagerank",
+    teleport_nodes=None,
 ) -> pd.DataFrame:
     """Power-iteration PageRank over a (possibly multigraph) edge list.
 
@@ -86,6 +87,11 @@ def pagerank(
     nodes (no out-edges) keep the base term and leak their mass, the
     standard simple-variant behavior. For an undirected graph, pass the
     edge list mirrored.
+
+    ``teleport_nodes``: personalized PageRank — the teleport mass
+    (initial rank AND the per-iteration base term) concentrates on the
+    given node set instead of spreading uniformly; everything else
+    (damping split, int64 exactness) is unchanged.
 
     Returns a node-sized DataFrame ``(node_col, rank_col)`` — int64
     ranks, one row per node seen as src or dst.
@@ -124,7 +130,15 @@ def pagerank(
         return pd.DataFrame({node_col: [], rank_col: pd.Series([], dtype="int64")})
     deg = deg_pdf.set_index(node_col)["d"].astype("int64")
     nodes = deg.index
-    ranks = pd.Series(np.int64(scale), index=nodes)
+    if teleport_nodes is None:
+        base_vec = base
+        ranks = pd.Series(np.int64(scale), index=nodes)
+    else:
+        on_s = nodes.isin(list(teleport_nodes))
+        base_vec = pd.Series(np.where(on_s, base, np.int64(0)), index=nodes)
+        ranks = pd.Series(
+            np.where(on_s, np.int64(scale), np.int64(0)), index=nodes
+        )
 
     for _ in range(iterations):
         share = ranks.copy()
@@ -164,7 +178,9 @@ def pagerank(
             .reindex(nodes, fill_value=np.int64(0))
         )
         # exact (damping_pct * c) // 100 without the 85×mass overflow
-        ranks = base + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
+        ranks = (
+            base_vec + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
+        )
 
     out = ranks.rename(rank_col).rename_axis(node_col).reset_index()
     out[rank_col] = out[rank_col].astype("int64")

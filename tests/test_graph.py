@@ -168,3 +168,39 @@ def test_pagerank_exchange_bit_identical_to_broadcast():
         pd.testing.assert_frame_equal(
             got, want.sort_values("node").reset_index(drop=True)
         )
+
+
+def test_pagerank_personalized_teleport():
+    """Teleport mass pinned to 'a': nodes unreachable from a get rank 0;
+    the source keeps the base term; Python-oracle parity."""
+    got = pagerank(
+        _edges_ds(LINE), src_col="src", dst_col="dst", weight_col="w",
+        iterations=3, teleport_nodes=["a"],
+    )
+    m = dict(zip(got["node"], got["pagerank"]))
+    assert m["x"] == 0 and m["y"] == 0  # island never receives mass
+    assert m["a"] >= 150_000_000
+    # the initial pulse propagates down the line: every reached node > 0
+    assert m["b"] > 0 and m["c"] > 0 and m["d"] > 0 and m["e"] == 0
+
+    # parity with a direct dict-based PPR
+    def py_ppr(edges, iters, S, scale=10**9, d=85):
+        deg, nodes = {}, set()
+        for s, t, w in edges:
+            deg[s] = deg.get(s, 0) + w
+            nodes.update((s, t))
+        base = (100 - d) * scale // 100
+        rank = {v: (scale if v in S else 0) for v in nodes}
+        for _ in range(iters):
+            share = {v: (rank[v] // deg[v] if deg.get(v) else 0) for v in nodes}
+            c = {v: 0 for v in nodes}
+            for s, t, w in edges:
+                c[t] += w * share[s]
+            rank = {
+                v: (base if v in S else 0)
+                + d * (c[v] // 100) + (d * (c[v] % 100)) // 100
+                for v in nodes
+            }
+        return rank
+
+    assert m == py_ppr(LINE, 3, {"a"})
