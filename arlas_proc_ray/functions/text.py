@@ -618,3 +618,93 @@ def extract_json_int_field(
         vals,
     )
     return pc.cast(vals, pa.int64())
+
+
+def bigram_collocations(
+    ds,
+    *,
+    text_col: str = "text",
+    min_frac_denom: int = 5000,
+    num_partitions: int = 8,
+) -> "pd.DataFrame":
+    """Corpus collocations: adjacent word-pair counts with association
+    LIFT = p(ab) / (p(a)·p(b)) — the PMI family's exact-arithmetic
+    member (lift = e^PMI; monotone in it, but computable as ONE division
+    of exact integer products, so a SQL oracle matches bit-for-bit where
+    a float log would drift).
+
+    Tokenization is a plain single-space split (shared byte-exact with
+    the oracle's ``string_split(text, ' ')``). A bigram is emitted when
+    its count clears the relative floor ``n_ab · min_frac_denom >
+    total_bigrams`` (integer comparison — scale-free and deterministic).
+
+    Scale shape: per-block combiner (one split/explode + one grouped
+    shift across the whole batch — unigram AND bigram partials leave the
+    block pre-aggregated), one keyed sum exchange, then a
+    vocabulary-sized driver merge for the totals + per-word joins — the
+    same bounded-vocabulary collection contract as :func:`top_terms`
+    (open-ended vocabularies belong to the Misra-Gries path,
+    stages/sketch.py:heavy_hitters_topk).
+    """
+    import pandas as pd
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column(text_col).to_pandas().fillna("")
+        toks = s.str.split(" ").explode()
+        toks = toks[toks.notna()]
+        uni = toks.value_counts()
+        nxt = toks.groupby(level=0).shift(-1)
+        m = nxt.notna()
+        bi = (
+            pd.DataFrame({"w1": toks[m], "w2": nxt[m]})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "kind": ["u"] * len(uni) + ["b"] * len(bi),
+                "w1": list(uni.index) + [a for a, _ in bi.index],
+                "w2": [""] * len(uni) + [b for _, b in bi.index],
+                "n": np.concatenate(
+                    [uni.to_numpy(np.int64), bi.to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=None
+    )
+
+    def sum_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["kind", "w1", "w2"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+
+    counts = keyed_partition_map(
+        partials, keys=["kind", "w1", "w2"], order_col="n", fn=sum_counts,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame(columns=["w1", "w2", "n_ab", "lift"])
+    uni = counts[counts["kind"] == "u"].set_index("w1")["n"]
+    bi = counts[counts["kind"] == "b"]
+    n_uni = int(uni.sum())
+    n_bi = int(bi["n"].sum())
+    bi = bi[bi["n"].to_numpy(np.int64) * min_frac_denom > n_bi]
+    # exact big-int products (may exceed int64), rounded to double only at
+    # the single final division — identical to CAST(HUGEINT AS DOUBLE)
+    lift = [
+        float(int(n) * n_uni * n_uni) / float(n_bi * int(uni[a]) * int(uni[b]))
+        for a, b, n in zip(bi["w1"], bi["w2"], bi["n"])
+    ]
+    return pd.DataFrame(
+        {
+            "w1": bi["w1"].to_numpy(object),
+            "w2": bi["w2"].to_numpy(object),
+            "n_ab": bi["n"].to_numpy(np.int64),
+            "lift": np.array(lift, dtype=np.float64),
+        }
+    )

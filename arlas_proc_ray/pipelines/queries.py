@@ -7283,3 +7283,257 @@ def _ppr_oracle(iterations: int = 3) -> str:
 
 
 ORACLE_SQL["ppr_from_user"] = _ppr_oracle()
+
+
+def q_kmv_distinct(sf_dir: str):
+    """Bottom-k (KMV / theta) distinct sketch per event_type over users
+    (stages/sketch.py:kmv_distinct): values never shuffle — per-block
+    bottom-64 distinct-hash partials, one keyed merge exchange, estimate
+    derived in-partition. Hash is the repo-wide sha256-prefix kernel, so
+    DuckDB reproduces the retained set and the integer estimator
+    bit-for-bit."""
+    from arlas_proc_ray.stages.sketch import kmv_distinct
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return kmv_distinct(
+        ds, group_col="event_type", value_col="user_id", k=64,
+        num_partitions=NP,
+    )
+
+
+QUERIES["kmv_distinct"] = q_kmv_distinct
+
+ORACLE_SQL["kmv_distinct"] = """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    k AS (SELECT event_type, count(*) AS n_kmv, max(hv) AS kth_hash
+          FROM r WHERE rn <= 64 GROUP BY 1)
+    SELECT event_type, n_kmv, kth_hash,
+           CAST(CASE WHEN n_kmv < 64 THEN n_kmv
+                     ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+                          // kth_hash END AS BIGINT) AS distinct_est
+    FROM k
+"""
+
+
+def q_type_affinity(sf_dir: str):
+    """Pairwise event-type affinity over user sets
+    (stages/analytics.py:category_affinity): co-occurrence counts +
+    exact-integer Jaccard for every unordered type pair. One keyed
+    exchange on user_id (users disjoint per partition → per-partition
+    distinct is global); only |types|²-sized partials leave a
+    partition."""
+    from arlas_proc_ray.stages.analytics import category_affinity
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    return category_affinity(
+        ds, id_col="user_id", cat_col="event_type", num_partitions=NP
+    )
+
+
+QUERIES["type_affinity"] = q_type_affinity
+
+ORACLE_SQL["type_affinity"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS co_users
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT type_a, type_b, co_users,
+           na.n + nb.n - co_users AS union_users,
+           CAST(co_users AS DOUBLE) / (na.n + nb.n - co_users) AS jaccard
+    FROM p
+    JOIN n na ON na.event_type = type_a
+    JOIN n nb ON nb.event_type = type_b
+"""
+
+
+def q_cusum_alarms(sf_dir: str):
+    """Per-user CUSUM change-point alarms
+    (stages/windows.py:cusum_alarm_points): one-sided Page detector on
+    exact integer cents (ref 55.00, threshold 200.00), computed
+    closed-form (running sum − clamped running min — no sequential
+    loop); emits upcrossing rows only. One keyed exchange."""
+    from arlas_proc_ray.stages.windows import cusum_alarm_points
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("_cents", c)
+
+    return cusum_alarm_points(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        key_col="user_id",
+        order_col="event_id",
+        value_int_col="_cents",
+        ref=5500,
+        threshold=20000,
+        num_partitions=NP,
+    )
+
+
+QUERIES["cusum_alarms"] = q_cusum_alarms
+
+ORACLE_SQL["cusum_alarms"] = """
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) - 5500 AS d
+      FROM events),
+    cw AS (SELECT user_id, event_id, SUM(d) OVER w AS c FROM v
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT user_id, event_id,
+                 c - LEAST(0, MIN(c) OVER w) AS cusum FROM cw
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, event_id, CAST(cusum AS BIGINT) AS cusum
+    FROM (SELECT *, LAG(cusum, 1, 0) OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS p
+          FROM s)
+    WHERE cusum > 20000 AND p <= 20000
+"""
+
+
+def q_twap_user_day(sf_dir: str):
+    """Time-weighted average value per (user, day)
+    (stages/windows.py:time_weighted_avg): each event weighted by its
+    µs holding time to the user's next event that day; integer-exact
+    numerator/denominator, one final division. One keyed exchange."""
+    from arlas_proc_ray.stages.windows import time_weighted_avg
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("_cents", c)
+
+    out = time_weighted_avg(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        key_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        value_int_col="_cents",
+        bucket_us=86_400_000_000,
+        num_partitions=NP,
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.rename(columns={"twap": "twap_cents"})
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+QUERIES["twap_user_day"] = q_twap_user_day
+
+ORACLE_SQL["twap_user_day"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) // 86400000000 AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (SELECT user_id, bucket, cents,
+                 date_diff('microseconds', ts,
+                           LEAD(ts) OVER (PARTITION BY user_id, bucket
+                                          ORDER BY ts, event_id)) AS dur
+          FROM e),
+    a AS (SELECT user_id, bucket,
+                 SUM(cents * dur) AS wsum, SUM(dur) AS dur_us
+          FROM g WHERE dur IS NOT NULL GROUP BY 1, 2
+          HAVING SUM(dur) > 0)
+    SELECT user_id,
+           make_timestamp(bucket * 86400000000) AS window_start,
+           CAST(wsum AS DOUBLE) / CAST(dur_us AS DOUBLE) AS twap_cents,
+           CAST(dur_us AS BIGINT) AS dur_us
+    FROM a
+"""
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch conversion attribution
+    (stages/analytics.py:last_touch_attribution): every purchase is
+    credited to the user's most recent prior non-purchase event type;
+    per-type conversion counts + exact-cents value totals. One keyed
+    exchange; only |types|-sized partials leave each partition."""
+    from arlas_proc_ray.stages.analytics import last_touch_attribution
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("_cents", c)
+
+    return last_touch_attribution(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        key_col="user_id",
+        order_col="event_id",
+        type_col="event_type",
+        conv_type="purchase",
+        cents_col="_cents",
+        num_partitions=NP,
+    )
+
+
+QUERIES["attribution_last_touch"] = q_attribution_last_touch
+
+ORACLE_SQL["attribution_last_touch"] = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT *,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS touch_type
+          FROM e)
+    SELECT touch_type, count(*) AS conversions,
+           SUM(cents) / 100.0 AS attributed_value
+    FROM m
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY 1
+"""
+
+
+def q_bigram_collocations(sf_dir: str):
+    """Corpus collocations with exact-arithmetic association lift
+    (functions/text.py:bigram_collocations): per-block unigram+bigram
+    count combiner, one keyed sum exchange, vocabulary-sized driver
+    finalize; lift = n_ab·N_uni² / (N_bi·n_a·n_b) evaluated in big-int
+    then rounded once to double — bit-identical to the HUGEINT oracle."""
+    from arlas_proc_ray.functions.text import bigram_collocations
+
+    ds = _docs(sf_dir, columns=["text"], min_parallelism=4)
+    return bigram_collocations(
+        ds, text_col="text", min_frac_denom=5000, num_partitions=8
+    )
+
+
+QUERIES["bigram_collocations"] = q_bigram_collocations
+
+ORACLE_SQL["bigram_collocations"] = """
+    WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+    uni AS (SELECT w, count(*) AS n
+            FROM (SELECT unnest(l) AS w FROM d) GROUP BY 1),
+    nu AS (SELECT sum(n) AS t FROM uni),
+    bi AS (SELECT l[i] AS w1, l[i+1] AS w2, count(*) AS n
+           FROM d, UNNEST(range(1, len(l))) AS r(i) GROUP BY 1, 2),
+    nb AS (SELECT sum(n) AS t FROM bi)
+    SELECT b.w1, b.w2, b.n AS n_ab,
+           CAST(b.n::HUGEINT * nu.t * nu.t AS DOUBLE)
+             / CAST(nb.t::HUGEINT * ua.n * ub.n AS DOUBLE) AS lift
+    FROM bi b
+    JOIN uni ua ON ua.w = b.w1
+    JOIN uni ub ON ub.w = b.w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.n * 5000 > nb.t
+"""

@@ -546,3 +546,143 @@ def cube_counts(
     out = out.rename(columns={"_c": "sum_cents", "_n": "n_rows"})
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
+
+
+def category_affinity(
+    ds,
+    *,
+    id_col: str,
+    cat_col: str,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Pairwise category affinity (co-occurrence + Jaccard) over entity
+    category-sets — the market-basket / item-similarity primitive.
+
+    For every unordered category pair (a < b): the number of entities
+    carrying both, the union size, and Jaccard = |∩| / |∪|.
+
+    Scale shape: ONE keyed exchange on ``id_col`` (entities are disjoint
+    across partitions, so per-partition distinct (entity, category) is
+    globally correct); inside each partition a single self-merge across
+    all entities at once emits pair partials, and only category-pair
+    rows (≤ |C|² per partition) leave the partition for a tiny driver
+    sum. Contract: the CATEGORY domain is bounded (per-partition work is
+    entities × |C|²) — the same small-side assumption as every broadcast
+    join here; unbounded domains belong to minhash/ngram pair mining
+    (dedup/).
+
+    Jaccard is one division of exact int64 counts — bit-identical to a
+    SQL oracle's, no rounding needed.
+    """
+    import numpy as np
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        ut = pdf[[id_col, cat_col]].drop_duplicates()
+        singles = ut.groupby(cat_col, sort=False).size()
+        m = ut.merge(ut, on=id_col)
+        xa, xb = f"{cat_col}_x", f"{cat_col}_y"
+        m = m[m[xa] < m[xb]]
+        pairs = m.groupby([xa, xb], sort=False).size().reset_index(name="n")
+        out = pd.DataFrame(
+            {
+                "type_a": pd.concat(
+                    [pairs[xa], pd.Series(singles.index)], ignore_index=True
+                ).astype(object),
+                "type_b": pd.concat(
+                    [
+                        pairs[xb],
+                        pd.Series([""] * len(singles)),
+                    ],
+                    ignore_index=True,
+                ).astype(object),
+                "n": np.concatenate(
+                    [pairs["n"].to_numpy(np.int64), singles.to_numpy(np.int64)]
+                ),
+            }
+        )
+        return out
+
+    partials = keyed_partition_map(
+        ds, keys=[id_col], order_col=cat_col, fn=part,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            columns=["type_a", "type_b", "co_users", "union_users", "jaccard"]
+        )
+    tot = partials.groupby(["type_a", "type_b"], sort=False)["n"].sum()
+    singles = tot.xs("", level="type_b")
+    pairs = tot[tot.index.get_level_values("type_b") != ""].reset_index()
+    na = pairs["type_a"].map(singles).to_numpy(np.int64)
+    nb = pairs["type_b"].map(singles).to_numpy(np.int64)
+    co = pairs["n"].to_numpy(np.int64)
+    union = na + nb - co
+    return pd.DataFrame(
+        {
+            "type_a": pairs["type_a"],
+            "type_b": pairs["type_b"],
+            "co_users": co,
+            "union_users": union,
+            "jaccard": co / union,
+        }
+    )
+
+
+def last_touch_attribution(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    type_col: str,
+    conv_type: str,
+    cents_col: str,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Last-touch conversion attribution: each ``conv_type`` event is
+    credited to the most recent PRIOR event of any other type by the
+    same key; conversions with no prior touch are unattributed (dropped).
+
+    Scale shape: one keyed exchange on ``key_col``; inside a partition
+    the carry-forward is two vectorized grouped passes (shift(1) then
+    ffill — "last non-conversion type strictly before this row") across
+    all keys at once, and only per-touch-type totals (≤ |types| rows)
+    leave each partition for a tiny driver sum. Value totals are exact
+    integer cents end-to-end.
+    """
+    import numpy as np
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[type_col].where(pdf[type_col] != conv_type)
+        prev = t.groupby(pdf[key_col], sort=False).shift(1)
+        touch = prev.groupby(pdf[key_col], sort=False).ffill()
+        conv = (pdf[type_col] == conv_type) & touch.notna()
+        sub = pd.DataFrame(
+            {"touch_type": touch[conv], "cents": pdf.loc[conv, cents_col]}
+        )
+        agg = sub.groupby("touch_type", sort=False)["cents"].agg(
+            ["size", "sum"]
+        )
+        return pd.DataFrame(
+            {
+                "touch_type": agg.index.to_numpy(object),
+                "conversions": agg["size"].to_numpy(np.int64),
+                "cents": agg["sum"].to_numpy(np.int64),
+            }
+        )
+
+    partials = keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            columns=["touch_type", "conversions", "attributed_value"]
+        )
+    agg = partials.groupby("touch_type", sort=False)[["conversions", "cents"]].sum()
+    return pd.DataFrame(
+        {
+            "touch_type": agg.index.to_numpy(object),
+            "conversions": agg["conversions"].to_numpy("int64"),
+            "attributed_value": agg["cents"].to_numpy("int64") / 100.0,
+        }
+    )

@@ -482,3 +482,93 @@ def heavy_hitters_topk(
         return out[["term", "freq"]]
 
     return top.rename(columns={"n": "freq"})[["term", "freq"]]
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_partial_fn(group_col: str, value_col: str, k: int):
+    """Per-batch combiner: the ``k`` smallest DISTINCT hash values per
+    group — the bottom-k (KMV / theta) sketch partial (Bar-Yossef et al.
+    2002; Beyer et al. 2007 for the unbiased (k−1)/h_k estimator).
+
+    Same hash kernel as the HLL family (``sha256_prefix_int``, 60 bits),
+    so DuckDB reproduces the retained set bit-for-bit. Merge is
+    union-then-bottom-k — associative/commutative/idempotent, so task
+    retries are harmless and two epochs' sketches merge exactly like
+    two blocks' partials.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals = batch.column(value_col)
+        hv = sha256_prefix_int(pc.cast(vals, pa.string()))
+        keep = hv >= 0  # nulls hash to -1: a null value is no observation
+        hv = hv[keep]
+        gcol = batch.column(group_col).combine_chunks()
+        if keep.sum() != len(keep):
+            gcol = gcol.filter(pa.array(keep))
+        pdf = pd.DataFrame(
+            {group_col: gcol.to_pandas(), "hv": hv}
+        ).drop_duplicates()
+        # bottom-k per group without a Python loop: sort once, cumcount
+        pdf = pdf.sort_values([group_col, "hv"], kind="mergesort")
+        rank = pdf.groupby(group_col, sort=False).cumcount()
+        return pdf[rank < k].reset_index(drop=True)
+
+    return partial
+
+
+def kmv_distinct(
+    ds, *, group_col: str, value_col: str, k: int = 64, num_partitions: int = 16
+):
+    """Per-group distinct-count estimate from a bottom-k (KMV) sketch.
+
+    Scale shape (same contract as :func:`hll_registers`): values never
+    shuffle — each block collapses to ≤ ``groups × k`` (group, hash)
+    partial rows inside ``map_batches``, one keyed exchange merges them
+    (union → distinct → bottom-k), and the estimate is derived per
+    group in the same partition task.
+
+    Output per group: ``n_kmv`` (retained hashes, = min(k, true
+    distinct)), ``kth_hash`` (max retained hash), and ``distinct_est`` —
+    EXACT when the group has < k distinct values, else the unbiased
+    ``(k−1)·2^60 // kth_hash`` (integer math; the product is evaluated
+    in Python ints / SQL HUGEINT, the quotient is ≤ ~k/kth·2^60 which
+    for any kth reached by k distinct draws fits int64).
+    """
+    partials = ds.map_batches(
+        kmv_partial_fn(group_col, value_col, k),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    domain = 1 << HASH_BITS
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates().sort_values(
+            [group_col, "hv"], kind="mergesort"
+        )
+        rank = pdf.groupby(group_col, sort=False).cumcount()
+        pdf = pdf[rank < k]
+        agg = pdf.groupby(group_col, sort=False)["hv"].agg(["size", "max"])
+        ests = [
+            int(n) if n < k else ((k - 1) * domain) // int(kth)
+            for n, kth in zip(agg["size"], agg["max"])
+        ]
+        return pd.DataFrame(
+            {
+                group_col: agg.index.to_numpy(object),
+                "n_kmv": agg["size"].to_numpy(np.int64),
+                "kth_hash": agg["max"].to_numpy(np.int64),
+                "distinct_est": np.array(ests, dtype=np.int64),
+            }
+        )
+
+    return keyed_partition_map(
+        partials,
+        keys=[group_col],
+        order_col="hv",
+        fn=merge,
+        num_partitions=num_partitions,
+    )

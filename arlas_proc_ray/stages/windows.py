@@ -331,3 +331,119 @@ def throttle_events(
     return keyed_partition_map(
         ds, keys=keys, order_col=order_col, fn=fn, num_partitions=num_partitions
     )
+
+
+def cusum_alarm_points(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    value_int_col: str,
+    ref: int,
+    threshold: int,
+    num_partitions: int = 16,
+):
+    """One-sided CUSUM change-point alarms per key (Page 1954): over the
+    key's ordered series, ``s_i = max(0, s_{i-1} + (v_i − ref))``; emit
+    the rows where ``s`` first crosses ``threshold`` (upcrossings only —
+    the detector stays armed until it falls back under).
+
+    Exactness: the max(0,·) recurrence is computed CLOSED-FORM as
+    ``s_i = c_i − min(0, min_{j≤i} c_j)`` with ``c`` the running sum of
+    deviations — all int64 (callers pass a pre-scaled integer value
+    column, e.g. cents), so a SQL window oracle (SUM + MIN OVER)
+    reproduces every alarm bit-for-bit; no sequential Python loop, just
+    three vectorized grouped scans per partition.
+
+    Scale shape: one keyed exchange; output is alarm rows only.
+    """
+    import numpy as np
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[key_col]
+        d = pdf[value_int_col] - ref
+        c = d.groupby(g, sort=False).cumsum()
+        rmin = c.groupby(g, sort=False).cummin()
+        s = c - np.minimum(rmin, 0)
+        prev = s.groupby(g, sort=False).shift(1, fill_value=0)
+        fire = (s > threshold) & (prev <= threshold)
+        out = pdf.loc[fire, [key_col, order_col]].copy()
+        out["cusum"] = s[fire].astype("int64")
+        return out.reset_index(drop=True)
+
+    return keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    )
+
+
+def time_weighted_avg(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_int_col: str,
+    bucket_us: int = 86_400_000_000,
+    num_partitions: int = 16,
+):
+    """Time-weighted average per (key, tumbling time bucket): each
+    observation is weighted by its holding time — the µs gap to the
+    key's NEXT observation in the same bucket; the bucket's last
+    observation carries no weight (no look-ahead across buckets). Rows
+    with zero total holding time (single-observation buckets) are
+    dropped, matching the SQL LEAD() formulation.
+
+    Exactness: weights are int64 µs, values pre-scaled int64 (cents), so
+    numerator/denominator sums are exact; the single final division is
+    the only float op — bit-identical to the oracle's.
+
+    Scale shape: one keyed exchange on ``key_col``; per partition two
+    vectorized grouped passes (shift(−1) for the next timestamp, then a
+    grouped sum); one output row per (key, bucket).
+    """
+    import numpy as np
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        # chronological order with a deterministic tiebreak (the exchange
+        # sorts by (key, order_col); holding time is a TIME-order notion)
+        pdf = pdf.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bucket = ts_us // bucket_us
+        grp = [pdf[key_col], pd.Series(bucket, index=pdf.index)]
+        nxt = pd.Series(ts_us, index=pdf.index).groupby(grp, sort=False).shift(-1)
+        dur = nxt - ts_us
+        keep = dur.notna()
+        sub = pd.DataFrame(
+            {
+                key_col: pdf.loc[keep, key_col],
+                "_bucket": bucket[keep.to_numpy()],
+                "_w": (
+                    pdf.loc[keep, value_int_col].to_numpy(np.int64)
+                    * dur[keep].to_numpy(np.int64)
+                ),
+                "_d": dur[keep].to_numpy(np.int64),
+            }
+        )
+        agg = (
+            sub.groupby([key_col, "_bucket"], sort=False)[["_w", "_d"]]
+            .sum()
+            .reset_index()
+        )
+        agg = agg[agg["_d"] > 0]
+        return pd.DataFrame(
+            {
+                key_col: agg[key_col].to_numpy(),
+                "window_start": pd.to_datetime(
+                    agg["_bucket"].to_numpy(np.int64) * bucket_us, unit="us"
+                ),
+                "twap": agg["_w"].to_numpy(np.int64)
+                / agg["_d"].to_numpy(np.int64),
+                "dur_us": agg["_d"].to_numpy(np.int64),
+            }
+        )
+
+    return keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    )

@@ -164,3 +164,56 @@ def test_rollup_counts_levels_sum_exactly():
     finest = out[out["b"].notna()]
     assert finest["sum_cents"].sum() == 1000
     assert finest["n_rows"].sum() == 4
+
+
+def test_category_affinity_jaccard_small_oracle():
+    from arlas_proc_ray.stages.analytics import category_affinity
+
+    # u1:{A,B}, u2:{A,B,C}, u3:{A}, u4:{B,C} (with duplicate rows mixed in)
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 1, 2, 2, 2, 3, 4, 4, 4],
+            "cat": ["A", "B", "A", "A", "B", "C", "A", "B", "C", "C"],
+        }
+    )
+    out = category_affinity(
+        rd.from_pandas(df).repartition(3), id_col="uid", cat_col="cat",
+        num_partitions=2,
+    ).set_index(["type_a", "type_b"])
+    # |A|=3 |B|=3 |C|=2; A∩B=2, A∩C=1, B∩C=2
+    assert int(out.loc[("A", "B"), "co_users"]) == 2
+    assert int(out.loc[("A", "B"), "union_users"]) == 4
+    assert out.loc[("A", "B"), "jaccard"] == 0.5
+    assert int(out.loc[("A", "C"), "co_users"]) == 1
+    assert out.loc[("A", "C"), "jaccard"] == 0.25
+    assert int(out.loc[("B", "C"), "union_users"]) == 3
+    assert len(out) == 3  # only a<b pairs, no self/reversed rows
+
+
+def test_last_touch_attribution_carry_and_exact_cents():
+    from arlas_proc_ray.stages.analytics import last_touch_attribution
+
+    # user 1: view, purchase(100), click, purchase(250) → view:1, click:1
+    # user 2: purchase(999) with no prior touch → dropped
+    # user 3: click, purchase(50), purchase(70) → click credited twice
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 1, 1, 2, 3, 3, 3],
+            "seq": [1, 2, 3, 4, 1, 1, 2, 3],
+            "etype": [
+                "view", "purchase", "click", "purchase",
+                "purchase", "click", "purchase", "purchase",
+            ],
+            "cents": [0, 100, 0, 250, 999, 0, 50, 70],
+        }
+    )
+    out = last_touch_attribution(
+        rd.from_pandas(df).repartition(3),
+        key_col="uid", order_col="seq", type_col="etype",
+        conv_type="purchase", cents_col="cents", num_partitions=2,
+    ).set_index("touch_type")
+    assert int(out.loc["view", "conversions"]) == 1
+    assert out.loc["view", "attributed_value"] == 1.0
+    assert int(out.loc["click", "conversions"]) == 3
+    assert out.loc["click", "attributed_value"] == (250 + 50 + 70) / 100.0
+    assert len(out) == 2  # user 2's untouched purchase is unattributed

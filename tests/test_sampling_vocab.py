@@ -465,3 +465,39 @@ def test_decontaminate_bloom_fp_rate_is_bounded():
     )
     # ~48 windows/doc x 5.7e-4 -> P(doc flagged) ~ 2.7%; allow slack
     assert out["contaminated"].mean() <= 0.15
+
+
+def test_bigram_collocations_counts_and_lift():
+    from arlas_proc_ray.functions.text import bigram_collocations
+
+    docs = [
+        "a b a b c",
+        "a b x",
+        "c a b",
+        "",  # empty text → one '' token, no bigrams beyond itself
+    ]
+    df = pd.DataFrame({"text": docs})
+    out = bigram_collocations(
+        rd.from_pandas(df).repartition(3), text_col="text",
+        min_frac_denom=3,  # n_ab*3 > N_bi → n_ab ≥ 3 here
+        num_partitions=2,
+    )
+    # brute-force oracle
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = d.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    want = {
+        (a, b): (n, float(n * n_uni * n_uni) / float(n_bi * uni[a] * uni[b]))
+        for (a, b), n in bi.items()
+        if n * 3 > n_bi
+    }
+    got = {
+        (r.w1, r.w2): (int(r.n_ab), float(r.lift)) for r in out.itertuples()
+    }
+    assert got == want
+    assert ("a", "b") in got and got[("a", "b")][0] == 4

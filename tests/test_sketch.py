@@ -312,3 +312,75 @@ def test_heavy_hitters_adversarial_blocks_still_exact():
     except HeavyHitterGuaranteeError:
         raised = True
     assert raised
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_hash(v: str) -> int:
+    return int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_exact_below_k():
+    from arlas_proc_ray.stages.sketch import kmv_distinct
+
+    df = _frame({"a": 10, "b": 63})
+    ds = rd.from_pandas(df).repartition(6)
+    out = kmv_distinct(
+        ds, group_col="g", value_col="v", k=64, num_partitions=4
+    ).to_pandas().set_index("g")
+    assert int(out.loc["a", "distinct_est"]) == 10
+    assert int(out.loc["b", "distinct_est"]) == 63
+    assert int(out.loc["a", "n_kmv"]) == 10
+    # retained set is the bottom-k of the true hash set
+    hs = sorted(_kmv_hash(f"a:{i}") for i in range(10))
+    assert int(out.loc["a", "kth_hash"]) == hs[-1]
+
+
+def test_kmv_estimator_and_partial_merge():
+    from arlas_proc_ray.stages.sketch import kmv_distinct, kmv_partial_fn
+
+    k = 64
+    card = 5000
+    df = _frame({"big": card}, rows_per_val=2)
+    out = (
+        kmv_distinct(
+            rd.from_pandas(df).repartition(8),
+            group_col="g", value_col="v", k=k, num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    # exact estimator formula on the true bottom-k hash set
+    hs = sorted(_kmv_hash(f"big:{i}") for i in range(card))
+    kth = hs[k - 1]
+    assert int(out.loc["big", "kth_hash"]) == kth
+    assert int(out.loc["big", "distinct_est"]) == ((k - 1) << 60) // kth
+    # ±3σ-ish sanity: KMV relative error ~ 1/sqrt(k-2)
+    est = int(out.loc["big", "distinct_est"])
+    assert abs(est - card) / card < 3.5 / np.sqrt(k - 2)
+    # mergeability: partials from two disjoint halves merge to the same
+    # sketch as one pass (union-then-bottom-k is associative)
+    import pyarrow as pa
+
+    half1, half2 = df.iloc[: len(df) // 2], df.iloc[len(df) // 2:]
+    pf = kmv_partial_fn("g", "v", k)
+    merged = pd.concat(
+        [pf(pa.Table.from_pandas(h)) for h in (half1, half2)]
+    ).drop_duplicates().sort_values("hv")
+    assert list(merged["hv"].head(k)) == hs[:k]
+
+
+def test_kmv_null_values_ignored():
+    from arlas_proc_ray.stages.sketch import kmv_distinct
+
+    df = pd.DataFrame(
+        {"g": ["x"] * 6, "v": ["1", None, "2", None, "1", "3"]}
+    )
+    out = kmv_distinct(
+        rd.from_pandas(df), group_col="g", value_col="v", k=8,
+        num_partitions=2,
+    ).to_pandas()
+    assert int(out["distinct_est"].iloc[0]) == 3

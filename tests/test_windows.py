@@ -1,6 +1,7 @@
 """stages/windows.py — throttle/debounce filter."""
 
 import pandas as pd
+import ray.data as rd
 
 # ---------------------------------------------------------------------------
 # throttle_events (debounce)
@@ -58,3 +59,120 @@ def test_throttle_events_tie_break_deterministic():
         order_cols=["id"],
     ).to_pandas()
     assert list(out["id"]) == [3]
+
+
+# cusum_alarm_points
+
+
+def _cusum_loop(vals, ref, h):
+    """Independent oracle: the literal Page recurrence with a Python loop."""
+    s, alarms, armed = 0, [], False
+    for i, v in enumerate(vals):
+        s = max(0, s + (v - ref))
+        if s > h and not armed:
+            alarms.append((i, s))
+        armed = s > h
+    return alarms
+
+
+def test_cusum_closed_form_matches_recurrence_loop():
+    import numpy as np
+
+    from arlas_proc_ray.stages.windows import cusum_alarm_points
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for uid in range(7):
+        vals = rng.integers(0, 120, size=80)
+        rows.extend((uid, i, int(v)) for i, v in enumerate(vals))
+    df = pd.DataFrame(rows, columns=["uid", "seq", "v"])
+    out = (
+        cusum_alarm_points(
+            rd.from_pandas(df).repartition(4),
+            key_col="uid", order_col="seq", value_int_col="v",
+            ref=55, threshold=300, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values(["uid", "seq"])
+    )
+    got = {
+        (int(r.uid), int(r.seq), int(r.cusum)) for r in out.itertuples()
+    }
+    want = set()
+    for uid, sub in df.groupby("uid"):
+        for i, s in _cusum_loop(sub["v"].tolist(), 55, 300):
+            want.add((uid, int(sub["seq"].iloc[i]), s))
+    assert got == want and len(want) > 0
+
+
+def test_cusum_rearm_after_falling_below():
+    from arlas_proc_ray.stages.windows import cusum_alarm_points
+
+    # spike → reset to 0 via huge negative → spike again: two alarms
+    df = pd.DataFrame(
+        {
+            "uid": [1] * 5,
+            "seq": range(5),
+            "v": [100, 0, -1000, 100, 0],
+        }
+    )
+    out = cusum_alarm_points(
+        rd.from_pandas(df), key_col="uid", order_col="seq",
+        value_int_col="v", ref=0, threshold=50, num_partitions=2,
+    ).to_pandas()
+    assert sorted(out["seq"].tolist()) == [0, 3]
+
+
+# time_weighted_avg
+
+
+def test_time_weighted_avg_holding_times():
+    from arlas_proc_ray.stages.windows import time_weighted_avg
+
+    day = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 1, 1, 2],
+            "seq": [1, 2, 3, 4, 1],
+            "ts": [
+                day,
+                day + pd.Timedelta(seconds=10),
+                day + pd.Timedelta(seconds=40),
+                day + pd.Timedelta(days=1),  # next bucket, single → dropped
+                day,  # single-event bucket → dropped
+            ],
+            "v": [100, 400, 999, 5, 7],
+        }
+    )
+    out = time_weighted_avg(
+        rd.from_pandas(df).repartition(2),
+        key_col="uid", ts_col="ts", order_col="seq", value_int_col="v",
+        num_partitions=2,
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # weights: v=100 for 10s, v=400 for 30s; last event carries none
+    assert int(r["dur_us"]) == 40_000_000
+    assert r["twap"] == (100 * 10 + 400 * 30) / 40
+    assert r["window_start"] == day
+
+
+def test_time_weighted_avg_orders_by_time_not_seq():
+    from arlas_proc_ray.stages.windows import time_weighted_avg
+
+    day = pd.Timestamp("2024-03-01")
+    # seq order disagrees with time order; holding time follows TIME
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1],
+            "seq": [2, 1],
+            "ts": [day, day + pd.Timedelta(seconds=5)],
+            "v": [10, 20],
+        }
+    )
+    out = time_weighted_avg(
+        rd.from_pandas(df), key_col="uid", ts_col="ts", order_col="seq",
+        value_int_col="v", num_partitions=1,
+    ).to_pandas()
+    assert int(out["dur_us"].iloc[0]) == 5_000_000
+    assert out["twap"].iloc[0] == 10.0

@@ -16,8 +16,11 @@ Owns its Ray session (run it alone — never concurrently with bench.py).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
