@@ -7537,3 +7537,141 @@ ORACLE_SQL["bigram_collocations"] = """
     CROSS JOIN nu CROSS JOIN nb
     WHERE b.n * 5000 > nb.t
 """
+
+
+def q_ema_user_value(sf_dir: str):
+    """Final per-user EMA (α=1/8) in exact integer fixed-point
+    (stages/windows.py:ema_last): round-half-up integer recurrence —
+    bit-reproducible by a recursive-CTE oracle where a float EMA would
+    drift; vectorized as a jagged scan (one numpy pass per sequence
+    position across all users). One keyed exchange."""
+    from arlas_proc_ray.stages.windows import ema_last
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("_cents", c)
+
+    out = ema_last(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        key_col="user_id",
+        order_col="event_id",
+        value_int_col="_cents",
+        alpha_denom=8,
+        num_partitions=NP,
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.rename(columns={"ema": "ema_cents"})
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+QUERIES["ema_user_value"] = q_ema_user_value
+
+ORACLE_SQL["ema_user_value"] = """
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, rn, cents AS s FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, (7 * rec.s + e.cents + 4) // 8
+      FROM rec JOIN e ON e.user_id = rec.user_id AND e.rn = rec.rn + 1),
+    lastn AS (SELECT user_id, max(rn) AS n_events FROM e GROUP BY 1)
+    SELECT l.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+           CAST(r.s AS BIGINT) AS ema_cents
+    FROM lastn l
+    JOIN rec r ON r.user_id = l.user_id AND r.rn = l.n_events
+"""
+
+
+def q_kmv_intersection(sf_dir: str):
+    """Theta-sketch distinct set estimates between the click and
+    purchase user populations (stages/sketch.py:kmv_state +
+    kmv_intersect_estimate): the distributed work builds two bottom-64
+    sketches (values never shuffle); intersection/union/Jaccard are an
+    integer driver finalize over ≤ 2k sketch rows — exact below k, the
+    scale-free theta estimator above it."""
+    from arlas_proc_ray.stages.sketch import kmv_intersect_estimate, kmv_state
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'"
+    )
+    state = kmv_state(
+        ds, group_col="event_type", value_col="user_id", k=64,
+        num_partitions=NP,
+    ).to_pandas()
+    return kmv_intersect_estimate(
+        state, "click", "purchase", group_col="event_type", k=64
+    )
+
+
+QUERIES["kmv_intersection"] = q_kmv_intersection
+
+ORACLE_SQL["kmv_intersection"] = """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h),
+    keep AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+    th AS (SELECT CAST(min(CASE WHEN n >= 64 THEN kth
+                               ELSE 1152921504606846976 END) AS BIGINT) AS theta
+           FROM (SELECT event_type, count(*) AS n, max(hv) AS kth
+                 FROM keep GROUP BY 1)),
+    ab AS (SELECT hv, count(*) AS c FROM keep, th
+           WHERE hv < th.theta GROUP BY hv),
+    cnt AS (SELECT count(*) FILTER (c = 2) AS ci, count(*) AS cu FROM ab)
+    SELECT 'click' AS type_a, 'purchase' AS type_b,
+           CAST(cnt.ci::HUGEINT * 1152921504606846976 // th.theta
+                AS BIGINT) AS inter_est,
+           CAST(cnt.cu::HUGEINT * 1152921504606846976 // th.theta
+                AS BIGINT) AS union_est,
+           CAST(cnt.ci AS DOUBLE) / cnt.cu AS jaccard_est
+    FROM cnt, th
+"""
+
+
+def q_sequence_pattern(sf_dir: str):
+    """CEP-style sequence pattern counting
+    (stages/analytics.py:sequence_pattern_counts): per user, the ordered
+    event-type sequence is encoded one char per event (types have
+    distinct initials) and non-overlapping matches of 'view, then any
+    clicks, then purchase' (``vc*p``) are counted. One keyed exchange;
+    key-sized output, zero-match users dropped."""
+    from arlas_proc_ray.stages.analytics import sequence_pattern_counts
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "event_type"])
+    return sequence_pattern_counts(
+        ds,
+        key_col="user_id",
+        order_col="event_id",
+        type_col="event_type",
+        symbol_of={
+            "click": "c", "error": "e", "purchase": "p",
+            "signup": "s", "view": "v",
+        },
+        pattern="vc*p",
+        num_partitions=NP,
+    )
+
+
+QUERIES["sequence_pattern"] = q_sequence_pattern
+
+ORACLE_SQL["sequence_pattern"] = """
+    WITH s AS (SELECT user_id,
+                      string_agg(left(event_type, 1), ''
+                                 ORDER BY event_id) AS seq
+               FROM events GROUP BY 1)
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+    FROM s WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+"""

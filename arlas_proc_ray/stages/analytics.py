@@ -686,3 +686,51 @@ def last_touch_attribution(
             "attributed_value": agg["cents"].to_numpy("int64") / 100.0,
         }
     )
+
+
+def sequence_pattern_counts(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    type_col: str,
+    symbol_of: dict,
+    pattern: str,
+    num_partitions: int = 16,
+) -> "object":
+    """Complex-event-processing primitive: count non-overlapping regex
+    matches over each key's ORDERED event-type sequence, encoded one
+    symbol per event via ``symbol_of`` (keep symbols single-char and the
+    pattern backreference-free so RE2-based SQL oracles agree with
+    Python ``re`` — both scan leftmost, non-overlapping).
+
+    Scale shape: one keyed exchange; per partition the symbol encoding
+    is one vectorized map, the per-key string build is a grouped join
+    (output is key-sized), and the match count one vectorized
+    ``str.count``. Contract: a key's full sequence lives in one
+    partition row — bound per-key event counts upstream (throttle /
+    sessionize) if a key can be unbounded.
+
+    Keys with zero matches are dropped (sparse output).
+    """
+    import numpy as np
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        sym = pdf[type_col].map(symbol_of)
+        if sym.isna().any():
+            missing = sorted(pdf.loc[sym.isna(), type_col].unique())
+            raise ValueError(f"no symbol for event types: {missing}")
+        seq = sym.groupby(pdf[key_col], sort=False).agg("".join)
+        n = seq.str.count(pattern)
+        out = pd.DataFrame(
+            {
+                key_col: seq.index.to_numpy(),
+                "n_matches": n.to_numpy(np.int64),
+            }
+        )
+        return out[out["n_matches"] > 0].reset_index(drop=True)
+
+    return keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    )

@@ -572,3 +572,68 @@ def kmv_distinct(
         fn=merge,
         num_partitions=num_partitions,
     )
+
+
+def kmv_state(
+    ds, *, group_col: str, value_col: str, k: int = 64, num_partitions: int = 16
+):
+    """The raw bottom-k sketch STATE per group: one (group, hv) row per
+    retained hash — the merge/set-operation currency (union two states
+    and re-cut at k to merge; see :func:`kmv_intersect_estimate`). Same
+    partial/merge topology as :func:`kmv_distinct`."""
+    partials = ds.map_batches(
+        kmv_partial_fn(group_col, value_col, k),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates().sort_values(
+            [group_col, "hv"], kind="mergesort"
+        )
+        rank = pdf.groupby(group_col, sort=False).cumcount()
+        return pdf[rank < k].reset_index(drop=True)
+
+    return keyed_partition_map(
+        partials,
+        keys=[group_col],
+        order_col="hv",
+        fn=merge,
+        num_partitions=num_partitions,
+    )
+
+
+def kmv_intersect_estimate(
+    state: pd.DataFrame, group_a, group_b, *, group_col: str, k: int
+) -> pd.DataFrame:
+    """Theta-sketch set estimates from two groups' bottom-k states
+    (Dasgupta et al. 2016's theta framing of KMV): ``theta`` = the
+    smaller of the two sketches' k-th values (a sketch with < k retained
+    hashes is EXACT and contributes theta = the full 2^60 domain); only
+    hashes strictly below theta count, scaled by domain/theta — all
+    integer math, exact whenever both groups are below k.
+
+    Driver-side finalize over sketch-sized input (≤ 2k rows) — the
+    distributed work happened in :func:`kmv_state`.
+    """
+    domain = 1 << HASH_BITS
+    sa = state.loc[state[group_col] == group_a, "hv"]
+    sb = state.loc[state[group_col] == group_b, "hv"]
+    theta_a = int(sa.max()) if len(sa) >= k else domain
+    theta_b = int(sb.max()) if len(sb) >= k else domain
+    theta = min(theta_a, theta_b)
+    below_a = set(int(h) for h in sa if h < theta)
+    below_b = set(int(h) for h in sb if h < theta)
+    c_inter = len(below_a & below_b)
+    c_union = len(below_a | below_b)
+    inter_est = (c_inter * domain) // theta
+    union_est = (c_union * domain) // theta
+    return pd.DataFrame(
+        {
+            "type_a": [group_a],
+            "type_b": [group_b],
+            "inter_est": np.array([inter_est], dtype=np.int64),
+            "union_est": np.array([union_est], dtype=np.int64),
+            "jaccard_est": [c_inter / c_union] if c_union else [0.0],
+        }
+    )

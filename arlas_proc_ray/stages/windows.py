@@ -447,3 +447,66 @@ def time_weighted_avg(
         ds, keys=[key_col], order_col=order_col, fn=part,
         num_partitions=num_partitions,
     )
+
+
+def ema_last(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    value_int_col: str,
+    alpha_denom: int = 8,
+    num_partitions: int = 16,
+):
+    """Final exponential moving average per key, in EXACT integer
+    fixed-point: ``s_1 = v_1``, then
+    ``s_i = ((d−1)·s_{i−1} + v_i + d//2) // d`` with ``d = alpha_denom``
+    (α = 1/d, round-half-up) — deterministic and reproducible by a SQL
+    recursive CTE, where a float EMA would drift.
+
+    Vectorized as a jagged scan: one pass per SEQUENCE POSITION, each a
+    numpy update across every key active at that position — total work
+    O(rows), serial overhead O(longest key's sequence) per partition
+    (the same bounded-sequence contract as the Viterbi windows in
+    stages/ml.py:hmm_decode_fn; cap upstream if a key can be unbounded).
+    One keyed exchange; one output row per key.
+    """
+    import numpy as np
+
+    d = int(alpha_denom)
+    half = d // 2
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "n_events": pd.Series([], dtype="int64"),
+                    "ema": pd.Series([], dtype="int64"),
+                }
+            )
+        codes, uniques = pd.factorize(pdf[key_col], sort=False)
+        rn = pdf.groupby(key_col, sort=False).cumcount().to_numpy()
+        v = pdf[value_int_col].to_numpy(np.int64)
+        order = np.argsort(rn, kind="stable")
+        rs, cs, vs = rn[order], codes[order], v[order]
+        s = np.zeros(len(uniques), dtype=np.int64)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(rs)) + 1, [len(rs)]]
+        )
+        for bi in range(len(bounds) - 1):
+            sel = slice(bounds[bi], bounds[bi + 1])
+            c = cs[sel]
+            if rs[bounds[bi]] == 0:
+                s[c] = vs[sel]
+            else:
+                s[c] = ((d - 1) * s[c] + vs[sel] + half) // d
+        counts = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        return pd.DataFrame(
+            {key_col: uniques, "n_events": counts, "ema": s}
+        )
+
+    return keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    )

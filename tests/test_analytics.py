@@ -217,3 +217,39 @@ def test_last_touch_attribution_carry_and_exact_cents():
     assert int(out.loc["click", "conversions"]) == 3
     assert out.loc["click", "attributed_value"] == (250 + 50 + 70) / 100.0
     assert len(out) == 2  # user 2's untouched purchase is unattributed
+
+
+def test_sequence_pattern_counts_nonoverlapping_and_raises():
+    import pytest as _pytest
+
+    from arlas_proc_ray.stages.analytics import sequence_pattern_counts
+
+    # u1: v c c p v p  → 2 matches of vc*p; u2: p v c → 0 (dropped);
+    # u3: v p v c p    → 2
+    df = pd.DataFrame(
+        {
+            "uid": [1] * 6 + [2] * 3 + [3] * 5,
+            "seq": list(range(6)) + list(range(3)) + list(range(5)),
+            "etype": [
+                "view", "click", "click", "purchase", "view", "purchase",
+                "purchase", "view", "click",
+                "view", "purchase", "view", "click", "purchase",
+            ],
+        }
+    )
+    sym = {"view": "v", "click": "c", "purchase": "p"}
+    out = sequence_pattern_counts(
+        rd.from_pandas(df).repartition(3), key_col="uid", order_col="seq",
+        type_col="etype", symbol_of=sym, pattern="vc*p", num_partitions=2,
+    ).to_pandas().set_index("uid")
+    assert int(out.loc[1, "n_matches"]) == 2
+    assert int(out.loc[3, "n_matches"]) == 2
+    assert 2 not in out.index
+
+    bad = pd.DataFrame({"uid": [1], "seq": [1], "etype": ["unknown"]})
+    with _pytest.raises(Exception, match="no symbol"):
+        sequence_pattern_counts(
+            rd.from_pandas(bad), key_col="uid", order_col="seq",
+            type_col="etype", symbol_of=sym, pattern="vc*p",
+            num_partitions=1,
+        ).to_pandas()

@@ -648,3 +648,66 @@ def test_lsn_chunks_partition_exactly(ray_session, blocks, k):
             prev_max = vals.max()
     got = np.sort(np.concatenate(seen)) if seen else np.array([], np.int64)
     assert np.array_equal(got, np.sort(all_lsns))
+
+
+@given(
+    vals=st.lists(st.integers(-500, 500), min_size=1, max_size=120),
+    ref=st.integers(-50, 50),
+    h=st.integers(1, 400),
+)
+@settings(max_examples=120, deadline=None)
+def test_cusum_closed_form_matches_page_recurrence(vals, ref, h):
+    """The vectorized closed form s = c − min(0, running-min c) used by
+    stages/windows.py:cusum_alarm_points equals the literal Page
+    recurrence s_i = max(0, s_{i−1} + d_i), alarm for alarm."""
+    v = np.asarray(vals, dtype=np.int64)
+    d = v - ref
+    c = np.cumsum(d)
+    rmin = np.minimum.accumulate(c)
+    s_closed = c - np.minimum(rmin, 0)
+    prev = np.concatenate([[0], s_closed[:-1]])
+    fired_closed = (s_closed > h) & (prev <= h)
+
+    s, armed, fired_loop = 0, False, np.zeros(len(v), dtype=bool)
+    for i, di in enumerate(d):
+        s = max(0, s + int(di))
+        fired_loop[i] = s > h and not armed
+        armed = s > h
+    assert np.array_equal(fired_closed, fired_loop)
+    assert (s_closed >= 0).all()
+
+
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(0, 20000), min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    d=st.sampled_from([2, 4, 8, 16]),
+)
+@settings(max_examples=80, deadline=None)
+def test_ema_jagged_scan_matches_sequential_loop(seqs, d):
+    """stages/windows.py:ema_last's position-wise jagged scan equals the
+    per-key sequential integer recurrence, key for key."""
+    from arlas_proc_ray.stages.windows import ema_last
+    import ray.data as rd
+
+    rows = []
+    for uid, seq in enumerate(seqs):
+        rows.extend((uid, i, v) for i, v in enumerate(seq))
+    df = pd.DataFrame(rows, columns=["uid", "seq", "v"])
+    out = (
+        ema_last(
+            rd.from_pandas(df).repartition(3),
+            key_col="uid", order_col="seq", value_int_col="v",
+            alpha_denom=d, num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("uid")
+    )
+    for uid, seq in enumerate(seqs):
+        s = seq[0]
+        for v in seq[1:]:
+            s = ((d - 1) * s + v + d // 2) // d
+        assert int(out.loc[uid, "ema"]) == s
+        assert int(out.loc[uid, "n_events"]) == len(seq)
