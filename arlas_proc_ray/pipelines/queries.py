@@ -7675,3 +7675,68 @@ ORACLE_SQL["sequence_pattern"] = """
            CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
     FROM s WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
 """
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Exact covariance matrix of the (quantized) embedding corpus
+    (stages/linalg.py:embedding_covariance): each block collapses to ONE
+    partial row (count, sum vector, D² outer-product sums) — a pure
+    combiner, no shuffle; finalization is one big-int division per
+    upper-triangle cell. floor-quantization keeps every sum integer-
+    exact and SQL-reproducible."""
+    from arlas_proc_ray.stages.linalg import embedding_covariance
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+             min_parallelism=4)
+    return embedding_covariance(ds, col="embedding", scale=1_000_000)
+
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+
+ORACLE_SQL["embedding_covariance"] = """
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+    p AS (SELECT a.i AS i1, b.i AS j1, count(*) AS n,
+                 SUM(a.v::HUGEINT * b.v) AS sxy,
+                 SUM(a.v::HUGEINT) AS sx, SUM(b.v::HUGEINT) AS sy
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+    SELECT CAST(i1 - 1 AS BIGINT) AS i, CAST(j1 - 1 AS BIGINT) AS j,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n::HUGEINT * n AS DOUBLE) AS cov
+    FROM p
+"""
+
+
+def q_pca_projection(sf_dir: str):
+    """Top-4 PCA projection of the embedding corpus
+    (stages/linalg.py:pca_project): exact-integer covariance combiner →
+    driver eigh on the D×D matrix (D = embedding width, the small side)
+    → ray.put-broadcast components → one matmul per block. Projection
+    norms are emitted as scalar columns (deterministic: eig sign fixed
+    per component). Rows-only for the driver (eigendecomposition is not
+    SQL-expressible); exact Python oracle in tests/test_linalg.py."""
+    import numpy as np
+
+    from arlas_proc_ray.stages.linalg import pca_project
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
+             columns=["vec_id", "embedding"], min_parallelism=4)
+    out = pca_project(ds, col="embedding", id_col="vec_id", k=4)
+
+    def widen(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["proj"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                **{f"pc{r}": m[:, r] for r in range(m.shape[1])},
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pandas", batch_size=None)
+
+
+QUERIES["pca_projection"] = q_pca_projection
