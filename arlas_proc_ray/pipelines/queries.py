@@ -7740,3 +7740,69 @@ def q_pca_projection(sf_dir: str):
 
 
 QUERIES["pca_projection"] = q_pca_projection
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count (stages/graph.py:triangle_count) over the
+    user co-engagement graph: an edge joins two users sharing a
+    (event_type, props.k, day) engagement cell. Edge generation is one
+    keyed exchange on the cell key with a per-cell vectorized self-merge
+    (bounded-cell contract, same as every blocking join here); counting
+    is degree-ordered orientation → wedge exchange → distributed semi
+    join, O(m^1.5) wedges regardless of hot nodes."""
+    from arlas_proc_ray.stages.graph import triangle_count
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts", "props"])
+
+    def cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["props"].str.extract(r'"k":\s*(\d+)')[0]
+        day = (
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        ck = pdf["event_type"] + ":" + k + ":" + pd.Series(
+            day, index=pdf.index
+        ).astype(str)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "ck": ck}
+        ).drop_duplicates()
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ut = pdf.drop_duplicates()
+        m = ut.merge(ut, on="ck")
+        m = m[m["user_id_x"] < m["user_id_y"]]
+        return pd.DataFrame(
+            {"x": m["user_id_x"].to_numpy(), "y": m["user_id_y"].to_numpy()}
+        )
+
+    edges = keyed_partition_map(
+        ds.map_batches(cells, batch_format="pandas", batch_size=None),
+        keys=["ck"],
+        order_col="user_id",
+        fn=pairs,
+        num_partitions=NP,
+    )
+    return triangle_count(edges, src_col="x", dst_col="y", num_partitions=NP)
+
+
+QUERIES["triangle_count"] = q_triangle_count
+
+ORACLE_SQL["triangle_count"] = """
+    WITH ek AS (
+      SELECT DISTINCT user_id,
+             event_type || ':' || json_extract_string(props, '$.k') || ':'
+               || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ck
+      FROM events),
+    ed AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+           FROM ek a JOIN ek b
+             ON a.ck = b.ck AND a.user_id < b.user_id),
+    tri AS (SELECT count(*) AS n
+            FROM ed e1
+            JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT (SELECT count(*) FROM
+              (SELECT u FROM ed UNION SELECT v FROM ed)) AS n_nodes,
+           (SELECT count(*) FROM ed) AS n_edges,
+           tri.n AS n_triangles
+    FROM tri
+"""

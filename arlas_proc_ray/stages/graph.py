@@ -384,3 +384,119 @@ def pagerank_exchange(
         return pdf[[node_col, rank_col]]
 
     return state.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def triangle_count(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Exact triangle count over an undirected graph, by degree-ordered
+    orientation (the standard compact-forward / Schank-Wagner shape that
+    bounds wedge volume at O(m^1.5) regardless of skew):
+
+    1. canonicalize + dedup edges — one keyed exchange on (lo, hi);
+    2. degrees — per-block partials, sort-free node-sized tree collect;
+    3. orient every edge from lower to higher (degree, node) rank — the
+       rank map is the broadcast node-sized side, so a hub's out-degree
+       is at most O(√m) and no wedge task explodes on a hot node;
+    4. wedges — one keyed exchange on the wedge pivot, then a vectorized
+       per-pivot self-merge emitting (b, c) with rank(b) < rank(c);
+    5. close — a distributed SEMI equi-join of wedges against the
+       oriented edge list (each surviving wedge IS one triangle: the
+       orientation makes the count exact with no de-dup pass).
+
+    Edges stay Datasets throughout; only degrees/ranks (node-sized)
+    touch the driver — the same small-side contract as pagerank. The
+    triangle total is invariant to WHICH total order ranks nodes, so
+    the SQL oracle only has to be consistent, not identical.
+    """
+    import pyarrow as pa
+
+    import ray
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[src_col].to_numpy()
+        b = pdf[dst_col].to_numpy()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    dedup = keyed_partition_map(
+        edges_ds.map_batches(canon, batch_format="pandas", batch_size=None),
+        keys=["u", "v"],
+        order_col="u",
+        fn=lambda pdf: pdf.drop_duplicates(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(), "d": vc.to_numpy(np.int64)})
+
+    def deg_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("node", as_index=False, sort=False)["d"].sum()
+
+    deg = _tree_collect(
+        dedup.map_batches(deg_partial, batch_format="pandas", batch_size=None),
+        deg_combine,
+    )
+    if deg.empty:
+        return pd.DataFrame(
+            {"n_nodes": [0], "n_edges": [0], "n_triangles": [0]}
+        ).astype("int64")
+    deg = deg.sort_values(["d", "node"], kind="mergesort").reset_index(drop=True)
+    rank = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"])
+    rank_ref = ray.put(rank)
+
+    def orient(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ru = pdf["u"].map(r).to_numpy(np.int64)
+        rv = pdf["v"].map(r).to_numpy(np.int64)
+        fwd = ru < rv
+        return pd.DataFrame(
+            {
+                "s": np.where(fwd, pdf["u"], pdf["v"]),
+                "b": np.where(fwd, pdf["v"], pdf["u"]),
+                "rb": np.where(fwd, rv, ru),
+            }
+        )
+
+    oriented = dedup.map_batches(
+        orient, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def wedges_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf.merge(pdf, on="s")
+        m = m[m["rb_x"] < m["rb_y"]]
+        return pd.DataFrame({"b": m["b_x"].to_numpy(), "c": m["b_y"].to_numpy()})
+
+    wedges = keyed_partition_map(
+        oriented, keys=["s"], order_col="rb", fn=wedges_fn,
+        num_partitions=num_partitions,
+    )
+
+    def as_bc(t: pa.Table) -> pa.Table:
+        return t.select(["s", "b"]).rename_columns(["b", "c"])
+
+    closed = equi_join(
+        wedges,
+        oriented.map_batches(as_bc, batch_format="pyarrow", batch_size=None),
+        on=["b", "c"],
+        right_cols=[],
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    n_tri = closed.count()
+    n_edges = dedup.count()
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([len(deg)], dtype=np.int64),
+            "n_edges": np.array([n_edges], dtype=np.int64),
+            "n_triangles": np.array([n_tri], dtype=np.int64),
+        }
+    )

@@ -204,3 +204,55 @@ def test_pagerank_personalized_teleport():
         return rank
 
     assert m == py_ppr(LINE, 3, {"a"})
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs():
+    from itertools import combinations
+
+    from arlas_proc_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 30
+        p = [0.1, 0.25, 0.5][trial]
+        edges = [
+            (a, b)
+            for a, b in combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        adj = {frozenset(e) for e in edges}
+        want = sum(
+            1
+            for a, b, c in combinations(range(n), 3)
+            if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))}
+            <= adj
+        )
+        # feed duplicated + reversed + self-loop rows: all must be cleaned
+        rows = edges + [(b, a) for a, b in edges[::2]] + [(5, 5)]
+        df = pd.DataFrame(rows, columns=["x", "y"])
+        out = triangle_count(
+            rd.from_pandas(df).repartition(4), src_col="x", dst_col="y",
+            num_partitions=3,
+        )
+        assert int(out["n_triangles"].iloc[0]) == want
+        assert int(out["n_edges"].iloc[0]) == len(edges)
+
+
+def test_triangle_count_empty_and_triangle_free():
+    from arlas_proc_ray.stages.graph import triangle_count
+
+    out = triangle_count(
+        rd.from_pandas(pd.DataFrame({"x": [1, 1], "y": [1, 1]})),
+        src_col="x", dst_col="y", num_partitions=2,
+    )  # only self-loops → empty graph
+    assert int(out["n_triangles"].iloc[0]) == 0
+    assert int(out["n_edges"].iloc[0]) == 0
+
+    # a 4-cycle has wedges but zero triangles (closure must reject all)
+    cyc = pd.DataFrame({"x": [0, 1, 2, 3], "y": [1, 2, 3, 0]})
+    out = triangle_count(
+        rd.from_pandas(cyc).repartition(2), src_col="x", dst_col="y",
+        num_partitions=2,
+    )
+    assert int(out["n_triangles"].iloc[0]) == 0
+    assert int(out["n_edges"].iloc[0]) == 4
