@@ -138,3 +138,91 @@ def incremental_agg_view(
         fn=fold,
         num_partitions=max(2, num_partitions // 4),
     )
+
+
+def incremental_moment_view(
+    changelog,
+    *,
+    key: Sequence[str],
+    order_col: str,
+    live_col: str,
+    vec_cols: Sequence[str],
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Second-order moments (count, Σv, Σv⊗v) of the LWW state a
+    changelog replays to — the covariance/PCA state maintained by delta
+    propagation, never materializing the state table.
+
+    Same algebra as :func:`incremental_agg_view`, lifted from scalars to
+    vectors: each change retracts its key's previous LIVE image's
+    contributions (−1, −v, −v⊗v) and asserts the new image's (+1, +v,
+    +v⊗v) when live; a tombstone (``live_col`` False) asserts nothing.
+    Every contribution is exact int64 (callers pass pre-quantized dim
+    columns), so retractions cancel bit-for-bit — the float-residue
+    failure mode of incremental variance does not exist here.
+
+    Scale shape: ONE keyed exchange on the entity key (co-partitioned
+    with the LWW merge); per partition the previous images are one
+    vectorized grouped shift, and ±contributions collapse to a single
+    (1 + D + D²)-wide partial row per partition via two matmuls. The
+    driver merges partition partials in Python big-ints and finalizes
+    covariance cells with one exact division each — identical math to
+    stages/linalg.py:embedding_covariance on the final state.
+    """
+    import numpy as np
+
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    key = list(key)
+    vec_cols = list(vec_cols)
+    d = len(vec_cols)
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = pdf[vec_cols].to_numpy(np.int64)
+        live = pdf[live_col].to_numpy(bool)
+        g = pdf.groupby(key, sort=False)
+        PV = g[vec_cols].shift(1)
+        plive = (
+            g[live_col].shift(1).fillna(False).astype(bool).to_numpy()
+        )
+        pv = PV.fillna(0).to_numpy(np.int64)
+        a = V[live]
+        r = pv[plive]
+        n = int(live.sum()) - int(plive.sum())
+        svec = a.sum(axis=0) - r.sum(axis=0)
+        souter = a.T @ a - r.T @ r
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "svec": pa.array([svec.tolist()], pa.list_(pa.int64())),
+                "souter": pa.array(
+                    [souter.ravel().tolist()], pa.list_(pa.int64())
+                ),
+            }
+        ).to_pandas()
+
+    partials = keyed_partition_map(
+        changelog, keys=key, order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    ).to_pandas()
+
+    from arlas_proc_ray.stages.linalg import _merged_sums
+
+    n, svec, souter = _merged_sums(partials)
+    if n <= 0:
+        return pd.DataFrame(columns=["i", "j", "cov"])
+    ii, jj = np.triu_indices(d)
+    den = float(n * n)
+    cov = [
+        float(n * int(souter[i * d + j]) - int(svec[i]) * int(svec[j])) / den
+        for i, j in zip(ii, jj)
+    ]
+    return pd.DataFrame(
+        {
+            "i": ii.astype(np.int64),
+            "j": jj.astype(np.int64),
+            "cov": np.array(cov, dtype=np.float64),
+        }
+    )

@@ -7806,3 +7806,202 @@ ORACLE_SQL["triangle_count"] = """
            tri.n AS n_triangles
     FROM tri
 """
+
+
+def q_benford_digits(sf_dir: str):
+    """Leading-digit distribution of value cents per event type (the
+    Benford data-quality profile): per-block (type, digit) count
+    combiner → one keyed sum exchange. Digits are taken from the exact
+    integer cents' decimal string — no float log10 edge cases."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        m = cents > 0
+        digit = cents[m].astype(str).str[0]
+        vc = (
+            pd.DataFrame({"event_type": pdf.loc[m, "event_type"], "digit": digit})
+            .groupby(["event_type", "digit"], sort=False)
+            .size()
+        )
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(
+            ["event_type", "digit"], as_index=False, sort=False
+        )["n"].sum()
+
+    return keyed_partition_map(
+        partials, keys=["event_type", "digit"], order_col="n",
+        fn=reduce_sum, num_partitions=NP,
+    )
+
+
+QUERIES["benford_digits"] = q_benford_digits
+
+ORACLE_SQL["benford_digits"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_type, left(CAST(cents AS VARCHAR), 1) AS digit,
+           count(*) AS n
+    FROM c WHERE cents > 0 GROUP BY 1, 2
+"""
+
+
+def q_lead_lag_correlation(sf_dir: str):
+    """Lead-lag Pearson correlation between the daily click and purchase
+    count series (lags −3..3), zero-filled on the shared day grid
+    (stages/analytics.py:lead_lag_correlation). Daily counts are a
+    per-block combiner + one tiny keyed sum; the lag scan is a
+    driver-side finalize over tick-sized series. All sums integer; the
+    single r expression is bit-identical to the SQL oracle's."""
+    from arlas_proc_ray.stages.analytics import lead_lag_correlation
+
+    ds = _events(sf_dir, columns=["event_type", "ts"]).filter(
+        expr="event_type == 'click' or event_type == 'purchase'"
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        vc = (
+            pd.DataFrame({"event_type": pdf["event_type"], "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+        )
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    daily = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby(["event_type", "day"], sort=False)["n"]
+        .sum()
+    )
+    x = daily.xs("click", level="event_type")
+    y = daily.xs("purchase", level="event_type")
+    return lead_lag_correlation(x, y, lags=range(-3, 4))
+
+
+QUERIES["lead_lag_correlation"] = q_lead_lag_correlation
+
+ORACLE_SQL["lead_lag_correlation"] = """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE event_type IN ('click', 'purchase')),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    grid AS (SELECT lo + u AS day
+             FROM bounds, UNNEST(range(0, hi - lo + 1)) AS r(u)),
+    x AS (SELECT g.day, coalesce(c.n, 0) AS n FROM grid g
+          LEFT JOIN (SELECT day, count(*) AS n FROM d
+                     WHERE event_type = 'click' GROUP BY 1) c USING (day)),
+    y AS (SELECT g.day, coalesce(c.n, 0) AS n FROM grid g
+          LEFT JOIN (SELECT day, count(*) AS n FROM d
+                     WHERE event_type = 'purchase' GROUP BY 1) c USING (day)),
+    l AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+          AS t(lag)),
+    p AS (SELECT l.lag, x.n AS xv, y.n AS yv
+          FROM l JOIN x ON TRUE JOIN y ON y.day = x.day + l.lag),
+    s AS (SELECT lag, count(*) AS n, sum(xv) AS sx, sum(yv) AS sy,
+                 sum(xv * xv) AS sxx, sum(yv * yv) AS syy,
+                 sum(xv * yv) AS sxy
+          FROM p GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM s
+    WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+"""
+
+
+_IMV_DIM_SQL = [
+    "CAST(round(value * 100) AS BIGINT)",
+    "CAST(hour(ts) AS BIGINT)",
+    "CAST(ascii(left(event_type, 1)) AS BIGINT)",
+    "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+]
+
+
+def q_incremental_covariance(sf_dir: str):
+    """Covariance state maintained by delta propagation from the events
+    changelog (cdc/ivm.py:incremental_moment_view): key (user_id,
+    event_type), LSN event_id, tombstone value < 0.05; each change
+    retracts its key's previous live 4-dim feature vector (cents, hour,
+    type-initial code, props.k) and asserts the new one — all int64, so
+    retractions cancel exactly. The oracle computes the same covariance
+    FROM the final LWW state; this operator never materializes it."""
+    from arlas_proc_ray.cdc.ivm import incremental_moment_view
+
+    ds = _events(sf_dir)
+    code = {"click": 99, "error": 101, "purchase": 112,
+            "signup": 115, "view": 118}  # ascii(initial); initials distinct
+
+    def feats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "_live": (pdf["value"] >= 0.05),
+                "d0": (pdf["value"] * 100).round().astype("int64"),
+                "d1": pdf["ts"].dt.hour.astype("int64"),
+                "d2": pdf["event_type"].map(code).astype("int64"),
+                "d3": pdf["props"]
+                .str.extract(r'"k":\s*(\d+)')[0]
+                .astype("int64"),
+            }
+        )
+
+    chg = ds.map_batches(feats, batch_format="pandas", batch_size=None)
+    return incremental_moment_view(
+        chg,
+        key=["user_id", "event_type"],
+        order_col="event_id",
+        live_col="_live",
+        vec_cols=["d0", "d1", "d2", "d3"],
+        num_partitions=NP,
+    )
+
+
+QUERIES["incremental_covariance"] = q_incremental_covariance
+
+
+def _imv_oracle() -> str:
+    dims = _IMV_DIM_SQL
+    sums = ["count(*) AS n"]
+    for i in range(4):
+        sums.append(f"sum(d{i}::HUGEINT) AS s{i}")
+        for j in range(i, 4):
+            sums.append(f"sum(d{i}::HUGEINT * d{j}) AS p{i}{j}")
+    cells = []
+    for i in range(4):
+        for j in range(i, 4):
+            cells.append(
+                f"SELECT {i}::BIGINT AS i, {j}::BIGINT AS j, "
+                f"CAST(n::HUGEINT * p{i}{j} - s{i} * s{j} AS DOUBLE) "
+                f"/ CAST(n::HUGEINT * n AS DOUBLE) AS cov FROM s"
+            )
+    dim_sel = ", ".join(f"{expr} AS d{k}" for k, expr in enumerate(dims))
+    return f"""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events),
+    live AS (SELECT {dim_sel}
+             FROM ranked WHERE rn = 1 AND value >= 0.05),
+    s AS (SELECT {', '.join(sums)} FROM live)
+    {' UNION ALL '.join(cells)}
+    """
+
+
+ORACLE_SQL["incremental_covariance"] = _imv_oracle()

@@ -734,3 +734,54 @@ def sequence_pattern_counts(
         ds, keys=[key_col], order_col=order_col, fn=part,
         num_partitions=num_partitions,
     )
+
+
+def lead_lag_correlation(
+    x: pd.Series, y: pd.Series, *, lags: Sequence[int]
+) -> pd.DataFrame:
+    """Pearson correlation of two integer-valued series at several leads
+    and lags: for each ``lag``, r over aligned pairs (x_t, y_{t+lag})
+    within the shared index span, missing ticks as 0.
+
+    All sums are exact integers; r is the textbook single expression
+    ``(n·Σxy − ΣxΣy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))`` — every
+    float op (int→double casts, two IEEE-correctly-rounded sqrts, one
+    multiply, one divide) appears in the same order in the SQL oracle,
+    so results are bit-identical. Degenerate lags (a constant series in
+    the overlap) are dropped.
+
+    Driver-side finalize over tick-sized series — the distributed work
+    is the per-tick aggregation that produced them.
+    """
+    import numpy as np
+
+    lo = min(int(x.index.min()), int(y.index.min()))
+    hi = max(int(x.index.max()), int(y.index.max()))
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    xv = x.reindex(grid, fill_value=0).to_numpy(np.int64)
+    yv = y.reindex(grid, fill_value=0).to_numpy(np.int64)
+    rows = []
+    for lag in lags:
+        # pairs (x_t, y_{t+lag}) with both indices on the grid
+        if lag >= 0:
+            a, b = xv[: len(xv) - lag or None], yv[lag:]
+        else:
+            a, b = xv[-lag:], yv[: len(yv) + lag]
+        n = len(a)
+        if n == 0:
+            continue
+        sx, sy = int(a.sum()), int(b.sum())
+        sxx = int((a * a).sum())
+        syy = int((b * b).sum())
+        sxy = int((a * b).sum())
+        da = n * sxx - sx * sx
+        db = n * syy - sy * sy
+        if da == 0 or db == 0:
+            continue
+        r = float(n * sxy - sx * sy) / (
+            np.sqrt(float(da)) * np.sqrt(float(db))
+        )
+        rows.append((lag, n, r))
+    return pd.DataFrame(rows, columns=["lag", "n_days", "r"]).astype(
+        {"lag": "int64", "n_days": "int64"}
+    )

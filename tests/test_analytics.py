@@ -253,3 +253,20 @@ def test_sequence_pattern_counts_nonoverlapping_and_raises():
             type_col="etype", symbol_of=sym, pattern="vc*p",
             num_partitions=1,
         ).to_pandas()
+
+
+def test_lead_lag_correlation_detects_shift_and_matches_numpy():
+    from arlas_proc_ray.stages.analytics import lead_lag_correlation
+
+    rng = np.random.default_rng(4)
+    days = np.arange(100, 160)
+    x = pd.Series(rng.integers(0, 40, len(days)), index=days)
+    y = pd.Series(0, index=days)
+    # y echoes x two days later (plus noise) → peak r at lag +2
+    y.iloc[2:] = (x.iloc[:-2].to_numpy() * 3
+                  + rng.integers(0, 5, len(days) - 2))
+    out = lead_lag_correlation(x, y, lags=range(-3, 4)).set_index("lag")
+    assert out["r"].idxmax() == 2
+    # lag-0 value equals numpy's Pearson on the aligned grid
+    want = np.corrcoef(x.to_numpy(float), y.to_numpy(float))[0, 1]
+    assert abs(out.loc[0, "r"] - want) < 1e-12

@@ -93,3 +93,61 @@ def test_count_only_mode():
     expect = _oracle(log, value=False)
     assert "value_sum" not in got.columns
     pd.testing.assert_frame_equal(got.astype({"n_live": "int64"}), expect)
+
+
+def test_incremental_moment_view_equals_batch_covariance_of_final_state():
+    import numpy as np
+
+    from arlas_proc_ray.cdc.ivm import incremental_moment_view
+
+    rng = np.random.default_rng(9)
+    rows = []
+    lsn = 0
+    # churn: multiple updates per key, deletes, delete-then-reinsert
+    for key in range(40):
+        for _ in range(int(rng.integers(1, 6))):
+            live = rng.random() > 0.25
+            rows.append(
+                (key % 7, f"t{key % 3}", lsn, live,
+                 int(rng.integers(-50, 500)), int(rng.integers(0, 24)))
+            )
+            lsn += 1
+    df = pd.DataFrame(
+        rows, columns=["uid", "etype", "lsn", "_live", "d0", "d1"]
+    )
+    got = incremental_moment_view(
+        rd.from_pandas(df).repartition(5),
+        key=["uid", "etype"], order_col="lsn", live_col="_live",
+        vec_cols=["d0", "d1"], num_partitions=3,
+    )
+    # batch oracle: covariance of the final LWW live state
+    last = df.sort_values("lsn").groupby(["uid", "etype"]).tail(1)
+    live = last[last["_live"]]
+    V = live[["d0", "d1"]].to_numpy().astype(object)
+    n = len(V)
+    s = V.sum(axis=0)
+    so = (V[:, :, None] * V[:, None, :]).sum(axis=0)
+    for _, r in got.iterrows():
+        i, j = int(r["i"]), int(r["j"])
+        want = float(n * int(so[i, j]) - int(s[i]) * int(s[j])) / float(n * n)
+        assert r["cov"] == want  # exact: retractions cancel bit-for-bit
+    assert len(got) == 3  # 2x2 upper triangle
+
+
+def test_incremental_moment_view_all_deleted_is_empty():
+    from arlas_proc_ray.cdc.ivm import incremental_moment_view
+
+    df = pd.DataFrame(
+        {
+            "uid": [1, 1, 2, 2],
+            "etype": ["a"] * 4,
+            "lsn": [0, 1, 2, 3],
+            "_live": [True, False, True, False],
+            "d0": [10, 0, 20, 0],
+        }
+    )
+    got = incremental_moment_view(
+        rd.from_pandas(df), key=["uid", "etype"], order_col="lsn",
+        live_col="_live", vec_cols=["d0"], num_partitions=2,
+    )
+    assert got.empty
