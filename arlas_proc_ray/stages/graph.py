@@ -386,16 +386,24 @@ def pagerank_exchange(
     return state.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 def triangle_count(
     edges_ds,
     *,
     src_col: str,
     dst_col: str,
     num_partitions: int = 16,
+    mode: str = "auto",
+    max_bitset_nodes: int = 8192,
 ) -> pd.DataFrame:
-    """Exact triangle count over an undirected graph, by degree-ordered
-    orientation (the standard compact-forward / Schank-Wagner shape that
-    bounds wedge volume at O(m^1.5) regardless of skew):
+    """Exact triangle count over an undirected graph. Two regimes,
+    auto-selected once the (node-sized) degree table is known:
+
+    **wedge** — the general big-sparse-graph path: degree-ordered
+    orientation (compact-forward / Schank-Wagner), bounding wedge volume
+    at O(m^1.5) regardless of skew:
 
     1. canonicalize + dedup edges — one keyed exchange on (lo, hi);
     2. degrees — per-block partials, sort-free node-sized tree collect;
@@ -408,8 +416,18 @@ def triangle_count(
        oriented edge list (each surviving wedge IS one triangle: the
        orientation makes the count exact with no de-dup pass).
 
-    Edges stay Datasets throughout; only degrees/ranks (node-sized)
-    touch the driver — the same small-side contract as pagerank. The
+    **bitset** — the dense/small-node regime, where the wedge stream
+    (Σ outdeg², ~10⁸ rows at 26%% density on 1.5k nodes — measured 36 s
+    at sf0.1) dwarfs the n²/8-byte adjacency bitset (280 KB there): the
+    bitset is OR-merged from per-block partials (node-sized tree-collect
+    contract), broadcast once via ``ray.put``, and each edge block
+    counts common neighbors with one vectorized AND+popcount — zero
+    extra exchanges, Σ over edges = 3·triangles. Selected when
+    ``n_nodes ≤ max_bitset_nodes`` (n²/8 must respect the same broadcast
+    budget as every node-sized side here; 8192 ⇒ 8 MB).
+
+    Edges stay Datasets throughout; only degrees/ranks (node-sized) —
+    and in bitset mode the n²/8 adjacency — touch the driver. The
     triangle total is invariant to WHICH total order ranks nodes, so
     the SQL oracle only has to be consistent, not identical.
     """
@@ -451,6 +469,19 @@ def triangle_count(
         ).astype("int64")
     deg = deg.sort_values(["d", "node"], kind="mergesort").reset_index(drop=True)
     rank = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"])
+    if mode not in ("auto", "wedge", "bitset"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if mode == "auto":
+        mode = "bitset" if len(deg) <= max_bitset_nodes else "wedge"
+    if mode == "bitset":
+        n_tri = _triangles_bitset(dedup, rank)
+        return pd.DataFrame(
+            {
+                "n_nodes": np.array([len(deg)], dtype=np.int64),
+                "n_edges": np.array([dedup.count()], dtype=np.int64),
+                "n_triangles": np.array([n_tri], dtype=np.int64),
+            }
+        )
     rank_ref = ray.put(rank)
 
     def orient(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -500,3 +531,61 @@ def triangle_count(
             "n_triangles": np.array([n_tri], dtype=np.int64),
         }
     )
+
+
+def _triangles_bitset(dedup, rank: pd.Series) -> int:
+    """Dense/small-node triangle closure: distributed adjacency-bitset
+    build (per-block partials, OR-merged driver-side under the
+    node-sized collect contract), one ray.put broadcast, then one
+    AND+popcount ``map_batches`` pass over the edge Dataset. Returns the
+    exact triangle count (Σ per-edge common neighbors = 3·triangles)."""
+    import pyarrow as pa
+
+    import ray
+
+    n = len(rank)
+    words = (n + 63) // 64
+    rank_ref = ray.put(rank)
+
+    def bits_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ui = pdf["u"].map(r).to_numpy(np.int64)
+        vi = pdf["v"].map(r).to_numpy(np.int64)
+        B = np.zeros((n, words), dtype=np.uint64)
+        for a, b in ((ui, vi), (vi, ui)):
+            np.bitwise_or.at(
+                B,
+                (a, b >> 6),
+                np.uint64(1) << (b & 63).astype(np.uint64),
+            )
+        return pa.table(
+            {"bits": pa.array([B.ravel().tolist()], pa.list_(pa.uint64()))}
+        ).to_pandas()
+
+    parts = dedup.map_batches(
+        bits_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    B = np.zeros(n * words, dtype=np.uint64)
+    for bits in parts["bits"]:
+        B |= np.asarray(bits, dtype=np.uint64)
+    B = B.reshape(n, words)
+    bits_ref = ray.put(B)
+
+    def count_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        adj = ray.get(bits_ref)
+        ui = pdf["u"].map(r).to_numpy(np.int64)
+        vi = pdf["v"].map(r).to_numpy(np.int64)
+        total = 0
+        for lo in range(0, len(ui), 4096):  # bound the AND matrix's heap
+            rows = adj[ui[lo:lo + 4096]] & adj[vi[lo:lo + 4096]]
+            total += int(_POP8[rows.view(np.uint8)].sum())
+        return pd.DataFrame({"t": np.array([total], dtype=np.int64)})
+
+    tot = int(
+        dedup.map_batches(count_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()["t"]
+        .sum()
+    )
+    assert tot % 3 == 0, "per-edge common-neighbor total must be 3·triangles"
+    return tot // 3

@@ -230,12 +230,13 @@ def test_triangle_count_matches_bruteforce_on_random_graphs():
         # feed duplicated + reversed + self-loop rows: all must be cleaned
         rows = edges + [(b, a) for a, b in edges[::2]] + [(5, 5)]
         df = pd.DataFrame(rows, columns=["x", "y"])
-        out = triangle_count(
-            rd.from_pandas(df).repartition(4), src_col="x", dst_col="y",
-            num_partitions=3,
-        )
-        assert int(out["n_triangles"].iloc[0]) == want
-        assert int(out["n_edges"].iloc[0]) == len(edges)
+        for mode in ("bitset", "wedge"):  # both regimes, same answer
+            out = triangle_count(
+                rd.from_pandas(df).repartition(4), src_col="x", dst_col="y",
+                num_partitions=3, mode=mode,
+            )
+            assert int(out["n_triangles"].iloc[0]) == want, mode
+            assert int(out["n_edges"].iloc[0]) == len(edges), mode
 
 
 def test_triangle_count_empty_and_triangle_free():
