@@ -708,3 +708,39 @@ def bigram_collocations(
             "lift": np.array(lift, dtype=np.float64),
         }
     )
+
+
+def compression_ratio_fn(
+    text_col: str = "text", *, level: int = 6, out_col: str = "zlib_ratio"
+):
+    """Per-batch kernel: zlib compressed-size / raw-size per document —
+    the classic low-information / boilerplate / repetition curation
+    signal (near-0 = degenerate repetition, ~1 = high-entropy noise;
+    natural text sits in between). stdlib zlib, dependency-free.
+
+    Per-document compression is inherently per-item CPU work (same
+    contract as the image decoders in multimodal/): the loop is over
+    PAYLOADS, not rows of a scalar column, and parallelism comes from
+    blocks. Empty/null texts get ratio 0.0 (nothing to compress).
+
+    Determinism: zlib output depends only on (input, level) for a given
+    zlib build, and the signal consumer thresholds it — the catalog
+    entry is rows-only with a same-library unit oracle, not SQL-oracled.
+    """
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.to_pandas().fillna("")
+        raw = buf.str.len().to_numpy(np.int64)
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level)) for t in buf),
+            dtype=np.int64,
+            count=len(buf),
+        )
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+        return batch.append_column(out_col, pa.array(ratio, pa.float64()))
+
+    return fn

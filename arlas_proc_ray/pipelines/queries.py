@@ -8005,3 +8005,35 @@ def _imv_oracle() -> str:
 
 
 ORACLE_SQL["incremental_covariance"] = _imv_oracle()
+
+
+def q_doc_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal per document
+    (functions/text.py:compression_ratio_fn) + the downstream filter
+    shape: docs whose ratio marks degenerate repetition (< 0.3) or
+    near-random noise (> 0.9) are flagged. Rows-only for the driver
+    (zlib is not SQL-expressible); same-library oracle in
+    tests/test_sampling_vocab.py."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"], min_parallelism=4)
+    from arlas_proc_ray.functions.text import compression_ratio_fn
+
+    out = ds.map_batches(
+        compression_ratio_fn("text"), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("zlib_ratio")
+        flag = pc.or_(pc.less(r, 0.3), pc.greater(r, 0.9))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "zlib_ratio": r,
+                "flagged": flag,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["doc_compression_ratio"] = q_doc_compression_ratio

@@ -501,3 +501,34 @@ def test_bigram_collocations_counts_and_lift():
     }
     assert got == want
     assert ("a", "b") in got and got[("a", "b")][0] == 4
+
+
+def test_compression_ratio_signal_ordering_and_exactness():
+    import zlib
+
+    from arlas_proc_ray.functions.text import compression_ratio_fn
+
+    docs = ["ab" * 500, "the quick brown fox jumps over the lazy dog " * 8,
+            "", None]
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    noise = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 1000))
+    docs.insert(2, noise)
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = (
+        rd.from_pandas(df).repartition(2)
+        .map_batches(compression_ratio_fn("text"), batch_format="pyarrow",
+                     batch_size=None)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    r = out["zlib_ratio"].to_numpy()
+    # same-library oracle, value-exact
+    for i, t in enumerate(docs):
+        if not t:
+            assert r[i] == 0.0
+        else:
+            assert r[i] == len(zlib.compress(t.encode(), 6)) / len(t)
+    # ordering: repetition < natural text < random noise
+    assert r[0] < r[1] < r[2]
