@@ -651,14 +651,21 @@ def bigram_collocations(
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
     def partial_counts(batch: pa.Table) -> pd.DataFrame:
+        from arlas_proc_ray.stages.keyed import byte_exact_group_cols
+
         s = batch.column(text_col).to_pandas().fillna("")
         toks = s.str.split(" ").explode()
         toks = toks[toks.notna()]
-        uni = toks.value_counts()
+        # byte-exact token counting (NUL-safe, see keyed.py rationale)
+        uni = byte_exact_group_cols(
+            pd.DataFrame({"w": toks}), ["w"]
+        )["w"].value_counts()
         nxt = toks.groupby(level=0).shift(-1)
         m = nxt.notna()
         bi = (
-            pd.DataFrame({"w1": toks[m], "w2": nxt[m]})
+            byte_exact_group_cols(
+                pd.DataFrame({"w1": toks[m], "w2": nxt[m]}), ["w1", "w2"]
+            )
             .groupby(["w1", "w2"], sort=False)
             .size()
         )

@@ -577,7 +577,11 @@ def category_affinity(
     import numpy as np
 
     def part(pdf: pd.DataFrame) -> pd.DataFrame:
-        ut = pdf[[id_col, cat_col]].drop_duplicates()
+        from arlas_proc_ray.stages.keyed import byte_exact_group_cols
+
+        ut = byte_exact_group_cols(
+            pdf[[id_col, cat_col]].copy(), [cat_col]
+        ).drop_duplicates()
         singles = ut.groupby(cat_col, sort=False).size()
         m = ut.merge(ut, on=id_col)
         xa, xb = f"{cat_col}_x", f"{cat_col}_y"
@@ -610,6 +614,9 @@ def category_affinity(
         return pd.DataFrame(
             columns=["type_a", "type_b", "co_users", "union_users", "jaccard"]
         )
+    from arlas_proc_ray.stages.keyed import byte_exact_group_cols
+
+    partials = byte_exact_group_cols(partials, ["type_a", "type_b"])
     tot = partials.groupby(["type_a", "type_b"], sort=False)["n"].sum()
     singles = tot.xs("", level="type_b")
     pairs = tot[tot.index.get_level_values("type_b") != ""].reset_index()
@@ -652,12 +659,17 @@ def last_touch_attribution(
     import numpy as np
 
     def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        from arlas_proc_ray.stages.keyed import byte_exact_group_cols
+
         t = pdf[type_col].where(pdf[type_col] != conv_type)
         prev = t.groupby(pdf[key_col], sort=False).shift(1)
         touch = prev.groupby(pdf[key_col], sort=False).ffill()
         conv = (pdf[type_col] == conv_type) & touch.notna()
-        sub = pd.DataFrame(
-            {"touch_type": touch[conv], "cents": pdf.loc[conv, cents_col]}
+        sub = byte_exact_group_cols(
+            pd.DataFrame(
+                {"touch_type": touch[conv], "cents": pdf.loc[conv, cents_col]}
+            ),
+            ["touch_type"],
         )
         agg = sub.groupby("touch_type", sort=False)["cents"].agg(
             ["size", "sum"]
@@ -678,6 +690,9 @@ def last_touch_attribution(
         return pd.DataFrame(
             columns=["touch_type", "conversions", "attributed_value"]
         )
+    from arlas_proc_ray.stages.keyed import byte_exact_group_cols
+
+    partials = byte_exact_group_cols(partials, ["touch_type"])
     agg = partials.groupby("touch_type", sort=False)[["conversions", "cents"]].sum()
     return pd.DataFrame(
         {

@@ -502,6 +502,11 @@ def kmv_partial_fn(group_col: str, value_col: str, k: int):
     """
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        from arlas_proc_ray.stages.keyed import (
+            byte_exact_group_cols,
+            restore_object_cols,
+        )
+
         vals = batch.column(value_col)
         hv = sha256_prefix_int(pc.cast(vals, pa.string()))
         keep = hv >= 0  # nulls hash to -1: a null value is no observation
@@ -509,13 +514,16 @@ def kmv_partial_fn(group_col: str, value_col: str, k: int):
         gcol = batch.column(group_col).combine_chunks()
         if keep.sum() != len(keep):
             gcol = gcol.filter(pa.array(keep))
-        pdf = pd.DataFrame(
-            {group_col: gcol.to_pandas(), "hv": hv}
+        pdf = byte_exact_group_cols(
+            pd.DataFrame({group_col: gcol.to_pandas(), "hv": hv}),
+            [group_col],
         ).drop_duplicates()
         # bottom-k per group without a Python loop: sort once, cumcount
         pdf = pdf.sort_values([group_col, "hv"], kind="mergesort")
         rank = pdf.groupby(group_col, sort=False).cumcount()
-        return pdf[rank < k].reset_index(drop=True)
+        return restore_object_cols(
+            pdf[rank < k].reset_index(drop=True), [group_col]
+        )
 
     return partial
 

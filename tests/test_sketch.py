@@ -429,3 +429,22 @@ def test_kmv_intersection_exact_below_k_and_estimator():
     # sanity: estimates in the right ballpark of truth (400 / 1900)
     assert 100 <= int(out["inter_est"].iloc[0]) <= 900
     assert 1100 <= int(out["union_est"].iloc[0]) <= 2900
+
+
+def test_kmv_nul_byte_groups_stay_distinct():
+    """Groups differing only by NUL bytes must not merge (the pandas
+    StringHashTable pitfall byte_exact_group_cols exists for)."""
+    from arlas_proc_ray.stages.sketch import kmv_distinct
+
+    df = pd.DataFrame(
+        {
+            "g": ["", "\x00", "", "\x00", "\x00\x00"],
+            "v": ["a", "b", "c", "d", "e"],
+        }
+    )
+    out = kmv_distinct(
+        rd.from_pandas(df), group_col="g", value_col="v", k=8,
+        num_partitions=2,
+    ).to_pandas()
+    got = {g: int(n) for g, n in zip(out["g"], out["distinct_est"])}
+    assert got == {"": 2, "\x00": 2, "\x00\x00": 1}
