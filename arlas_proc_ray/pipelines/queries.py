@@ -8037,3 +8037,44 @@ def q_doc_compression_ratio(sf_dir: str):
 
 
 QUERIES["doc_compression_ratio"] = q_doc_compression_ratio
+
+
+def q_trailing_window_spend(sf_dir: str):
+    """Per-event trailing 7-day same-user activity (SQL RANGE frame:
+    peers at the same timestamp included): event count + exact-cents
+    spend over [ts−7d, ts] (stages/windows.py:trailing_range_agg — two
+    global searchsorted calls + a prefix-sum difference per partition,
+    no per-row work). One keyed exchange."""
+    from arlas_proc_ray.stages.windows import trailing_range_agg
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return t.append_column("_cents", c)
+
+    return trailing_range_agg(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        key_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        value_int_col="_cents",
+        window_us=7 * 86_400_000_000,
+        n_name="trailing_n",
+        sum_name="trailing_cents",
+        num_partitions=NP,
+    )
+
+
+QUERIES["trailing_window_spend"] = q_trailing_window_spend
+
+ORACLE_SQL["trailing_window_spend"] = """
+    WITH e AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id, COUNT(*) OVER w AS trailing_n,
+           CAST(SUM(cents) OVER w AS BIGINT) AS trailing_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""

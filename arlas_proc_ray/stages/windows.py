@@ -510,3 +510,59 @@ def ema_last(
         ds, keys=[key_col], order_col=order_col, fn=part,
         num_partitions=num_partitions,
     )
+
+
+def trailing_range_agg(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_int_col: str | None = None,
+    window_us: int,
+    n_name: str = "trailing_n",
+    sum_name: str = "trailing_sum",
+    num_partitions: int = 16,
+):
+    """Per-ROW trailing value-range window (SQL ``RANGE BETWEEN <w>
+    PRECEDING AND CURRENT ROW``): for every row, the count (and
+    optionally the int64 sum) over the key's rows with
+    ``ts ∈ [ts_row − window, ts_row]`` — peers at the same timestamp are
+    all included, exactly the SQL RANGE frame (not ROWS).
+
+    Vectorized with zero per-row work: within a partition sorted by
+    (key, ts), timestamps are lifted to a per-key disjoint axis
+    (``ts + key_code · span``, spans exceeding the window so keys can't
+    bleed), then TWO global searchsorted calls find each row's window
+    bounds and a prefix-sum difference yields the sums — O(n log n) per
+    partition, no Python loop. One keyed exchange.
+    """
+    import numpy as np
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key_col, ts_col, order_col], kind="mergesort")
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:
+            out = pdf[[key_col, order_col]].copy()
+            out[n_name] = pd.Series([], dtype="int64")
+            if value_int_col is not None:
+                out[sum_name] = pd.Series([], dtype="int64")
+            return out
+        codes = pdf.groupby(key_col, sort=False).ngroup().to_numpy(np.int64)
+        span = np.int64(ts.max() - ts.min() + window_us + 1)
+        lifted = (ts - ts.min()) + codes * span  # globally sorted
+        lo = np.searchsorted(lifted, lifted - window_us, side="left")
+        hi = np.searchsorted(lifted, lifted, side="right")
+        out = pdf[[key_col, order_col]].copy()
+        out[n_name] = (hi - lo).astype(np.int64)
+        if value_int_col is not None:
+            ps = np.concatenate(
+                [[0], np.cumsum(pdf[value_int_col].to_numpy(np.int64))]
+            )
+            out[sum_name] = (ps[hi] - ps[lo]).astype(np.int64)
+        return out.reset_index(drop=True)
+
+    return keyed_partition_map(
+        ds, keys=[key_col], order_col=order_col, fn=part,
+        num_partitions=num_partitions,
+    )

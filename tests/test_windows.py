@@ -176,3 +176,61 @@ def test_time_weighted_avg_orders_by_time_not_seq():
     ).to_pandas()
     assert int(out["dur_us"].iloc[0]) == 5_000_000
     assert out["twap"].iloc[0] == 10.0
+
+
+# trailing_range_agg
+
+
+def test_trailing_range_agg_matches_bruteforce_incl_ts_peers():
+    import numpy as np
+
+    from arlas_proc_ray.stages.windows import trailing_range_agg
+
+    rng = np.random.default_rng(6)
+    rows = []
+    seq = 0
+    for uid in range(6):
+        t = 0
+        for _ in range(40):
+            t += int(rng.integers(0, 5)) * 1000  # gaps incl. ZERO (peers)
+            rows.append((uid, seq, t, int(rng.integers(1, 100))))
+            seq += 1
+    df = pd.DataFrame(rows, columns=["uid", "seq", "tus", "v"])
+    df["ts"] = pd.to_datetime(df["tus"], unit="us")
+    W = 3000
+    out = (
+        trailing_range_agg(
+            rd.from_pandas(df).repartition(4),
+            key_col="uid", ts_col="ts", order_col="seq",
+            value_int_col="v", window_us=W,
+            sum_name="tsum", num_partitions=3,
+        )
+        .to_pandas()
+        .set_index("seq")
+    )
+    for r in df.itertuples():
+        m = df[(df.uid == r.uid) & (df.tus >= r.tus - W) & (df.tus <= r.tus)]
+        assert int(out.loc[r.seq, "trailing_n"]) == len(m), r.seq
+        assert int(out.loc[r.seq, "tsum"]) == int(m["v"].sum()), r.seq
+
+
+def test_trailing_range_agg_keys_never_bleed():
+    from arlas_proc_ray.stages.windows import trailing_range_agg
+
+    base = pd.Timestamp("2024-01-01")
+    # two keys interleaved at the SAME timestamps: windows must not mix
+    df = pd.DataFrame(
+        {
+            "uid": [1, 2, 1, 2],
+            "seq": [0, 1, 2, 3],
+            "ts": [base, base, base, base],
+            "v": [1, 10, 2, 20],
+        }
+    )
+    out = trailing_range_agg(
+        rd.from_pandas(df), key_col="uid", ts_col="ts", order_col="seq",
+        value_int_col="v", window_us=10**9, num_partitions=2,
+    ).to_pandas()
+    got = dict(zip(out["seq"], out["trailing_sum"]))
+    assert got[0] == 3 and got[2] == 3  # uid 1: both peer rows, never 10/20
+    assert got[1] == 30 and got[3] == 30
