@@ -7742,16 +7742,11 @@ def q_pca_projection(sf_dir: str):
 QUERIES["pca_projection"] = q_pca_projection
 
 
-def q_triangle_count(sf_dir: str):
-    """Exact triangle count (stages/graph.py:triangle_count) over the
-    user co-engagement graph: an edge joins two users sharing a
-    (event_type, props.k, day) engagement cell. Edge generation is one
-    keyed exchange on the cell key with a per-cell vectorized self-merge
-    (bounded-cell contract, same as every blocking join here); counting
-    is degree-ordered orientation → wedge exchange → distributed semi
-    join, O(m^1.5) wedges regardless of hot nodes."""
-    from arlas_proc_ray.stages.graph import triangle_count
-
+def _coengagement_edges(sf_dir: str):
+    """User co-engagement multigraph: an edge joins two users sharing a
+    (event_type, props.k, day) engagement cell — one keyed exchange on
+    the cell key with a per-cell vectorized self-merge (bounded-cell
+    contract, same as every blocking join here)."""
     ds = _events(sf_dir, columns=["user_id", "event_type", "ts", "props"])
 
     def cells(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -7775,13 +7770,24 @@ def q_triangle_count(sf_dir: str):
             {"x": m["user_id_x"].to_numpy(), "y": m["user_id_y"].to_numpy()}
         )
 
-    edges = keyed_partition_map(
+    return keyed_partition_map(
         ds.map_batches(cells, batch_format="pandas", batch_size=None),
         keys=["ck"],
         order_col="user_id",
         fn=pairs,
         num_partitions=NP,
     )
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count (stages/graph.py:triangle_count) over the
+    co-engagement graph (_coengagement_edges): degree-ordered
+    orientation → wedge exchange → distributed semi join for big sparse
+    graphs; auto-switches to the broadcast adjacency-bitset AND+popcount
+    closure in the dense/small-node regime."""
+    from arlas_proc_ray.stages.graph import triangle_count
+
+    edges = _coengagement_edges(sf_dir)
     return triangle_count(edges, src_col="x", dst_col="y", num_partitions=NP)
 
 
@@ -8077,4 +8083,52 @@ ORACLE_SQL["trailing_window_spend"] = """
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Per-user triangle counts + local clustering coefficient over the
+    co-engagement graph (stages/graph.py:clustering_coefficients):
+    adjacency-bitset closure with per-edge common-neighbor counts
+    scattered to both endpoints (Σ incident = 2·tri(v)); the coefficient
+    is one exact-int division — bit-identical to the oracle's."""
+    from arlas_proc_ray.stages.graph import clustering_coefficients
+
+    edges = _coengagement_edges(sf_dir)
+    out = clustering_coefficients(
+        edges, src_col="x", dst_col="y", num_partitions=NP
+    )
+    return out.rename(columns={"node": "user_id"})
+
+
+QUERIES["clustering_coefficient"] = q_clustering_coefficient
+
+ORACLE_SQL["clustering_coefficient"] = """
+    WITH ek AS (
+      SELECT DISTINCT user_id,
+             event_type || ':' || json_extract_string(props, '$.k') || ':'
+               || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ck
+      FROM events),
+    ed AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+           FROM ek a JOIN ek b
+             ON a.ck = b.ck AND a.user_id < b.user_id),
+    deg AS (SELECT node, count(*) AS d FROM
+              (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+            GROUP BY 1),
+    tri3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM ed e1
+             JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pn AS (SELECT node, count(*) AS t FROM
+             (SELECT a AS node FROM tri3
+              UNION ALL SELECT b FROM tri3
+              UNION ALL SELECT c FROM tri3)
+           GROUP BY 1)
+    SELECT deg.node AS user_id, deg.d AS degree,
+           coalesce(pn.t, 0) AS triangles,
+           CASE WHEN deg.d > 1
+                THEN CAST(2 * coalesce(pn.t, 0) AS DOUBLE)
+                     / (deg.d * (deg.d - 1))
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
 """

@@ -389,6 +389,45 @@ def pagerank_exchange(
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+def _canon_dedup_edges(edges_ds, *, src_col, dst_col, num_partitions):
+    """Canonical (u < v) self-loop-free DISTINCT undirected edge list —
+    one keyed exchange; materialized (reused by degrees + closure)."""
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[src_col].to_numpy()
+        b = pdf[dst_col].to_numpy()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    return keyed_partition_map(
+        edges_ds.map_batches(canon, batch_format="pandas", batch_size=None),
+        keys=["u", "v"],
+        order_col="u",
+        fn=lambda pdf: pdf.drop_duplicates(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+
+def _degree_table(dedup) -> pd.DataFrame:
+    """Node-sized (node, degree) via per-block partials + tree collect."""
+
+    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(), "d": vc.to_numpy(np.int64)}
+        )
+
+    def deg_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("node", as_index=False, sort=False)["d"].sum()
+
+    return _tree_collect(
+        dedup.map_batches(deg_partial, batch_format="pandas", batch_size=None),
+        deg_combine,
+    )
+
+
 def triangle_count(
     edges_ds,
     *,
@@ -437,32 +476,11 @@ def triangle_count(
     from arlas_proc_ray.stages.joins import equi_join
     from arlas_proc_ray.stages.keyed import keyed_partition_map
 
-    def canon(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[src_col].to_numpy()
-        b = pdf[dst_col].to_numpy()
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        out = pd.DataFrame({"u": lo, "v": hi})
-        return out[out["u"] != out["v"]].drop_duplicates()
-
-    dedup = keyed_partition_map(
-        edges_ds.map_batches(canon, batch_format="pandas", batch_size=None),
-        keys=["u", "v"],
-        order_col="u",
-        fn=lambda pdf: pdf.drop_duplicates(),
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
         num_partitions=num_partitions,
-    ).materialize()
-
-    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        vc = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).value_counts()
-        return pd.DataFrame({"node": vc.index.to_numpy(), "d": vc.to_numpy(np.int64)})
-
-    def deg_combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.groupby("node", as_index=False, sort=False)["d"].sum()
-
-    deg = _tree_collect(
-        dedup.map_batches(deg_partial, batch_format="pandas", batch_size=None),
-        deg_combine,
     )
+    deg = _degree_table(dedup)
     if deg.empty:
         return pd.DataFrame(
             {"n_nodes": [0], "n_edges": [0], "n_triangles": [0]}
@@ -533,7 +551,7 @@ def triangle_count(
     )
 
 
-def _triangles_bitset(dedup, rank: pd.Series) -> int:
+def _triangles_bitset(dedup, rank: pd.Series, *, per_node: bool = False):
     """Dense/small-node triangle closure: distributed adjacency-bitset
     build (per-block partials, OR-merged driver-side under the
     node-sized collect contract), one ray.put broadcast, then one
@@ -577,15 +595,85 @@ def _triangles_bitset(dedup, rank: pd.Series) -> int:
         ui = pdf["u"].map(r).to_numpy(np.int64)
         vi = pdf["v"].map(r).to_numpy(np.int64)
         total = 0
+        nodevec = np.zeros(n, dtype=np.int64) if per_node else None
         for lo in range(0, len(ui), 4096):  # bound the AND matrix's heap
-            rows = adj[ui[lo:lo + 4096]] & adj[vi[lo:lo + 4096]]
-            total += int(_POP8[rows.view(np.uint8)].sum())
-        return pd.DataFrame({"t": np.array([total], dtype=np.int64)})
+            us, vs = ui[lo:lo + 4096], vi[lo:lo + 4096]
+            rows = adj[us] & adj[vs]
+            ce = _POP8[rows.view(np.uint8)].reshape(len(us), -1).sum(
+                axis=1
+            )
+            total += int(ce.sum())
+            if per_node:
+                # each triangle at node x spans two of its incident
+                # edges → Σ incident per-edge counts = 2·tri(x)
+                np.add.at(nodevec, us, ce)
+                np.add.at(nodevec, vs, ce)
+        out = {"t": np.array([total], dtype=np.int64)}
+        if per_node:
+            out["nv"] = [nodevec.tolist()]
+        return pd.DataFrame(out)
 
-    tot = int(
-        dedup.map_batches(count_partial, batch_format="pandas", batch_size=None)
-        .to_pandas()["t"]
-        .sum()
-    )
+    parts = dedup.map_batches(
+        count_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    tot = int(parts["t"].sum())
     assert tot % 3 == 0, "per-edge common-neighbor total must be 3·triangles"
-    return tot // 3
+    if not per_node:
+        return tot // 3
+    nodevec = np.zeros(n, dtype=np.int64)
+    for nv in parts["nv"]:
+        nodevec += np.asarray(nv, dtype=np.int64)
+    assert (nodevec % 2 == 0).all()
+    return tot // 3, nodevec // 2
+
+
+def clustering_coefficients(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int = 16,
+    max_bitset_nodes: int = 8192,
+) -> pd.DataFrame:
+    """Per-node triangle counts and local clustering coefficient
+    ``2·tri(v) / (deg(v)·(deg(v)−1))`` over an undirected graph.
+
+    Built on the adjacency-bitset closure (:func:`_triangles_bitset`
+    ``per_node=True``): each edge block's common-neighbor counts scatter
+    to both endpoints, Σ incident counts = 2·tri(v) — node-sized
+    partials only. Same n²/8 broadcast-budget contract as the bitset
+    triangle path (raises beyond ``max_bitset_nodes``: per-node counts
+    for big sparse graphs belong to a wedge-path extension).
+
+    The coefficient is ONE division of exact int64 (2·tri vs the degree
+    pair count) — bit-identical to a SQL oracle; degree-1 nodes get 0.
+    """
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions,
+    )
+    deg = _degree_table(dedup)
+    if deg.empty:
+        return pd.DataFrame(
+            columns=["node", "degree", "triangles", "clustering"]
+        )
+    if len(deg) > max_bitset_nodes:
+        raise ValueError(
+            f"{len(deg)} nodes exceeds the bitset broadcast budget "
+            f"({max_bitset_nodes}); use triangle_count(mode='wedge') for "
+            "totals or raise max_bitset_nodes"
+        )
+    deg = deg.sort_values(["d", "node"], kind="mergesort").reset_index(drop=True)
+    rank = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"])
+    _, tri = _triangles_bitset(dedup, rank, per_node=True)
+    d = deg["d"].to_numpy(np.int64)
+    pairs = d * (d - 1)
+    coeff = np.where(pairs > 0, (2 * tri) / np.maximum(pairs, 1), 0.0)
+    return pd.DataFrame(
+        {
+            "node": deg["node"],
+            "degree": d,
+            "triangles": tri,
+            "clustering": coeff,
+        }
+    )

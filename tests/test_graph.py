@@ -257,3 +257,32 @@ def test_triangle_count_empty_and_triangle_free():
     )
     assert int(out["n_triangles"].iloc[0]) == 0
     assert int(out["n_edges"].iloc[0]) == 4
+
+
+def test_clustering_coefficients_matches_bruteforce():
+    from itertools import combinations
+
+    from arlas_proc_ray.stages.graph import clustering_coefficients
+
+    rng = np.random.default_rng(31)
+    n = 25
+    edges = [
+        (a, b) for a, b in combinations(range(n), 2) if rng.random() < 0.3
+    ]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = clustering_coefficients(
+        rd.from_pandas(pd.DataFrame(edges, columns=["x", "y"])).repartition(3),
+        src_col="x", dst_col="y", num_partitions=2,
+    ).set_index("node")
+    for v in out.index:
+        tri = sum(
+            1 for a, b in combinations(sorted(adj[v]), 2) if b in adj[a]
+        )
+        d = len(adj[v])
+        assert int(out.loc[v, "degree"]) == d
+        assert int(out.loc[v, "triangles"]) == tri
+        want = (2 * tri) / (d * (d - 1)) if d > 1 else 0.0
+        assert out.loc[v, "clustering"] == want
