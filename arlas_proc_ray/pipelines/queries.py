@@ -8132,3 +8132,94 @@ ORACLE_SQL["clustering_coefficient"] = """
                 ELSE 0.0 END AS clustering
     FROM deg LEFT JOIN pn ON pn.node = deg.node
 """
+
+
+def q_weighted_sssp(sf_dir: str):
+    """Weighted shortest distances from the smallest user over the
+    user↔event-type interaction graph (weight = interaction count,
+    mirrored), 4 synchronous Bellman-Ford rounds
+    (stages/graph.py:bellman_ford_dists — per round one in-block relax +
+    a node-sized tree collect; exact int64 mins)."""
+    from arlas_proc_ray.stages.graph import bellman_ford_dists
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    root = f"u:{int(ds.min('user_id'))}"
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pdf.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="w")
+        )
+        u = "u:" + g["user_id"].astype("int64").astype(str)
+        t = "t:" + g["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+                "w": pd.concat([g["w"], g["w"]], ignore_index=True).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+
+    def combine_w(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(["src", "dst"], sort=False, as_index=False)["w"].sum()
+
+    edges = keyed_partition_map(
+        edges, keys=["src", "dst"], order_col="w", fn=combine_w,
+        num_partitions=NP,
+    )
+    return bellman_ford_dists(
+        edges, src_col="src", dst_col="dst", weight_col="w",
+        sources=[root], rounds=4,
+    )
+
+
+QUERIES["weighted_sssp"] = q_weighted_sssp
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    sql = """
+    WITH pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2),
+    edges AS (SELECT u AS src, t AS dst, w FROM pw
+              UNION ALL SELECT t, u, w FROM pw),
+    root AS (SELECT 'u:' || CAST(min(user_id) AS VARCHAR) AS node
+             FROM events),
+    d0 AS (SELECT node, 0::BIGINT AS dist FROM root)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (SELECT node, min(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN {prev} d ON d.node = e.src
+        UNION ALL SELECT node, dist FROM {prev}) GROUP BY 1)"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["weighted_sssp"] = _sssp_oracle()
+
+
+def q_k_core_users(sf_dir: str):
+    """3-core of the co-engagement graph
+    (stages/graph.py:k_core): iterative peel — per round a node-sized
+    degree tree-collect + one broadcast survivor filter over the edge
+    Dataset. Rows-only (peel depth is data-dependent, no fixed-depth SQL
+    form); the exact Python peel oracle is pinned in tests/test_graph.py."""
+    from arlas_proc_ray.stages.graph import k_core
+
+    edges = _coengagement_edges(sf_dir)
+    return k_core(edges, src_col="x", dst_col="y", k=3, num_partitions=NP)
+
+
+QUERIES["k_core_users"] = q_k_core_users

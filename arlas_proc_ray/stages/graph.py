@@ -677,3 +677,125 @@ def clustering_coefficients(
             "clustering": coeff,
         }
     )
+
+
+def bellman_ford_dists(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    sources,
+    rounds: int,
+    node_col: str = "node",
+    dist_col: str = "dist",
+) -> pd.DataFrame:
+    """Weighted single/multi-source shortest distances by ``rounds``
+    synchronous Bellman-Ford relaxations (paths of ≤ rounds edges —
+    callers bound the horizon explicitly; run with rounds ≥ diameter for
+    the fixpoint). Integer weights → exact int64 mins, so a chained-CTE
+    SQL oracle reproduces every distance bit-for-bit.
+
+    Same broadcast-Pregel shape as :func:`pagerank`: per round ONE
+    in-block relax over the edge Dataset (candidate = dist[src] + w,
+    grouped min per dst) + a node-sized sort-free tree collect; the
+    distance vector is the ``ray.put`` small side. Early-exits when a
+    round changes nothing. Unreached nodes are absent from the output.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    dist = pd.Series(np.int64(0), index=pd.Index(sorted(set(sources))))
+
+    def combine_min(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(node_col, sort=False, as_index=False)["_d"].min()
+
+    for _ in range(rounds):
+        dist_ref = ray.put(dist)
+
+        def relax(pdf: pd.DataFrame) -> pd.DataFrame:
+            dv = ray.get(dist_ref)
+            base = dv.reindex(pdf[src_col])
+            hit = base.notna().to_numpy()
+            if not hit.any():
+                return pd.DataFrame(
+                    {node_col: pdf[dst_col].iloc[:0], "_d": pd.Series([], dtype="int64")}
+                )
+            w = (
+                pdf[weight_col].to_numpy(np.int64)
+                if weight_col is not None
+                else np.ones(len(pdf), dtype=np.int64)
+            )
+            cand = base.to_numpy()[hit].astype(np.int64) + w[hit]
+            out = pd.DataFrame(
+                {node_col: pdf[dst_col].to_numpy()[hit], "_d": cand}
+            )
+            return out.groupby(node_col, sort=False, as_index=False)["_d"].min()
+
+        cand = _tree_collect(
+            edges_ds.map_batches(relax, batch_format="pandas", batch_size=None),
+            combine_min,
+        )
+        new = dist
+        if len(cand):
+            merged = pd.concat(
+                [dist.rename("_d").rename_axis(node_col).reset_index(),
+                 cand[[node_col, "_d"]]],
+                ignore_index=True,
+            )
+            new = merged.groupby(node_col, sort=False)["_d"].min()
+        if new.equals(dist):
+            break
+        dist = new
+    out = dist.rename(dist_col).rename_axis(node_col).reset_index()
+    out[dist_col] = out[dist_col].astype("int64")
+    return out
+
+
+def k_core(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    num_partitions: int = 16,
+    max_rounds: int = 10_000,
+) -> pd.DataFrame:
+    """The k-core: iteratively peel nodes of degree < k until fixpoint;
+    returns the surviving nodes with their in-core degrees.
+
+    Per round: node-sized degree tree-collect → broadcast survivor set →
+    one vectorized edge filter (edges stay a Dataset, materialized per
+    round so lineage stays flat). Round count is the peel depth — data
+    dependent, so the catalog entry is rows-only (an exact Python peel
+    oracle pins it in tests).
+    """
+    import ray as _ray
+
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions,
+    )
+    for _ in range(max_rounds):
+        deg = _degree_table(dedup)
+        if deg.empty:
+            return pd.DataFrame(
+                {"node": [], "core_degree": pd.Series([], dtype="int64")}
+            )
+        keep = deg[deg["d"] >= k]
+        if len(keep) == len(deg):
+            return pd.DataFrame(
+                {
+                    "node": keep["node"],
+                    "core_degree": keep["d"].to_numpy(np.int64),
+                }
+            ).reset_index(drop=True)
+        kref = _ray.put(pd.Index(keep["node"]))
+
+        def filt(pdf: pd.DataFrame) -> pd.DataFrame:
+            ks = _ray.get(kref)
+            return pdf[pdf["u"].isin(ks) & pdf["v"].isin(ks)]
+
+        dedup = dedup.map_batches(
+            filt, batch_format="pandas", batch_size=None
+        ).materialize()
+    raise RuntimeError("k_core did not converge within max_rounds")

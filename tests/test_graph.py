@@ -286,3 +286,63 @@ def test_clustering_coefficients_matches_bruteforce():
         assert int(out.loc[v, "triangles"]) == tri
         want = (2 * tri) / (d * (d - 1)) if d > 1 else 0.0
         assert out.loc[v, "clustering"] == want
+
+
+def test_bellman_ford_matches_dict_oracle_and_horizon():
+    from arlas_proc_ray.stages.graph import bellman_ford_dists
+
+    W = [  # directed, weighted; shortest a→d is via c (1+1+1) not direct (9)
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 9),
+        ("d", "e", 2), ("x", "y", 4),
+    ]
+    ds = _edges_ds(W)
+    got = bellman_ford_dists(
+        ds, src_col="src", dst_col="dst", weight_col="w", sources=["a"],
+        rounds=10,
+    )
+    m = dict(zip(got["node"], got["dist"]))
+    assert m == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 5}
+    # horizon semantics: 1 round = direct edges only
+    got1 = bellman_ford_dists(
+        ds, src_col="src", dst_col="dst", weight_col="w", sources=["a"],
+        rounds=1,
+    )
+    assert dict(zip(got1["node"], got1["dist"])) == {"a": 0, "b": 1, "d": 9}
+    # multi-source takes the min over sources
+    got2 = bellman_ford_dists(
+        ds, src_col="src", dst_col="dst", weight_col="w",
+        sources=["a", "x"], rounds=10,
+    )
+    assert dict(zip(got2["node"], got2["dist"]))["y"] == 4
+
+
+def test_k_core_matches_python_peel():
+    from itertools import combinations
+
+    from arlas_proc_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(17)
+    n = 40
+    edges = [
+        (a, b) for a, b in combinations(range(n), 2) if rng.random() < 0.12
+    ]
+
+    def peel(edges, k):
+        es = set(edges)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {v for v, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            es = {(a, b) for a, b in es if a not in bad and b not in bad}
+
+    for k in (2, 3, 4):
+        got = k_core(
+            rd.from_pandas(pd.DataFrame(edges, columns=["x", "y"])).repartition(3),
+            src_col="x", dst_col="y", k=k, num_partitions=2,
+        )
+        want = peel(edges, k)
+        assert dict(zip(got["node"], got["core_degree"])) == want, k
