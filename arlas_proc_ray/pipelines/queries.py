@@ -8223,3 +8223,65 @@ def q_k_core_users(sf_dir: str):
 
 
 QUERIES["k_core_users"] = q_k_core_users
+
+
+def q_rrf_user_rank(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of two user
+    leaderboards — total exact-cents spend and event count. The
+    aggregation is one keyed-exchange combiner; the fusion is a
+    node-sized driver finalize (two argsort ranks + the fixed two-term
+    1/(60+r) sum, evaluated in the same order as the SQL oracle —
+    bit-identical doubles)."""
+    ds = _events(sf_dir, columns=["user_id", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"user_id": pdf["user_id"], "c": cents})
+            .groupby("user_id", sort=False)["c"]
+            .agg(["sum", "size"])
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g.index.to_numpy(),
+                "spend": g["sum"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("user_id", as_index=False, sort=False)[
+            ["spend", "n"]
+        ].sum()
+
+    agg = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"], order_col="spend", fn=reduce_sum,
+        num_partitions=NP,
+    ).to_pandas()
+    agg = agg.sort_values(["spend", "user_id"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    agg["r1"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    agg = agg.sort_values(["n", "user_id"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    agg["r2"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    agg["rrf"] = 1.0 / (60 + agg["r1"]) + 1.0 / (60 + agg["r2"])
+    return agg[["user_id", "r1", "r2", "rrf"]]
+
+
+QUERIES["rrf_user_rank"] = q_rrf_user_rank
+
+ORACLE_SQL["rrf_user_rank"] = """
+    WITH agg AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS spend,
+             count(*) AS n
+      FROM events GROUP BY 1),
+    r AS (SELECT user_id,
+                 row_number() OVER (ORDER BY spend DESC, user_id) AS r1,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS r2
+          FROM agg)
+    SELECT user_id, r1, r2,
+           1.0 / (60 + r1) + 1.0 / (60 + r2) AS rrf
+    FROM r
+"""

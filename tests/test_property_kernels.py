@@ -711,3 +711,41 @@ def test_ema_jagged_scan_matches_sequential_loop(seqs, d):
             s = ((d - 1) * s + v + d // 2) // d
         assert int(out.loc[uid, "ema"]) == s
         assert int(out.loc[uid, "n_events"]) == len(seq)
+
+
+@given(
+    gaps=st.lists(st.integers(0, 8), min_size=1, max_size=60),
+    nkeys=st.integers(1, 4),
+    w=st.integers(1, 20),
+)
+@settings(max_examples=40, deadline=None)
+def test_trailing_range_window_matches_bruteforce(gaps, nkeys, w):
+    """stages/windows.py:trailing_range_agg (lifted-axis searchsorted)
+    equals the brute-force per-row [ts−w, ts] filter, peers included."""
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.windows import trailing_range_agg
+
+    rows, seq = [], 0
+    for uid in range(nkeys):
+        t = 0
+        for gi, g in enumerate(gaps):
+            t += g * 1000
+            rows.append((uid, seq, t, (seq % 7) + 1))
+            seq += 1
+    df = pd.DataFrame(rows, columns=["uid", "seq", "tus", "v"])
+    df["ts"] = pd.to_datetime(df["tus"], unit="us")
+    W = w * 1000
+    out = (
+        trailing_range_agg(
+            rd.from_pandas(df).repartition(3), key_col="uid", ts_col="ts",
+            order_col="seq", value_int_col="v", window_us=W,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("seq")
+    )
+    for r in df.itertuples():
+        m = df[(df.uid == r.uid) & (df.tus >= r.tus - W) & (df.tus <= r.tus)]
+        assert int(out.loc[r.seq, "trailing_n"]) == len(m)
+        assert int(out.loc[r.seq, "trailing_sum"]) == int(m["v"].sum())
