@@ -8285,3 +8285,63 @@ ORACLE_SQL["rrf_user_rank"] = """
            1.0 / (60 + r1) + 1.0 / (60 + r2) AS rrf
     FROM r
 """
+
+
+def q_gini_spend(sf_dir: str):
+    """Gini concentration of per-user spend: the exact-integer form
+    ``G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n`` over cents sorted ascending
+    (deterministic user_id tiebreak is irrelevant — the statistic only
+    uses sorted VALUES). Per-user totals are a keyed-combiner aggregate;
+    the rank-weighted sums are exact big-ints on the node-sized result,
+    rounded once per term — same two-term expression as the oracle."""
+    ds = _events(sf_dir, columns=["user_id", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"user_id": pdf["user_id"], "c": cents})
+            .groupby("user_id", sort=False)["c"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {"user_id": g.index.to_numpy(), "c": g.to_numpy(np.int64)}
+        )
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("user_id", as_index=False, sort=False)["c"].sum()
+
+    agg = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"], order_col="c", fn=reduce_sum, num_partitions=NP,
+    ).to_pandas()
+    x = np.sort(agg["c"].to_numpy(np.int64))
+    n = len(x)
+    tot = int(x.sum())
+    weighted = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    gini = float(2 * weighted) / float(n * tot) - float(n + 1) / float(n)
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "total_cents": np.array([tot], dtype=np.int64),
+            "gini": np.array([gini], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["gini_spend"] = q_gini_spend
+
+ORACLE_SQL["gini_spend"] = """
+    WITH agg AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM agg),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS tot,
+                 CAST(sum(i * c) AS HUGEINT) AS w
+          FROM r)
+    SELECT n AS n_users, tot AS total_cents,
+           CAST(2 * w AS DOUBLE) / CAST(n::HUGEINT * tot AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+    FROM s
+"""
