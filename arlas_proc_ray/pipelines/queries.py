@@ -8345,3 +8345,46 @@ ORACLE_SQL["gini_spend"] = """
              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
     FROM s
 """
+
+
+def q_spearman_spend_activity(sf_dir: str):
+    """Spearman rank correlation between the spend and activity user
+    rankings (strict total orders — deterministic user_id tiebreak on
+    BOTH sides, documented; no fractional tie ranks): ρ = 1 −
+    6·Σd²/(n·(n²−1)), exact integer Σd² and ONE fixed-order float
+    expression — bit-identical to the oracle. Same keyed-combiner
+    aggregation as rrf_user_rank; node-sized finalize."""
+    ranks = q_rrf_user_rank(sf_dir)
+    d = ranks["r1"].to_numpy(np.int64) - ranks["r2"].to_numpy(np.int64)
+    n = len(ranks)
+    sd2 = int((d * d).sum())
+    rho = 1.0 - float(6 * sd2) / float(n * (n * n - 1))
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "sum_d2": np.array([sd2], dtype=np.int64),
+            "spearman_rho": np.array([rho], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["spearman_spend_activity"] = q_spearman_spend_activity
+
+ORACLE_SQL["spearman_spend_activity"] = """
+    WITH agg AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS spend,
+             count(*) AS n
+      FROM events GROUP BY 1),
+    r AS (SELECT user_id,
+                 row_number() OVER (ORDER BY spend DESC, user_id) AS r1,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS r2
+          FROM agg),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2
+          FROM r)
+    SELECT n AS n_users, sd2 AS sum_d2,
+           1.0 - CAST(6 * sd2 AS DOUBLE)
+                 / CAST(n::HUGEINT * (n * n - 1) AS DOUBLE) AS spearman_rho
+    FROM s
+"""
