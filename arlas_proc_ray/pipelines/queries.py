@@ -8388,3 +8388,137 @@ ORACLE_SQL["spearman_spend_activity"] = """
                  / CAST(n::HUGEINT * (n * n - 1) AS DOUBLE) AS spearman_rho
     FROM s
 """
+
+
+def _count_inversions(a: "np.ndarray") -> int:
+    """Exact inversion count by iterative merge counting (O(n log n));
+    numpy-assisted merges, ints throughout."""
+    a = a.astype(np.int64)
+    inv = 0
+    width = 1
+    n = len(a)
+    while width < n:
+        out = np.empty_like(a)
+        for lo in range(0, n, 2 * width):
+            mid = min(lo + width, n)
+            hi = min(lo + 2 * width, n)
+            left, right = a[lo:mid], a[mid:hi]
+            # positions of each right element among left (stable):
+            # every left element still ahead of it is one inversion
+            pos = np.searchsorted(left, right, side="right")
+            inv += int((len(left) - pos).sum())
+            merged = np.empty(hi - lo, dtype=np.int64)
+            idx = pos + np.arange(len(right))
+            mask = np.zeros(hi - lo, dtype=bool)
+            mask[idx] = True
+            merged[mask] = right
+            merged[~mask] = left
+            out[lo:hi] = merged
+        a = out
+        width *= 2
+    return inv
+
+
+def q_kendall_spend_activity(sf_dir: str):
+    """Kendall τ between the spend and activity rankings (strict
+    deterministic orders, as in spearman_spend_activity): τ = 1 −
+    4·inv/(n·(n−1)) where ``inv`` is the exact inversion count of the
+    activity rank sequence read in spend order — merge-counted in
+    O(n log n) on the node-sized rank table; the oracle counts
+    discordant pairs with an O(n²) self-join (tiny at oracle scales)."""
+    ranks = q_rrf_user_rank(sf_dir).sort_values("r1", kind="mergesort")
+    seq = ranks["r2"].to_numpy(np.int64)
+    n = len(seq)
+    inv = _count_inversions(seq)
+    tau = 1.0 - float(4 * inv) / float(n * (n - 1))
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "discordant": np.array([inv], dtype=np.int64),
+            "kendall_tau": np.array([tau], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["kendall_spend_activity"] = q_kendall_spend_activity
+
+ORACLE_SQL["kendall_spend_activity"] = """
+    WITH agg AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS spend,
+             count(*) AS n
+      FROM events GROUP BY 1),
+    r AS (SELECT user_id,
+                 row_number() OVER (ORDER BY spend DESC, user_id) AS r1,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS r2
+          FROM agg),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS inv
+          FROM r a JOIN r b ON a.r1 < b.r1 AND a.r2 > b.r2)
+    SELECT s.n AS n_users, d.inv AS discordant,
+           1.0 - CAST(4 * d.inv AS DOUBLE)
+                 / CAST(s.n::HUGEINT * (s.n - 1) AS DOUBLE) AS kendall_tau
+    FROM s, d
+"""
+
+
+def q_chi2_cells(sf_dir: str):
+    """Independence profile of event_type × hour-of-day: per-cell
+    observed counts and the expected count under independence
+    (row_total·col_total/n — ONE division of exact big-ints per cell,
+    bit-identical to the oracle; the χ² reduction is left to the
+    consumer since a float SUM over cells is summation-order-sensitive).
+    Per-block (type, hour) combiner → one keyed sum exchange →
+    cell-sized driver finalize for the marginals."""
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "hour": pdf["ts"].dt.hour.astype("int64"),
+                }
+            )
+            .groupby(["event_type", "hour"], sort=False)
+            .size()
+        )
+        out = vc.reset_index(name="observed")
+        out["observed"] = out["observed"].astype("int64")
+        return out
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(
+            ["event_type", "hour"], as_index=False, sort=False
+        )["observed"].sum()
+
+    cells = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        keys=["event_type", "hour"], order_col="observed", fn=reduce_sum,
+        num_partitions=NP,
+    ).to_pandas()
+    rt = cells.groupby("event_type")["observed"].sum()
+    ct = cells.groupby("hour")["observed"].sum()
+    n = int(cells["observed"].sum())
+    exp = [
+        float(int(rt[t]) * int(ct[h])) / float(n)
+        for t, h in zip(cells["event_type"], cells["hour"])
+    ]
+    cells["expected"] = np.array(exp, dtype=np.float64)
+    return cells
+
+
+QUERIES["chi2_cells"] = q_chi2_cells
+
+ORACLE_SQL["chi2_cells"] = """
+    WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                      count(*) AS observed
+               FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(observed) AS r FROM c GROUP BY 1),
+    ct AS (SELECT hour, sum(observed) AS t FROM c GROUP BY 1),
+    n AS (SELECT sum(observed) AS n FROM c)
+    SELECT c.event_type, c.hour, c.observed,
+           CAST(rt.r::HUGEINT * ct.t AS DOUBLE) / CAST(n.n AS DOUBLE)
+             AS expected
+    FROM c JOIN rt USING (event_type) JOIN ct USING (hour) CROSS JOIN n
+"""

@@ -749,3 +749,15 @@ def test_trailing_range_window_matches_bruteforce(gaps, nkeys, w):
         m = df[(df.uid == r.uid) & (df.tus >= r.tus - W) & (df.tus <= r.tus)]
         assert int(out.loc[r.seq, "trailing_n"]) == len(m)
         assert int(out.loc[r.seq, "trailing_sum"]) == int(m["v"].sum())
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=0, max_size=300, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_merge_inversion_count_matches_bruteforce(seq):
+    from arlas_proc_ray.pipelines.queries import _count_inversions
+
+    a = np.asarray(seq, dtype=np.int64)
+    want = sum(
+        1 for i in range(len(a)) for j in range(i + 1, len(a)) if a[i] > a[j]
+    )
+    assert _count_inversions(a) == want
