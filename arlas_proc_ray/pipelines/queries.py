@@ -8522,3 +8522,69 @@ ORACLE_SQL["chi2_cells"] = """
              AS expected
     FROM c JOIN rt USING (event_type) JOIN ct USING (hour) CROSS JOIN n
 """
+
+
+_ENTROPY_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_type_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type mix (behavioral
+    diversity signal). The five per-type terms are evaluated in a FIXED
+    written order on both sides (left-associated sum, identical ln
+    inputs); ln itself may differ by ≤1–2 ulp between numpy and DuckDB,
+    so the output is rounded to 6 dp on both sides — the same
+    documented policy as the cosine similarities. Distributed pivot in
+    the keyed partition fn; one exchange."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        piv = (
+            pdf.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+        )
+        for t in _ENTROPY_TYPES:
+            if t not in piv.columns:
+                piv[t] = 0
+        n = piv[_ENTROPY_TYPES].sum(axis=1).to_numpy(np.int64)
+        h = np.zeros(len(piv), dtype=np.float64)
+        for t in _ENTROPY_TYPES:  # fixed order — same sum tree as the SQL
+            c = piv[t].to_numpy(np.int64)
+            p = c / n
+            term = np.where(c > 0, p * np.log(np.where(c > 0, p, 1.0)), 0.0)
+            h = h + term
+        return pd.DataFrame(
+            {
+                "user_id": piv.index.to_numpy(np.int64),
+                "n_events": n,
+                "entropy": np.round(-h, 6) + 0.0,  # -0.0 → 0.0
+            }
+        )
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_type", fn=part,
+        num_partitions=NP,
+    )
+
+
+QUERIES["user_type_entropy"] = q_user_type_entropy
+
+_ENTROPY_TERMS = " + ".join(
+    f"CASE WHEN c_{t} > 0 THEN (c_{t} / nn) * ln(c_{t} / nn) ELSE 0.0 END"
+    for t in _ENTROPY_TYPES
+)
+_ENTROPY_COUNTS = ", ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS DOUBLE) AS c_{t}"
+    for t in _ENTROPY_TYPES
+)
+
+ORACLE_SQL["user_type_entropy"] = f"""
+    WITH piv AS (
+      SELECT user_id, {_ENTROPY_COUNTS},
+             CAST(count(*) AS DOUBLE) AS nn,
+             count(*) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           round(-({_ENTROPY_TERMS}), 6) + 0.0 AS entropy
+    FROM piv
+"""
