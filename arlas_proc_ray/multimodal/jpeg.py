@@ -543,7 +543,9 @@ def _block_sequential(st, data, n, coefs, dc, ac, pred, ci):
         k += rs >> 4
         if k > 63:
             raise UnsupportedMediaError("jpeg: AC run past block end")
-        if nbits < s:
+        while nbits < s:
+            # Must loop (not a single-byte top-up): a 16-bit AC Huffman code
+            # near the segment tail can leave nbits < s-8 for s up to 10.
             buf = (buf << 8) | (data[i] if i < n else 0)
             i += 1
             nbits += 8

@@ -38,6 +38,38 @@ import pandas as pd
 
 import ray
 
+from arlas_proc_ray.stages.keyed import (
+    byte_exact_group_cols,
+    restore_object_cols,
+)
+
+
+def _bx_groupagg(pdf: pd.DataFrame, key: str, agg: dict) -> pd.DataFrame:
+    """Single-key group aggregation under the repo NUL-byte contract.
+
+    pandas' object-string ``groupby`` (and ``Series.unique``) factorize
+    through StringHashTable with C-string semantics and silently MERGE
+    keys that differ only by NUL bytes — diverging from the byte-exact
+    SQL oracles (keyed.py rationale; applies to per-block combiners and
+    driver merges, not just exchange keys). Every node-keyed groupby in
+    this module routes through here: Arrow-backed key in, grouped
+    aggregate out, key restored to plain object dtype for Ray's
+    pandas-block schema inference.
+    """
+    pdf = byte_exact_group_cols(pdf, [key])
+    g = pdf.groupby(key, sort=False, as_index=False).agg(agg)
+    return restore_object_cols(g, [key])
+
+
+def _bx_unique(values, name: str) -> pd.DataFrame:
+    """Byte-exact distinct values of a node column as a one-column frame
+    (``Series.unique`` on object strings NUL-merges; Arrow unique is
+    byte-exact)."""
+    pdf = byte_exact_group_cols(pd.DataFrame({name: values}), [name])
+    return restore_object_cols(
+        pd.DataFrame({name: pdf[name].unique()}), [name]
+    )
+
 
 def _tree_collect(partials, combine, *, fanin: int = 32) -> pd.DataFrame:
     """Collect node-sized per-block partials WITHOUT a sort exchange.
@@ -101,26 +133,27 @@ def pagerank(
     base = (100 - damping_pct) * scale // 100
 
     def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
         w = (
-            pdf[weight_col].astype("int64")
+            pdf[weight_col].to_numpy().astype(np.int64)
             if weight_col is not None
-            else np.ones(len(pdf), dtype=np.int64)
+            else np.ones(n, dtype=np.int64)
         )
-        d = (
-            pd.DataFrame({node_col: pdf[src_col], "d": w})
-            .groupby(node_col, sort=False)["d"]
-            .sum()
+        # dst nodes ride along at weight 0 so dst-only sinks enter the
+        # universe; one byte-exact group-sum replaces the old
+        # unique()/difference() pair (Series.unique NUL-merges)
+        both = pd.DataFrame(
+            {
+                node_col: np.concatenate(
+                    [pdf[src_col].to_numpy(), pdf[dst_col].to_numpy()]
+                ),
+                "d": np.concatenate([w, np.zeros(n, dtype=np.int64)]),
+            }
         )
-        # dst-only nodes enter the universe with out-degree 0
-        sinks = pd.Index(pdf[dst_col].unique()).difference(d.index)
-        out = pd.concat(
-            [d, pd.Series(np.int64(0), index=sinks, name="d")]
-        ).reset_index()
-        out.columns = [node_col, "d"]
-        return out
+        return _bx_groupagg(both, node_col, {"d": "sum"})
 
     def combine_d(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.groupby(node_col, sort=False, as_index=False)["d"].sum()
+        return _bx_groupagg(pdf, node_col, {"d": "sum"})
 
     deg_pdf = _tree_collect(
         edges_ds.map_batches(deg_partial, batch_format="pandas", batch_size=None),
@@ -155,16 +188,14 @@ def pagerank(
                 else np.ones(len(pdf), dtype=np.int64)
             )
             c = w * sh.reindex(pdf[src_col]).to_numpy()
-            out = (
-                pd.DataFrame({node_col: pdf[dst_col].to_numpy(), "c": c})
-                .groupby(node_col, sort=False)["c"]
-                .sum()
-                .reset_index()
+            return _bx_groupagg(
+                pd.DataFrame({node_col: pdf[dst_col].to_numpy(), "c": c}),
+                node_col,
+                {"c": "sum"},
             )
-            return out
 
         def combine_c(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pdf.groupby(node_col, sort=False, as_index=False)["c"].sum()
+            return _bx_groupagg(pdf, node_col, {"c": "sum"})
 
         contrib_pdf = _tree_collect(
             edges_ds.map_batches(
@@ -223,7 +254,7 @@ def shortest_hops(
         def reach(pdf: pd.DataFrame) -> pd.DataFrame:
             fr = ray.get(f_ref)
             hit = pdf[pdf[src_col].isin(fr)]
-            return pd.DataFrame({node_col: hit[dst_col].unique()})
+            return _bx_unique(hit[dst_col].to_numpy(), node_col)
 
         reached = _tree_collect(
             edges_ds.map_batches(reach, batch_format="pandas", batch_size=None),
@@ -283,22 +314,23 @@ def pagerank_exchange(
     base = (100 - damping_pct) * scale // 100
 
     def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
         w = (
-            pdf[weight_col].astype("int64")
+            pdf[weight_col].to_numpy().astype(np.int64)
             if weight_col is not None
-            else np.ones(len(pdf), dtype=np.int64)
+            else np.ones(n, dtype=np.int64)
         )
-        d = (
-            pd.DataFrame({node_col: pdf[src_col], "d": w})
-            .groupby(node_col, sort=False)["d"]
-            .sum()
+        # dst nodes at weight 0 bring sinks in; byte-exact group-sum
+        # (the old unique()/difference() pair NUL-merges node ids)
+        both = pd.DataFrame(
+            {
+                node_col: np.concatenate(
+                    [pdf[src_col].to_numpy(), pdf[dst_col].to_numpy()]
+                ),
+                "d": np.concatenate([w, np.zeros(n, dtype=np.int64)]),
+            }
         )
-        sinks = pd.Index(pdf[dst_col].unique()).difference(d.index)
-        out = pd.concat(
-            [d, pd.Series(np.int64(0), index=sinks, name="d")]
-        ).reset_index()
-        out.columns = [node_col, "d"]
-        return out
+        return _bx_groupagg(both, node_col, {"d": "sum"})
 
     def sum_d(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby(node_col, sort=False, as_index=False)["d"].sum()
@@ -337,10 +369,12 @@ def pagerank_exchange(
                 else np.ones(len(pdf), dtype=np.int64)
             )
             c = w * pdf["share"].to_numpy().astype(np.int64)
-            out = (
-                pd.DataFrame({node_col: pdf[dst_col].to_numpy(), "c": c})
-                .groupby(node_col, sort=False, as_index=False)["c"]
-                .sum()
+            # dst is NOT the join key here, so it arrives plain object —
+            # route through the byte-exact group helper
+            out = _bx_groupagg(
+                pd.DataFrame({node_col: pdf[dst_col].to_numpy(), "c": c}),
+                node_col,
+                {"c": "sum"},
             )
             out["d"] = np.int64(0)
             out[rank_col] = np.int64(0)
@@ -414,13 +448,15 @@ def _degree_table(dedup) -> pd.DataFrame:
     """Node-sized (node, degree) via per-block partials + tree collect."""
 
     def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        vc = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).value_counts()
-        return pd.DataFrame(
-            {"node": vc.index.to_numpy(), "d": vc.to_numpy(np.int64)}
+        both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).to_numpy()
+        return _bx_groupagg(
+            pd.DataFrame({"node": both, "d": np.ones(len(both), np.int64)}),
+            "node",
+            {"d": "sum"},
         )
 
     def deg_combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.groupby("node", as_index=False, sort=False)["d"].sum()
+        return _bx_groupagg(pdf, "node", {"d": "sum"})
 
     return _tree_collect(
         dedup.map_batches(deg_partial, batch_format="pandas", batch_size=None),
@@ -707,7 +743,7 @@ def bellman_ford_dists(
     dist = pd.Series(np.int64(0), index=pd.Index(sorted(set(sources))))
 
     def combine_min(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.groupby(node_col, sort=False, as_index=False)["_d"].min()
+        return _bx_groupagg(pdf, node_col, {"_d": "min"})
 
     for _ in range(rounds):
         dist_ref = ray.put(dist)
@@ -729,7 +765,7 @@ def bellman_ford_dists(
             out = pd.DataFrame(
                 {node_col: pdf[dst_col].to_numpy()[hit], "_d": cand}
             )
-            return out.groupby(node_col, sort=False, as_index=False)["_d"].min()
+            return _bx_groupagg(out, node_col, {"_d": "min"})
 
         cand = _tree_collect(
             edges_ds.map_batches(relax, batch_format="pandas", batch_size=None),
@@ -742,7 +778,9 @@ def bellman_ford_dists(
                  cand[[node_col, "_d"]]],
                 ignore_index=True,
             )
-            new = merged.groupby(node_col, sort=False)["_d"].min()
+            new = _bx_groupagg(merged, node_col, {"_d": "min"}).set_index(
+                node_col
+            )["_d"]
         if new.equals(dist):
             break
         dist = new

@@ -52,6 +52,18 @@ def covariance_partials(ds, *, col: str, scale: int = 1_000_000):
     def partial(batch: pa.Table) -> pa.Table:
         q = _quantized_block(batch, col, scale)
         n, d = q.shape
+        if n == 0:
+            # A post-filter / over-partitioned read can hand us an empty
+            # block; its (0,)-shaped svec would poison the driver merge
+            # (shape (0,) + shape (D,) broadcast error). Emit NO row —
+            # an empty typed table keeps the partials schema stable.
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "svec": pa.array([], pa.list_(pa.int64())),
+                    "souter": pa.array([], pa.list_(pa.int64())),
+                }
+            )
         souter = q.T @ q  # int64-exact: |q|≤scale, n per block bounded
         svec = q.sum(axis=0)
         return pa.table(
@@ -115,6 +127,8 @@ def pca_components(
     sign fixed so each component's largest-|loading| entry is positive).
     Returns (mean_q float64[D], components float64[k, D], eigvals[k])."""
     pdf = covariance_partials(ds, col=col, scale=scale).to_pandas()
+    if pdf.empty:
+        raise ValueError("pca_components: dataset has no vectors")
     n, svec, souter = _merged_sums(pdf)
     d = len(svec)
     den = float(n * n)
@@ -153,6 +167,8 @@ def pca_project(
     def project(batch: pa.Table) -> pa.Table:
         m, c = ray.get(ref)
         q = _quantized_block(batch, col, scale).astype(np.float64)
+        if q.shape[0] == 0:
+            q = q.reshape(0, len(m))  # empty block: keep D for the matmul
         proj = (q - m) @ c.T  # (n, k)
         return pa.table(
             {

@@ -346,3 +346,46 @@ def test_k_core_matches_python_peel():
         )
         want = peel(edges, k)
         assert dict(zip(got["node"], got["core_degree"])) == want, k
+
+
+# ---------------------------------------------------------------- NUL keys
+def test_nul_byte_node_ids_stay_distinct():
+    """ADVICE r4: per-block combiners and driver merges in graph.py used
+    plain pandas groupby/unique on node ids, which NUL-merge object
+    strings ('x' vs 'x\\x00') — violating the repo-wide byte-exact
+    contract (keyed.py). Pin pagerank (both modes), BFS hops,
+    Bellman-Ford, and degree tables on a graph whose topology changes if
+    the two ids merge."""
+    from arlas_proc_ray.stages.graph import bellman_ford_dists
+
+    a, a0 = "x", "x\x00"
+    # a -> b -> a0 ; a0 -> c   (merging a/a0 would create a 2-cycle)
+    edges = [(a, "b", 1), ("b", a0, 2), (a0, "c", 3)]
+
+    pr = pagerank(
+        _edges_ds(edges), src_col="src", dst_col="dst", weight_col="w",
+        iterations=3,
+    )
+    want_pr = _py_pagerank(edges, 3)
+    assert dict(zip(pr["node"], pr["pagerank"])) == want_pr
+    assert len(pr) == 4  # a, a0, b, c all distinct
+
+    prx = pagerank_exchange(
+        _edges_ds(edges), src_col="src", dst_col="dst", weight_col="w",
+        iterations=3, num_partitions=4,
+    ).to_pandas()
+    assert dict(zip(prx["node"], prx["pagerank"])) == want_pr
+
+    hops = shortest_hops(
+        _edges_ds(edges), src_col="src", dst_col="dst", sources=[a],
+        max_hops=5,
+    )
+    assert dict(zip(hops["node"], hops["hops"])) == {
+        a: 0, "b": 1, a0: 2, "c": 3,
+    }
+
+    bf = bellman_ford_dists(
+        _edges_ds(edges), src_col="src", dst_col="dst", weight_col="w",
+        sources=[a], rounds=5,
+    )
+    assert dict(zip(bf["node"], bf["dist"])) == {a: 0, "b": 1, a0: 3, "c": 6}

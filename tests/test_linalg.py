@@ -104,3 +104,41 @@ def test_covariance_partials_merge_across_block_layouts():
     a = embedding_covariance(rd.from_pandas(df).repartition(1))
     b = embedding_covariance(rd.from_pandas(df).repartition(9))
     pd.testing.assert_frame_equal(a, b)  # combiner is layout-invariant
+
+
+def test_empty_blocks_do_not_poison_partials():
+    """ADVICE r4: a post-filter empty block used to emit a (0,)-shaped
+    svec that crashed the driver merge with a broadcast error. Empty
+    blocks must contribute NO partial row, and results must equal the
+    same data without the empty blocks — for covariance, PCA, and
+    projection alike."""
+    import pytest
+
+    df = _frame(n=80)
+    dense = rd.from_pandas(df).repartition(4)
+    # over-partition then filter: several blocks end up completely empty
+    holey = (
+        rd.from_pandas(pd.concat([df, df.assign(vec_id=df.vec_id + 1000)]))
+        .repartition(16)
+        .filter(lambda r: r["vec_id"] < 1000)
+    )
+    pd.testing.assert_frame_equal(
+        embedding_covariance(dense), embedding_covariance(holey)
+    )
+    m_a, c_a, e_a = pca_components(dense, k=3)
+    m_b, c_b, e_b = pca_components(holey, k=3)
+    assert np.array_equal(m_a, m_b) and np.array_equal(c_a, c_b)
+    assert np.array_equal(e_a, e_b)
+    proj = (
+        pca_project(holey, k=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(proj) == 80 and all(len(p) == 2 for p in proj["proj"])
+
+    # all-empty dataset: clean signalling, not a broadcast crash
+    empty = rd.from_pandas(df).filter(lambda r: False)
+    assert embedding_covariance(empty).empty
+    with pytest.raises(ValueError, match="no vectors"):
+        pca_components(empty)

@@ -634,6 +634,52 @@ def _gradient_rgb(h=48, w=64):
     ], axis=-1).astype(np.uint8)
 
 
+def test_jpeg_tail_refill_wide_magnitude():
+    """Sequential AC magnitude read at an entropy-segment tail: a 16-bit
+    AC Huffman code can leave nbits=0 with s=10 still to read, so the
+    refill must LOOP (two bytes), not top up once. The crafted stream —
+    DC csize-5 (+17, consumes exactly 8 bits) then AC (0,10) v=+512 —
+    put the round-4 single-byte `if` refill at `buf >> -2`
+    (ValueError: negative shift count). Also sweeps encoder-produced
+    quality-100 images whose last block carries a csize-10 coefficient
+    through full decode for every byte alignment."""
+    from arlas_proc_ray.multimodal import jpeg as J
+
+    dct = J._huff_encode_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    act = J._huff_encode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    bw = J._BitWriter()
+    code, ln = dct[5]
+    bw.write(code, ln)
+    bw.write(17, 5)  # DC diff +17: 3-bit code + 5 raw bits = 8 bits
+    code, ln = act[0x0A]
+    assert ln == 16  # (run=0, size=10) is a 16-bit code in Annex K luma
+    bw.write(code, ln)
+    bw.write(512, 10)  # magnitude straddles the tail refill
+    code, ln = act[0x00]
+    bw.write(code, ln)  # EOB
+    bw.flush()
+    data = bytes(bw.out).replace(b"\xff\x00", b"\xff")  # destuffed form
+
+    coefs = np.zeros(64, np.int64)
+    J._block_sequential(
+        (0, 0, 0), data, len(data), coefs,
+        J._HuffDecoder(J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        J._HuffDecoder(J.AC_LUMA_BITS, J.AC_LUMA_VALS), [0], 0,
+    )
+    assert coefs[0] == 17 and coefs[1] == 512
+    assert int(np.abs(coefs[2:]).sum()) == 0
+
+    # end-to-end: high-contrast (0,1)-cosine-sign block as the LAST block
+    j = np.arange(8)
+    row = np.where(np.cos((2 * j + 1) * np.pi / 16) > 0, 255, 1)
+    blk = np.tile(row.astype(np.uint8), (8, 1))
+    for k in range(1, 9):  # leading uniform blocks shift bit alignment
+        img = np.full((8, 8 * k), 128, np.uint8)
+        img[:, -8:] = blk
+        out = J.decode_jpeg(J.encode_jpeg(img, quality=100))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
 def test_jpeg_roundtrip_444_and_420():
     """Baseline JPEG (multimodal/jpeg.py): encode→decode roundtrips
     within quantization error for 4:4:4 and 4:2:0 layouts; a uniform
