@@ -464,6 +464,76 @@ def _degree_table(dedup) -> pd.DataFrame:
     )
 
 
+def _closed_triangles_wedge(dedup, rank: pd.Series, *, num_partitions: int):
+    """Dataset of closed wedges — one row ``(s, b, c)`` per triangle,
+    rank(s) < rank(b) < rank(c) — via the degree-ordered orientation
+    (compact-forward / Schank-Wagner, O(m^1.5) wedge volume):
+
+    1. orient every deduped edge from lower to higher (degree, node)
+       rank — the rank map is the broadcast node-sized side, so a hub's
+       out-degree is at most O(√m) and no wedge task explodes;
+    2. wedges — one keyed exchange on the pivot ``s``, then a vectorized
+       per-pivot self-merge emitting (s, b, c) with rank(b) < rank(c);
+    3. close — a distributed SEMI equi-join of wedges against the
+       oriented edge list on (b, c). Each surviving wedge IS exactly one
+       triangle (the orientation makes it exact, no de-dup pass), and
+       the pivot rides through the semi join (LEFT columns only), so
+       per-corner scatters stay available downstream.
+    """
+    import pyarrow as pa
+
+    import ray
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    rank_ref = ray.put(rank)
+
+    def orient(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ru = pdf["u"].map(r).to_numpy(np.int64)
+        rv = pdf["v"].map(r).to_numpy(np.int64)
+        fwd = ru < rv
+        return pd.DataFrame(
+            {
+                "s": np.where(fwd, pdf["u"], pdf["v"]),
+                "b": np.where(fwd, pdf["v"], pdf["u"]),
+                "rb": np.where(fwd, rv, ru),
+            }
+        )
+
+    oriented = dedup.map_batches(
+        orient, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def wedges_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf.merge(pdf, on="s")
+        m = m[m["rb_x"] < m["rb_y"]]
+        return pd.DataFrame(
+            {
+                "s": m["s"].to_numpy(),
+                "b": m["b_x"].to_numpy(),
+                "c": m["b_y"].to_numpy(),
+            }
+        )
+
+    wedges = keyed_partition_map(
+        oriented, keys=["s"], order_col="rb", fn=wedges_fn,
+        num_partitions=num_partitions,
+    )
+
+    def as_bc(t: pa.Table) -> pa.Table:
+        return t.select(["s", "b"]).rename_columns(["b", "c"])
+
+    return equi_join(
+        wedges,
+        oriented.map_batches(as_bc, batch_format="pyarrow", batch_size=None),
+        on=["b", "c"],
+        right_cols=[],
+        how="semi",
+        num_partitions=num_partitions,
+    )
+
+
 def triangle_count(
     edges_ds,
     *,
@@ -506,12 +576,6 @@ def triangle_count(
     triangle total is invariant to WHICH total order ranks nodes, so
     the SQL oracle only has to be consistent, not identical.
     """
-    import pyarrow as pa
-
-    import ray
-    from arlas_proc_ray.stages.joins import equi_join
-    from arlas_proc_ray.stages.keyed import keyed_partition_map
-
     dedup = _canon_dedup_edges(
         edges_ds, src_col=src_col, dst_col=dst_col,
         num_partitions=num_partitions,
@@ -536,45 +600,8 @@ def triangle_count(
                 "n_triangles": np.array([n_tri], dtype=np.int64),
             }
         )
-    rank_ref = ray.put(rank)
-
-    def orient(pdf: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(rank_ref)
-        ru = pdf["u"].map(r).to_numpy(np.int64)
-        rv = pdf["v"].map(r).to_numpy(np.int64)
-        fwd = ru < rv
-        return pd.DataFrame(
-            {
-                "s": np.where(fwd, pdf["u"], pdf["v"]),
-                "b": np.where(fwd, pdf["v"], pdf["u"]),
-                "rb": np.where(fwd, rv, ru),
-            }
-        )
-
-    oriented = dedup.map_batches(
-        orient, batch_format="pandas", batch_size=None
-    ).materialize()
-
-    def wedges_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf.merge(pdf, on="s")
-        m = m[m["rb_x"] < m["rb_y"]]
-        return pd.DataFrame({"b": m["b_x"].to_numpy(), "c": m["b_y"].to_numpy()})
-
-    wedges = keyed_partition_map(
-        oriented, keys=["s"], order_col="rb", fn=wedges_fn,
-        num_partitions=num_partitions,
-    )
-
-    def as_bc(t: pa.Table) -> pa.Table:
-        return t.select(["s", "b"]).rename_columns(["b", "c"])
-
-    closed = equi_join(
-        wedges,
-        oriented.map_batches(as_bc, batch_format="pyarrow", batch_size=None),
-        on=["b", "c"],
-        right_cols=[],
-        how="semi",
-        num_partitions=num_partitions,
+    closed = _closed_triangles_wedge(
+        dedup, rank, num_partitions=num_partitions
     )
     n_tri = closed.count()
     n_edges = dedup.count()
@@ -669,21 +696,34 @@ def clustering_coefficients(
     src_col: str,
     dst_col: str,
     num_partitions: int = 16,
+    mode: str = "auto",
     max_bitset_nodes: int = 8192,
 ) -> pd.DataFrame:
     """Per-node triangle counts and local clustering coefficient
     ``2·tri(v) / (deg(v)·(deg(v)−1))`` over an undirected graph.
 
-    Built on the adjacency-bitset closure (:func:`_triangles_bitset`
-    ``per_node=True``): each edge block's common-neighbor counts scatter
-    to both endpoints, Σ incident counts = 2·tri(v) — node-sized
-    partials only. Same n²/8 broadcast-budget contract as the bitset
-    triangle path (raises beyond ``max_bitset_nodes``: per-node counts
-    for big sparse graphs belong to a wedge-path extension).
+    Two regimes, same auto-selection as :func:`triangle_count`:
+
+    **bitset** (``n_nodes ≤ max_bitset_nodes``) — the adjacency-bitset
+    closure (:func:`_triangles_bitset` ``per_node=True``): each edge
+    block's common-neighbor counts scatter to both endpoints,
+    Σ incident counts = 2·tri(v) — node-sized partials only, zero extra
+    exchanges, but the n²/8 broadcast must fit the node-sized budget.
+
+    **wedge** — the big-sparse-graph path with NO n² anything: the
+    closed-wedge Dataset (:func:`_closed_triangles_wedge`, O(m^1.5)
+    wedge volume under degree-ordered orientation) carries the pivot
+    through the closing semi-join, so each triangle row (s, b, c)
+    scatters +1 to all three corners inside ``map_batches``; per-node
+    partial counts tree-collect sort-free (node-sized, byte-exact
+    grouping). Both paths are exact — pinned bit-identical on shared
+    fixtures.
 
     The coefficient is ONE division of exact int64 (2·tri vs the degree
     pair count) — bit-identical to a SQL oracle; degree-1 nodes get 0.
     """
+    if mode not in ("auto", "wedge", "bitset"):
+        raise ValueError(f"unknown mode: {mode!r}")
     dedup = _canon_dedup_edges(
         edges_ds, src_col=src_col, dst_col=dst_col,
         num_partitions=num_partitions,
@@ -693,15 +733,53 @@ def clustering_coefficients(
         return pd.DataFrame(
             columns=["node", "degree", "triangles", "clustering"]
         )
-    if len(deg) > max_bitset_nodes:
+    if mode == "auto":
+        mode = "bitset" if len(deg) <= max_bitset_nodes else "wedge"
+    if mode == "bitset" and len(deg) > max_bitset_nodes:
         raise ValueError(
             f"{len(deg)} nodes exceeds the bitset broadcast budget "
-            f"({max_bitset_nodes}); use triangle_count(mode='wedge') for "
-            "totals or raise max_bitset_nodes"
+            f"({max_bitset_nodes}); mode='wedge' (or 'auto') handles "
+            "big sparse graphs"
         )
     deg = deg.sort_values(["d", "node"], kind="mergesort").reset_index(drop=True)
     rank = pd.Series(np.arange(len(deg), dtype=np.int64), index=deg["node"])
-    _, tri = _triangles_bitset(dedup, rank, per_node=True)
+    if mode == "bitset":
+        _, tri = _triangles_bitset(dedup, rank, per_node=True)
+    else:
+        closed = _closed_triangles_wedge(
+            dedup, rank, num_partitions=num_partitions
+        )
+
+        def corner_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            corners = np.concatenate(
+                [pdf["s"].to_numpy(), pdf["b"].to_numpy(), pdf["c"].to_numpy()]
+            )
+            return _bx_groupagg(
+                pd.DataFrame(
+                    {"node": corners,
+                     "t": np.ones(len(corners), dtype=np.int64)}
+                ),
+                "node",
+                {"t": "sum"},
+            )
+
+        def corner_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _bx_groupagg(pdf, "node", {"t": "sum"})
+
+        tri_pdf = _tree_collect(
+            closed.map_batches(
+                corner_partial, batch_format="pandas", batch_size=None
+            ),
+            corner_combine,
+        )
+        if tri_pdf.empty:
+            tri = np.zeros(len(deg), dtype=np.int64)
+        else:
+            tri = (
+                tri_pdf.set_index("node")["t"]
+                .reindex(deg["node"], fill_value=0)
+                .to_numpy(np.int64)
+            )
     d = deg["d"].to_numpy(np.int64)
     pairs = d * (d - 1)
     coeff = np.where(pairs > 0, (2 * tri) / np.maximum(pairs, 1), 0.0)

@@ -389,3 +389,81 @@ def test_nul_byte_node_ids_stay_distinct():
         sources=[a], rounds=5,
     )
     assert dict(zip(bf["node"], bf["dist"])) == {a: 0, "b": 1, a0: 3, "c": 6}
+
+
+def test_clustering_wedge_path_parity_and_big_graph():
+    """VERDICT r4 #1: per-node triangle counts must work past the bitset
+    broadcast budget. (a) wedge and bitset paths are bit-identical on
+    shared random fixtures; (b) a >8192-node sparse graph runs on the
+    auto-selected wedge path and matches a brute-force adjacency-set
+    oracle; (c) mode='bitset' past the budget still fails loudly."""
+    import pytest
+
+    from arlas_proc_ray.stages.graph import clustering_coefficients
+
+    # (a) parity on shared fixtures, several densities
+    for seed, n, p in ((7, 60, 0.15), (8, 120, 0.05), (9, 40, 0.4)):
+        rng = np.random.default_rng(seed)
+        edges = [
+            (f"n{a}", f"n{b}")
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < p
+        ]
+        ds = rd.from_pandas(
+            pd.DataFrame(edges, columns=["x", "y"])
+        ).repartition(3)
+        kw = dict(src_col="x", dst_col="y", num_partitions=4)
+        a = clustering_coefficients(ds, mode="bitset", **kw)
+        b = clustering_coefficients(ds, mode="wedge", **kw)
+        pd.testing.assert_frame_equal(a, b)
+
+    # (b) >8192 nodes: ring + random chords; auto → wedge
+    n = 9000
+    rng = np.random.default_rng(12)
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    chords = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(4500, 2))
+        if a != b
+    ]
+    tri_closers = [(i, (i + 2) % n) for i in range(0, n, 3)]
+    edges = ring + chords + tri_closers
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = clustering_coefficients(
+        rd.from_pandas(pd.DataFrame(edges, columns=["x", "y"])).repartition(8),
+        src_col="x", dst_col="y", num_partitions=8,
+    ).set_index("node")
+    assert len(out) == n
+    check = rng.choice(n, size=200, replace=False)
+    for v in [int(x) for x in check]:
+        nb = sorted(adj[v])
+        tri = sum(
+            1
+            for i in range(len(nb))
+            for j in range(i + 1, len(nb))
+            if nb[j] in adj[nb[i]]
+        )
+        d = len(nb)
+        assert int(out.loc[v, "degree"]) == d
+        assert int(out.loc[v, "triangles"]) == tri, v
+        want = (2 * tri) / (d * (d - 1)) if d > 1 else 0.0
+        assert out.loc[v, "clustering"] == want
+    # total triangles agree with the wedge-mode count op
+    from arlas_proc_ray.stages.graph import triangle_count
+
+    tc = triangle_count(
+        rd.from_pandas(pd.DataFrame(edges, columns=["x", "y"])).repartition(8),
+        src_col="x", dst_col="y", num_partitions=8, mode="wedge",
+    )
+    assert int(tc["n_triangles"].iloc[0]) * 3 == int(out["triangles"].sum())
+
+    # (c) explicit bitset past the budget keeps the loud contract
+    with pytest.raises(ValueError, match="broadcast budget"):
+        clustering_coefficients(
+            rd.from_pandas(pd.DataFrame(ring, columns=["x", "y"])),
+            src_col="x", dst_col="y", mode="bitset",
+        )
