@@ -867,6 +867,179 @@ def bellman_ford_dists(
     return out
 
 
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def bellman_ford_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    sources,
+    rounds: int,
+    node_col: str = "node",
+    dist_col: str = "dist",
+    num_partitions: int = 32,
+    exchange: str = "staged",
+):
+    """:func:`bellman_ford_dists` with NO driver-resident node state —
+    the scale path for reached sets too large to broadcast (the same
+    seam :func:`pagerank_exchange` covers for ranks). Bit-identical
+    distances, pinned by the parity test.
+
+    The distance vector lives as a hash-partitioned Dataset
+    ``(node, _d)``; each relaxation round costs exactly two
+    co-partition exchanges plus one Dataset aggregate:
+
+    1. ``equi_join(edges, state, on=src)`` — the state projects to
+       ``(src, _ds)``; the per-dst candidate minimum ``_ds + w`` is
+       fused into the join partition via ``post_fn`` (zero extra
+       exchange). Inner-join semantics drop edges whose src is still
+       unreached, mirroring the broadcast path's ``reindex`` mask.
+    2. one keyed exchange folding candidate rows into state rows —
+       per node, the new distance is the min over both; a ``chg`` flag
+       marks improved/new nodes, and ``state.sum("chg")`` (a streaming
+       aggregate over the node-sized state, never a driver collect of
+       edges) drives the early fixpoint exit exactly like the broadcast
+       path's ``Series.equals`` check.
+
+    State rows are node-sized × one Dataset in the object store —
+    materialized once per round, the precise regime this variant
+    targets. Reserved internal column names: ``_d``, ``_ds``, ``_st``,
+    ``chg``; ``src_col``/``dst_col``/``node_col`` must not collide.
+
+    ``exchange="staged"`` (default) routes both per-round exchanges
+    through the two-phase raw-task exchange — the relaxation fold is
+    node-sized work repeated every round, squarely below the Dataset
+    sort's ~1M-row crossover (keyed.py rationale); pass ``"sort"`` for
+    edge-scale joins past it.
+
+    Returns the final state as a Dataset of ``(node_col, dist_col)``.
+    """
+    import ray.data as rd
+
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    init = pd.DataFrame({node_col: sorted(set(sources))})
+    init["_d"] = np.int64(0)
+    init["_st"] = np.int8(1)
+    state = rd.from_pandas(init).materialize()
+
+    for _ in range(rounds):
+
+        def proj_src(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {src_col: pdf[node_col], "_ds": pdf["_d"]}
+            )
+
+        shares = state.map_batches(
+            proj_src, batch_format="pandas", batch_size=None
+        )
+
+        def cand_post(pdf: pd.DataFrame) -> pd.DataFrame:
+            w = (
+                pdf[weight_col].to_numpy(np.int64)
+                if weight_col is not None
+                else np.ones(len(pdf), dtype=np.int64)
+            )
+            cand = pd.DataFrame(
+                {
+                    node_col: pdf[dst_col].to_numpy(),
+                    "_d": pdf["_ds"].to_numpy(np.int64) + w,
+                }
+            )
+            out = _bx_groupagg(cand, node_col, {"_d": "min"})
+            out["_st"] = np.int8(0)
+            return out[[node_col, "_d", "_st"]]
+
+        contribs = equi_join(
+            edges_ds,
+            shares,
+            on=[src_col],
+            right_cols=["_ds"],
+            num_partitions=num_partitions,
+            post_fn=cand_post,
+            exchange=exchange,
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            d = pdf["_d"].to_numpy(np.int64)
+            st = pdf["_st"].to_numpy(np.int8)
+            old = np.where(st == 1, d, _I64_MAX)  # per-node prior dist
+            g = _bx_groupagg(
+                pdf.assign(_old=old),
+                node_col,
+                {"_d": "min", "_old": "min"},
+            )
+            g["chg"] = (g["_d"].to_numpy(np.int64)
+                        < g["_old"].to_numpy(np.int64)).astype(np.int64)
+            g["_st"] = np.int8(1)
+            return g[[node_col, "_d", "_st", "chg"]]
+
+        def strip(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf[[node_col, "_d", "_st"]]
+
+        state = keyed_partition_map(
+            state.map_batches(strip, batch_format="pandas", batch_size=None)
+            .union(contribs),
+            keys=[node_col],
+            order_col="_d",
+            fn=fold,
+            num_partitions=num_partitions,
+            exchange=exchange,
+        ).materialize()
+        if not state.sum("chg"):
+            break
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {node_col: pdf[node_col], dist_col: pdf["_d"].astype("int64")}
+        )
+        return out
+
+    return state.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def shortest_hops_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    sources,
+    max_hops: int = 4,
+    node_col: str = "node",
+    hops_col: str = "hops",
+    num_partitions: int = 32,
+    exchange: str = "staged",
+):
+    """:func:`shortest_hops` with NO driver-resident frontier — the
+    unweighted specialization of :func:`bellman_ford_exchange` (every
+    edge weight 1, horizon = ``max_hops``): min-hop distance IS the
+    Bellman-Ford fixpoint under unit weights, so the frontier/visited
+    bookkeeping the broadcast path keeps driver-side reduces to the
+    same Dataset-resident distance fold. Bit-identical to the broadcast
+    path (parity-pinned). Returns a Dataset of
+    ``(node_col, hops_col)``."""
+    return bellman_ford_exchange(
+        edges_ds,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=None,
+        sources=sources,
+        rounds=max_hops,
+        node_col=node_col,
+        dist_col=hops_col,
+        num_partitions=num_partitions,
+        exchange=exchange,
+    )
+
+
 def k_core(
     edges_ds,
     *,

@@ -467,3 +467,70 @@ def test_clustering_wedge_path_parity_and_big_graph():
             rd.from_pandas(pd.DataFrame(ring, columns=["x", "y"])),
             src_col="x", dst_col="y", mode="bitset",
         )
+
+
+def test_exchange_mode_frontiers_bit_parity():
+    """VERDICT r4 #2: Dataset-resident distance state (no driver node
+    state) must be bit-identical to the broadcast Pregel paths —
+    random weighted digraphs, multi-source, horizon cutoffs, NUL-byte
+    ids, and early fixpoint exit."""
+    from arlas_proc_ray.stages.graph import (
+        bellman_ford_dists,
+        bellman_ford_exchange,
+        shortest_hops_exchange,
+    )
+
+    rng = np.random.default_rng(44)
+    nodes = [f"v{i}" for i in range(40)] + ["x", "x\x00"]
+    edges = []
+    for _ in range(160):
+        a, b = rng.choice(len(nodes), size=2, replace=False)
+        edges.append((nodes[int(a)], nodes[int(b)], int(rng.integers(1, 9))))
+    edges += [("x", "x\x00", 1), ("x\x00", "v0", 1)]
+    ds = _edges_ds(edges)
+
+    for srcs, rounds in ((["v0"], 3), (["v1", "x"], 6), (["v5"], 50)):
+        want = bellman_ford_dists(
+            ds, src_col="src", dst_col="dst", weight_col="w",
+            sources=srcs, rounds=rounds,
+        ).sort_values("node").reset_index(drop=True)
+        got = (
+            bellman_ford_exchange(
+                ds, src_col="src", dst_col="dst", weight_col="w",
+                sources=srcs, rounds=rounds, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    for srcs, hops in ((["v0"], 2), (["v3", "v7"], 4), (["x"], 10)):
+        want = shortest_hops(
+            ds, src_col="src", dst_col="dst", sources=srcs, max_hops=hops,
+        ).sort_values("node").reset_index(drop=True)
+        got = (
+            shortest_hops_exchange(
+                ds, src_col="src", dst_col="dst", sources=srcs,
+                max_hops=hops, num_partitions=4,
+            )
+            .to_pandas()
+            .rename(columns={"hops": "hops"})
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=True
+        )
+
+    # unweighted BF (weight_col=None) == hop counts
+    a = bellman_ford_exchange(
+        ds, src_col="src", dst_col="dst", weight_col=None,
+        sources=["v0"], rounds=4, num_partitions=4,
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    b = shortest_hops(
+        ds, src_col="src", dst_col="dst", sources=["v0"], max_hops=4,
+    ).rename(columns={"hops": "dist"}).sort_values("node").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(a, b)
