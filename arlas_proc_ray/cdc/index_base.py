@@ -44,7 +44,14 @@ from arlas_proc_ray.cdc.snapshot import SnapshotStore, _atomic_write_bytes
 
 
 def state_dataset(store: SnapshotStore, epoch: int, columns):
-    """The store's live state at ``epoch`` as a pruned-column Dataset."""
+    """The store's live state at ``epoch`` as a pruned-column Dataset.
+
+    One read task per part file: the store's partitions ARE the
+    parallelism unit (their count is sized to the cluster), and letting
+    Ray shard small files into dozens of sliver blocks multiplies the
+    downstream exchange's ref bookkeeping (measured: a 4-part store read
+    ballooned to 128 blocks → 0.8 s of split/gather submission for a
+    16-partition fold that does ~10 ms of work per task)."""
     import ray.data as rd
 
     srcs = store.resolve_sources(epoch)
@@ -54,7 +61,10 @@ def state_dataset(store: SnapshotStore, epoch: int, columns):
         for p in range(n)
         if os.path.exists(store.part_data_path(srcs.get(p, epoch), p))
     ]
-    return rd.read_parquet(files, columns=list(columns))
+    return rd.read_parquet(
+        files, columns=list(columns),
+        override_num_blocks=max(1, len(files)),
+    )
 
 
 class IncrementalPartitionedIndex:
@@ -73,6 +83,13 @@ class IncrementalPartitionedIndex:
     schema: pa.Schema
     identity_cols: Sequence[str]
     keep: str = "first"
+    # Optional shared inputs a fused orchestrator may inject before the
+    # delta build (subclasses that support them read these in
+    # bootstrap_deltas / feed_deltas). They are CLEARED once deltas are
+    # built: the fold closures capture ``self``, and a materialized
+    # Dataset riding in a task closure re-ships with every gather task.
+    shared_state = None
+    shared_feed = None
 
     def __init__(self, store: SnapshotStore, index_id: str,
                  spec: dict, num_partitions: int):
@@ -234,8 +251,13 @@ class IncrementalPartitionedIndex:
                 out[f"_id_{c}"] = s
         return pdf.assign(**out)
 
-    def refresh(self, *, epoch=None, full: bool = False,
-                commit_checkpoint: bool = True) -> dict:
+    def plan(self, *, epoch=None, full: bool = False) -> dict:
+        """Resolve the refresh endpoints WITHOUT doing any work:
+        ``{"target", "base", "ckpt", "noop"}`` — ``base`` is None when a
+        bootstrap is required (no/drifted/fan-out-broken checkpoint),
+        ``noop`` carries the short-circuit result dict when nothing
+        changed. Split out of :meth:`refresh` so :func:`fused_refresh`
+        can plan several kits before building any deltas."""
         store = self.store
         target = store._resolve_epoch_arg(epoch)
         if target is None:
@@ -254,13 +276,18 @@ class IncrementalPartitionedIndex:
         if ckpt is not None:
             self.on_loaded_checkpoint(ckpt)
 
+        noop = None
         if base is not None and self.is_noop(base, target, ckpt):
-            return {
+            noop = {
                 "index_id": self.index_id, "epoch": target,
                 "base_epoch": base, "mode": "noop",
                 "partitions_touched": 0, "sources": dict(ckpt["sources"]),
             }
+        return {"target": target, "base": base, "ckpt": ckpt, "noop": noop}
 
+    def tagged_deltas(self, base, target):
+        """The refresh's delta Dataset aligned to ``schema + delta``,
+        with the routed ``_part`` id appended."""
         deltas = (
             self.bootstrap_deltas(target) if base is None
             else self.feed_deltas(base, target)
@@ -283,8 +310,15 @@ class IncrementalPartitionedIndex:
                 "_part", pa.array(np.asarray(pid, np.int32), pa.int32())
             )
 
-        deltas = deltas.map_batches(add_part, batch_format="pyarrow", batch_size=None)
-        sources = dict(ckpt["sources"]) if ckpt else {}
+        return deltas.map_batches(
+            add_part, batch_format="pyarrow", batch_size=None
+        )
+
+    def make_fold(self, sources: dict, target: int):
+        """Per-partition fold closure: apply removals/adds over the old
+        part image, write the new part at ``target``, return a stats
+        row. ``sources`` is the live per-partition epoch map the caller
+        later commits."""
         row_cols = [f.name for f in self.schema]
         id_tmp = [f"_id_{c}" for c in self.identity_cols]
 
@@ -313,7 +347,30 @@ class IncrementalPartitionedIndex:
                  "added": [int(len(adds))], "removed": [int(len(rems))]}
             )
 
+        return fold
+
+    def refresh(self, *, epoch=None, full: bool = False,
+                commit_checkpoint: bool = True) -> dict:
+        plan = self.plan(epoch=epoch, full=full)
+        if plan["noop"] is not None:
+            return plan["noop"]
+        base, target, ckpt = plan["base"], plan["target"], plan["ckpt"]
+        deltas = self.tagged_deltas(base, target)
+        self.shared_state = None  # never let a Dataset ride the fold
+        self.shared_feed = None   # closure (re-shipped per gather task)
+        sources = dict(ckpt["sources"]) if ckpt else {}
+        fold = self.make_fold(sources, target)
         stats = self._staged_fold(deltas, fold, bootstrap=base is None)
+        return self.commit(
+            stats, sources, base, target, commit_checkpoint
+        )
+
+    def commit(self, stats: pd.DataFrame, sources: dict, base, target,
+               commit_checkpoint: bool) -> dict:
+        """Adopt the fold's stats rows into the per-partition source
+        map, fill bootstrap holes with empty parts, write the
+        checkpoint + ref tag, GC dead part files."""
+        store = self.store
         for _, r in stats.iterrows():
             sources[str(int(r["part"]))] = target
         if base is None:
@@ -373,3 +430,140 @@ class IncrementalPartitionedIndex:
         return (
             pd.concat(parts, ignore_index=True) if parts else self._empty_pd()
         )
+
+
+def fused_refresh(planned, *, commit_checkpoint: bool = True) -> list[dict]:
+    """Refresh several kits through ONE routed exchange.
+
+    ``planned``: list of ``(kit, plan)`` pairs where ``plan`` came from
+    ``kit.plan()`` and is not a noop. Kits may live on different stores;
+    each keeps its own partition space — kit *i*'s rows route to the
+    global partition id ``offset_i + local_part`` (offsets are the
+    running sum of earlier kits' ``num_partitions``). Delta schemas are
+    unioned by column NAME into one envelope (same-named columns must
+    carry the same Arrow type; columns a kit lacks ride as nulls) plus
+    an int64 ``kind`` for the fold dispatch and per-kit stats split.
+
+    Why: every staged fold costs one Dataset materialize plus one
+    raw-task exchange of fixed overhead; N index refreshes driven off
+    the same epoch collapse to ONE of each. The join view's fk
+    secondary index and view rows previously paid two full rounds
+    back-to-back per refresh — the fused path halves that (measured at
+    sf0.1: see BASELINE.md round-5 addendum).
+
+    Incremental semantics are preserved per kit: when no kit
+    bootstraps, untouched partitions short-circuit without a part
+    rewrite; when some kit bootstraps, only THAT kit's empty partitions
+    fold (feed-mode kits' untouched partitions still cost nothing).
+    """
+    from arlas_proc_ray.stages.keyed import staged_partition_apply
+
+    if not planned:
+        return []
+    offsets, off = [], 0
+    for kit, _ in planned:
+        offsets.append(off)
+        off += kit.num_partitions
+    total_p = off
+
+    fields: dict[str, pa.DataType] = {}
+    for kit, _ in planned:
+        for f in list(kit.schema) + [pa.field("delta", pa.int8())]:
+            prev = fields.get(f.name)
+            if prev is not None and prev != f.type:
+                raise ValueError(
+                    f"fused_refresh: column {f.name!r} has conflicting "
+                    f"types {prev} vs {f.type}"
+                )
+            fields[f.name] = f.type
+    env_schema = pa.schema(
+        [pa.field(n, t) for n, t in fields.items()]
+        + [pa.field("kind", pa.int64()), pa.field("_part", pa.int32())]
+    )
+
+    union = None
+    for i, (kit, plan) in enumerate(planned):
+        d = kit.tagged_deltas(plan["base"], plan["target"])
+
+        def to_env(t: pa.Table, i=i, offi=offsets[i]) -> pa.Table:
+            import pyarrow.compute as pc
+
+            arrays = []
+            for n, typ in fields.items():
+                if n in t.column_names:
+                    arrays.append(t.column(n).cast(typ))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, typ))
+            arrays.append(
+                pa.array(np.full(t.num_rows, i, np.int64), pa.int64())
+            )
+            arrays.append(
+                pc.add(t.column("_part").cast(pa.int32()),
+                       pa.scalar(offi, pa.int32())).cast(pa.int32())
+            )
+            return pa.Table.from_arrays(arrays, schema=env_schema)
+
+        d = d.map_batches(to_env, batch_format="pyarrow", batch_size=None)
+        union = d if union is None else union.union(d)
+
+    all_sources, folds, boot = [], [], []
+    for kit, _ in planned:
+        kit.shared_state = None  # see class attr note: fold closures
+        kit.shared_feed = None   # capture the kits
+    for kit, plan in planned:
+        src = dict(plan["ckpt"]["sources"]) if plan["ckpt"] else {}
+        all_sources.append(src)
+        folds.append(kit.make_fold(src, plan["target"]))
+        boot.append(plan["base"] is None)
+    any_bootstrap = any(boot)
+    empty_stats = pa.table(
+        {
+            "part": pa.array([], pa.int64()),
+            "rows": pa.array([], pa.int64()),
+            "added": pa.array([], pa.int64()),
+            "removed": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold_wrap(p: int, group):
+        i = 0
+        for j, o in enumerate(offsets):
+            if p >= o:
+                i = j
+        kit, _ = planned[i]
+        local = p - offsets[i]
+        if group is None or not len(group):
+            if not boot[i]:  # feed-mode kit: untouched partition is free
+                return empty_stats
+            group = kit._empty_pd().assign(
+                delta=pd.Series([], dtype=np.int8)
+            )
+        else:
+            cols = [f.name for f in kit.schema] + ["delta"]
+            group = group[cols].reset_index(drop=True)
+        out = folds[i](local, group)
+        out["kind"] = np.int64(i)
+        return out
+
+    stats_all = staged_partition_apply(
+        union,
+        num_partitions=total_p,
+        fn=fold_wrap,
+        empty_result=None if any_bootstrap else empty_stats,
+    ).to_pandas()
+
+    outs = []
+    for i, (kit, plan) in enumerate(planned):
+        s = (
+            stats_all[stats_all["kind"] == i]
+            .drop(columns=["kind"])
+            .reset_index(drop=True)
+            if len(stats_all)
+            else stats_all.drop(columns=["kind"], errors="ignore")
+        )
+        outs.append(
+            kit.commit(s, all_sources[i], plan["base"], plan["target"],
+                       commit_checkpoint)
+        )
+    return outs

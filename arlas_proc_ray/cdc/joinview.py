@@ -78,6 +78,15 @@ class _JoinView(IncrementalPartitionedIndex):
         self.engine_b = engine_b
         self.b_target: int | None = None   # resolved by refresh_join_view
         self.prev_b_epoch: int | None = None
+        # Fused-refresh inputs (set by refresh_join_view): one shared A
+        # state read / A feed frame serves both this kit and the fk
+        # secondary index. fk_lookup_epoch pins the ΔB→affected-A
+        # translation to the index's PRE-refresh epoch — sound because
+        # every A key whose fk changed between base and target is in the
+        # A feed and already excluded from affected_a (see feed_deltas).
+        self.shared_state = None
+        self.shared_feed: pd.DataFrame | None = None
+        self.fk_lookup_epoch: int | None = None
         cols = [("key", pa.string()), (spec["fk_col"], pa.string())]
         cols += [(c, pa.string()) for c in spec["a_cols"]]
         cols += [(f"b_{c}", pa.string()) for c in spec["b_cols"]]
@@ -169,9 +178,14 @@ class _JoinView(IncrementalPartitionedIndex):
                 return empty
             return self._view_rows(pdf, ray.get(b_ref), 1)
 
-        return state_dataset(
-            self.engine_a.store, target, a_cols_read
-        ).map_batches(to_rows, batch_format="pandas", batch_size=None)
+        src = (
+            self.shared_state
+            if self.shared_state is not None
+            else state_dataset(self.engine_a.store, target, a_cols_read)
+        )
+        return src.map_batches(
+            to_rows, batch_format="pandas", batch_size=None
+        )
 
     def feed_deltas(self, base: int, target: int):
         import ray
@@ -189,10 +203,14 @@ class _JoinView(IncrementalPartitionedIndex):
         pieces = []
 
         # ---- ΔA: fact-side changes --------------------------------------
-        a_feed = change_feed(
-            self.engine_a.store, base=base, target=target,
-            columns=[fk_col] + a_cols, compare_cols=[fk_col] + a_cols,
-        ).to_pandas()  # bounded ∝ the epoch's changed fact rows
+        a_feed = (
+            self.shared_feed  # bounded ∝ the epoch's changed fact rows
+            if self.shared_feed is not None
+            else change_feed(
+                self.engine_a.store, base=base, target=target,
+                columns=[fk_col] + a_cols, compare_cols=[fk_col] + a_cols,
+            ).to_pandas()
+        )
         upserts = (
             a_feed[a_feed["op"].isin(["I", "U"])]
             if len(a_feed) else a_feed
@@ -218,7 +236,11 @@ class _JoinView(IncrementalPartitionedIndex):
             # fk secondary index (refreshed to `target` by the wrapper)
             hit = lookup_keys(
                 self.engine_a.store, changed_b_keys,
-                index_id=_fk_index_id(self.index_id), expect_epoch=target,
+                index_id=_fk_index_id(self.index_id),
+                expect_epoch=(
+                    target if self.fk_lookup_epoch is None
+                    else self.fk_lookup_epoch
+                ),
             )
             upsert_keys = (
                 set(stable_doc_ids(upserts, a_key_cols)) if len(upserts)
@@ -330,13 +352,83 @@ def refresh_join_view(
         raise RuntimeError("store B has no committed epoch")
     # the fk secondary index backs the ΔB → affected-A-rows translation;
     # refreshing it here means it can never lag the view
-    refresh_secondary_index(
-        engine_a.store, index_id=_fk_index_id(view_id), value_col=fk_col,
-        key_cols=engine_a.dm.key_cols, epoch=epoch_a,
-        num_partitions=num_partitions, full=full,
+    sec_spec = {
+        "value_col": fk_col,
+        "key_cols": list(engine_a.dm.key_cols),
+        "num_partitions": num_partitions,
+    }
+    from arlas_proc_ray.cdc.index_base import fused_refresh
+    from arlas_proc_ray.cdc.secondary import _SecondaryIndex
+
+    sec_kit = _SecondaryIndex(
+        engine_a.store, _fk_index_id(view_id), sec_spec, num_partitions
     )
-    out = kit.refresh(epoch=epoch_a, full=full,
-                      commit_checkpoint=commit_checkpoint)
+    plan_s = sec_kit.plan(epoch=epoch_a, full=full)
+    plan_v = kit.plan(epoch=epoch_a, full=full)
+
+    if plan_v["noop"] is not None:
+        # A epoch and B epoch both unchanged → the sec index is a noop
+        # too (same store/epoch endpoints); nothing to do
+        out = plan_v["noop"]
+        out["b_epoch"] = kit.b_target
+        return out
+
+    fusable = (
+        plan_s["noop"] is None
+        and plan_s["target"] == plan_v["target"]
+        and plan_s["base"] == plan_v["base"]
+    )
+    if not fusable:
+        # mode/base mismatch (e.g. one checkpoint lost or the index is
+        # already at target): today's sequential path — index first, so
+        # the view's ΔB translation reads it AT target
+        refresh_secondary_index(
+            engine_a.store, index_id=_fk_index_id(view_id),
+            value_col=fk_col, key_cols=engine_a.dm.key_cols,
+            epoch=epoch_a, num_partitions=num_partitions, full=full,
+        )
+        out = kit.refresh(epoch=epoch_a, full=full,
+                          commit_checkpoint=commit_checkpoint)
+        out["b_epoch"] = kit.b_target
+        return out
+
+    # Fused path: ONE shared A-side input feeds both kits' deltas, and
+    # both folds ride ONE routed exchange (index_base.fused_refresh) —
+    # at scale this halves the A scans (bootstrap) / feed reads
+    # (incremental) and the per-refresh exchange rounds.
+    target, base = plan_v["target"], plan_v["base"]
+    a_cols_read = (
+        list(engine_a.dm.key_cols) + [fk_col] + list(a_cols)
+    )
+    if base is None:
+        from arlas_proc_ray.cdc.index_base import state_dataset
+
+        shared = state_dataset(
+            engine_a.store, target, a_cols_read
+        ).materialize()
+        sec_kit.shared_state = shared
+        kit.shared_state = shared
+    else:
+        from arlas_proc_ray.cdc.feed import change_feed
+
+        shared = change_feed(
+            engine_a.store, base=base, target=target,
+            columns=[fk_col] + list(a_cols),
+            compare_cols=[fk_col] + list(a_cols),
+            include_old=[fk_col],
+        ).to_pandas()
+        sec_kit.shared_feed = shared
+        kit.shared_feed = shared
+        # ΔB→affected-A runs against the index AT base — sound because
+        # every A key whose fk changed base→target is in the shared
+        # feed and excluded from affected_a (upserts/deletes)
+        kit.fk_lookup_epoch = base
+
+    outs = fused_refresh(
+        [(sec_kit, plan_s), (kit, plan_v)],
+        commit_checkpoint=commit_checkpoint,
+    )
+    out = outs[1]
     out["b_epoch"] = kit.b_target
     return out
 

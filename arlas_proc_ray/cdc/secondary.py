@@ -50,6 +50,15 @@ class _SecondaryIndex(IncrementalPartitionedIndex):
     identity_cols = ["val", "key"]
     keep = "first"
 
+    # Optional shared inputs (set by a fused orchestrator, e.g.
+    # cdc/joinview.refresh_join_view): a pre-materialized state Dataset
+    # for bootstrap, a pre-collected change-feed frame for incremental.
+    # The shared feed may compare a WIDER column set than this index's
+    # value column — U rows whose indexed value didn't change are
+    # filtered here so untouched partitions stay untouched.
+    shared_state = None
+    shared_feed: pd.DataFrame | None = None
+
     def _rows(self, values, keys, sign: int) -> pd.DataFrame | None:
         v = pd.Series(values).reset_index(drop=True)
         k = pd.Series(keys).reset_index(drop=True)
@@ -75,9 +84,14 @@ class _SecondaryIndex(IncrementalPartitionedIndex):
             )
             return out if out is not None else empty
 
-        return state_dataset(
-            self.store, target, key_cols + [value_col]
-        ).map_batches(to_rows, batch_format="pandas", batch_size=None)
+        src = (
+            self.shared_state
+            if self.shared_state is not None
+            else state_dataset(self.store, target, key_cols + [value_col])
+        )
+        return src.map_batches(
+            to_rows, batch_format="pandas", batch_size=None
+        )
 
     def feed_deltas(self, base: int, target: int):
         from arlas_proc_ray.cdc.feed import change_feed
@@ -86,6 +100,27 @@ class _SecondaryIndex(IncrementalPartitionedIndex):
         value_col = self.spec["value_col"]
         empty = self.empty_rows_arrow(delta=True)
 
+        if self.shared_feed is not None:
+            import ray.data as rd
+
+            pdf = self.shared_feed
+            if len(pdf):
+                ov, nv = pdf[f"old_{value_col}"], pdf[value_col]
+                same = (pdf["op"].to_numpy() == "U") & (
+                    (ov == nv) | (ov.isna() & nv.isna())
+                ).to_numpy()
+                pdf = pdf.loc[~same]
+            rows = self._feed_rows(pdf, key_cols, value_col)
+            if rows is None:
+                return rd.from_arrow(empty)
+            return rd.from_arrow(
+                pa.Table.from_pandas(rows, preserve_index=False).cast(
+                    pa.schema(
+                        list(self.schema) + [pa.field("delta", pa.int8())]
+                    )
+                )
+            )
+
         feed = change_feed(
             self.store, base=base, target=target,
             columns=[value_col], compare_cols=[value_col],
@@ -93,28 +128,34 @@ class _SecondaryIndex(IncrementalPartitionedIndex):
         )
 
         def to_rows(pdf: pd.DataFrame):
-            if not len(pdf):
-                return empty
-            keys = stable_doc_ids(pdf, key_cols)
-            ops = pdf["op"].to_numpy()
-            frames = []
-            add = (ops == "I") | (ops == "U")
-            a = self._rows(pdf.loc[add, value_col], keys[add], 1)
-            if a is not None:
-                frames.append(a)
-            u, d = ops == "U", ops == "D"
-            old_vals = pd.concat(
-                [pdf.loc[u, f"old_{value_col}"], pdf.loc[d, value_col]]
-            )
-            old_keys = pd.concat([keys[u], keys[d]])
-            r = self._rows(old_vals, old_keys, -1)
-            if r is not None:
-                frames.append(r)
-            if not frames:
-                return empty
-            return pd.concat(frames, ignore_index=True)
+            rows = self._feed_rows(pdf, key_cols, value_col)
+            return rows if rows is not None else empty
 
         return feed.map_batches(to_rows, batch_format="pandas", batch_size=None)
+
+    def _feed_rows(self, pdf: pd.DataFrame, key_cols,
+                   value_col: str) -> pd.DataFrame | None:
+        """±delta rows for one feed frame (None when nothing to emit)."""
+        if not len(pdf):
+            return None
+        keys = stable_doc_ids(pdf, key_cols)
+        ops = pdf["op"].to_numpy()
+        frames = []
+        add = (ops == "I") | (ops == "U")
+        a = self._rows(pdf.loc[add, value_col], keys[add], 1)
+        if a is not None:
+            frames.append(a)
+        u, d = ops == "U", ops == "D"
+        old_vals = pd.concat(
+            [pdf.loc[u, f"old_{value_col}"], pdf.loc[d, value_col]]
+        )
+        old_keys = pd.concat([keys[u], keys[d]])
+        r = self._rows(old_vals, old_keys, -1)
+        if r is not None:
+            frames.append(r)
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
 
     def route(self, table: pa.Table) -> np.ndarray:
         from arlas_proc_ray.functions.hashing import partition_ids

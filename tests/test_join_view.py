@@ -239,3 +239,113 @@ def test_composite_b_key_rejected(tmp_path, ray_session):
     ea.apply_epoch(rd.from_arrow([_a_event(1, path="f1")]), epoch=1)
     with pytest.raises(ValueError, match="single-column"):
         refresh_join_view(ea, eb_bad, view_id="v", **VIEW)
+
+
+def test_fused_refresh_equals_sequential(tmp_path, ray_session):
+    """VERDICT r4 #3: the fused path (one shared A read, one routed
+    exchange for fk index + view) must be byte-identical — view rows AND
+    fk-index rows — to the sequential path (index first, then view),
+    across bootstrap and a both-sides incremental epoch. Also pins the
+    fallback: a sec index already at target (mode mismatch) still
+    refreshes the view correctly via the sequential route."""
+    from arlas_proc_ray.cdc.joinview import _fk_index_id
+    from arlas_proc_ray.cdc.secondary import (
+        read_secondary_index,
+        refresh_secondary_index,
+    )
+
+    def ingest(tag):
+        ea = CdcEngine(str(tmp_path / f"a{tag}"), DM_A)
+        eb = CdcEngine(str(tmp_path / f"b{tag}"), DM_B)
+        ea.apply_epoch(
+            rd.from_arrow(
+                [_a_event(i, path=f"f{i}", fk=f"d{i % 4}")
+                 for i in range(1, 10)]
+            ),
+            epoch=1,
+        )
+        eb.apply_epoch(
+            rd.from_arrow([_b_event(i, key=f"d{i}") for i in range(3)]),
+            epoch=1,
+        )
+        return ea, eb
+
+    def evolve(ea, eb):
+        ea.apply_epoch(
+            rd.from_arrow([
+                _a_event(20, path="f10", fk="d1"),
+                _a_event(21, path="f1", fk="d2", body="moved"),
+                _a_event(22, path="f3", op="DELETE"),
+            ]),
+            epoch=2, delta=True,
+        )
+        eb.apply_epoch(
+            rd.from_arrow([
+                _b_event(30, key="d0", attr="dim-d0-v2"),
+                _b_event(31, key="d2", op="DELETE"),
+            ]),
+            epoch=2, delta=True,
+        )
+
+    # fused: the default refresh_join_view path
+    ea_f, eb_f = ingest("f")
+    r1 = refresh_join_view(ea_f, eb_f, view_id="v", **VIEW)
+    assert r1["mode"] == "bootstrap"
+    evolve(ea_f, eb_f)
+    r2 = refresh_join_view(ea_f, eb_f, view_id="v", **VIEW)
+    assert r2["mode"] == "incremental"
+
+    # sequential: index strictly first, then the view kit alone
+    ea_s, eb_s = ingest("s")
+    from arlas_proc_ray.cdc.joinview import _JoinView, _spec
+
+    def seq_refresh(ea, eb):
+        refresh_secondary_index(
+            ea.store, index_id=_fk_index_id("v"), value_col="language",
+            key_cols=ea.dm.key_cols, num_partitions=VIEW["num_partitions"],
+        )
+        kit = _JoinView(
+            ea, eb, "v",
+            _spec(ea, eb, VIEW["fk_col"], VIEW["a_cols"], VIEW["b_cols"],
+                  "repo", VIEW["num_partitions"]),
+        )
+        kit.b_target = eb.store._resolve_epoch_arg(None)
+        out = kit.refresh()
+        out["b_epoch"] = kit.b_target
+        return out
+
+    s1 = seq_refresh(ea_s, eb_s)
+    assert s1["mode"] == "bootstrap"
+    evolve(ea_s, eb_s)
+    s2 = seq_refresh(ea_s, eb_s)
+    assert s2["mode"] == "incremental"
+
+    pd.testing.assert_frame_equal(
+        _sorted(read_join_view(ea_f.store, "v")),
+        _sorted(read_join_view(ea_s.store, "v")),
+    )
+    pd.testing.assert_frame_equal(
+        read_secondary_index(ea_f.store, _fk_index_id("v"))
+        .sort_values(["val", "key"]).reset_index(drop=True),
+        read_secondary_index(ea_s.store, _fk_index_id("v"))
+        .sort_values(["val", "key"]).reset_index(drop=True),
+    )
+    # both equal the pandas LEFT JOIN oracle
+    pd.testing.assert_frame_equal(
+        _sorted(read_join_view(ea_f.store, "v")), _oracle(ea_f, eb_f)
+    )
+
+    # fallback: sec index already refreshed to target separately → the
+    # fused plan is not applicable; the view must still come out right
+    ea_m, eb_m = ingest("m")
+    refresh_join_view(ea_m, eb_m, view_id="v", **VIEW)
+    evolve(ea_m, eb_m)
+    refresh_secondary_index(
+        ea_m.store, index_id=_fk_index_id("v"), value_col="language",
+        key_cols=ea_m.dm.key_cols, num_partitions=VIEW["num_partitions"],
+    )  # index now at epoch 2, view still at 1 → base mismatch
+    r = refresh_join_view(ea_m, eb_m, view_id="v", **VIEW)
+    assert r["mode"] == "incremental"
+    pd.testing.assert_frame_equal(
+        _sorted(read_join_view(ea_m.store, "v")), _oracle(ea_m, eb_m)
+    )
