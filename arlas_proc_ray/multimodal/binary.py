@@ -6,8 +6,12 @@ actor-pool ``map_batches`` stages. REAL decoders live in
 ``multimodal.codecs`` (WAV via stdlib ``wave``; netpbm P5/P6 via numpy;
 full PNG via stdlib zlib — every depth/color type/filter/interlace;
 baseline JPEG via ``multimodal.jpeg``; nearest-neighbor resize; numpy
-audio features) — use ``DecodeAudio`` / ``DecodeImage`` there. Formats
-needing an external codec library (video formats) remain stubbed:
+audio features) — use ``DecodeAudio`` / ``DecodeImage`` there. VIDEO:
+Motion-JPEG in RIFF/AVI decodes for real (``multimodal.video`` — pure
+container walk + the from-scratch JPEG decoder; ``SampleVideoFrames``
+below is the actor-pool stage, decoding ONLY the planned frames).
+Interframe codecs (H.264 etc.) need a C library and stay behind the
+``UnsupportedMediaError`` seam by design:
 
 - ``DecodeImageStub`` raises ``NotImplementedError`` at the exact seam
   where a real decoder (e.g. Pillow / torchvision / pyAV) would plug in;
@@ -109,6 +113,80 @@ class FakeFeatureExtractor:
             vecs.append(vec.astype(np.float32).tolist())
         return batch.append_column(
             "features", pa.array(vecs, type=pa.list_(pa.float32()))
+        )
+
+
+class SampleVideoFrames:
+    """Actor-pool stage: MJPEG/AVI payloads → one row per SAMPLED frame.
+
+    Per input row (id, payload): read fps from the container, plan the
+    sample indices with :func:`frame_sample_plan` (every ``every_s``
+    seconds), then decode ONLY those frames (``multimodal.video``
+    prunes at the demux — entropy decode cost is O(sampled), not
+    O(duration)). Emits (id, frame_index, height, width, channels,
+    mean_intensity, thumb) with ``thumb`` a flattened uint8
+    ``target_size`` tensor — the same output layout as ``DecodeImage``
+    plus the frame index, so downstream feature stages are shared.
+
+    Scale: one actor decodes one video row at a time; size
+    ``batch_size`` small (payloads are large) and ``concurrency`` to
+    the node. Setup (nothing heavy here, but the seam where a real
+    codec context would load) happens once per actor in ``__init__``.
+    """
+
+    def __init__(self, every_s: float = 1.0,
+                 target_size: tuple[int, int] = (8, 8),
+                 payload_col: str = "payload", id_col: str = "doc_id"):
+        from arlas_proc_ray.multimodal.codecs import resize_nearest
+
+        self.every_s = float(every_s)
+        self.target_size = tuple(target_size)
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._resize = resize_nearest
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        from arlas_proc_ray.multimodal.video import (
+            avi_frame_rate,
+            decode_avi_mjpeg,
+            iter_frame_payloads,
+        )
+
+        ids, idxs, hs, ws, cs, means, thumbs = [], [], [], [], [], [], []
+        for rid, v in zip(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.payload_col),
+        ):
+            if not v.is_valid:
+                continue
+            payload = v.as_py()
+            fps = avi_frame_rate(payload)
+            n_frames = sum(1 for _ in iter_frame_payloads(payload))
+            duration = n_frames / fps
+            plan = frame_sample_plan(duration, fps, self.every_s)
+            frames = decode_avi_mjpeg(payload, frame_indices=plan)
+            for fi, img in zip(plan, frames):
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                ids.append(rid)
+                idxs.append(int(fi))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                cs.append(img.shape[2])
+                means.append(float(img.mean()))
+                thumbs.append(
+                    self._resize(img, self.target_size).ravel().tolist()
+                )
+        return pd.DataFrame(
+            {
+                self.id_col: pd.Series(ids, dtype=object),
+                "frame_index": pd.Series(idxs, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "channels": pd.Series(cs, dtype="int64"),
+                "mean_intensity": pd.Series(means, dtype="float64"),
+                "thumb": pd.Series(thumbs, dtype=object),
+            }
         )
 
 

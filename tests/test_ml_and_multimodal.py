@@ -794,3 +794,103 @@ def test_jpeg_progressive_matches_baseline():
         decode_image(encode_jpeg_progressive(g, quality=80)),
         decode_jpeg(encode_jpeg(g, quality=80)),
     )
+
+
+def test_mjpeg_avi_roundtrip_and_pruned_decode():
+    """VERDICT r4 #8 (video seam): MJPEG-in-AVI mux/demux on the
+    from-scratch JPEG codec. Round-trip pixels within JPEG tolerance,
+    container metadata (fps, frame count) exact, demux yields raw JPEG
+    payloads without entropy decode, frame_indices prunes the decode,
+    and non-AVI / non-MJPG payloads fail loudly."""
+    import pytest
+
+    from arlas_proc_ray.multimodal.codecs import UnsupportedMediaError
+    from arlas_proc_ray.multimodal.video import (
+        avi_frame_rate,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        iter_frame_payloads,
+    )
+
+    frames = []
+    for i in range(7):
+        f = np.zeros((24, 32, 3), np.uint8)
+        f[:, :, 0] = 30 * i
+        f[4:12, 8:16, 1] = 220
+        f[16:, :, 2] = 90
+        frames.append(f)
+    avi = encode_avi_mjpeg(frames, fps=5, quality=95)
+
+    assert avi_frame_rate(avi) == 5.0
+    payloads = list(iter_frame_payloads(avi))
+    assert len(payloads) == 7
+    assert all(p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9" for p in payloads)
+
+    dec = decode_avi_mjpeg(avi)
+    assert len(dec) == 7 and dec[0].shape == (24, 32, 3)
+    for d, f in zip(dec, frames):
+        assert float(np.abs(d.astype(int) - f.astype(int)).mean()) < 2.0
+
+    sub = decode_avi_mjpeg(avi, frame_indices=[1, 4, 6])
+    assert len(sub) == 3
+    np.testing.assert_array_equal(sub[0], dec[1])
+    np.testing.assert_array_equal(sub[2], dec[6])
+
+    # grayscale frames round-trip too
+    g = [np.full((16, 16), 40 * i, np.uint8) for i in range(3)]
+    gdec = decode_avi_mjpeg(encode_avi_mjpeg(g, fps=2, quality=90))
+    assert gdec[0].shape == (16, 16)
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi_mjpeg(b"\x89PNG not a container")
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
+
+
+def test_sample_video_frames_stage(ray_session):
+    """The actor-pool video stage: one row per sampled frame, shared
+    output layout with DecodeImage (+frame_index), decode pruned to the
+    plan — exercised through a real map_batches actor pool."""
+    import ray.data as rd
+
+    from arlas_proc_ray.multimodal.binary import (
+        SampleVideoFrames,
+        frame_sample_plan,
+    )
+    from arlas_proc_ray.multimodal.video import encode_avi_mjpeg
+
+    def vid(n, seed):
+        rng = np.random.default_rng(seed)
+        return encode_avi_mjpeg(
+            [np.full((16, 16, 3), int(rng.integers(0, 200)), np.uint8)
+             for _ in range(n)],
+            fps=4, quality=92,
+        )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([vid(10, 1), vid(6, 2)], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            SampleVideoFrames(every_s=1.0, target_size=(4, 4)),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "frame_index"])
+        .reset_index(drop=True)
+    )
+    # 10 frames @4fps = 2.5 s → samples at t=0,1,2 → frames 0,4,8
+    want_a = frame_sample_plan(10 / 4, 4, 1.0).tolist()
+    want_b = frame_sample_plan(6 / 4, 4, 1.0).tolist()
+    assert out[out["doc_id"] == "a"]["frame_index"].tolist() == want_a
+    assert out[out["doc_id"] == "b"]["frame_index"].tolist() == want_b
+    assert (out["height"] == 16).all() and (out["channels"] == 3).all()
+    assert all(len(t) == 4 * 4 * 3 for t in out["thumb"])
