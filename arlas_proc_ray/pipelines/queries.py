@@ -8181,6 +8181,85 @@ def q_weighted_sssp(sf_dir: str):
 QUERIES["weighted_sssp"] = q_weighted_sssp
 
 
+def q_weighted_sssp_exchange(sf_dir: str):
+    """q_weighted_sssp on the NO-driver-state path
+    (stages/graph.py:bellman_ford_exchange): the distance vector lives
+    as a hash-partitioned Dataset, each round = two co-partition
+    exchanges + a streaming chg aggregate — the scale route for reached
+    sets too large to broadcast. Bit-identical to the broadcast path
+    (parity-pinned in tests), so it shares weighted_sssp's SQL oracle."""
+    from arlas_proc_ray.stages.graph import bellman_ford_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    root = f"u:{int(ds.min('user_id'))}"
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pdf.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="w")
+        )
+        u = "u:" + g["user_id"].astype("int64").astype(str)
+        t = "t:" + g["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+                "w": pd.concat([g["w"], g["w"]], ignore_index=True).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+
+    def combine_w(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby(["src", "dst"], sort=False, as_index=False)["w"].sum()
+
+    edges = keyed_partition_map(
+        edges, keys=["src", "dst"], order_col="w", fn=combine_w,
+        num_partitions=NP,
+    )
+    return bellman_ford_exchange(
+        edges, src_col="src", dst_col="dst", weight_col="w",
+        sources=[root], rounds=4, num_partitions=NP,
+    )
+
+
+QUERIES["weighted_sssp_exchange"] = q_weighted_sssp_exchange
+
+
+def q_hops_from_user_exchange(sf_dir: str):
+    """q_hops_from_user on the NO-driver-frontier path
+    (stages/graph.py:shortest_hops_exchange — the unit-weight
+    Bellman-Ford specialization over Dataset-resident state).
+    Bit-identical to the broadcast BFS (parity-pinned), so it shares
+    hops_from_user's SQL oracle."""
+    from arlas_proc_ray.stages.graph import shortest_hops_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    root = int(ds.min("user_id"))
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return shortest_hops_exchange(
+        edges, src_col="src", dst_col="dst", sources=[f"u:{root}"],
+        max_hops=3, num_partitions=NP,
+    )
+
+
+QUERIES["hops_from_user_exchange"] = q_hops_from_user_exchange
+
+
 def _sssp_oracle(rounds: int = 4) -> str:
     sql = """
     WITH pw AS (
@@ -8208,6 +8287,10 @@ def _sssp_oracle(rounds: int = 4) -> str:
 
 
 ORACLE_SQL["weighted_sssp"] = _sssp_oracle()
+# the exchange-mode variant is bit-identical by contract (parity test);
+# the driver verifies it against the SAME chained-CTE oracle
+ORACLE_SQL["weighted_sssp_exchange"] = _sssp_oracle()
+ORACLE_SQL["hops_from_user_exchange"] = _hops_oracle()
 
 
 def q_k_core_users(sf_dir: str):

@@ -926,10 +926,18 @@ def bellman_ford_exchange(
         raise ValueError("rounds must be >= 1")
     if not sources:
         raise ValueError("sources must be non-empty")
+    import pyarrow as pa
+
     init = pd.DataFrame({node_col: sorted(set(sources))})
     init["_d"] = np.int64(0)
     init["_st"] = np.int8(1)
-    state = rd.from_pandas(init).materialize()
+    # arrow block with metadata stripped: a pandas-typed seed block makes
+    # every downstream union emit schema-unify warnings (and the b'pandas'
+    # metadata defeats Ray's schema dedup)
+    state = rd.from_arrow(
+        pa.Table.from_pandas(init, preserve_index=False)
+        .replace_schema_metadata(None)
+    ).materialize()
 
     for _ in range(rounds):
 
