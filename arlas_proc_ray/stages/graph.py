@@ -1096,3 +1096,118 @@ def k_core(
             filt, batch_format="pandas", batch_size=None
         ).materialize()
     raise RuntimeError("k_core did not converge within max_rounds")
+
+
+def k_core_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    num_partitions: int = 32,
+    max_rounds: int = 10_000,
+    exchange: str = "staged",
+):
+    """:func:`k_core` with NO driver-resident node state — the third
+    member of the exchange-mode family (:func:`pagerank_exchange`,
+    :func:`bellman_ford_exchange`): the survivor set stays a
+    hash-partitioned Dataset instead of a broadcast ``ray.put`` index.
+
+    Per peel round:
+
+    1. degrees — per-block (node, 1) partials for both endpoints, ONE
+       keyed exchange summing per node (byte-exact grouping);
+    2. survivors — an in-block ``d >= k`` filter over the degree state
+       (+ two streaming counts for the fixpoint test — never a driver
+       collect of nodes);
+    3. edge peel — two co-partition SEMI equi-joins of the edge Dataset
+       against the survivors (once on ``u``, once on ``v``).
+
+    Cost per round is three exchanges of the (shrinking) edge set —
+    the honest no-broadcast price; peel depth is data-dependent exactly
+    as in the broadcast path. Returns a Dataset of
+    ``(node, core_degree)``; bit-parity with :func:`k_core` is pinned
+    in tests.
+    """
+    import pyarrow as pa
+
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions,
+    )
+
+    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).to_numpy()
+        return _bx_groupagg(
+            pd.DataFrame({"node": both, "d": np.ones(len(both), np.int64)}),
+            "node",
+            {"d": "sum"},
+        )
+
+    def deg_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _bx_groupagg(pdf, "node", {"d": "sum"})
+
+    empty = pa.table(
+        {"node": pa.array([], pa.string()),
+         "core_degree": pa.array([], pa.int64())}
+    )
+
+    import ray.data as rd
+
+    for _ in range(max_rounds):
+        deg = keyed_partition_map(
+            dedup.map_batches(
+                deg_partial, batch_format="pandas", batch_size=None
+            ),
+            keys=["node"],
+            order_col="d",
+            fn=deg_fold,
+            num_partitions=num_partitions,
+            exchange=exchange,
+        ).materialize()
+        n_total = deg.count()
+        if n_total == 0:
+            return rd.from_arrow(empty)
+
+        def keep_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf[pdf["d"] >= k]
+
+        surv = deg.map_batches(
+            keep_fn, batch_format="pandas", batch_size=None
+        ).materialize()
+        n_surv = surv.count()
+        if n_surv == n_total:
+
+            def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"node": pdf["node"],
+                     "core_degree": pdf["d"].astype("int64")}
+                )
+
+            return surv.map_batches(
+                finish, batch_format="pandas", batch_size=None
+            )
+        if n_surv == 0:
+            return rd.from_arrow(empty)
+
+        def as_u(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"u": pdf["node"]})
+
+        def as_v(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": pdf["node"]})
+
+        dedup = equi_join(
+            equi_join(
+                dedup,
+                surv.map_batches(as_u, batch_format="pandas", batch_size=None),
+                on=["u"], right_cols=[], how="semi",
+                num_partitions=num_partitions, exchange=exchange,
+            ),
+            surv.map_batches(as_v, batch_format="pandas", batch_size=None),
+            on=["v"], right_cols=[], how="semi",
+            num_partitions=num_partitions, exchange=exchange,
+        ).materialize()
+    raise RuntimeError("k_core_exchange did not converge within max_rounds")

@@ -534,3 +534,34 @@ def test_exchange_mode_frontiers_bit_parity():
         drop=True
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_k_core_exchange_parity():
+    """Third exchange-mode family member: Dataset-resident survivor set
+    (degree exchange + two semi-join peels per round) must match the
+    broadcast k_core exactly — random graphs, several k, NUL ids."""
+    from arlas_proc_ray.stages.graph import k_core, k_core_exchange
+
+    rng = np.random.default_rng(9)
+    nodes = [f"n{i}" for i in range(30)] + ["x", "x\x00"]
+    edges = []
+    for _ in range(120):
+        a, b = rng.choice(len(nodes), size=2, replace=False)
+        edges.append((nodes[int(a)], nodes[int(b)]))
+    edges += [("x", "x\x00"), ("x\x00", "n0"), ("x", "n0")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["x", "y"])).repartition(3)
+
+    for k in (2, 3, 4, 6):
+        want = k_core(ds, src_col="x", dst_col="y", k=k, num_partitions=4)
+        got = k_core_exchange(
+            ds, src_col="x", dst_col="y", k=k, num_partitions=4
+        ).to_pandas()
+        if len(want) == 0:
+            # Ray drops columns on a 0-row to_pandas — row-count parity
+            # is the whole check for an empty core
+            assert len(got) == 0, k
+            continue
+        want = want.sort_values("node").reset_index(drop=True)
+        got = got.sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["core_degree"] >= k).all()
