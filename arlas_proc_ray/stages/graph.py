@@ -1172,41 +1172,53 @@ def k_core_exchange(
         if n_total == 0:
             return rd.from_arrow(empty)
 
-        def keep_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pdf[pdf["d"] >= k]
+        # arrow-native projections: typed empties (no zero-length object
+        # pandas columns for Ray's block sizing) and zero-copy selects
+        def keep_fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(
+                pc.greater_equal(t.column("d"),
+                                 pa.scalar(k, t.column("d").type))
+            )
 
         surv = deg.map_batches(
-            keep_fn, batch_format="pandas", batch_size=None
+            keep_fn, batch_format="pyarrow", batch_size=None
         ).materialize()
         n_surv = surv.count()
         if n_surv == n_total:
 
-            def finish(pdf: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
-                    {"node": pdf["node"],
-                     "core_degree": pdf["d"].astype("int64")}
+            def finish(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return pa.Table.from_arrays(
+                    [t.column("node"),
+                     pc.cast(t.column("d"), pa.int64())],
+                    names=["node", "core_degree"],
                 )
 
             return surv.map_batches(
-                finish, batch_format="pandas", batch_size=None
+                finish, batch_format="pyarrow", batch_size=None
             )
         if n_surv == 0:
             return rd.from_arrow(empty)
 
-        def as_u(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"u": pdf["node"]})
+        def as_u(t: pa.Table) -> pa.Table:
+            return t.select(["node"]).rename_columns(["u"])
 
-        def as_v(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"v": pdf["node"]})
+        def as_v(t: pa.Table) -> pa.Table:
+            return t.select(["node"]).rename_columns(["v"])
 
         dedup = equi_join(
             equi_join(
                 dedup,
-                surv.map_batches(as_u, batch_format="pandas", batch_size=None),
+                surv.map_batches(
+                    as_u, batch_format="pyarrow", batch_size=None
+                ),
                 on=["u"], right_cols=[], how="semi",
                 num_partitions=num_partitions, exchange=exchange,
             ),
-            surv.map_batches(as_v, batch_format="pandas", batch_size=None),
+            surv.map_batches(as_v, batch_format="pyarrow", batch_size=None),
             on=["v"], right_cols=[], how="semi",
             num_partitions=num_partitions, exchange=exchange,
         ).materialize()
