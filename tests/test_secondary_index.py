@@ -157,3 +157,74 @@ def test_stale_lookup_guard(tmp_path, ray_session):
     engine.apply_epoch(rd.from_arrow([_event(2)]), epoch=2, delta=True)
     with pytest.raises(RuntimeError, match="refresh_secondary_index"):
         lookup_keys(engine.store, ["py"], index_id="d", expect_epoch=2)
+
+
+def test_fused_refresh_many_kits_equals_sequential(tmp_path, ray_session):
+    """index_base.fused_refresh is generic over N kits: three secondary
+    indexes on different payload columns, refreshed through ONE routed
+    exchange, must be tuple-identical to three sequential refreshes —
+    at bootstrap AND an incremental epoch (where untouched-column
+    indexes stay untouched)."""
+    from arlas_proc_ray.cdc.index_base import fused_refresh
+    from arlas_proc_ray.cdc.secondary import _SecondaryIndex
+
+    cols = ["language", "commit", "content"]
+
+    def ingest(tag):
+        e = CdcEngine(str(tmp_path / f"s{tag}"), DM)
+        e.apply_epoch(
+            rd.from_arrow(
+                [_event(i, path=f"f{i}", lang=f"l{i % 3}")
+                 for i in range(1, 9)]
+            ),
+            epoch=1,
+        )
+        return e
+
+    def evolve(e):
+        e.apply_epoch(
+            rd.from_arrow([
+                _event(20, path="f1", lang="l9"),      # language changes
+                _event(21, path="f2", op="DELETE"),    # row gone
+                _event(22, path="f9", lang="l0"),      # new row
+            ]),
+            epoch=2, delta=True,
+        )
+
+    def kits(e):
+        return [
+            _SecondaryIndex(
+                e.store, f"ix-{c}",
+                {"value_col": c, "key_cols": list(e.dm.key_cols),
+                 "num_partitions": 3},
+                3,
+            )
+            for c in cols
+        ]
+
+    # fused
+    ef = ingest("f")
+    planned = [(k, k.plan()) for k in kits(ef)]
+    outs = fused_refresh(planned)
+    assert all(o["mode"] == "bootstrap" for o in outs)
+    evolve(ef)
+    planned = [(k, k.plan()) for k in kits(ef)]
+    outs = fused_refresh(planned)
+    assert all(o["mode"] == "incremental" for o in outs)
+
+    # sequential
+    es = ingest("s")
+    for k in kits(es):
+        k.refresh()
+    evolve(es)
+    for k in kits(es):
+        k.refresh()
+
+    for c in cols:
+        pd.testing.assert_frame_equal(
+            _sorted(read_secondary_index(ef.store, f"ix-{c}")),
+            _sorted(read_secondary_index(es.store, f"ix-{c}")),
+        )
+    # lookups prune identically on the fused-built index
+    hit = lookup_keys(ef.store, ["l9"], index_id="ix-language")
+    assert set(hit["key"]) == {"org#f1"}
