@@ -8260,6 +8260,72 @@ def q_hops_from_user_exchange(sf_dir: str):
 QUERIES["hops_from_user_exchange"] = q_hops_from_user_exchange
 
 
+def q_label_communities(sf_dir: str):
+    """Deterministic synchronous label propagation (2 rounds) over the
+    mirrored user↔event-type interaction multigraph
+    (stages/graph.py:label_propagation): label₀ = own id; each round a
+    node adopts its most frequent in-neighbor label (raw event rows
+    count — multigraph, no DISTINCT), smallest label on ties. The
+    per-node argmax folds through one keyed exchange per round (the
+    (node, label) count table is edge-sized in round 1, never
+    driver-held); the final label vector is node-sized. Exact integer
+    counts + byte-order min ⇒ hash-exact vs the chained-CTE oracle."""
+    from arlas_proc_ray.stages.graph import label_propagation
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return label_propagation(
+        edges, src_col="src", dst_col="dst", rounds=2, num_partitions=NP,
+    )
+
+
+QUERIES["label_communities"] = q_label_communities
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    sql = """
+    WITH pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION ALL SELECT t, u FROM pw),
+    l0 AS (SELECT node, node AS label
+           FROM (SELECT DISTINCT src AS node FROM edges
+                 UNION SELECT DISTINCT dst FROM edges))"""
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    c{r} AS (SELECT e.dst AS node, l.label,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM edges e JOIN {prev} l ON l.node = e.src
+             GROUP BY 1, 2),
+    p{r} AS (SELECT node, min(label) AS label
+             FROM (SELECT node, label, c,
+                          max(c) OVER (PARTITION BY node) AS m
+                   FROM c{r})
+             WHERE c = m GROUP BY node),
+    l{r} AS (SELECT {prev}.node,
+                    COALESCE(p{r}.label, {prev}.label) AS label
+             FROM {prev} LEFT JOIN p{r} USING (node))"""
+        prev = f"l{r}"
+    return sql + f"\n    SELECT node, label FROM {prev} ORDER BY node"
+
+
+ORACLE_SQL["label_communities"] = _lpa_oracle()
+
+
 def _sssp_oracle(rounds: int = 4) -> str:
     sql = """
     WITH pw AS (

@@ -44,8 +44,9 @@ from arlas_proc_ray.stages.keyed import (
 )
 
 
-def _bx_groupagg(pdf: pd.DataFrame, key: str, agg: dict) -> pd.DataFrame:
-    """Single-key group aggregation under the repo NUL-byte contract.
+def _bx_groupagg(pdf: pd.DataFrame, key, agg: dict) -> pd.DataFrame:
+    """Group aggregation (single key or key list) under the repo
+    NUL-byte contract.
 
     pandas' object-string ``groupby`` (and ``Series.unique``) factorize
     through StringHashTable with C-string semantics and silently MERGE
@@ -56,9 +57,10 @@ def _bx_groupagg(pdf: pd.DataFrame, key: str, agg: dict) -> pd.DataFrame:
     aggregate out, key restored to plain object dtype for Ray's
     pandas-block schema inference.
     """
-    pdf = byte_exact_group_cols(pdf, [key])
-    g = pdf.groupby(key, sort=False, as_index=False).agg(agg)
-    return restore_object_cols(g, [key])
+    keys = [key] if isinstance(key, str) else list(key)
+    pdf = byte_exact_group_cols(pdf, keys)
+    g = pdf.groupby(keys, sort=False, as_index=False).agg(agg)
+    return restore_object_cols(g, keys)
 
 
 def _bx_unique(values, name: str) -> pd.DataFrame:
@@ -1223,3 +1225,123 @@ def k_core_exchange(
             num_partitions=num_partitions, exchange=exchange,
         ).materialize()
     raise RuntimeError("k_core_exchange did not converge within max_rounds")
+
+
+def label_propagation(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    rounds: int = 3,
+    node_col: str = "node",
+    label_col: str = "label",
+    num_partitions: int = 32,
+    exchange: str = "staged",
+) -> pd.DataFrame:
+    """Synchronous label-propagation community detection, the
+    DETERMINISTIC variant (Raghavan 2007's LPA with fixed tie-breaks so
+    a chained-CTE SQL oracle reproduces every label exactly):
+
+    ``label₀[v] = v``; per round every node adopts the most frequent
+    label among its IN-neighbors' current labels (multigraph edge rows
+    count — no DISTINCT needed, same linearity argument as
+    :func:`pagerank`), ties broken by the SMALLEST label (byte order);
+    a node with no in-edges keeps its label. Pass a mirrored edge list
+    for undirected semantics. Fixed ``rounds``, no convergence test —
+    callers choose the horizon exactly like :func:`bellman_ford_dists`.
+
+    Scale shape: the (node, neighbor-label) count table can approach
+    DISTINCT-EDGE size in round 1 (all labels start distinct), so the
+    per-node argmax does NOT run on the driver — partials fold through
+    one keyed exchange per round and the argmax is computed
+    in-partition; only the final node-sized (node, label) vector is
+    collected for the next round's broadcast. Exact integer counts +
+    byte-order min ⇒ bit-identical to the SQL oracle.
+
+    Returns a node-sized DataFrame ``(node_col, label_col)``.
+    """
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def node_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [pdf[src_col], pdf[dst_col]], ignore_index=True
+        ).to_numpy()
+        return _bx_unique(both, node_col)
+
+    universe = _tree_collect(
+        edges_ds.map_batches(
+            node_partial, batch_format="pandas", batch_size=None
+        ),
+        lambda pdf: _bx_unique(pdf[node_col].to_numpy(), node_col),
+    )
+    if universe.empty:
+        return pd.DataFrame(
+            {node_col: [], label_col: pd.Series([], dtype=object)}
+        )
+    nodes = universe[node_col].to_numpy(object)
+    labels = pd.Series(nodes.copy(), index=pd.Index(nodes))
+
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+
+        def count_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            nl = lab.reindex(pdf[src_col]).to_numpy(object)
+            return _bx_groupagg(
+                pd.DataFrame(
+                    {
+                        node_col: pdf[dst_col].to_numpy(),
+                        "_lab": nl,
+                        "c": np.ones(len(pdf), dtype=np.int64),
+                    }
+                ),
+                [node_col, "_lab"],
+                {"c": "sum"},
+            )
+
+        def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+            # keyed_partition_map hands node_col Arrow-backed, but _lab
+            # is NOT an exchange key — route the re-sum through the
+            # byte-exact helper or NUL-variant labels merge
+            g = _bx_groupagg(pdf, [node_col, "_lab"], {"c": "sum"})
+            g = byte_exact_group_cols(g, [node_col])
+            m = g.groupby(node_col, sort=False)["c"].transform("max")
+            best = g[g["c"] == m]
+            # min over _lab is comparison-based (byte-exact on objects)
+            out = best.groupby(node_col, sort=False, as_index=False)[
+                "_lab"
+            ].min()
+            return restore_object_cols(out, [node_col])
+
+        picked = keyed_partition_map(
+            edges_ds.map_batches(
+                count_partial, batch_format="pandas", batch_size=None
+            ),
+            keys=[node_col],
+            order_col="c",
+            fn=pick,
+            num_partitions=num_partitions,
+            exchange=exchange,
+        ).to_pandas()  # node-sized by construction (one row per node)
+        # dict-based update: .loc alignment on object string indexes is
+        # hash-based and NUL-merges; Python dict lookups are byte-exact
+        upd = dict(
+            zip(
+                picked[node_col].to_numpy(object),
+                picked["_lab"].to_numpy(object),
+            )
+        )
+        labels = pd.Series(
+            np.array(
+                [upd.get(v, old)
+                 for v, old in zip(nodes, labels.to_numpy(object))],
+                dtype=object,
+            ),
+            index=labels.index,
+        )
+
+    out = labels.rename(label_col).rename_axis(node_col).reset_index()
+    return out.sort_values(node_col, kind="mergesort").reset_index(drop=True)

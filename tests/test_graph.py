@@ -565,3 +565,48 @@ def test_k_core_exchange_parity():
         got = got.sort_values("node").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert (got["core_degree"] >= k).all()
+
+
+def test_label_propagation_matches_python_oracle():
+    """Deterministic LPA: per round each node takes the most frequent
+    in-neighbor label (multigraph counts), smallest label on ties —
+    pinned against a dict-based Python oracle on random digraphs
+    (mirrored and directed), including NUL-byte ids."""
+    from arlas_proc_ray.stages.graph import label_propagation
+
+    def py_lpa(edges, rounds):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        lab = {v: v for v in nodes}
+        for _ in range(rounds):
+            cnt = {}
+            for a, b in edges:
+                c = cnt.setdefault(b, {})
+                c[lab[a]] = c.get(lab[a], 0) + 1
+            new = dict(lab)
+            for v, c in cnt.items():
+                m = max(c.values())
+                new[v] = min(x for x, n in c.items() if n == m)
+            lab = new
+        return lab
+
+    rng = np.random.default_rng(23)
+    nodes = [f"n{i}" for i in range(24)] + ["x", "x\x00"]
+    base = [
+        (nodes[int(a)], nodes[int(b)])
+        for a, b in rng.integers(0, len(nodes), size=(90, 2))
+        if a != b
+    ] + [("x", "x\x00"), ("x\x00", "n1")]
+    for mirror in (False, True):
+        edges = base + [(b, a) for a, b in base] if mirror else base
+        ds = rd.from_pandas(
+            pd.DataFrame(edges, columns=["s", "t"])
+        ).repartition(3)
+        for rounds in (1, 2, 3):
+            got = label_propagation(
+                ds, src_col="s", dst_col="t", rounds=rounds,
+                num_partitions=4,
+            )
+            want = py_lpa(edges, rounds)
+            assert dict(zip(got["node"], got["label"])) == want, (
+                mirror, rounds,
+            )
