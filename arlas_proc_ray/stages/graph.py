@@ -285,10 +285,15 @@ def pagerank_exchange(
     node_col: str = "node",
     rank_col: str = "pagerank",
     num_partitions: int = 32,
+    teleport_nodes=None,
 ):
     """PageRank with NO driver-resident node state — the scale path for
     node sets too large to broadcast (the seam :func:`pagerank`'s
-    docstring documents).
+    docstring documents). ``teleport_nodes`` gives the personalized
+    variant exactly as in :func:`pagerank` — the teleport SET is
+    caller-provided and small (it rides the fold closures; the RANK
+    vector is what must not broadcast), membership tested per state row
+    with byte-exact Python set lookups.
 
     The rank vector lives as a hash-partitioned Dataset ``(node, d,
     rank)``; each iteration costs exactly two co-partition exchanges:
@@ -334,9 +339,22 @@ def pagerank_exchange(
         )
         return _bx_groupagg(both, node_col, {"d": "sum"})
 
+    tset = None if teleport_nodes is None else frozenset(teleport_nodes)
+
+    def _in_t(col: pd.Series) -> np.ndarray:
+        vals = col.astype(object).to_numpy(object)
+        return np.fromiter(
+            (v in tset for v in vals), dtype=bool, count=len(vals)
+        )
+
     def sum_d(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.groupby(node_col, sort=False, as_index=False)["d"].sum()
-        g[rank_col] = np.int64(scale)
+        if tset is None:
+            g[rank_col] = np.int64(scale)
+        else:
+            g[rank_col] = np.where(
+                _in_t(g[node_col]), np.int64(scale), np.int64(0)
+            )
         g["c"] = np.int64(0)
         return g
 
@@ -396,8 +414,13 @@ def pagerank_exchange(
                 d=("d", "sum"), c=("c", "sum")
             )
             c = g["c"].to_numpy().astype(np.int64)
+            bvec = (
+                base if tset is None
+                else np.where(_in_t(g[node_col]), np.int64(base),
+                              np.int64(0))
+            )
             g[rank_col] = (
-                base + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
+                bvec + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
             )
             g["c"] = np.int64(0)
             return g[[node_col, "d", rank_col, "c"]]

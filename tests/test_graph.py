@@ -610,3 +610,25 @@ def test_label_propagation_matches_python_oracle():
             assert dict(zip(got["node"], got["label"])) == want, (
                 mirror, rounds,
             )
+
+
+def test_pagerank_exchange_teleport_parity():
+    """Personalized teleport on the exchange path: bit-identical to the
+    broadcast teleport variant (incl. a NUL-id teleport member)."""
+    edges = EDGES + [("x\x00", "a", 2), ("a", "x\x00", 1)]
+    for srcs in (["a"], ["a", "x\x00"], ["d"]):
+        want = pagerank(
+            _edges_ds(edges), src_col="src", dst_col="dst", weight_col="w",
+            iterations=3, teleport_nodes=srcs,
+        ).sort_values("node").reset_index(drop=True)
+        got = (
+            pagerank_exchange(
+                _edges_ds(edges), src_col="src", dst_col="dst",
+                weight_col="w", iterations=3, num_partitions=4,
+                teleport_nodes=srcs,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
