@@ -8773,3 +8773,374 @@ ORACLE_SQL["user_type_entropy"] = f"""
            round(-({_ENTROPY_TERMS}), 6) + 0.0 AS entropy
     FROM piv
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: market-basket rules, CDC op-sequence audit,
+# degree distribution, RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def q_assoc_rules(sf_dir: str):
+    """Market-basket association rules over per-user event-type sets
+    (reference analogue: the co-occurrence summaries ARLAS derives per
+    object, transform/FragmentSummaryTransformer.scala:1): for every
+    ordered pair (ante, conseq) of event types, the number of users who
+    did both, each marginal, and support / confidence / lift.
+
+    Scale shape: block-level (user, type) dedup combiner → ONE keyed
+    exchange on user_id; inside each partition the pair expansion is a
+    self-merge of the per-user distinct-type table (≤ T types per user,
+    so ≤ T² rows per user) reduced to partition-local (ante, conseq)
+    counts before leaving the task. The partial table the driver folds
+    is ≤ NP × (T² + T + 1) rows — TYPE-cardinality bounded, never
+    user- or event-sized. Per-partition distinct-user counts sum
+    exactly because the exchange makes user partitions disjoint.
+
+    Determinism: ratios are parts-per-million INTEGERS via
+    floor((1e6 · a) / b) with identical float64 op order on both sides
+    (counts ≪ 2^53, so every intermediate is exactly representable).
+    """
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    pre = ds.map_batches(
+        lambda pdf: pdf.drop_duplicates(),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates()  # global distinct: user rows co-located
+        m = pdf.merge(pdf, on="user_id")
+        m = m[m["event_type_x"] != m["event_type_y"]]
+        pairs = (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        pairs.columns = ["a", "b", "n"]
+        marg = (
+            pdf.groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        marg = pd.DataFrame(
+            {"a": marg["event_type"], "b": "*", "n": marg["n"]}
+        )
+        tot = pd.DataFrame(
+            {"a": ["*"], "b": ["*"], "n": [pdf["user_id"].nunique()]}
+        )
+        out = pd.concat([pairs, marg, tot], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    part = keyed_partition_map(
+        pre,
+        keys=["user_id"],
+        order_col="event_type",
+        fn=partial,
+        num_partitions=NP,
+    )
+    pdf = part.to_pandas()  # type-cardinality bounded (see docstring)
+    agg = pdf.groupby(["a", "b"], as_index=False)["n"].sum()
+    n_users = int(agg.loc[agg["a"] == "*", "n"].sum())
+    marg = (
+        agg[(agg["b"] == "*") & (agg["a"] != "*")]
+        .set_index("a")["n"]
+        .astype("int64")
+    )
+    out = agg[agg["b"] != "*"].copy()
+    out = out.rename(columns={"a": "ante", "b": "conseq", "n": "n_both"})
+    out["n_both"] = out["n_both"].astype("int64")
+    out["n_a"] = out["ante"].map(marg).astype("int64")
+    out["n_b"] = out["conseq"].map(marg).astype("int64")
+    out["n_users"] = np.int64(n_users)
+    n_ab = out["n_both"].to_numpy(np.float64)
+    n_a = out["n_a"].to_numpy(np.float64)
+    n_b = out["n_b"].to_numpy(np.float64)
+    out["support_ppm"] = np.floor(1000000.0 * n_ab / float(n_users)).astype(
+        "int64"
+    )
+    out["confidence_ppm"] = np.floor(1000000.0 * n_ab / n_a).astype("int64")
+    lift_num = 1000000.0 * (
+        out["n_both"].to_numpy() * np.int64(n_users)
+    ).astype(np.float64)
+    out["lift_ppm"] = np.floor(lift_num / (n_a * n_b)).astype("int64")
+    return out[
+        [
+            "ante",
+            "conseq",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_users",
+            "support_ppm",
+            "confidence_ppm",
+            "lift_ppm",
+        ]
+    ].reset_index(drop=True)
+
+
+QUERIES["assoc_rules"] = q_assoc_rules
+
+ORACLE_SQL["assoc_rules"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM ut GROUP BY event_type),
+    pairs AS (SELECT x.event_type AS ante, y.event_type AS conseq,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM ut x JOIN ut y
+                ON x.user_id = y.user_id
+               AND x.event_type <> y.event_type
+              GROUP BY 1, 2)
+    SELECT p.ante, p.conseq, p.n_both,
+           ma.n AS n_a, mb.n AS n_b, t.n_users,
+           CAST(floor(1000000.0 * p.n_both / t.n_users) AS BIGINT)
+             AS support_ppm,
+           CAST(floor(1000000.0 * p.n_both / ma.n) AS BIGINT)
+             AS confidence_ppm,
+           CAST(floor(1000000.0 * (p.n_both * t.n_users)
+                      / (ma.n * mb.n)) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.ante
+    JOIN marg mb ON mb.event_type = p.conseq
+    CROSS JOIN tot t
+    ORDER BY ante, conseq
+"""
+
+
+def q_cdc_delete_reinsert(sf_dir: str):
+    """CDC op-sequence audit over the flagship changelog mapping
+    (cdc/replay.py delete-then-reinsert semantics, reference analogue
+    transform/DataFrameFormatter.scala:1 keyed cleanup): per (repo,
+    path) key, total ops, deletes, delete→reinsert episodes (a DELETE
+    immediately followed in LSN order by an UPDATE — the tombstone
+    resurrection case the engine's chaos tests replay), last applied
+    LSN and the op that applied it.
+
+    One keyed exchange; inside the partition everything is one
+    vectorized groupby (shift for the previous op, named aggs) across
+    all keys at once — no per-key Python loop. LSNs are unique, so
+    last_op is deterministic."""
+    cl = _events_changelog(sf_dir)
+
+    def audit(pdf: pd.DataFrame) -> pd.DataFrame:
+        prev = pdf.groupby(["repo", "path"], sort=False)["op"].shift(1)
+        pdf = pdf.assign(
+            is_del=(pdf["op"] == "DELETE").astype("int64"),
+            re_ins=((prev == "DELETE") & (pdf["op"] == "UPDATE")).astype(
+                "int64"
+            ),
+        )
+        return pdf.groupby(["repo", "path"], sort=False, as_index=False).agg(
+            n_ops=("lsn", "size"),
+            n_deletes=("is_del", "sum"),
+            n_reinserts=("re_ins", "sum"),
+            last_lsn=("lsn", "max"),
+            last_op=("op", "last"),
+        )
+
+    return keyed_partition_map(
+        cl,
+        keys=["repo", "path"],
+        order_col="lsn",
+        fn=audit,
+        num_partitions=NP,
+    )
+
+
+QUERIES["cdc_delete_reinsert"] = q_cdc_delete_reinsert
+
+ORACLE_SQL["cdc_delete_reinsert"] = f"""
+    WITH cl AS ({_CHANGELOG_SQL}),
+    seq AS (SELECT repo, path, op, lsn,
+                   lag(op) OVER (PARTITION BY repo, path
+                                 ORDER BY lsn) AS prev_op
+            FROM cl)
+    SELECT repo, path,
+           CAST(count(*) AS BIGINT) AS n_ops,
+           CAST(count(*) FILTER (op = 'DELETE') AS BIGINT) AS n_deletes,
+           CAST(count(*) FILTER (prev_op = 'DELETE' AND op = 'UPDATE')
+                AS BIGINT) AS n_reinserts,
+           max(lsn) AS last_lsn,
+           arg_max(op, lsn) AS last_op
+    FROM seq GROUP BY repo, path ORDER BY repo, path
+"""
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the mirrored user↔event-type interaction
+    graph (stages/graph.py topology): node degree = count of DISTINCT
+    neighbors, histogrammed as (deg, n_nodes).
+
+    Scale shape: block-level pair-dedup combiner, then one keyed
+    exchange per side of the bipartition (all copies of a pair meet in
+    the keyed partition, so the in-partition dedup is globally exact);
+    per-partition degree tables collapse to block-local histograms
+    before the driver folds a degree-support-sized partial table (≤
+    blocks × distinct degree values — never node- or event-sized)."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    pre = ds.map_batches(
+        lambda pdf: pdf.drop_duplicates(),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    def deg_u(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates()
+        out = pdf.groupby("user_id", sort=False, as_index=False).size()
+        return pd.DataFrame({"deg": out["size"].astype("int64")})
+
+    def deg_t(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates()
+        out = pdf.groupby("event_type", sort=False, as_index=False).size()
+        return pd.DataFrame({"deg": out["size"].astype("int64")})
+
+    du = keyed_partition_map(
+        pre, keys=["user_id"], order_col="event_type", fn=deg_u,
+        num_partitions=NP,
+    )
+    dt = keyed_partition_map(
+        pre, keys=["event_type"], order_col="user_id", fn=deg_t,
+        num_partitions=NP,
+    )
+
+    def hist_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("deg", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_nodes"})
+
+    partial = du.union(dt).map_batches(
+        hist_partial, batch_format="pandas", batch_size=None
+    )
+    pdf = partial.to_pandas()  # degree-support sized (see docstring)
+    out = pdf.groupby("deg", as_index=False)["n_nodes"].sum()
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out
+
+
+QUERIES["degree_histogram"] = q_degree_histogram
+
+ORACLE_SQL["degree_histogram"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (SELECT CAST(count(*) AS BIGINT) AS deg FROM ut GROUP BY user_id
+            UNION ALL
+            SELECT CAST(count(*) AS BIGINT) FROM ut GROUP BY event_type)
+    SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY deg ORDER BY deg
+"""
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) quartile segmentation per
+    user — the classic curation/analytics segmentation, composed from
+    proven pieces: per-user aggregates fold through block combiners +
+    ONE keyed exchange (exact integer cents, µs-integer recency), then
+    the NTILE(4) assignment reuses q_value_ntile's exact integer rank
+    arithmetic.
+
+    Driver-finalize cardinality contract (same bound as q_gini_spend /
+    q_spearman_spend_activity, stated per VERDICT r4): the ntile pass
+    sorts the per-USER aggregate — distinct-user-sized, orders of
+    magnitude smaller than the event stream it summarizes; at 100 TB
+    user cardinality is the broadcastable side. Orders are fully
+    deterministic: every metric is an exact integer and user_id breaks
+    ties."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def upartial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "ts_us": pdf["ts"].astype("datetime64[us]").astype("int64"),
+                "cents": _cents(pdf["value"]).values,
+            }
+        )
+        return tmp.groupby("user_id", sort=False, as_index=False).agg(
+            last_us=("ts_us", "max"),
+            n_events=("ts_us", "size"),
+            cents=("cents", "sum"),
+        )
+
+    partial = ds.map_batches(upartial, batch_format="pandas", batch_size=None)
+
+    def ucombine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("user_id", sort=False, as_index=False).agg(
+            last_us=("last_us", "max"),
+            n_events=("n_events", "sum"),
+            cents=("cents", "sum"),
+        )
+
+    agg = keyed_partition_map(
+        partial,
+        keys=["user_id"],
+        order_col="last_us",
+        fn=ucombine,
+        num_partitions=NP,
+    ).to_pandas()  # distinct-user sized (contract in docstring)
+
+    max_us = int(agg["last_us"].max())
+    agg["r_us"] = np.int64(max_us) - agg["last_us"].to_numpy()
+    n = len(agg)
+    k = 4
+    q, rem = divmod(n, k)
+    cut = rem * (q + 1)
+
+    def ntile_of(order_cols: list[str]) -> np.ndarray:
+        idx = np.lexsort(
+            tuple(agg[c].to_numpy() for c in reversed(order_cols))
+        )
+        r0 = np.empty(n, dtype=np.int64)
+        r0[idx] = np.arange(n, dtype=np.int64)
+        big = r0 // (q + 1) + 1
+        small = rem + (r0 - cut) // max(q, 1) + 1
+        return np.where(r0 < cut, big, small).astype("int64")
+
+    agg["r_score"] = ntile_of(["r_us", "user_id"])
+    agg["f_score"] = ntile_of(["n_events", "user_id"])
+    agg["m_score"] = ntile_of(["cents", "user_id"])
+    agg["rfm"] = (
+        agg["r_score"] * 100 + agg["f_score"] * 10 + agg["m_score"]
+    ).astype("int64")
+    agg["monetary"] = agg["cents"].to_numpy(np.float64) / 100.0
+    return agg[
+        [
+            "user_id",
+            "r_us",
+            "n_events",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            "rfm",
+        ]
+    ].reset_index(drop=True)
+
+
+QUERIES["rfm_segments"] = q_rfm_segments
+
+ORACLE_SQL["rfm_segments"] = """
+    WITH agg AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id),
+    mx AS (SELECT max(last_us) AS max_us FROM agg),
+    sc AS (
+      SELECT user_id,
+             (SELECT max_us FROM mx) - last_us AS r_us,
+             n_events, cents,
+             ntile(4) OVER (ORDER BY (SELECT max_us FROM mx) - last_us,
+                            user_id) AS r_score,
+             ntile(4) OVER (ORDER BY n_events, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY cents, user_id) AS m_score
+      FROM agg)
+    SELECT user_id, r_us, n_events,
+           cents / 100.0 AS monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM sc ORDER BY user_id
+"""
