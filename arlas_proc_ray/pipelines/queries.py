@@ -8554,51 +8554,12 @@ ORACLE_SQL["spearman_spend_activity"] = """
 """
 
 
-def _count_inversions(a: "np.ndarray") -> int:
-    """Exact inversion count by LEVEL-VECTORIZED merge counting.
-
-    Each doubling level counts every segment pair's cross inversions
-    with ONE global ``searchsorted`` — adding ``segment_id · span`` to
-    the values keeps the concatenated left halves globally sorted, so
-    per-segment binary searches collapse into a single vectorized call —
-    and re-sorts all segments with ONE ``np.sort`` (offsets make the
-    global sort segment-local). O(n log² n) numpy work with ZERO
-    per-segment Python (the previous per-segment loop ran n/2 Python
-    iterations on the first level — minutes at 10⁶ keys; this runs 10⁶
-    keys in well under a second, pinned by the stress test)."""
-    a = np.asarray(a, dtype=np.int64)
-    n = len(a)
-    if n < 2:
-        return 0
-    # stable rank-compress: ties (never inversions) become ordered
-    # non-inversions, values become 0..n-1 so segment offsets can't
-    # overflow int64 regardless of the input's numeric range
-    order = np.argsort(a, kind="stable")
-    a = np.empty(n, np.int64)
-    a[order] = np.arange(n, dtype=np.int64)
-    span = np.int64(n)
-    inv = 0
-    width = 1
-    while width < n:
-        seg = 2 * width
-        nseg = (n + seg - 1) // seg
-        block = np.repeat(np.arange(nseg, dtype=np.int64), seg)[:n]
-        shifted = a + block * span
-        is_left = (np.arange(n) % seg) < width
-        left, right = shifted[is_left], shifted[~is_left]
-        if len(right):
-            rblock = block[~is_left]
-            lcounts = np.bincount(block[is_left], minlength=nseg)
-            lstarts = np.concatenate(
-                [np.zeros(1, np.int64), np.cumsum(lcounts)[:-1]]
-            )
-            # left elements ranked after each right element within the
-            # same segment are exactly its inversions
-            pos = np.searchsorted(left, right, side="right")
-            inv += int(((lstarts[rblock] + lcounts[rblock]) - pos).sum())
-        a = np.sort(shifted) - block * span
-        width *= 2
-    return inv
+# the level-vectorized merge counter moved to stages/inversions.py
+# (alongside its distributed twin); re-exported here for the property
+# tests and the driver-side finalizes below.
+from arlas_proc_ray.stages.inversions import (  # noqa: E402
+    count_inversions as _count_inversions,
+)
 
 
 def q_kendall_spend_activity(sf_dir: str):
@@ -9144,3 +9105,36 @@ ORACLE_SQL["rfm_segments"] = """
            CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
     FROM sc ORDER BY user_id
 """
+
+
+def q_kendall_distributed(sf_dir: str):
+    """q_kendall_spend_activity's twin on the DISTRIBUTED inversion
+    counter (stages/inversions.py) — nothing sequence-sized on the
+    driver: cross-chunk/cross-bucket pairs fold through a C×B count
+    matrix, same-chunk and same-bucket pairs count inside two keyed
+    exchanges. Bit-identical finalize formula, so it shares the
+    kendall_spend_activity oracle. The rank fixture itself is the
+    user-sized leaderboard (from_pandas is the fixture side, not the
+    operator); the event-scale path is pinned by the 10⁶-row
+    equivalence test in tests/test_inversions.py."""
+    from arlas_proc_ray.stages.inversions import distributed_inversion_count
+
+    ranks = q_rrf_user_rank(sf_dir)
+    ds = rd.from_pandas(ranks[["r1", "r2"]]).repartition(8)
+    n = len(ranks)
+    inv = distributed_inversion_count(
+        ds, x_col="r1", y_col="r2", num_chunks=8, num_buckets=8,
+        num_partitions=8,
+    )
+    tau = 1.0 - float(4 * inv) / float(n * (n - 1))
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "discordant": np.array([inv], dtype=np.int64),
+            "kendall_tau": np.array([tau], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["kendall_distributed"] = q_kendall_distributed
+ORACLE_SQL["kendall_distributed"] = ORACLE_SQL["kendall_spend_activity"]
