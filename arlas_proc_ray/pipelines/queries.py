@@ -9138,3 +9138,177 @@ def q_kendall_distributed(sf_dir: str):
 
 QUERIES["kendall_distributed"] = q_kendall_distributed
 ORACLE_SQL["kendall_distributed"] = ORACLE_SQL["kendall_spend_activity"]
+
+
+def _ranked_leaderboard_ds(sf_dir: str):
+    """Dataset-resident (user_id, r1, r2): the rrf/spearman leaderboard
+    with BOTH strict ranks assigned by two chained global_rank passes
+    (stages/scan.py two-pass range-partitioned rank — per-block bucket
+    partials, driver holds only bucket offsets) instead of a driver
+    argsort. Ascending rank over (−metric, user_id) is exactly
+    row_number() OVER (ORDER BY metric DESC, user_id) for integer
+    metrics, so the ranks are bit-identical to the driver-side fixture."""
+    from arlas_proc_ray.stages.scan import global_rank
+
+    ds = _events(sf_dir, columns=["user_id", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"user_id": pdf["user_id"], "c": cents})
+            .groupby("user_id", sort=False)["c"]
+            .agg(["sum", "size"])
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g.index.to_numpy(),
+                "spend": g["sum"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("user_id", as_index=False, sort=False)[
+            ["spend", "n"]
+        ].sum()
+        out["neg_spend"] = -out["spend"]
+        out["neg_n"] = -out["n"]
+        return out
+
+    agg = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"], order_col="spend", fn=reduce_sum,
+        num_partitions=NP,
+    )
+    r1 = global_rank(
+        agg, order_cols=["neg_spend", "user_id"], target="r1",
+        num_partitions=8,
+    )
+    return global_rank(
+        r1, order_cols=["neg_n", "user_id"], target="r2", num_partitions=8
+    )
+
+
+def q_rrf_distributed(sf_dir: str):
+    """q_rrf_user_rank's twin with NOTHING user-sized on the driver: the
+    two leaderboard ranks come from chained distributed global_rank
+    passes and the fusion is a stateless per-block expression (same
+    fixed two-term 1/(60+r) sum as the oracle — bit-identical doubles).
+    Shares rrf_user_rank's oracle."""
+    ranked = _ranked_leaderboard_ds(sf_dir)
+
+    def fuse(pdf: pd.DataFrame) -> pd.DataFrame:
+        r1 = pdf["r1"].to_numpy(np.int64)
+        r2 = pdf["r2"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "r1": r1,
+                "r2": r2,
+                "rrf": 1.0 / (60 + r1) + 1.0 / (60 + r2),
+            }
+        )
+
+    return ranked.map_batches(fuse, batch_format="pandas", batch_size=None)
+
+
+QUERIES["rrf_distributed"] = q_rrf_distributed
+ORACLE_SQL["rrf_distributed"] = ORACLE_SQL["rrf_user_rank"]
+
+
+def q_spearman_distributed(sf_dir: str):
+    """q_spearman_spend_activity's twin on distributed ranks: Σd² folds
+    as per-block int64 partials (the driver sees two scalars per block,
+    never a row), finalized with the SAME fixed-order float expression.
+    Shares the spearman oracle."""
+    ranked = _ranked_leaderboard_ds(sf_dir)
+
+    def d2_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["r1"].to_numpy(np.int64) - pdf["r2"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "nn": [np.int64(len(pdf))],
+                "sd2": [np.int64((d * d).sum())],
+            }
+        )
+
+    parts = ranked.map_batches(
+        d2_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    n = int(parts["nn"].sum())
+    sd2 = int(parts["sd2"].sum())
+    rho = 1.0 - float(6 * sd2) / float(n * (n * n - 1))
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "sum_d2": np.array([sd2], dtype=np.int64),
+            "spearman_rho": np.array([rho], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["spearman_distributed"] = q_spearman_distributed
+ORACLE_SQL["spearman_distributed"] = ORACLE_SQL["spearman_spend_activity"]
+
+
+def q_gini_distributed(sf_dir: str):
+    """q_gini_spend's twin on a distributed ascending rank: the
+    rank-weighted sum Σ i·x_(i) folds as per-block int64 partials over
+    the ranked Dataset (equal values commute under the weight sum, so
+    the user_id tiebreak cannot change it), finalized with the SAME
+    two-term expression. Shares the gini oracle."""
+    from arlas_proc_ray.stages.scan import global_rank
+
+    ds = _events(sf_dir, columns=["user_id", "value"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        g = (
+            pd.DataFrame({"user_id": pdf["user_id"], "c": cents})
+            .groupby("user_id", sort=False)["c"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {"user_id": g.index.to_numpy(), "c": g.to_numpy(np.int64)}
+        )
+
+    def reduce_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("user_id", as_index=False, sort=False)["c"].sum()
+
+    agg = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"], order_col="c", fn=reduce_sum, num_partitions=NP,
+    )
+    ranked = global_rank(
+        agg, order_cols=["c", "user_id"], target="rnk", num_partitions=8
+    )
+
+    def g_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["c"].to_numpy(np.int64)
+        r = pdf["rnk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "nn": [np.int64(len(pdf))],
+                "tot": [np.int64(c.sum())],
+                "wsum": [np.int64((r * c).sum())],
+            }
+        )
+
+    parts = ranked.map_batches(
+        g_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    n = int(parts["nn"].sum())
+    tot = int(parts["tot"].sum())
+    weighted = int(parts["wsum"].sum())
+    gini = float(2 * weighted) / float(n * tot) - float(n + 1) / float(n)
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype=np.int64),
+            "total_cents": np.array([tot], dtype=np.int64),
+            "gini": np.array([gini], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["gini_distributed"] = q_gini_distributed
+ORACLE_SQL["gini_distributed"] = ORACLE_SQL["gini_spend"]
