@@ -9312,3 +9312,228 @@ def q_gini_distributed(sf_dir: str):
 
 QUERIES["gini_distributed"] = q_gini_distributed
 ORACLE_SQL["gini_distributed"] = ORACLE_SQL["gini_spend"]
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast-revenue delta) adapted to this schema:
+    Σ l_extendedprice·l_discount over one shipdate year, a discount
+    band and a quantity cap. Pure pruned read (3 columns + shipdate
+    row-group pushdown) → per-block exact integer partials (cents ×
+    cents = 10⁻⁴-dollar units) → one scalar on the driver. The discount
+    band is evaluated on ROUNDED CENTS on both sides, so float literal
+    representation cannot split the predicate."""
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        disc_c = _cents(pdf["l_discount"])
+        keep = (
+            (pdf["l_shipdate"] >= lo)
+            & (pdf["l_shipdate"] < hi)
+            & disc_c.between(5, 7)
+            & (pdf["l_quantity"] < 24)
+        )
+        price_c = _cents(pdf["l_extendedprice"][keep])
+        c4 = (price_c * disc_c[keep]).sum()
+        return pd.DataFrame({"revenue_c4": [np.int64(c4)]})
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    c4 = int(parts["revenue_c4"].sum())
+    return pd.DataFrame(
+        {
+            "revenue_c4": np.array([c4], dtype=np.int64),
+            "revenue": np.array([c4 / 10000.0], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["tpch_q6"] = q_tpch_q6
+
+ORACLE_SQL["tpch_q6"] = """
+    WITH f AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        AND l_quantity < 24)
+    SELECT CAST(sum(price_c * disc_c) AS BIGINT) AS revenue_c4,
+           CAST(sum(price_c * disc_c) AS BIGINT) / 10000.0 AS revenue
+    FROM f
+"""
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking) adapted: orders of one
+    quarter-year window counted per priority when AT LEAST ONE line
+    shipped more than 90 days after the order date — a correlated
+    EXISTS, i.e. a semi join whose predicate spans BOTH tables, so the
+    broadcast semi (stages/lookup.py) can't express it: both sides
+    co-partition on the order key in ONE equi_join exchange and the
+    cross-table filter + per-order dedup run inside the join partition
+    (post_fn — zero extra exchanges). The surviving (order, priority)
+    rows fold through per-block priority-count partials to a 5-row
+    driver merge."""
+    import pyarrow.dataset as pads
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-07-01")
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= pa.scalar(lo))
+            & (pads.field("o_orderdate") < pa.scalar(hi))
+        ),
+    )
+
+    def o_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[(pdf["o_orderdate"] >= lo) & (pdf["o_orderdate"] < hi)]
+
+    orders = orders.map_batches(o_exact, batch_format="pandas", batch_size=None)
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        # conservative prune: a late line for this window ships after
+        # lo + 90d; exact predicate re-applies inside the join
+        filter_expr=pads.field("l_shipdate") > pa.scalar(lo),
+    ).map_batches(
+        lambda pdf: pdf.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    def late_semi(pdf: pd.DataFrame) -> pd.DataFrame:
+        late = pdf[
+            pdf["l_shipdate"] > pdf["o_orderdate"] + pd.Timedelta(days=90)
+        ]
+        return late.drop_duplicates("o_orderkey")[
+            ["o_orderkey", "o_orderpriority"]
+        ]
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=["l_shipdate"],
+        num_partitions=NP,
+        post_fn=late_semi,
+    )
+
+    def prio_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.groupby("o_orderpriority", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    parts = joined.map_batches(
+        prio_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # ≤ blocks × 5 priorities
+    out = parts.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+QUERIES["tpch_q4"] = q_tpch_q4
+
+ORACLE_SQL["tpch_q4"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority split) adapted: per
+    l_returnflag over one shipdate year, how many lines belong to
+    URGENT/HIGH-priority orders vs the rest. Fact⋈fact equi join on the
+    order key with the two conditional counts fused into the join
+    partition (post_fn combiner) — the exchange moves each side once
+    and what leaves the partitions is flag-cardinality sized."""
+    import pyarrow.dataset as pads
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+
+    def li_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["l_shipdate"] >= lo) & (pdf["l_shipdate"] < hi)
+        out = pdf[keep].rename(columns={"l_orderkey": "o_orderkey"})
+        return out[["o_orderkey", "l_returnflag"]]
+
+    li = li.map_batches(li_exact, batch_format="pandas", batch_size=None)
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def split_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        high = pdf["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "high_line_count": high.astype("int64"),
+                "low_line_count": (~high).astype("int64"),
+            }
+        )
+        return tmp.groupby("l_returnflag", sort=False, as_index=False).sum()
+
+    joined = equi_join(
+        li,
+        orders,
+        on=["o_orderkey"],
+        right_cols=["o_orderpriority"],
+        num_partitions=NP,
+        post_fn=split_counts,
+    )
+    parts = joined.to_pandas()  # ≤ partitions × 3 flags
+    out = parts.groupby("l_returnflag", as_index=False)[
+        ["high_line_count", "low_line_count"]
+    ].sum()
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+QUERIES["tpch_q12"] = q_tpch_q12
+
+ORACLE_SQL["tpch_q12"] = """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS high_line_count,
+           CAST(count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
