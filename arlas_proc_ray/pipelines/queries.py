@@ -9537,3 +9537,212 @@ ORACLE_SQL["tpch_q12"] = """
       AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share): one shipdate year of
+    lineitem broadcast-joined against the part dimension (dimension
+    tables broadcast by contract — ray.put once, shared-memory per
+    worker, zero shuffle), folding exact-cents c4 revenue into two
+    scalars (promo / total) per block. The share is ONE float division
+    of the two exact integers — bit-identical to the oracle."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+    part = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    joined = broadcast_join(li, part, on=["l_partkey"])
+
+    def rev_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["l_shipdate"] >= lo) & (pdf["l_shipdate"] < hi)
+        pdf = pdf[keep]
+        c4 = (
+            _cents(pdf["l_extendedprice"])
+            * (100 - _cents(pdf["l_discount"]))
+        ).to_numpy(np.int64)
+        promo = (pdf["p_type"] == "PROMO").to_numpy()
+        return pd.DataFrame(
+            {
+                "promo_c4": [np.int64(c4[promo].sum())],
+                "total_c4": [np.int64(c4.sum())],
+            }
+        )
+
+    parts = joined.map_batches(
+        rev_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    promo_c4 = int(parts["promo_c4"].sum())
+    total_c4 = int(parts["total_c4"].sum())
+    return pd.DataFrame(
+        {
+            "promo_c4": np.array([promo_c4], dtype=np.int64),
+            "total_c4": np.array([total_c4], dtype=np.int64),
+            "promo_share_pct": np.array(
+                [(100.0 * promo_c4) / total_c4], dtype=np.float64
+            ),
+        }
+    )
+
+
+QUERIES["tpch_q14"] = q_tpch_q14
+
+ORACLE_SQL["tpch_q14"] = """
+    WITH f AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS c4,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01')
+    SELECT CAST(sum(c4) FILTER (p_type = 'PROMO') AS BIGINT) AS promo_c4,
+           CAST(sum(c4) AS BIGINT) AS total_c4,
+           (100.0 * CAST(sum(c4) FILTER (p_type = 'PROMO') AS BIGINT))
+             / CAST(sum(c4) AS BIGINT) AS promo_share_pct
+    FROM f
+"""
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue by nation, region =
+    EUROPE, orders of 1996): the dimension chain region→nation→
+    customer / supplier is THREE broadcast lookups (each entity-sized
+    by contract, ray.put once); the only exchange is the one fact⋈fact
+    equi join of date-filtered orders against lineitem, with the
+    same-nation filter (c_nationkey = s_nationkey) and the per-nation
+    exact-cents revenue fold fused into the join partitions via
+    post_fn. What leaves each partition is nation-cardinality sized."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    europe = nation.merge(
+        region[region["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    cust = (
+        pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .to_pandas()
+        .merge(europe, left_on="c_nationkey", right_on="n_nationkey")[
+            ["c_custkey", "c_nationkey"]
+        ]
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    supp = (
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= pa.scalar(lo))
+            & (pads.field("o_orderdate") < pa.scalar(hi))
+        ),
+    )
+
+    def o_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["o_orderdate"] >= lo) & (pdf["o_orderdate"] < hi)
+        return pdf[keep][["o_orderkey", "o_custkey"]]
+
+    orders = broadcast_join(
+        orders.map_batches(o_exact, batch_format="pandas", batch_size=None),
+        cust,
+        on=["o_custkey"],
+        how="inner",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda pdf: pdf.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    li = broadcast_join(li, supp, on=["l_suppkey"], how="inner")
+
+    def local_rev(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["c_nationkey"] == pdf["s_nationkey"]]
+        c4 = _cents(pdf["l_extendedprice"]) * (
+            100 - _cents(pdf["l_discount"])
+        )
+        tmp = pd.DataFrame(
+            {"n_nationkey": pdf["c_nationkey"].to_numpy(np.int64), "c4": c4}
+        )
+        return tmp.groupby("n_nationkey", sort=False, as_index=False)[
+            "c4"
+        ].sum()
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=["l_suppkey", "s_nationkey", "l_extendedprice", "l_discount"],
+        num_partitions=NP,
+        post_fn=local_rev,
+    )
+    parts = joined.to_pandas()  # ≤ partitions × nations
+    out = parts.groupby("n_nationkey", as_index=False)["c4"].sum()
+    out = out.merge(europe, on="n_nationkey")[["n_name", "c4"]]
+    out = out.rename(columns={"c4": "revenue_c4"})
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    out["revenue"] = out["revenue_c4"].to_numpy(np.float64) / 10000.0
+    return out.reset_index(drop=True)
+
+
+QUERIES["tpch_q5"] = q_tpch_q5
+
+ORACLE_SQL["tpch_q5"] = """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY n_name
+"""
