@@ -9746,3 +9746,114 @@ ORACLE_SQL["tpch_q5"] = """
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name ORDER BY n_name
 """
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    exact-cents revenue from RETURNED lines of one order quarter.
+    Returned lineitem pre-aggregates revenue per order INSIDE
+    map_batches (combiner), the fact⋈fact equi join on the order key is
+    the one exchange (per-customer fold fused via post_fn), the
+    customer dimension broadcast-attaches names to the 20 survivors.
+    Top-20 is a per-block nlargest combiner with a deterministic
+    (revenue desc, custkey asc) tie-break on exact integers."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= pa.scalar(lo))
+            & (pads.field("o_orderdate") < pa.scalar(hi))
+        ),
+    )
+
+    def o_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["o_orderdate"] >= lo) & (pdf["o_orderdate"] < hi)
+        return pdf[keep][["o_orderkey", "o_custkey"]]
+
+    orders = orders.map_batches(o_exact, batch_format="pandas", batch_size=None)
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def rev_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["l_returnflag"] == "R"]
+        tmp = pd.DataFrame(
+            {
+                "o_orderkey": pdf["l_orderkey"].to_numpy(np.int64),
+                "rev_c4": (
+                    _cents(pdf["l_extendedprice"])
+                    * (100 - _cents(pdf["l_discount"]))
+                ).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby("o_orderkey", sort=False, as_index=False)[
+            "rev_c4"
+        ].sum()
+
+    li = li.map_batches(rev_partial, batch_format="pandas", batch_size=None)
+
+    def cust_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("o_custkey", sort=False, as_index=False)[
+            "rev_c4"
+        ].sum()
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=["rev_c4"],
+        num_partitions=NP,
+        post_fn=cust_fold,
+    )
+
+    # NO per-block top-k here: the join partitions by ORDER key, so one
+    # customer's revenue is split across partitions and a block-local
+    # head(20) could drop a true top-20 customer. The per-partition
+    # per-customer partials are ≤ NP × distinct customers — entity-sized
+    # (the q_rrf_user_rank cardinality contract) — so the driver folds
+    # them exactly before ranking.
+    parts = joined.to_pandas()
+    agg = parts.groupby("o_custkey", as_index=False)["rev_c4"].sum()
+    top = agg.sort_values(
+        ["rev_c4", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(
+        cust, on="c_custkey"
+    )
+    out["revenue_c4"] = out["rev_c4"].astype("int64")
+    out["revenue"] = out["revenue_c4"].to_numpy(np.float64) / 10000.0
+    return out[["c_custkey", "c_name", "revenue_c4", "revenue"]].reset_index(
+        drop=True
+    )
+
+
+QUERIES["tpch_q10"] = q_tpch_q10
+
+ORACLE_SQL["tpch_q10"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_c4
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY o_custkey)
+    SELECT c_custkey, c_name, revenue_c4, revenue_c4 / 10000.0 AS revenue
+    FROM rev JOIN customer ON c_custkey = o_custkey
+    ORDER BY revenue_c4 DESC, c_custkey
+    LIMIT 20
+"""
