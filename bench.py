@@ -203,6 +203,16 @@ def run_bench() -> dict:
         "typo_pairs",
         "hops_from_user",
         "weighted_sample",
+        # round-5 additions
+        "assoc_rules",
+        "rfm_segments",
+        "kendall_distributed",
+        "rrf_distributed",
+        "tpch_q5",
+        "tpch_q10",
+        "tpch_q14",
+        "label_communities",
+        "hops_from_user_exchange",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
