@@ -9857,3 +9857,977 @@ ORACLE_SQL["tpch_q10"] = """
     ORDER BY revenue_c4 DESC, c_custkey
     LIMIT 20
 """
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): two years
+    of lineitem revenue exchanged between NATION_3 and NATION_13 in
+    either direction, per (supplier nation, customer nation, ship
+    year). Supplier and (customer→nation) are broadcast dimension
+    attaches (ray.put once, by the entity-size contract); the one
+    exchange is the fact⋈fact order-key equi join with the
+    direction filter and the 3-key exact-cents fold fused into the
+    join partitions (post_fn). What leaves each partition is
+    (2 directions × 2 years) rows."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    n_a, n_b = 3, 13
+
+    supp = (
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+    supp = supp[supp["s_nationkey"].isin([n_a, n_b])]
+    cust = (
+        pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    cust = cust[cust["c_nationkey"].isin([n_a, n_b])]
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+        filter_expr=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+
+    def li_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["l_shipdate"] >= lo) & (pdf["l_shipdate"] < hi)
+        return pdf[keep].rename(columns={"l_orderkey": "o_orderkey"})
+
+    li = broadcast_join(
+        li.map_batches(li_exact, batch_format="pandas", batch_size=None),
+        supp,
+        on=["l_suppkey"],
+        how="inner",
+    )
+
+    orders = broadcast_join(
+        _rp(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]),
+        cust,
+        on=["o_custkey"],
+        how="inner",
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def direction_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            ((pdf["s_nationkey"] == n_a) & (pdf["c_nationkey"] == n_b))
+            | ((pdf["s_nationkey"] == n_b) & (pdf["c_nationkey"] == n_a))
+        )
+        pdf = pdf[keep]
+        tmp = pd.DataFrame(
+            {
+                "supp_nationkey": pdf["s_nationkey"].to_numpy(np.int64),
+                "cust_nationkey": pdf["c_nationkey"].to_numpy(np.int64),
+                "l_year": pdf["l_shipdate"].dt.year.to_numpy(np.int64),
+                "c4": (
+                    _cents(pdf["l_extendedprice"])
+                    * (100 - _cents(pdf["l_discount"]))
+                ).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(
+            ["supp_nationkey", "cust_nationkey", "l_year"],
+            sort=False,
+            as_index=False,
+        )["c4"].sum()
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=[
+            "s_nationkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        num_partitions=NP,
+        post_fn=direction_fold,
+    )
+    parts = joined.to_pandas()  # ≤ partitions × 2 directions × 2 years
+    out = parts.groupby(
+        ["supp_nationkey", "cust_nationkey", "l_year"], as_index=False
+    )["c4"].sum()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    out["supp_nation"] = out["supp_nationkey"].map(names)
+    out["cust_nation"] = out["cust_nationkey"].map(names)
+    out["revenue_c4"] = out["c4"].astype("int64")
+    out["revenue"] = out["revenue_c4"].to_numpy(np.float64) / 10000.0
+    return out[
+        ["supp_nation", "cust_nation", "l_year", "revenue_c4", "revenue"]
+    ].reset_index(drop=True)
+
+
+QUERIES["tpch_q7"] = q_tpch_q7
+
+ORACLE_SQL["tpch_q7"] = """
+    WITH f AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS c4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((s_nationkey = 3 AND c_nationkey = 13)
+             OR (s_nationkey = 13 AND c_nationkey = 3)))
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(c4) AS BIGINT) AS revenue_c4,
+           CAST(sum(c4) AS BIGINT) / 10000.0 AS revenue
+    FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): within the ASIA
+    customer market for ECONOMY parts over two order years, the share
+    of exact-cents volume supplied by NATION_12, per order year. Part,
+    supplier and (customer⋈nation region filter) are broadcast
+    dimension attaches; the one exchange is the order-key fact⋈fact
+    join with per-year (nation_c4, total_c4) folded inside the join
+    partitions. The share is ONE float division of two exact integers
+    per year — bit-identical to the oracle."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    target_nation = 12
+    region_key = 2  # ASIA
+
+    part = (
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    part = part[part["p_type"] == "ECONOMY"][["l_partkey"]]
+    supp = (
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    asia = nation[nation["n_regionkey"] == region_key]["n_nationkey"]
+    cust = (
+        pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    cust = cust[cust["c_nationkey"].isin(asia)][["o_custkey"]]
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= pa.scalar(lo))
+            & (pads.field("o_orderdate") < pa.scalar(hi))
+        ),
+    )
+
+    def o_exact(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["o_orderdate"] >= lo) & (pdf["o_orderdate"] < hi)
+        return pdf[keep][["o_orderkey", "o_custkey", "o_orderdate"]]
+
+    orders = broadcast_join(
+        orders.map_batches(o_exact, batch_format="pandas", batch_size=None),
+        cust,
+        on=["o_custkey"],
+        how="inner",
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(
+        lambda pdf: pdf.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    li = broadcast_join(li, part, on=["l_partkey"], how="inner")
+    li = broadcast_join(li, supp, on=["l_suppkey"], how="inner")
+
+    def share_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        c4 = (
+            _cents(pdf["l_extendedprice"]) * (100 - _cents(pdf["l_discount"]))
+        ).to_numpy(np.int64)
+        tmp = pd.DataFrame(
+            {
+                "o_year": pdf["o_orderdate"].dt.year.to_numpy(np.int64),
+                "nation_c4": np.where(
+                    pdf["s_nationkey"].to_numpy() == target_nation, c4, 0
+                ),
+                "total_c4": c4,
+            }
+        )
+        return tmp.groupby("o_year", sort=False, as_index=False).sum()
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=["s_nationkey", "l_extendedprice", "l_discount"],
+        num_partitions=NP,
+        post_fn=share_fold,
+    )
+    parts = joined.to_pandas()  # ≤ partitions × 2 years
+    out = parts.groupby("o_year", as_index=False)[
+        ["nation_c4", "total_c4"]
+    ].sum()
+    for c in ("nation_c4", "total_c4"):
+        out[c] = out[c].astype("int64")
+    out["mkt_share"] = out["nation_c4"].to_numpy(np.float64) / out[
+        "total_c4"
+    ].to_numpy(np.float64)
+    return out.reset_index(drop=True)
+
+
+QUERIES["tpch_q8"] = q_tpch_q8
+
+ORACLE_SQL["tpch_q8"] = """
+    WITH f AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS c4,
+             s_nationkey
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN part     ON p_partkey = l_partkey
+      WHERE n_regionkey = 2 AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(COALESCE(sum(c4) FILTER (s_nationkey = 12), 0) AS BIGINT)
+             AS nation_c4,
+           CAST(sum(c4) AS BIGINT) AS total_c4,
+           CAST(COALESCE(sum(c4) FILTER (s_nationkey = 12), 0) AS BIGINT)
+             / CAST(CAST(sum(c4) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM f GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted
+    to this schema: no partsupp table, so cost = p_retailprice ×
+    l_quantity (both exact cents → 10⁻⁴-dollar units, same scale as
+    price×(100−disc)). ZERO exchanges: part and supplier are broadcast
+    dimension attaches, profit folds per block into (nation × year)
+    partials, and the driver merge is nation×year-sized. The profit can
+    be NEGATIVE — the fold is exact signed int64."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    part = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_type", "p_retailprice"],
+        )
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    part = part[part["p_type"] == "STANDARD"][["l_partkey", "p_retailprice"]]
+    supp = (
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .to_pandas()
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    li = broadcast_join(li, part, on=["l_partkey"], how="inner")
+    li = broadcast_join(li, supp, on=["l_suppkey"], how="inner")
+
+    def profit_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        revenue = _cents(pdf["l_extendedprice"]) * (
+            100 - _cents(pdf["l_discount"])
+        )
+        cost = _cents(pdf["p_retailprice"]) * _cents(pdf["l_quantity"])
+        tmp = pd.DataFrame(
+            {
+                "s_nationkey": pdf["s_nationkey"].to_numpy(np.int64),
+                "l_year": pdf["l_shipdate"].dt.year.to_numpy(np.int64),
+                "profit_c4": (revenue - cost).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(
+            ["s_nationkey", "l_year"], sort=False, as_index=False
+        )["profit_c4"].sum()
+
+    parts = li.map_batches(
+        profit_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # ≤ blocks × nations × years
+    out = parts.groupby(["s_nationkey", "l_year"], as_index=False)[
+        "profit_c4"
+    ].sum()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out["n_name"] = out["s_nationkey"].map(
+        dict(zip(nation["n_nationkey"], nation["n_name"]))
+    )
+    out["profit_c4"] = out["profit_c4"].astype("int64")
+    out["profit"] = out["profit_c4"].to_numpy(np.float64) / 10000.0
+    return out[["n_name", "l_year", "profit_c4", "profit"]].reset_index(
+        drop=True
+    )
+
+
+QUERIES["tpch_q9"] = q_tpch_q9
+
+ORACLE_SQL["tpch_q9"] = """
+    WITH f AS (
+      SELECT s_nationkey, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT) AS profit_c4
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_type = 'STANDARD')
+    SELECT n_name, l_year, CAST(sum(profit_c4) AS BIGINT) AS profit_c4,
+           CAST(sum(profit_c4) AS BIGINT) / 10000.0 AS profit
+    FROM f JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly k qualifying orders (priority given, i.e.
+    not '4-NOT SPECIFIED'), INCLUDING the zero bucket — the left-join
+    semantics. Orders fold per block into per-customer count partials
+    (combiner; the driver merge is ≤ blocks × distinct customers,
+    entity-sized under the q_rrf_user_rank cardinality contract); the
+    customer dimension supplies the zero-order keys by reindex. The
+    histogram is exact integer counts."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter_expr=(pads.field("o_orderpriority") != "4-NOT SPECIFIED"),
+    )
+
+    def count_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["o_orderpriority"] != "4-NOT SPECIFIED"]
+        out = pdf.groupby("o_custkey", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "c_count"})
+
+    parts = orders.map_batches(
+        count_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    counts = parts.groupby("o_custkey")["c_count"].sum()
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).to_pandas()
+    # reindex over the customer dimension: customers with no qualifying
+    # orders land in the k=0 bucket (LEFT JOIN semantics)
+    per_cust = counts.reindex(cust["c_custkey"], fill_value=0)
+    hist = per_cust.value_counts().sort_index()
+    return pd.DataFrame(
+        {
+            "c_count": hist.index.to_numpy(np.int64),
+            "custdist": hist.to_numpy(np.int64),
+        }
+    )
+
+
+QUERIES["tpch_q13"] = q_tpch_q13
+
+ORACLE_SQL["tpch_q13"] = """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count ORDER BY c_count
+"""
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): exact-cents revenue per supplier
+    over one ship quarter; return the supplier(s) achieving the MAX
+    (the view + subquery in the original — ties kept, exact integer
+    compare so no float-equality hazard). Revenue folds per block into
+    per-supplier partials (supplier dimension is entity-sized); the
+    max + filter runs on the folded table; names broadcast-attach."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+
+    def rev_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["l_shipdate"] >= lo) & (pdf["l_shipdate"] < hi)
+        pdf = pdf[keep]
+        tmp = pd.DataFrame(
+            {
+                "l_suppkey": pdf["l_suppkey"].to_numpy(np.int64),
+                "rev_c4": (
+                    _cents(pdf["l_extendedprice"])
+                    * (100 - _cents(pdf["l_discount"]))
+                ).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby("l_suppkey", sort=False, as_index=False)[
+            "rev_c4"
+        ].sum()
+
+    parts = li.map_batches(
+        rev_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # ≤ blocks × suppliers (entity-sized)
+    agg = parts.groupby("l_suppkey", as_index=False)["rev_c4"].sum()
+    best = agg[agg["rev_c4"] == agg["rev_c4"].max()]
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = best.rename(columns={"l_suppkey": "s_suppkey"}).merge(
+        supp, on="s_suppkey"
+    )
+    out["total_revenue_c4"] = out["rev_c4"].astype("int64")
+    out["total_revenue"] = out["total_revenue_c4"].to_numpy(np.float64) / 10000.0
+    return out[
+        ["s_suppkey", "s_name", "total_revenue_c4", "total_revenue"]
+    ].sort_values("s_suppkey").reset_index(drop=True)
+
+
+QUERIES["tpch_q15"] = q_tpch_q15
+
+ORACLE_SQL["tpch_q15"] = """
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_revenue_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue_c4,
+           total_revenue_c4 / 10000.0 AS total_revenue
+    FROM rev JOIN supplier USING (s_suppkey)
+    WHERE total_revenue_c4 = (SELECT max(total_revenue_c4) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lines of two brands (size ≤ 25) whose quantity is below 20% of the
+    part's average line quantity. The correlated AVG subquery is made
+    EXACT-INTEGER: qty < sum/(5n) ⇔ 5·n·qty_c < sum_qc, so no float
+    average ever exists to disagree on. Two pruned passes over
+    lineitem (exactly the two scans the SQL performs), both map-side:
+    the filtered part keys broadcast-prune pass 1's per-part
+    (Σqty, n) partials (driver fold is filtered-part-sized), then the
+    folded stats broadcast back for pass 2's threshold filter +
+    exact-cents revenue fold. Zero exchanges."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    part = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"],
+        )
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    part = part[
+        part["p_brand"].isin(["Brand#13", "Brand#2"]) & (part["p_size"] <= 25)
+    ][["l_partkey"]]
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    pruned = broadcast_join(li, part, on=["l_partkey"], how="inner")
+
+    def qty_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "l_partkey": pdf["l_partkey"].to_numpy(np.int64),
+                "sum_qc": _cents(pdf["l_quantity"]).to_numpy(np.int64),
+                "n": np.ones(len(pdf), dtype=np.int64),
+            }
+        )
+        return tmp.groupby("l_partkey", sort=False, as_index=False).sum()
+
+    stats = (
+        pruned.map_batches(qty_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × filtered parts
+        .groupby("l_partkey", as_index=False)
+        .sum()
+    )
+
+    pruned2 = broadcast_join(li, stats, on=["l_partkey"], how="inner")
+
+    def rev_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        qty_c = _cents(pdf["l_quantity"]).to_numpy(np.int64)
+        keep = 5 * pdf["n"].to_numpy(np.int64) * qty_c < pdf[
+            "sum_qc"
+        ].to_numpy(np.int64)
+        price_c = _cents(pdf["l_extendedprice"][keep]).sum()
+        return pd.DataFrame({"total_price_c": [np.int64(price_c)]})
+
+    parts = pruned2.map_batches(
+        rev_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    total = int(parts["total_price_c"].sum())
+    return pd.DataFrame(
+        {
+            "total_price_c": np.array([total], dtype=np.int64),
+            "avg_yearly": np.array([total / 700.0], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["tpch_q17"] = q_tpch_q17
+
+ORACLE_SQL["tpch_q17"] = """
+    WITH keys AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand IN ('Brand#13', 'Brand#2') AND p_size <= 25),
+    stats AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN keys ON p_partkey = l_partkey
+      GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_price_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 700.0 AS avg_yearly
+    FROM lineitem JOIN stats USING (l_partkey)
+    WHERE 5 * n * CAST(round(l_quantity * 100) AS BIGINT) < sum_qc
+"""
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): top-10 orders by total
+    price whose total line quantity exceeds 120. Lineitem pre-folds
+    per-order quantity partials INSIDE map_batches (combiner), the one
+    exchange is the order-key equi join against orders where the final
+    per-order fold + HAVING filter run co-partitioned (post_fn); the
+    driver receives only qualifying orders (survivor-sized), ranks by
+    exact-cents total price with a deterministic orderkey tie-break,
+    and broadcast-attaches customer names to the 10 winners."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    threshold_qc = 120 * 100  # quantity cents
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "o_orderkey": pdf["l_orderkey"].to_numpy(np.int64),
+                "qty_c": _cents(pdf["l_quantity"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby("o_orderkey", sort=False, as_index=False).sum()
+
+    li = li.map_batches(qty_partial, batch_format="pandas", batch_size=None)
+
+    def having_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby("o_orderkey", sort=False, as_index=False).agg(
+            o_custkey=("o_custkey", "first"),
+            o_totalprice=("o_totalprice", "first"),
+            o_orderdate=("o_orderdate", "first"),
+            qty_c=("qty_c", "sum"),
+        )
+        return agg[agg["qty_c"] > threshold_qc]
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=["qty_c"],
+        num_partitions=NP,
+        post_fn=having_fold,
+    )
+    surv = joined.to_pandas()  # qualifying orders only (survivor-sized)
+    surv["totalprice_c"] = _cents(surv["o_totalprice"])
+    top = surv.sort_values(
+        ["totalprice_c", "o_orderkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(10)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(
+        cust, on="c_custkey"
+    )
+    out["total_qty"] = (out["qty_c"] // 100).astype("int64")
+    out["totalprice_c"] = out["totalprice_c"].astype("int64")
+    return out[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "totalprice_c",
+         "total_qty"]
+    ].reset_index(drop=True)
+
+
+QUERIES["tpch_q18"] = q_tpch_q18
+
+ORACLE_SQL["tpch_q18"] = """
+    WITH oq AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             > 12000)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           CAST(qty_c // 100 AS BIGINT) AS total_qty
+    FROM oq
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice_c DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    exact-cents revenue of lines matching any of three (brand, size
+    band, quantity band) branches. Part is a broadcast dimension
+    attach; the disjunction evaluates vectorized per block and folds to
+    ONE scalar partial per block — zero exchanges."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    part = (
+        pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"],
+        )
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    part = part[
+        part["p_brand"].isin(["Brand#1", "Brand#2", "Brand#3"])
+    ]
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(li, part, on=["l_partkey"], how="inner")
+
+    def rev_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        qty = pdf["l_quantity"]
+        size = pdf["p_size"]
+        brand = pdf["p_brand"]
+        keep = (
+            ((brand == "Brand#1") & size.between(1, 10) & qty.between(1, 15))
+            | ((brand == "Brand#2") & size.between(1, 20) & qty.between(10, 25))
+            | ((brand == "Brand#3") & size.between(1, 30) & qty.between(20, 35))
+        )
+        pdf = pdf[keep]
+        c4 = (
+            _cents(pdf["l_extendedprice"]) * (100 - _cents(pdf["l_discount"]))
+        ).sum()
+        return pd.DataFrame({"revenue_c4": [np.int64(c4)]})
+
+    parts = joined.map_batches(
+        rev_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    c4 = int(parts["revenue_c4"].sum())
+    return pd.DataFrame(
+        {
+            "revenue_c4": np.array([c4], dtype=np.int64),
+            "revenue": np.array([c4 / 10000.0], dtype=np.float64),
+        }
+    )
+
+
+QUERIES["tpch_q19"] = q_tpch_q19
+
+ORACLE_SQL["tpch_q19"] = """
+    WITH f AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS c4
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+             AND l_quantity BETWEEN 10 AND 25)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+             AND l_quantity BETWEEN 20 AND 35))
+    SELECT CAST(sum(c4) AS BIGINT) AS revenue_c4,
+           CAST(sum(c4) AS BIGINT) / 10000.0 AS revenue
+    FROM f
+"""
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema (no commit/receipt dates): on orders served by ≥2
+    distinct suppliers, count per supplier the orders where that
+    supplier was the ONLY one shipping late (> 60 days after the order
+    date) — the EXISTS / NOT-EXISTS pair of the original collapses to
+    per-order supplier-set logic. All lines of an order co-locate in
+    the one order-key equi join exchange, so the whole multi-supplier /
+    sole-late analysis runs inside the join partitions (post_fn) and
+    emits per-supplier count partials; the driver fold is
+    supplier-entity-sized."""
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(
+        lambda pdf: pdf.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    def sole_late_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            pdf["l_shipdate"] > pdf["o_orderdate"] + pd.Timedelta(days=60)
+        ).astype("int64")
+        per = pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"].to_numpy(np.int64),
+                "l_suppkey": pdf["l_suppkey"].to_numpy(np.int64),
+                "late": late.to_numpy(np.int64),
+            }
+        ).groupby(["o_orderkey", "l_suppkey"], sort=False, as_index=False)[
+            "late"
+        ].max()
+        ordagg = per.groupby("o_orderkey", sort=False).agg(
+            nsupp=("l_suppkey", "size"), nlate=("late", "sum")
+        )
+        per = per.join(ordagg, on="o_orderkey")
+        waiters = per[
+            (per["late"] == 1) & (per["nsupp"] >= 2) & (per["nlate"] == 1)
+        ]
+        out = waiters.groupby("l_suppkey", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "numwait"})
+
+    joined = equi_join(
+        orders,
+        li,
+        on=["o_orderkey"],
+        right_cols=["l_suppkey", "l_shipdate"],
+        num_partitions=NP,
+        post_fn=sole_late_partial,
+    )
+    parts = joined.to_pandas()  # ≤ partitions × suppliers
+    agg = parts.groupby("l_suppkey", as_index=False)["numwait"].sum()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = agg.rename(columns={"l_suppkey": "s_suppkey"}).merge(
+        supp, on="s_suppkey"
+    )
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_suppkey", "s_name", "numwait"]].sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
+
+
+QUERIES["tpch_q21"] = q_tpch_q21
+
+ORACLE_SQL["tpch_q21"] = """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    per AS (
+      SELECT l_orderkey, l_suppkey, max(late) AS late
+      FROM l GROUP BY 1, 2),
+    ord AS (
+      SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate
+      FROM per GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per JOIN ord USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE per.late = 1 AND ord.nsupp >= 2 AND ord.nlate = 1
+    GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity), adapted to this
+    schema (no phone column): per nation in a 5-nation set, the count
+    and exact-cents balance of customers whose balance exceeds the
+    set-wide average POSITIVE balance and who never placed an URGENT
+    order. The average comparison is made exact-integer
+    (bal > sum/n ⇔ bal_c·n > sum_c); the scalar (sum_c, n) folds from
+    per-block partials; the NOT EXISTS is the large×large shuffled
+    ANTI join against urgent orders (the broadcast anti's complement);
+    the final per-nation fold is nation-sized."""
+    import pyarrow.dataset as pads
+
+    from arlas_proc_ray.stages.joins import equi_join
+
+    nations = [1, 3, 5, 7, 9]
+
+    cust = _rp(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def in_set(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf["c_nationkey"].isin(nations)]
+
+    cust = cust.map_batches(in_set, batch_format="pandas", batch_size=None)
+
+    def bal_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = pdf[pdf["c_acctbal"] > 0]
+        return pd.DataFrame(
+            {
+                "sum_c": [np.int64(_cents(pos["c_acctbal"]).sum())],
+                "n": [np.int64(len(pos))],
+            }
+        )
+
+    scal = cust.map_batches(
+        bal_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    sum_c, n = int(scal["sum_c"].sum()), int(scal["n"].sum())
+
+    def above_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal_c = _cents(pdf["c_acctbal"])
+        return pdf[bal_c * n > sum_c]
+
+    rich = cust.map_batches(above_avg, batch_format="pandas", batch_size=None)
+
+    urgent = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter_expr=(pads.field("o_orderpriority") == "1-URGENT"),
+    ).map_batches(
+        lambda pdf: pdf[pdf["o_orderpriority"] == "1-URGENT"].rename(
+            columns={"o_custkey": "c_custkey"}
+        )[["c_custkey"]],
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+    no_urgent = equi_join(
+        rich,
+        urgent,
+        on=["c_custkey"],
+        right_cols=[],
+        how="anti",
+        num_partitions=NP,
+    )
+
+    def nation_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "c_nationkey": pdf["c_nationkey"].to_numpy(np.int64),
+                "numcust": np.ones(len(pdf), dtype=np.int64),
+                "totacctbal_c": _cents(pdf["c_acctbal"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby("c_nationkey", sort=False, as_index=False).sum()
+
+    parts = no_urgent.map_batches(
+        nation_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # ≤ blocks × 5 nations
+    out = parts.groupby("c_nationkey", as_index=False)[
+        ["numcust", "totacctbal_c"]
+    ].sum()
+    for c in ("numcust", "totacctbal_c"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES["tpch_q22"] = q_tpch_q22
+
+ORACLE_SQL["tpch_q22"] = """
+    WITH pos AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_c,
+             count(*) AS n
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > 0)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_c
+    FROM customer, pos
+    WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      AND CAST(round(c_acctbal * 100) AS BIGINT) * n > sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+"""
