@@ -8363,8 +8363,14 @@ def q_k_core_users(sf_dir: str):
     """3-core of the co-engagement graph
     (stages/graph.py:k_core): iterative peel — per round a node-sized
     degree tree-collect + one broadcast survivor filter over the edge
-    Dataset. Rows-only (peel depth is data-dependent, no fixed-depth SQL
-    form); the exact Python peel oracle is pinned in tests/test_graph.py."""
+    Dataset. SQL-oracled by a fixed-depth chained-CTE peel (see
+    _k_core_oracle): one peel round is MONOTONE (survivors only shrink)
+    and IDEMPOTENT at fixpoint, so a chained oracle with rounds ≥ the
+    true peel depth is exact — measured depth on the co-engagement
+    fixture is ≤ 2 at sf0.001/0.01/0.1, and the oracle chains 8 rounds
+    (4× headroom; extra rounds are no-ops). The exact Python peel
+    oracle additionally pins the data-dependent-depth general case in
+    tests/test_graph.py."""
     from arlas_proc_ray.stages.graph import k_core
 
     edges = _coengagement_edges(sf_dir)
@@ -8372,6 +8378,53 @@ def q_k_core_users(sf_dir: str):
 
 
 QUERIES["k_core_users"] = q_k_core_users
+
+
+def _k_core_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Chained-CTE peel: s0 = all nodes; s_{i+1} = nodes with degree ≥ k
+    in the s_i-induced subgraph. Same chained shape as _sssp_oracle —
+    a fixed unroll of a monotone fixpoint, exact whenever ``rounds``
+    covers the true peel depth (idempotent past it)."""
+    # every CTE is MATERIALIZED: each round references its predecessor
+    # four times, so default inlining would expand s_n into 4^n scans
+    # of the base parquet (observed as a too-many-open-files explosion)
+    sql = """
+    WITH ek AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             event_type || ':' || json_extract_string(props, '$.k') || ':'
+               || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ck
+      FROM events),
+    ed AS MATERIALIZED (
+           SELECT DISTINCT a.user_id AS u, b.user_id AS v
+           FROM ek a JOIN ek b ON a.ck = b.ck AND a.user_id < b.user_id),
+    s0 AS MATERIALIZED (SELECT u AS node FROM ed UNION SELECT v FROM ed)"""
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    s{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS d FROM (
+          SELECT e.u AS node FROM ed e
+          JOIN {prev} a ON a.node = e.u JOIN {prev} b ON b.node = e.v
+          UNION ALL
+          SELECT e.v FROM ed e
+          JOIN {prev} a ON a.node = e.u JOIN {prev} b ON b.node = e.v
+        ) GROUP BY 1) WHERE d >= {k})"""
+        prev = f"s{i}"
+    sql += f"""
+    SELECT node, CAST(d AS BIGINT) AS core_degree FROM (
+      SELECT node, count(*) AS d FROM (
+        SELECT e.u AS node FROM ed e
+        JOIN {prev} a ON a.node = e.u JOIN {prev} b ON b.node = e.v
+        UNION ALL
+        SELECT e.v FROM ed e
+        JOIN {prev} a ON a.node = e.u JOIN {prev} b ON b.node = e.v
+      ) GROUP BY 1)
+"""
+    return sql
+
+
+ORACLE_SQL["k_core_users"] = _k_core_oracle()
 
 
 def q_rrf_user_rank(sf_dir: str):
