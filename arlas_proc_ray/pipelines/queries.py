@@ -2634,6 +2634,9 @@ def q_customer_order_outer(sf_dir: str):
         cust, orders, on=["o_custkey"],
         right_cols=["o_orderkey", "o_totalprice"], how="outer",
         num_partitions=NP,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
 
     def typed(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2660,7 +2663,7 @@ def q_supplier_semi_lineitem(sf_dir: str):
     )
     li = _rp(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
     return equi_join(sup, li, on=["l_suppkey"], right_cols=[], how="semi",
-                     num_partitions=NP)
+                     num_partitions=NP, exchange="staged")
 
 
 def q_customer_anti_events(sf_dir: str):
@@ -2677,7 +2680,7 @@ def q_customer_anti_events(sf_dir: str):
     )
     ev = _rp(f"{sf_dir}/events.parquet", columns=["user_id"])
     return equi_join(cust, ev, on=["user_id"], right_cols=[],
-                     how="anti", num_partitions=NP)
+                     how="anti", num_partitions=NP, exchange="staged")
 
 
 def q_equi_join_order_lines(sf_dir: str):
@@ -2709,6 +2712,9 @@ def q_equi_join_order_lines(sf_dir: str):
         right_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
         how="inner",
         num_partitions=NP,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
 
 
@@ -9487,6 +9493,9 @@ def q_tpch_q4(sf_dir: str):
         right_cols=["l_shipdate"],
         num_partitions=NP,
         post_fn=late_semi,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
 
     def prio_partial(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -9567,6 +9576,9 @@ def q_tpch_q12(sf_dir: str):
         right_cols=["o_orderpriority"],
         num_partitions=NP,
         post_fn=split_counts,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
     parts = joined.to_pandas()  # ≤ partitions × 3 flags
     out = parts.groupby("l_returnflag", as_index=False)[
@@ -9767,6 +9779,9 @@ def q_tpch_q5(sf_dir: str):
         right_cols=["l_suppkey", "s_nationkey", "l_extendedprice", "l_discount"],
         num_partitions=NP,
         post_fn=local_rev,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
     parts = joined.to_pandas()  # ≤ partitions × nations
     out = parts.groupby("n_nationkey", as_index=False)["c4"].sum()
@@ -9866,6 +9881,9 @@ def q_tpch_q10(sf_dir: str):
         right_cols=["rev_c4"],
         num_partitions=NP,
         post_fn=cust_fold,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
 
     # NO per-block top-k here: the join partitions by ORDER key, so one
@@ -10011,6 +10029,9 @@ def q_tpch_q7(sf_dir: str):
         ],
         num_partitions=NP,
         post_fn=direction_fold,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
     parts = joined.to_pandas()  # ≤ partitions × 2 directions × 2 years
     out = parts.groupby(
@@ -10154,6 +10175,9 @@ def q_tpch_q8(sf_dir: str):
         right_cols=["s_nationkey", "l_extendedprice", "l_discount"],
         num_partitions=NP,
         post_fn=share_fold,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
     parts = joined.to_pandas()  # ≤ partitions × 2 years
     out = parts.groupby("o_year", as_index=False)[
@@ -10565,6 +10589,9 @@ def q_tpch_q18(sf_dir: str):
         right_cols=["qty_c"],
         num_partitions=NP,
         post_fn=having_fold,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
     surv = joined.to_pandas()  # qualifying orders only (survivor-sized)
     surv["totalprice_c"] = _cents(surv["o_totalprice"])
@@ -10738,6 +10765,9 @@ def q_tpch_q21(sf_dir: str):
         right_cols=["l_suppkey", "l_shipdate"],
         num_partitions=NP,
         post_fn=sole_late_partial,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
     parts = joined.to_pandas()  # ≤ partitions × suppliers
     agg = parts.groupby("l_suppkey", as_index=False)["numwait"].sum()
@@ -10840,6 +10870,9 @@ def q_tpch_q22(sf_dir: str):
         right_cols=[],
         how="anti",
         num_partitions=NP,
+        # sub-crossover volume at catalog scale: the two-phase staged
+        # exchange beats the Dataset sort below ~1M rows (stages/keyed.py)
+        exchange="staged",
     )
 
     def nation_partial(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -213,6 +213,14 @@ def run_bench() -> dict:
         "tpch_q14",
         "label_communities",
         "hops_from_user_exchange",
+        # round-5 third-session additions (staged-exchange joins)
+        "tpch_q7",
+        "tpch_q13",
+        "tpch_q17",
+        "tpch_q18",
+        "tpch_q21",
+        "tpch_q22",
+        "k_core_users",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
