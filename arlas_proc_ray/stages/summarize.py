@@ -51,6 +51,16 @@ def run_collapse_fn(
         matching = pdf[mask]
         rest = pdf[~mask] if passthrough else pdf.iloc[0:0]
         if len(matching) == 0:
+            if len(pdf) == 0:
+                # the staged exchange delivers 0-row partitions (the sort
+                # path never materializes empty groups): emit the SAME
+                # column set a non-empty partition would — rest columns ∪
+                # agg outputs — so downstream fns see a constant schema
+                empty = rest.copy()
+                for out_col in agg:
+                    if out_col not in empty.columns:
+                        empty[out_col] = pd.Series([], dtype="float64")
+                return empty
             return rest
 
         gb = matching.groupby(group_col, sort=False)
