@@ -28,23 +28,23 @@ import ray.data as rd
 
 from arlas_proc_ray.sources.io import read_parquet as _rp
 
-from arlas_proc_ray.stages.keyed import keyed_partition_map as _kpm_raw
+from arlas_proc_ray.stages.keyed import keyed_partition_map, set_default_exchange
 
 NP = 16  # partition fan-out for keyed ops at test scale
 
-
-def keyed_partition_map(ds, **kw):
-    """Catalog-scoped default: the two-phase STAGED exchange. Every
-    catalog query runs sub-crossover volumes (the Dataset sort's
-    sample/sort/re-block machinery only wins past ~1M co-partitioned
-    rows — stages/keyed.py), and the staged path measured 40-50% faster
-    per keyed query at sf0.1/32 cpus. Sites where the sort shuffle wins
-    (event-sized object-heavy outputs, e.g. fragments) opt back in with
-    an explicit exchange="sort"; the library default (stages/keyed.py)
-    stays "sort" — streaming, no materialization — which is the right
-    default at 100-TB volumes."""
-    kw.setdefault("exchange", "staged")
-    return _kpm_raw(ds, **kw)
+# Catalog-wide exchange default: every catalog execution runs
+# sub-crossover volumes (the Dataset sort's sample/sort/re-block
+# machinery only wins past ~1M co-partitioned rows — stages/keyed.py),
+# and the two-phase staged exchange measured 30-50% faster per keyed
+# query at sf0.1/32 cpus across the WHOLE catalog, library-internal
+# operators included (full pass 143.8 → 98.0 s, byte-identical results,
+# parity pinned in tests/test_staged_exchange.py). Sites where the sort
+# shuffle wins (event-sized object-heavy outputs, e.g. fragments) opt
+# back with an explicit exchange="sort"; importing this module flips
+# only the process-wide DEFAULT — the library ships with "sort", the
+# streaming no-materialization choice that stays right at 100-TB
+# volumes.
+set_default_exchange("staged")
 
 # ---------------------------------------------------------------------------
 # helpers

@@ -85,6 +85,30 @@ def key_as_str(s: pd.Series) -> pd.Series:
     return s.astype(str)
 
 
+# Process-wide default for keyed_partition_map's exchange= when a call
+# site does not choose. "staged" (two-phase raw-task exchange) wins on
+# WALL TIME at every single-box volume measured — through 20M scalar
+# rows and 5M rows × 1KB payloads (tools/exchange_crossover.py curves in
+# BASELINE.md; full catalog 151.8 → 99.2 s at sf0.1/32 cpus) — but it
+# MATERIALIZES the upstream and ships blocks×P small objects, so at
+# cluster scale (thousands of blocks × hundreds of partitions over
+# multi-node object stores) the streaming sort shuffle's bounded memory
+# and single all-to-all win; "sort" therefore stays the library default.
+# The query catalog (pipelines/queries.py) opts into "staged" at import
+# — catalog executions are bounded, single-job volumes where the
+# materialization is cheap. Explicit exchange= at a call site always
+# wins over this default.
+DEFAULT_EXCHANGE = "sort"
+
+
+def set_default_exchange(mode: str) -> None:
+    """Set the process-wide exchange default ("sort" | "staged")."""
+    global DEFAULT_EXCHANGE
+    if mode not in ("sort", "staged"):
+        raise ValueError(f"unknown exchange: {mode!r}")
+    DEFAULT_EXCHANGE = mode
+
+
 def keyed_partition_map(
     ds,
     *,
@@ -94,7 +118,7 @@ def keyed_partition_map(
     num_partitions: int = 64,
     presorted: bool = False,
     chain: Sequence[Callable[[pd.DataFrame], pd.DataFrame]] | None = None,
-    exchange: str = "sort",
+    exchange: str | None = None,
 ):
     """Hash-partition by ``keys`` and run ``fn`` per partition, sorted.
 
@@ -109,7 +133,9 @@ def keyed_partition_map(
     as the sequential version would (an in-memory mergesort, ~free next
     to the shuffle it replaces). Mutually exclusive with ``fn``.
 
-    ``exchange``: ``"sort"`` (default) routes through Ray Data's
+    ``exchange``: ``None`` (default) resolves to the process-wide
+    ``DEFAULT_EXCHANGE`` ("sort" unless ``set_default_exchange`` opted the
+    process into "staged" — the query catalog does). ``"sort"`` routes through Ray Data's
     sort-based groupby — streaming, no materialization. ``"staged"``
     routes through the same two-phase raw-task exchange the CDC engine
     uses for high-volume epochs (cdc/staged.py rationale): one split
@@ -125,6 +151,8 @@ def keyed_partition_map(
     if (fn is None) == (chain is None):
         raise ValueError("pass exactly one of fn= or chain=")
     fns = [fn] if fn is not None else list(chain)
+    if exchange is None:
+        exchange = DEFAULT_EXCHANGE
     if exchange not in ("sort", "staged"):
         raise ValueError(f"unknown exchange: {exchange!r}")
     if exchange == "staged":
