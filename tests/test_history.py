@@ -38,19 +38,19 @@ def test_scd2_intervals_and_current_flag():
             index=False, name=None
         )
     )
-    assert rows == [
+    # normalize the null representation BEFORE comparing: the sort path
+    # hands back the masked-Int64 pd.NA singleton (tuple compare passes
+    # by identity) while the staged path's Arrow round-trip yields NaN,
+    # whose == against pd.NA raises "boolean value of NA is ambiguous"
+    norm = [
+        (k, int(f), None if pd.isna(t) else int(t), bool(c))
+        for k, f, t, c in rows
+    ]
+    assert norm == [
         ("a", 1, 3, False),
         ("a", 3, 5, False),  # closed by the DELETE
-        ("a", 7, pd.NA, True),
-        ("b", 2, 4, False),  # deleted key: no current row
-        ("c", 6, pd.NA, True),
-    ] or [
-        (k, f, None if pd.isna(t) else t, c) for k, f, t, c in rows
-    ] == [
-        ("a", 1, 3, False),
-        ("a", 3, 5, False),
         ("a", 7, None, True),
-        ("b", 2, 4, False),
+        ("b", 2, 4, False),  # deleted key: no current row
         ("c", 6, None, True),
     ]
 

@@ -38,10 +38,15 @@ def test_chain_matches_sequential():
     sid = state_id_fn(["id"], "seq", "v", "seg")
     fns = [lag_fn, dur_fn, cum_fn, sid]
 
+    # exchange pinned to "sort": this test asserts the SORT-plan shape
+    # (one Sort operator for the fused chain) — the process-wide default
+    # may be "staged" when the catalog module was imported earlier in
+    # the session (pipelines/queries.py opt-in)
     seq = rd.from_pandas(df)
     for f in fns:
         seq = keyed_partition_map(
-            seq, keys=["id"], order_col="seq", fn=f, num_partitions=4
+            seq, keys=["id"], order_col="seq", fn=f, num_partitions=4,
+            exchange="sort",
         )
     expected = (
         seq.to_pandas().sort_values(["id", "seq"]).reset_index(drop=True)
@@ -49,7 +54,7 @@ def test_chain_matches_sequential():
 
     fused = keyed_partition_map(
         rd.from_pandas(df), keys=["id"], order_col="seq", chain=fns,
-        num_partitions=4,
+        num_partitions=4, exchange="sort",
     )
     got = fused.to_pandas().sort_values(["id", "seq"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[expected.columns], expected)

@@ -126,3 +126,31 @@ def test_collapse_empty_partition_schema_regression():
     b = _run(pdf, finish, num_partitions=32, exchange="staged")
     pd.testing.assert_frame_equal(a, b)
     assert {"v_w", "n_events", "w_total"} <= set(b.columns)
+
+
+def test_chain_fused_staged_matches_sort():
+    # fused keyed chains must be exchange-agnostic too
+    pdf = _fixture(n=300, keys=5)
+
+    def lag_fn(p):
+        p = p.copy()
+        p["v_lag"] = p.groupby("k", sort=False)["v"].shift(1).fillna(0).astype("int64")
+        return p
+
+    def cum_fn(p):
+        p = p.copy()
+        p["v_cum"] = p.groupby("k", sort=False)["v"].cumsum().astype("int64")
+        return p
+
+    def run(exchange):
+        out = keyed_partition_map(
+            rd.from_pandas(pdf, override_num_blocks=3),
+            keys=["k"],
+            order_col="o",
+            chain=[lag_fn, cum_fn],
+            num_partitions=16,
+            exchange=exchange,
+        ).to_pandas()
+        return out.sort_values(["k", "o"], kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run("sort"), run("staged"))
