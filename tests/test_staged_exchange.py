@@ -154,3 +154,48 @@ def test_chain_fused_staged_matches_sort():
         return out.sort_values(["k", "o"], kind="mergesort").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run("sort"), run("staged"))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "", "\x00", "a\x00b", "long-key-ü"]),
+        st.integers(0, 10_000),
+        st.integers(-(2**40), 2**40),
+        st.sampled_from(["", "x", "\x00y", None]),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_rows)
+def test_staged_parity_property(rows):
+    # random frames: byte-exact string keys (NULs, empties, unicode),
+    # nullable object payloads, duplicate (k, o) pairs — staged must
+    # agree with sort after a stable per-key aggregation
+    pdf = pd.DataFrame(rows, columns=["k", "o", "v", "s"])
+    pdf["o"] = pdf["o"].astype("int64")
+    pdf["v"] = pdf["v"].astype("int64")
+
+    def fn(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("k", sort=False)
+        out = pd.DataFrame(
+            {
+                "total": g["v"].sum(),
+                "n": g["v"].count().astype("int64"),
+                "first_s": g["s"].first(),
+            }
+        ).reset_index()
+        return out
+
+    if len(pdf) == 0:
+        # all-empty input: the staged path falls back to sort — covered
+        # by the typed-empty fallback unit in the keyed suites
+        return
+    a = _run(pdf, fn, num_partitions=16, exchange="sort")
+    b = _run(pdf, fn, num_partitions=16, exchange="staged")
+    pd.testing.assert_frame_equal(a, b)
