@@ -10935,3 +10935,413 @@ ORACLE_SQL["tpch_q22"] = """
                         AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier). No partsupp table exists
+    in this schema, so the supply cost of a (part, supplier) pair is
+    derived from the fact stream: min exact-cents l_extendedprice over
+    that pair's lineitems (the same adaptation every partsupp-family
+    shape here uses). Parts are filtered (p_type = 'LARGE', p_size
+    <= 10) and suppliers restricted to region EUROPE via the
+    nation→region dimension chain; for each filtered part the
+    region-supplier(s) achieving the MINIMUM cost win (exact integer
+    compare — ties kept), top 100 by (s_acctbal desc, n_name, s_name,
+    p_partkey), a unique sort key so the LIMIT is deterministic.
+
+    Scale shape: both dimension filters broadcast-prune the fact read
+    (filtered-part keys ≈ catalog/30, region suppliers ≈ base/5); the
+    per-pair min is a per-block combiner whose driver fold is bounded
+    by filtered-parts × region-suppliers (dimension-product-sized, the
+    same contract as the Q17/Q15 folds). Zero exchanges.
+    """
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_size"]
+    ).to_pandas()
+    part = part[(part["p_type"] == "LARGE") & (part["p_size"] <= 10)][
+        ["p_partkey"]
+    ].rename(columns={"p_partkey": "l_partkey"})
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    europe = nation.merge(
+        region[region["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    supp = (
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        )
+        .to_pandas()
+        .merge(europe, left_on="s_nationkey", right_on="n_nationkey")
+    )
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    li = broadcast_join(li, part, on=["l_partkey"], how="inner")
+    li = broadcast_join(
+        li,
+        supp[["s_suppkey"]].rename(columns={"s_suppkey": "l_suppkey"}),
+        on=["l_suppkey"],
+        how="inner",
+    )
+
+    def pair_min(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "l_partkey": pdf["l_partkey"].to_numpy(np.int64),
+                "l_suppkey": pdf["l_suppkey"].to_numpy(np.int64),
+                "cost_c": _cents(pdf["l_extendedprice"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(
+            ["l_partkey", "l_suppkey"], sort=False, as_index=False
+        ).min()
+
+    pairs = (
+        li.map_batches(pair_min, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × (filtered parts × region suppliers)
+        .groupby(["l_partkey", "l_suppkey"], as_index=False)["cost_c"]
+        .min()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            columns=["s_acctbal", "s_name", "n_name", "p_partkey", "cost_c"]
+        )
+    best = pairs.groupby("l_partkey")["cost_c"].transform("min")
+    win = pairs[pairs["cost_c"] == best].rename(
+        columns={"l_suppkey": "s_suppkey", "l_partkey": "p_partkey"}
+    )
+    out = win.merge(supp[["s_suppkey", "s_name", "s_acctbal", "n_name"]],
+                    on="s_suppkey")
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+    ).head(100)
+    out["cost_c"] = out["cost_c"].astype("int64")
+    return out[
+        ["s_acctbal", "s_name", "n_name", "p_partkey", "cost_c"]
+    ].reset_index(drop=True)
+
+
+QUERIES["tpch_q2"] = q_tpch_q2
+
+ORACLE_SQL["tpch_q2"] = """
+    WITH pairs AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cost_c
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_type = 'LARGE' AND p_size <= 10 AND r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name,
+           l_partkey AS p_partkey, cost_c
+    FROM pairs
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE cost_c = (SELECT min(cost_c) FROM pairs p2
+                    WHERE p2.l_partkey = pairs.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock). partsupp-free adaptation: a
+    part's "stock value" held by NATION_7's suppliers is the exact-c4
+    sum of l_extendedprice·(100−l_discount) over that nation's
+    lineitems; keep parts whose value exceeds 0.1% of the nation
+    total — the HAVING-vs-global-scalar comparison is kept EXACT
+    INTEGER (value_c4 · 1000 > total_c4), so no float fraction exists
+    to disagree on.
+
+    Scale shape: the nation's supplier keys broadcast-prune the fact
+    read to ~1/25 of the stream; the per-part value is a per-block
+    combiner (driver fold ≤ blocks × touched parts, catalog-sized by
+    contract); the global total is a sum of the same fold. Zero
+    exchanges.
+    """
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk = int(nation[nation["n_name"] == "NATION_7"]["n_nationkey"].iloc[0])
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"] == nk][["s_suppkey"]].rename(
+        columns={"s_suppkey": "l_suppkey"}
+    )
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, supp, on=["l_suppkey"], how="inner")
+
+    def val_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        c4 = _cents(pdf["l_extendedprice"]) * (100 - _cents(pdf["l_discount"]))
+        tmp = pd.DataFrame(
+            {
+                "p_partkey": pdf["l_partkey"].to_numpy(np.int64),
+                "value_c4": c4.to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby("p_partkey", sort=False, as_index=False).sum()
+
+    parts = li.map_batches(
+        val_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # ≤ blocks × touched parts (catalog-sized)
+    if parts.empty:  # the nation may own no suppliers at tiny scales
+        return pd.DataFrame(columns=["p_partkey", "value_c4", "value"])
+    parts = parts.groupby("p_partkey", as_index=False)["value_c4"].sum()
+    total = int(parts["value_c4"].sum())
+    out = parts[parts["value_c4"] * 1000 > total].copy()
+    out["value_c4"] = out["value_c4"].astype("int64")
+    out["value"] = out["value_c4"].to_numpy(np.float64) / 10000.0
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+QUERIES["tpch_q11"] = q_tpch_q11
+
+ORACLE_SQL["tpch_q11"] = """
+    WITH vals AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS value_c4
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT p_partkey, value_c4, value_c4 / 10000.0 AS value
+    FROM vals
+    WHERE value_c4 * 1000 > (SELECT sum(value_c4) FROM vals)
+    ORDER BY p_partkey
+"""
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier-count by part descriptor). partsupp-
+    free adaptation: a supplier "offers" a part iff a lineitem pairs
+    them. Parts are filtered (brand <> 'Brand#1', type <> 'PROMO',
+    size IN 8 values), suppliers with negative account balance are
+    excluded (the complaints anti-join of the original), and the
+    answer is the DISTINCT supplier count per (p_brand, p_type,
+    p_size).
+
+    Scale shape: filtered part attrs broadcast-prune the fact read;
+    each block emits its UNIQUE (partkey, suppkey) pairs (per-block
+    dedup combiner), the driver dedups the union — bounded by
+    filtered-parts × suppliers (dimension-product-sized, stated
+    contract) — and counts distinct suppliers per descriptor on the
+    deduped pair table. Zero exchanges.
+    """
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    sizes = [1, 4, 9, 14, 23, 36, 45, 49]
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    part = part[
+        (part["p_brand"] != "Brand#1")
+        & (part["p_type"] != "PROMO")
+        & part["p_size"].isin(sizes)
+    ].rename(columns={"p_partkey": "l_partkey"})
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    ok_supp = supp[supp["s_acctbal"] >= 0][["s_suppkey"]].rename(
+        columns={"s_suppkey": "l_suppkey"}
+    )
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    li = broadcast_join(li, part[["l_partkey"]], on=["l_partkey"], how="inner")
+    li = broadcast_join(li, ok_supp, on=["l_suppkey"], how="inner")
+
+    def pair_unique(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["l_partkey", "l_suppkey"]].drop_duplicates()
+
+    pairs = (
+        li.map_batches(pair_unique, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × block-local pairs; dedup next
+        .drop_duplicates()  # ≤ filtered parts × suppliers
+    )
+    merged = pairs.merge(part, on="l_partkey")
+    out = (
+        merged.groupby(["p_brand", "p_type", "p_size"], as_index=False)[
+            "l_suppkey"
+        ]
+        .nunique()
+        .rename(columns={"l_suppkey": "supplier_cnt"})
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+QUERIES["tpch_q16"] = q_tpch_q16
+
+ORACLE_SQL["tpch_q16"] = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND s_acctbal >= 0
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (suppliers with excess stock). partsupp-free
+    adaptation: a region-EUROPE supplier qualifies iff for some part
+    named 'small%' it shipped MORE THAN HALF of that part's total 1996
+    quantity (2·qty_pair > qty_part, exact quantity-cents integers —
+    the availqty > 0.5·sum(qty) correlated subquery of the original
+    re-expressed as a dominant-supplier share).
+
+    Scale shape: the name-filtered part keys broadcast-prune the
+    1996-pruned fact read (row-group pruning on l_shipdate + exact
+    re-filter); per-(part, supplier) quantity is a per-block combiner
+    whose driver fold is bounded by filtered parts × suppliers; the
+    part total and the dominance filter run on that folded table; the
+    survivor supplier set is distinct-supplier-sized. Zero exchanges.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from arlas_proc_ray.stages.lookup import broadcast_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    part = part[part["p_name"].str.startswith("small")][["p_partkey"]].rename(
+        columns={"p_partkey": "l_partkey"}
+    )
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    europe = nation.merge(
+        region[region["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey"]]
+    supp = (
+        pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        )
+        .to_pandas()
+        .merge(europe, left_on="s_nationkey", right_on="n_nationkey")
+    )
+
+    li = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+    li = broadcast_join(li, part, on=["l_partkey"], how="inner")
+
+    def qty_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = (pdf["l_shipdate"] >= lo) & (pdf["l_shipdate"] < hi)
+        pdf = pdf[keep]
+        tmp = pd.DataFrame(
+            {
+                "l_partkey": pdf["l_partkey"].to_numpy(np.int64),
+                "l_suppkey": pdf["l_suppkey"].to_numpy(np.int64),
+                "qty_c": _cents(pdf["l_quantity"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(
+            ["l_partkey", "l_suppkey"], sort=False, as_index=False
+        ).sum()
+
+    pairs = (
+        li.map_batches(qty_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × (filtered parts × suppliers)
+        .groupby(["l_partkey", "l_suppkey"], as_index=False)["qty_c"]
+        .sum()
+    )
+    if pairs.empty:
+        return pd.DataFrame(columns=["s_name", "s_acctbal"])
+    part_tot = pairs.groupby("l_partkey")["qty_c"].transform("sum")
+    dominant = pairs[2 * pairs["qty_c"] > part_tot]
+    winners = dominant[["l_suppkey"]].drop_duplicates().rename(
+        columns={"l_suppkey": "s_suppkey"}
+    )
+    out = winners.merge(supp[["s_suppkey", "s_name", "s_acctbal"]],
+                        on="s_suppkey")
+    return out[["s_name", "s_acctbal"]].sort_values("s_name").reset_index(
+        drop=True
+    )
+
+
+QUERIES["tpch_q20"] = q_tpch_q20
+
+ORACLE_SQL["tpch_q20"] = """
+    WITH pairs AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS part_qty_c
+      FROM pairs GROUP BY l_partkey)
+    SELECT DISTINCT s_name, s_acctbal
+    FROM pairs
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE 2 * qty_c > part_qty_c AND r_name = 'EUROPE'
+    ORDER BY s_name
+"""
