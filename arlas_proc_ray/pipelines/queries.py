@@ -11345,3 +11345,94 @@ ORACLE_SQL["tpch_q20"] = """
     WHERE 2 * qty_c > part_qty_c AND r_name = 'EUROPE'
     ORDER BY s_name
 """
+
+
+def q_neighborhood_growth(sf_dir: str):
+    """Neighborhood function N(h) over the mirrored user↔event-type
+    interaction graph (stages/neighborhood.py, mode="exact"): for
+    h = 0..3, how many (source, node) pairs lie within h hops. Runs on
+    the resident-edge Pregel kit — edges hash-stage once, per-node
+    REACHABILITY BITSETS live co-partitioned in the object store, each
+    hop is 2·P raw tasks OR-merging neighbor sketches (node-sized
+    movement only), and the driver sees one popcount partial per
+    partition per hop. Exact int64, reproducible by a bounded
+    recursive-CTE oracle; the HLL twin (anf_hll_growth) is the
+    unbounded-node-count scale path."""
+    from arlas_proc_ray.stages.neighborhood import neighborhood_function
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return neighborhood_function(
+        edges, src_col="src", dst_col="dst", max_hops=3, mode="exact",
+        num_partitions=NP,
+    )
+
+
+QUERIES["neighborhood_growth"] = q_neighborhood_growth
+
+ORACLE_SQL["neighborhood_growth"] = """
+    WITH RECURSIVE pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION SELECT t, u FROM pw),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    reach(src, node, h) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT r.src, e.dst, r.h + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.h < 3),
+    md AS (SELECT src, node, min(h) AS d FROM reach GROUP BY 1, 2),
+    hs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(hops))
+    SELECT CAST(hops AS BIGINT) AS hops,
+           CAST(count(*) AS BIGINT) AS pairs
+    FROM hs JOIN md ON md.d <= hs.hops
+    GROUP BY hops ORDER BY hops
+"""
+
+
+def q_anf_hll_growth(sf_dir: str):
+    """q_neighborhood_growth on the HLL sketch path (HyperANF,
+    Boldi/Rosa/Vigna WWW 2011): per-node 64-register HLL sketches
+    replace the n-bit reachability bitsets, making state n·64 bytes
+    TOTAL — the path for node counts past any bitset budget. Same
+    resident-edge Pregel loop (max-merge instead of OR). Approximate by
+    construction (rows-only here; the ≤15% error bound vs the exact
+    bitset path is pinned in tests/test_neighborhood.py), deterministic
+    across runs and cluster resizes (value-stable hashes, no RNG)."""
+    from arlas_proc_ray.stages.neighborhood import neighborhood_function
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return neighborhood_function(
+        edges, src_col="src", dst_col="dst", max_hops=3, mode="hll",
+        log2m=6, num_partitions=NP,
+    )
+
+
+QUERIES["anf_hll_growth"] = q_anf_hll_growth

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -273,6 +274,156 @@ def shortest_hops(
     return out.sort_values(node_col).reset_index(drop=True)
 
 
+def _hash_split_table(t: pa.Table, key_col: str, P: int):
+    """Split one Arrow table into P hash partitions (argsort + take —
+    NOT slice: a pyarrow slice pickles the whole parent buffer)."""
+    from arlas_proc_ray.functions.hashing import partition_ids
+
+    t = t.combine_chunks()
+    pids = partition_ids(t, [key_col], P)
+    order = np.argsort(pids, kind="stable")
+    bounds = np.searchsorted(pids[order], np.arange(P + 1))
+    return [t.take(pa.array(order[bounds[p] : bounds[p + 1]])) for p in range(P)]
+
+
+def _stage_edge_partitions(edges_ds, *, key_col, cols, num_partitions):
+    """Hash-partition the edge list ONCE into ``num_partitions`` resident
+    object-store tables keyed on ``key_col`` — the Pregel edge-cut.
+
+    The iterated exchange-mode ops previously re-executed AND
+    re-exchanged the (lazy) edge pipeline every round: R rounds × one
+    full event-sized read + shuffle for a loop-INVARIANT input. Staging
+    pays that cost exactly once (one split task per resident block, one
+    gather per partition, same shape as keyed._staged_keyed_map); every
+    round after touches edges only through these refs and moves nothing
+    but node-sized state. Routing uses the same value-stable hash as the
+    node-state splits (functions/hashing.partition_ids), so edge
+    partition p holds exactly the edges whose ``key_col`` co-locates
+    with state partition p.
+
+    Returns a list of ``num_partitions`` ObjectRefs of ``pa.Table``
+    (pruned to ``cols``), or ``None`` when the edge list is empty —
+    callers keep their documented empty-input behavior.
+    """
+    P = num_partitions
+    mat = edges_ds.materialize()
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                block_refs.append(ref)
+    if not block_refs:
+        return None
+
+    @ray.remote(num_returns=P)
+    def split(block):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        parts = _hash_split_table(
+            block.select(cols).replace_schema_metadata(None), key_col, P
+        )
+        return tuple(parts) if P > 1 else parts[0]
+
+    @ray.remote
+    def gather(*slices: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            slices, promote_options="default"
+        ).combine_chunks()
+
+    split_out = [split.remote(r) for r in block_refs]
+    return [
+        gather.remote(*([s[p] for s in split_out] if P > 1 else split_out))
+        for p in range(P)
+    ]
+
+
+def _split_state_refs(pdf: pd.DataFrame, node_col: str, P: int):
+    """Driver-side hash split of an initial node-state frame into P
+    object-store refs (the seed state is source-set-sized here; large
+    seeds would stage like edges)."""
+    t = pa.Table.from_pandas(pdf, preserve_index=False).replace_schema_metadata(
+        None
+    )
+    return [ray.put(part) for part in _hash_split_table(t, node_col, P)]
+
+
+def _pregel_loop(
+    edge_refs,
+    state_refs,
+    *,
+    node_col: str,
+    relax_fn,
+    fold_fn,
+    rounds: int,
+    num_partitions: int,
+    early_exit: bool = True,
+):
+    """Synchronous scatter/fold rounds over RESIDENT edge partitions.
+
+    Per round and partition p: ``relax(edges_p, state_p)`` emits
+    node-keyed candidate rows and hash-splits them in-task (the only
+    cross-partition movement — candidate volume is bounded by the
+    frontier's out-neighborhood, never the edge count), then
+    ``fold(state_p, slices…)`` folds candidates into the state and
+    reports a changed count. The driver sees P ints per round, nothing
+    else; edges never move after staging. 2·P raw tasks per round, zero
+    Dataset executions.
+
+    ``relax_fn(edges_pdf, state_pdf) -> candidates_pdf`` (node-keyed);
+    ``fold_fn(state_pdf_or_None, cand_pdf_or_None) -> (new_state_pdf,
+    changed)``. ``state_refs=None`` runs a stateless first scatter
+    (``relax_fn``/``fold_fn`` receive ``None`` state) — the bootstrap
+    pass ops like pagerank's degree fold use. Returns the final state
+    refs (one ``pa.Table`` per partition).
+    """
+    P = num_partitions
+
+    @ray.remote(num_returns=P)
+    def relax(edges, state):
+        cand = relax_fn(
+            edges.to_pandas(), None if state is None else state.to_pandas()
+        )
+        t = pa.Table.from_pandas(
+            cand, preserve_index=False
+        ).replace_schema_metadata(None)
+        parts = _hash_split_table(t, node_col, P)
+        return tuple(parts) if P > 1 else parts[0]
+
+    @ray.remote(num_returns=2)
+    def fold(state, *cand_slices: pa.Table):
+        cand = (
+            pa.concat_tables(cand_slices, promote_options="default").to_pandas()
+            if cand_slices
+            else None
+        )
+        new_state, changed = fold_fn(
+            None if state is None else state.to_pandas(), cand
+        )
+        out = pa.Table.from_pandas(
+            new_state, preserve_index=False
+        ).replace_schema_metadata(None)
+        return out, int(changed)
+
+    states = state_refs
+    for _ in range(rounds):
+        relax_out = [
+            relax.remote(edge_refs[p], None if states is None else states[p])
+            for p in range(P)
+        ]
+        fold_out = [
+            fold.remote(
+                None if states is None else states[p],
+                *([r[p] for r in relax_out] if P > 1 else relax_out),
+            )
+            for p in range(P)
+        ]
+        states = [f[0] for f in fold_out]
+        changed = sum(ray.get([f[1] for f in fold_out]))
+        if early_exit and not changed:
+            break
+    return states
+
+
 def pagerank_exchange(
     edges_ds,
     *,
@@ -295,49 +446,52 @@ def pagerank_exchange(
     vector is what must not broadcast), membership tested per state row
     with byte-exact Python set lookups.
 
-    The rank vector lives as a hash-partitioned Dataset ``(node, d,
-    rank)``; each iteration costs exactly two co-partition exchanges:
+    The edge list is hash-partitioned by ``src`` ONCE
+    (:func:`_stage_edge_partitions` — loop-invariant input, so the old
+    per-iteration edge re-read/re-exchange was pure waste); the rank
+    vector lives as P co-partitioned object-store tables ``(node, d,
+    rank)``. One bootstrap :func:`_pregel_loop` step folds the degrees
+    (src weight + dst zero so sinks enter the universe, byte-exact
+    group-sums), then each power iteration is one more step — 2·P raw
+    tasks, zero Dataset executions:
 
-    1. ``equi_join(edges, shares, on=src)`` — shares are a stateless
-       projection of the state Dataset; the per-dst contribution sum is
-       fused into the join partition via ``post_fn`` (zero extra
-       exchange).
-    2. one keyed exchange merging contribution partials back into the
-       state rows (state rows ride with ``c=0``, contribution rows with
-       ``d=0`` — both sums are then exact per node).
+    1. relax — per partition, shares ``rank // d`` merge byte-exactly
+       against the LOCAL edges (co-partitioned by construction); the
+       per-dst contribution sum is hash-split in-task toward the dst's
+       home partition (node-sized movement, never edges).
+    2. fold — contribution sums left-merge onto the state rows
+       (missing → 0) and the exact int64 damping update runs per node.
 
     Same exact int64 fixed-point arithmetic as :func:`pagerank`
-    (bit-identical results, pinned by the parity test). The state
-    Dataset is materialized once per iteration — node-sized in the
-    OBJECT STORE, which is precisely the regime this variant targets:
-    too big for one driver heap, fine across the cluster. Reserved
-    internal column names: ``d``, ``c``, ``share``; ``src_col``,
-    ``dst_col`` and ``node_col`` must be three distinct names.
+    (bit-identical results, pinned by the parity test). State is
+    node-sized × P in the OBJECT STORE — precisely the regime this
+    variant targets: too big for one driver heap, fine across the
+    cluster. Reserved internal column names: ``d``, ``c``;
+    ``src_col``, ``dst_col`` and ``node_col`` must be three distinct
+    names.
 
     Returns the final state as a Dataset of ``(node_col, rank_col)``.
     """
+    import ray.data as rd
+
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     base = (100 - damping_pct) * scale // 100
 
-    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        w = (
-            pdf[weight_col].to_numpy().astype(np.int64)
-            if weight_col is not None
-            else np.ones(n, dtype=np.int64)
+    P = num_partitions
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=cols, num_partitions=P
+    )
+    if edge_refs is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([], pa.string()),
+                    rank_col: pa.array([], pa.int64()),
+                }
+            )
         )
-        # dst nodes at weight 0 bring sinks in; byte-exact group-sum
-        # (the old unique()/difference() pair NUL-merges node ids)
-        both = pd.DataFrame(
-            {
-                node_col: np.concatenate(
-                    [pdf[src_col].to_numpy(), pdf[dst_col].to_numpy()]
-                ),
-                "d": np.concatenate([w, np.zeros(n, dtype=np.int64)]),
-            }
-        )
-        return _bx_groupagg(both, node_col, {"d": "sum"})
 
     tset = None if teleport_nodes is None else frozenset(teleport_nodes)
 
@@ -347,102 +501,140 @@ def pagerank_exchange(
             (v in tset for v in vals), dtype=bool, count=len(vals)
         )
 
-    def sum_d(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(node_col, sort=False, as_index=False)["d"].sum()
+    def deg_scatter(edges_pdf: pd.DataFrame, _state) -> pd.DataFrame:
+        n = len(edges_pdf)
+        w = (
+            edges_pdf[weight_col].to_numpy().astype(np.int64)
+            if weight_col is not None
+            else np.ones(n, dtype=np.int64)
+        )
+        # dst nodes at weight 0 bring sinks in; byte-exact group-sum
+        # (a unique()/difference() pair would NUL-merge node ids)
+        both = pd.DataFrame(
+            {
+                node_col: np.concatenate(
+                    [
+                        edges_pdf[src_col].to_numpy(),
+                        edges_pdf[dst_col].to_numpy(),
+                    ]
+                ),
+                "d": np.concatenate([w, np.zeros(n, dtype=np.int64)]),
+            }
+        )
+        return _bx_groupagg(both, node_col, {"d": "sum"})
+
+    def deg_fold(_state, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return (
+                pd.DataFrame(
+                    {
+                        node_col: pd.Series([], dtype=object),
+                        "d": pd.Series([], dtype="int64"),
+                        rank_col: pd.Series([], dtype="int64"),
+                    }
+                ),
+                0,
+            )
+        g = _bx_groupagg(cand_pdf, node_col, {"d": "sum"})
         if tset is None:
             g[rank_col] = np.int64(scale)
         else:
             g[rank_col] = np.where(
                 _in_t(g[node_col]), np.int64(scale), np.int64(0)
             )
-        g["c"] = np.int64(0)
-        return g
+        return g[[node_col, "d", rank_col]], 0
 
-    from arlas_proc_ray.stages.keyed import keyed_partition_map
+    state_refs = _pregel_loop(
+        edge_refs,
+        None,
+        node_col=node_col,
+        relax_fn=deg_scatter,
+        fold_fn=deg_fold,
+        rounds=1,
+        num_partitions=P,
+        early_exit=False,
+    )
 
-    state = keyed_partition_map(
-        edges_ds.map_batches(deg_partial, batch_format="pandas", batch_size=None),
-        keys=[node_col],
-        order_col="d",
-        fn=sum_d,
-        num_partitions=num_partitions,
-    ).materialize()
-
-    from arlas_proc_ray.stages.joins import equi_join
-
-    for _ in range(iterations):
-
-        def share_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            d = pdf["d"].to_numpy()
-            r = pdf[rank_col].to_numpy()
-            sh = np.where(d > 0, r // np.maximum(d, 1), 0).astype(np.int64)
-            return pd.DataFrame({src_col: pdf[node_col], "share": sh})
-
-        shares = state.map_batches(
-            share_fn, batch_format="pandas", batch_size=None
+    def contrib_relax(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                node_col: pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+            }
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        d = state_pdf["d"].to_numpy()
+        r = state_pdf[rank_col].to_numpy()
+        sh = np.where(d > 0, r // np.maximum(d, 1), 0).astype(np.int64)
+        st = byte_exact_group_cols(
+            pd.DataFrame({src_col: state_pdf[node_col], "_sh": sh}),
+            [src_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf, [src_col])
+        m = ed.merge(st, on=src_col, how="inner")
+        if m.empty:
+            return empty
+        w = (
+            m[weight_col].to_numpy().astype(np.int64)
+            if weight_col is not None
+            else np.ones(len(m), dtype=np.int64)
+        )
+        c = w * m["_sh"].to_numpy().astype(np.int64)
+        return _bx_groupagg(
+            pd.DataFrame({node_col: m[dst_col].to_numpy(), "c": c}),
+            node_col,
+            {"c": "sum"},
         )
 
-        def contrib_post(pdf: pd.DataFrame) -> pd.DataFrame:
-            w = (
-                pdf[weight_col].to_numpy().astype(np.int64)
-                if weight_col is not None
-                else np.ones(len(pdf), dtype=np.int64)
+    def rank_fold(state_pdf: pd.DataFrame, cand_pdf):
+        # int64-pure union+group-sum (a left merge would coerce the c
+        # column to float64 on missing nodes — inexact past 2^53)
+        if state_pdf.empty:
+            return state_pdf[[node_col, "d", rank_col]], 0
+        srows = state_pdf[[node_col, "d", rank_col]].copy()
+        srows["c"] = np.int64(0)
+        if cand_pdf is not None and not cand_pdf.empty:
+            crows = pd.DataFrame(
+                {
+                    node_col: cand_pdf[node_col].to_numpy(),
+                    "d": np.int64(0),
+                    rank_col: np.int64(0),
+                    "c": cand_pdf["c"].to_numpy(np.int64),
+                }
             )
-            c = w * pdf["share"].to_numpy().astype(np.int64)
-            # dst is NOT the join key here, so it arrives plain object —
-            # route through the byte-exact group helper
-            out = _bx_groupagg(
-                pd.DataFrame({node_col: pdf[dst_col].to_numpy(), "c": c}),
-                node_col,
-                {"c": "sum"},
-            )
-            out["d"] = np.int64(0)
-            out[rank_col] = np.int64(0)
-            return out[[node_col, "d", rank_col, "c"]]
-
-        contribs = equi_join(
-            edges_ds,
-            shares,
-            on=[src_col],
-            right_cols=["share"],
-            num_partitions=num_partitions,
-            post_fn=contrib_post,
+            srows = pd.concat([srows, crows], ignore_index=True)
+        g = _bx_groupagg(
+            srows, node_col, {"d": "sum", rank_col: "sum", "c": "sum"}
         )
+        c = g["c"].to_numpy().astype(np.int64)
+        bvec = (
+            base
+            if tset is None
+            else np.where(_in_t(g[node_col]), np.int64(base), np.int64(0))
+        )
+        g[rank_col] = (
+            bvec + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
+        )
+        return g[[node_col, "d", rank_col]], 0
 
-        def new_rank(pdf: pd.DataFrame) -> pd.DataFrame:
-            g = pdf.groupby(node_col, sort=False, as_index=False).agg(
-                d=("d", "sum"), c=("c", "sum")
-            )
-            c = g["c"].to_numpy().astype(np.int64)
-            bvec = (
-                base if tset is None
-                else np.where(_in_t(g[node_col]), np.int64(base),
-                              np.int64(0))
-            )
-            g[rank_col] = (
-                bvec + damping_pct * (c // 100) + (damping_pct * (c % 100)) // 100
-            )
-            g["c"] = np.int64(0)
-            return g[[node_col, "d", rank_col, "c"]]
+    state_refs = _pregel_loop(
+        edge_refs,
+        state_refs,
+        node_col=node_col,
+        relax_fn=contrib_relax,
+        fold_fn=rank_fold,
+        rounds=iterations,
+        num_partitions=P,
+        early_exit=False,
+    )
 
-        cols = [node_col, "d", rank_col, "c"]
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select([node_col, rank_col])
 
-        def project(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pdf[cols]
-
-        state = keyed_partition_map(
-            state.map_batches(project, batch_format="pandas", batch_size=None)
-            .union(contribs),
-            keys=[node_col],
-            order_col="d",
-            fn=new_rank,
-            num_partitions=num_partitions,
-        ).materialize()
-
-    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf[[node_col, rank_col]]
-
-    return state.map_batches(finish, batch_format="pandas", batch_size=None)
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
@@ -913,130 +1105,124 @@ def bellman_ford_exchange(
     seam :func:`pagerank_exchange` covers for ranks). Bit-identical
     distances, pinned by the parity test.
 
-    The distance vector lives as a hash-partitioned Dataset
-    ``(node, _d)``; each relaxation round costs exactly two
-    co-partition exchanges plus one Dataset aggregate:
+    The edge list is hash-partitioned by ``src`` ONCE
+    (:func:`_stage_edge_partitions` — it is loop-invariant, so paying R
+    exchanges for it was pure waste); the distance vector lives as P
+    co-partitioned object-store tables. Each relaxation round is one
+    :func:`_pregel_loop` step — 2·P raw tasks, zero Dataset executions:
 
-    1. ``equi_join(edges, state, on=src)`` — the state projects to
-       ``(src, _ds)``; the per-dst candidate minimum ``_ds + w`` is
-       fused into the join partition via ``post_fn`` (zero extra
-       exchange). Inner-join semantics drop edges whose src is still
-       unreached, mirroring the broadcast path's ``reindex`` mask.
-    2. one keyed exchange folding candidate rows into state rows —
-       per node, the new distance is the min over both; a ``chg`` flag
-       marks improved/new nodes, and ``state.sum("chg")`` (a streaming
-       aggregate over the node-sized state, never a driver collect of
-       edges) drives the early fixpoint exit exactly like the broadcast
-       path's ``Series.equals`` check.
+    1. relax — per partition, a byte-exact inner merge of the local
+       edges against the local ``(src, _d)`` state (inner semantics
+       drop edges whose src is still unreached, mirroring the broadcast
+       path's ``reindex`` mask); the per-dst candidate minimum
+       ``_d + w`` is hash-split in-task toward the dst's home
+       partition. Candidate volume is bounded by the frontier's
+       out-neighborhood — the only cross-partition movement.
+    2. fold — per node, the new distance is the min over prior state
+       and candidates; the summed per-partition changed counts (P ints
+       on the driver per round, nothing else) drive the early fixpoint
+       exit exactly like the broadcast path's ``Series.equals`` check.
 
-    State rows are node-sized × one Dataset in the object store —
-    materialized once per round, the precise regime this variant
-    targets. Reserved internal column names: ``_d``, ``_ds``, ``_st``,
-    ``chg``; ``src_col``/``dst_col``/``node_col`` must not collide.
+    Reserved internal column names: ``_d``, ``_st``;
+    ``src_col``/``dst_col``/``node_col`` must not collide.
 
-    ``exchange="staged"`` (default) routes both per-round exchanges
-    through the two-phase raw-task exchange — the relaxation fold is
-    node-sized work repeated every round, squarely below the Dataset
-    sort's ~1M-row crossover (keyed.py rationale); pass ``"sort"`` for
-    edge-scale joins past it.
+    ``exchange`` is retained for signature compatibility and unused:
+    the resident-partition loop replaced both per-round exchanges.
 
     Returns the final state as a Dataset of ``(node_col, dist_col)``.
     """
     import ray.data as rd
 
-    from arlas_proc_ray.stages.joins import equi_join
-    from arlas_proc_ray.stages.keyed import keyed_partition_map
-
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not sources:
         raise ValueError("sources must be non-empty")
-    import pyarrow as pa
+
+    P = num_partitions
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=cols, num_partitions=P
+    )
 
     init = pd.DataFrame({node_col: sorted(set(sources))})
     init["_d"] = np.int64(0)
     init["_st"] = np.int8(1)
-    # arrow block with metadata stripped: a pandas-typed seed block makes
-    # every downstream union emit schema-unify warnings (and the b'pandas'
-    # metadata defeats Ray's schema dedup)
-    state = rd.from_arrow(
-        pa.Table.from_pandas(init, preserve_index=False)
-        .replace_schema_metadata(None)
-    ).materialize()
+    state_refs = _split_state_refs(init, node_col, P)
 
-    for _ in range(rounds):
+    def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                node_col: pd.Series([], dtype=object),
+                "_d": pd.Series([], dtype="int64"),
+                "_st": pd.Series([], dtype="int8"),
+            }
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        st = byte_exact_group_cols(
+            pd.DataFrame(
+                {src_col: state_pdf[node_col], "_ds": state_pdf["_d"]}
+            ),
+            [src_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf, [src_col])
+        m = ed.merge(st, on=src_col, how="inner")
+        if m.empty:
+            return empty
+        w = (
+            m[weight_col].to_numpy(np.int64)
+            if weight_col is not None
+            else np.ones(len(m), dtype=np.int64)
+        )
+        cand = pd.DataFrame(
+            {
+                node_col: m[dst_col].to_numpy(),
+                "_d": m["_ds"].to_numpy(np.int64) + w,
+            }
+        )
+        out = _bx_groupagg(cand, node_col, {"_d": "min"})
+        out["_st"] = np.int8(0)
+        return out[[node_col, "_d", "_st"]]
 
-        def proj_src(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {src_col: pdf[node_col], "_ds": pdf["_d"]}
-            )
+    def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return state_pdf[[node_col, "_d", "_st"]], 0
+        both = pd.concat(
+            [state_pdf[[node_col, "_d", "_st"]], cand_pdf],
+            ignore_index=True,
+        )
+        d = both["_d"].to_numpy(np.int64)
+        st = both["_st"].to_numpy(np.int8)
+        old = np.where(st == 1, d, _I64_MAX)  # per-node prior dist
+        g = _bx_groupagg(
+            both.assign(_old=old), node_col, {"_d": "min", "_old": "min"}
+        )
+        changed = int(
+            (g["_d"].to_numpy(np.int64) < g["_old"].to_numpy(np.int64)).sum()
+        )
+        g["_st"] = np.int8(1)
+        return g[[node_col, "_d", "_st"]], changed
 
-        shares = state.map_batches(
-            proj_src, batch_format="pandas", batch_size=None
+    if edge_refs is not None:
+        state_refs = _pregel_loop(
+            edge_refs,
+            state_refs,
+            node_col=node_col,
+            relax_fn=relax_fn,
+            fold_fn=fold_fn,
+            rounds=rounds,
+            num_partitions=P,
         )
 
-        def cand_post(pdf: pd.DataFrame) -> pd.DataFrame:
-            w = (
-                pdf[weight_col].to_numpy(np.int64)
-                if weight_col is not None
-                else np.ones(len(pdf), dtype=np.int64)
-            )
-            cand = pd.DataFrame(
-                {
-                    node_col: pdf[dst_col].to_numpy(),
-                    "_d": pdf["_ds"].to_numpy(np.int64) + w,
-                }
-            )
-            out = _bx_groupagg(cand, node_col, {"_d": "min"})
-            out["_st"] = np.int8(0)
-            return out[[node_col, "_d", "_st"]]
-
-        contribs = equi_join(
-            edges_ds,
-            shares,
-            on=[src_col],
-            right_cols=["_ds"],
-            num_partitions=num_partitions,
-            post_fn=cand_post,
-            exchange=exchange,
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(node_col), t.column("_d").cast(pa.int64())],
+            names=[node_col, dist_col],
         )
 
-        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-            d = pdf["_d"].to_numpy(np.int64)
-            st = pdf["_st"].to_numpy(np.int8)
-            old = np.where(st == 1, d, _I64_MAX)  # per-node prior dist
-            g = _bx_groupagg(
-                pdf.assign(_old=old),
-                node_col,
-                {"_d": "min", "_old": "min"},
-            )
-            g["chg"] = (g["_d"].to_numpy(np.int64)
-                        < g["_old"].to_numpy(np.int64)).astype(np.int64)
-            g["_st"] = np.int8(1)
-            return g[[node_col, "_d", "_st", "chg"]]
-
-        def strip(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pdf[[node_col, "_d", "_st"]]
-
-        state = keyed_partition_map(
-            state.map_batches(strip, batch_format="pandas", batch_size=None)
-            .union(contribs),
-            keys=[node_col],
-            order_col="_d",
-            fn=fold,
-            num_partitions=num_partitions,
-            exchange=exchange,
-        ).materialize()
-        if not state.sum("chg"):
-            break
-
-    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {node_col: pdf[node_col], dist_col: pdf["_d"].astype("int64")}
-        )
-        return out
-
-    return state.map_batches(finish, batch_format="pandas", batch_size=None)
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
 
 
 def shortest_hops_exchange(

@@ -221,6 +221,11 @@ def run_bench() -> dict:
         "tpch_q21",
         "tpch_q22",
         "k_core_users",
+        # round-5 fourth-session additions (partsupp-free TPC-H completions)
+        "tpch_q2",
+        "tpch_q11",
+        "tpch_q16",
+        "tpch_q20",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
