@@ -11436,3 +11436,172 @@ def q_anf_hll_growth(sf_dir: str):
 
 
 QUERIES["anf_hll_growth"] = q_anf_hll_growth
+
+
+def q_user_components(sf_dir: str):
+    """Connected components of the STRONG-interaction graph: user↔type
+    edges only where the user emitted that event type ≥ 12 times, via
+    fixed-depth (6-round) synchronous min-label propagation on the
+    resident-edge Pregel kit (stages/graph.py:min_label_exchange —
+    edges staged once, node-sized label movement per round, zero driver
+    node state; the dedup family's pointer-doubling components remain
+    the unbounded-diameter path). Both sides run EXACTLY 6 steps, so
+    the chained-CTE oracle is bit-exact regardless of convergence.
+    Output: the full per-node assignment (node, component) — one row
+    per graph node, so the driver hash covers every label.
+
+    The qualifying (user, type) pair table is entity-sized (users ×
+    5 types) — per-block count combiner, driver fold under the stated
+    small-side contract, edge list built dimension-sized."""
+    from arlas_proc_ray.stages.graph import min_label_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def pair_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "u": pdf["user_id"].to_numpy(np.int64),
+                "t": pdf["event_type"].to_numpy(),
+                "c": np.ones(len(pdf), dtype=np.int64),
+            }
+        )
+        return tmp.groupby(["u", "t"], sort=False, as_index=False).sum()
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × (users × 5 types), entity-sized
+        .groupby(["u", "t"], as_index=False)["c"]
+        .sum()
+    )
+    pairs = pairs[pairs["c"] >= 12]
+    u = "u:" + pairs["u"].astype(str)
+    t = "t:" + pairs["t"].astype(str)
+    edges = pd.DataFrame(
+        {
+            "src": pd.concat([u, t], ignore_index=True),
+            "dst": pd.concat([t, u], ignore_index=True),
+        }
+    )
+    labels = min_label_exchange(
+        rd.from_pandas(edges), src_col="src", dst_col="dst", rounds=6,
+        num_partitions=NP,
+    ).to_pandas()
+    out = labels.rename(columns={"label": "component"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+QUERIES["user_components"] = q_user_components
+
+
+def _components_oracle(rounds: int = 6) -> str:
+    """Chained-CTE fixed-depth min propagation: lbₖ₊₁(v) = least(lbₖ(v),
+    min over in-edges of lbₖ(src)) — the same 6 synchronous steps the
+    Ray side runs (binary string collation on both sides)."""
+    sql = """
+    WITH pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events GROUP BY 1, 2 HAVING count(*) >= 12),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION ALL SELECT t, u FROM pw),
+    l0 AS (SELECT src AS node, src AS lb FROM edges
+           UNION SELECT dst, dst FROM edges)"""
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, min(l.lb) AS ml
+             FROM edges e JOIN {prev} l ON l.node = e.src
+             GROUP BY 1),
+    l{i} AS (SELECT l.node, least(l.lb, coalesce(c.ml, l.lb)) AS lb
+             FROM {prev} l LEFT JOIN c{i} c ON c.node = l.node)"""
+        prev = f"l{i}"
+    sql += f"""
+    SELECT node, lb AS component FROM {prev} ORDER BY node
+"""
+    return sql
+
+
+ORACLE_SQL["user_components"] = _components_oracle()
+
+
+def q_hits_interactions(sf_dir: str):
+    """HITS hubs/authorities (2 iterations) over the DIRECTED
+    user→event-type interaction multigraph — hubs score active users,
+    authorities score popular event types
+    (stages/graph.py:hits_exchange on the resident-edge Pregel kit:
+    edges stage twice — once per propagation direction — then every
+    half-step moves only node-sized scores; renormalization is the
+    EXACT integer x·scale//max(x), big-int product, so the chained-CTE
+    oracle reproduces every score bit-for-bit via HUGEINT)."""
+    from arlas_proc_ray.stages.graph import hits_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def direct(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": "u:" + pdf["user_id"].astype("int64").astype(str),
+                "dst": "t:" + pdf["event_type"].astype(str),
+            }
+        )
+
+    edges = ds.map_batches(direct, batch_format="pandas", batch_size=None)
+    out = (
+        hits_exchange(
+            edges, src_col="src", dst_col="dst", iterations=2,
+            num_partitions=NP,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+QUERIES["hits_interactions"] = q_hits_interactions
+
+
+def _hits_oracle(iterations: int = 2, scale: int = 10**9) -> str:
+    """Chained-CTE HITS: the multigraph edge rows compress to (src,
+    dst, w) — both propagation sums are linear, so Σ_rows h(u) =
+    Σ_pairs w·h(u). Rescale products run in HUGEINT (they pass int64
+    exactly as the Ray side's big-int rescale does)."""
+    sql = f"""
+    WITH pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM pw UNION SELECT dst FROM pw),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"""
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    a{i}r AS (SELECT p.dst AS node, CAST(SUM(p.w * h.h) AS BIGINT) AS x
+              FROM pw p JOIN {prev_h} h ON h.node = p.src GROUP BY 1),
+    a{i}m AS (SELECT max(x) AS mx FROM a{i}r),
+    a{i} AS (SELECT n.node,
+                    CAST((CAST(COALESCE(r.x, 0) AS HUGEINT) * {scale})
+                         // m.mx AS BIGINT) AS a
+             FROM nodes n
+             LEFT JOIN a{i}r r ON r.node = n.node, a{i}m m),
+    h{i}r AS (SELECT p.src AS node, CAST(SUM(p.w * a.a) AS BIGINT) AS x
+              FROM pw p JOIN a{i} a ON a.node = p.dst GROUP BY 1),
+    h{i}m AS (SELECT max(x) AS mx FROM h{i}r),
+    h{i} AS (SELECT n.node,
+                    CAST((CAST(COALESCE(r.x, 0) AS HUGEINT) * {scale})
+                         // m.mx AS BIGINT) AS h
+             FROM nodes n
+             LEFT JOIN h{i}r r ON r.node = n.node, h{i}m m)"""
+        prev_h = f"h{i}"
+    sql += f"""
+    SELECT n.node, h.h AS hub, a.a AS authority
+    FROM nodes n
+    JOIN h{iterations} h ON h.node = n.node
+    JOIN a{iterations} a ON a.node = n.node
+    ORDER BY n.node
+"""
+    return sql
+
+
+ORACLE_SQL["hits_interactions"] = _hits_oracle()

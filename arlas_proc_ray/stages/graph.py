@@ -1554,3 +1554,367 @@ def label_propagation(
 
     out = labels.rename(label_col).rename_axis(node_col).reset_index()
     return out.sort_values(node_col, kind="mergesort").reset_index(drop=True)
+
+
+def min_label_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    rounds: int,
+    node_col: str = "node",
+    label_col: str = "label",
+    num_partitions: int = 16,
+) -> "object":
+    """Fixed-depth synchronous min-label propagation — connected
+    components when ``rounds`` ≥ the graph diameter (pass a mirrored
+    edge list; labels only flow along edge direction). label₀(v) = v;
+    each round label(v) = min(label(v), min over in-neighbors' labels).
+    Comparison is Python/pandas string order = byte order for the
+    one-byte-per-code-point ids this repo keys graphs with, matching
+    SQL binary collation — which is what makes a FIXED-DEPTH chained-CTE
+    oracle bit-exact (both sides run exactly ``rounds`` steps; early
+    exit below only fires once a round changes nothing, when extra
+    rounds are identity on both sides anyway).
+
+    Runs on the resident-edge Pregel kit: edges hash-stage ONCE
+    (:func:`_stage_edge_partitions`), one bootstrap step folds the node
+    universe with label = own id (zero driver node state), then each
+    round is 2·P raw tasks moving node-sized (node, label) candidates.
+    The dedup family's :mod:`arlas_proc_ray.dedup.components` remains
+    the unbounded-diameter path (pointer doubling, O(log diameter));
+    this is the bounded-depth, oracle-exact sibling.
+
+    Returns a Dataset of ``(node_col, label_col)``.
+    """
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    P = num_partitions
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    if edge_refs is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([], pa.string()),
+                    label_col: pa.array([], pa.string()),
+                }
+            )
+        )
+
+    def seed_scatter(edges_pdf: pd.DataFrame, _state) -> pd.DataFrame:
+        both = np.concatenate(
+            [edges_pdf[src_col].to_numpy(), edges_pdf[dst_col].to_numpy()]
+        )
+        return _bx_groupagg(
+            pd.DataFrame({node_col: both, "_lb": both}),
+            node_col,
+            {"_lb": "min"},
+        )
+
+    def seed_fold(_state, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return (
+                pd.DataFrame(
+                    {
+                        node_col: pd.Series([], dtype=object),
+                        "_lb": pd.Series([], dtype=object),
+                    }
+                ),
+                0,
+            )
+        return _bx_groupagg(cand_pdf, node_col, {"_lb": "min"}), 0
+
+    state_refs = _pregel_loop(
+        edge_refs,
+        None,
+        node_col=node_col,
+        relax_fn=seed_scatter,
+        fold_fn=seed_fold,
+        rounds=1,
+        num_partitions=P,
+        early_exit=False,
+    )
+
+    def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                node_col: pd.Series([], dtype=object),
+                "_lb": pd.Series([], dtype=object),
+            }
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        st = byte_exact_group_cols(
+            pd.DataFrame(
+                {src_col: state_pdf[node_col], "_lb": state_pdf["_lb"]}
+            ),
+            [src_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf[[src_col, dst_col]], [src_col])
+        m = ed.merge(st, on=src_col, how="inner")
+        if m.empty:
+            return empty
+        return _bx_groupagg(
+            pd.DataFrame(
+                {node_col: m[dst_col].to_numpy(), "_lb": m["_lb"].to_numpy()}
+            ),
+            node_col,
+            {"_lb": "min"},
+        )
+
+    def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return state_pdf[[node_col, "_lb"]], 0
+        both = pd.concat(
+            [state_pdf[[node_col, "_lb"]], cand_pdf[[node_col, "_lb"]]],
+            ignore_index=True,
+        )
+        g = _bx_groupagg(both, node_col, {"_lb": "min"})
+        prior = dict(zip(state_pdf[node_col], state_pdf["_lb"]))
+        changed = sum(
+            1
+            for v, lb in zip(g[node_col], g["_lb"])
+            if prior.get(v) != lb
+        )
+        return g, changed
+
+    state_refs = _pregel_loop(
+        edge_refs,
+        state_refs,
+        node_col=node_col,
+        relax_fn=relax_fn,
+        fold_fn=fold_fn,
+        rounds=rounds,
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(node_col), t.column("_lb")],
+            names=[node_col, label_col],
+        )
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def hits_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 2,
+    scale: int = 10**9,
+    node_col: str = "node",
+    hub_col: str = "hub",
+    auth_col: str = "authority",
+    num_partitions: int = 16,
+):
+    """HITS (Kleinberg 1999) hubs/authorities with NO driver node state,
+    on the resident-edge Pregel kit.
+
+    ``h₀(v) = scale``; per iteration ``a(v) = Σ_{(u,v)} h(u)`` then
+    ``h(u) = Σ_{(u,v)} a(v)``, each followed by EXACT integer
+    renormalization ``x ← x·scale // max(x)`` (big-int product, one
+    floor division — no L2 norm, no float drift, so a chained-CTE SQL
+    oracle using HUGEINT reproduces every value bit-for-bit; the max
+    itself is deterministic). Nodes with no in-edges score authority 0,
+    no out-edges hub 0 — the raw-sum form. Multigraph edge lists feed
+    straight in (both sums are linear over edge rows).
+
+    Scale shape: the edge list stages TWICE, by src (the a-step's
+    producer side) and by dst (the h-step's) — two edge exchanges TOTAL
+    regardless of iteration count; every half-step is 2·P raw tasks
+    moving node-sized score rows, plus one P-partial global max on the
+    driver (two ints per iteration — the renormalization scalar).
+
+    Returns a Dataset of ``(node_col, hub_col, auth_col)`` int64.
+    """
+    import ray.data as rd
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    P = num_partitions
+    by_src = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    by_dst = _stage_edge_partitions(
+        edges_ds, key_col=dst_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    if by_src is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([], pa.string()),
+                    hub_col: pa.array([], pa.int64()),
+                    auth_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def seed_scatter(edges_pdf: pd.DataFrame, _state) -> pd.DataFrame:
+        both = np.concatenate(
+            [edges_pdf[src_col].to_numpy(), edges_pdf[dst_col].to_numpy()]
+        )
+        return _bx_groupagg(
+            pd.DataFrame({node_col: both, "_one": np.int64(1)}),
+            node_col,
+            {"_one": "max"},
+        )
+
+    def seed_fold(_state, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return (
+                pd.DataFrame(
+                    {
+                        node_col: pd.Series([], dtype=object),
+                        "h": pd.Series([], dtype="int64"),
+                        "a": pd.Series([], dtype="int64"),
+                    }
+                ),
+                0,
+            )
+        g = _bx_groupagg(cand_pdf, node_col, {"_one": "max"})
+        g["h"] = np.int64(scale)
+        g["a"] = np.int64(0)
+        return g[[node_col, "h", "a"]], 0
+
+    state_refs = _pregel_loop(
+        by_src,
+        None,
+        node_col=node_col,
+        relax_fn=seed_scatter,
+        fold_fn=seed_fold,
+        rounds=1,
+        num_partitions=P,
+        early_exit=False,
+    )
+
+    def _sum_step(producer_key, consumer_key, read_col, write_col):
+        """relax/fold pair: consumer's write_col = Σ producer read_col
+        over the staged edge direction; the OTHER score rides along."""
+        other = "a" if write_col == "h" else "h"
+
+        def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+            empty = pd.DataFrame(
+                {
+                    node_col: pd.Series([], dtype=object),
+                    "_c": pd.Series([], dtype="int64"),
+                }
+            )
+            if edges_pdf.empty or state_pdf.empty:
+                return empty
+            st = byte_exact_group_cols(
+                pd.DataFrame(
+                    {
+                        producer_key: state_pdf[node_col],
+                        "_v": state_pdf[read_col],
+                    }
+                ),
+                [producer_key],
+            )
+            ed = byte_exact_group_cols(
+                edges_pdf[[src_col, dst_col]], [producer_key]
+            )
+            m = ed.merge(st, on=producer_key, how="inner")
+            if m.empty:
+                return empty
+            return _bx_groupagg(
+                pd.DataFrame(
+                    {
+                        node_col: m[consumer_key].to_numpy(),
+                        "_c": m["_v"].to_numpy(np.int64),
+                    }
+                ),
+                node_col,
+                {"_c": "sum"},
+            )
+
+        def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+            # int64-pure union+group-sum: the written score is REPLACED
+            # by the candidate sum (0 when nothing arrived), the other
+            # score rides through untouched
+            srows = pd.DataFrame(
+                {
+                    node_col: state_pdf[node_col],
+                    "_o": state_pdf[other].to_numpy(np.int64),
+                    "_c": np.int64(0),
+                }
+            )
+            if cand_pdf is not None and not cand_pdf.empty:
+                crows = pd.DataFrame(
+                    {
+                        node_col: cand_pdf[node_col].to_numpy(),
+                        "_o": np.int64(0),
+                        "_c": cand_pdf["_c"].to_numpy(np.int64),
+                    }
+                )
+                srows = pd.concat([srows, crows], ignore_index=True)
+            g = _bx_groupagg(srows, node_col, {"_o": "sum", "_c": "sum"})
+            out = pd.DataFrame({node_col: g[node_col]})
+            out[other] = g["_o"].to_numpy(np.int64)
+            out[write_col] = g["_c"].to_numpy(np.int64)
+            return out[[node_col, "h", "a"]], 0
+
+        return relax_fn, fold_fn
+
+    @ray.remote
+    def part_max(state: pa.Table, col: str) -> int:
+        pdf = state.to_pandas()
+        return int(pdf[col].max()) if len(pdf) else 0
+
+    @ray.remote
+    def rescale(state: pa.Table, col: str, mx: int) -> pa.Table:
+        pdf = state.to_pandas()
+        if len(pdf) and mx > 0:
+            # big-int product, exact floor division (x·scale can pass
+            # int64 for high-degree graphs — HUGEINT on the SQL side)
+            pdf[col] = pd.Series(
+                [int(x) * scale // mx for x in pdf[col]],
+                dtype="int64",
+                index=pdf.index,
+            )
+        return pa.Table.from_pandas(
+            pdf, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def half_step(edge_refs, producer_key, consumer_key, read_col, write_col):
+        nonlocal state_refs
+        relax_fn, fold_fn = _sum_step(
+            producer_key, consumer_key, read_col, write_col
+        )
+        state_refs = _pregel_loop(
+            edge_refs,
+            state_refs,
+            node_col=node_col,
+            relax_fn=relax_fn,
+            fold_fn=fold_fn,
+            rounds=1,
+            num_partitions=P,
+            early_exit=False,
+        )
+        mx = max(ray.get([part_max.remote(r, write_col) for r in state_refs]))
+        state_refs = [rescale.remote(r, write_col, mx) for r in state_refs]
+
+    for _ in range(iterations):
+        half_step(by_src, src_col, dst_col, "h", "a")
+        half_step(by_dst, dst_col, src_col, "a", "h")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column(node_col),
+                t.column("h").cast(pa.int64()),
+                t.column("a").cast(pa.int64()),
+            ],
+            names=[node_col, hub_col, auth_col],
+        )
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -105,3 +105,141 @@ def test_neighborhood_empty_edges(ray_session):
     )
     assert len(out) == 0
     assert list(out.columns) == ["hops", "pairs"]
+
+
+# ---------------------------------------------------------------------------
+# min_label_exchange (fixed-depth components on the same Pregel kit)
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.stages.graph import min_label_exchange  # noqa: E402
+
+
+def _py_min_label(edges, rounds):
+    """Reference: exactly `rounds` synchronous min-propagation steps."""
+    nodes = sorted({v for e in edges for v in e})
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = dict(lab)
+        for s, t in edges:
+            if lab[s] < new[t]:
+                new[t] = lab[s]
+        lab = new
+    return lab
+
+
+def test_min_label_exchange_matches_fixed_depth_oracle(ray_session):
+    rng = np.random.default_rng(3)
+    nodes = [f"m{i}" for i in range(50)] + ["z", "z\x00"]
+    base = []
+    for _ in range(60):
+        a, b = rng.choice(len(nodes), size=2, replace=False)
+        base.append((nodes[int(a)], nodes[int(b)]))
+    base += [("z", "z\x00")]
+    mirrored = base + [(t, s) for s, t in base]
+    for rounds in (1, 2, 8):  # under- and over-converged depths
+        got = (
+            min_label_exchange(
+                _edges_ds(mirrored), src_col="src", dst_col="dst",
+                rounds=rounds, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        lab = _py_min_label(mirrored, rounds)
+        want = pd.DataFrame(
+            sorted(lab.items()), columns=["node", "label"]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_min_label_exchange_components(ray_session):
+    # two separate components + a singleton via self-loop
+    base = [("a", "b"), ("b", "c"), ("p", "q"), ("s", "s")]
+    mirrored = base + [(t, s) for s, t in base]
+    got = (
+        min_label_exchange(
+            _edges_ds(mirrored), src_col="src", dst_col="dst", rounds=6,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("p", "p"), ("q", "p"),
+         ("s", "s")],
+        columns=["node", "label"],
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# hits_exchange (hubs/authorities on the same Pregel kit)
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.stages.graph import hits_exchange  # noqa: E402
+
+
+def _py_hits(edges, iterations, scale=10**9):
+    nodes = sorted({v for e in edges for v in e})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+
+    def rescale(d):
+        mx = max(d.values()) if d else 0
+        return {v: (x * scale // mx if mx > 0 else x) for v, x in d.items()}
+
+    for _ in range(iterations):
+        a = {v: sum(h[s] for s, t in edges if t == v) for v in nodes}
+        a = rescale(a)
+        h = {u: sum(a[t] for s, t in edges if s == u) for u in nodes}
+        h = rescale(h)
+    return h, a
+
+
+def test_hits_exchange_matches_python_oracle(ray_session):
+    rng = np.random.default_rng(5)
+    nodes = [f"h{i}" for i in range(40)] + ["q", "q\x00"]
+    edges = []
+    for _ in range(150):
+        x, y = rng.choice(len(nodes), size=2, replace=False)
+        edges.append((nodes[int(x)], nodes[int(y)]))
+    edges += [("q", "q\x00"), ("q", "q\x00")]  # multigraph duplicate
+    for iters in (1, 3):
+        got = (
+            hits_exchange(
+                _edges_ds(edges), src_col="src", dst_col="dst",
+                iterations=iters, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        h, a = _py_hits(edges, iters)
+        want = pd.DataFrame(
+            {
+                "node": sorted(h),
+                "hub": pd.Series([h[v] for v in sorted(h)], dtype="int64"),
+                "authority": pd.Series(
+                    [a[v] for v in sorted(h)], dtype="int64"
+                ),
+            }
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_hits_exchange_sinks_and_sources(ray_session):
+    # 'root' only points out (authority 0), 'leaf' only receives (hub 0)
+    edges = [("root", "mid"), ("mid", "leaf"), ("root", "leaf")]
+    got = (
+        hits_exchange(
+            _edges_ds(edges), src_col="src", dst_col="dst", iterations=2,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("node")
+    )
+    assert got.loc["root", "authority"] == 0
+    assert got.loc["leaf", "hub"] == 0
+    assert got.loc["root", "hub"] > 0 and got.loc["leaf", "authority"] > 0
