@@ -11605,3 +11605,40 @@ def _hits_oracle(iterations: int = 2, scale: int = 10**9) -> str:
 
 
 ORACLE_SQL["hits_interactions"] = _hits_oracle()
+
+
+def q_label_communities_exchange(sf_dir: str):
+    """q_label_communities on the NO-driver-label-vector path
+    (stages/graph.py:label_propagation_exchange — the fourth
+    exchange-mode twin, labels Dataset-resident on the resident-edge
+    Pregel kit, edges staged once instead of re-read per round).
+    Bit-identical to the broadcast LPA (parity-pinned), so it shares
+    label_communities' chained-CTE oracle."""
+    from arlas_proc_ray.stages.graph import label_propagation_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return (
+        label_propagation_exchange(
+            edges, src_col="src", dst_col="dst", rounds=2,
+            num_partitions=NP,
+        )
+        .to_pandas()
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["label_communities_exchange"] = q_label_communities_exchange
+ORACLE_SQL["label_communities_exchange"] = ORACLE_SQL["label_communities"]

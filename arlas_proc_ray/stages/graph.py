@@ -1918,3 +1918,167 @@ def hits_exchange(
     return rd.from_arrow_refs(state_refs).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def label_propagation_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    rounds: int = 3,
+    node_col: str = "node",
+    label_col: str = "label",
+    num_partitions: int = 16,
+):
+    """:func:`label_propagation` with NO driver-resident label vector —
+    the fourth exchange-mode twin (pagerank / bellman-ford / k-core):
+    labels live as P co-partitioned object-store tables on the
+    resident-edge Pregel kit. Bit-identical to the broadcast path
+    (parity-pinned): same most-frequent-in-neighbor-label update, same
+    smallest-label tie-break (byte order), same keep-label-when-no-
+    in-edges rule, fixed ``rounds``.
+
+    Per round: relax merges the LOCAL edges (staged ONCE by src — the
+    broadcast path re-reads the lazy edge pipeline every round) against
+    the local labels and emits per-(dst, label) count partials toward
+    the dst's home partition — the (node, label) candidate table is the
+    same distinct-edge-bounded volume the broadcast path's keyed
+    exchange moved, but the edges themselves never move again. Fold
+    re-sums, takes the max-count / min-label winner per node, and keeps
+    the old label where nothing arrived.
+
+    Returns a Dataset of ``(node_col, label_col)``.
+    """
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    P = num_partitions
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    if edge_refs is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([], pa.string()),
+                    label_col: pa.array([], pa.string()),
+                }
+            )
+        )
+
+    def seed_scatter(edges_pdf: pd.DataFrame, _state) -> pd.DataFrame:
+        both = np.concatenate(
+            [edges_pdf[src_col].to_numpy(), edges_pdf[dst_col].to_numpy()]
+        )
+        return _bx_groupagg(
+            pd.DataFrame({node_col: both, "_lb": both}),
+            node_col,
+            {"_lb": "min"},  # min(v, v) = v: one seed row per node
+        )
+
+    def seed_fold(_state, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return (
+                pd.DataFrame(
+                    {
+                        node_col: pd.Series([], dtype=object),
+                        "_lb": pd.Series([], dtype=object),
+                    }
+                ),
+                0,
+            )
+        return _bx_groupagg(cand_pdf, node_col, {"_lb": "min"}), 0
+
+    state_refs = _pregel_loop(
+        edge_refs,
+        None,
+        node_col=node_col,
+        relax_fn=seed_scatter,
+        fold_fn=seed_fold,
+        rounds=1,
+        num_partitions=P,
+        early_exit=False,
+    )
+
+    def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                node_col: pd.Series([], dtype=object),
+                "_lb": pd.Series([], dtype=object),
+                "_c": pd.Series([], dtype="int64"),
+            }
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        st = byte_exact_group_cols(
+            pd.DataFrame(
+                {src_col: state_pdf[node_col], "_lb": state_pdf["_lb"]}
+            ),
+            [src_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf[[src_col, dst_col]], [src_col])
+        m = ed.merge(st, on=src_col, how="inner")
+        if m.empty:
+            return empty
+        return _bx_groupagg(
+            pd.DataFrame(
+                {
+                    node_col: m[dst_col].to_numpy(),
+                    "_lb": m["_lb"].to_numpy(),
+                    "_c": np.ones(len(m), dtype=np.int64),
+                }
+            ),
+            [node_col, "_lb"],
+            {"_c": "sum"},
+        )
+
+    def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return state_pdf[[node_col, "_lb"]], 0
+        g = _bx_groupagg(cand_pdf, [node_col, "_lb"], {"_c": "sum"})
+        g = byte_exact_group_cols(g, [node_col])
+        mx = g.groupby(node_col, sort=False)["_c"].transform("max")
+        best = g[g["_c"] == mx]
+        picked = best.groupby(node_col, sort=False, as_index=False)[
+            "_lb"
+        ].min()  # comparison-based min: byte-exact on objects
+        picked = restore_object_cols(picked, [node_col])
+        # keep-old-label where nothing arrived: byte-exact dict update
+        upd = dict(
+            zip(
+                picked[node_col].to_numpy(object),
+                picked["_lb"].to_numpy(object),
+            )
+        )
+        old = state_pdf["_lb"].to_numpy(object)
+        new = np.array(
+            [
+                upd.get(v, o)
+                for v, o in zip(state_pdf[node_col].to_numpy(object), old)
+            ],
+            dtype=object,
+        )
+        changed = int((new != old).sum())
+        out = pd.DataFrame({node_col: state_pdf[node_col], "_lb": new})
+        return out, changed
+
+    state_refs = _pregel_loop(
+        edge_refs,
+        state_refs,
+        node_col=node_col,
+        relax_fn=relax_fn,
+        fold_fn=fold_fn,
+        rounds=rounds,
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(node_col), t.column("_lb")],
+            names=[node_col, label_col],
+        )
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

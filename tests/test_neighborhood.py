@@ -243,3 +243,39 @@ def test_hits_exchange_sinks_and_sources(ray_session):
     assert got.loc["root", "authority"] == 0
     assert got.loc["leaf", "hub"] == 0
     assert got.loc["root", "hub"] > 0 and got.loc["leaf", "authority"] > 0
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_exchange (fourth exchange-mode twin)
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.stages.graph import (  # noqa: E402
+    label_propagation,
+    label_propagation_exchange,
+)
+
+
+def test_label_propagation_exchange_bit_parity(ray_session):
+    rng = np.random.default_rng(9)
+    nodes = [f"c{i}" for i in range(45)] + ["y", "y\x00"]
+    edges = []
+    for _ in range(180):
+        s, t = rng.choice(len(nodes), size=2, replace=False)
+        edges.append((nodes[int(s)], nodes[int(t)]))
+    edges += [("y", "y\x00"), ("y", "y\x00"), ("y\x00", "c0")]
+    ds = _edges_ds(edges)
+    for rounds in (1, 3):
+        want = label_propagation(
+            ds, src_col="src", dst_col="dst", rounds=rounds,
+            num_partitions=4,
+        ).reset_index(drop=True)
+        got = (
+            label_propagation_exchange(
+                ds, src_col="src", dst_col="dst", rounds=rounds,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("node", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
