@@ -1321,119 +1321,148 @@ def k_core_exchange(
 ):
     """:func:`k_core` with NO driver-resident node state — the third
     member of the exchange-mode family (:func:`pagerank_exchange`,
-    :func:`bellman_ford_exchange`): the survivor set stays a
-    hash-partitioned Dataset instead of a broadcast ``ray.put`` index.
+    :func:`bellman_ford_exchange`), as a Pregel peel over MUTABLE
+    resident adjacency partitions.
 
-    Per peel round:
+    The canonical-dedup'd edge list mirrors into adjacency rows
+    ``(a, b)`` owned by ``a`` and hash-stages ONCE; every node's full
+    neighbor list lives in its home partition, so per-round degrees
+    are a LOCAL count — no exchange. A peel round is 2·P raw tasks:
+    relax detects the partition's dying nodes (0 < deg < k) and emits
+    one removal order per incident edge toward EACH endpoint's home
+    partition (node-sized messages — the dying frontier's incident
+    edges, shrinking every round); fold anti-merges the orders out of
+    the local adjacency. The old implementation re-exchanged the whole
+    (shrinking) edge set three times per round; now edges move exactly
+    once, at staging. Fixpoint = a round with no deaths (early exit);
+    a post-loop probe keeps the loud ``max_rounds`` contract.
 
-    1. degrees — per-block (node, 1) partials for both endpoints, ONE
-       keyed exchange summing per node (byte-exact grouping);
-    2. survivors — an in-block ``d >= k`` filter over the degree state
-       (+ two streaming counts for the fixpoint test — never a driver
-       collect of nodes);
-    3. edge peel — two co-partition SEMI equi-joins of the edge Dataset
-       against the survivors (once on ``u``, once on ``v``).
-
-    Cost per round is three exchanges of the (shrinking) edge set —
-    the honest no-broadcast price; peel depth is data-dependent exactly
-    as in the broadcast path. Returns a Dataset of
-    ``(node, core_degree)``; bit-parity with :func:`k_core` is pinned
-    in tests.
+    ``exchange`` is retained for signature compatibility and unused.
+    Returns a Dataset of ``(node, core_degree)``; bit-parity with
+    :func:`k_core` is pinned in tests.
     """
-    import pyarrow as pa
+    import ray.data as rd
 
-    from arlas_proc_ray.stages.joins import equi_join
-    from arlas_proc_ray.stages.keyed import keyed_partition_map
+    from arlas_proc_ray.stages.keyed import byte_exact_group_cols as _bx
 
+    P = num_partitions
     dedup = _canon_dedup_edges(
-        edges_ds, src_col=src_col, dst_col=dst_col,
-        num_partitions=num_partitions,
+        edges_ds, src_col=src_col, dst_col=dst_col, num_partitions=P
     )
 
-    def deg_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True).to_numpy()
-        return _bx_groupagg(
-            pd.DataFrame({"node": both, "d": np.ones(len(both), np.int64)}),
-            "node",
-            {"d": "sum"},
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(
+                    [pdf["u"].to_numpy(), pdf["v"].to_numpy()]
+                ),
+                "b": np.concatenate(
+                    [pdf["v"].to_numpy(), pdf["u"].to_numpy()]
+                ),
+            }
         )
 
-    def deg_fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bx_groupagg(pdf, "node", {"d": "sum"})
-
+    adj = dedup.map_batches(mirror, batch_format="pandas", batch_size=None)
+    state_refs = _stage_edge_partitions(
+        adj, key_col="a", cols=["a", "b"], num_partitions=P
+    )
     empty = pa.table(
         {"node": pa.array([], pa.string()),
          "core_degree": pa.array([], pa.int64())}
     )
+    if state_refs is None:
+        return rd.from_arrow(empty)
 
-    import ray.data as rd
+    def _local_dead(adj_pdf: pd.DataFrame):
+        deg = _bx_groupagg(
+            adj_pdf.assign(_d=np.int64(1)), "a", {"_d": "sum"}
+        )
+        return set(deg[deg["_d"] < k]["a"].to_numpy(object))
 
-    for _ in range(max_rounds):
-        deg = keyed_partition_map(
-            dedup.map_batches(
-                deg_partial, batch_format="pandas", batch_size=None
-            ),
-            keys=["node"],
-            order_col="d",
-            fn=deg_fold,
-            num_partitions=num_partitions,
-            exchange=exchange,
-        ).materialize()
-        n_total = deg.count()
-        if n_total == 0:
-            return rd.from_arrow(empty)
-
-        # arrow-native projections: typed empties (no zero-length object
-        # pandas columns for Ray's block sizing) and zero-copy selects
-        def keep_fn(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.filter(
-                pc.greater_equal(t.column("d"),
-                                 pa.scalar(k, t.column("d").type))
-            )
-
-        surv = deg.map_batches(
-            keep_fn, batch_format="pyarrow", batch_size=None
-        ).materialize()
-        n_surv = surv.count()
-        if n_surv == n_total:
-
-            def finish(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                return pa.Table.from_arrays(
-                    [t.column("node"),
-                     pc.cast(t.column("d"), pa.int64())],
-                    names=["node", "core_degree"],
-                )
-
-            return surv.map_batches(
-                finish, batch_format="pyarrow", batch_size=None
-            )
-        if n_surv == 0:
-            return rd.from_arrow(empty)
-
-        def as_u(t: pa.Table) -> pa.Table:
-            return t.select(["node"]).rename_columns(["u"])
-
-        def as_v(t: pa.Table) -> pa.Table:
-            return t.select(["node"]).rename_columns(["v"])
-
-        dedup = equi_join(
-            equi_join(
-                dedup,
-                surv.map_batches(
-                    as_u, batch_format="pyarrow", batch_size=None
+    def relax_fn(_edges, adj_pdf: pd.DataFrame):
+        empty_o = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=object),
+                "_nb": pd.Series([], dtype=object),
+            }
+        )
+        if adj_pdf.empty:
+            return empty_o
+        dead = _local_dead(adj_pdf)
+        if not dead:
+            return empty_o
+        a = adj_pdf["a"].to_numpy(object)
+        mask = np.fromiter((x in dead for x in a), dtype=bool, count=len(a))
+        rows = adj_pdf[mask]
+        # one order per endpoint: (a, b) removes the row at a's home,
+        # (b, a) removes the mirror row at b's home
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [rows["a"].to_numpy(), rows["b"].to_numpy()]
                 ),
-                on=["u"], right_cols=[], how="semi",
-                num_partitions=num_partitions, exchange=exchange,
+                "_nb": np.concatenate(
+                    [rows["b"].to_numpy(), rows["a"].to_numpy()]
+                ),
+            }
+        )
+
+    def fold_fn(adj_pdf: pd.DataFrame, orders):
+        if orders is None or orders.empty or adj_pdf.empty:
+            return adj_pdf[["a", "b"]], 0
+        left = _bx(adj_pdf[["a", "b"]].copy(), ["a", "b"])
+        right = _bx(
+            orders.rename(columns={"node": "a", "_nb": "b"})
+            .drop_duplicates(),
+            ["a", "b"],
+        )
+        m = left.merge(right, on=["a", "b"], how="left", indicator=True)
+        keep = m[m["_merge"] == "left_only"][["a", "b"]]
+        keep = restore_object_cols(keep, ["a", "b"])
+        return keep.reset_index(drop=True), int(len(adj_pdf) - len(keep))
+
+    state_refs = _pregel_loop(
+        state_refs,  # relax ignores the static arg; adjacency IS the state
+        state_refs,
+        node_col="node",
+        relax_fn=relax_fn,
+        fold_fn=fold_fn,
+        rounds=max_rounds,
+        num_partitions=P,
+    )
+
+    @ray.remote
+    def probe(state: pa.Table) -> int:
+        pdf = state.to_pandas()
+        return len(_local_dead(pdf)) if len(pdf) else 0
+
+    if sum(ray.get([probe.remote(r) for r in state_refs])):
+        raise RuntimeError("k_core_exchange did not converge within max_rounds")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], t.column("a").type),
+                    "core_degree": pa.array([], pa.int64()),
+                }
+            )
+        g = _bx_groupagg(
+            t.to_pandas().assign(_d=np.int64(1)), "a", {"_d": "sum"}
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": g["a"],
+                    "core_degree": g["_d"].astype("int64"),
+                }
             ),
-            surv.map_batches(as_v, batch_format="pyarrow", batch_size=None),
-            on=["v"], right_cols=[], how="semi",
-            num_partitions=num_partitions, exchange=exchange,
-        ).materialize()
-    raise RuntimeError("k_core_exchange did not converge within max_rounds")
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
 
 
 def label_propagation(

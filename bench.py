@@ -226,6 +226,12 @@ def run_bench() -> dict:
         "tpch_q11",
         "tpch_q16",
         "tpch_q20",
+        # round-5 fourth-session additions (resident-edge Pregel kit)
+        "weighted_sssp_exchange",
+        "neighborhood_growth",
+        "user_components",
+        "hits_interactions",
+        "label_communities_exchange",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
