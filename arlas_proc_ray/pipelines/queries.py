@@ -11642,3 +11642,113 @@ def q_label_communities_exchange(sf_dir: str):
 
 QUERIES["label_communities_exchange"] = q_label_communities_exchange
 ORACLE_SQL["label_communities_exchange"] = ORACLE_SQL["label_communities"]
+
+
+def q_walk_corpus(sf_dir: str):
+    """Deterministic 4-step walk corpus over the mirrored user↔type
+    interaction graph (stages/graph.py:deterministic_walks — DeepWalk-
+    style training-data generation with a counter-based PRNG instead of
+    RNG state): walk w's step s moves to sorted-distinct-neighbor index
+    splitmix64(w·1000003 + s) % degree, so every walk is reproducible
+    across runs, cluster resizes, AND by a HUGEINT splitmix64 SQL
+    oracle (ROW_NUMBER over the byte-ordered neighbor list). One walk
+    per user, rooted at the user's node. Edges stage once on the
+    resident-edge Pregel kit; walk state hops between partitions as
+    node-sized rows; every intermediate position is retained as object-
+    store refs — the result Dataset reads them zero-copy."""
+    from arlas_proc_ray.stages.graph import deterministic_walks
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+
+    def user_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"walk": pdf["user_id"].astype("int64").unique()}
+        )
+
+    users = (
+        ds.map_batches(user_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()["walk"]  # ≤ blocks × users (entity-sized)
+        .unique()
+    )
+    starts = pd.DataFrame({"walk": np.sort(users).astype(np.int64)})
+    starts["node"] = "u:" + starts["walk"].astype(str)
+    out = (
+        deterministic_walks(
+            edges, src_col="src", dst_col="dst", starts=starts, length=4,
+            num_partitions=NP,
+        )
+        .to_pandas()
+        .sort_values(["walk", "step"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+QUERIES["walk_corpus"] = q_walk_corpus
+
+
+def _walks_oracle(length: int = 4, K: int = 1_000_003) -> str:
+    """Chained-CTE walk steps: the splitmix64 counter runs in HUGEINT
+    (same 32-bit-split mulmod as the fingerprint kernels), the neighbor
+    pick is ROW_NUMBER over the byte-ordered DISTINCT out-list."""
+
+    def smx(x_expr: str, tag: str) -> str:
+        # returns CTE fragments computing z = splitmix64(x) as hz_{tag}
+        return f"""
+    z0_{tag} AS (SELECT *, (({x_expr})::HUGEINT
+                   + 11400714819323198485::HUGEINT) % {_M64_SQL} AS z
+                 FROM w{tag}_in),
+    z1_{tag} AS (SELECT * REPLACE ({_sql_mulmod64('xor(z, z >> 30)', _SQS_C2)} AS z)
+                 FROM z0_{tag}),
+    z2_{tag} AS (SELECT * REPLACE ({_sql_mulmod64('xor(z, z >> 27)', _SQS_C3)} AS z)
+                 FROM z1_{tag}),
+    h_{tag} AS (SELECT * REPLACE (xor(z, z >> 31) AS z) FROM z2_{tag})"""
+
+    sql = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS a, t AS b FROM pw
+              UNION SELECT t, u FROM pw),
+    adj AS (SELECT a, b,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY a) AS d
+            FROM edges),
+    w0 AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS walk,
+                  'u:' || CAST(user_id AS VARCHAR) AS node
+           FROM events)"""
+    for i in range(1, length + 1):
+        sql += f""",
+    w{i}_in AS (SELECT w.walk, w.node FROM w{i - 1} w),"""
+        sql += smx(f"walk * {K} + {i}", str(i)) + ","
+        sql += f"""
+    w{i} AS (SELECT h.walk, a.b AS node
+             FROM h_{i} h
+             JOIN adj a ON a.a = h.node
+                       AND a.rn = (h.z % a.d::HUGEINT)::BIGINT)"""
+    steps = "\n      UNION ALL ".join(
+        f"SELECT walk, {i}::BIGINT AS step, node FROM w{i}"
+        for i in range(length + 1)
+    )
+    sql += f"""
+    SELECT walk, step, node FROM (
+      {steps}
+    ) ORDER BY walk, step
+"""
+    return sql
+
+
+ORACLE_SQL["walk_corpus"] = _walks_oracle()

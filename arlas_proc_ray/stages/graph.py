@@ -378,15 +378,22 @@ def _pregel_loop(
     """
     P = num_partitions
 
+    def _as_table(x) -> pa.Table:
+        # relax/fold may return pa.Table directly — the only way to keep
+        # a TYPED schema on empty results (from_pandas infers null for
+        # zero-row object columns, which spams schema-unify warnings)
+        if isinstance(x, pa.Table):
+            return x.replace_schema_metadata(None)
+        return pa.Table.from_pandas(
+            x, preserve_index=False
+        ).replace_schema_metadata(None)
+
     @ray.remote(num_returns=P)
     def relax(edges, state):
         cand = relax_fn(
             edges.to_pandas(), None if state is None else state.to_pandas()
         )
-        t = pa.Table.from_pandas(
-            cand, preserve_index=False
-        ).replace_schema_metadata(None)
-        parts = _hash_split_table(t, node_col, P)
+        parts = _hash_split_table(_as_table(cand), node_col, P)
         return tuple(parts) if P > 1 else parts[0]
 
     @ray.remote(num_returns=2)
@@ -399,10 +406,7 @@ def _pregel_loop(
         new_state, changed = fold_fn(
             None if state is None else state.to_pandas(), cand
         )
-        out = pa.Table.from_pandas(
-            new_state, preserve_index=False
-        ).replace_schema_metadata(None)
-        return out, int(changed)
+        return _as_table(new_state), int(changed)
 
     states = state_refs
     for _ in range(rounds):
@@ -2109,5 +2113,154 @@ def label_propagation_exchange(
         )
 
     return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def deterministic_walks(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    starts: pd.DataFrame,
+    length: int,
+    walk_col: str = "walk",
+    node_col: str = "node",
+    step_col: str = "step",
+    num_partitions: int = 16,
+    step_mult: int = 1_000_003,
+):
+    """Deterministic fixed-length graph walks — the walk-corpus
+    generator (DeepWalk/node2vec-style training data) with NO RNG
+    state: at a node with d distinct sorted out-neighbors, walk w's
+    step s moves to neighbor ``splitmix64(w·step_mult + s) % d``.
+    Counter-based selection makes every walk reproducible across runs,
+    cluster resizes and a SQL oracle (HUGEINT splitmix64 +
+    ROW_NUMBER over the byte-ordered neighbor list).
+
+    Scale shape: edges hash-stage ONCE by src on the resident-edge
+    Pregel kit and are dedup'd + byte-order-sorted in place (P local
+    tasks — a node's whole neighbor list lives in its home partition,
+    so DISTINCT needs no exchange); walk state ``(node, walk, step)``
+    hops between partitions as node-sized candidate rows, each step
+    2·P raw tasks. Every intermediate position is RETAINED as that
+    round's state partition refs — the output Dataset reads them
+    zero-copy, nothing walk-corpus-sized ever lands on the driver.
+    Walks at a node with no out-neighbors end (their rows simply stop).
+
+    ``starts``: DataFrame with ``walk_col`` (int64 walk id — the hash
+    counter) and ``node_col`` (string start node). Returns a Dataset of
+    ``(walk_col, step_col, node_col)`` covering steps 0..length.
+    """
+    import ray.data as rd
+
+    from arlas_proc_ray.cdc.events import _splitmix64
+
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    P = num_partitions
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    out_schema = pa.schema(
+        [
+            (node_col, pa.string()),
+            ("_wk", pa.int64()),
+            ("_st", pa.int64()),
+        ]
+    )
+    init = pd.DataFrame(
+        {
+            node_col: starts[node_col].to_numpy(object),
+            "_wk": starts[walk_col].to_numpy(np.int64),
+            "_st": np.zeros(len(starts), dtype=np.int64),
+        }
+    )
+    state_refs = _split_state_refs(init, node_col, P)
+    round_refs = [list(state_refs)]
+
+    if edge_refs is not None and length > 0:
+
+        @ray.remote
+        def dedup_sort(t: pa.Table) -> pa.Table:
+            # a node's whole out-list is local: DISTINCT + byte-order
+            # sort per partition IS the global adjacency order
+            pdf = byte_exact_group_cols(
+                t.to_pandas()[[src_col, dst_col]], [src_col, dst_col]
+            )
+            pdf = pdf.drop_duplicates().sort_values([src_col, dst_col])
+            return pa.Table.from_pandas(
+                restore_object_cols(pdf, [src_col, dst_col]),
+                preserve_index=False,
+            ).replace_schema_metadata(None)
+
+        edge_refs = [dedup_sort.remote(r) for r in edge_refs]
+
+        def relax_fn(adj_pdf: pd.DataFrame, walks_pdf: pd.DataFrame):
+            if adj_pdf.empty or walks_pdf.empty:
+                return out_schema.empty_table()
+            a = adj_pdf[src_col].to_numpy(object)
+            b = adj_pdf[dst_col].to_numpy(object)
+            # sorted adjacency → group boundaries by value change
+            chg = np.flatnonzero(a[1:] != a[:-1]) + 1
+            starts_ = np.concatenate([[0], chg])
+            ends_ = np.concatenate([chg, [len(a)]])
+            span = {
+                a[s]: (s, e - s) for s, e in zip(starts_, ends_)
+            }  # byte-exact dict keys
+            cur = walks_pdf[node_col].to_numpy(object)
+            wk = walks_pdf["_wk"].to_numpy(np.int64)
+            st = walks_pdf["_st"].to_numpy(np.int64)
+            keep = np.fromiter(
+                (c in span for c in cur), dtype=bool, count=len(cur)
+            )
+            if not keep.any():
+                return out_schema.empty_table()
+            cur, wk, st = cur[keep], wk[keep], st[keep]
+            with np.errstate(over="ignore"):
+                h = _splitmix64(
+                    (wk * np.int64(step_mult) + st + 1).astype(np.uint64)
+                )
+            off = np.empty(len(cur), dtype=np.int64)
+            for i, c in enumerate(cur):  # walk-sized, not edge-sized
+                s, d = span[c]
+                off[i] = s + int(h[i] % np.uint64(d))
+            return pd.DataFrame(
+                {node_col: b[off], "_wk": wk, "_st": st + 1}
+            )
+
+        def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+            # walks MOVE: arrivals replace the old state entirely
+            if cand_pdf is None or cand_pdf.empty:
+                return out_schema.empty_table(), 0
+            return (
+                cand_pdf[[node_col, "_wk", "_st"]],
+                len(cand_pdf),
+            )
+
+        for _ in range(length):
+            state_refs = _pregel_loop(
+                edge_refs,
+                state_refs,
+                node_col=node_col,
+                relax_fn=relax_fn,
+                fold_fn=fold_fn,
+                rounds=1,
+                num_partitions=P,
+            )
+            round_refs.append(list(state_refs))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("_wk").cast(pa.int64()),
+                t.column("_st").cast(pa.int64()),
+                t.column(node_col),
+            ],
+            names=[walk_col, step_col, node_col],
+        )
+
+    flat = [r for refs in round_refs for r in refs]
+    return rd.from_arrow_refs(flat).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )

@@ -279,3 +279,75 @@ def test_label_propagation_exchange_bit_parity(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_walks (counter-based walk corpus on the same kit)
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.cdc.events import _splitmix64  # noqa: E402
+from arlas_proc_ray.stages.graph import deterministic_walks  # noqa: E402
+
+
+def _py_walks(edges, starts, length, K=1_000_003):
+    adj: dict = {}
+    for s, t in set(edges):
+        adj.setdefault(s, set()).add(t)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for wk, node in starts:
+        cur = node
+        rows.append((wk, 0, cur))
+        for i in range(1, length + 1):
+            nbs = adj.get(cur)
+            if not nbs:
+                break
+            h = int(_splitmix64(np.array([wk * K + i], dtype=np.uint64))[0])
+            cur = nbs[h % len(nbs)]
+            rows.append((wk, i, cur))
+    return pd.DataFrame(rows, columns=["walk", "step", "node"])
+
+
+def test_deterministic_walks_match_python_oracle(ray_session):
+    rng = np.random.default_rng(21)
+    nodes = [f"w{i}" for i in range(30)] + ["k", "k\x00"]
+    edges = []
+    for _ in range(120):
+        s, t = rng.choice(len(nodes), size=2, replace=False)
+        edges.append((nodes[int(s)], nodes[int(t)]))
+    edges += [("k", "k\x00"), ("k", "k\x00"), ("k\x00", "w0")]  # dup rows
+    starts = pd.DataFrame(
+        {"walk": np.arange(6, dtype=np.int64),
+         "node": ["w0", "w5", "k", "k\x00", "w7", "w7"]}
+    )
+    got = (
+        deterministic_walks(
+            _edges_ds(edges), src_col="src", dst_col="dst", starts=starts,
+            length=5, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["walk", "step"])
+        .reset_index(drop=True)
+    )
+    want = _py_walks(
+        edges, list(zip(starts["walk"], starts["node"])), 5
+    ).sort_values(["walk", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_deterministic_walks_dead_end(ray_session):
+    # 'end' has no out-edges: the walk stops after reaching it
+    edges = [("a", "end")]
+    starts = pd.DataFrame({"walk": np.array([7], dtype=np.int64),
+                           "node": ["a"]})
+    got = (
+        deterministic_walks(
+            _edges_ds(edges), src_col="src", dst_col="dst", starts=starts,
+            length=4, num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert got["node"].tolist() == ["a", "end"]
+    assert got["step"].tolist() == [0, 1]
