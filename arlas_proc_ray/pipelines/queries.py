@@ -11752,3 +11752,218 @@ def _walks_oracle(length: int = 4, K: int = 1_000_003) -> str:
 
 
 ORACLE_SQL["walk_corpus"] = _walks_oracle()
+
+
+def q_pareto_customers(sf_dir: str):
+    """Skyline (Pareto frontier) of customers maximizing (total spend,
+    order count, recency) — stages/analytics.py:skyline. The per-
+    customer aggregate folds through one keyed exchange; the skyline
+    then exploits skyline(A∪B) = skyline(skyline(A)∪skyline(B)): each
+    partition block reduces to its LOCAL frontier inside map_batches
+    and the driver finishes on the union of frontiers (skyline-sized,
+    never customer-sized). All three dims exact integers (cents, count,
+    epoch seconds), so the NOT-EXISTS oracle matches bit-for-bit."""
+    from arlas_proc_ray.stages.analytics import skyline
+
+    ds = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def agg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "custkey": pdf["o_custkey"].to_numpy(np.int64),
+                "spend_c": _cents(pdf["o_totalprice"]).to_numpy(np.int64),
+                "n_orders": np.ones(len(pdf), dtype=np.int64),
+                "last_ts": (
+                    pdf["o_orderdate"].astype("int64") // 10**6  # µs→s
+                ).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby("custkey", sort=False, as_index=False).agg(
+            spend_c=("spend_c", "sum"),
+            n_orders=("n_orders", "sum"),
+            last_ts=("last_ts", "max"),
+        )
+
+    per_cust = keyed_partition_map(
+        ds.map_batches(
+            lambda pdf: pdf.rename(columns={"o_custkey": "custkey"}),
+            batch_format="pandas",
+            batch_size=None,
+        ),
+        keys=["custkey"],
+        order_col="o_totalprice",
+        fn=lambda pdf: agg_fn(
+            pdf.rename(columns={"custkey": "o_custkey"})
+        ),
+        num_partitions=NP,
+    )
+    out = skyline(
+        per_cust,
+        dims=["spend_c", "n_orders", "last_ts"],
+        keep_cols=["custkey"],
+    )
+    for c in ("custkey", "spend_c", "n_orders", "last_ts"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+QUERIES["pareto_customers"] = q_pareto_customers
+
+ORACLE_SQL["pareto_customers"] = """
+    WITH agg AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(epoch(max(o_orderdate)) AS BIGINT) AS last_ts
+      FROM orders GROUP BY 1)
+    SELECT custkey, spend_c, n_orders, last_ts
+    FROM agg c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM agg d
+      WHERE d.spend_c >= c.spend_c AND d.n_orders >= c.n_orders
+        AND d.last_ts >= c.last_ts
+        AND (d.spend_c > c.spend_c OR d.n_orders > c.n_orders
+             OR d.last_ts > c.last_ts))
+    ORDER BY custkey
+"""
+
+
+def q_user_trend_mk(sf_dir: str):
+    """Mann-Kendall trend statistic per user over the DAILY value
+    series: S = Σ_{i<j} sign(v_j − v_i) across day pairs (exact integer
+    — the classic non-parametric monotone-trend test statistic), with
+    the day count. The daily series is bounded (≤ the date span), so
+    the O(days²) pairwise sign sum is a per-user vectorized triangle
+    inside ONE keyed exchange — pre-folded per (user, day) by a
+    per-block combiner so what shuffles is days-per-user-sized, never
+    event-sized."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def day_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "d": pdf["ts"].dt.floor("D").astype("int64"),
+                "v": _cents(pdf["value"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(["user_id", "d"], sort=False, as_index=False)[
+            "v"
+        ].sum()
+
+    def mk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["user_id", "d"], sort=False, as_index=False)[
+            "v"
+        ].sum()
+        rows = []
+        for uid, sub in g.groupby("user_id", sort=False):
+            v = sub.sort_values("d")["v"].to_numpy(np.int64)
+            n = len(v)
+            diff = np.sign(v[None, :] - v[:, None])
+            s = int(diff[np.triu_indices(n, k=1)].sum())
+            rows.append((int(uid), np.int64(s), np.int64(n)))
+        return pd.DataFrame(rows, columns=["user_id", "s_stat", "n_days"])
+
+    out = keyed_partition_map(
+        ds.map_batches(day_partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"],
+        order_col="d",
+        fn=mk_fn,
+        num_partitions=NP,
+    ).to_pandas()  # one row per user
+    for c in ("user_id", "s_stat", "n_days"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_trend_mk"] = q_user_trend_mk
+
+ORACLE_SQL["user_trend_mk"] = """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.user_id = a.user_id AND b.d > a.d
+      GROUP BY 1),
+    nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1)
+    SELECT nd.user_id, CAST(COALESCE(p.s_stat, 0) AS BIGINT) AS s_stat,
+           nd.n_days
+    FROM nd LEFT JOIN pairs p ON p.user_id = nd.user_id
+    ORDER BY nd.user_id
+"""
+
+
+def q_effective_diameter(sf_dir: str):
+    """90%-effective diameter of the mirrored interaction graph from
+    the exact neighborhood function (stages/neighborhood.py): the
+    smallest h ≤ 4 with 10·N(h) ≥ 9·N(4) — integer-exact comparison,
+    no float interpolation, so the recursive-CTE oracle matches
+    bit-for-bit. One extra scalar fold over neighborhood_growth's
+    Pregel sketch loop."""
+    from arlas_proc_ray.stages.neighborhood import neighborhood_function
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    nf = neighborhood_function(
+        edges, src_col="src", dst_col="dst", max_hops=4, mode="exact",
+        num_partitions=NP,
+    )
+    total = int(nf["pairs"].iloc[-1])
+    ok = nf[10 * nf["pairs"] >= 9 * total]
+    d90 = int(ok["hops"].iloc[0])
+    return pd.DataFrame(
+        {
+            "d90": np.array([d90], dtype=np.int64),
+            "pairs_total": np.array([total], dtype=np.int64),
+        }
+    )
+
+
+QUERIES["effective_diameter"] = q_effective_diameter
+
+ORACLE_SQL["effective_diameter"] = """
+    WITH RECURSIVE pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION SELECT t, u FROM pw),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    reach(src, node, h) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT r.src, e.dst, r.h + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.h < 4),
+    md AS (SELECT src, node, min(h) AS d FROM reach GROUP BY 1, 2),
+    nf AS (SELECT hops, CAST(count(*) AS BIGINT) AS pairs
+           FROM (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) AS t(hops)) hs
+           JOIN md ON md.d <= hs.hops GROUP BY hops),
+    tot AS (SELECT pairs AS total FROM nf WHERE hops = 4)
+    SELECT CAST(min(hops) AS BIGINT) AS d90,
+           CAST(min(total) AS BIGINT) AS pairs_total
+    FROM nf, tot WHERE 10 * pairs >= 9 * total
+"""

@@ -800,3 +800,60 @@ def lead_lag_correlation(
     return pd.DataFrame(rows, columns=["lag", "n_days", "r"]).astype(
         {"lag": "int64", "n_days": "int64"}
     )
+
+
+def skyline(
+    ds,
+    *,
+    dims: Sequence[str],
+    keep_cols: Sequence[str] = (),
+):
+    """Distributed skyline (Pareto frontier, maximizing every dim).
+
+    A row p dominates q iff p ≥ q on ALL ``dims`` and > on at least
+    one; the skyline is the set no row dominates. The algebraic gift is
+    that skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — a pure
+    combiner: each block reduces to its local frontier inside
+    ``map_batches``, and the driver finishes on the union of local
+    frontiers (skyline-sized — O(log^{d-1} n) expected on independent
+    dims, the classic Bentley bound; never the input). Dominance tests
+    are vectorized O(n·s) numpy passes (each candidate against the
+    current frontier), integer-exact on integer dims.
+
+    Duplicated points (equal on every dim) dominate nothing and are all
+    kept, mirroring SQL NOT EXISTS semantics. Returns a pandas frame of
+    ``keep_cols + dims``.
+    """
+    import numpy as np
+
+    dims = list(dims)
+    cols = [c for c in keep_cols if c not in dims] + dims
+
+    def _frontier(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf[cols]
+        m = pdf[dims].to_numpy()
+        # sort by dim-0 desc: a point can only be dominated by an
+        # earlier point (or a dim-0 tie), which bounds each pass to the
+        # kept frontier so far
+        order = np.lexsort(tuple(m[:, i] for i in range(len(dims))))[::-1]
+        m = m[order]
+        kept_idx: list[int] = []
+        kept_rows: list[np.ndarray] = []
+        for i in range(len(m)):
+            if kept_rows:
+                f = np.asarray(kept_rows)
+                ge = (f >= m[i]).all(axis=1)
+                gt = (f > m[i]).any(axis=1)
+                if (ge & gt).any():
+                    continue
+            kept_idx.append(order[i])
+            kept_rows.append(m[i])
+        return pdf.iloc[sorted(kept_idx)][cols]
+
+    local = ds.map_batches(
+        lambda pdf: _frontier(pdf),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()  # ≤ blocks × local-frontier size (skyline-sized)
+    return _frontier(local.reset_index(drop=True)).reset_index(drop=True)
