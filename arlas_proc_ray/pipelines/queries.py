@@ -11967,3 +11967,145 @@ ORACLE_SQL["effective_diameter"] = """
            CAST(min(total) AS BIGINT) AS pairs_total
     FROM nf, tot WHERE 10 * pairs >= 9 * total
 """
+
+
+def q_covered_time_per_user(sf_dir: str):
+    """Interval-union coverage per user: each event opens a 5-minute
+    activity window [ts, ts+300s); overlapping windows merge, and the
+    answer is each user's TOTAL covered seconds and merged-interval
+    count — the classic sweep-line interval union, per key. Inside one
+    keyed exchange the sweep is vectorized across each user's sorted
+    events (gap = max(0, next_start − current_end) in exact µs); the
+    SQL oracle expresses the same sweep with a window max of running
+    interval ends. Integer µs end-to-end — no float time arithmetic."""
+    W_US = 300 * 10**6  # 5 minutes in µs
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def cover_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, sub in pdf.groupby("user_id", sort=False):
+            s = np.sort(sub["ts"].astype("int64").to_numpy())
+            e = s + W_US
+            # merged coverage: sum of window, minus overlaps with the
+            # running max end (the sweep line)
+            run_end = np.maximum.accumulate(e)
+            prev_end = np.concatenate([[np.int64(-(2**62))], run_end[:-1]])
+            overlap = np.minimum(e, np.maximum(prev_end, s)) - s
+            covered = int((e - s - np.maximum(overlap, 0)).sum())
+            n_intervals = int((s > prev_end).sum())
+            rows.append((int(uid), covered // 10**6, n_intervals))
+        return pd.DataFrame(
+            rows, columns=["user_id", "covered_s", "n_intervals"]
+        )
+
+    out = keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="ts",
+        fn=cover_fn,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in ("user_id", "covered_s", "n_intervals"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["covered_time_per_user"] = q_covered_time_per_user
+
+ORACLE_SQL["covered_time_per_user"] = """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+      FROM events),
+    sw AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+      FROM iv)
+    SELECT user_id,
+           CAST(sum(e - s - GREATEST(
+                  LEAST(e, GREATEST(COALESCE(prev_end, -4611686018427387904),
+                                    s)) - s, 0)) // 1000000 AS BIGINT)
+             AS covered_s,
+           CAST(sum(CASE WHEN prev_end IS NULL OR s > prev_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+    FROM sw GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Exact weighted median of l_extendedprice per l_returnflag,
+    weighted by quantity: the smallest price where twice the running
+    weight reaches the group total (2·cumw ≥ totw — the integer lower
+    weighted median, no float halves). Per-block combiner pre-folds
+    (flag, price) weight cells — the shuffle moves distinct-price cells
+    per flag, never lineitem rows; the in-partition finalize is one
+    sorted cumsum per flag. Exact quantity-cents weights and price
+    cents on both sides."""
+    ds = _rp(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def cell_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "flag": pdf["l_returnflag"].to_numpy(),
+                "price_c": _cents(pdf["l_extendedprice"]).to_numpy(np.int64),
+                "w": _cents(pdf["l_quantity"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(["flag", "price_c"], sort=False, as_index=False)[
+            "w"
+        ].sum()
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["flag", "price_c"], sort=False, as_index=False)[
+            "w"
+        ].sum()
+        rows = []
+        for flag, sub in g.groupby("flag", sort=False):
+            sub = sub.sort_values("price_c")
+            cw = sub["w"].cumsum().to_numpy(np.int64)
+            tot = int(cw[-1])
+            i = int(np.searchsorted(2 * cw, tot))
+            rows.append((flag, int(sub["price_c"].iloc[i]), tot))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "median_price_c", "total_w"]
+        )
+
+    out = keyed_partition_map(
+        ds.map_batches(cell_partial, batch_format="pandas", batch_size=None),
+        keys=["flag"],
+        order_col="price_c",
+        fn=median_fn,
+        num_partitions=NP,
+    ).to_pandas()
+    out["median_price_c"] = out["median_price_c"].astype("int64")
+    out["total_w"] = out["total_w"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+
+ORACLE_SQL["weighted_median_price"] = """
+    WITH cells AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, price_c,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_c) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM cells)
+    SELECT flag AS l_returnflag,
+           CAST(min(price_c) AS BIGINT) AS median_price_c,
+           CAST(min(tot) AS BIGINT) AS total_w
+    FROM cum WHERE 2 * cw >= tot
+    GROUP BY flag ORDER BY flag
+"""
