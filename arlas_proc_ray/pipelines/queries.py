@@ -12109,3 +12109,175 @@ ORACLE_SQL["weighted_median_price"] = """
     FROM cum WHERE 2 * cw >= tot
     GROUP BY flag ORDER BY flag
 """
+
+
+def q_value_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov statistic between every pair
+    of event types' value distributions — the classic drift detector
+    between data slices. Cross-multiplied form: D_num = max over the
+    value support of |cumA·nB − cumB·nA| (exact integers; the float
+    D = D_num/(nA·nB) is ONE division, identical on both sides).
+
+    Scale shape: values collapse to (type, value-cent, count) cells in
+    a per-block combiner — the driver fold is SUPPORT-sized (distinct
+    cents × 5 types, bounded by the value domain, the same small-side
+    contract as the histogram family), never event-sized; cumulative
+    curves and the 10 pairwise maxima are one numpy pass."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def cell_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "t": pdf["event_type"].to_numpy(),
+                "v": _cents(pdf["value"]).to_numpy(np.int64),
+                "c": np.ones(len(pdf), dtype=np.int64),
+            }
+        )
+        return tmp.groupby(["t", "v"], sort=False, as_index=False)["c"].sum()
+
+    cells = (
+        ds.map_batches(cell_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × (support × types): support-sized
+        .groupby(["t", "v"], as_index=False)["c"]
+        .sum()
+    )
+    support = np.sort(cells["v"].unique())
+    types = sorted(cells["t"].unique())
+    cum = {}
+    n = {}
+    for t in types:
+        sub = cells[cells["t"] == t].sort_values("v")
+        idx = np.searchsorted(support, sub["v"].to_numpy())
+        arr = np.zeros(len(support), dtype=np.int64)
+        arr[idx] = sub["c"].to_numpy(np.int64)
+        cum[t] = np.cumsum(arr)
+        n[t] = int(cum[t][-1])
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            d_num = int(np.abs(cum[a] * n[b] - cum[b] * n[a]).max())
+            rows.append(
+                (a, b, d_num, n[a], n[b], d_num / (n[a] * n[b]))
+            )
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "d_num", "n_a", "n_b", "ks"]
+    )
+    for c in ("d_num", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+QUERIES["value_ks_drift"] = q_value_ks_drift
+
+ORACLE_SQL["value_ks_drift"] = """
+    WITH cells AS (
+      SELECT event_type AS t,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT s.v, tt.t
+      FROM (SELECT DISTINCT v FROM cells) s
+      CROSS JOIN (SELECT DISTINCT t FROM cells) tt),
+    cum AS (
+      SELECT g.v, g.t,
+             sum(COALESCE(c.c, 0))
+               OVER (PARTITION BY g.t ORDER BY g.v) AS cc
+      FROM grid g LEFT JOIN cells c ON c.t = g.t AND c.v = g.v),
+    tot AS (SELECT t, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+    SELECT a.t AS type_a, b.t AS type_b,
+           CAST(max(abs(a.cc * tb.n - b.cc * ta.n)) AS BIGINT) AS d_num,
+           CAST(min(ta.n) AS BIGINT) AS n_a,
+           CAST(min(tb.n) AS BIGINT) AS n_b,
+           CAST(max(abs(a.cc * tb.n - b.cc * ta.n)) AS BIGINT)
+             / (min(ta.n) * min(tb.n)) AS ks
+    FROM cum a
+    JOIN cum b ON b.v = a.v AND a.t < b.t
+    JOIN tot ta ON ta.t = a.t
+    JOIN tot tb ON tb.t = b.t
+    GROUP BY a.t, b.t
+    ORDER BY type_a, type_b
+"""
+
+
+def q_user_ols_slope(sf_dir: str):
+    """Exact per-user OLS trend slope over the daily value series:
+    x = epoch day, y = daily value cents; slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) emitted as EXACT int64 numerator/denominator plus
+    the one-division float. All five moments are SUMS, so the whole
+    statistic is a per-block combiner over (user, day) cells followed
+    by one entity-sized fold — no sort, no window, repartition-
+    invariant. Single-day users report 0/0 with slope NULL."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def day_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "x": (
+                    pdf["ts"].dt.floor("D").astype("int64")
+                    // (86_400 * 10**6)
+                ).to_numpy(np.int64),
+                "y": _cents(pdf["value"]).to_numpy(np.int64),
+            }
+        )
+        return tmp.groupby(["user_id", "x"], sort=False, as_index=False)[
+            "y"
+        ].sum()
+
+    cells = (
+        ds.map_batches(day_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # ≤ blocks × (users × days): entity-sized cells
+        .groupby(["user_id", "x"], as_index=False)["y"]
+        .sum()
+    )
+    g = cells.assign(
+        n=np.int64(1),
+        sx=cells["x"],
+        sy=cells["y"],
+        sxy=cells["x"] * cells["y"],
+        sxx=cells["x"] * cells["x"],
+    ).groupby("user_id", as_index=False)[["n", "sx", "sy", "sxy", "sxx"]].sum()
+    num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+    den = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+    out = pd.DataFrame(
+        {
+            "user_id": g["user_id"].astype("int64"),
+            "slope_num": num.astype("int64"),
+            "slope_den": den.astype("int64"),
+            "slope": np.where(
+                den.to_numpy() != 0,
+                num.to_numpy(np.float64) / np.where(
+                    den.to_numpy() != 0, den.to_numpy(np.float64), 1.0
+                ),
+                np.nan,
+            ),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_ols_slope"] = q_user_ols_slope
+
+ORACLE_SQL["user_ols_slope"] = """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT user_id,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE NULL END AS slope
+    FROM m ORDER BY user_id
+"""
