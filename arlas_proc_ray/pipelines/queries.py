@@ -12281,3 +12281,77 @@ ORACLE_SQL["user_ols_slope"] = """
                 ELSE NULL END AS slope
     FROM m ORDER BY user_id
 """
+
+
+def q_influence_cone(sf_dir: str):
+    """Temporal earliest-arrival reachability (influence cone) from the
+    smallest user over the timestamped user↔type interaction graph:
+    an edge is traversable only at-or-after the traverser's arrival
+    (time-respecting paths — stages/graph.py:earliest_arrival_exchange
+    on the resident-edge Pregel kit). 4 fixed rounds on both sides make
+    the chained-CTE oracle bit-exact; arrivals are exact int64 µs."""
+    from arlas_proc_ray.stages.graph import earliest_arrival_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
+    root = int(ds.min("user_id"))
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        ts = pdf["ts"].astype("int64")
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+                "ts": pd.concat([ts, ts], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return (
+        earliest_arrival_exchange(
+            edges, src_col="src", dst_col="dst", ts_col="ts",
+            sources=[f"u:{root}"], start_ts=0, rounds=4,
+            num_partitions=NP,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["influence_cone"] = q_influence_cone
+
+
+def _influence_oracle(rounds: int = 4) -> str:
+    sql = """
+    WITH roots AS (SELECT min(user_id) AS r FROM events),
+    pw AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t,
+             CAST(epoch_us(ts) AS BIGINT) AS ts
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst, ts FROM pw
+              UNION ALL SELECT t, u, ts FROM pw),
+    a0 AS (SELECT 'u:' || CAST(r AS VARCHAR) AS node,
+                  CAST(0 AS BIGINT) AS arr
+           FROM roots)"""
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, min(e.ts) AS arr
+             FROM edges e JOIN {prev} s
+               ON s.node = e.src AND e.ts >= s.arr
+             GROUP BY 1),
+    a{i} AS (SELECT node, CAST(min(arr) AS BIGINT) AS arr FROM (
+               SELECT node, arr FROM {prev}
+               UNION ALL SELECT node, arr FROM c{i})
+             GROUP BY 1)"""
+        prev = f"a{i}"
+    sql += f"""
+    SELECT node, arr AS arrival FROM {prev} ORDER BY node
+"""
+    return sql
+
+
+ORACLE_SQL["influence_cone"] = _influence_oracle()

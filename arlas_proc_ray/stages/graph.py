@@ -2264,3 +2264,127 @@ def deterministic_walks(
     return rd.from_arrow_refs(flat).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def earliest_arrival_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    ts_col: str,
+    sources,
+    start_ts: int,
+    rounds: int,
+    node_col: str = "node",
+    arr_col: str = "arrival",
+    num_partitions: int = 16,
+):
+    """Temporal (time-respecting) earliest-arrival reachability over a
+    timestamped edge list: starting from ``sources`` at ``start_ts``,
+    an edge ``(u, v, t)`` is traversable iff ``t ≥ arrival(u)``, and
+    ``arrival(v)`` is the minimum such ``t`` — the earliest moment
+    influence can reach v along nondecreasing-timestamp paths (the
+    standard temporal-graph reachability semantics; fraud rings,
+    information-diffusion cones). Arrivals only decrease, so the update
+    is a monotone fixpoint; with FIXED ``rounds`` on both sides, a
+    chained-CTE SQL oracle is bit-exact (early exit below fires only
+    when a round changes nothing — identity for both sides).
+
+    Runs on the resident-edge Pregel kit: edges (with their int64
+    timestamps) hash-stage ONCE by src; each round is 2·P raw tasks —
+    relax byte-exact-merges the LOCAL edges against the local arrival
+    state, keeps rows with ``ts ≥ arrival(src)`` and emits per-dst
+    minimum candidate arrivals (node-sized movement); fold min-merges
+    with a changed count for the fixpoint exit.
+
+    Returns a Dataset of ``(node_col, arr_col)`` int64 — one row per
+    reached node (sources at ``start_ts``); unreached nodes absent.
+    """
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    P = num_partitions
+    edge_refs = _stage_edge_partitions(
+        edges_ds,
+        key_col=src_col,
+        cols=[src_col, dst_col, ts_col],
+        num_partitions=P,
+    )
+
+    init = pd.DataFrame({node_col: sorted(set(sources))})
+    init["_a"] = np.int64(start_ts)
+    state_refs = _split_state_refs(init, node_col, P)
+
+    def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pa.table(
+            {node_col: pa.array([], pa.string()),
+             "_a": pa.array([], pa.int64())}
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        st = byte_exact_group_cols(
+            pd.DataFrame(
+                {src_col: state_pdf[node_col], "_sa": state_pdf["_a"]}
+            ),
+            [src_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf, [src_col])
+        m = ed.merge(st, on=src_col, how="inner")
+        m = m[m[ts_col].to_numpy(np.int64) >= m["_sa"].to_numpy(np.int64)]
+        if m.empty:
+            return empty
+        return _bx_groupagg(
+            pd.DataFrame(
+                {
+                    node_col: m[dst_col].to_numpy(),
+                    "_a": m[ts_col].to_numpy(np.int64),
+                }
+            ),
+            node_col,
+            {"_a": "min"},
+        )
+
+    def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return state_pdf[[node_col, "_a"]], 0
+        both = pd.concat(
+            [
+                state_pdf[[node_col, "_a"]].assign(_st=np.int8(1)),
+                cand_pdf[[node_col, "_a"]].assign(_st=np.int8(0)),
+            ],
+            ignore_index=True,
+        )
+        a = both["_a"].to_numpy(np.int64)
+        st = both["_st"].to_numpy(np.int8)
+        old = np.where(st == 1, a, _I64_MAX)
+        g = _bx_groupagg(
+            both.assign(_old=old), node_col, {"_a": "min", "_old": "min"}
+        )
+        changed = int(
+            (g["_a"].to_numpy(np.int64) < g["_old"].to_numpy(np.int64)).sum()
+        )
+        return g[[node_col, "_a"]], changed
+
+    if edge_refs is not None:
+        state_refs = _pregel_loop(
+            edge_refs,
+            state_refs,
+            node_col=node_col,
+            relax_fn=relax_fn,
+            fold_fn=fold_fn,
+            rounds=rounds,
+            num_partitions=P,
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(node_col), t.column("_a").cast(pa.int64())],
+            names=[node_col, arr_col],
+        )
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -351,3 +351,68 @@ def test_deterministic_walks_dead_end(ray_session):
     )
     assert got["node"].tolist() == ["a", "end"]
     assert got["step"].tolist() == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# earliest_arrival_exchange (temporal reachability on the same kit)
+# ---------------------------------------------------------------------------
+
+from arlas_proc_ray.stages.graph import earliest_arrival_exchange  # noqa: E402
+
+
+def _py_earliest(edges, sources, start_ts, rounds):
+    """Reference: exactly `rounds` synchronous min-arrival steps."""
+    arr = {s: start_ts for s in sources}
+    for _ in range(rounds):
+        new = dict(arr)
+        for s, t, ts in edges:
+            if s in arr and ts >= arr[s]:
+                if t not in new or ts < new[t]:
+                    new[t] = ts
+        arr = new
+    return arr
+
+
+def test_earliest_arrival_matches_fixed_depth_oracle(ray_session):
+    rng = np.random.default_rng(17)
+    nodes = [f"e{i}" for i in range(40)] + ["n", "n\x00"]
+    edges = []
+    for _ in range(200):
+        s, t = rng.choice(len(nodes), size=2, replace=False)
+        edges.append((nodes[int(s)], nodes[int(t)], int(rng.integers(1, 100))))
+    edges += [("n", "n\x00", 5), ("n\x00", "e0", 3)]  # 3 < 5: NOT traversable
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst", "ts"]))
+    for srcs, rounds in ((["e0"], 1), (["e1", "n"], 3), (["e5"], 8)):
+        got = (
+            earliest_arrival_exchange(
+                ds, src_col="src", dst_col="dst", ts_col="ts",
+                sources=srcs, start_ts=0, rounds=rounds, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        arr = _py_earliest(edges, srcs, 0, rounds)
+        want = pd.DataFrame(
+            sorted(arr.items()), columns=["node", "arrival"]
+        )
+        want["arrival"] = want["arrival"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_earliest_arrival_time_respecting(ray_session):
+    # a->b at t=10, b->c at t=5: c unreachable (5 < 10); b->d at 20 ok
+    edges = [("a", "b", 10), ("b", "c", 5), ("b", "d", 20)]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst", "ts"]))
+    got = (
+        earliest_arrival_exchange(
+            ds, src_col="src", dst_col="dst", ts_col="ts", sources=["a"],
+            start_ts=0, rounds=5, num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.set_index("node")["arrival"].to_dict() == {
+        "a": 0, "b": 10, "d": 20
+    }
