@@ -12355,3 +12355,413 @@ def _influence_oracle(rounds: int = 4) -> str:
 
 
 ORACLE_SQL["influence_cone"] = _influence_oracle()
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Global peak concurrency via a distributed sweep-line: every event
+    opens a 5-minute window [ts, ts+300s); the answer is the maximum
+    number of simultaneously-open windows and the earliest µs instant
+    achieving it. Each event emits a +1 delta at the open and a -1 at
+    the close; deltas are run through the bucketed two-pass
+    global_cumsum (stages/scan.py — no global sort, no materialize) over
+    the composite order key ord = instant·2 + is_open, which makes
+    closes sort BEFORE opens at the same instant (half-open interval
+    semantics, int64-exact). Tie runs share one ord and one sign, so
+    intra-run cumsum order is irrelevant to the max: +1-run
+    intermediates are strictly below the run final, -1-run
+    intermediates are strictly below the preceding row's value. The
+    per-block max/argmin partial folds to two ints on the driver."""
+    from arlas_proc_ray.stages.scan import global_cumsum
+
+    W_US = 300 * 10**6
+
+    ds = _events(sf_dir, columns=["ts"])
+
+    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "ord": np.concatenate([t * 2 + 1, (t + W_US) * 2]),
+                "delta": np.concatenate(
+                    [
+                        np.ones(len(t), dtype=np.int64),
+                        -np.ones(len(t), dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    cc = global_cumsum(
+        ds.map_batches(deltas, batch_format="pandas", batch_size=None),
+        order_col="ord",
+        value_col="delta",
+        target="cc",
+        num_partitions=NP,
+    )
+
+    def block_peak(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"peak": pd.Series([], dtype="int64"),
+                                 "at_ord": pd.Series([], dtype="int64")})
+        v = pdf["cc"].to_numpy(np.int64)
+        m = int(v.max())
+        at = int(pdf["ord"].to_numpy(np.int64)[v == m].min())
+        return pd.DataFrame({"peak": [m], "at_ord": [at]})
+
+    parts = cc.map_batches(
+        block_peak, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    peak = int(parts["peak"].max())
+    at_us = int(parts.loc[parts["peak"] == peak, "at_ord"].min()) // 2
+    return pd.DataFrame({"peak": [peak], "at_us": [at_us]}).astype("int64")
+
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+
+ORACLE_SQL["peak_concurrency"] = """
+    WITH ev AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+    d AS (SELECT t * 2 + 1 AS ord, 1 AS delta FROM ev
+          UNION ALL
+          SELECT (t + 300000000) * 2 AS ord, -1 AS delta FROM ev),
+    cc AS (SELECT ord,
+                  sum(delta) OVER (ORDER BY ord) AS cc
+           FROM d),
+    m AS (SELECT max(cc) AS peak FROM cc)
+    SELECT CAST(m.peak AS BIGINT) AS peak,
+           CAST(min(cc.ord) // 2 AS BIGINT) AS at_us
+    FROM cc, m WHERE cc.cc = m.peak GROUP BY m.peak
+"""
+
+
+def q_value_bars_ohlc(sf_dir: str):
+    """OHLC bars per (user, day): open/close are the value at the first/
+    last event of the day (deterministic (ts, event_id) tie-break),
+    high/low the extremes, vol the exact-cents sum. The per-block
+    combiner collapses each (user, day) slice of a block to ONE partial
+    row carrying both endpoint candidates ((ts, event_id, value) argmin
+    and argmax) plus the mergeable extremes; the exchange moves
+    bar-sized partials, never events, and the finalize re-elects
+    endpoints by the same lexicographic rule."""
+    ds = _events(
+        sf_dir, columns=["user_id", "event_id", "ts", "value"]
+    )
+    DAY_US = 86_400_000_000
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["ts"].astype("int64").to_numpy()
+        df = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "day": t // DAY_US,
+                "t": t,
+                "eid": pdf["event_id"].to_numpy(np.int64),
+                "v": _cents(pdf["value"]).to_numpy(np.int64),
+            }
+        )
+        df = df.sort_values(["user_id", "day", "t", "eid"], kind="stable")
+        g = df.groupby(["user_id", "day"], sort=False)
+        first = g.nth(0)
+        last = g.nth(-1)
+        agg = g.agg(
+            high_c=("v", "max"), low_c=("v", "min"),
+            vol_c=("v", "sum"), n=("v", "size"),
+        ).reset_index()
+        agg["o_t"] = first["t"].to_numpy()
+        agg["o_eid"] = first["eid"].to_numpy()
+        agg["open_c"] = first["v"].to_numpy()
+        agg["c_t"] = last["t"].to_numpy()
+        agg["c_eid"] = last["eid"].to_numpy()
+        agg["close_c"] = last["v"].to_numpy()
+        return agg
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf.sort_values(
+            ["user_id", "day", "o_t", "o_eid"], kind="stable"
+        ).groupby(["user_id", "day"], sort=False)
+        z = pdf.sort_values(
+            ["user_id", "day", "c_t", "c_eid"], kind="stable"
+        ).groupby(["user_id", "day"], sort=False)
+        # sort=True everywhere so all three groupbys enumerate (user, day)
+        # groups in the same (sorted) order — nth() outputs align by row
+        agg = pdf.groupby(["user_id", "day"], sort=True).agg(
+            high_c=("high_c", "max"), low_c=("low_c", "min"),
+            vol_c=("vol_c", "sum"), n=("n", "sum"),
+        ).reset_index()
+        agg["open_c"] = a["open_c"].nth(0).to_numpy()
+        agg["close_c"] = z["close_c"].nth(-1).to_numpy()
+        return agg[
+            ["user_id", "day", "open_c", "high_c", "low_c",
+             "close_c", "vol_c", "n"]
+        ]
+
+    out = keyed_partition_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"],
+        order_col="day",
+        fn=finalize,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+QUERIES["value_bars_ohlc"] = q_value_bars_ohlc
+
+ORACLE_SQL["value_bars_ohlc"] = """
+    WITH b AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY t, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY t DESC, event_id DESC) AS rn_d
+      FROM b)
+    SELECT user_id, day,
+           CAST(max(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_c,
+           CAST(max(v) AS BIGINT) AS high_c,
+           CAST(min(v) AS BIGINT) AS low_c,
+           CAST(max(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_c,
+           CAST(sum(v) AS BIGINT) AS vol_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_mad_value(sf_dir: str):
+    """Exact median absolute deviation of value-cents per event_type
+    (the robust dispersion twin of the stddev family): two passes of
+    the integer lower median (smallest x with 2·cum ≥ tot — the same
+    rule as weighted_median_price), the second over |v − median|.
+    Each pass pre-folds (type, value) count cells inside map_batches,
+    so both exchanges move distinct-value cells per type, never events;
+    the pass-1 medians are an event-type-sized dict captured into the
+    pass-2 combiner (broadcast by closure — type cardinality is tiny by
+    contract). Integer cents end-to-end."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def cells(pdf: pd.DataFrame, value_np: np.ndarray) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {"event_type": pdf["event_type"].to_numpy(), "v": value_np}
+        )
+        g = tmp.groupby(["event_type", "v"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["event_type", "v", "cnt"]
+        return out
+
+    def lower_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["event_type", "v"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+        rows = []
+        for et, sub in g.groupby("event_type", sort=False):
+            sub = sub.sort_values("v")
+            cw = sub["cnt"].cumsum().to_numpy(np.int64)
+            i = int(np.searchsorted(2 * cw, int(cw[-1])))
+            rows.append((et, int(sub["v"].iloc[i])))
+        return pd.DataFrame(rows, columns=["event_type", "med"])
+
+    def median_of(mk_value) -> pd.DataFrame:
+        return (
+            keyed_partition_map(
+                ds.map_batches(
+                    lambda pdf: cells(pdf, mk_value(pdf)),
+                    batch_format="pandas",
+                    batch_size=None,
+                ),
+                keys=["event_type"],
+                order_col="v",
+                fn=lower_median,
+                num_partitions=NP,
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+
+    med1 = median_of(lambda pdf: _cents(pdf["value"]).to_numpy(np.int64))
+    meds = dict(zip(med1["event_type"], med1["med"].astype(np.int64)))
+
+    def abs_dev(pdf: pd.DataFrame) -> np.ndarray:
+        m = pdf["event_type"].map(meds).to_numpy(np.int64)
+        return np.abs(_cents(pdf["value"]).to_numpy(np.int64) - m)
+
+    med2 = median_of(abs_dev).rename(columns={"med": "mad_c"})
+    out = med1.rename(columns={"med": "median_c"}).merge(
+        med2, on="event_type"
+    )
+    out["median_c"] = out["median_c"].astype("int64")
+    out["mad_c"] = out["mad_c"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["mad_value"] = q_mad_value
+
+ORACLE_SQL["mad_value"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    c1 AS (SELECT event_type, v, count(*) AS cnt FROM v GROUP BY 1, 2),
+    w1 AS (SELECT event_type, v,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+                  sum(cnt) OVER (PARTITION BY event_type) AS tot
+           FROM c1),
+    med AS (SELECT event_type, CAST(min(v) AS BIGINT) AS median_c
+            FROM w1 WHERE 2 * cw >= tot GROUP BY 1),
+    a AS (SELECT v.event_type, abs(v.v - med.median_c) AS av
+          FROM v JOIN med USING (event_type)),
+    c2 AS (SELECT event_type, av, count(*) AS cnt FROM a GROUP BY 1, 2),
+    w2 AS (SELECT event_type, av,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY av) AS cw,
+                  sum(cnt) OVER (PARTITION BY event_type) AS tot
+           FROM c2),
+    mad AS (SELECT event_type, CAST(min(av) AS BIGINT) AS mad_c
+            FROM w2 WHERE 2 * cw >= tot GROUP BY 1)
+    SELECT event_type, median_c, mad_c
+    FROM med JOIN mad USING (event_type) ORDER BY event_type
+"""
+
+
+def q_user_max_drawdown(sf_dir: str):
+    """Maximum drawdown per user over the cumulative value-cents curve
+    in (ts, event_id) order: drawdown at t = running-max − running-sum;
+    the answer is each user's deepest drawdown and the peak it fell
+    from. Classic per-key scan — one keyed exchange, then a vectorized
+    cumsum/cummax per user inside the partition (exact int64 cents; ties
+    are impossible because event_id is unique)."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+
+    def dd_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "t": pdf["ts"].astype("int64").to_numpy(),
+                "eid": pdf["event_id"].to_numpy(np.int64),
+                "v": _cents(pdf["value"]).to_numpy(np.int64),
+            }
+        ).sort_values(["user_id", "t", "eid"], kind="stable")
+        g = df.groupby("user_id", sort=False)["v"]
+        run = g.cumsum().to_numpy(np.int64)
+        df["_run"] = run
+        peak = df.groupby("user_id", sort=False)["_run"].cummax().to_numpy(
+            np.int64
+        )
+        df["_dd"] = peak - run
+        df["_peak"] = peak
+        out = df.groupby("user_id", sort=False).agg(
+            max_drawdown_c=("_dd", "max"), peak_c=("_peak", "max")
+        ).reset_index()
+        return out
+
+    out = keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="ts",
+        fn=dd_fn,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["user_max_drawdown"] = q_user_max_drawdown
+
+ORACLE_SQL["user_max_drawdown"] = """
+    WITH b AS (SELECT user_id, event_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    r AS (SELECT user_id,
+                 sum(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+          FROM b)
+    SELECT user_id,
+           CAST(max(peak - run) AS BIGINT) AS max_drawdown_c,
+           CAST(max(peak) AS BIGINT) AS peak_c
+    FROM (SELECT user_id, run,
+                 max(run) OVER (PARTITION BY user_id
+                                ROWS UNBOUNDED PRECEDING) AS peak
+          FROM r)
+    GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_interarrival_stats(sf_dir: str):
+    """Inter-arrival gap statistics per user (burstiness profile): the
+    count, min, max, and exact lower-median of the µs gaps between
+    consecutive events in (ts, event_id) order. One keyed exchange;
+    gaps + median are vectorized per user inside the partition (sorted
+    diff + one index pick — the (n−1)//2-th order statistic, identical
+    to the SQL 2·rank ≥ n rule). Users with fewer than two events are
+    absent by definition."""
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def gaps_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "t": pdf["ts"].astype("int64").to_numpy(),
+                "eid": pdf["event_id"].to_numpy(np.int64),
+            }
+        ).sort_values(["user_id", "t", "eid"], kind="stable")
+        rows = []
+        for uid, sub in df.groupby("user_id", sort=False):
+            t = sub["t"].to_numpy(np.int64)
+            if len(t) < 2:
+                continue
+            g = np.sort(np.diff(t))
+            rows.append(
+                (
+                    int(uid), len(g), int(g[0]), int(g[-1]),
+                    int(g[(len(g) - 1) // 2]),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "n_gaps", "min_gap_us", "max_gap_us",
+                "median_gap_us",
+            ],
+        )
+
+    out = keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="ts",
+        fn=gaps_fn,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["interarrival_stats"] = q_interarrival_stats
+
+ORACLE_SQL["interarrival_stats"] = """
+    WITH b AS (SELECT user_id, event_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS t
+               FROM events),
+    g AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS gap
+          FROM b),
+    gg AS (SELECT user_id, gap,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY gap) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM g WHERE gap IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(min(gap) FILTER (WHERE 2 * rn >= n) AS BIGINT)
+             AS median_gap_us
+    FROM gg GROUP BY user_id ORDER BY user_id
+"""
