@@ -12534,8 +12534,13 @@ ORACLE_SQL["value_bars_ohlc"] = """
 
 
 def q_mad_value(sf_dir: str):
-    """Exact median absolute deviation of value-cents per event_type
-    (the robust dispersion twin of the stddev family): two passes of
+    """Exact median absolute deviation of value-cents per event_type —
+    the CELL-COUNT plan twin of ``value_mad_by_type`` (same statistic,
+    different exchange contract: that query ships raw events through
+    one keyed exchange and sorts in-partition; this one pre-folds
+    (type, value) distinct-value cells inside map_batches so the
+    exchanges move |distinct values| rows — the right plan when values
+    repeat heavily at scale): two passes of
     the integer lower median (smallest x with 2·cum ≥ tot — the same
     rule as weighted_median_price), the second over |v − median|.
     Each pass pre-folds (type, value) count cells inside map_batches,
@@ -12764,4 +12769,316 @@ ORACLE_SQL["interarrival_stats"] = """
            CAST(min(gap) FILTER (WHERE 2 * rn >= n) AS BIGINT)
              AS median_gap_us
     FROM gg GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_activity_streaks(sf_dir: str):
+    """Gaps-and-islands per user: the longest run of CONSECUTIVE active
+    days (and the day it starts, earliest on ties) plus the distinct
+    active-day count. The classic sessionization-adjacent scan shape:
+    each block pre-folds to distinct (user, day) pairs inside
+    map_batches (the combiner — exchange volume is user-day pairs, not
+    events), one keyed exchange on user, then a vectorized island
+    split (diff > 1 on the sorted unique day vector) per user."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "day": pdf["ts"].astype("int64").to_numpy() // DAY_US,
+            }
+        )
+        return out.drop_duplicates()
+
+    def streaks(pdf: pd.DataFrame) -> pd.DataFrame:
+        df = pdf.drop_duplicates().sort_values(["user_id", "day"])
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        # island starts: first row, user change, or day gap > 1
+        brk = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        isl = np.cumsum(brk) - 1
+        g = pd.DataFrame({"user_id": u, "isl": isl, "day": d}).groupby(
+            ["user_id", "isl"], sort=False
+        )["day"]
+        s = g.agg(["size", "min"]).reset_index()
+        s.columns = ["user_id", "isl", "len", "start"]
+        gg = s.groupby("user_id", sort=False)
+        out = gg.agg(
+            n_active_days=("len", "sum"), longest_streak=("len", "max")
+        ).reset_index()
+        mx = s.merge(
+            out[["user_id", "longest_streak"]], on="user_id"
+        )
+        mx = mx[mx["len"] == mx["longest_streak"]]
+        out = out.merge(
+            mx.groupby("user_id", sort=False)["start"]
+            .min()
+            .rename("streak_start_day")
+            .reset_index(),
+            on="user_id",
+        )
+        return out
+
+    out = keyed_partition_map(
+        ds.map_batches(pairs, batch_format="pandas", batch_size=None),
+        keys=["user_id"],
+        order_col="day",
+        fn=streaks,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["activity_streaks"] = q_activity_streaks
+
+ORACLE_SQL["activity_streaks"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+               FROM events),
+    i AS (SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM d),
+    s AS (SELECT user_id, count(*) AS len, min(day) AS start
+          FROM i GROUP BY user_id, grp),
+    sel AS (SELECT user_id, len, start,
+                   max(len) OVER (PARTITION BY user_id) AS mx
+            FROM s)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(min(CASE WHEN len = mx THEN start END) AS BIGINT)
+             AS streak_start_day
+    FROM sel GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Exact 7-day sliding DISTINCT-user count per observed day — the
+    windowed-cardinality shape that defeats naive groupbys (distinct is
+    not mergeable across window positions). Plan: per-block dedup to
+    (user, day) pairs (combiner), bounded ×7 fan-out of each pair to
+    the window-end days it covers, one keyed exchange on the window-end
+    day with a second in-partition dedup, then a size fold. Exchange
+    volume is 7 × |user-day pairs| — independent of event count.
+    Window ends are restricted to OBSERVED days via a broadcast
+    day-set (day cardinality ≪ data by contract)."""
+    import ray
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+    W = 7
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "day": pdf["ts"].astype("int64").to_numpy() // DAY_US,
+            }
+        ).drop_duplicates()
+
+    dedup = ds.map_batches(pairs, batch_format="pandas", batch_size=None)
+
+    day_parts = dedup.map_batches(
+        lambda pdf: pd.DataFrame({"day": pdf["day"].unique()}),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    days_ref = ray.put(np.sort(day_parts["day"].unique().astype(np.int64)))
+
+    def fan_out(pdf: pd.DataFrame) -> pd.DataFrame:
+        observed = ray.get(days_ref)
+        u = np.repeat(pdf["user_id"].to_numpy(np.int64), W)
+        w = (
+            np.repeat(pdf["day"].to_numpy(np.int64), W)
+            + np.tile(np.arange(W, dtype=np.int64), len(pdf))
+        )
+        keep = np.isin(w, observed)
+        return pd.DataFrame({"w": w[keep], "user_id": u[keep]}).drop_duplicates()
+
+    def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.drop_duplicates()
+            .groupby("w", sort=False)
+            .size()
+            .rename("n_users_7d")
+            .reset_index()
+        )
+        out.columns = ["day", "n_users_7d"]
+        return out
+
+    out = keyed_partition_map(
+        dedup.map_batches(fan_out, batch_format="pandas", batch_size=None),
+        keys=["w"],
+        order_col="user_id",
+        fn=count_fn,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+QUERIES["sliding_distinct_users"] = q_sliding_distinct_users
+
+ORACLE_SQL["sliding_distinct_users"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+               FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users_7d
+    FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day ORDER BY days.day
+"""
+
+
+def q_daily_autocov(sf_dir: str):
+    """Lag-1 autocovariance components of the per-type DAILY COUNT
+    series, exact int64 end-to-end: for every consecutive observed-day
+    pair (d, d+1) of a type, accumulate (x, y) = (count(d), count(d+1))
+    into n_pairs / Σx / Σy / Σxy / Σx² / Σy² — the mergeable moment set
+    from which covariance and Pearson r are one driver division.
+    Per-block (type, day) count partials (combiner), one keyed exchange
+    on type, vectorized consecutive-day masking per type. Exchange
+    volume is type×day cells, never events."""
+    ds = _events(sf_dir, columns=["event_type", "ts"])
+    DAY_US = 86_400_000_000
+
+    def cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].to_numpy(),
+                    "day": pdf["ts"].astype("int64").to_numpy() // DAY_US,
+                }
+            )
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out
+
+    def autocov(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["event_type", "day"], sort=False, as_index=False)[
+            "n"
+        ].sum()
+        g = g.sort_values(["event_type", "day"])
+        et = g["event_type"].to_numpy()
+        d = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    **{
+                        c: pd.Series([], dtype="int64")
+                        for c in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")
+                    },
+                }
+            )
+        m = (et[1:] == et[:-1]) & (d[1:] == d[:-1] + 1)
+        x, y = n[:-1][m], n[1:][m]
+        out = pd.DataFrame(
+            {
+                "event_type": et[:-1][m],
+                "n_pairs": np.ones(m.sum(), dtype=np.int64),
+                "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y,
+            }
+        )
+        return out.groupby("event_type", sort=False, as_index=False).sum()
+
+    out = keyed_partition_map(
+        ds.map_batches(cells, batch_format="pandas", batch_size=None),
+        keys=["event_type"],
+        order_col="day",
+        fn=autocov,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["daily_autocov"] = q_daily_autocov
+
+ORACLE_SQL["daily_autocov"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type, a.n AS x, b.n AS y
+          FROM c a JOIN c b
+            ON a.event_type = b.event_type AND b.day = a.day + 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_range_splitters(sf_dir: str):
+    """Exact global 16-way range-partition splitters of value-cents —
+    the PLANNING step of a balanced range partitioner (what a
+    distributed sort samples approximately, computed exactly): splitter
+    k (1..15) is the smallest v with 16·cum(v) ≥ k·n. Per-block
+    (value, count) cell partials fold inside map_batches; the driver
+    merges DISTINCT-VALUE cells (2-decimal data ⇒ cell cardinality is
+    price-grid-sized, ≪ events, the same bounded-finalize contract as
+    mad_value) and picks all 15 order statistics from one cumsum —
+    no global sort, no event ever leaves its block."""
+    ds = _events(sf_dir, columns=["value"])
+    K = 16
+
+    def cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = _cents(pdf["value"]).to_numpy(np.int64)
+        out = (
+            pd.DataFrame({"v": v})
+            .groupby("v", sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return out
+
+    parts = ds.map_batches(
+        cells, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    g = parts.groupby("v", as_index=False)["cnt"].sum().sort_values("v")
+    v = g["v"].to_numpy(np.int64)
+    cw = g["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cw[-1])
+    ks = np.arange(1, K, dtype=np.int64)
+    idx = np.searchsorted(16 * cw, ks * n, side="left")
+    return pd.DataFrame(
+        {"k": ks, "splitter_c": v[idx].astype(np.int64)}
+    )
+
+
+QUERIES["range_splitters"] = q_range_splitters
+
+ORACLE_SQL["range_splitters"] = """
+    WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    c AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+    w AS (SELECT v,
+                 sum(cnt) OVER (ORDER BY v) AS cw,
+                 sum(cnt) OVER () AS tot
+          FROM c),
+    k AS (SELECT k FROM generate_series(1, 15) t(k))
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(min(w.v) AS BIGINT) AS splitter_c
+    FROM k JOIN w ON 16 * w.cw >= k.k * w.tot
+    GROUP BY k.k ORDER BY k.k
 """
