@@ -13082,3 +13082,159 @@ ORACLE_SQL["range_splitters"] = """
     FROM k JOIN w ON 16 * w.cw >= k.k * w.tot
     GROUP BY k.k ORDER BY k.k
 """
+
+
+def q_weekly_churn(sf_dir: str):
+    """Growth accounting over 7-day periods: per period the active-user
+    count, the NEW users (not active the previous period) and the
+    CHURNED users (active now, gone next period). Per-block dedup to
+    distinct (user, period) pairs (combiner), ONE keyed exchange on
+    user — each user's period set is then complete in one partition, so
+    new/churned flags are a vectorized sorted-membership test — and a
+    period-sized partial fold (periods ≪ users ≪ events) merged on the
+    driver. The user axis never needs a second exchange."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    WEEK_US = 7 * 86_400_000_000
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "p": pdf["ts"].astype("int64").to_numpy() // WEEK_US,
+            }
+        ).drop_duplicates()
+
+    def flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        df = pdf.drop_duplicates().sort_values(["user_id", "p"])
+        u = df["user_id"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        same_prev = np.zeros(len(p), dtype=bool)
+        same_next = np.zeros(len(p), dtype=bool)
+        if len(p) > 1:
+            # rows are (user, period)-sorted and distinct: the previous/
+            # next period of the same user is adjacent iff it exists
+            same_prev[1:] = (u[1:] == u[:-1]) & (p[1:] == p[:-1] + 1)
+            same_next[:-1] = same_prev[1:]
+        out = pd.DataFrame(
+            {
+                "p": p,
+                "active": np.ones(len(p), dtype=np.int64),
+                "new": (~same_prev).astype(np.int64),
+                "churn": (~same_next).astype(np.int64),
+            }
+        )
+        return out.groupby("p", sort=False, as_index=False).sum()
+
+    parts = keyed_partition_map(
+        ds.map_batches(pairs, batch_format="pandas", batch_size=None),
+        keys=["user_id"],
+        order_col="p",
+        fn=flags,
+        num_partitions=NP,
+    ).to_pandas()
+    out = parts.groupby("p", as_index=False).sum().sort_values("p")
+    out.columns = ["period", "n_active", "n_new", "n_churned"]
+    return out.reset_index(drop=True).astype("int64")
+
+
+QUERIES["weekly_churn"] = q_weekly_churn
+
+ORACLE_SQL["weekly_churn"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS p
+               FROM events)
+    SELECT d.p AS period,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN prev.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN nxt.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned
+    FROM d
+    LEFT JOIN d prev ON prev.user_id = d.user_id AND prev.p = d.p - 1
+    LEFT JOIN d nxt  ON nxt.user_id  = d.user_id AND nxt.p  = d.p + 1
+    GROUP BY d.p ORDER BY d.p
+"""
+
+
+def q_session_type_pairs(sf_dir: str):
+    """Session-level event-type co-occurrence: for every unordered type
+    pair, in how many (user, session) windows both occur — the
+    session-granular twin of ``type_affinity`` (user-level sets), and a
+    composite of two catalog shapes: 30-minute-gap sessionization THEN
+    within-group pair emission. One keyed exchange on user (sessions
+    are user-local, so assignment is a vectorized cumsum of gap>30min
+    breaks); per session the DISTINCT type set emits its ≤|T|²/2 pairs;
+    |types|²-sized count partials fold on the driver."""
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts", "event_id"])
+    GAP_US = 1_800_000_000
+
+    def pair_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "t": pdf["ts"].astype("int64").to_numpy(),
+                "eid": pdf["event_id"].to_numpy(np.int64),
+                "event_type": pdf["event_type"].to_numpy(),
+            }
+        ).sort_values(["user_id", "t", "eid"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        brk = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            brk[1:] = (
+                (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP_US)
+            ).astype(np.int64)
+        df["sess"] = np.cumsum(brk)
+        d = df[["sess", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="sess")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size()
+            .rename("n_sessions")
+            .reset_index()
+        )
+        out.columns = ["type_a", "type_b", "n_sessions"]
+        return out
+
+    parts = keyed_partition_map(
+        ds,
+        keys=["user_id"],
+        order_col="ts",
+        fn=pair_counts,
+        num_partitions=NP,
+    ).to_pandas()
+    out = (
+        parts.groupby(["type_a", "type_b"], as_index=False)["n_sessions"]
+        .sum()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out
+
+
+QUERIES["session_type_pairs"] = q_session_type_pairs
+
+ORACLE_SQL["session_type_pairs"] = """
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS t
+               FROM events),
+    f AS (SELECT user_id, event_type, t, event_id,
+                 CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                            ORDER BY t, event_id)
+                          > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM f),
+    d AS (SELECT DISTINCT user_id, sess, event_type FROM s)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.sess = b.sess
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
