@@ -13238,3 +13238,200 @@ ORACLE_SQL["session_type_pairs"] = """
      AND a.event_type < b.event_type
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_nearest_centroid_confusion(sf_dir: str):
+    """Nearest-centroid classification confusion matrix over the
+    embeddings table, EXACT end-to-end (the first fully SQL-oracled
+    embedding-space op — the ANN family is recall-bounded by nature):
+    coordinates quantize to round(x·10⁶) int64, each label's centroid
+    is the exact floor(Σq/n) integer vector (a 1/n ≥ 10⁻⁴ gap from any
+    integer boundary keeps double division's floor exact on both
+    engines), squared distances are pure int64 (|q| ≤ ~10⁶, d = 64 ⇒
+    ≪ 2⁶³), ties break to the smallest label. Two broadcast passes:
+    per-block per-label (Σq, n) partials fold driver-side
+    (labels × dim — tiny), the centroid matrix ships once via ray.put,
+    and each block assigns with one int64 matmul; the confusion
+    partials are labels²-sized."""
+    import ray
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
+             columns=["vec_id", "embedding", "label"])
+
+    def _qmat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        from arlas_proc_ray.ann.search import _as_matrix
+
+        mat = _as_matrix(t.column("embedding")).astype(np.float64)
+        q = np.round(mat * 1e6).astype(np.int64)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        return q, lab
+
+    def sums(t: pa.Table) -> pa.Table:
+        q, lab = _qmat(t)
+        labels = np.unique(lab)
+        rows = []
+        for l in labels:
+            m = lab == l
+            rows.append((int(l), int(m.sum()), q[m].sum(axis=0).tolist()))
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "s": pa.array([r[2] for r in rows], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        sums, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    labels = np.sort(parts["label"].unique().astype(np.int64))
+    cent = {}
+    for l in labels:
+        sub = parts[parts["label"] == l]
+        s = np.sum(np.stack(sub["s"].to_numpy()), axis=0).astype(np.int64)
+        n = int(sub["n"].sum())
+        cent[int(l)] = np.floor(s / n).astype(np.int64)
+    C = np.stack([cent[int(l)] for l in labels])
+    cref = ray.put((labels, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cref)
+        q, lab = _qmat(t)
+        d2 = (
+            (q * q).sum(axis=1)[:, None]
+            - 2 * (q @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
+        )
+        got = labs[np.argmin(d2, axis=1)]  # first index ⇒ smallest label
+        out = (
+            pd.DataFrame({"label": lab, "assigned": got})
+            .groupby(["label", "assigned"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cm = ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    out = (
+        cm.groupby(["label", "assigned"], as_index=False)["n"]
+        .sum()
+        .sort_values(["label", "assigned"])
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+QUERIES["nearest_centroid_confusion"] = q_nearest_centroid_confusion
+
+ORACLE_SQL["nearest_centroid_confusion"] = """
+    WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                 * 1000000) AS BIGINT) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*))
+                         AS BIGINT) AS c
+             FROM q GROUP BY label, i),
+    dist AS (SELECT q.vec_id, q.label, cent.label AS cand,
+                    sum((q.x - cent.c) * (q.x - cent.c)) AS d2
+             FROM q JOIN cent ON cent.i = q.i
+             GROUP BY 1, 2, 3),
+    best AS (SELECT vec_id, label, cand,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cand) AS rn
+             FROM dist)
+    SELECT label, cand AS assigned, CAST(count(*) AS BIGINT) AS n
+    FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_window_novelty(sf_dir: str):
+    """Per-document window-novelty profile — the doc-level aggregate of
+    the span-dedup machinery (dedup/spans.py gives PAIRS; this gives
+    each doc's contamination rate): of a doc's DISTINCT 20-char
+    windows, how many also occur in at least one other document.
+    Plan: vectorized Karp-Rabin code-point window hashes per doc
+    (functions/text.py — 8-byte rows through the exchanges, never
+    window strings; the SQL oracle compares true substrings, pinning
+    the no-collision contract at test scale), one keyed exchange on
+    the window hash to count holder docs, one keyed exchange on doc_id
+    to fold each doc's (n_windows, n_shared). Docs shorter than the
+    window emit nothing (SQL contract)."""
+    from arlas_proc_ray.functions.text import _char_window_hashes
+
+    L = 20
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def window_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes, ids = [], []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            h = np.unique(_char_window_hashes(t, L))
+            if not len(h):
+                continue
+            hashes.append(h)
+            ids.append(np.full(len(h), i, dtype=np.int64))
+        if not hashes:
+            return pd.DataFrame(
+                {"whash": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "whash": np.concatenate(hashes).view(np.int64),
+                "doc_id": np.concatenate(ids),
+            }
+        )
+
+    def holders(pdf: pd.DataFrame) -> pd.DataFrame:
+        nd = pdf.groupby("whash", sort=False)["doc_id"].transform("size")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "n_windows": np.ones(len(pdf), dtype=np.int64),
+                "n_shared": (nd.to_numpy(np.int64) >= 2).astype(np.int64),
+            }
+        )
+        return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("doc_id", sort=False, as_index=False).sum()
+
+    rows = ds.map_batches(
+        window_rows, batch_format="pandas", batch_size=None
+    )
+    partials = keyed_partition_map(
+        rows, keys=["whash"], order_col="doc_id", fn=holders,
+        num_partitions=NP,
+    )
+    out = keyed_partition_map(
+        partials, keys=["doc_id"], order_col="n_windows", fn=fold,
+        num_partitions=NP,
+    ).to_pandas()
+    return (
+        out.astype("int64").sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+QUERIES["window_novelty"] = q_window_novelty
+
+# The 8192 series bound is an oracle-side constant comfortably above the
+# synthetic corpus's max doc length (~600 chars at every sf) — DuckDB's
+# generate_series cannot be laterally sized per row.
+ORACLE_SQL["window_novelty"] = """
+    WITH g AS (SELECT i FROM generate_series(1, 8192) t(i)),
+    w AS (
+      SELECT DISTINCT d.doc_id,
+             substr(d.text, CAST(g.i AS INTEGER), 20) AS win
+      FROM documents d JOIN g ON g.i <= length(d.text) - 19
+    ),
+    c AS (SELECT win, count(*) AS nd FROM w GROUP BY win)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM w JOIN c USING (win) GROUP BY w.doc_id ORDER BY w.doc_id
+"""
