@@ -13435,3 +13435,355 @@ ORACLE_SQL["window_novelty"] = """
              AS n_shared
     FROM w JOIN c USING (win) GROUP BY w.doc_id ORDER BY w.doc_id
 """
+
+
+def q_closest_spend_pair(sf_dir: str):
+    """Global 1-D closest pair over per-user total spend: the two
+    DISTINCT user spend totals closest together (smallest upper
+    endpoint on ties). Two stages: the usual per-user exact-cents sum
+    (combiner + one keyed exchange), then the closest-pair search as a
+    RANGE-bucketed exchange — a bounds pass fixes equal-width buckets,
+    each bucket computes its own sorted adjacent gaps locally, and only
+    per-bucket (min, max) envelopes return to the driver, which
+    stitches the ≤P cross-boundary candidate gaps in bucket order.
+    Nothing event- or user-sized ever sits on the driver."""
+    ds = _events(sf_dir, columns=["user_id", "value"])
+
+    def spend_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(np.int64),
+                "s": _cents(pdf["value"]).to_numpy(np.int64),
+            }
+        ).groupby("user_id", sort=False, as_index=False).sum()
+
+    def spend_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("user_id", sort=False, as_index=False)["s"].sum()
+        return pd.DataFrame({"v": g["s"].unique()})
+
+    totals = keyed_partition_map(
+        ds.map_batches(spend_partial, batch_format="pandas", batch_size=None),
+        keys=["user_id"],
+        order_col="s",
+        fn=spend_fold,
+        num_partitions=NP,
+    )
+
+    bounds = totals.map_batches(
+        lambda pdf: pd.DataFrame(
+            {"lo": [pdf["v"].min()], "hi": [pdf["v"].max()]}
+        )
+        if len(pdf)
+        else pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                           "hi": pd.Series([], dtype="int64")}),
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    width = max(1, (hi - lo) // NP + 1)
+
+    def tag(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v"].to_numpy(np.int64)
+        return pd.DataFrame({"b": (v - lo) // width, "v": v})
+
+    def bucket_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, sub in pdf.groupby("b", sort=False):
+            u = np.unique(sub["v"].to_numpy(np.int64))
+            if len(u) > 1:
+                d = np.diff(u)
+                i = int(d.argmin())
+                rows.append((int(b), int(d[i]), int(u[i + 1]),
+                             int(u[0]), int(u[-1])))
+            else:
+                rows.append((int(b), -1, -1, int(u[0]), int(u[-1])))
+        return pd.DataFrame(
+            rows, columns=["b", "gap", "v_hi", "bmin", "bmax"]
+        ).astype("int64")
+
+    parts = keyed_partition_map(
+        totals.map_batches(tag, batch_format="pandas", batch_size=None),
+        keys=["b"],
+        order_col="v",
+        fn=bucket_gaps,
+        num_partitions=NP,
+    ).to_pandas().sort_values("b")
+    # stitch: candidate gaps inside buckets plus each adjacent
+    # boundary pair (next bucket's min − this bucket's max)
+    cand = []
+    for _, r in parts.iterrows():
+        if r["gap"] >= 0:
+            cand.append((int(r["gap"]), int(r["v_hi"])))
+    bm = parts["bmin"].to_numpy(np.int64)
+    bx = parts["bmax"].to_numpy(np.int64)
+    for i in range(len(parts) - 1):
+        cand.append((int(bm[i + 1] - bx[i]), int(bm[i + 1])))
+    gap, v_hi = min(cand)
+    return pd.DataFrame(
+        {"gap": [gap], "v_lo": [v_hi - gap], "v_hi": [v_hi]}
+    ).astype("int64")
+
+
+QUERIES["closest_spend_pair"] = q_closest_spend_pair
+
+ORACLE_SQL["closest_spend_pair"] = """
+    WITH s AS (SELECT user_id,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS v
+               FROM events GROUP BY user_id),
+    u AS (SELECT DISTINCT v FROM s),
+    d AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM u),
+    m AS (SELECT min(gap) AS g FROM d WHERE gap IS NOT NULL)
+    SELECT CAST(m.g AS BIGINT) AS gap,
+           CAST(min(d.v) - m.g AS BIGINT) AS v_lo,
+           CAST(min(d.v) AS BIGINT) AS v_hi
+    FROM d, m WHERE d.gap = m.g GROUP BY m.g
+"""
+
+
+def q_user_modal_share(sf_dir: str):
+    """Per-user modal event type and its exact share: the type the user
+    emits most (lexicographically smallest on count ties), with
+    n_events / n_modal as the two integers the share divides from.
+    Per-block (user, type) count partials, one keyed exchange on user,
+    vectorized idxmax election per user."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def elect(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["user_id", "event_type"], sort=False,
+                        as_index=False)["n"].sum()
+        # sort by (user, -n, type): the first row per user is the winner
+        g = g.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        tot = g.groupby("user_id", sort=False)["n"].sum()
+        win = g.drop_duplicates("user_id").set_index("user_id")
+        out = pd.DataFrame(
+            {
+                "user_id": tot.index.to_numpy(np.int64),
+                "n_events": tot.to_numpy(np.int64),
+                "modal_type": win["event_type"].reindex(tot.index).to_numpy(),
+                "n_modal": win["n"].reindex(tot.index).to_numpy(np.int64),
+            }
+        )
+        return out
+
+    out = keyed_partition_map(
+        ds.map_batches(cells, batch_format="pandas", batch_size=None),
+        keys=["user_id"],
+        order_col="event_type",
+        fn=elect,
+        num_partitions=NP,
+    ).to_pandas()
+    for c in ("user_id", "n_events", "n_modal"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_events", "modal_type", "n_modal"]
+    ]
+
+
+QUERIES["user_modal_share"] = q_user_modal_share
+
+ORACLE_SQL["user_modal_share"] = """
+    WITH c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, event_type, n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rn,
+                 sum(n) OVER (PARTITION BY user_id) AS tot
+          FROM c)
+    SELECT user_id,
+           CAST(tot AS BIGINT) AS n_events,
+           event_type AS modal_type,
+           CAST(n AS BIGINT) AS n_modal
+    FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema: for each
+    declared FK edge, how many child rows point at a missing parent.
+    Each edge is one distributed ANTI join (stages/joins.py) counted —
+    parents are key-projected at the read so only key columns move.
+    The constraint axis is metadata-sized; edges run as independent
+    streaming pipelines."""
+    from arlas_proc_ray.stages.joins import equi_join
+
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+    ]
+    rows = []
+    for name, child, ckey, parent, pkey in edges:
+        c = _rp(f"{sf_dir}/{child}.parquet", columns=[ckey])
+        p = _rp(f"{sf_dir}/{parent}.parquet", columns=[pkey]).map_batches(
+            lambda t, _k=pkey, _c=ckey: t.rename_columns([_c]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        missing = equi_join(
+            c, p, on=[ckey], right_cols=[], how="anti",
+            num_partitions=NP,
+        )
+        rows.append((name, int(missing.count())))
+    return pd.DataFrame(rows, columns=["fk", "n_violations"]).astype(
+        {"n_violations": "int64"}
+    )
+
+
+QUERIES["fk_audit"] = q_fk_audit
+
+ORACLE_SQL["fk_audit"] = """
+    SELECT fk, n_violations FROM (
+      SELECT 'orders.o_custkey->customer' AS fk,
+             CAST(count(*) AS BIGINT) AS n_violations
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    ) ORDER BY fk
+"""
+
+
+def q_value_decile_conversion(sf_dir: str):
+    """Calibration curve: view events bucketed into GLOBAL value
+    deciles (exact rank rule decile = ⌈10·cum/n⌉, computed from
+    distinct-value cells and broadcast as 9 thresholds), against the
+    fraction followed by a same-user purchase within one hour. The
+    conversion test is one keyed exchange on user (views + purchases
+    co-partitioned; a per-user searchsorted window probe), folding to
+    decile-sized partials. Composite of the range-splitter and
+    temporal-follow shapes; all counts exact int64."""
+    import ray
+
+    ds = _events(
+        sf_dir, columns=["user_id", "ts", "event_type", "value"]
+    )
+    W_US = 3_600_000_000
+
+    def view_cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["event_type"].to_numpy() == "view"
+        v = _cents(pdf["value"][m]).to_numpy(np.int64)
+        return (
+            pd.DataFrame({"v": v})
+            .groupby("v", sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    cells = ds.map_batches(
+        view_cells, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    g = cells.groupby("v", as_index=False)["cnt"].sum().sort_values("v")
+    v = g["v"].to_numpy(np.int64)
+    cw = g["cnt"].to_numpy(np.int64).cumsum()
+    tot = int(cw[-1])
+    dec_of_cell = (10 * cw + tot - 1) // tot  # decile per distinct value
+    # threshold t_k = largest value still in decile ≤ k ⇒ decile(v) =
+    # 1 + #thresholds < v (searchsorted left on the 9 interior bounds)
+    thresholds = np.array(
+        [v[dec_of_cell <= k].max() for k in range(1, 10)], dtype=np.int64
+    )
+    thr_ref = ray.put(thresholds)
+
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        et = pdf["event_type"].to_numpy()
+        t = pdf["ts"].astype("int64").to_numpy()
+        u = pdf["user_id"].to_numpy(np.int64)
+        vm = et == "view"
+        pm = et == "purchase"
+        out_dec, out_conv = [], []
+        vdf = pd.DataFrame(
+            {"u": u[vm], "t": t[vm],
+             "v": _cents(pdf["value"][vm]).to_numpy(np.int64)}
+        )
+        pdf2 = pd.DataFrame({"u": u[pm], "t": t[pm]}).sort_values(["u", "t"])
+        pu = pdf2.groupby("u", sort=False)["t"].apply(
+            lambda s: s.to_numpy(np.int64)
+        )
+        for uu, sub in vdf.groupby("u", sort=False):
+            pt = pu.get(uu, np.empty(0, dtype=np.int64))
+            tv = sub["t"].to_numpy(np.int64)
+            conv = (
+                np.searchsorted(pt, tv + W_US, side="right")
+                > np.searchsorted(pt, tv, side="right")
+            )
+            out_dec.append(
+                np.searchsorted(thr, sub["v"].to_numpy(np.int64),
+                                side="left") + 1
+            )
+            out_conv.append(conv.astype(np.int64))
+        if not out_dec:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("decile", "n_views", "n_converted")}
+            )
+        out = pd.DataFrame(
+            {
+                "decile": np.concatenate(out_dec),
+                "n_views": 1,
+                "n_converted": np.concatenate(out_conv),
+            }
+        )
+        return out.groupby("decile", sort=False, as_index=False).sum()
+
+    parts = keyed_partition_map(
+        ds, keys=["user_id"], order_col="ts", fn=probe,
+        num_partitions=NP,
+    ).to_pandas()
+    out = (
+        parts.groupby("decile", as_index=False)[["n_views", "n_converted"]]
+        .sum()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+QUERIES["value_decile_conversion"] = q_value_decile_conversion
+
+ORACLE_SQL["value_decile_conversion"] = """
+    WITH vw AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type = 'view'),
+    pu AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+           FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT v, count(*) AS cnt FROM vw GROUP BY v),
+    w AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cw,
+                 sum(cnt) OVER () AS tot
+          FROM c),
+    dec AS (SELECT v, (10 * cw + tot - 1) // tot AS decile FROM w)
+    SELECT CAST(dec.decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN EXISTS (
+                  SELECT 1 FROM pu
+                  WHERE pu.user_id = vw.user_id
+                    AND pu.t > vw.t AND pu.t <= vw.t + 3600000000)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM vw JOIN dec ON dec.v = vw.v
+    GROUP BY 1 ORDER BY 1
+"""
