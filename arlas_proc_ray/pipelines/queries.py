@@ -12742,6 +12742,9 @@ def q_interarrival_stats(sf_dir: str):
         fn=gaps_fn,
         num_partitions=NP,
     ).to_pandas()
+    cols = ["user_id", "n_gaps", "min_gap_us", "max_gap_us", "median_gap_us"]
+    if out.empty:  # every user has < 2 events (SQL: 0 rows)
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
@@ -13002,6 +13005,16 @@ def q_daily_autocov(sf_dir: str):
         fn=autocov,
         num_partitions=NP,
     ).to_pandas()
+    if out.empty:  # no consecutive-day pair anywhere (SQL: 0 rows)
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                **{
+                    c: pd.Series([], dtype="int64")
+                    for c in ("n_pairs", "sx", "sy", "sxy", "sxx", "syy")
+                },
+            }
+        )
     for c in out.columns:
         if c != "event_type":
             out[c] = out[c].astype("int64")
@@ -13204,6 +13217,14 @@ def q_session_type_pairs(sf_dir: str):
         fn=pair_counts,
         num_partitions=NP,
     ).to_pandas()
+    if parts.empty:  # no session has two distinct types (SQL: 0 rows)
+        return pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "n_sessions": pd.Series([], dtype="int64"),
+            }
+        )
     out = (
         parts.groupby(["type_a", "type_b"], as_index=False)["n_sessions"]
         .sum()
@@ -13518,6 +13539,10 @@ def q_closest_spend_pair(sf_dir: str):
     bx = parts["bmax"].to_numpy(np.int64)
     for i in range(len(parts) - 1):
         cand.append((int(bm[i + 1] - bx[i]), int(bm[i + 1])))
+    if not cand:  # fewer than two distinct totals: no pair (SQL: 0 rows)
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("gap", "v_lo", "v_hi")}
+        )
     gap, v_hi = min(cand)
     return pd.DataFrame(
         {"gap": [gap], "v_lo": [v_hi - gap], "v_hi": [v_hi]}
@@ -13697,15 +13722,30 @@ def q_value_decile_conversion(sf_dir: str):
     cells = ds.map_batches(
         view_cells, batch_format="pandas", batch_size=None
     ).to_pandas()
+    if cells.empty:  # no view events at all: no curve (SQL: 0 rows)
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("decile", "n_views", "n_converted")}
+        )
     g = cells.groupby("v", as_index=False)["cnt"].sum().sort_values("v")
     v = g["v"].to_numpy(np.int64)
     cw = g["cnt"].to_numpy(np.int64).cumsum()
     tot = int(cw[-1])
     dec_of_cell = (10 * cw + tot - 1) // tot  # decile per distinct value
     # threshold t_k = largest value still in decile ≤ k ⇒ decile(v) =
-    # 1 + #thresholds < v (searchsorted left on the 9 interior bounds)
+    # 1 + #thresholds < v (searchsorted left on the 9 interior bounds).
+    # Heavy ties can leave deciles ≤ k EMPTY (the smallest cell already
+    # covers >k/10 of the mass); those prefix positions take a sentinel
+    # below min(v), which contributes '< v' for every value — correct,
+    # since every value then sits in a decile > k.
     thresholds = np.array(
-        [v[dec_of_cell <= k].max() for k in range(1, 10)], dtype=np.int64
+        [
+            v[dec_of_cell <= k].max()
+            if bool((dec_of_cell <= k).any())
+            else v[0] - 1
+            for k in range(1, 10)
+        ],
+        dtype=np.int64,
     )
     thr_ref = ray.put(thresholds)
 
