@@ -13827,3 +13827,186 @@ ORACLE_SQL["value_decile_conversion"] = """
     FROM vw JOIN dec ON dec.v = vw.v
     GROUP BY 1 ORDER BY 1
 """
+
+
+def q_katz_centrality(sf_dir: str):
+    """Bounded-horizon Katz centrality (3 rounds, α = 1/4) over the
+    DISTINCT mirrored user↔event-type interaction graph, on the
+    resident-edge Pregel kit (stages/graph.py:katz_centrality_exchange —
+    zero driver node state). Scores are exact int64 scaled by 4³: the
+    attenuated walk sum folds through ``s_k = 4·s_{k-1} + w_k``, so the
+    chained-CTE oracle reproduces every bit. One dedup exchange builds
+    the simple graph (keeps ``max_degree^3`` inside int64 headroom);
+    edges hash-stage once; each round moves node-sized state only."""
+    from arlas_proc_ray.stages.graph import katz_centrality_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[["user_id", "event_type"]].drop_duplicates()
+        u = "u:" + g["user_id"].astype("int64").astype(str)
+        t = "t:" + g["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = keyed_partition_map(
+        ds.map_batches(mirror, batch_format="pandas", batch_size=None),
+        keys=["src", "dst"], order_col="src",
+        fn=lambda pdf: pdf.drop_duplicates(), num_partitions=NP,
+    )
+    return katz_centrality_exchange(
+        edges, src_col="src", dst_col="dst", rounds=3, alpha_den=4,
+        num_partitions=NP,
+    )
+
+
+QUERIES["katz_centrality"] = q_katz_centrality
+
+
+def _katz_oracle(rounds: int = 3, alpha_den: int = 4) -> str:
+    """Chained-CTE walk counting with the same exact-integer
+    attenuation recurrence as katz_centrality_exchange."""
+    sql = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION ALL SELECT t, u FROM pw),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    s0 AS (SELECT node, 1::BIGINT AS w, 0::BIGINT AS s FROM nodes)"""
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, SUM(p.w) AS w
+             FROM edges e JOIN {prev} p ON p.node = e.src
+             GROUP BY 1),
+    s{i} AS (SELECT n.node,
+                    CAST(COALESCE(c.w, 0) AS BIGINT) AS w,
+                    CAST({alpha_den} * p.s + COALESCE(c.w, 0) AS BIGINT) AS s
+             FROM nodes n
+             LEFT JOIN c{i} c ON c.node = n.node
+             JOIN {prev} p ON p.node = n.node)"""
+        prev = f"s{i}"
+    sql += f"""
+    SELECT node, CAST(s AS BIGINT) AS katz FROM {prev}
+"""
+    return sql
+
+
+ORACLE_SQL["katz_centrality"] = _katz_oracle()
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """Exact 3-hop harmonic centrality ``H(v) = Σ 6 // d(u,v)``
+    (L = lcm(1..3) = 6 — integer-exact reciprocals) over the mirrored
+    user↔event-type interaction graph via the adjacency-bitset
+    all-sources BFS (stages/graph.py:harmonic_centrality — one edge-
+    Dataset pass per hop, n²/8 broadcast budget with a loud contract
+    past 8192 nodes; the testdata graph is ≤ ~1.6k nodes at sf0.1)."""
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return harmonic_centrality(
+        edges, src_col="src", dst_col="dst", max_hops=3,
+        num_partitions=NP,
+    )
+
+
+QUERIES["harmonic_centrality"] = q_harmonic_centrality
+
+ORACLE_SQL["harmonic_centrality"] = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    d1 AS (SELECT u AS src, t AS dst FROM pw
+           UNION ALL SELECT t, u FROM pw),
+    f2 AS (SELECT DISTINCT d1.src, e.dst
+           FROM d1 JOIN d1 e ON e.src = d1.dst),
+    d2 AS (SELECT src, dst FROM f2 WHERE src <> dst
+           EXCEPT SELECT src, dst FROM d1),
+    f3 AS (SELECT DISTINCT d2.src, e.dst
+           FROM d2 JOIN d1 e ON e.src = d2.dst),
+    d3 AS (SELECT src, dst FROM f3 WHERE src <> dst
+           EXCEPT SELECT src, dst FROM d2
+           EXCEPT SELECT src, dst FROM d1),
+    deg AS (SELECT src AS node, count(*) AS degree FROM d1 GROUP BY 1),
+    h AS (SELECT src AS node, 6 * count(*) AS s FROM d1 GROUP BY 1
+          UNION ALL SELECT src, 3 * count(*) FROM d2 GROUP BY 1
+          UNION ALL SELECT src, 2 * count(*) FROM d3 GROUP BY 1)
+    SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(sum(h.s) AS BIGINT) AS harmonic
+    FROM deg JOIN h ON h.node = deg.node
+    GROUP BY 1, 2
+"""
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the user↔event-type interaction
+    graph (stages/graph.py:degree_assortativity): one dedup exchange,
+    broadcast degree table, one-row moment partials per edge block,
+    arbitrary-precision driver fold — the coefficient is ONE division
+    of two exact integers (mirrored pairs ⇒ identical marginals ⇒ no
+    sqrt), bit-identical to the HUGEINT SQL oracle."""
+    from arlas_proc_ray.stages.graph import degree_assortativity
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return degree_assortativity(
+        edges, src_col="src", dst_col="dst", num_partitions=NP,
+    )
+
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+
+ORACLE_SQL["degree_assortativity"] = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM pw
+                  UNION ALL SELECT t FROM pw)
+            GROUP BY 1),
+    mom AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                   CAST(SUM(du.d + dt.d) AS HUGEINT) AS s1,
+                   CAST(SUM(du.d * dt.d) AS HUGEINT) AS sp,
+                   CAST(SUM(du.d * du.d + dt.d * dt.d) AS HUGEINT) AS s2
+            FROM pw
+            JOIN deg du ON du.node = pw.u
+            JOIN deg dt ON dt.node = pw.t)
+    SELECT CAST(2 * m AS BIGINT) AS n_pairs,
+           CAST(s1 AS BIGINT) AS sum_deg,
+           CAST(2 * sp AS BIGINT) AS sum_prod,
+           CAST(4 * m * sp - s1 * s1 AS DOUBLE)
+             / CAST(2 * m * s2 - s1 * s1 AS DOUBLE) AS assortativity
+    FROM mom
+"""

@@ -2388,3 +2388,339 @@ def earliest_arrival_exchange(
     return rd.from_arrow_refs(state_refs).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def katz_centrality_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    rounds: int = 3,
+    alpha_den: int = 4,
+    node_col: str = "node",
+    katz_col: str = "katz",
+    num_partitions: int = 32,
+):
+    """Bounded-horizon Katz centrality with EXACT integer arithmetic on
+    the resident-edge Pregel kit — zero driver node state.
+
+    ``katz(v) = Σ_{k=1..rounds} α^k · walks_k(v)`` with ``α =
+    1/alpha_den`` and ``walks_k(v)`` the number of length-k walks ending
+    at ``v`` from the all-ones start vector. Scores are returned scaled
+    by ``alpha_den^rounds`` so every value is an exact int64: the
+    attenuated sum folds through the recurrence ``s_k = alpha_den ·
+    s_{k-1} + w_k`` (algebraically ``s_K = Σ alpha_den^{K-k} w_k``) —
+    no float attenuation drift, so a chained-CTE SQL oracle reproduces
+    every bit. Beyond-reference surface (the reference, gisaia/
+    ARLAS-proc, has no graph ops).
+
+    Caller contract (int64 headroom): walk counts grow like
+    ``max_degree^rounds`` — keep ``rounds`` at the classic 3–4 and feed
+    DISTINCT edges unless multigraph walk semantics are intended
+    (everything here is linear over edge rows, so duplicates weight
+    walks by multiplicity rather than erroring).
+
+    Shape: the edge list hash-stages ONCE by ``src_col``
+    (:func:`_stage_edge_partitions` — loop-invariant); a bootstrap
+    :func:`_pregel_loop` pass folds the node set out of the edge
+    partitions (state: ``_w = 1`` walk of length 0, ``_s = 0``); each
+    walk round is one Pregel step — relax inner-merges local edges
+    against local ``(src, _w)`` state byte-exactly and emits per-dst
+    walk-count sums, fold applies the attenuation recurrence (absent
+    candidates fold as ``w = 0``; the score still scales by
+    ``alpha_den``, which is why ``early_exit`` stays off). 2·P raw
+    tasks per round; only node-sized state crosses partitions.
+    """
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if alpha_den < 2:
+        raise ValueError("alpha_den must be >= 2 (alpha = 1/alpha_den < 1)")
+
+    P = num_partitions
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    if edge_refs is None:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {node_col: pd.Series([], dtype=object),
+                 katz_col: pd.Series([], dtype="int64")}
+            )
+        )
+
+    def boot_relax(edges_pdf: pd.DataFrame, _state):
+        both = pd.concat(
+            [edges_pdf[src_col], edges_pdf[dst_col]], ignore_index=True
+        )
+        out = _bx_unique(both, node_col)
+        out["_w"] = np.int64(1)
+        out["_s"] = np.int64(0)
+        return out
+
+    def boot_fold(_state, cand_pdf):
+        if cand_pdf is None or cand_pdf.empty:
+            return (
+                pd.DataFrame(
+                    {node_col: pd.Series([], dtype=object),
+                     "_w": pd.Series([], dtype="int64"),
+                     "_s": pd.Series([], dtype="int64")}
+                ),
+                0,
+            )
+        out = _bx_groupagg(cand_pdf, node_col, {"_w": "max", "_s": "max"})
+        return out[[node_col, "_w", "_s"]], len(out)
+
+    state_refs = _pregel_loop(
+        edge_refs, None, node_col=node_col, relax_fn=boot_relax,
+        fold_fn=boot_fold, rounds=1, num_partitions=P,
+    )
+
+    def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {node_col: pd.Series([], dtype=object),
+             "_w": pd.Series([], dtype="int64")}
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        st = byte_exact_group_cols(
+            pd.DataFrame(
+                {src_col: state_pdf[node_col], "_ws": state_pdf["_w"]}
+            ),
+            [src_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf, [src_col])
+        m = ed.merge(st, on=src_col, how="inner")
+        if m.empty:
+            return empty
+        cand = pd.DataFrame(
+            {node_col: m[dst_col].to_numpy(),
+             "_w": m["_ws"].to_numpy(np.int64)}
+        )
+        return _bx_groupagg(cand, node_col, {"_w": "sum"})
+
+    def fold_fn(state_pdf: pd.DataFrame, cand_pdf):
+        w_new = np.zeros(len(state_pdf), dtype=np.int64)
+        if cand_pdf is not None and not cand_pdf.empty:
+            c = _bx_groupagg(cand_pdf, node_col, {"_w": "sum"})
+            pos = (
+                byte_exact_group_cols(
+                    state_pdf[[node_col]].copy(), [node_col]
+                )[node_col]
+                .reset_index(drop=True)
+            )
+            ck = byte_exact_group_cols(c, [node_col])
+            idx = pd.Series(
+                np.arange(len(pos), dtype=np.int64), index=pos
+            )
+            w_new[idx.loc[ck[node_col]].to_numpy(np.int64)] = (
+                ck["_w"].to_numpy(np.int64)
+            )
+        out = state_pdf[[node_col]].copy()
+        out["_w"] = w_new
+        out["_s"] = (
+            state_pdf["_s"].to_numpy(np.int64) * np.int64(alpha_den) + w_new
+        )
+        return out, int((w_new != 0).sum())
+
+    state_refs = _pregel_loop(
+        edge_refs, state_refs, node_col=node_col, relax_fn=relax_fn,
+        fold_fn=fold_fn, rounds=rounds, num_partitions=P,
+        early_exit=False,  # absent walks still scale _s by alpha_den
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column(node_col), t.column("_s").cast(pa.int64())],
+            names=[node_col, katz_col],
+        )
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def harmonic_centrality(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    max_hops: int = 3,
+    num_partitions: int = 16,
+    max_bitset_nodes: int = 8192,
+) -> pd.DataFrame:
+    """Exact bounded-horizon harmonic centrality over an undirected
+    graph: ``H(v) = Σ_{u≠v, d(u,v) ≤ max_hops} L / d(u,v)`` scaled by
+    ``L = lcm(1..max_hops)`` so every score is an exact int64 — no
+    float-reciprocal drift, hash-exact vs a chained frontier-CTE SQL
+    oracle. Beyond-reference surface (the reference has no graph ops).
+
+    Regime: adjacency-BITSET all-sources BFS, the same n²/8 broadcast
+    budget as :func:`clustering_coefficients`' bitset path
+    (``max_bitset_nodes``; past it this raises — per-pair distances for
+    big sparse graphs are a different algorithm, e.g. ANF sketches, see
+    :func:`neighborhood_growth`). Per hop ``d``: one ``map_batches``
+    pass over the DEDUPED edge Dataset ORs each endpoint's reached-set
+    rows into the other endpoint's new row (per-block n×w partials,
+    OR-merged driver-side under the node-sized collect contract — the
+    exact shape :func:`_triangles_bitset` uses to build adjacency);
+    newly-set bits contribute ``L // d`` each. Edges never leave their
+    blocks; the driver holds O(n²/8) bitset state, never pair rows.
+    """
+    import math
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions,
+    )
+    deg = _degree_table(dedup)
+    if deg.empty:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=object),
+                "degree": pd.Series([], dtype="int64"),
+                "harmonic": pd.Series([], dtype="int64"),
+            }
+        )
+    n = len(deg)
+    if n > max_bitset_nodes:
+        raise ValueError(
+            f"{n} nodes exceeds the bitset broadcast budget "
+            f"({max_bitset_nodes}); bounded-horizon per-pair distances "
+            "past it need a sketch (neighborhood_growth) or a smaller "
+            "node subset"
+        )
+    deg = deg.sort_values(["d", "node"], kind="mergesort").reset_index(
+        drop=True
+    )
+    rank = pd.Series(np.arange(n, dtype=np.int64), index=deg["node"])
+    words = (n + 63) // 64
+    L = math.lcm(*range(1, max_hops + 1))
+    rank_ref = ray.put(rank)
+
+    # reached_0 = self only
+    reached = np.zeros((n, words), dtype=np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    reached[ids, ids >> 6] |= np.uint64(1) << (ids & 63).astype(np.uint64)
+
+    harmonic = np.zeros(n, dtype=np.int64)
+    for d in range(1, max_hops + 1):
+        r_ref = ray.put(reached)
+
+        def frontier_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(rank_ref)
+            R = ray.get(r_ref)
+            ui = pdf["u"].map(r).to_numpy(np.int64)
+            vi = pdf["v"].map(r).to_numpy(np.int64)
+            C = np.zeros((n, words), dtype=np.uint64)
+            np.bitwise_or.at(C, (vi,), R[ui])
+            np.bitwise_or.at(C, (ui,), R[vi])
+            return pa.table(
+                {"bits": pa.array([C.ravel().tolist()], pa.list_(pa.uint64()))}
+            ).to_pandas()
+
+        parts = dedup.map_batches(
+            frontier_partial, batch_format="pandas", batch_size=None
+        ).to_pandas()
+        new = reached.copy()
+        flat = new.ravel()
+        for bits in parts["bits"]:
+            flat |= np.asarray(bits, dtype=np.uint64)
+        newly = new & ~reached
+        cnt = _POP8[newly.view(np.uint8)].reshape(n, -1).sum(axis=1)
+        harmonic += (L // d) * cnt
+        reached = new
+        if not cnt.any():
+            break  # fixpoint: no pair gains a shorter-or-equal path later
+
+    return pd.DataFrame(
+        {
+            "node": deg["node"],
+            "degree": deg["d"].to_numpy(np.int64),
+            "harmonic": harmonic,
+        }
+    )
+
+
+def degree_assortativity(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the MIRRORED distinct undirected edge list —
+    one row ``(n_pairs, sum_deg, sum_prod, assortativity)``.
+
+    Exactness: mirrored pairs make the x/y marginals identical, so
+    ``r = (4m·Σxy' − S₁²) / (2m·S₂ − S₁²)`` with ``m`` distinct edges,
+    ``S₁ = Σ(dᵤ+dᵥ)``, ``Σxy' = Σdᵤdᵥ``, ``S₂ = Σ(dᵤ²+dᵥ²)`` — a single
+    division of two EXACT integers (no sqrt), folded driver-side in
+    arbitrary-precision Python ints from per-block int64 partials, so
+    the SQL oracle (HUGEINT arithmetic, one DOUBLE cast each side)
+    matches bit-for-bit.
+
+    Shape: one dedup exchange (:func:`_canon_dedup_edges`), the
+    node-sized degree table broadcast via ``ray.put``, then one
+    ``map_batches`` over the deduped edges emitting a ONE-ROW moment
+    partial per block — no further shuffle at any scale.
+    """
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions,
+    )
+    deg = _degree_table(dedup)
+    empty = pd.DataFrame(
+        {
+            "n_pairs": pd.Series([], dtype="int64"),
+            "sum_deg": pd.Series([], dtype="int64"),
+            "sum_prod": pd.Series([], dtype="int64"),
+            "assortativity": pd.Series([], dtype="float64"),
+        }
+    )
+    if deg.empty:
+        return empty
+    deg_map = pd.Series(
+        deg["d"].to_numpy(np.int64), index=deg["node"]
+    )
+    deg_ref = ray.put(deg_map)
+
+    def mom_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(deg_ref)
+        x = pdf["u"].map(dm).to_numpy(np.int64)
+        y = pdf["v"].map(dm).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "m": np.array([len(pdf)], dtype=np.int64),
+                "s1": [int((x + y).sum())],
+                "sp": [int((x * y).sum())],
+                "s2": [int((x * x + y * y).sum())],
+            }
+        )
+
+    parts = dedup.map_batches(
+        mom_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if parts.empty:
+        return empty
+    # Python-int fold: exact at any scale (per-block partials are the
+    # only int64-bounded quantities; products below may exceed 2^63)
+    m = int(parts["m"].sum())
+    s1 = sum(int(v) for v in parts["s1"])
+    sp = sum(int(v) for v in parts["sp"])
+    s2 = sum(int(v) for v in parts["s2"])
+    num = 4 * m * sp - s1 * s1
+    den = 2 * m * s2 - s1 * s1
+    r = float(num) / float(den) if den else 0.0
+    return pd.DataFrame(
+        {
+            "n_pairs": np.array([2 * m], dtype=np.int64),
+            "sum_deg": np.array([s1], dtype=np.int64),
+            "sum_prod": np.array([2 * sp], dtype=np.int64),
+            "assortativity": np.array([r], dtype=np.float64),
+        }
+    )

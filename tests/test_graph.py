@@ -632,3 +632,185 @@ def test_pagerank_exchange_teleport_parity():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# round 5: katz / harmonic / assortativity
+# ---------------------------------------------------------------------------
+
+
+def _py_katz(edges, rounds=3, alpha_den=4):
+    """Brute attenuated walk counting (exact ints): s = Σ 4^{K-k} w_k."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    w = {v: 1 for v in nodes}
+    s = {v: 0 for v in nodes}
+    for _ in range(rounds):
+        nw = {v: 0 for v in nodes}
+        for u, v in edges:
+            nw[v] += w[u]
+        w = nw
+        s = {v: alpha_den * s[v] + w[v] for v in nodes}
+    return s
+
+
+def test_katz_exchange_matches_python_oracle():
+    from arlas_proc_ray.stages.graph import katz_centrality_exchange
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i}" for i in range(40)]
+    pairs = {
+        (nodes[a], nodes[b])
+        for a, b in zip(rng.integers(0, 40, 220), rng.integers(0, 40, 220))
+        if a != b
+    }
+    edges = sorted(pairs) + sorted(pairs)  # mirrored: both directions
+    edges = sorted({(u, v) for u, v in edges} | {(v, u) for u, v in pairs})
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    out = katz_centrality_exchange(
+        rd.from_pandas(pdf).repartition(5), src_col="src", dst_col="dst",
+        rounds=3, alpha_den=4, num_partitions=4,
+    ).to_pandas()
+    want = _py_katz(edges)
+    assert dict(zip(out["node"], out["katz"])) == want
+    assert out["katz"].dtype == np.int64
+
+
+def test_katz_exchange_multigraph_weights_walks_by_multiplicity():
+    from arlas_proc_ray.stages.graph import katz_centrality_exchange
+
+    edges = [("a", "b"), ("a", "b"), ("b", "c")]  # duplicate a->b
+    out = katz_centrality_exchange(
+        _edges_ds([(u, v, 1) for u, v in edges]),
+        src_col="src", dst_col="dst", rounds=3, alpha_den=4,
+        num_partitions=2,
+    ).to_pandas()
+    assert dict(zip(out["node"], out["katz"])) == _py_katz(edges)
+
+
+def test_katz_exchange_nul_ids_and_empty():
+    from arlas_proc_ray.stages.graph import katz_centrality_exchange
+
+    a, a0 = "x", "x\x00"
+    edges = [(a, "b"), ("b", a0), (a0, "c")]
+    out = katz_centrality_exchange(
+        _edges_ds([(u, v, 1) for u, v in edges]),
+        src_col="src", dst_col="dst", rounds=3, num_partitions=3,
+    ).to_pandas()
+    assert len(out) == 4
+    assert dict(zip(out["node"], out["katz"])) == _py_katz(edges)
+
+    empty = katz_centrality_exchange(
+        rd.from_pandas(pd.DataFrame({"src": [], "dst": []})),
+        src_col="src", dst_col="dst", rounds=2,
+    ).to_pandas()
+    assert len(empty) == 0
+
+
+def _py_harmonic(pairs, max_hops=3, L=6):
+    """Brute per-source BFS over the undirected deduped pair set."""
+    from collections import deque
+
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            if dist[x] >= max_hops:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        out[s] = sum(L // d for d in dist.values() if d > 0)
+    return out
+
+
+def test_harmonic_centrality_matches_bruteforce():
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+
+    rng = np.random.default_rng(11)
+    nodes = [f"h{i}" for i in range(60)]
+    pairs = {
+        tuple(sorted((nodes[a], nodes[b])))
+        for a, b in zip(rng.integers(0, 60, 150), rng.integers(0, 60, 150))
+        if a != b
+    }
+    # feed duplicated + mirrored rows: dedup is the operator's job
+    rows = [(u, v, 1) for u, v in pairs] + [(v, u, 1) for u, v in pairs]
+    out = harmonic_centrality(
+        _edges_ds(rows), src_col="src", dst_col="dst", max_hops=3,
+        num_partitions=4,
+    )
+    want = _py_harmonic(pairs)
+    assert dict(zip(out["node"], out["harmonic"])) == want
+    degs = {
+        n: len({v for u, v in pairs if u == n} | {u for u, v in pairs if v == n})
+        for n in want
+    }
+    assert dict(zip(out["node"], out["degree"])) == degs
+
+
+def test_harmonic_centrality_budget_and_empty():
+    import pytest
+
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+
+    with pytest.raises(ValueError, match="bitset broadcast budget"):
+        harmonic_centrality(
+            _edges_ds([(f"a{i}", f"b{i}", 1) for i in range(6)]),
+            src_col="src", dst_col="dst", max_bitset_nodes=4,
+        )
+    out = harmonic_centrality(
+        rd.from_pandas(pd.DataFrame({"src": [], "dst": []})),
+        src_col="src", dst_col="dst",
+    )
+    assert len(out) == 0 and list(out.columns) == ["node", "degree", "harmonic"]
+
+
+def test_harmonic_centrality_fixpoint_early_exit_exact():
+    """Two disjoint edges: everything reachable is at distance 1; rounds
+    2-3 add nothing and the loop exits at the fixpoint with exact
+    scores (6 per neighbor)."""
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+
+    out = harmonic_centrality(
+        _edges_ds([("a", "b", 1), ("c", "d", 1)]),
+        src_col="src", dst_col="dst", max_hops=3,
+    )
+    assert dict(zip(out["node"], out["harmonic"])) == {
+        "a": 6, "b": 6, "c": 6, "d": 6,
+    }
+
+
+def test_degree_assortativity_matches_numpy_and_exact_moments():
+    from arlas_proc_ray.stages.graph import degree_assortativity
+
+    rng = np.random.default_rng(13)
+    nodes = [f"d{i}" for i in range(30)]
+    pairs = {
+        tuple(sorted((nodes[a], nodes[b])))
+        for a, b in zip(rng.integers(0, 30, 90), rng.integers(0, 30, 90))
+        if a != b
+    }
+    rows = [(u, v, 1) for u, v in pairs]
+    out = degree_assortativity(
+        _edges_ds(rows), src_col="src", dst_col="dst", num_partitions=4,
+    )
+    deg: dict = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = [deg[u] for u, v in pairs] + [deg[v] for u, v in pairs]
+    ys = [deg[v] for u, v in pairs] + [deg[u] for u, v in pairs]
+    assert int(out["n_pairs"].iloc[0]) == len(xs)
+    assert int(out["sum_deg"].iloc[0]) == sum(xs)
+    assert int(out["sum_prod"].iloc[0]) == sum(
+        x * y for x, y in zip(xs, ys)
+    )
+    want_r = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert abs(float(out["assortativity"].iloc[0]) - want_r) < 1e-12
