@@ -751,3 +751,119 @@ def compression_ratio_fn(
         return batch.append_column(out_col, pa.array(ratio, pa.float64()))
 
     return fn
+
+
+def tfidf_top_terms(
+    ds,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    pattern: str = "[a-z]+",
+    idf_scale: int = 10**12,
+    num_partitions: int = 8,
+):
+    """Per-document top-``k`` terms by EXACT integer tf-idf.
+
+    ``score = tf · (idf_scale // df)`` — the idf is one integer division
+    per term (no float log), so scores are int64-exact and a SQL oracle
+    matches bit-for-bit. Ranking per document is (score DESC, term ASC),
+    the same total order the vocabulary queries use. int64 headroom
+    contract: ``max_tf · idf_scale < 2^63`` (tf is per-document — payload
+    caps, not corpus size, bound it).
+
+    Shape (two stateless passes over the document Dataset, one keyed
+    exchange total):
+
+    1. **df** — per-block DISTINCT (doc, term) partials (exact globally:
+       a document's row lives in exactly one block) → keyed sum → a
+       vocab-sized (term, df) table broadcast via ``ray.put`` — the same
+       broadcast contract as :func:`document_frequency_stop_terms`.
+    2. **score** — per block: tf recount, broadcast-df lookup, integer
+       score, per-document top-k with the deterministic tie-break —
+       all block-local, no second exchange.
+
+    Tokens are ``pattern`` matches on the lowered text ([a-z]+ by
+    default — no NUL-byte keys can arise, so plain pandas grouping is
+    byte-exact here).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    from arlas_proc_ray.stages.keyed import keyed_partition_map
+
+    def partial_df(batch: pa.Table) -> pd.DataFrame:
+        s = pc.utf8_lower(batch.column(text_col)).to_pandas().fillna("")
+        toks = s.str.findall(pattern).explode().dropna()
+        fr = pd.DataFrame(
+            {"d": toks.index.to_numpy(np.int64),
+             "term": toks.to_numpy(object)}
+        ).drop_duplicates()
+        vc = fr["term"].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(object),
+             "df_n": vc.to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(
+        partial_df, batch_format="pyarrow", batch_size=None
+    )
+    df_tbl = keyed_partition_map(
+        partials, keys=["term"], order_col="df_n",
+        fn=lambda pdf: pdf.groupby(
+            "term", sort=False, as_index=False
+        )["df_n"].sum(),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    df_map = (
+        pd.Series(df_tbl["df_n"].to_numpy(np.int64), index=df_tbl["term"])
+        if len(df_tbl)
+        else pd.Series(dtype="int64")
+    )
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                doc_col: pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int64"),
+                "df_n": pd.Series([], dtype="int64"),
+                "tfidf_scaled": pd.Series([], dtype="int64"),
+            }
+        )
+        dfm = ray.get(df_ref)
+        ids = batch.column(doc_col).to_pandas()
+        s = pc.utf8_lower(batch.column(text_col)).to_pandas().fillna("")
+        toks = s.str.findall(pattern).explode().dropna()
+        if toks.empty:
+            return empty
+        fr = pd.DataFrame(
+            {"i": toks.index.to_numpy(np.int64),
+             "term": toks.to_numpy(object)}
+        )
+        tf = (
+            fr.groupby(["i", "term"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        dfn = tf["term"].map(dfm).to_numpy(np.int64)
+        sc = tf["tf"].to_numpy(np.int64) * (int(idf_scale) // dfn)
+        out = pd.DataFrame(
+            {
+                doc_col: ids.iloc[tf["i"]].to_numpy(),
+                "term": tf["term"].to_numpy(object),
+                "tf": tf["tf"].to_numpy(np.int64),
+                "df_n": dfn,
+                "tfidf_scaled": sc,
+            }
+        )
+        out = out.sort_values(
+            ["tfidf_scaled", "term"], ascending=[False, True],
+            kind="mergesort",
+        )
+        return out.groupby(doc_col, sort=False).head(k).reset_index(drop=True)
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

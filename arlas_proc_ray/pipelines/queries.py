@@ -14010,3 +14010,42 @@ ORACLE_SQL["degree_assortativity"] = """
              / CAST(2 * m * s2 - s1 * s1 AS DOUBLE) AS assortativity
     FROM mom
 """
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 tf-idf terms with EXACT integer scores
+    (functions/text.py:tfidf_top_terms — idf is ``10^12 // df``, one
+    integer division per term, no float log): per-block distinct
+    (doc, term) partials → one keyed df sum → vocab-sized broadcast →
+    block-local tf·idf scoring and (score DESC, term ASC) top-3."""
+    from arlas_proc_ray.functions.text import tfidf_top_terms
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return tfidf_top_terms(
+        ds, doc_col="doc_id", text_col="text", k=3, num_partitions=NP,
+    )
+
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+
+ORACLE_SQL["tfidf_top_terms"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '[a-z]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df_n FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id, tf.term,
+                  CAST(tf.tf AS BIGINT) AS tf,
+                  CAST(df.df_n AS BIGINT) AS df_n,
+                  CAST(tf.tf * (1000000000000 // df.df_n) AS BIGINT)
+                    AS tfidf_scaled,
+                  row_number() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * (1000000000000 // df.df_n) DESC,
+                             tf.term ASC) AS rk
+           FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df_n, tfidf_scaled
+    FROM sc WHERE rk <= 3
+"""

@@ -532,3 +532,53 @@ def test_compression_ratio_signal_ordering_and_exactness():
             assert r[i] == len(zlib.compress(t.encode(), 6)) / len(t)
     # ordering: repetition < natural text < random noise
     assert r[0] < r[1] < r[2]
+
+
+def test_tfidf_top_terms_exact_scores_ties_and_empties():
+    from arlas_proc_ray.functions.text import tfidf_top_terms
+
+    docs = [
+        "apple apple banana cherry",   # tf: apple 2
+        "banana banana banana apple",  # tf: banana 3
+        "cherry date",                 # rare terms -> high idf
+        "",                            # no tokens: absent from output
+        None,                          # null text: absent from output
+        "aa bb cc dd",                 # 4 singleton terms: tie broken by term ASC
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = (
+        tfidf_top_terms(
+            rd.from_pandas(df).repartition(3),
+            doc_col="doc_id", text_col="text", k=3, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf_scaled", "term"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # exact python oracle
+    import collections
+
+    tfs = [collections.Counter(
+        __import__("re").findall("[a-z]+", (t or "").lower())) for t in docs]
+    dfc: collections.Counter = collections.Counter()
+    for c in tfs:
+        dfc.update(set(c))
+    S = 10**12
+    want = []
+    for i, c in enumerate(tfs):
+        rows = sorted(
+            ((tf * (S // dfc[t]), t, tf) for t, tf in c.items()),
+            key=lambda r: (-r[0], r[1]),
+        )[:3]
+        want += [(i, t, tf, dfc[t], sc) for sc, t, tf in rows]
+    got = list(
+        out[["doc_id", "term", "tf", "df_n", "tfidf_scaled"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == want
+    assert 3 not in set(out["doc_id"]) and 4 not in set(out["doc_id"])
+    # doc 5's tie resolves lexicographically: aa, bb, cc kept; dd cut
+    d5 = out[out["doc_id"] == 5]["term"].tolist()
+    assert d5 == ["aa", "bb", "cc"]
