@@ -14049,3 +14049,60 @@ ORACLE_SQL["tfidf_top_terms"] = """
     SELECT doc_id, term, tf, df_n, tfidf_scaled
     FROM sc WHERE rk <= 3
 """
+
+
+def q_late_arrival_lag(sf_dir: str):
+    """Per-user watermark lag — the streaming out-of-orderness metric:
+    with arrival order = event_id and event time = ts, each event's lag
+    is ``running_max(ts) − ts`` in arrival order; the query reports each
+    user's max lag, exact integer-µs lag sum and late-event count
+    (lag > 0). One keyed exchange (the same co-partition scan shape as
+    every per-key window here); the running max is a vectorized
+    ``cummax`` inside the partition. At CDC scale this is the per-key
+    input a watermark/allowed-lateness policy needs — how deep
+    out-of-order delivery actually runs per partition."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        runmax = (
+            pd.Series(ts).groupby(
+                pdf["user_id"].to_numpy(), sort=False
+            ).cummax().to_numpy()
+        )
+        lag = runmax - ts
+        out = pd.DataFrame(
+            {"user_id": pdf["user_id"].to_numpy(), "lag": lag,
+             "late": (lag > 0).astype(np.int64)}
+        )
+        return out.groupby("user_id", sort=False, as_index=False).agg(
+            max_lag_us=("lag", "max"),
+            sum_lag_us=("lag", "sum"),
+            n_late=("late", "sum"),
+            n_events=("late", "size"),
+        )
+
+    return keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn,
+        num_partitions=NP,
+    )
+
+
+QUERIES["late_arrival_lag"] = q_late_arrival_lag
+
+ORACLE_SQL["late_arrival_lag"] = """
+    WITH lagt AS (
+      SELECT user_id,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - epoch_us(ts) AS lag
+      FROM events)
+    SELECT user_id,
+           CAST(max(lag) AS BIGINT) AS max_lag_us,
+           CAST(sum(lag) AS BIGINT) AS sum_lag_us,
+           CAST(sum(CASE WHEN lag > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM lagt GROUP BY 1
+"""

@@ -232,6 +232,11 @@ def run_bench() -> dict:
         "user_components",
         "hits_interactions",
         "label_communities_exchange",
+        # round-5 fifth-session additions
+        "katz_centrality",
+        "harmonic_centrality",
+        "degree_assortativity",
+        "tfidf_top_terms",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
