@@ -14106,3 +14106,68 @@ ORACLE_SQL["late_arrival_lag"] = """
            CAST(count(*) AS BIGINT) AS n_events
     FROM lagt GROUP BY 1
 """
+
+
+def q_harmonic_centrality_resident(sf_dir: str):
+    """q_harmonic_centrality on the NO-driver-state path
+    (stages/neighborhood.py:harmonic_centrality_sketch, mode="exact"):
+    per-node reachability bitsets live co-partitioned in the object
+    store (n²/8 bytes ACROSS THE CLUSTER, 65536-node budget vs the
+    driver path's 8192), per-hop newly-reached counts fold next to the
+    sketch. Bit-identical to the driver-bitset path (parity-pinned in
+    tests/test_neighborhood.py), so it shares harmonic_centrality's
+    frontier-CTE SQL oracle."""
+    from arlas_proc_ray.stages.neighborhood import harmonic_centrality_sketch
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return harmonic_centrality_sketch(
+        edges, src_col="src", dst_col="dst", max_hops=3, mode="exact",
+        num_partitions=NP,
+    )
+
+
+QUERIES["harmonic_centrality_resident"] = q_harmonic_centrality_resident
+
+ORACLE_SQL["harmonic_centrality_resident"] = ORACLE_SQL["harmonic_centrality"]
+
+
+def q_harmonic_centrality_hll(sf_dir: str):
+    """q_harmonic_centrality on the UNBOUNDED-node-count sketch path
+    (HyperANF registers, n·64 bytes total state): rounded estimates,
+    rows-only in the driver protocol — the ≤15% aggregate error bound
+    vs the exact path is pinned in tests/test_neighborhood.py.
+    Deterministic across runs and resizes (value-stable hashes)."""
+    from arlas_proc_ray.stages.neighborhood import harmonic_centrality_sketch
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    return harmonic_centrality_sketch(
+        edges, src_col="src", dst_col="dst", max_hops=3, mode="hll",
+        log2m=6, num_partitions=NP,
+    )
+
+
+QUERIES["harmonic_centrality_hll"] = q_harmonic_centrality_hll

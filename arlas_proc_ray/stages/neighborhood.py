@@ -292,3 +292,192 @@ def neighborhood_function(
             "pairs": np.asarray(np.rint(counts), dtype=np.int64),
         }
     )
+
+
+def harmonic_centrality_sketch(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    max_hops: int = 3,
+    mode: str = "exact",
+    max_exact_nodes: int = 65_536,
+    log2m: int = 6,
+    num_partitions: int = 16,
+):
+    """Per-node bounded-horizon harmonic centrality on the resident-
+    sketch Pregel kit — the SCALE path past
+    :func:`arlas_proc_ray.stages.graph.harmonic_centrality`'s
+    driver-bitset budget.
+
+    ``H(v) = Σ_{d=1..max_hops} (L // d) · (|N_d(v)| − |N_{d−1}(v)|)``
+    with ``L = lcm(1..max_hops)`` — per-hop NEWLY-reached counts read
+    off the same resident reachability sketches
+    :func:`neighborhood_function` iterates: edges hash-stage once
+    (keyed on ``dst`` — propagation consumes the successor's sketch
+    where the edge lives), per-node sketch state lives co-partitioned
+    in the object store (never the driver, never broadcast), each hop
+    is one :func:`_pregel_loop` step. The harmonic accumulator and the
+    degree (= the hop-1 newly count) fold in-place next to the sketch.
+
+    - ``mode="exact"`` — real bitsets over the node index: n²/8 bytes
+      ACROSS THE CLUSTER (enforced against ``max_exact_nodes``), int64
+      scores **bit-identical to the driver-bitset path** (parity-pinned
+      in tests) and to the chained frontier-CTE SQL oracle.
+    - ``mode="hll"`` — HyperANF-style (Boldi/Rosa/Vigna WWW 2011)
+      register sketches: n·2^log2m bytes total, unbounded node counts;
+      scores and degrees are rounded estimates (~1.04/√m per-hop error
+      with partial cancellation across the sum; clamped monotone —
+      regime switches in the estimator can dip, newly counts floor at
+      0). Deterministic across runs and resizes (value-stable hashes).
+
+    Directed semantics follow edge direction (pass a mirrored list for
+    undirected); duplicate edges are harmless (union is idempotent).
+    Returns a Dataset of ``(node, degree, harmonic)`` int64.
+    """
+    import math
+
+    import ray.data as rd
+
+    if mode not in ("exact", "hll"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    P = num_partitions
+    L = math.lcm(*range(1, max_hops + 1))
+    empty_out = pd.DataFrame(
+        {
+            "node": pd.Series([], dtype=object),
+            "degree": pd.Series([], dtype="int64"),
+            "harmonic": pd.Series([], dtype="int64"),
+        }
+    )
+    edge_refs = _stage_edge_partitions(
+        edges_ds, key_col=dst_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    if edge_refs is None:
+        return rd.from_pandas(empty_out)
+
+    def uni_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        both = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [pdf[src_col].to_numpy(), pdf[dst_col].to_numpy()]
+                ),
+                "_one": np.int64(1),
+            }
+        )
+        return _bx_groupagg(both, "node", {"_one": "max"})
+
+    nodes_pdf = _tree_collect(
+        edges_ds.map_batches(
+            uni_partial, batch_format="pandas", batch_size=None
+        ),
+        lambda pdf: _bx_groupagg(pdf, "node", {"_one": "max"}),
+    )
+    nodes = sorted(nodes_pdf["node"].tolist())
+    n = len(nodes)
+
+    if mode == "exact":
+        if n > max_exact_nodes:
+            raise ValueError(
+                f"exact mode needs n²/8 sketch bytes; {n} nodes exceeds "
+                f"the {max_exact_nodes}-node budget — use mode='hll'"
+            )
+        nbytes = (n + 7) // 8
+        init_sk = []
+        for i in range(n):
+            sk = np.zeros(nbytes, dtype=np.uint8)
+            sk[i >> 3] |= 1 << (i & 7)
+            init_sk.append(sk.tobytes())
+        how = "or"
+
+        def cards(mat: np.ndarray) -> np.ndarray:
+            return _POP8[mat].sum(axis=1).astype(np.float64)
+
+    else:
+        init_sk = _hll_init(nodes, log2m)
+        how = "max"
+
+        def cards(mat: np.ndarray) -> np.ndarray:
+            return _hll_estimates(mat, log2m)
+
+    init = pd.DataFrame({"node": nodes, "_sk": init_sk})
+    init["_c"] = 1.0  # |N_0(v)| = self
+    init["_h"] = 0.0
+    init["_deg"] = 0.0
+    state_refs = _split_state_refs(init, "node", P)
+
+    def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=object),
+                "_sk": pd.Series([], dtype=object),
+            }
+        )
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        st = byte_exact_group_cols(
+            pd.DataFrame(
+                {dst_col: state_pdf["node"], "_sk": state_pdf["_sk"]}
+            ),
+            [dst_col],
+        )
+        ed = byte_exact_group_cols(edges_pdf[[src_col, dst_col]], [dst_col])
+        m = ed.merge(st, on=dst_col, how="inner")
+        if m.empty:
+            return empty
+        cand = pd.DataFrame(
+            {"node": m[src_col].to_numpy(), "_sk": m["_sk"].to_numpy()}
+        )
+        return _group_or_max(cand, "node", "_sk", how=how)
+
+    for d in range(1, max_hops + 1):
+        coeff = float(L // d)
+        is_first = d == 1
+
+        def fold_fn(state_pdf: pd.DataFrame, cand_pdf,
+                    _coeff=coeff, _first=is_first):
+            out = state_pdf[["node", "_sk", "_c", "_h", "_deg"]].copy()
+            if cand_pdf is not None and not cand_pdf.empty:
+                both = pd.concat(
+                    [state_pdf[["node", "_sk"]], cand_pdf[["node", "_sk"]]],
+                    ignore_index=True,
+                )
+                g = _group_or_max(both, "node", "_sk", how=how)
+                merged = dict(zip(g["node"], g["_sk"]))
+                out["_sk"] = [merged[v] for v in out["node"]]
+            new_c = cards(_sketch_rows(out, "_sk"))
+            newly = np.maximum(new_c - out["_c"].to_numpy(np.float64), 0.0)
+            out["_h"] = out["_h"].to_numpy(np.float64) + _coeff * newly
+            if _first:
+                out["_deg"] = newly
+            out["_c"] = new_c
+            changed = int((newly > 0).sum())
+            return out, changed
+
+        state_refs = _pregel_loop(
+            edge_refs,
+            state_refs,
+            node_col="node",
+            relax_fn=relax_fn,
+            fold_fn=fold_fn,
+            rounds=1,
+            num_partitions=P,
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [
+                t.column("node"),
+                pc.cast(pc.round(t.column("_deg")), pa.int64()),
+                pc.cast(pc.round(t.column("_h")), pa.int64()),
+            ],
+            names=["node", "degree", "harmonic"],
+        )
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -416,3 +416,71 @@ def test_earliest_arrival_time_respecting(ray_session):
     assert got.set_index("node")["arrival"].to_dict() == {
         "a": 0, "b": 10, "d": 20
     }
+
+
+def test_harmonic_sketch_exact_bit_parity_with_driver_bitset():
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+    from arlas_proc_ray.stages.neighborhood import harmonic_centrality_sketch
+
+    rng = np.random.default_rng(23)
+    names = [f"p{i}" for i in range(50)]
+    pairs = {
+        tuple(sorted((names[a], names[b])))
+        for a, b in zip(rng.integers(0, 50, 130), rng.integers(0, 50, 130))
+        if a != b
+    }
+    rows = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"])).repartition(4)
+
+    want = harmonic_centrality(
+        ds, src_col="src", dst_col="dst", max_hops=3, num_partitions=4
+    )
+    got = (
+        harmonic_centrality_sketch(
+            ds, src_col="src", dst_col="dst", max_hops=3, mode="exact",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = want.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_harmonic_sketch_hll_error_bound_and_budget():
+    import pytest
+
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+    from arlas_proc_ray.stages.neighborhood import harmonic_centrality_sketch
+
+    rng = np.random.default_rng(31)
+    names = [f"q{i}" for i in range(80)]
+    pairs = {
+        tuple(sorted((names[a], names[b])))
+        for a, b in zip(rng.integers(0, 80, 240), rng.integers(0, 80, 240))
+        if a != b
+    }
+    rows = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"])).repartition(3)
+
+    exact = harmonic_centrality(
+        ds, src_col="src", dst_col="dst", max_hops=3, num_partitions=4
+    )
+    est = harmonic_centrality_sketch(
+        ds, src_col="src", dst_col="dst", max_hops=3, mode="hll",
+        log2m=6, num_partitions=4,
+    ).to_pandas()
+    m = exact.merge(est, on="node", suffixes=("_x", "_e"))
+    assert len(m) == len(exact)
+    tot_x = m["harmonic_x"].sum()
+    tot_e = m["harmonic_e"].sum()
+    # aggregate estimate within the HyperANF band (1.04/sqrt(64) ≈ 13%
+    # per node, partial cancellation in the sum)
+    assert abs(tot_e - tot_x) / tot_x < 0.15
+
+    with pytest.raises(ValueError, match="exceeds the 8-node budget"):
+        harmonic_centrality_sketch(
+            ds, src_col="src", dst_col="dst", mode="exact",
+            max_exact_nodes=8,
+        )
