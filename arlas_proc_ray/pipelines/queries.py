@@ -14171,3 +14171,97 @@ def q_harmonic_centrality_hll(sf_dir: str):
 
 
 QUERIES["harmonic_centrality_hll"] = q_harmonic_centrality_hll
+
+
+def q_stress_from_user(sf_dir: str):
+    """Bounded-horizon (3-hop) single-source STRESS centrality — the
+    number of shortest root→target paths through each node — rooted at
+    the smallest user_id over the DISTINCT mirrored user↔event-type
+    graph (stages/graph.py:stress_centrality_exchange). The Brandes
+    two-phase shape with division-free EXACT-int64 arithmetic
+    (stress = σ·φ): forward level-synchronous path counts + backward
+    DAG-suffix counts, each hop one resident-edge Pregel step — so the
+    chained-CTE oracle matches bit-for-bit."""
+    from arlas_proc_ray.stages.graph import stress_centrality_exchange
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    root = f"u:{int(ds.min('user_id'))}"
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[["user_id", "event_type"]].drop_duplicates()
+        u = "u:" + g["user_id"].astype("int64").astype(str)
+        t = "t:" + g["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = keyed_partition_map(
+        ds.map_batches(mirror, batch_format="pandas", batch_size=None),
+        keys=["src", "dst"], order_col="src",
+        fn=lambda pdf: pdf.drop_duplicates(), num_partitions=NP,
+    )
+    return stress_centrality_exchange(
+        edges, src_col="src", dst_col="dst", source=root, max_hops=3,
+        num_partitions=NP,
+    )
+
+
+QUERIES["stress_from_user"] = q_stress_from_user
+
+
+def _stress_oracle(max_hops: int = 3) -> str:
+    """Forward sigma level CTEs + backward phi level CTEs — both
+    division-free integer DPs, mirroring stress_centrality_exchange."""
+    sql = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    edges AS (SELECT u AS src, t AS dst FROM pw
+              UNION ALL SELECT t, u FROM pw),
+    l0 AS (SELECT 'u:' || CAST(min(user_id) AS VARCHAR) AS node,
+                  1::BIGINT AS sigma
+           FROM events)"""
+    seen = ["l0"]
+    for d in range(1, max_hops + 1):
+        prev = seen[-1]
+        seen_union = " UNION ".join(f"SELECT node FROM {s}" for s in seen)
+        sql += f""",
+    c{d} AS (SELECT e.dst AS node, SUM(p.sigma) AS sigma
+             FROM edges e JOIN {prev} p ON p.node = e.src
+             GROUP BY 1),
+    l{d} AS (SELECT node, sigma FROM c{d}
+             WHERE node NOT IN ({seen_union}))"""
+        seen.append(f"l{d}")
+    sql += f""",
+    p{max_hops} AS (SELECT node, 0::BIGINT AS phi FROM l{max_hops})"""
+    for d in range(max_hops - 1, -1, -1):
+        sql += f""",
+    p{d} AS (SELECT v.node, COALESCE(SUM(1 + p.phi), 0) AS phi
+             FROM l{d} v
+             LEFT JOIN edges e ON e.src = v.node
+             LEFT JOIN p{d + 1} p ON p.node = e.dst
+             GROUP BY 1)"""
+    lev_union = " UNION ALL ".join(
+        f"SELECT node, {d} AS dist, sigma FROM l{d}"
+        for d in range(max_hops + 1)
+    )
+    phi_union = " UNION ALL ".join(
+        f"SELECT node, phi FROM p{d}" for d in range(max_hops + 1)
+    )
+    sql += f""",
+    lev AS ({lev_union}),
+    ph AS ({phi_union})
+    SELECT lev.node, CAST(lev.dist AS BIGINT) AS dist,
+           CAST(lev.sigma AS BIGINT) AS sigma,
+           CAST(CASE WHEN lev.dist = 0 THEN 0
+                ELSE lev.sigma * ph.phi END AS BIGINT) AS stress
+    FROM lev JOIN ph ON ph.node = lev.node
+"""
+    return sql
+
+
+ORACLE_SQL["stress_from_user"] = _stress_oracle()

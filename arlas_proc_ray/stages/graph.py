@@ -2724,3 +2724,225 @@ def degree_assortativity(
             "assortativity": np.array([r], dtype=np.float64),
         }
     )
+
+
+def stress_centrality_exchange(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    source,
+    max_hops: int = 3,
+    node_col: str = "node",
+    num_partitions: int = 32,
+):
+    """Bounded-horizon single-source STRESS centrality (Shimbel 1953):
+    ``stress(v) = Σ_t σ_st(v)`` — the number of shortest source→target
+    paths passing through ``v`` — for targets within ``max_hops``.
+
+    This is the Brandes two-phase shape made EXACT-INTEGER: betweenness
+    divides by σ_st (float drift, no bit-exact oracle), but stress
+    factors as ``σ_sv · φ(v)`` where σ is the forward shortest-path
+    count and ``φ(v) = Σ_{w ∈ succ_DAG(v)} (1 + φ(w))`` counts the
+    DAG-suffix paths — two division-free DP passes, so a chained-CTE
+    SQL oracle reproduces every bit. int64 headroom contract: path
+    counts multiply level widths — keep ``max_hops`` at the classic 3–4
+    and feed DISTINCT edges (duplicates would multiply path counts).
+
+    Distributed shape (resident-edge Pregel kit, zero driver node
+    state): the DEDUPED edge list stages twice — keyed by ``src`` for
+    the forward level-synchronous σ pass (frontier nodes send σ along
+    out-edges; unreached receivers fold ``dist = d, σ = Σ``), and keyed
+    by ``dst`` for the backward φ pass (nodes at depth d+1 send
+    ``1 + φ`` to in-neighbors; depth-d nodes fold the sum). Each of the
+    ``2·max_hops`` rounds is one :func:`_pregel_loop` step moving
+    node-sized state only. Returns a Dataset of
+    ``(node, dist, sigma, stress)`` for reached nodes; the source row
+    has stress 0 by convention (paths *through* an endpoint don't
+    count).
+    """
+    import ray.data as rd
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    P = num_partitions
+
+    fwd_refs = _stage_edge_partitions(
+        edges_ds, key_col=src_col, cols=[src_col, dst_col], num_partitions=P
+    )
+    empty_out = pd.DataFrame(
+        {
+            node_col: pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype="int64"),
+            "sigma": pd.Series([], dtype="int64"),
+            "stress": pd.Series([], dtype="int64"),
+        }
+    )
+    if fwd_refs is None:
+        return rd.from_pandas(empty_out)
+    bwd_refs = _stage_edge_partitions(
+        edges_ds, key_col=dst_col, cols=[src_col, dst_col], num_partitions=P
+    )
+
+    init = pd.DataFrame(
+        {node_col: [source], "_d": np.int64(0), "_sg": np.int64(1),
+         "_phi": np.int64(-1)}
+    )
+    state_refs = _split_state_refs(init, node_col, P)
+
+    # ---- forward: level-synchronous shortest-path counts ----
+    for d in range(1, max_hops + 1):
+
+        def relax_fn(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame,
+                     _d=d):
+            empty = pd.DataFrame(
+                {node_col: pd.Series([], dtype=object),
+                 "_sg": pd.Series([], dtype="int64")}
+            )
+            if edges_pdf.empty or state_pdf.empty:
+                return empty
+            fr = state_pdf[state_pdf["_d"].to_numpy(np.int64) == _d - 1]
+            if fr.empty:
+                return empty
+            st = byte_exact_group_cols(
+                pd.DataFrame({src_col: fr[node_col], "_s": fr["_sg"]}),
+                [src_col],
+            )
+            ed = byte_exact_group_cols(edges_pdf, [src_col])
+            m = ed.merge(st, on=src_col, how="inner")
+            if m.empty:
+                return empty
+            cand = pd.DataFrame(
+                {node_col: m[dst_col].to_numpy(),
+                 "_sg": m["_s"].to_numpy(np.int64)}
+            )
+            return _bx_groupagg(cand, node_col, {"_sg": "sum"})
+
+        def fold_fn(state_pdf: pd.DataFrame, cand_pdf, _d=d):
+            cols = [node_col, "_d", "_sg", "_phi"]
+            if cand_pdf is None or cand_pdf.empty:
+                return state_pdf[cols], 0
+            c = _bx_groupagg(cand_pdf, node_col, {"_sg": "sum"})
+            seen = byte_exact_group_cols(
+                state_pdf[[node_col]].copy(), [node_col]
+            )[node_col]
+            ck = byte_exact_group_cols(c, [node_col])
+            new = restore_object_cols(
+                ck[~ck[node_col].isin(set(seen))].copy(), [node_col]
+            )
+            if new.empty:
+                return state_pdf[cols], 0
+            new["_d"] = np.int64(_d)
+            new["_phi"] = np.int64(-1)
+            out = pd.concat(
+                [state_pdf[cols], new[cols]], ignore_index=True
+            )
+            return out, len(new)
+
+        state_refs = _pregel_loop(
+            fwd_refs, state_refs, node_col=node_col, relax_fn=relax_fn,
+            fold_fn=fold_fn, rounds=1, num_partitions=P,
+        )
+
+    # ---- backward: DAG-suffix path counts φ ----
+    # deepest reached level starts at φ = 0; then φ(v at d) folds
+    # Σ (1 + φ(w at d+1)) over DAG out-edges
+    def seed_phi(state_pdf: pd.DataFrame, cand_pdf, _mh=max_hops):
+        out = state_pdf.copy()
+        dd = out["_d"].to_numpy(np.int64)
+        phi = out["_phi"].to_numpy(np.int64).copy()
+        phi[dd == _mh] = 0
+        out["_phi"] = phi
+        return out, 0
+
+    state_refs = _pregel_loop(
+        bwd_refs, state_refs, node_col=node_col,
+        relax_fn=lambda e, s: pd.DataFrame(
+            {node_col: pd.Series([], dtype=object)}
+        ),
+        fold_fn=seed_phi, rounds=1, num_partitions=P, early_exit=False,
+    )
+
+    for d in range(max_hops - 1, -1, -1):
+
+        def relax_bwd(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame,
+                      _d=d):
+            empty = pd.DataFrame(
+                {node_col: pd.Series([], dtype=object),
+                 "_c": pd.Series([], dtype="int64")}
+            )
+            if edges_pdf.empty or state_pdf.empty:
+                return empty
+            deep = state_pdf[
+                state_pdf["_d"].to_numpy(np.int64) == _d + 1
+            ]
+            if deep.empty:
+                return empty
+            st = byte_exact_group_cols(
+                pd.DataFrame(
+                    {dst_col: deep[node_col],
+                     "_p": deep["_phi"].to_numpy(np.int64) + 1}
+                ),
+                [dst_col],
+            )
+            ed = byte_exact_group_cols(edges_pdf, [dst_col])
+            m = ed.merge(st, on=dst_col, how="inner")
+            if m.empty:
+                return empty
+            cand = pd.DataFrame(
+                {node_col: m[src_col].to_numpy(),
+                 "_c": m["_p"].to_numpy(np.int64)}
+            )
+            return _bx_groupagg(cand, node_col, {"_c": "sum"})
+
+        def fold_bwd(state_pdf: pd.DataFrame, cand_pdf, _d=d):
+            cols = [node_col, "_d", "_sg", "_phi"]
+            out = state_pdf[cols].copy()
+            dd = out["_d"].to_numpy(np.int64)
+            phi = out["_phi"].to_numpy(np.int64).copy()
+            add = np.zeros(len(out), dtype=np.int64)
+            if cand_pdf is not None and not cand_pdf.empty:
+                c = _bx_groupagg(cand_pdf, node_col, {"_c": "sum"})
+                pos_keys = byte_exact_group_cols(
+                    out[[node_col]].copy(), [node_col]
+                )[node_col].reset_index(drop=True)
+                idx = pd.Series(
+                    np.arange(len(pos_keys), dtype=np.int64), index=pos_keys
+                )
+                ck = byte_exact_group_cols(c, [node_col])
+                hit = ck[node_col].isin(idx.index)
+                add[idx.loc[ck[node_col][hit]].to_numpy(np.int64)] = (
+                    ck["_c"].to_numpy(np.int64)[hit.to_numpy()]
+                )
+            # only depth-_d nodes finalize this round (their DAG
+            # successors, depth _d+1, just became final)
+            mask = dd == _d
+            phi[mask] = add[mask]
+            out["_phi"] = phi
+            return out, int(mask.sum())
+
+        state_refs = _pregel_loop(
+            bwd_refs, state_refs, node_col=node_col, relax_fn=relax_bwd,
+            fold_fn=fold_bwd, rounds=1, num_partitions=P,
+            early_exit=False,
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        sg = pdf["_sg"].to_numpy(np.int64)
+        phi = np.maximum(pdf["_phi"].to_numpy(np.int64), 0)
+        dd = pdf["_d"].to_numpy(np.int64)
+        stress = np.where(dd == 0, np.int64(0), sg * phi)
+        out = pd.DataFrame(
+            {
+                node_col: pdf[node_col],
+                "dist": dd,
+                "sigma": sg,
+                "stress": stress,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return rd.from_arrow_refs(state_refs).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

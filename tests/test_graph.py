@@ -814,3 +814,96 @@ def test_degree_assortativity_matches_numpy_and_exact_moments():
     )
     want_r = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
     assert abs(float(out["assortativity"].iloc[0]) - want_r) < 1e-12
+
+
+def _py_stress(edges, source, max_hops=3):
+    """Brute single-source stress: forward sigma by level, backward
+    DAG-suffix path counts, stress = sigma * phi (0 at the source)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+    dist = {source: 0}
+    sigma = {source: 1}
+    frontier = [source]
+    for d in range(1, max_hops + 1):
+        inc: dict = defaultdict(int)
+        for u in frontier:
+            for w in adj[u]:
+                if w not in dist or dist[w] == d:
+                    inc[w] += sigma[u]
+        frontier = [w for w in inc if w not in dist]
+        for w in frontier:
+            dist[w] = d
+            sigma[w] = inc[w]
+    phi = {v: 0 for v in dist}
+    for d in range(max_hops - 1, -1, -1):
+        for v in dist:
+            if dist[v] != d:
+                continue
+            phi[v] = sum(
+                1 + phi[w] for w in adj[v]
+                if w in dist and dist[w] == d + 1
+            )
+    return {
+        v: (dist[v], sigma[v], 0 if v == source else sigma[v] * phi[v])
+        for v in dist
+    }
+
+
+def test_stress_exchange_matches_python_oracle():
+    from arlas_proc_ray.stages.graph import stress_centrality_exchange
+
+    rng = np.random.default_rng(41)
+    names = [f"s{i}" for i in range(36)]
+    pairs = {
+        (names[a], names[b])
+        for a, b in zip(rng.integers(0, 36, 160), rng.integers(0, 36, 160))
+        if a != b
+    }
+    edges = sorted(pairs | {(v, u) for u, v in pairs})
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    out = stress_centrality_exchange(
+        rd.from_pandas(pdf).repartition(4), src_col="src", dst_col="dst",
+        source="s0", max_hops=3, num_partitions=4,
+    ).to_pandas()
+    want = _py_stress(edges, "s0")
+    got = {
+        r.node: (r.dist, r.sigma, r.stress)
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_stress_exchange_diamond_and_nul_ids():
+    from arlas_proc_ray.stages.graph import stress_centrality_exchange
+
+    # diamond: s -> a,b -> t  (2 shortest paths; stress(a)=stress(b)=1,
+    # sigma(t)=2) plus a NUL twin of a that must stay distinct
+    a, a0 = "a", "a\x00"
+    edges = [("s", a), ("s", "b"), ("s", a0),
+             (a, "t"), ("b", "t"), (a0, "t"), ("t", "z")]
+    out = stress_centrality_exchange(
+        _edges_ds([(u, v, 1) for u, v in edges]),
+        src_col="src", dst_col="dst", source="s", max_hops=3,
+        num_partitions=3,
+    ).to_pandas()
+    want = _py_stress(edges, "s")
+    got = {
+        r.node: (r.dist, r.sigma, r.stress)
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+    assert got["t"] == (2, 3, 3)  # 3 paths reach t, all continue to z
+    assert got[a] == (1, 1, 2) and got[a0] == (1, 1, 2)
+
+
+def test_stress_exchange_empty_edges():
+    from arlas_proc_ray.stages.graph import stress_centrality_exchange
+
+    out = stress_centrality_exchange(
+        rd.from_pandas(pd.DataFrame({"src": [], "dst": []})),
+        src_col="src", dst_col="dst", source="s",
+    ).to_pandas()
+    assert len(out) == 0
