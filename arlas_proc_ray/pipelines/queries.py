@@ -14265,3 +14265,60 @@ def _stress_oracle(max_hops: int = 3) -> str:
 
 
 ORACLE_SQL["stress_from_user"] = _stress_oracle()
+
+
+def q_closeness_from_interactions(sf_dir: str):
+    """Bounded-horizon (3-hop) closeness ingredients per node — exact
+    int64 ``n_reached`` (nodes within horizon) and ``sum_dist``
+    (Σ shortest distances) — from the SAME adjacency-bitset all-sources
+    BFS pass as harmonic_centrality (include_closeness=True: zero extra
+    passes). Exact division-free columns; any closeness convention
+    derives downstream."""
+    from arlas_proc_ray.stages.graph import harmonic_centrality
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def mirror(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + pdf["user_id"].astype("int64").astype(str)
+        t = "t:" + pdf["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "src": pd.concat([u, t], ignore_index=True),
+                "dst": pd.concat([t, u], ignore_index=True),
+            }
+        )
+
+    edges = ds.map_batches(mirror, batch_format="pandas", batch_size=None)
+    out = harmonic_centrality(
+        edges, src_col="src", dst_col="dst", max_hops=3,
+        num_partitions=NP, include_closeness=True,
+    )
+    return out[["node", "n_reached", "sum_dist"]]
+
+
+QUERIES["closeness_from_interactions"] = q_closeness_from_interactions
+
+ORACLE_SQL["closeness_from_interactions"] = """
+    WITH pw AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+             't:' || event_type AS t
+      FROM events),
+    d1 AS (SELECT u AS src, t AS dst FROM pw
+           UNION ALL SELECT t, u FROM pw),
+    f2 AS (SELECT DISTINCT d1.src, e.dst
+           FROM d1 JOIN d1 e ON e.src = d1.dst),
+    d2 AS (SELECT src, dst FROM f2 WHERE src <> dst
+           EXCEPT SELECT src, dst FROM d1),
+    f3 AS (SELECT DISTINCT d2.src, e.dst
+           FROM d2 JOIN d1 e ON e.src = d2.dst),
+    d3 AS (SELECT src, dst FROM f3 WHERE src <> dst
+           EXCEPT SELECT src, dst FROM d2
+           EXCEPT SELECT src, dst FROM d1),
+    h AS (SELECT src AS node, count(*) AS n, 1 * count(*) AS s
+          FROM d1 GROUP BY 1
+          UNION ALL SELECT src, count(*), 2 * count(*) FROM d2 GROUP BY 1
+          UNION ALL SELECT src, count(*), 3 * count(*) FROM d3 GROUP BY 1)
+    SELECT node, CAST(sum(n) AS BIGINT) AS n_reached,
+           CAST(sum(s) AS BIGINT) AS sum_dist
+    FROM h GROUP BY 1
+"""

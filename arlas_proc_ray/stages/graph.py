@@ -2549,12 +2549,21 @@ def harmonic_centrality(
     max_hops: int = 3,
     num_partitions: int = 16,
     max_bitset_nodes: int = 8192,
+    include_closeness: bool = False,
 ) -> pd.DataFrame:
     """Exact bounded-horizon harmonic centrality over an undirected
     graph: ``H(v) = Σ_{u≠v, d(u,v) ≤ max_hops} L / d(u,v)`` scaled by
     ``L = lcm(1..max_hops)`` so every score is an exact int64 — no
     float-reciprocal drift, hash-exact vs a chained frontier-CTE SQL
     oracle. Beyond-reference surface (the reference has no graph ops).
+
+    ``include_closeness=True`` appends the bounded-horizon closeness
+    ingredients as two more exact int64 columns from the SAME newly-
+    reached counts (zero extra passes): ``n_reached`` (nodes within
+    ``max_hops``, self excluded) and ``sum_dist`` (Σ d(u,v) over them) —
+    the caller derives any closeness variant, e.g. Wasserman-Faust
+    ``(n_reached²) / (sum_dist·(n−1))``, without this function picking
+    a float convention.
 
     Regime: adjacency-BITSET all-sources BFS, the same n²/8 broadcast
     budget as :func:`clustering_coefficients`' bitset path
@@ -2578,13 +2587,17 @@ def harmonic_centrality(
     )
     deg = _degree_table(dedup)
     if deg.empty:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "node": pd.Series([], dtype=object),
                 "degree": pd.Series([], dtype="int64"),
                 "harmonic": pd.Series([], dtype="int64"),
             }
         )
+        if include_closeness:
+            out["n_reached"] = pd.Series([], dtype="int64")
+            out["sum_dist"] = pd.Series([], dtype="int64")
+        return out
     n = len(deg)
     if n > max_bitset_nodes:
         raise ValueError(
@@ -2607,6 +2620,8 @@ def harmonic_centrality(
     reached[ids, ids >> 6] |= np.uint64(1) << (ids & 63).astype(np.uint64)
 
     harmonic = np.zeros(n, dtype=np.int64)
+    n_reached = np.zeros(n, dtype=np.int64)
+    sum_dist = np.zeros(n, dtype=np.int64)
     for d in range(1, max_hops + 1):
         r_ref = ray.put(reached)
 
@@ -2632,17 +2647,23 @@ def harmonic_centrality(
         newly = new & ~reached
         cnt = _POP8[newly.view(np.uint8)].reshape(n, -1).sum(axis=1)
         harmonic += (L // d) * cnt
+        n_reached += cnt
+        sum_dist += d * cnt
         reached = new
         if not cnt.any():
             break  # fixpoint: no pair gains a shorter-or-equal path later
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "node": deg["node"],
             "degree": deg["d"].to_numpy(np.int64),
             "harmonic": harmonic,
         }
     )
+    if include_closeness:
+        out["n_reached"] = n_reached
+        out["sum_dist"] = sum_dist
+    return out
 
 
 def degree_assortativity(
