@@ -14322,3 +14322,73 @@ ORACLE_SQL["closeness_from_interactions"] = """
            CAST(sum(s) AS BIGINT) AS sum_dist
     FROM h GROUP BY 1
 """
+
+
+def q_cdc_fanin_replay(sf_dir: str):
+    """The SAME deterministic events-derived replay as
+    ``cdc_engine_replay``, delivered as THREE mutually-skewed source
+    shards (lsn % 3) through watermark-cut fan-in (cdc/fanin.py): each
+    round every shard has durably delivered a different prefix of its
+    feed, the epoch cuts at W = min over shards of high-water, drained
+    shards lift their gate (closed-source convention). The final state
+    must be hash-identical to the single-feed SQL LWW oracle —
+    driver-visible verification that sharded fan-in under skew
+    preserves exactly-once semantics."""
+    import shutil
+    import tempfile
+
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.fanin import fanin_cut
+    from arlas_proc_ray.model import DataModel
+
+    K = 3
+    m = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    changelog = _events_changelog_v1(sf_dir).materialize()
+
+    def shard_prefix(s: int, frac: float):
+        thr = int(m * frac) + 1
+
+        def pick(t: pa.Table) -> pa.Table:
+            lsn = t.column("lsn")
+            own = pc.equal(
+                pc.subtract(lsn, pc.multiply(pc.divide(lsn, K), K)), s
+            )
+            return t.filter(pc.and_(own, pc.less(lsn, thr)))
+
+        return changelog.map_batches(
+            pick, batch_format="pyarrow", batch_size=None
+        )
+
+    # deterministic skewed schedule: (delivered fraction per shard);
+    # everyone drains by the last round, shard 2 trails hard
+    rounds = [(0.6, 0.35, 0.1), (1.0, 0.8, 0.45), (1.0, 1.0, 1.0)]
+    snap = tempfile.mkdtemp(prefix="cdc_fanin_replay_")
+    try:
+        eng = CdcEngine(snap, DataModel(num_partitions=NP))
+        cut, epoch = -1, 0
+        for fr in rounds:
+            sources = {f"s{s}": shard_prefix(s, fr[s]) for s in range(K)}
+            hw = {
+                f"s{s}": ((1 << 62) if fr[s] >= 1.0 else int(m * fr[s]))
+                for s in range(K)
+            }
+            ds, new_cut = fanin_cut(sources, hw, prev_cut=cut)
+            if ds is None:
+                continue
+            epoch += 1
+            if epoch % 2:
+                eng.apply_epoch_staged(ds, epoch)
+            else:
+                eng.apply_epoch(ds, epoch)
+            cut = new_cut
+        if cut < m:
+            raise RuntimeError(f"fan-in did not drain: cut={cut} max={m}")
+        out = eng.final_state()
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+QUERIES["cdc_fanin_replay"] = q_cdc_fanin_replay
+
+ORACLE_SQL["cdc_fanin_replay"] = ORACLE_SQL["cdc_engine_replay"]
