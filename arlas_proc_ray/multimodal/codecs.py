@@ -195,6 +195,99 @@ class DecodeAudio:
         return out.drop(columns=[self.payload_col])
 
 
+def window_audio_features(
+    samples: np.ndarray, rate: int, *, window_s: float = 0.5,
+    hop_s: float | None = None,
+) -> pd.DataFrame:
+    """Per-window audio features — the framed (VAD/segmentation-grade)
+    variant of :func:`audio_features`, fully vectorized: the clip is
+    framed into ``window_s`` windows every ``hop_s`` seconds (default =
+    no overlap) via one strided gather, and RMS / zero-crossing rate /
+    peak compute as row reductions over the (n_windows, win) matrix —
+    no per-window Python. The ragged tail (< one window) is dropped,
+    matching the usual framing convention."""
+    win = max(1, int(round(window_s * rate)))
+    hop = win if hop_s is None else max(1, int(round(hop_s * rate)))
+    n = len(samples)
+    n_win = 0 if n < win else 1 + (n - win) // hop
+    if n_win == 0:
+        return pd.DataFrame(
+            {
+                "window_idx": pd.Series([], dtype="int64"),
+                "t0_s": pd.Series([], dtype="float64"),
+                "rms": pd.Series([], dtype="float64"),
+                "zero_crossing_rate": pd.Series([], dtype="float64"),
+                "peak": pd.Series([], dtype="float64"),
+            }
+        )
+    idx = (
+        np.arange(win)[None, :]
+        + (np.arange(n_win, dtype=np.int64) * hop)[:, None]
+    )
+    m = samples[idx].astype(np.float64)
+    rms = np.sqrt(np.mean(m * m, axis=1))
+    zcr = np.abs(np.diff(np.signbit(m).astype(np.int8), axis=1)).mean(axis=1)
+    peak = np.abs(m).max(axis=1)
+    return pd.DataFrame(
+        {
+            "window_idx": np.arange(n_win, dtype=np.int64),
+            "t0_s": (np.arange(n_win, dtype=np.int64) * hop) / rate,
+            "rms": rms,
+            "zero_crossing_rate": zcr,
+            "peak": peak,
+        }
+    )
+
+
+class WindowedAudioFeatures:
+    """Actor-pool stage: WAV payloads → EXPLODED per-window feature rows
+    (one input clip becomes n_windows output rows; id columns are
+    carried, the payload column is dropped). The audio analogue of the
+    demux-pruned video frame sampler: decode once per clip in the
+    actor, frame + reduce vectorized, emit a ragged explode — so
+    downstream filters (silence trim, loudness gates) stay row ops.
+    Null payloads emit zero rows (same skip convention as the video
+    sampler)."""
+
+    def __init__(self, payload_col: str = "payload", *,
+                 window_s: float = 0.5, hop_s: float | None = None):
+        self.payload_col = payload_col
+        self.window_s = window_s
+        self.hop_s = hop_s
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        carry = batch.to_pandas().drop(columns=[self.payload_col])
+        outs = []
+        for i, v in enumerate(batch.column(self.payload_col)):
+            if not v.is_valid:
+                continue
+            samples, rate = decode_wav(v.as_py())
+            w = window_audio_features(
+                samples, rate, window_s=self.window_s, hop_s=self.hop_s
+            )
+            if w.empty:
+                continue
+            for c in carry.columns:
+                w[c] = carry[c].iloc[i]
+            w["sample_rate"] = np.int64(rate)
+            outs.append(w)
+        if not outs:
+            out = pd.DataFrame(
+                {
+                    "window_idx": pd.Series([], dtype="int64"),
+                    "t0_s": pd.Series([], dtype="float64"),
+                    "rms": pd.Series([], dtype="float64"),
+                    "zero_crossing_rate": pd.Series([], dtype="float64"),
+                    "peak": pd.Series([], dtype="float64"),
+                }
+            )
+            for c in carry.columns:
+                out[c] = pd.Series([], dtype=carry[c].dtype)
+            out["sample_rate"] = pd.Series([], dtype="int64")
+            return out
+        return pd.concat(outs, ignore_index=True)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes: PNG, baseline JPEG or netpbm → uint8."""
     if payload[:8] == _PNG_MAGIC:

@@ -894,3 +894,76 @@ def test_sample_video_frames_stage(ray_session):
     assert out[out["doc_id"] == "b"]["frame_index"].tolist() == want_b
     assert (out["height"] == 16).all() and (out["channels"] == 3).all()
     assert all(len(t) == 4 * 4 * 3 for t in out["thumb"])
+
+
+def test_windowed_audio_features_vectorized_matches_per_window_oracle():
+    from arlas_proc_ray.multimodal.codecs import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+        window_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate  # 2 s clip
+    sig = np.concatenate(
+        [
+            (0.5 * np.sin(2 * np.pi * 440 * t[: rate // 2])),  # tone
+            np.zeros(rate // 2),                                # silence
+            (0.25 * np.sin(2 * np.pi * 880 * t[rate:])),        # quieter
+        ]
+    ).astype(np.float32)
+    samples, r2 = decode_wav(encode_wav(sig, rate))
+    assert r2 == rate
+
+    w = window_audio_features(samples, rate, window_s=0.25)
+    assert len(w) == len(samples) // (rate // 4)
+    # per-window oracle via the whole-clip kernel on each slice
+    win = rate // 4
+    for i in range(len(w)):
+        seg = samples[i * win:(i + 1) * win]
+        f = audio_features(seg, rate)
+        assert abs(w["rms"].iloc[i] - f["rms"]) < 1e-12
+        assert (
+            abs(w["zero_crossing_rate"].iloc[i] - f["zero_crossing_rate"])
+            < 1e-12
+        )
+        assert w["peak"].iloc[i] == np.abs(seg.astype(np.float64)).max()
+    # the silent middle windows are exactly zero; tone windows are not
+    mid = w[(w["t0_s"] >= 0.5) & (w["t0_s"] < 1.0)]
+    assert (mid["rms"] == 0.0).all() and (mid["peak"] == 0.0).all()
+    assert (w[w["t0_s"] < 0.5]["rms"] > 0.3).all()
+    # overlap: hop = half window doubles (minus edge) the row count
+    w2 = window_audio_features(samples, rate, window_s=0.25, hop_s=0.125)
+    assert len(w2) == 2 * len(w) - 1
+
+
+def test_windowed_audio_stage_explodes_and_skips_nulls(ray_session):
+    from arlas_proc_ray.multimodal.codecs import (
+        WindowedAudioFeatures,
+        encode_wav,
+    )
+
+    rate = 4000
+    clip = (0.5 * np.sin(np.arange(rate) * 0.3)).astype(np.float32)  # 1 s
+    short = clip[: rate // 10]  # 0.1 s < one 0.5 s window -> zero rows
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "payload": [encode_wav(clip, rate), None,
+                        encode_wav(short, rate)],
+        }
+    )
+    out = (
+        rd.from_pandas(pdf)
+        .map_batches(
+            WindowedAudioFeatures("payload", window_s=0.5),
+            batch_format="pyarrow", batch_size=None,
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert set(out["media_id"]) == {1}
+    assert len(out) == 2 and list(out["window_idx"]) == [0, 1]
+    assert (out["sample_rate"] == rate).all()
+    assert "payload" not in out.columns
