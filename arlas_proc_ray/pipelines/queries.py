@@ -14392,3 +14392,50 @@ def q_cdc_fanin_replay(sf_dir: str):
 QUERIES["cdc_fanin_replay"] = q_cdc_fanin_replay
 
 ORACLE_SQL["cdc_fanin_replay"] = ORACLE_SQL["cdc_engine_replay"]
+
+
+def q_link_prediction_features(sf_dir: str):
+    """Per-edge link-prediction features (common neighbors, endpoint
+    degrees, neighborhood-union size — all exact int64) over the user
+    co-engagement graph (stages/graph.py:common_neighbor_features): one
+    dedup exchange + distributed bitset build + ONE AND+popcount pass
+    emitting a feature row per edge; Jaccard/overlap derive downstream
+    from the exact integers."""
+    from arlas_proc_ray.stages.graph import common_neighbor_features
+
+    edges = _coengagement_edges(sf_dir)
+    return common_neighbor_features(
+        edges, src_col="x", dst_col="y", num_partitions=NP,
+    )
+
+
+QUERIES["link_prediction_features"] = q_link_prediction_features
+
+ORACLE_SQL["link_prediction_features"] = """
+    WITH ek AS (
+      SELECT DISTINCT user_id,
+             event_type || ':' || json_extract_string(props, '$.k') || ':'
+               || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ck
+      FROM events),
+    ed AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+           FROM ek a JOIN ek b
+             ON a.ck = b.ck AND a.user_id < b.user_id),
+    und AS (SELECT u AS s, v AS d FROM ed
+            UNION ALL SELECT v, u FROM ed),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM und GROUP BY 1),
+    cn AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS common
+           FROM ed e
+           JOIN und a ON a.s = e.u
+           JOIN und b ON b.s = e.v AND b.d = a.d
+           GROUP BY 1, 2)
+    SELECT e.u, e.v,
+           CAST(COALESCE(cn.common, 0) AS BIGINT) AS common,
+           du.dg AS deg_u, dv.dg AS deg_v,
+           CAST(du.dg + dv.dg - COALESCE(cn.common, 0) AS BIGINT)
+             AS union_n
+    FROM ed e
+    LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+"""

@@ -2967,3 +2967,116 @@ def stress_centrality_exchange(
     return rd.from_arrow_refs(state_refs).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def common_neighbor_features(
+    edges_ds,
+    *,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int = 16,
+    max_bitset_nodes: int = 8192,
+):
+    """Per-edge link-prediction features over an undirected graph: for
+    every DISTINCT canonical edge (u, v) — ``common`` (|N(u) ∩ N(v)|),
+    the endpoint degrees, and ``union_n`` (|N(u) ∪ N(v)| = deg_u +
+    deg_v − common) — all exact int64, so Jaccard / overlap / any
+    similarity convention derives downstream without a float policy
+    here. Beyond-reference surface.
+
+    Shape: the adjacency-bitset regime of :func:`_triangles_bitset`
+    reused edge-parallel — one dedup exchange, node-sized degree
+    collect, distributed bitset build (per-block n×w partials,
+    OR-merged under the node-sized contract), then ONE ``map_batches``
+    AND+popcount pass over the deduped edge Dataset that emits a
+    feature row per edge instead of folding a sum. Same n²/8 broadcast
+    budget (loud past ``max_bitset_nodes``); edges never leave their
+    blocks, output is edge-sized and stays a Dataset.
+    """
+    import ray.data as rd
+
+    dedup = _canon_dedup_edges(
+        edges_ds, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions,
+    )
+    deg = _degree_table(dedup)
+    if deg.empty:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=object),
+                    "v": pd.Series([], dtype=object),
+                    "common": pd.Series([], dtype="int64"),
+                    "deg_u": pd.Series([], dtype="int64"),
+                    "deg_v": pd.Series([], dtype="int64"),
+                    "union_n": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    n = len(deg)
+    if n > max_bitset_nodes:
+        raise ValueError(
+            f"{n} nodes exceeds the bitset broadcast budget "
+            f"({max_bitset_nodes}); per-edge common-neighbor counts past "
+            "it go through the wedge pipeline's pair emission instead"
+        )
+    deg = deg.sort_values(["d", "node"], kind="mergesort").reset_index(
+        drop=True
+    )
+    rank = pd.Series(np.arange(n, dtype=np.int64), index=deg["node"])
+    words = (n + 63) // 64
+    rank_ref = ray.put(rank)
+    deg_ref = ray.put(
+        pd.Series(deg["d"].to_numpy(np.int64), index=deg["node"])
+    )
+
+    def bits_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ui = pdf["u"].map(r).to_numpy(np.int64)
+        vi = pdf["v"].map(r).to_numpy(np.int64)
+        B = np.zeros((n, words), dtype=np.uint64)
+        for a, b in ((ui, vi), (vi, ui)):
+            np.bitwise_or.at(
+                B, (a, b >> 6), np.uint64(1) << (b & 63).astype(np.uint64)
+            )
+        return pa.table(
+            {"bits": pa.array([B.ravel().tolist()], pa.list_(pa.uint64()))}
+        ).to_pandas()
+
+    parts = dedup.map_batches(
+        bits_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    B = np.zeros(n * words, dtype=np.uint64)
+    for bits in parts["bits"]:
+        B |= np.asarray(bits, dtype=np.uint64)
+    bits_ref = ray.put(B.reshape(n, words))
+
+    def edge_features(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        dm = ray.get(deg_ref)
+        adj = ray.get(bits_ref)
+        ui = pdf["u"].map(r).to_numpy(np.int64)
+        vi = pdf["v"].map(r).to_numpy(np.int64)
+        common = np.zeros(len(ui), dtype=np.int64)
+        for lo in range(0, len(ui), 4096):  # bound the AND matrix's heap
+            us, vs = ui[lo:lo + 4096], vi[lo:lo + 4096]
+            rows = adj[us] & adj[vs]
+            common[lo:lo + 4096] = (
+                _POP8[rows.view(np.uint8)].reshape(len(us), -1).sum(axis=1)
+            )
+        du = pdf["u"].map(dm).to_numpy(np.int64)
+        dv = pdf["v"].map(dm).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "u": pdf["u"].to_numpy(),
+                "v": pdf["v"].to_numpy(),
+                "common": common,
+                "deg_u": du,
+                "deg_v": dv,
+                "union_n": du + dv - common,
+            }
+        )
+
+    return dedup.map_batches(
+        edge_features, batch_format="pandas", batch_size=None
+    )

@@ -907,3 +907,36 @@ def test_stress_exchange_empty_edges():
         src_col="src", dst_col="dst", source="s",
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_common_neighbor_features_matches_bruteforce():
+    from arlas_proc_ray.stages.graph import common_neighbor_features
+
+    rng = np.random.default_rng(17)
+    names = [f"c{i}" for i in range(40)]
+    pairs = {
+        tuple(sorted((names[a], names[b])))
+        for a, b in zip(rng.integers(0, 40, 140), rng.integers(0, 40, 140))
+        if a != b
+    }
+    rows = [(u, v, 1) for u, v in pairs] + [(v, u, 1) for u, v in pairs]
+    out = (
+        common_neighbor_features(
+            _edges_ds(rows), src_col="src", dst_col="dst",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert len(out) == len(pairs)
+    for r in out.itertuples(index=False):
+        cn = len(adj[r.u] & adj[r.v])
+        assert (r.common, r.deg_u, r.deg_v, r.union_n) == (
+            cn, len(adj[r.u]), len(adj[r.v]),
+            len(adj[r.u]) + len(adj[r.v]) - cn,
+        )
