@@ -235,8 +235,14 @@ def run_bench() -> dict:
         # round-5 fifth-session additions
         "katz_centrality",
         "harmonic_centrality",
+        "harmonic_centrality_resident",
         "degree_assortativity",
         "tfidf_top_terms",
+        "late_arrival_lag",
+        "stress_from_user",
+        "closeness_from_interactions",
+        "link_prediction_features",
+        "cdc_fanin_replay",
     ]
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
