@@ -188,3 +188,127 @@ def test_fanin_cut_metadata_semantics(ray_session):
     ds3, w3 = fanin_cut({}, {}, prev_cut=5)
     assert ds3 is None and w3 == 5
     assert isinstance(a, rd.Dataset)
+
+
+# ---------------------------------------------------------------------------
+# FaninTailer: shard DIRECTORIES through watermark cuts
+# ---------------------------------------------------------------------------
+
+CFG = ChangelogConfig(num_events=4500, num_keys=300, seed=21)
+K = 3
+
+
+def _write_shard_segment(shard_dir, *, lo, hi, source, name):
+    """Land shard `source`'s slice of [lo, hi) as one parquet segment."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pdf = changelog_dataset(CFG, lo=lo, hi=hi).to_pandas()
+    pdf = pdf[pdf["lsn"] % K == source]
+    os.makedirs(shard_dir, exist_ok=True)
+    tmp = os.path.join(shard_dir, name + ".tmp")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), tmp
+    )
+    import os as _os
+
+    _os.replace(tmp, _os.path.join(shard_dir, name))
+
+
+def _close_shard(shard_dir):
+    import os
+
+    open(os.path.join(shard_dir, "_CLOSED"), "w").close()
+
+
+def test_fanin_tailer_skewed_arrivals_match_oracle(tmp_path, ray_session):
+    from arlas_proc_ray.cdc.fanin import FaninTailer
+
+    N = CFG.num_events
+    dirs = {f"s{s}": str(tmp_path / f"wal{s}") for s in range(K)}
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    t = FaninTailer(eng, dirs)
+
+    # round 1: shards 0/1 land big prefixes, laggard shard 2 lands none —
+    # nothing cuttable (its gate holds W at -1)
+    _write_shard_segment(dirs["s0"], lo=0, hi=3000, source=0, name="a.parquet")
+    _write_shard_segment(dirs["s1"], lo=0, hi=2000, source=1, name="a.parquet")
+    r = t.poll()
+    assert not r["applied"]
+
+    # round 2: the laggard lands a small prefix -> W = its high-water
+    _write_shard_segment(dirs["s2"], lo=0, hi=800, source=2, name="a.parquet")
+    r = t.poll()
+    assert r["applied"] and r["hi"] < 800
+
+    # round 3: everyone drains and closes; straddlers re-read, no dupes
+    _write_shard_segment(dirs["s0"], lo=3000, hi=N, source=0, name="b.parquet")
+    _write_shard_segment(dirs["s1"], lo=2000, hi=N, source=1, name="b.parquet")
+    _write_shard_segment(dirs["s2"], lo=800, hi=N, source=2, name="b.parquet")
+    for d in dirs.values():
+        _close_shard(d)
+    out = t.run_until_idle()
+    assert out[-1]["applied"] is False
+
+    got = eng.final_state().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    exp = oracle_final_state(generate_changelog_tables(CFG)).to_pandas(
+    ).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+    # fully-consumed segments never re-read: every file is in the cursor
+    cur = t._cursor()
+    for s, d in dirs.items():
+        assert set(cur["consumed"][s]) == {
+            f for f in __import__("os").listdir(d) if f.endswith(".parquet")
+        }
+
+
+def test_fanin_tailer_crash_mid_apply_resumes_same_cut(tmp_path, ray_session):
+    from arlas_proc_ray.cdc.fanin import FaninTailer
+
+    N = CFG.num_events
+    dirs = {f"s{s}": str(tmp_path / f"wal{s}") for s in range(K)}
+    for s in range(K):
+        _write_shard_segment(
+            dirs[f"s{s}"], lo=0, hi=N // 2, source=s, name="a.parquet"
+        )
+
+    eng = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    t = FaninTailer(eng, dirs)
+
+    calls = {"n": 0}
+
+    def hook(part):
+        calls["n"] += 1
+        if part >= 2:
+            raise RuntimeError("chaos")
+
+    eng.fault_hook = hook
+    with pytest.raises(Exception):
+        t.poll()
+    import os
+
+    assert os.path.exists(t._intent_path)  # intent survives the crash
+
+    # fresh process: clean engine + tailer over the same state resumes
+    eng2 = CdcEngine(str(tmp_path / "snap"), DataModel(num_partitions=4))
+    t2 = FaninTailer(eng2, dirs)
+    r = t2.poll()
+    assert r["applied"] and r.get("resumed")
+    assert not os.path.exists(t2._intent_path)
+
+    # drain the rest
+    for s in range(K):
+        _write_shard_segment(
+            dirs[f"s{s}"], lo=N // 2, hi=N, source=s, name="b.parquet"
+        )
+        _close_shard(dirs[f"s{s}"])
+    t2.run_until_idle()
+
+    got = eng2.final_state().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    exp = oracle_final_state(generate_changelog_tables(CFG)).to_pandas(
+    ).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
