@@ -297,7 +297,13 @@ class FaninTailer:
                 hw = 1 << 62
             hws[shard] = hw
             pending[shard] = ranges
-        w = min(hws.values())
+        # clamp the closed-shard +inf gates to the highest REAL delivered
+        # lsn, so the cursor's cut stays a true log position (all-closed
+        # polls cut exactly at the global max, not at the sentinel)
+        real = [
+            r[1] for rngs in pending.values() for r in rngs.values()
+        ] + [cut]
+        w = min(min(hws.values()), max(real))
         if w <= cut:
             return {"epoch": committed, "lo": cut, "hi": cut, "files": {},
                     "applied": False}

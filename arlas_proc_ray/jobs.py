@@ -203,6 +203,38 @@ def cmd_tail_dir(args) -> dict:
     }
 
 
+def cmd_tail_fanin(args) -> dict:
+    """Consume K mutually-skewed shard segment directories into
+    watermark-cut fenced epochs until idle (cdc/fanin.py FaninTailer —
+    per-shard parquet-footer high-water marks, min-over-shards cut,
+    the same two-phase exactly-once file accounting as tail-dir)."""
+    from arlas_proc_ray.cdc.engine import CdcEngine
+    from arlas_proc_ray.cdc.fanin import FaninTailer
+    from arlas_proc_ray.model import DataModel
+
+    _ray_session(args.num_cpus)
+    engine = CdcEngine(
+        args.snapshot, DataModel(num_partitions=args.partitions),
+    )
+    dirs = {}
+    for spec in args.shard:
+        name, _, path = spec.partition("=")
+        if not path:
+            name, path = f"s{len(dirs)}", name
+        dirs[name] = path
+    tailer = FaninTailer(engine, dirs)
+    results = (
+        [tailer.poll()] if args.once else tailer.run_until_idle()
+    )
+    applied = [r for r in results if r["applied"]]
+    return {
+        "polls": len(results),
+        "epochs_applied": [r["epoch"] for r in applied],
+        "cut": tailer._cursor()["cut"],
+        "latest_committed": engine.store.latest_committed_epoch(),
+    }
+
+
 def cmd_synthesize(args) -> dict:
     from arlas_proc_ray.cdc.events import ChangelogConfig, changelog_dataset
 
@@ -961,6 +993,22 @@ def main(argv=None) -> int:
     td.add_argument("--once", action="store_true", help="one poll instead of until-idle")
     td.add_argument("--num-cpus", type=int, default=None)
     td.set_defaults(fn=cmd_tail_dir)
+
+    tf = sub.add_parser(
+        "tail-fanin",
+        help="consume K skewed shard directories via watermark cuts",
+    )
+    tf.add_argument(
+        "--shard", action="append", required=True,
+        metavar="[NAME=]DIR",
+        help="shard segment directory (repeatable, parquet segments)",
+    )
+    tf.add_argument("--snapshot", required=True)
+    tf.add_argument("--partitions", type=int, default=16)
+    tf.add_argument("--once", action="store_true",
+                    help="one poll instead of until-idle")
+    tf.add_argument("--num-cpus", type=int, default=None)
+    tf.set_defaults(fn=cmd_tail_fanin)
 
     pe = sub.add_parser(
         "publish", help="audit + publish (or discard) a staged epoch"

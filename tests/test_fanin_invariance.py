@@ -312,3 +312,37 @@ def test_fanin_tailer_crash_mid_apply_resumes_same_cut(tmp_path, ray_session):
     exp = oracle_final_state(generate_changelog_tables(CFG)).to_pandas(
     ).sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_jobs_cli_tail_fanin(tmp_path, ray_session, capsys):
+    import json
+
+    from arlas_proc_ray.jobs import main
+
+    N = CFG.num_events
+    dirs = {}
+    for s in range(K):
+        d = str(tmp_path / f"wal{s}")
+        _write_shard_segment(d, lo=0, hi=N, source=s, name="a.parquet")
+        _close_shard(d)
+        dirs[f"s{s}"] = d
+    snap = str(tmp_path / "snap")
+    argv = ["tail-fanin", "--snapshot", snap, "--partitions", "4"]
+    for name, d in dirs.items():
+        argv += ["--shard", f"{name}={d}"]
+    assert main(argv) == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert out[-1]["epochs_applied"] == [1]
+    assert out[-1]["cut"] == N - 1
+
+    got = (
+        CdcEngine(snap, DataModel(num_partitions=4))
+        .final_state().to_pandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = oracle_final_state(generate_changelog_tables(CFG)).to_pandas(
+    ).sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
