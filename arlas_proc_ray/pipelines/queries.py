@@ -14439,3 +14439,70 @@ ORACLE_SQL["link_prediction_features"] = """
     JOIN deg du ON du.node = e.u
     JOIN deg dv ON dv.node = e.v
 """
+
+
+def q_scd3_current_prev(sf_dir: str):
+    """SCD Type-3 view of the changelog — per LIVE key the current
+    value plus the immediately-prior non-delete version (prev_*
+    NULL-filled when the key has a single version): completes the SCD
+    family next to scd2_history (full interval history) and
+    time_travel_asof (point-in-time). One keyed exchange; inside each
+    partition the per-key current/prev pick is a vectorized
+    sort + groupby.nth — nothing driver-side."""
+    ds = _events_changelog(sf_dir)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lsn", kind="mergesort")
+        g = pdf.groupby(["repo", "path"], sort=False)
+        last = g.tail(1)
+        live = last[last["op"] != "DELETE"][["repo", "path"]]
+        ups = pdf[pdf["op"] != "DELETE"]
+        gu = ups.groupby(["repo", "path"], sort=False)
+        cur = gu.tail(1).rename(
+            columns={"lsn": "lsn_current", "content": "content_current"}
+        )
+        prev = gu.nth(-2).rename(
+            columns={"lsn": "lsn_prev", "content": "content_prev"}
+        )
+        out = live.merge(
+            cur[["repo", "path", "lsn_current", "content_current"]],
+            on=["repo", "path"], how="inner",
+        ).merge(
+            prev[["repo", "path", "lsn_prev", "content_prev"]],
+            on=["repo", "path"], how="left",
+        )
+        # single-version keys carry sentinel prevs (-1 / '') so both
+        # sides stay typed int64/str — no nullable-dtype render drift
+        out["lsn_prev"] = (
+            out["lsn_prev"].fillna(-1).astype("int64")
+        )
+        out["content_prev"] = out["content_prev"].fillna("")
+        return out
+
+    return keyed_partition_map(
+        ds, keys=["repo", "path"], order_col="lsn", fn=fn,
+        num_partitions=NP,
+    )
+
+
+QUERIES["scd3_current_prev"] = q_scd3_current_prev
+
+ORACLE_SQL["scd3_current_prev"] = f"""
+    WITH ch AS ({_CHANGELOG_SQL}),
+    last AS (SELECT repo, path, op,
+                    row_number() OVER (PARTITION BY repo, path
+                                       ORDER BY lsn DESC) AS rn
+             FROM ch),
+    live AS (SELECT repo, path FROM last WHERE rn = 1 AND op <> 'DELETE'),
+    ups AS (SELECT repo, path, lsn, content,
+                   row_number() OVER (PARTITION BY repo, path
+                                      ORDER BY lsn DESC) AS rn
+            FROM ch WHERE op <> 'DELETE')
+    SELECT l.repo, l.path,
+           c.lsn AS lsn_current, c.content AS content_current,
+           CAST(COALESCE(p.lsn, -1) AS BIGINT) AS lsn_prev,
+           COALESCE(p.content, '') AS content_prev
+    FROM live l
+    JOIN ups c ON c.repo = l.repo AND c.path = l.path AND c.rn = 1
+    LEFT JOIN ups p ON p.repo = l.repo AND p.path = l.path AND p.rn = 2
+"""
