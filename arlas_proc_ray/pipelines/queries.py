@@ -14506,3 +14506,88 @@ ORACLE_SQL["scd3_current_prev"] = f"""
     JOIN ups c ON c.repo = l.repo AND c.path = l.path AND c.rn = 1
     LEFT JOIN ups p ON p.repo = l.repo AND p.path = l.path AND p.rn = 2
 """
+
+
+def q_markov_next_accuracy(sf_dir: str):
+    """Markov next-event prediction eval — how predictable is each
+    user's stream under the corpus-wide first-order model: the global
+    transition matrix (exact integer counts, one keyed exchange via
+    stages/analytics.transition_counts) elects argmax(count, tie →
+    lexicographically smallest next type) per current type; the
+    broadcast predictor then scores every consecutive pair in a second
+    per-key pass. Output per user: pairs, hits, exact ppm accuracy —
+    all int64 (the eval loop is two groupby.shifts, never a row loop)."""
+    from arlas_proc_ray.stages.analytics import transition_counts
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "event_type"])
+    tm = transition_counts(
+        ds, key_col="user_id", order_col="event_id",
+        state_col="event_type", num_partitions=NP,
+    )
+    if hasattr(tm, "to_pandas"):
+        tm = tm.to_pandas()
+    best = (
+        tm.sort_values(["from_state", "n", "to_state"],
+                       ascending=[True, False, True], kind="mergesort")
+        .groupby("from_state", sort=False)
+        .head(1)
+    )
+    pred = dict(zip(best["from_state"], best["to_state"]))
+    import ray as _ray
+
+    pred_ref = _ray.put(pred)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = _ray.get(pred_ref)
+        pdf = pdf.sort_values("event_id", kind="mergesort")
+        g = pdf.groupby("user_id", sort=False)
+        nxt = g["event_type"].shift(-1)
+        keep = nxt.notna().to_numpy()
+        guessed = pdf["event_type"].map(p)
+        hits = (nxt.to_numpy() == guessed.to_numpy()) & keep
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "pairs": keep.astype(np.int64),
+                "hits": hits.astype(np.int64),
+            }
+        )
+        return out.groupby("user_id", sort=False, as_index=False).sum()
+
+    parts = keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=score,
+        num_partitions=NP,
+    ).to_pandas()
+    out = parts.groupby("user_id", as_index=False)[["pairs", "hits"]].sum()
+    out["accuracy_ppm"] = (
+        out["hits"] * 1_000_000 // out["pairs"].clip(lower=1)
+    ).astype("int64")
+    return out.astype({"pairs": "int64", "hits": "int64"})
+
+
+QUERIES["markov_next_accuracy"] = q_markov_next_accuracy
+
+ORACLE_SQL["markov_next_accuracy"] = """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS nxt
+      FROM events),
+    tc AS (SELECT cur AS from_type, nxt AS to_type, count(*) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    best AS (SELECT from_type, to_type,
+                    row_number() OVER (PARTITION BY from_type
+                                       ORDER BY n DESC, to_type ASC) AS rk
+             FROM tc),
+    pred AS (SELECT from_type, to_type FROM best WHERE rk = 1)
+    SELECT s.user_id,
+           CAST(count(*) AS BIGINT) AS pairs,
+           CAST(sum(CASE WHEN s.nxt = p.to_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN s.nxt = p.to_type THEN 1 ELSE 0 END)
+                * 1000000 // GREATEST(count(*), 1) AS BIGINT)
+             AS accuracy_ppm
+    FROM seq s JOIN pred p ON p.from_type = s.cur
+    WHERE s.nxt IS NOT NULL
+    GROUP BY 1
+"""
