@@ -189,7 +189,36 @@ def mode_interleaved():
           f"{N / dt:,.0f} ev/s incl. generation ({dt:.1f}s)")
 
 
+def mode_chaos():
+    """SIGKILL the tail mid-epoch, resume in a fresh process, converge.
+    Run AFTER `gen`: spawns `tail` as a subprocess, kills it hard once
+    the apply is underway, then re-runs tail to completion — the intent
+    record replays the SAME cut under the SAME epoch and the partition
+    fences skip whatever committed before the kill."""
+    import signal
+    import subprocess
+
+    shutil.rmtree(f"{BASE}/snap", ignore_errors=True)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "tail"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(float(os.environ.get('FANIN_KILL_AFTER_S', '8')))
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+    intent = f"{BASE}/snap/_fanin_tailer/intent.json"
+    print("killed mid-epoch; intent present:", os.path.exists(intent))
+    t0 = time.perf_counter()
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "tail"],
+        env=env, capture_output=True, text=True,
+    )
+    print("resume:", out.stdout.strip().splitlines()[-1])
+    print(f"resume wall {time.perf_counter() - t0:.1f}s")
+
+
 if __name__ == "__main__":
     {"gen": mode_gen, "tail": mode_tail, "verify": mode_verify,
-     "interleaved": mode_interleaved}[sys.argv[1]]()
+     "interleaved": mode_interleaved, "chaos": mode_chaos}[sys.argv[1]]()
     ray.shutdown()
