@@ -14591,3 +14591,59 @@ ORACLE_SQL["markov_next_accuracy"] = """
     WHERE s.nxt IS NOT NULL
     GROUP BY 1
 """
+
+
+def q_write_amplification(sf_dir: str):
+    """Per-repo write amplification of the change stream — total change
+    events vs surviving live rows (the compaction-planning metric: a
+    repo at 50× amplification wants delta epochs + tighter vacuum).
+    Exact integers: one combiner pass counts (repo, path)-level events
+    and final ops; live rows derive from the same per-key last-op scan
+    the LWW engine performs; amplification reported as exact ppm."""
+    ds = _events_changelog(sf_dir)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lsn", kind="mergesort")
+        g = pdf.groupby(["repo", "path"], sort=False)
+        last = g.tail(1)
+        per_key = g.size().reset_index(name="n")
+        live = last[last["op"] != "DELETE"][["repo", "path"]].assign(
+            live=np.int64(1)
+        )
+        out = per_key.merge(live, on=["repo", "path"], how="left")
+        out["live"] = out["live"].fillna(0).astype("int64")
+        return (
+            out.groupby("repo", sort=False, as_index=False)
+            .agg(n_changes=("n", "sum"), live_rows=("live", "sum"))
+        )
+
+    parts = keyed_partition_map(
+        ds, keys=["repo", "path"], order_col="lsn", fn=fn,
+        num_partitions=NP,
+    ).to_pandas()
+    out = parts.groupby("repo", as_index=False)[
+        ["n_changes", "live_rows"]
+    ].sum()
+    out["amplification_ppm"] = (
+        out["n_changes"] * 1_000_000 // out["live_rows"].clip(lower=1)
+    ).astype("int64")
+    return out.astype({"n_changes": "int64", "live_rows": "int64"})
+
+
+QUERIES["write_amplification"] = q_write_amplification
+
+ORACLE_SQL["write_amplification"] = f"""
+    WITH ch AS ({_CHANGELOG_SQL}),
+    per_key AS (SELECT repo, path, count(*) AS n,
+                       arg_max(op, lsn) AS last_op
+                FROM ch GROUP BY 1, 2)
+    SELECT repo,
+           CAST(sum(n) AS BIGINT) AS n_changes,
+           CAST(sum(CASE WHEN last_op <> 'DELETE' THEN 1 ELSE 0 END)
+                AS BIGINT) AS live_rows,
+           CAST(sum(n) * 1000000
+                // GREATEST(sum(CASE WHEN last_op <> 'DELETE'
+                                THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS amplification_ppm
+    FROM per_key GROUP BY 1
+"""
