@@ -14647,3 +14647,69 @@ ORACLE_SQL["write_amplification"] = f"""
              AS amplification_ppm
     FROM per_key GROUP BY 1
 """
+
+
+def q_session_entry_exit(sf_dir: str):
+    """Distribution of (entry event type, exit event type) over gap
+    sessions (same 43200 s definition as `sessionize`): which type
+    opens a session and which closes it — the funnel-boundary profile.
+    One keyed exchange; entry/exit are vectorized first/last per
+    session segment inside the partition, then a tiny (pair, n) fold."""
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the kit delivers (user_id, event_id)-sorted rows — each user's
+        # sessions are CONTIGUOUS, which the break-cumsum segmentation
+        # requires (re-sorting by event_id alone would interleave users)
+        g = pdf.groupby("user_id", sort=False)
+        prev = g["ts"].shift(1)
+        dur = _dur_s(pdf["ts"], prev)
+        seg = (prev.isna() | (dur > GAP_S)).cumsum()
+        gb = pdf.groupby(seg, sort=False)
+        pairs = pd.DataFrame(
+            {
+                "entry_type": gb["event_type"].first(),
+                "exit_type": gb["event_type"].last(),
+            }
+        )
+        return (
+            pairs.groupby(["entry_type", "exit_type"], sort=False)
+            .size()
+            .reset_index(name="n_sessions")
+        )
+
+    parts = keyed_partition_map(
+        ds, keys=["user_id"], order_col="event_id", fn=fn,
+        num_partitions=NP,
+    ).to_pandas()
+    out = parts.groupby(
+        ["entry_type", "exit_type"], as_index=False
+    )["n_sessions"].sum()
+    return out.astype({"n_sessions": "int64"})
+
+
+QUERIES["session_entry_exit"] = q_session_entry_exit
+
+ORACLE_SQL["session_entry_exit"] = f"""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      / 1000000.0 > 43200
+                  THEN 1 ELSE 0 END AS brk
+      FROM events {{_W}}),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o),
+    se AS (SELECT user_id, seg,
+                  arg_min(event_type, event_id) AS entry_type,
+                  arg_max(event_type, event_id) AS exit_type
+           FROM s GROUP BY 1, 2)
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM se GROUP BY 1, 2
+"""
+ORACLE_SQL["session_entry_exit"] = ORACLE_SQL["session_entry_exit"].replace(
+    "{_W}", _W
+)
